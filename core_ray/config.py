@@ -1,0 +1,58 @@
+"""Pipeline configuration + stage registry.
+
+The registry mirrors the reference's framework-registration ergonomics
+(pkg/parser/framework/registry.go:12-66, blank-import activation in
+strategies/all/all.go): stages register by name; a pipeline selects a subset.
+Options mirror the reference's functional options (pkg/parser/options.go:42-100
+WithWorkers/WithTimeout/WithMaxFileSize/...) as a plain dataclass.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+STAGE_REGISTRY: dict[str, Callable[..., Any]] = {}
+
+
+def register_stage(name: str):
+    """Decorator: register a stage factory under ``name``."""
+
+    def deco(obj):
+        STAGE_REGISTRY[name] = obj
+        return obj
+
+    return deco
+
+
+@dataclass
+class PipelineConfig:
+    """Flagship-pipeline knobs (WithWorkers/WithMaxFileSize analog).
+
+    Sizing rationale for 100 TB scale: per-document stages use modest batch
+    sizes (html rows are wide — a 1024-row batch of ~2 KB pages is ~2 MB);
+    `html` is dropped at extract so downstream blocks stay small. Actor-pool
+    concurrency is a (min, max) range so the streaming executor can balance
+    stages instead of one pool starving the others.
+    """
+
+    hex_res: int = 7
+    s2_level: int = 12
+    knn_k: int = 5
+    tile_zooms: tuple[int, ...] = (7, 9, 12)
+    max_html_bytes: int = 10 * 1024 * 1024  # MaxFileSize analog (scanner.go:37-38)
+
+    # skew handling (FIXTURES.md skew spec): cells with more rows than
+    # hot_cell_threshold get salted into ceil(n / salt_group_target) buckets
+    hot_cell_threshold: int = 4000
+    salt_group_target: int = 2000
+
+    # execution sizing
+    extract_batch_size: int = 1024
+    geocode_batch_size: int = 2048
+    encode_batch_size: int = 8192
+    actor_concurrency: tuple[int, int] = (2, 8)
+
+    checkpoint_dir: str | None = None
+    resume: bool = True
+    stage_versions: dict[str, int] = field(default_factory=dict)

