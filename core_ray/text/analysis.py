@@ -1,0 +1,131 @@
+"""Text analysis: token counting, quality scoring, language-ID, fingerprinting.
+
+The M1/M2-analog per-document classification/scoring family (SURVEY.md §2.2):
+pure vectorized or tight-loop kernels inside map_batches; compiled state
+(regexes, stopword tables) built once per actor.
+
+SQL mirrors (kept in exact sync with __ray_entry__.oracle_sql):
+- n_tokens    == array_length(regexp_split_to_array(trim(text), '\\s+'))
+- n_chars     == length(text)
+- distinct_ratio == distinct tokens / total tokens (int/int in float64)
+- mean_token_len == avg(length(token))  (sum of ints / count in float64)
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+TOKEN_RE = r"\S+"
+# BPE-ish word/punct splitter for token_count_bpe (GPT-2-style coarse classes)
+BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+")
+
+
+def add_token_counts(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Vectorized: n_tokens (whitespace) + n_chars, pure pyarrow.compute."""
+    n_tokens = pc.count_substring_regex(batch[col], TOKEN_RE)
+    n_chars = pc.utf8_length(batch[col])
+    return batch.append_column(
+        "n_tokens", pc.cast(n_tokens, pa.int64())
+    ).append_column("n_chars_actual", pc.cast(n_chars, pa.int64()))
+
+
+def add_quality(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Quality features: distinct-token ratio + mean token length (+ counts)."""
+    texts = batch[col].to_pylist()
+    n_tok = np.empty(len(texts), dtype=np.int64)
+    n_distinct = np.empty(len(texts), dtype=np.int64)
+    sum_len = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        toks = t.split()
+        n_tok[i] = len(toks)
+        n_distinct[i] = len(set(toks))
+        sum_len[i] = sum(len(w) for w in toks)
+    safe = np.maximum(n_tok, 1)
+    distinct_ratio = np.round(n_distinct / safe, 6)
+    mean_token_len = np.round(sum_len / safe, 6)
+    return (
+        batch.append_column("n_tokens", pa.array(n_tok, pa.int64()))
+        .append_column("distinct_ratio", pa.array(distinct_ratio, pa.float64()))
+        .append_column("mean_token_len", pa.array(mean_token_len, pa.float64()))
+    )
+
+
+# Tiny per-language stopword tables for the n-gram/stopword heuristic lang-ID.
+STOPWORDS: dict[str, frozenset[str]] = {
+    "en": frozenset("the and of to a in is it you that was for on are with".split()),
+    "de": frozenset("der die das und ist ich nicht mit ein eine zu den von".split()),
+    "fr": frozenset("le la les et de un une est pas pour dans que vous".split()),
+    "es": frozenset("el la los las y de un una es no por con para que".split()),
+    "pt": frozenset("o a os as e de um uma é não por com para que em".split()),
+    "ru": frozenset("и в не на я что он как это но по к у же вы".split()),
+}
+
+
+class LangId:
+    """Actor-pool UDF: stopword-overlap language classifier.
+
+    Scores each language by the fraction of tokens in its stopword table;
+    winner = max score, ties broken alphabetically; no token hits -> 'und'.
+    (Heuristic lang-ID per the brief; deterministic by construction.)
+    """
+
+    def __init__(self, col: str = "text"):
+        self.col = col
+        self.langs = sorted(STOPWORDS)  # alphabetical = the tie-break order
+        self.tables = [STOPWORDS[lang] for lang in self.langs]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.col].to_pylist()
+        out = []
+        for t in texts:
+            toks = t.lower().split()
+            if not toks:
+                out.append("und")
+                continue
+            best_lang, best = "und", 0
+            for lang, table in zip(self.langs, self.tables):
+                score = sum(1 for w in toks if w in table)
+                if score > best:
+                    best, best_lang = score, lang
+            out.append(best_lang)
+        return batch.append_column("lang_pred", pa.array(out, pa.string()))
+
+
+def doc_fingerprint(text: str, window: int = 8) -> int:
+    """Deterministic document fingerprint: min Karp-Rabin rolling hash over
+    ``window``-token windows (winnowing-style); whole-text crc64-ish when the
+    document is shorter than one window."""
+    toks = text.split()
+    hs = [zlib.crc32(t.encode("utf-8")) & 0xFFFFFFFF for t in toks]
+    if len(hs) < window:
+        acc = 1469598103934665603
+        for h in hs:
+            acc = ((acc ^ h) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+        return acc
+    base = 1000003
+    mod = (1 << 61) - 1
+    pw = pow(base, window - 1, mod)
+    cur = 0
+    for h in hs[:window]:
+        cur = (cur * base + h) % mod
+    best = cur
+    for i in range(window, len(hs)):
+        cur = ((cur - hs[i - window] * pw) * base + hs[i]) % mod
+        if cur < best:
+            best = cur
+    return best
+
+
+class Fingerprinter:
+    def __init__(self, col: str = "text", window: int = 8):
+        self.col = col
+        self.window = window
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fps = [doc_fingerprint(t, self.window) for t in batch[self.col].to_pylist()]
+        return batch.append_column("fingerprint", pa.array(fps, pa.uint64()))
