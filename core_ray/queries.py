@@ -1,0 +1,956 @@
+"""Driver-facing queries (sf_dir-parameterized) + DuckDB oracle SQL.
+
+Every entry in QUERIES is a Ray-Data-first implementation of one operator
+class from SURVEY.md §2 / the training-data-ops brief; ORACLE_SQL holds the
+ANSI-SQL equivalent for everything SQL-expressible (same column NAMES and
+TYPES — the driver sorts columns by name and hashes values, so both sides
+round floats identically and cast explicitly).
+
+Float discipline:
+- monetary aggregates: ROUND(x, 2) on both sides after aggregation
+- similarity / ratio outputs: ROUND(x, 6)
+- distance used for ranking: squared euclidean written as
+  (a-b)*(a-b) + (c-d)*(c-d) in BOTH numpy and SQL (bit-identical IEEE ops);
+  no sqrt/hypot anywhere near a comparison.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from core_ray.geo import mercator
+
+# ---------------------------------------------------------------- helpers
+
+
+def _p(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(_p(sf_dir, table), columns=columns)
+
+
+# ================================================================ relational
+# Q1-style pricing summary: filter + partial per-batch pre-aggregation (the
+# combiner pattern, SURVEY.md §2.6 A1-A3) + tiny final groupby.
+
+_Q1_CUTOFF = datetime(2000, 1, 1)
+
+
+def q1_pricing_summary(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less_equal(batch["l_shipdate"], pa.scalar(_Q1_CUTOFF)))
+        disc = pc.multiply(batch["l_extendedprice"], pc.subtract(1.0, batch["l_discount"]))
+        batch = batch.append_column("disc_price", disc)
+        # per-batch combine: emit one row per (flag, status) per batch
+        return pa.TableGroupBy(batch, ["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"), ("disc_price", "sum"), ("l_quantity", "count")]
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity_sum", alias_name="sum_qty"),
+            Sum("l_extendedprice_sum", alias_name="sum_base_price"),
+            Sum("disc_price_sum", alias_name="sum_disc_price"),
+            Sum("l_quantity_count", alias_name="count_order"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "sum_qty": pc.round(b["sum_qty"], 2),
+                "sum_base_price": pc.round(b["sum_base_price"], 2),
+                "sum_disc_price": pc.round(b["sum_disc_price"], 2),
+                "count_order": pc.cast(b["count_order"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2)                        AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2)                   AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+       COUNT(*)                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+GROUP BY 1, 2
+"""
+
+
+# Q3-style: broadcast semi-joins (customer segment -> orders -> lineitem),
+# groupby revenue, deterministic top-10 (SURVEY.md §2.5 J1 small-side pattern).
+
+_Q3_DATE = datetime(1998, 1, 1)
+
+
+def q3_top_orders(sf_dir: str):
+    import ray
+    from ray.data.aggregate import Sum
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    building = {
+        r["c_custkey"]
+        for r in cust.filter(expr="c_mktsegment == 'BUILDING'").take_all()
+    }
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    okeys = {}
+    for r in orders.take_all():
+        if r["o_custkey"] in building and r["o_orderdate"] < _Q3_DATE:
+            okeys[r["o_orderkey"]] = r["o_orderdate"]
+    okeys_ref = ray.put(okeys)
+
+    class Filter:
+        def __init__(self, ref):
+            if isinstance(ref, ray.ObjectRef):
+                ref = ray.get(ref)
+            self.okeys = ref
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            b = b.filter(pc.greater(b["l_shipdate"], pa.scalar(_Q3_DATE)))
+            keys = b["l_orderkey"].to_numpy(zero_copy_only=False)
+            mask = np.array([k in self.okeys for k in keys], dtype=bool)
+            b = b.filter(pa.array(mask))
+            rev = pc.multiply(b["l_extendedprice"], pc.subtract(1.0, b["l_discount"]))
+            return pa.table({"o_orderkey": b["l_orderkey"], "rev": rev})
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+    agg = (
+        li.map_batches(Filter, fn_constructor_args=(okeys_ref,), batch_format="pyarrow",
+                       batch_size=65536, concurrency=(1, 4))
+        .groupby("o_orderkey")
+        .aggregate(Sum("rev", alias_name="revenue"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_orderkey": b["o_orderkey"], "revenue": pc.round(b["revenue"], 2)}
+        )
+
+    out = agg.map_batches(finish, batch_format="pyarrow")
+    return out.sort(["revenue", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+Q3_SQL = """
+SELECT l_orderkey AS o_orderkey,
+       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate  > TIMESTAMP '1998-01-01'
+GROUP BY 1
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+# Q5-style: chained broadcast dimension joins -> per-nation revenue.
+
+
+def q5_region_revenue(sf_dir: str, region: str = "ASIA"):
+    import ray
+    from ray.data.aggregate import Sum
+
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(_p(sf_dir, "nation"))
+    reg = pq.read_table(_p(sf_dir, "region"))
+    supplier = pq.read_table(_p(sf_dir, "supplier"))
+    rkey = {r["r_regionkey"] for r in reg.to_pylist() if r["r_name"] == region}
+    n_in = {
+        r["n_nationkey"]: r["n_name"]
+        for r in nation.to_pylist()
+        if r["n_regionkey"] in rkey
+    }
+    supp_nation = {
+        r["s_suppkey"]: n_in[r["s_nationkey"]]
+        for r in supplier.to_pylist()
+        if r["s_nationkey"] in n_in
+    }
+    ref = ray.put(supp_nation)
+
+    class MapSupp:
+        def __init__(self, ref):
+            if isinstance(ref, ray.ObjectRef):
+                ref = ray.get(ref)
+            self.supp = ref
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            keys = b["l_suppkey"].to_numpy(zero_copy_only=False)
+            names = [self.supp.get(k) for k in keys]
+            mask = pa.array([n is not None for n in names])
+            rev = pc.multiply(b["l_extendedprice"], pc.subtract(1.0, b["l_discount"]))
+            t = pa.table(
+                {"n_name": pa.array([n if n else "" for n in names], pa.string()), "rev": rev}
+            )
+            return t.filter(mask)
+
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
+    agg = (
+        li.map_batches(MapSupp, fn_constructor_args=(ref,), batch_format="pyarrow",
+                       batch_size=65536, concurrency=(1, 4))
+        .groupby("n_name")
+        .aggregate(Sum("rev", alias_name="revenue"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table({"n_name": b["n_name"], "revenue": pc.round(b["revenue"], 2)}),
+        batch_format="pyarrow",
+    )
+
+
+Q5_SQL = """
+SELECT n_name, ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------- events
+
+_HOUR_US = 3600 * 1000 * 1000
+_SESSION_GAP_US = 1800 * 1000 * 1000
+
+
+def events_hourly(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def add_hour(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64())
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "hour": pc.divide(us, _HOUR_US),
+                "value": b["value"],
+            }
+        )
+
+    agg = (
+        ds.map_batches(add_hour, batch_format="pyarrow", batch_size=65536)
+        .groupby(["event_type", "hour"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "event_type": b["event_type"],
+                "hour": b["hour"],
+                "n_events": pc.cast(b["n_events"], pa.int64()),
+                "sum_value": pc.round(b["sum_value"], 2),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def events_top_users(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+    agg = ds.groupby("user_id").aggregate(
+        Sum("value", alias_name="total_value"), Count(alias_name="n_events")
+    )
+    out = agg.map_batches(
+        lambda b: pa.table(
+            {
+                "user_id": b["user_id"],
+                "total_value": pc.round(b["total_value"], 2),
+                "n_events": pc.cast(b["n_events"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return out.sort(["total_value", "user_id"], descending=[True, False]).limit(10)
+
+
+EVENTS_TOP_USERS_SQL = """
+SELECT user_id, ROUND(SUM(value), 2) AS total_value, COUNT(*) AS n_events
+FROM events GROUP BY 1
+ORDER BY total_value DESC, user_id
+LIMIT 10
+"""
+
+
+def events_sessionize(sf_dir: str):
+    """Session windows (gap > 30 min) per user — the streaming-shaped op
+    (ray_guide 'Streaming-shaped workloads': partition by key, sort by ts
+    within the group, window with pandas/numpy)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def sessions(group: pa.Table) -> pa.Table:
+        us = np.sort(pc.cast(group["ts"], pa.int64()).to_numpy(zero_copy_only=False))
+        new_session = np.ones(len(us), dtype=np.int64)
+        if len(us) > 1:
+            new_session[1:] = (np.diff(us) > _SESSION_GAP_US).astype(np.int64)
+        sid = np.cumsum(new_session) - 1
+        uid = group["user_id"][0].as_py()
+        out_sid, out_n, out_dur = [], [], []
+        for s in np.unique(sid):
+            m = sid == s
+            out_sid.append(int(s))
+            out_n.append(int(m.sum()))
+            out_dur.append(int(us[m].max() - us[m].min()))
+        return pa.table(
+            {
+                "user_id": pa.array([uid] * len(out_sid), pa.int64()),
+                "session_idx": pa.array(out_sid, pa.int32()),
+                "n_events": pa.array(out_n, pa.int64()),
+                "duration_us": pa.array(out_dur, pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+
+
+EVENTS_SESSIONIZE_SQL = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+m AS (
+  SELECT user_id, us,
+         CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000
+                OR LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM e),
+s AS (
+  SELECT user_id, us,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                          ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+  FROM m)
+SELECT user_id, CAST(session_idx AS INTEGER) AS session_idx,
+       COUNT(*) AS n_events, MAX(us) - MIN(us) AS duration_us
+FROM s GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------- documents
+
+
+def doc_token_stats(sf_dir: str):
+    from core_ray.text.analysis import add_token_counts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: add_token_counts(b).select(["doc_id", "n_tokens", "n_chars_actual"]),
+        batch_format="pyarrow",
+        batch_size=4096,
+    )
+
+
+DOC_TOKEN_STATS_SQL = """
+SELECT doc_id,
+       CASE WHEN TRIM(text) = '' THEN 0
+            ELSE ARRAY_LENGTH(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) END AS n_tokens,
+       LENGTH(text) AS n_chars_actual
+FROM documents
+"""
+
+
+def doc_lang_dist(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    agg = ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars")
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "lang": b["lang"],
+                "n_docs": pc.cast(b["n_docs"], pa.int64()),
+                "avg_chars": pc.round(
+                    pc.divide(pc.cast(b["sum_chars"], pa.float64()), pc.cast(b["n_docs"], pa.float64())), 2
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+DOC_LANG_DIST_SQL = """
+SELECT lang, COUNT(*) AS n_docs, ROUND(SUM(n_chars) / COUNT(*), 2) AS avg_chars
+FROM documents GROUP BY 1
+"""
+
+
+def doc_exact_dedup(sf_dir: str):
+    from core_ray.text.dedup import exact_dedup_groups
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = exact_dedup_groups(ds)
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "text_hash": b["text_hash"],
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "n_copies": pc.cast(b["n_copies"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+DOC_EXACT_DEDUP_SQL = """
+SELECT MD5(text) AS text_hash, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def doc_quality(sf_dir: str):
+    from core_ray.text.analysis import add_quality
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        out = add_quality(b)
+        out = out.filter(pc.greater(out["n_tokens"], 0))
+        return out.select(["doc_id", "n_tokens", "distinct_ratio", "mean_token_len"])
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=4096)
+
+
+DOC_QUALITY_SQL = """
+WITH t AS (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+') AS l
+           FROM documents WHERE TRIM(text) <> '')
+SELECT doc_id,
+       ARRAY_LENGTH(l) AS n_tokens,
+       ROUND(ARRAY_LENGTH(LIST_DISTINCT(l)) / ARRAY_LENGTH(l), 6) AS distinct_ratio,
+       ROUND(LIST_AGGREGATE(LIST_TRANSFORM(l, x -> LENGTH(x)), 'sum') / ARRAY_LENGTH(l), 6) AS mean_token_len
+FROM t
+"""
+
+
+def doc_langid(sf_dir: str):
+    from core_ray.text.analysis import LangId
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        LangId, batch_format="pyarrow", batch_size=4096, concurrency=(1, 4)
+    ).select_columns(["doc_id", "lang_pred"])
+
+
+def doc_fingerprint(sf_dir: str):
+    from core_ray.text.analysis import Fingerprinter
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        Fingerprinter, batch_format="pyarrow", batch_size=4096, concurrency=(1, 4)
+    ).select_columns(["doc_id", "fingerprint"])
+
+
+def doc_minhash_pairs(sf_dir: str):
+    from core_ray.text.dedup import minhash_near_dups
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_near_dups(ds, threshold=0.5)
+
+
+def doc_simhash_pairs(sf_dir: str):
+    from core_ray.text.dedup import simhash_near_dups
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_near_dups(ds, max_hamming=6)
+
+
+# ---------------------------------------------------------------- embeddings
+
+
+def _load_queries(sf_dir: str, modulus: int = 100):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    m = ids % modulus == 0
+    q = np.array(t["embedding"].to_pylist(), dtype=np.float64)[m]
+    return ids[m], q
+
+
+def emb_topk(sf_dir: str):
+    from core_ray.text.similarity import brute_force_topk
+
+    q_ids, q = _load_queries(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return brute_force_topk(ds, q_ids, q, k=5)
+
+
+EMB_TOPK_SQL = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0),
+sims AS (
+  SELECT q.qid AS query_id, e.vec_id,
+         LIST_COSINE_SIMILARITY(q.qe::DOUBLE[], e.embedding::DOUBLE[]) AS s
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.qid)
+SELECT query_id, vec_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) - 1 AS INTEGER) AS "rank",
+       ROUND(s, 6) AS sim
+FROM sims
+QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) <= 5
+"""
+
+
+def emb_centroids(sf_dir: str):
+    from core_ray.text.similarity import label_centroids
+
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+    return label_centroids(ds)
+
+
+EMB_CENTROIDS_SQL = """
+WITH x AS (
+  SELECT label,
+         CAST(GENERATE_SUBSCRIPTS(embedding, 1) AS INTEGER) AS dim,
+         UNNEST(embedding)::DOUBLE AS val
+  FROM embeddings)
+SELECT label, dim, ROUND(SUM(val) / COUNT(*), 6) AS mean_val
+FROM x GROUP BY 1, 2
+"""
+
+
+def emb_ann_lsh(sf_dir: str):
+    from core_ray.text.similarity import lsh_ann_topk
+
+    q_ids, _ = _load_queries(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return lsh_ann_topk(ds, q_ids, k=5)
+
+
+# ---------------------------------------------------------------- geo over
+# documents-derived deterministic coordinates (SQL-mirrorable arithmetic)
+
+GEO_LAT_SQL = "((doc_id * 7919) % 140000) / 1000.0 - 70.0"
+GEO_LON_SQL = "((doc_id * 104729) % 360000) / 1000.0 - 180.0"
+
+
+def _derive_coords(doc_id: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    lat = ((doc_id * 7919) % 140000) / 1000.0 - 70.0
+    lon = ((doc_id * 104729) % 360000) / 1000.0 - 180.0
+    return lat, lon
+
+
+def geo_tile_counts(sf_dir: str, zooms=(7, 9, 12)):
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def tiles(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy(zero_copy_only=False)
+        lat, lon = _derive_coords(doc_id)
+        parts = []
+        for z in zooms:
+            x, y = mercator.lonlat_to_tile(lon, lat, z)
+            parts.append(
+                pa.table(
+                    {
+                        "tile_z": pa.array(np.full(len(x), z, dtype=np.int32), pa.int32()),
+                        "tile_x": pa.array(x, pa.int64()),
+                        "tile_y": pa.array(y, pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    agg = (
+        ds.map_batches(tiles, batch_format="pyarrow", batch_size=65536)
+        .groupby(["tile_z", "tile_x", "tile_y"])
+        .aggregate(Count(alias_name="n_points"))
+    )
+    return agg.map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("n_points"), "n_points", pc.cast(b["n_points"], pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _geo_tile_sql_one(z: int) -> str:
+    n = float(1 << z)
+    return f"""
+  SELECT {z} AS tile_z,
+         CAST(LEAST({n} - 1, GREATEST(0, FLOOR((lon + 180.0) / 360.0 * {n}))) AS BIGINT) AS tile_x,
+         CAST(LEAST({n} - 1, GREATEST(0, FLOOR((1.0 - LN(TAN(RADIANS(lat)) + 1.0 / COS(RADIANS(lat))) / PI()) / 2.0 * {n}))) AS BIGINT) AS tile_y
+  FROM pts
+"""
+
+
+GEO_TILE_COUNTS_SQL = (
+    f"WITH pts AS (SELECT {GEO_LAT_SQL} AS lat, {GEO_LON_SQL} AS lon FROM documents),\n"
+    "tiles AS (" + "\n  UNION ALL\n".join(_geo_tile_sql_one(z) for z in (7, 9, 12)) + ")\n"
+    "SELECT CAST(tile_z AS INTEGER) AS tile_z, tile_x, tile_y, COUNT(*) AS n_points "
+    "FROM tiles GROUP BY 1, 2, 3"
+)
+
+
+# deterministic 3-level rectangle admin hierarchy; bounds at .0005 offsets so
+# no derived point (3 decimals) ever sits on a boundary. Mirrored verbatim in
+# the SQL VALUES list.
+GEO_RECTS = [
+    # (admin_id, level, lat0, lon0, lat1, lon1)
+    ("A0-west", 0, -70.0005, -180.0005, 70.0005, 0.0005),
+    ("A1-east", 0, -70.0005, 0.0005, 70.0005, 180.0005),
+    ("B0-nw", 1, 0.0005, -180.0005, 70.0005, -90.0005),
+    ("B1-ne", 1, 0.0005, 90.0005, 70.0005, 180.0005),
+    ("B2-sw", 1, -70.0005, -90.0005, -0.0005, 0.0005),
+    ("B3-se", 1, -70.0005, 0.0005, -0.0005, 90.0005),
+    ("C0-a", 2, 10.0005, -120.0005, 40.0005, -100.0005),
+    ("C1-b", 2, 20.0005, 100.0005, 50.0005, 140.0005),
+    ("C2-c", 2, -50.0005, -60.0005, -20.0005, -30.0005),
+    ("C3-overlap1", 2, 30.0005, 110.0005, 45.0005, 130.0005),  # overlaps C1-b
+    ("C4-d", 2, -30.0005, 20.0005, -10.0005, 60.0005),
+    ("C5-e", 2, 40.0005, -40.0005, 65.0005, -10.0005),
+]
+
+
+def _geo_admin_table() -> pa.Table:
+    rows = []
+    for aid, lvl, lat0, lon0, lat1, lon1 in GEO_RECTS:
+        wkt = (
+            f"POLYGON (({lon0} {lat0}, {lon1} {lat0}, {lon1} {lat1}, "
+            f"{lon0} {lat1}, {lon0} {lat0}))"
+        )
+        rows.append((aid, lvl, wkt))
+    return pa.table(
+        {
+            "admin_id": pa.array([r[0] for r in rows], pa.string()),
+            "level": pa.array([r[1] for r in rows], pa.int8()),
+            "wkt": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+
+
+def geo_pip_admin(sf_dir: str):
+    """Point-in-polygon with deepest-wins precedence over the deterministic
+    rect hierarchy — runs the REAL PipJoin actor (STRtree + tie-breaks) so the
+    DuckDB oracle validates the containment-join machinery itself."""
+    import ray
+
+    from core_ray.stages.pip import PipJoin
+
+    admin_ref = ray.put(_geo_admin_table())
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def coords(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy(zero_copy_only=False)
+        lat, lon = _derive_coords(doc_id)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "lat": pa.array(lat, pa.float64()),
+                "lon": pa.array(lon, pa.float64()),
+            }
+        )
+
+    pts = ds.map_batches(coords, batch_format="pyarrow", batch_size=65536)
+    out = pts.map_batches(
+        PipJoin, fn_constructor_args=(admin_ref,), batch_format="pyarrow",
+        batch_size=65536, concurrency=(1, 4),
+    )
+    return out.select_columns(["doc_id", "admin_id", "admin_level"])
+
+
+def _geo_rects_values_sql() -> str:
+    rows = ",\n    ".join(
+        f"('{aid}', {lvl}, {lat0}, {lon0}, {lat1}, {lon1})"
+        for aid, lvl, lat0, lon0, lat1, lon1 in GEO_RECTS
+    )
+    return f"(VALUES\n    {rows}) AS r(admin_id, level, lat0, lon0, lat1, lon1)"
+
+
+GEO_PIP_ADMIN_SQL = f"""
+WITH pts AS (SELECT doc_id, {GEO_LAT_SQL} AS lat, {GEO_LON_SQL} AS lon FROM documents),
+hits AS (
+  SELECT p.doc_id, r.admin_id, r.level
+  FROM pts p JOIN {_geo_rects_values_sql()}
+    ON p.lat BETWEEN r.lat0 AND r.lat1 AND p.lon BETWEEN r.lon0 AND r.lon1),
+best AS (
+  SELECT doc_id, admin_id, level FROM hits
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY level DESC, admin_id) = 1)
+SELECT p.doc_id, b.admin_id, CAST(COALESCE(b.level, -1) AS TINYINT) AS admin_level
+FROM pts p LEFT JOIN best b USING (doc_id)
+"""
+
+
+def geo_knn_tile(sf_dir: str, k: int = 3, zoom: int = 4):
+    """Per-tile kNN self-join (squared euclidean in degree space; bit-exact
+    formula mirrored in SQL). groupby(tile) shuffle + per-group numpy."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy(zero_copy_only=False)
+        lat, lon = _derive_coords(doc_id)
+        x, y = mercator.lonlat_to_tile(lon, lat, zoom)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "lat": pa.array(lat, pa.float64()),
+                "lon": pa.array(lon, pa.float64()),
+                "tile_x": pa.array(x, pa.int64()),
+                "tile_y": pa.array(y, pa.int64()),
+            }
+        )
+
+    def group_knn(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        lat = g["lat"].to_numpy(zero_copy_only=False)
+        lon = g["lon"].to_numpy(zero_copy_only=False)
+        out_id, out_nb, out_rk, out_d = [], [], [], []
+        for i in range(len(ids)):
+            dla = lat[i] - lat
+            dlo = lon[i] - lon
+            sq = dla * dla + dlo * dlo
+            sq[i] = np.inf
+            order = np.lexsort((ids, sq))[: min(k, len(ids) - 1)]
+            for r, j in enumerate(order):
+                out_id.append(ids[i])
+                out_nb.append(ids[j])
+                out_rk.append(r)
+                out_d.append(sq[j])
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "neighbor_id": pa.array(out_nb, pa.int64()),
+                "rank": pa.array(out_rk, pa.int32()),
+                "sq_dist": pa.array(out_d, pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", batch_size=65536)
+        .groupby(["tile_x", "tile_y"])
+        .map_groups(group_knn, batch_format="pyarrow")
+    )
+
+
+_N9 = float(1 << 4)  # zoom 4: coarse enough that tiles hold multiple points
+GEO_KNN_TILE_SQL = f"""
+WITH pts AS (
+  SELECT doc_id, {GEO_LAT_SQL} AS lat, {GEO_LON_SQL} AS lon FROM documents),
+tiled AS (
+  SELECT doc_id, lat, lon,
+         CAST(LEAST({_N9} - 1, GREATEST(0, FLOOR((lon + 180.0) / 360.0 * {_N9}))) AS BIGINT) AS tile_x,
+         CAST(LEAST({_N9} - 1, GREATEST(0, FLOOR((1.0 - LN(TAN(RADIANS(lat)) + 1.0 / COS(RADIANS(lat))) / PI()) / 2.0 * {_N9}))) AS BIGINT) AS tile_y
+  FROM pts),
+pairs AS (
+  SELECT a.doc_id, b.doc_id AS neighbor_id,
+         (a.lat - b.lat) * (a.lat - b.lat) + (a.lon - b.lon) * (a.lon - b.lon) AS sq_dist
+  FROM tiled a JOIN tiled b
+    ON a.tile_x = b.tile_x AND a.tile_y = b.tile_y AND a.doc_id <> b.doc_id)
+SELECT doc_id, neighbor_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY sq_dist, neighbor_id) - 1 AS INTEGER) AS "rank",
+       sq_dist
+FROM pairs
+QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY sq_dist, neighbor_id) <= 3
+"""
+
+
+# ---------------------------------------------------------------- pages
+# (flagship pipeline over the synthesized corpus; rows-only driver checks —
+# exact-match correctness is enforced by the pytest golden suite)
+
+_PAGES_N_BY_SF = {0.001: 2000, 0.01: 20000, 0.1: 200000}
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.001
+
+
+def _pages_corpus(sf_dir: str):
+    """Deterministic corpus scaled to the sf; cached under /tmp."""
+    import glob
+
+    from core_ray.fixtures.pages import write_corpus
+
+    n = _PAGES_N_BY_SF.get(_sf_of(sf_dir), 2000)
+    root = f"/tmp/core_ray_pages_{n}"
+    marker = os.path.join(root, ".complete")
+    if not os.path.exists(marker):
+        write_corpus(root, n, n_page_files=8)
+        with open(marker, "w") as f:
+            f.write("ok")
+    import pyarrow.parquet as pq
+
+    return (
+        sorted(glob.glob(f"{root}/pages/*.parquet")),
+        pq.read_table(f"{root}/admin_polygons.parquet"),
+        pq.read_table(f"{root}/geoip_ranges.parquet"),
+        f"/tmp/core_ray_ckpt_{n}",
+    )
+
+
+def _run_pages(sf_dir: str):
+    from core_ray.config import PipelineConfig
+    from core_ray.pipelines.flagship import run_flagship
+
+    files, admin, geoip, ckpt = _pages_corpus(sf_dir)
+    return run_flagship(files, admin, geoip, PipelineConfig(), checkpoint_dir=ckpt)
+
+
+def pages_joined(sf_dir: str):
+    return _run_pages(sf_dir).joined.select_columns(
+        ["url", "derivation_source", "mention_idx", "lat", "lon",
+         "hex_cell", "s2_cell", "admin_id", "admin_level"]
+    )
+
+
+def pages_tiles(sf_dir: str):
+    return _run_pages(sf_dir).tiles
+
+
+def pages_knn(sf_dir: str):
+    return _run_pages(sf_dir).knn
+
+
+def pages_errors(sf_dir: str):
+    return _run_pages(sf_dir).errors
+
+
+# ---------------------------------------------------------------- multimodal
+# stub: opaque binary column + typed metadata through a real actor-pool stage
+# (decode itself is a deterministic fake — no image libs in this env; the
+# Ray-side plumbing, schema and batching are real and tested).
+
+
+class MediaDecodeStub:
+    """(id, media: binary) -> (id, media_bytes, width, height, feature[8]).
+
+    A real decoder would replace _fake_decode in __call__ only; the actor
+    signature, batch sizing, and output schema are the production shape.
+    """
+
+    def __init__(self, feat_dim: int = 8):
+        self.feat_dim = feat_dim
+
+    def _fake_decode(self, blob: bytes) -> tuple[int, int, np.ndarray]:
+        h = zlib.crc32(blob)
+        width = 16 + (h & 0xFF)
+        height = 16 + ((h >> 8) & 0xFF)
+        rng = np.random.default_rng(h)
+        return width, height, np.round(rng.random(self.feat_dim), 6)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch["media"].to_pylist()
+        ws, hs, feats, nb = [], [], [], []
+        for blob in blobs:
+            w, h, f = self._fake_decode(blob)
+            ws.append(w)
+            hs.append(h)
+            feats.append(f.tolist())
+            nb.append(len(blob))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "media_bytes": pa.array(nb, pa.int64()),
+                "width": pa.array(ws, pa.int32()),
+                "height": pa.array(hs, pa.int32()),
+                "feature": pa.array(feats, pa.list_(pa.float32())),
+            }
+        )
+
+
+import zlib  # noqa: E402  (used by MediaDecodeStub)
+
+
+def media_features(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_media(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "media": pa.array([t.encode("utf-8") for t in b["text"].to_pylist()], pa.binary()),
+            }
+        )
+
+    media = ds.map_batches(to_media, batch_format="pyarrow", batch_size=2048)
+    return media.map_batches(
+        MediaDecodeStub, batch_format="pyarrow", batch_size=512, concurrency=(1, 4)
+    )
+
+
+# ---------------------------------------------------------------- registry
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_orders": q3_top_orders,
+    "q5_region_revenue": q5_region_revenue,
+    "events_hourly": events_hourly,
+    "events_top_users": events_top_users,
+    "events_sessionize": events_sessionize,
+    "doc_token_stats": doc_token_stats,
+    "doc_lang_dist": doc_lang_dist,
+    "doc_exact_dedup": doc_exact_dedup,
+    "doc_quality": doc_quality,
+    "doc_langid": doc_langid,
+    "doc_fingerprint": doc_fingerprint,
+    "doc_minhash_pairs": doc_minhash_pairs,
+    "doc_simhash_pairs": doc_simhash_pairs,
+    "emb_topk": emb_topk,
+    "emb_centroids": emb_centroids,
+    "emb_ann_lsh": emb_ann_lsh,
+    "geo_tile_counts": geo_tile_counts,
+    "geo_pip_admin": geo_pip_admin,
+    "geo_knn_tile": geo_knn_tile,
+    "pages_joined": pages_joined,
+    "pages_tiles": pages_tiles,
+    "pages_knn": pages_knn,
+    "pages_errors": pages_errors,
+    "media_features": media_features,
+}
+
+ORACLE_SQL = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_top_orders": Q3_SQL,
+    "q5_region_revenue": Q5_SQL,
+    "events_hourly": EVENTS_HOURLY_SQL,
+    "events_top_users": EVENTS_TOP_USERS_SQL,
+    "events_sessionize": EVENTS_SESSIONIZE_SQL,
+    "doc_token_stats": DOC_TOKEN_STATS_SQL,
+    "doc_lang_dist": DOC_LANG_DIST_SQL,
+    "doc_exact_dedup": DOC_EXACT_DEDUP_SQL,
+    "doc_quality": DOC_QUALITY_SQL,
+    "emb_topk": EMB_TOPK_SQL,
+    "emb_centroids": EMB_CENTROIDS_SQL,
+    "geo_tile_counts": GEO_TILE_COUNTS_SQL,
+    "geo_pip_admin": GEO_PIP_ADMIN_SQL,
+    "geo_knn_tile": GEO_KNN_TILE_SQL,
+    # rows-only (non-SQL-expressible): doc_langid, doc_fingerprint,
+    # doc_minhash_pairs, doc_simhash_pairs, emb_ann_lsh, pages_*, media_features
+}

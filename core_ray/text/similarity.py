@@ -105,7 +105,8 @@ def brute_force_topk(ds, query_ids: np.ndarray, query_matrix: np.ndarray,
 
 # ---------------- LSH ANN (scale path) ----------------
 
-N_PLANES = 12  # 4096 buckets
+N_PLANES = 5  # 32 buckets — sized so buckets hold tens of vectors at the test
+# scales; at corpus scale raise this (buckets should hold ~1-10k vectors)
 _rng = np.random.default_rng(99)
 
 

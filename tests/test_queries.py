@@ -1,0 +1,36 @@
+"""Driver-gate replica: every ORACLE_SQL query must match DuckDB exactly at
+sf0.001 (row count + column names + order-insensitive values); rows-only
+queries must execute and return sane row counts."""
+
+import pytest
+
+from core_ray.compare import check_query
+from core_ray.queries import ORACLE_SQL, QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+ORACLE_NAMES = sorted(ORACLE_SQL)
+ROWS_ONLY = sorted(set(QUERIES) - set(ORACLE_SQL) - {
+    "pages_joined", "pages_tiles", "pages_knn", "pages_errors",  # covered by test_flagship golden suite
+})
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_query_matches(ray_session, name):
+    r = check_query(name, SF_DIR)
+    assert r["ok"], {k: v for k, v in r.items() if k != "ok"}
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_query_runs(ray_session, name):
+    r = check_query(name, SF_DIR)
+    assert r["ok"] and r["rows_ray"] >= 0
+
+
+def test_entry_contract(ray_session):
+    import __ray_entry__ as e
+
+    q = e.queries()
+    s = e.oracle_sql()
+    assert set(s) <= set(q), "oracle_sql keys must be a subset of queries"
+    assert len(q) >= 20
