@@ -18,3 +18,41 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+
+def _stabilize_fsspec_http() -> None:
+    """Defuse a thread-safety trap in ray.data's path resolution.
+
+    ray/data/datasource/path_util.py imports fsspec.implementations.http on
+    EVERY read/write and catches only ModuleNotFoundError. In this env the
+    module exists but fails on a missing aiohttp; under concurrent Dataset
+    creations from multiple driver threads the import machinery surfaces the
+    race as a plain ImportError ("cannot import name ..."), which escapes.
+    Installing a stub module (HTTPFileSystem never instantiated — isinstance
+    checks simply return False, same as the ModuleNotFoundError path) makes
+    the import deterministic and thread-safe.
+    """
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+
+        return
+    except ImportError:
+        pass
+    import sys
+    import types
+
+    try:
+        import fsspec.implementations
+    except ImportError:
+        return
+    mod = types.ModuleType("fsspec.implementations.http")
+
+    class HTTPFileSystem:  # stub, see docstring
+        pass
+
+    mod.HTTPFileSystem = HTTPFileSystem
+    sys.modules["fsspec.implementations.http"] = mod
+    fsspec.implementations.http = mod
+
+
+_stabilize_fsspec_http()

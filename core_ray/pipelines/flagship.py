@@ -91,13 +91,37 @@ def _phase_a(page_files: list[str], geoip_ref, admin_ref, cfg: PipelineConfig):
     )
 
 
-def _first_row(group: pa.Table) -> pa.Table:
-    if group.num_rows <= 1:
-        return group
+def _stats_pass(deduped) -> dict:
+    """One execution computing all ScanStats-analog counters: per-source row
+    counts + page counts (each page has exactly one mention_idx==0 row)."""
     import pyarrow.compute as pc
 
-    order = pc.sort_indices(group, sort_keys=[("warc_ts", "ascending")])
-    return group.take(order[:1])
+    def partial(b: pa.Table) -> pa.Table:
+        pages = pc.cast(pc.equal(b["mention_idx"], 0), pa.int64())
+        t = pa.table(
+            {"derivation_source": b["derivation_source"], "rows": pa.array([1] * b.num_rows, pa.int64()), "pages": pages}
+        )
+        return pa.TableGroupBy(t, "derivation_source").aggregate(
+            [("rows", "sum"), ("pages", "sum")]
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        deduped.select_columns(["derivation_source", "mention_idx"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("derivation_source")
+        .aggregate(Sum("rows_sum", alias_name="rows"), Sum("pages_sum", alias_name="pages"))
+    )
+    per_src = {r["derivation_source"]: (r["rows"], r["pages"]) for r in agg.take_all()}
+    hist = {s: p for s, (r, p) in per_src.items() if s != "none"}
+    rows_no_signal = per_src.get("none", (0, 0))[0]
+    return {
+        "rows_geocoded": sum(r for s, (r, p) in per_src.items() if s != "none"),
+        "rows_no_signal": rows_no_signal,
+        "pages_deduped": sum(hist.values()) + rows_no_signal,
+        "derivation_source_hist": hist,
+    }
 
 
 def run_flagship(
@@ -111,6 +135,14 @@ def run_flagship(
     """Run the flagship pipeline. Ray must already be initialized."""
     import ray
 
+    # warm lazy fsspec imports on the main thread: concurrent first-touch
+    # from the shard threads races Python's import machinery (observed as a
+    # spurious ImportError inside ray.data path resolution)
+    try:  # pragma: no cover
+        import fsspec.implementations.http  # noqa: F401
+    except ImportError:
+        pass
+
     cfg = cfg or PipelineConfig()
     checkpoint_dir = checkpoint_dir or cfg.checkpoint_dir
     if checkpoint_dir is None:
@@ -122,34 +154,45 @@ def run_flagship(
     geoip_ref = ray.put(_geoip_dict(geoip_table))
     admin_ref = ray.put(admin_table)
 
-    # --- phase A: sharded map-only, per-shard resume ---
+    # --- phase A: sharded map-only, per-shard resume. Shards execute
+    # CONCURRENTLY (each is its own Dataset execution; the streaming executor
+    # shares the cluster) so per-execution startup doesn't serialize ---
+    from concurrent.futures import ThreadPoolExecutor
+
     n_shards = n_shards or min(len(page_files), 4)
     shards = [sorted(page_files)[i::n_shards] for i in range(n_shards)]
     shards = [s for s in shards if s]
-    shard_outputs = []
-    for k, files in enumerate(shards):
+
+    def _run_shard(k_files):
+        k, files = k_files
         fp = fingerprint_paths(files)
-        out = store.load_or_compute(
+        return store.load_or_compute(
             "phaseA",
             STAGE_VERSIONS["phaseA"],
             fp,
-            lambda files=files: _phase_a(files, geoip_ref, admin_ref, cfg),
+            lambda: _phase_a(files, geoip_ref, admin_ref, cfg),
             shard=str(k),
         )
-        shard_outputs.append(out)
+
+    # each concurrent shard execution pins >= 1 actor + 1 read task; on a
+    # small cluster concurrent executions would deadlock on reserved CPUs
+    available = int(ray.cluster_resources().get("CPU", 8))
+    max_workers = max(1, min(len(shards), available // 8))
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        shard_outputs = list(pool.map(_run_shard, enumerate(shards)))
     all_rows = shard_outputs[0]
     for o in shard_outputs[1:]:
         all_rows = all_rows.union(o)
 
-    # --- phase B: global dedup ---
+    # --- phase B: global dedup (duplicate-key broadcast, stages/dedup.py) ---
+    from core_ray.stages.dedup import dedup_exact
+
     input_fp = fingerprint_paths(sorted(page_files))
     deduped = store.load_or_compute(
         "deduped",
         STAGE_VERSIONS["deduped"],
         input_fp,
-        lambda: all_rows.groupby(["url", "mention_idx"]).map_groups(
-            _first_row, batch_format="pyarrow"
-        ),
+        lambda: dedup_exact(all_rows, ["url", "mention_idx"], order_col="warc_ts"),
     )
 
     joined = deduped.filter(expr="derivation_source != 'none'")
@@ -167,42 +210,39 @@ def run_flagship(
         )
     )
 
+    # knn, tiles and stats all read only the deduped checkpoint — run their
+    # executions concurrently (independent sub-DAGs sharing the cluster)
     knn_input = joined.select_columns(["url", "mention_idx", "lat", "lon", "hex_cell"])
-    knn = store.load_or_compute(
-        "knn",
-        STAGE_VERSIONS["knn"],
-        input_fp,
-        lambda: knn_per_cell(
-            knn_input,
-            k=cfg.knn_k,
-            hot_threshold=cfg.hot_cell_threshold,
-            salt_target=cfg.salt_group_target,
-        ),
-    )
     tiles_input = joined.select_columns(["url", "lat", "lon"])
-    tiles = store.load_or_compute(
-        "tiles",
-        STAGE_VERSIONS["tiles"],
-        input_fp,
-        lambda: tile_rollup(tiles_input, cfg.tile_zooms),
-    )
 
-    # --- stats (ScanStats/ConfidenceDist analog) — small driver aggregates
-    # over the checkpointed deduped parquet (cheap re-reads, no recompute) ---
-    rows_geocoded = joined.count()
-    rows_no_signal = errors.count()
-    hist_ds = (
-        joined.filter(expr="mention_idx == 0")  # exactly one such row per page
-        .groupby("derivation_source")
-        .count()
-    )
-    hist = {
-        r["derivation_source"]: r["count()"] for r in hist_ds.take_all()
-    }
-    stats = {
-        "rows_geocoded": rows_geocoded,
-        "rows_no_signal": rows_no_signal,
-        "pages_deduped": sum(hist.values()) + rows_no_signal,
-        "derivation_source_hist": hist,
-    }
+    def _knn():
+        return store.load_or_compute(
+            "knn",
+            STAGE_VERSIONS["knn"],
+            input_fp,
+            lambda: knn_per_cell(
+                knn_input,
+                k=cfg.knn_k,
+                hot_threshold=cfg.hot_cell_threshold,
+                salt_target=cfg.salt_group_target,
+                cell_res=cfg.hex_res,
+            ),
+        )
+
+    def _tiles():
+        return store.load_or_compute(
+            "tiles",
+            STAGE_VERSIONS["tiles"],
+            input_fp,
+            lambda: tile_rollup(tiles_input, cfg.tile_zooms),
+        )
+
+    if available >= 16:
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            knn_f = pool.submit(_knn)
+            tiles_f = pool.submit(_tiles)
+            stats_f = pool.submit(_stats_pass, deduped)
+            knn, tiles, stats = knn_f.result(), tiles_f.result(), stats_f.result()
+    else:
+        knn, tiles, stats = _knn(), _tiles(), _stats_pass(deduped)
     return FlagshipResult(joined=joined, errors=errors, knn=knn, tiles=tiles, stats=stats)

@@ -2,16 +2,24 @@
 
 The A1 analog — the reference's recursive CountTests rollup
 (pkg/domain/test.go:32-38, pkg/domain/inventory.go:29-52) re-expressed as the
-classic tile-pyramid aggregation:
+classic tile-pyramid aggregation.
 
+Dataflow (exactly ONE all-to-all shuffle):
   1. assign each geocoded row its z12 web-mercator tile (map_batches, numpy)
-  2. pre-aggregate (tile12, url) -> mention_count   [the combiner: collapses
-     the corpus to distinct (tile, url) pairs BEFORE any wide groupby]
-  3. explode each pair to every requested zoom (parent tile = integer shift —
-     exact containment, no new shuffle key), re-dedupe (z, tile, url) pairs,
-     then count pages (distinct urls) + sum mentions per tile.
+  2. explode to every requested zoom (parent tile = integer shift — exact
+     containment, no new shuffle key) and PRE-AGGREGATE (tile, url) ->
+     mention_count inside the batch (pyarrow TableGroupBy; a pure combiner,
+     no shuffle — cuts the exploded volume when a page has many mentions in
+     one tile)
+  3. hash (tile_z, tile_x, tile_y) into ~4x-CPU partitions and reduce each
+     partition in ONE vectorized numpy pass (np.unique + reduceat):
+     page_count = distinct urls, mention_count = summed rows.
 
-All zooms ride ONE shuffle (the exploded pairs), not one shuffle per zoom.
+Skew note (documented limit): the reduce key is the tile, so one
+world-dominating tile lands in one partition. Exact distinct-url counting
+requires co-locating a tile's rows; at extreme scale swap the distinct
+counter for a mergeable sketch (HLL) and keep the same plan shape.
+
 page_count = distinct urls in the tile; mention_count = geocoded rows.
 """
 
@@ -19,8 +27,6 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-
-from ray.data.aggregate import Count, Sum
 
 from core_ray.geo import mercator
 
@@ -40,47 +46,95 @@ def _assign_tiles(batch: pa.Table) -> pa.Table:
     )
 
 
+def _reduce_partition(part: pa.Table) -> pa.Table:
+    """One vectorized pass over a hash partition of (z, x, y, url, cnt)."""
+    if part.num_rows == 0:
+        return pa.table(
+            {
+                "tile_z": pa.array([], pa.int32()),
+                "tile_x": pa.array([], pa.int64()),
+                "tile_y": pa.array([], pa.int64()),
+                "page_count": pa.array([], pa.int64()),
+                "mention_count": pa.array([], pa.int64()),
+            }
+        )
+    z = part["tile_z"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    x = part["tile_x"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    y = part["tile_y"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    cnt = part["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    tk = mercator.tile_key(z, x, y)
+    _, code = np.unique(np.asarray(part["url"].to_pylist()), return_inverse=True)
+
+    order = np.lexsort((code, tk))
+    tk_o, code_o, cnt_o = tk[order], code[order], cnt[order]
+    # pair boundaries: (tile, url) change
+    pair_new = np.ones(len(tk_o), dtype=bool)
+    pair_new[1:] = (tk_o[1:] != tk_o[:-1]) | (code_o[1:] != code_o[:-1])
+    # tile boundaries
+    tile_new = np.ones(len(tk_o), dtype=bool)
+    tile_new[1:] = tk_o[1:] != tk_o[:-1]
+    tile_starts = np.nonzero(tile_new)[0]
+    mention = np.add.reduceat(cnt_o, tile_starts)
+    pages = np.add.reduceat(pair_new.astype(np.int64), tile_starts)
+    tk_u = tk_o[tile_starts]
+    return pa.table(
+        {
+            "tile_z": pa.array((tk_u >> np.uint64(58)).astype(np.int32), pa.int32()),
+            "tile_x": pa.array(
+                ((tk_u >> np.uint64(29)) & np.uint64((1 << 29) - 1)).astype(np.int64), pa.int64()
+            ),
+            "tile_y": pa.array((tk_u & np.uint64((1 << 29) - 1)).astype(np.int64), pa.int64()),
+            "page_count": pa.array(pages, pa.int64()),
+            "mention_count": pa.array(mention, pa.int64()),
+        }
+    )
+
+
 def tile_rollup(ds, zooms: tuple[int, ...] = (7, 9, 12)):
     """Dataset[joined rows] -> Dataset[(tile_z, tile_x, tile_y, page_count,
     mention_count)] for each z in ``zooms`` (all z <= BASE_ZOOM)."""
+    import ray
+
     zooms = tuple(zooms)
     for z in zooms:
         if z > BASE_ZOOM:
             raise ValueError(f"zoom {z} exceeds base zoom {BASE_ZOOM}")
 
-    pairs12 = (
-        ds.map_batches(_assign_tiles, batch_format="pyarrow")
-        .groupby(["tile_x", "tile_y", "url"])
-        .aggregate(Count(alias_name="mention_count"))
-    )
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    n_parts = max(4 * n_cpus, 32)
 
-    def explode_zooms(batch: pa.Table) -> pa.Table:
+    def explode_preagg(batch: pa.Table) -> pa.Table:
         x12 = batch["tile_x"].to_numpy(zero_copy_only=False)
         y12 = batch["tile_y"].to_numpy(zero_copy_only=False)
         parts = []
-        for z in zooms:
-            dz = BASE_ZOOM - z
-            parts.append(
-                pa.table(
-                    {
-                        "tile_z": pa.array(
-                            np.full(len(x12), z, dtype=np.int32), pa.int32()
-                        ),
-                        "tile_x": pa.array(x12 >> dz, pa.int64()),
-                        "tile_y": pa.array(y12 >> dz, pa.int64()),
-                        "url": batch["url"],
-                        "mention_count": batch["mention_count"],
-                    }
-                )
+        for zoom in zooms:
+            dz = BASE_ZOOM - zoom
+            t = pa.table(
+                {
+                    "tile_z": pa.array(np.full(len(x12), zoom, dtype=np.int32), pa.int32()),
+                    "tile_x": pa.array(x12 >> dz, pa.int64()),
+                    "tile_y": pa.array(y12 >> dz, pa.int64()),
+                    "url": batch["url"],
+                }
             )
-        return pa.concat_tables(parts)
+            # combiner: collapse same (tile, url) inside the batch
+            parts.append(
+                pa.TableGroupBy(t, ["tile_z", "tile_x", "tile_y", "url"]).aggregate(
+                    [([], "count_all")]
+                ).rename_columns(["tile_z", "tile_x", "tile_y", "url", "cnt"])
+            )
+        out = pa.concat_tables(parts)
+        z = out["tile_z"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        x = out["tile_x"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        y = out["tile_y"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = mercator.tile_key(z, x, y) * np.uint64(0x9E3779B97F4A7C15)
+        return out.append_column(
+            "part", pa.array((h % np.uint64(n_parts)).astype(np.int32), pa.int32())
+        )
 
-    per_pair = (
-        pairs12.map_batches(explode_zooms, batch_format="pyarrow")
-        .groupby(["tile_z", "tile_x", "tile_y", "url"])
-        .aggregate(Sum("mention_count", alias_name="mention_count"))
-    )
-    return per_pair.groupby(["tile_z", "tile_x", "tile_y"]).aggregate(
-        Count(alias_name="page_count"),
-        Sum("mention_count", alias_name="mention_count"),
+    return (
+        ds.map_batches(_assign_tiles, batch_format="pyarrow", batch_size=65536)
+        .map_batches(explode_preagg, batch_format="pyarrow", batch_size=65536)
+        .groupby("part")
+        .map_groups(_reduce_partition, batch_format="pyarrow")
     )

@@ -73,7 +73,13 @@ class CheckpointStore:
         data_dir = os.path.join(tmp, "data")
         os.makedirs(data_dir, exist_ok=True)  # empty output still checkpoints
         t0 = time.perf_counter()
-        ds.write_parquet(data_dir)
+        # compact: shuffle/union stages emit hundreds of tiny blocks; writing
+        # them 1:1 would make every downstream read/groupby pay one task and
+        # one shuffle partition per tiny file
+        try:
+            ds.write_parquet(data_dir, min_rows_per_file=100_000)
+        except TypeError:  # older ray: num_rows_per_file
+            ds.write_parquet(data_dir, num_rows_per_file=100_000)
         wall = time.perf_counter() - t0
         files = []
         import pyarrow.parquet as pq
