@@ -126,40 +126,61 @@ def generate_pages(n_pages: int, seed: int = SEED) -> Corpus:
     ts_base = np.datetime64("2025-01-01T00:00:00", "us")
     ts_off = rng.integers(0, 365 * 24 * 3600, n_pages)
 
+    # ---- pre-draw everything batched (the per-page Python loop below only
+    # assembles strings; all rng calls are vectorized up front) ----
+    host_pick_cov = covered[rng.integers(0, len(covered), n_pages)]
+    host_pick_unc = uncovered[rng.integers(0, len(uncovered), n_pages)]
+    host_pick_any = rng.integers(0, N_HOSTS, n_pages)
+    n_paras_all = rng.integers(2, 6, n_pages)
+    max_paras = 5
+    nw_all = rng.integers(6, 20, (n_pages, max_paras))
+    word_idx = rng.integers(0, len(_VOCAB), (n_pages, max_paras, 20))
+    decoy_roll = rng.random(n_pages) < 0.15
+    decoy_nums = rng.integers(1, 99, (n_pages, 2))
+    decoy_frac = rng.integers(10, 99, (n_pages, 2))
+    n_mentions_all = rng.integers(1, 4, n_pages)
+    max_mentions = 3
+    m_lat, m_lon = _draw_coords(rng, n_pages * max_mentions)
+    m_lat = m_lat.reshape(n_pages, max_mentions)
+    m_lon = m_lon.reshape(n_pages, max_mentions)
+    m_style = rng.integers(0, 3, (n_pages, max_mentions))
+    m_pidx = rng.integers(0, 1 << 30, (n_pages, max_mentions))  # mod n_paras later
+
     urls, htmls, texts, langs_out, ts_out = [], [], [], [], []
+    vocab = _VOCAB
+    escape = _html.escape
     for i in range(n_pages):
         kind = kinds[i]
         if kind == 1:
-            host = hosts[covered[rng.integers(len(covered))]]
+            host = hosts[host_pick_cov[i]]
         elif kind == 2:
-            host = hosts[uncovered[rng.integers(len(uncovered))]]
+            host = hosts[host_pick_unc[i]]
         else:
-            host = hosts[rng.integers(N_HOSTS)]
+            host = hosts[host_pick_any[i]]
         url = f"https://{host}/p/{i}"
 
-        n_paras = int(rng.integers(2, 6))
-        paras = []
-        for _ in range(n_paras):
-            nw = int(rng.integers(6, 20))
-            words = [_VOCAB[w] for w in rng.integers(0, len(_VOCAB), nw)]
-            paras.append(" ".join(words))
+        n_paras = int(n_paras_all[i])
+        paras = [
+            " ".join(vocab[w] for w in word_idx[i, p, : nw_all[i, p]])
+            for p in range(n_paras)
+        ]
         # junk decoys that must NOT match the coordinate regexes
-        if rng.random() < 0.15:
-            paras[0] += f" price {rng.integers(1, 99)}.{rng.integers(10, 99)}, {rng.integers(1, 99)}.{rng.integers(10, 99)} total"
+        if decoy_roll[i]:
+            paras[0] += (
+                f" price {decoy_nums[i, 0]}.{decoy_frac[i, 0]},"
+                f" {decoy_nums[i, 1]}.{decoy_frac[i, 1]} total"
+            )
         if kind == 0:
-            n_mentions = int(rng.integers(1, 4))
-            mlat, mlon = _draw_coords(rng, n_mentions)
-            for j in range(n_mentions):
-                style = int(rng.integers(0, 3))
-                mention, _, _ = _format_mention(rng, float(mlat[j]), float(mlon[j]), style)
-                pidx = int(rng.integers(0, n_paras))
-                paras[pidx] += f" located at {mention} nearby"
+            for j in range(int(n_mentions_all[i])):
+                mention, _, _ = _format_mention(
+                    rng, float(m_lat[i, j]), float(m_lon[i, j]), int(m_style[i, j])
+                )
+                paras[int(m_pidx[i, j]) % n_paras] += f" located at {mention} nearby"
 
         text = "\n".join(paras)
-        title = f"page {i} on {host}"
-        body = "".join(f"<p>{_html.escape(p)}</p>" for p in paras)
+        body = "".join(f"<p>{escape(p)}</p>" for p in paras)
         page_html = (
-            f'<html><head><title>{_html.escape(title)}</title>'
+            f'<html><head><title>{escape(f"page {i} on {host}")}</title>'
             f'<meta charset="utf-8"/><script>var q={i};</script></head>'
             f'<body><nav><a href="/">home</a></nav>{body}'
             f'<div class="footer">© 2025 {host}</div></body></html>'

@@ -76,6 +76,10 @@ def _phase_a(page_files: list[str], geoip_ref, admin_ref, cfg: PipelineConfig):
     from core_ray.stages.analyzer import PageAnalyzer
 
     ds = ray.data.read_parquet(page_files, columns=["url", "warc_ts", "html", "lang"])
+    from core_ray.config import pool_size
+
+    # each shard execution may run concurrently with up to 3 others: size the
+    # pool to a quarter of the cluster so four shards saturate it together
     return ds.map_batches(
         PageAnalyzer,
         fn_constructor_args=(
@@ -87,7 +91,7 @@ def _phase_a(page_files: list[str], geoip_ref, admin_ref, cfg: PipelineConfig):
         ),
         batch_format="pyarrow",
         batch_size=cfg.extract_batch_size,
-        concurrency=cfg.actor_concurrency,
+        concurrency=cfg.actor_concurrency or pool_size(divisor=4),
     )
 
 
@@ -166,34 +170,52 @@ def run_flagship(
     def _run_shard(k_files):
         k, files = k_files
         fp = fingerprint_paths(files)
-        return store.load_or_compute(
+        store.load_or_compute(
             "phaseA",
             STAGE_VERSIONS["phaseA"],
             fp,
             lambda: _phase_a(files, geoip_ref, admin_ref, cfg),
             shard=str(k),
         )
+        return str(k)
 
     # each concurrent shard execution pins >= 1 actor + 1 read task; on a
     # small cluster concurrent executions would deadlock on reserved CPUs
     available = int(ray.cluster_resources().get("CPU", 8))
     max_workers = max(1, min(len(shards), available // 8))
     with ThreadPoolExecutor(max_workers=max_workers) as pool:
-        shard_outputs = list(pool.map(_run_shard, enumerate(shards)))
-    all_rows = shard_outputs[0]
-    for o in shard_outputs[1:]:
-        all_rows = all_rows.union(o)
+        shard_names = list(pool.map(_run_shard, enumerate(shards)))
+
+    def _load_all(columns=None):
+        parts = [store.load("phaseA", shard=name, columns=columns) for name in shard_names]
+        out = parts[0]
+        for o in parts[1:]:
+            out = out.union(o)
+        return out
+
+    all_rows = _load_all()
 
     # --- phase B: global dedup (duplicate-key broadcast, stages/dedup.py) ---
     from core_ray.stages.dedup import dedup_exact
 
     input_fp = fingerprint_paths(sorted(page_files))
-    deduped = store.load_or_compute(
-        "deduped",
-        STAGE_VERSIONS["deduped"],
-        input_fp,
-        lambda: dedup_exact(all_rows, ["url", "mention_idx"], order_col="warc_ts"),
-    )
+    ckpt_writer = None
+    if store.is_complete("deduped", STAGE_VERSIONS["deduped"], input_fp):
+        deduped = store.load("deduped")
+    else:
+        # compute once into the object store; the parquet checkpoint is
+        # written by a BACKGROUND thread while knn/tiles/stats consume the
+        # materialized copy — the write leaves the critical path but still
+        # completes before run_flagship returns (resume semantics intact)
+        deduped = dedup_exact(
+            all_rows,
+            ["url", "mention_idx"],
+            order_col="warc_ts",
+            key_ds=_load_all(columns=["url", "mention_idx"]),
+        ).materialize()
+        ckpt_writer = ThreadPoolExecutor(max_workers=1).submit(
+            store.save, deduped, "deduped", STAGE_VERSIONS["deduped"], input_fp
+        )
 
     joined = deduped.filter(expr="derivation_source != 'none'")
     errors = (
@@ -245,4 +267,6 @@ def run_flagship(
             knn, tiles, stats = knn_f.result(), tiles_f.result(), stats_f.result()
     else:
         knn, tiles, stats = _knn(), _tiles(), _stats_pass(deduped)
+    if ckpt_writer is not None:
+        ckpt_writer.result()  # checkpoint durable before returning
     return FlagshipResult(joined=joined, errors=errors, knn=knn, tiles=tiles, stats=stats)

@@ -781,7 +781,8 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY sq_dist, neighbor_id) <=
 # (flagship pipeline over the synthesized corpus; rows-only driver checks —
 # exact-match correctness is enforced by the pytest golden suite)
 
-_PAGES_N_BY_SF = {0.001: 2000, 0.01: 20000, 0.1: 200000}
+_PAGES_N_BY_SF = {0.001: 2000, 0.01: 20000, 0.1: 1000000}
+_PAGES_GEN_VERSION = 2  # bump when fixtures/pages.py changes generation -> invalidates /tmp caches
 
 
 def _sf_of(sf_dir: str) -> float:
@@ -799,10 +800,10 @@ def _pages_corpus(sf_dir: str):
     from core_ray.fixtures.pages import write_corpus
 
     n = _PAGES_N_BY_SF.get(_sf_of(sf_dir), 2000)
-    root = f"/tmp/core_ray_pages_{n}"
+    root = f"/tmp/core_ray_pages_v{_PAGES_GEN_VERSION}_{n}"
     marker = os.path.join(root, ".complete")
     if not os.path.exists(marker):
-        write_corpus(root, n, n_page_files=8)
+        write_corpus(root, n, n_page_files=max(8, n // 40000))
         with open(marker, "w") as f:
             f.write("ok")
     import pyarrow.parquet as pq
@@ -811,7 +812,7 @@ def _pages_corpus(sf_dir: str):
         sorted(glob.glob(f"{root}/pages/*.parquet")),
         pq.read_table(f"{root}/admin_polygons.parquet"),
         pq.read_table(f"{root}/geoip_ranges.parquet"),
-        f"/tmp/core_ray_ckpt_{n}",
+        f"/tmp/core_ray_ckpt_v{_PAGES_GEN_VERSION}_{n}",
     )
 
 

@@ -1,0 +1,85 @@
+"""Vectorized distributed aggregation helpers.
+
+Ray Data's built-in ``groupby().aggregate()`` reduce iterates Python-side per
+distinct key (measured: 24 s for 656 k rows / 300 k distinct keys in one
+partition, vs 0.2 s for the sort itself). For high-cardinality keys the engine
+therefore uses its own shape everywhere:
+
+    map_batches(per-batch np.unique pre-aggregate)   # combiner, no shuffle
+    -> hash-partition by key into ~4x-CPU parts      # ONE small shuffle
+    -> groupby(part).map_groups(numpy reduce)        # P Python calls total
+
+This module provides that pattern for uint64 keys (callers hash composite /
+string keys into uint64 first; collisions must be acceptable or handled by
+the caller — e.g. dedup routes hash-collided keys into an exact per-key path).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _n_parts(default: int = 32) -> int:
+    try:
+        import ray
+
+        return max(4 * int(ray.cluster_resources().get("CPU", 8)), default)
+    except Exception:
+        return default
+
+
+def count_by_u64(ds, key_col: str = "key"):
+    """Dataset with a uint64 ``key_col`` -> Dataset[(key_col, cnt:int64)].
+
+    Exact counts per distinct key; fully vectorized at every step.
+    """
+    n_parts = _n_parts()
+
+    def pre(b: pa.Table) -> pa.Table:
+        k = b[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        u, c = np.unique(k, return_counts=True)
+        part = ((u * _GOLD) % np.uint64(n_parts)).astype(np.int32)
+        return pa.table(
+            {
+                key_col: pa.array(u, pa.uint64()),
+                "cnt": pa.array(c.astype(np.int64), pa.int64()),
+                "part": pa.array(part, pa.int32()),
+            }
+        )
+
+    def reduce(g: pa.Table) -> pa.Table:
+        k = g[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        c = g["cnt"].to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        ks, cs = k[order], c[order]
+        new = np.ones(len(ks), dtype=bool)
+        new[1:] = ks[1:] != ks[:-1]
+        starts = np.nonzero(new)[0]
+        totals = np.add.reduceat(cs, starts) if len(starts) else cs[:0]
+        return pa.table(
+            {
+                key_col: pa.array(ks[starts], pa.uint64()),
+                "cnt": pa.array(totals.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(pre, batch_format="pyarrow", batch_size=131072)
+        .groupby("part")
+        .map_groups(reduce, batch_format="pyarrow")
+    )
+
+
+def u64_key_of_url_midx(urls: list[str], midx: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit key for (url, mention_idx) rows (crc32 x adler32
+    spread; used by dedup — collisions only route extra rows into the exact
+    per-key dedup path, never lose rows)."""
+    import zlib
+
+    n = len(urls)
+    h1 = np.fromiter((zlib.crc32(u.encode()) for u in urls), dtype=np.uint64, count=n)
+    h2 = np.fromiter((zlib.adler32(u.encode()) for u in urls), dtype=np.uint64, count=n)
+    return (h1 << np.uint64(32)) ^ (h2 * np.uint64(2654435761)) ^ midx.astype(np.uint64)

@@ -56,14 +56,29 @@ def _group_targets(cells: np.ndarray, group_res: int) -> np.ndarray:
 
 
 class _Expand:
-    """map_batches UDF: emit query + candidate rows keyed by (knn_grp, salt)."""
+    """Expansion UDF: emit query + candidate rows keyed by (knn_grp, salt).
 
-    def __init__(self, salts_ref, cell_res: int):
-        import ray
+    ADAPTIVE MULTI-RESOLUTION grouping (the skew plan):
+    - default group = the coarse (res-2) key of a point's home cell;
+    - cells whose coarse group is HOT descend to FINE grouping: the group key
+      is the res-R home cell itself and candidates fan out per ring-1 cell
+      (the classic 7x duplication, but only inside hot regions);
+    - fine cells that are STILL hot are salted: queries hash-split into
+      ceil(n/salt_target) buckets, candidates replicated per bucket.
+      Replication is bounded by |cell + ring|, never by the whole coarse
+      group — naive coarse-group salting was O(n^2/salt_target) rows on a
+      mega-city group (measured: 1.5M replicas for one 55k-row group).
 
-        if salts_ref is not None and isinstance(salts_ref, ray.ObjectRef):
-            salts_ref = ray.get(salts_ref)
-        self.salts: dict[int, int] = salts_ref or {}
+    Mixing res-(R-2) and res-R cell ids in one uint64 key space is safe: the
+    id embeds the resolution bits. The reduce (_process_partition) masks each 
+    query's candidates back to exact ring-1 by hex distance, so grouping is a
+    pure re-partitioning — results are identical whichever path a row takes
+    (verified by the forced-salting oracle-equivalence test).
+    """
+
+    def __init__(self, hot_coarse: np.ndarray, fine_salts: dict[int, int], cell_res: int):
+        self.hot_coarse = np.asarray(hot_coarse, dtype=np.uint64)
+        self.fine_salts = fine_salts or {}
         self.group_res = cell_res - COARSEN
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -71,56 +86,60 @@ class _Expand:
 
         cells = batch["hex_cell"].to_numpy(zero_copy_only=False).astype(np.uint64)
         n = len(cells)
-        g7 = np.sort(_group_targets(cells, self.group_res), axis=1)  # (n, 7)
-        home = _group_key(cells, self.group_res)
-        # row-wise dedupe of targets: keep first of each run in the sorted row
-        keep = np.ones_like(g7, dtype=bool)
-        keep[:, 1:] = g7[:, 1:] != g7[:, :-1]
-        is_home = g7 == home[:, None]
-        # the home group is emitted via the query row; drop it from candidates
-        cand_keep = keep & ~is_home
-
-        salts = self.salts
-        if salts:
-            hot_keys = np.fromiter(salts.keys(), dtype=np.uint64, count=len(salts))
-            touches_hot = np.isin(g7, hot_keys).any(axis=1) | np.isin(home, hot_keys)
+        nbrs = hexgrid.neighbors(cells)
+        ring_t = np.concatenate([cells[:, None], nbrs], axis=1)  # (n,7) fine; col0=home
+        coarse_t = _group_key(ring_t.ravel(), self.group_res).reshape(n, 7)
+        if len(self.hot_coarse):
+            hot_t = np.isin(coarse_t, self.hot_coarse)
         else:
-            touches_hot = np.zeros(n, dtype=bool)
+            hot_t = np.zeros((n, 7), dtype=bool)
+        target = np.where(hot_t, ring_t, coarse_t)
+        home_target = target[:, 0]
 
-        fast = np.nonzero(~touches_hot)[0]
-        # query rows (home group, salt 0)
+        st = np.sort(target, axis=1)
+        keep = np.ones_like(st, dtype=bool)
+        keep[:, 1:] = st[:, 1:] != st[:, :-1]
+        cand_keep = keep & (st != home_target[:, None])
+
+        fine_salts = self.fine_salts
+        if fine_salts:
+            salt_keys = np.fromiter(fine_salts.keys(), dtype=np.uint64, count=len(fine_salts))
+            touches_salted = np.isin(st, salt_keys).any(axis=1)
+        else:
+            touches_salted = np.zeros(n, dtype=bool)
+
+        fast = np.nonzero(~touches_salted)[0]
         out_idx = [fast]
-        out_grp = [home[fast]]
+        out_grp = [home_target[fast]]
         out_salt = [np.zeros(len(fast), dtype=np.int32)]
         out_q = [np.ones(len(fast), dtype=bool)]
-        # candidate rows (other touched groups, salt 0)
         fk = cand_keep[fast]
         rep = fk.sum(axis=1)
         out_idx.append(np.repeat(fast, rep))
-        out_grp.append(g7[fast][fk])
+        out_grp.append(st[fast][fk])
         out_salt.append(np.zeros(int(rep.sum()), dtype=np.int32))
         out_q.append(np.zeros(int(rep.sum()), dtype=bool))
 
-        slow = np.nonzero(touches_hot)[0]
+        slow = np.nonzero(touches_salted)[0]
         if len(slow):
             urls = batch["url"].to_pylist()
             midx = batch["mention_idx"].to_numpy(zero_copy_only=False)
             s_idx, s_grp, s_salt, s_q = [], [], [], []
             for i in slow:
                 h = zlib.crc32(f"{urls[i]}#{int(midx[i])}".encode())
-                hg = int(home[i])
-                s_n = salts.get(hg, 1)
+                hg = int(home_target[i])
+                s_n = fine_salts.get(hg, 1)
                 my_salt = h % s_n
                 s_idx.append(i); s_grp.append(hg); s_salt.append(my_salt); s_q.append(True)
-                for s in range(s_n):
-                    if s != my_salt:
-                        s_idx.append(i); s_grp.append(hg); s_salt.append(s); s_q.append(False)
+                for sb in range(s_n):
+                    if sb != my_salt:
+                        s_idx.append(i); s_grp.append(hg); s_salt.append(sb); s_q.append(False)
                 for t in range(7):
                     if not cand_keep[i, t]:
                         continue
-                    tg = int(g7[i, t])
-                    for s in range(salts.get(tg, 1)):
-                        s_idx.append(i); s_grp.append(tg); s_salt.append(s); s_q.append(False)
+                    tg = int(st[i, t])
+                    for sb in range(fine_salts.get(tg, 1)):
+                        s_idx.append(i); s_grp.append(tg); s_salt.append(sb); s_q.append(False)
             out_idx.append(np.asarray(s_idx, dtype=np.int64))
             out_grp.append(np.asarray(s_grp, dtype=np.uint64))
             out_salt.append(np.asarray(s_salt, dtype=np.int32))
@@ -198,28 +217,95 @@ def _process_partition(part: pa.Table, k: int) -> pa.Table:
                 continue
             c_lat, c_lon = g_lat[cand], g_lon[cand]
             c_code, c_midx = g_code[cand], g_midx[cand]
-            for qi in q_sorted[cs:ce]:
-                d = np.hypot(g_lat[qi] - c_lat, g_lon[qi] - c_lon)
-                self_mask = (c_code == g_code[qi]) & (c_midx == g_midx[qi])
-                d = np.where(self_mask, np.inf, d)
-                kk = min(k, int(np.isfinite(d).sum()))
-                if kk == 0:
-                    continue
-                # narrow by distance BEFORE the tie-break sort (geo-IP rows
-                # share identical coords, so distance ties are massive)
-                if len(d) > kk:
-                    kth = np.partition(d, kk - 1)[kk - 1]
-                    sel = np.nonzero(d <= kth)[0]
+            qs_all = q_sorted[cs:ce]
+
+            # COLLAPSE TO DISTINCT COORDINATES: geo-IP rows share exact host
+            # coords (hundreds of members per coord in city cells), so kNN is
+            # computed over distinct coords (O(#coords) per query) and
+            # expanded through a tie-exact member pool — instead of
+            # O(#points) per query. complex128 packs (lat, lon) losslessly.
+            zc = c_lat + 1j * c_lon
+            uc, cinv = np.unique(zc, return_inverse=True)
+            ulat, ulon = uc.real, uc.imag
+            # members of each coord, pre-sorted by (code, midx)
+            mo = np.lexsort((c_midx, c_code, cinv))
+            cinv_s = cinv[mo]
+            cb = np.nonzero(np.diff(cinv_s))[0] + 1
+            cstarts = np.concatenate([[0], cb])
+            cends = np.concatenate([cb, [len(cinv_s)]])
+            mcounts = (cends - cstarts).astype(np.int64)
+
+            # group queries by THEIR coord (same-coord queries share dvec)
+            zq = g_lat[qs_all] + 1j * g_lon[qs_all]
+            qo = np.argsort(zq, kind="stable")
+            qs_srt = qs_all[qo]
+            zq_srt = zq[qo]
+            qb = np.nonzero(np.diff(zq_srt) != 0)[0] + 1
+            q_cs = np.concatenate([[0], qb])
+            q_ce = np.concatenate([qb, [len(qs_srt)]])
+            cap = max(2 * k + 8, 32)
+            for a, b in zip(q_cs, q_ce):
+                qla, qlo = zq_srt[a].real, zq_srt[a].imag
+                dvec = np.hypot(ulat - qla, ulon - qlo)
+                # nearest coords only: full argsort per query coord was the
+                # profile hot spot (O(U log U) x #query-coords); argpartition
+                # + small sort is O(U). Tie boundary falls back to full sort.
+                partial = len(dvec) > cap
+                if partial:
+                    near = np.argpartition(dvec, cap - 1)[:cap]
+                    corder = near[np.argsort(dvec[near], kind="stable")]
                 else:
-                    sel = np.arange(len(d))
-                o = sel[np.lexsort((c_midx[sel], c_code[sel], d[sel]))]
-                top = o[:kk]
-                out_code.append(np.full(kk, g_code[qi]))
-                out_midx.append(np.full(kk, g_midx[qi]))
-                out_ncode.append(c_code[top])
-                out_nmidx.append(c_midx[top])
-                out_rank.append(np.arange(kk))
-                out_dist.append(d[top])
+                    corder = np.argsort(dvec, kind="stable")
+                # collect coords in distance order until the pool holds at
+                # least k+1 members, then extend through all distance ties
+                need = k + 1
+                got = 0
+                take_end = 0
+                while take_end < len(corder) and got < need:
+                    got += mcounts[corder[take_end]]
+                    take_end += 1
+                if take_end:
+                    last_d = dvec[corder[take_end - 1]]
+                    while take_end < len(corder) and dvec[corder[take_end]] == last_d:
+                        got += mcounts[corder[take_end]]
+                        take_end += 1
+                take = corder[:take_end]
+                if partial and (
+                    got < need
+                    or take_end == len(corder)
+                    or int((dvec == last_d).sum()) != int((dvec[take] == last_d).sum())
+                ):
+                    # boundary ties may extend beyond the partial selection
+                    corder = np.argsort(dvec, kind="stable")
+                    need = k + 1
+                    got = 0
+                    take_end = 0
+                    while take_end < len(corder) and got < need:
+                        got += mcounts[corder[take_end]]
+                        take_end += 1
+                    if take_end:
+                        last_d = dvec[corder[take_end - 1]]
+                        while take_end < len(corder) and dvec[corder[take_end]] == last_d:
+                            got += mcounts[corder[take_end]]
+                            take_end += 1
+                    take = corder[:take_end]
+                pool_rows = np.concatenate([mo[cstarts[j] : cends[j]] for j in take]) if take_end else np.zeros(0, np.int64)
+                pool_d = np.repeat(dvec[take], mcounts[take])
+                po = np.lexsort((c_midx[pool_rows], c_code[pool_rows], pool_d))
+                p_code = c_code[pool_rows][po]
+                p_midx = c_midx[pool_rows][po]
+                p_d = pool_d[po]
+                for qi in qs_srt[a:b]:
+                    not_self = ~((p_code == g_code[qi]) & (p_midx == g_midx[qi]))
+                    idx = np.nonzero(not_self)[0][:k]
+                    if len(idx) == 0:
+                        continue
+                    out_code.append(np.full(len(idx), g_code[qi]))
+                    out_midx.append(np.full(len(idx), g_midx[qi]))
+                    out_ncode.append(p_code[idx])
+                    out_nmidx.append(p_midx[idx])
+                    out_rank.append(np.arange(len(idx)))
+                    out_dist.append(p_d[idx])
     if not out_code:
         return _knn_empty()
     return pa.table(
@@ -247,24 +333,25 @@ def _knn_empty() -> pa.Table:
     )
 
 
-def _count_groups(ds, group_res: int) -> dict[int, int]:
-    """Rows per coarse group (small result; shuffles only a uint64 column)."""
+def _count_fine_cells(ds) -> tuple[np.ndarray, np.ndarray]:
+    """(cells, counts) per res-R home cell — vectorized count (stages/agg.py;
+    Ray's built-in aggregate reduces Python-side per distinct key)."""
+    from core_ray.stages.agg import count_by_u64
 
-    def tag(b: pa.Table) -> pa.Table:
-        cells = b["hex_cell"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        return pa.table({"knn_grp": pa.array(_group_key(cells, group_res), pa.uint64())})
-
-    counts = (
-        ds.select_columns(["hex_cell"])
-        .map_batches(tag, batch_format="pyarrow", batch_size=65536)
-        .groupby("knn_grp")
-        .count()
+    counts = count_by_u64(
+        ds.select_columns(["hex_cell"]).map_batches(
+            lambda b: pa.table({"key": b["hex_cell"]}), batch_format="pyarrow",
+            batch_size=131072,
+        ),
+        "key",
     )
-    out: dict[int, int] = {}
+    ks, cs = [], []
     for b in counts.iter_batches(batch_format="pyarrow"):
-        for cell, cnt in zip(b["knn_grp"].to_pylist(), b["count()"].to_pylist()):
-            out[int(cell)] = int(cnt)
-    return out
+        ks.append(b["key"].to_numpy(zero_copy_only=False).astype(np.uint64))
+        cs.append(b["cnt"].to_numpy(zero_copy_only=False))
+    if not ks:
+        return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.int64)
+    return np.concatenate(ks), np.concatenate(cs)
 
 
 def knn_per_cell(ds, k: int = 5, hot_threshold: int = 4000, salt_target: int = 2000,
@@ -272,27 +359,42 @@ def knn_per_cell(ds, k: int = 5, hot_threshold: int = 4000, salt_target: int = 2
     """Dataset[joined rows] -> Dataset[(url, mention_idx, neighbor_url,
     neighbor_mention_idx, rank, dist)].
 
-    Two-pass: cheap coarse-group count for hot detection, then the salted
-    expansion + (knn_grp, salt) groupby with per-group ring-1 kNN.
+    Two-pass: one vectorized per-cell count pass drives the adaptive grouping
+    plan (coarse / fine / salted — see _Expand), then the expansion + a
+    hash-partitioned vectorized reduce.
     """
     import math
 
     import ray
 
     group_res = cell_res - COARSEN
-    group_counts = _count_groups(ds, group_res)
-    hot = {
-        c: math.ceil(n / salt_target)
-        for c, n in group_counts.items()
-        if n > hot_threshold
-    }
-    salts_ref = ray.put(hot) if hot else None
+    cells, counts = _count_fine_cells(ds)
+    coarse = _group_key(cells, group_res) if len(cells) else cells
+    # coarse totals via sort + reduceat (driver-side; a few 100k cells max —
+    # at larger scale keep this as a dataset and join it in, same plan shape)
+    order = np.argsort(coarse, kind="stable")
+    co, cnt_o = coarse[order], counts[order]
+    new = np.ones(len(co), dtype=bool)
+    if len(co):
+        new[1:] = co[1:] != co[:-1]
+    starts = np.nonzero(new)[0]
+    totals = np.add.reduceat(cnt_o, starts) if len(starts) else cnt_o[:0]
+    hot_coarse = co[starts][totals > hot_threshold]
+    # fine salts: still-hot cells inside hot coarse groups
+    fine_salts: dict[int, int] = {}
+    if len(hot_coarse):
+        in_hot = np.isin(coarse, hot_coarse)
+        for c, n_c in zip(cells[in_hot], counts[in_hot]):
+            if n_c > hot_threshold:
+                fine_salts[int(c)] = math.ceil(int(n_c) / salt_target)
+
+    # stateless expansion tasks (plan state is tiny; closure capture beats an
+    # actor pool: no startup latency, elastic across the cluster)
+    expander = _Expand(hot_coarse, fine_salts, cell_res)
     expanded = ds.map_batches(
-        _Expand,
-        fn_constructor_args=(salts_ref, cell_res),
+        expander,
         batch_format="pyarrow",
         batch_size=16384,
-        concurrency=(1, 8),
     )
     # partition-level reduce: hash (knn_grp, salt) into ~4x-CPU coarse
     # partitions, then ONE Python call per partition handles all its groups

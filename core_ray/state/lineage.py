@@ -54,13 +54,13 @@ class CheckpointStore:
         except (OSError, json.JSONDecodeError):
             return False
 
-    def load(self, stage: str, shard: str | None = None):
+    def load(self, stage: str, shard: str | None = None, columns: list[str] | None = None):
         import ray.data
 
         data_dir = os.path.join(self._dir(stage, shard), "data")
         if not any(n.endswith(".parquet") for n in os.listdir(data_dir)):
             return ray.data.from_items([])  # empty stage output (schema-less)
-        return ray.data.read_parquet(data_dir)
+        return ray.data.read_parquet(data_dir, columns=columns)
 
     def save(self, ds, stage: str, version: int, fingerprint: str, shard: str | None = None):
         """Write ``ds`` + manifest atomically; returns the re-read Dataset
@@ -77,9 +77,9 @@ class CheckpointStore:
         # them 1:1 would make every downstream read/groupby pay one task and
         # one shuffle partition per tiny file
         try:
-            ds.write_parquet(data_dir, min_rows_per_file=100_000)
+            ds.write_parquet(data_dir, min_rows_per_file=32_768)
         except TypeError:  # older ray: num_rows_per_file
-            ds.write_parquet(data_dir, num_rows_per_file=100_000)
+            ds.write_parquet(data_dir, num_rows_per_file=32_768)
         wall = time.perf_counter() - t0
         files = []
         import pyarrow.parquet as pq
