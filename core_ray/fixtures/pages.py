@@ -110,8 +110,15 @@ def _format_mention(rng: np.random.Generator, lat: float, lon: float, style: int
     return text, plat, plon
 
 
-def generate_pages(n_pages: int, seed: int = SEED) -> Corpus:
-    """Generate the full fixture corpus. Deterministic in (n_pages, seed)."""
+def generate_pages(n_pages: int, seed: int = SEED, html_noise_words: int = 0) -> Corpus:
+    """Generate the full fixture corpus. Deterministic in (n_pages, seed,
+    html_noise_words).
+
+    ``html_noise_words``: extra boilerplate words wrapped in <div> blocks
+    (NOT extracted — text stays byte-identical). Real Common-Crawl pages are
+    ~50-100 KB of mostly-boilerplate html; the bench corpus uses this to give
+    the extract stage representative parse work (default 0 keeps unit-test
+    corpora fast)."""
     rng = np.random.default_rng(seed)
 
     hosts = [f"host{i:04d}.example{i % 7}.com" for i in range(N_HOSTS)]
@@ -146,6 +153,11 @@ def generate_pages(n_pages: int, seed: int = SEED) -> Corpus:
     m_style = rng.integers(0, 3, (n_pages, max_mentions))
     m_pidx = rng.integers(0, 1 << 30, (n_pages, max_mentions))  # mod n_paras later
 
+    noise_idx = (
+        rng.integers(0, len(_VOCAB), (n_pages, html_noise_words))
+        if html_noise_words
+        else None
+    )
     urls, htmls, texts, langs_out, ts_out = [], [], [], [], []
     vocab = _VOCAB
     escape = _html.escape
@@ -179,10 +191,15 @@ def generate_pages(n_pages: int, seed: int = SEED) -> Corpus:
 
         text = "\n".join(paras)
         body = "".join(f"<p>{escape(p)}</p>" for p in paras)
+        noise = ""
+        if html_noise_words:
+            nw_idx = noise_idx[i]
+            chunk = " ".join(vocab[w] for w in nw_idx)
+            noise = f'<div class="boilerplate">{escape(chunk)}</div>'
         page_html = (
             f'<html><head><title>{escape(f"page {i} on {host}")}</title>'
             f'<meta charset="utf-8"/><script>var q={i};</script></head>'
-            f'<body><nav><a href="/">home</a></nav>{body}'
+            f'<body><nav><a href="/">home</a></nav>{noise}{body}'
             f'<div class="footer">© 2025 {host}</div></body></html>'
         )
         urls.append(url)
@@ -313,21 +330,25 @@ def _admin_polygons() -> pa.Table:
     )
 
 
-def write_corpus(out_dir: str, n_pages: int, seed: int = SEED, n_page_files: int = 1) -> Corpus:
+def write_corpus(out_dir: str, n_pages: int, seed: int = SEED, n_page_files: int = 1,
+                 html_noise_words: int = 0) -> Corpus:
     """Write the corpus as parquet under ``out_dir`` (pages split into
     ``n_page_files`` row-group-aligned files so Ray reads parallelize)."""
     import os
 
     import pyarrow.parquet as pq
 
-    corpus = generate_pages(n_pages, seed)
+    corpus = generate_pages(n_pages, seed, html_noise_words)
     os.makedirs(f"{out_dir}/pages", exist_ok=True)
     n = corpus.pages.num_rows
     per = (n + n_page_files - 1) // n_page_files
     for f in range(n_page_files):
         part = corpus.pages.slice(f * per, per)
         if part.num_rows:
-            pq.write_table(part, f"{out_dir}/pages/part-{f:04d}.parquet")
+            # small row groups let ray split large files into parallel read
+            # tasks (a single-row-group 300MB file = one serial read/decode)
+            pq.write_table(part, f"{out_dir}/pages/part-{f:04d}.parquet",
+                           row_group_size=8192)
     pq.write_table(corpus.admin_polygons, f"{out_dir}/admin_polygons.parquet")
     pq.write_table(corpus.geoip_ranges, f"{out_dir}/geoip_ranges.parquet")
     return corpus

@@ -69,17 +69,16 @@ def _geoip_dict(geoip_table: pa.Table) -> dict[str, tuple[float, float]]:
     }
 
 
-def _phase_a(page_files: list[str], geoip_ref, admin_ref, cfg: PipelineConfig):
+def _phase_a(page_files: list[str], geoip_ref, admin_ref, cfg: PipelineConfig,
+             concurrency: tuple[int, int] | None = None):
     """One fused per-document actor pool (see stages/analyzer.py for why)."""
     import ray.data
 
     from core_ray.stages.analyzer import PageAnalyzer
 
-    ds = ray.data.read_parquet(page_files, columns=["url", "warc_ts", "html", "lang"])
     from core_ray.config import pool_size
 
-    # each shard execution may run concurrently with up to 3 others: size the
-    # pool to a quarter of the cluster so four shards saturate it together
+    ds = ray.data.read_parquet(page_files, columns=["url", "warc_ts", "html", "lang"])
     return ds.map_batches(
         PageAnalyzer,
         fn_constructor_args=(
@@ -91,7 +90,7 @@ def _phase_a(page_files: list[str], geoip_ref, admin_ref, cfg: PipelineConfig):
         ),
         batch_format="pyarrow",
         batch_size=cfg.extract_batch_size,
-        concurrency=cfg.actor_concurrency or pool_size(divisor=4),
+        concurrency=concurrency or cfg.actor_concurrency or pool_size(divisor=1),
     )
 
 
@@ -158,33 +157,32 @@ def run_flagship(
     geoip_ref = ray.put(_geoip_dict(geoip_table))
     admin_ref = ray.put(admin_table)
 
-    # --- phase A: sharded map-only, per-shard resume. Shards execute
-    # CONCURRENTLY (each is its own Dataset execution; the streaming executor
-    # shares the cluster) so per-execution startup doesn't serialize ---
+    # --- phase A: sharded map-only, per-shard resume. Shards run
+    # SEQUENTIALLY, each as one execution with an actor pool sized to ~3/4 of
+    # the cluster (io tasks get the rest). Concurrent shard executions
+    # measured pathologically slow under contention (4 pools fighting for the
+    # same CPUs), while a lone execution already saturates the node. ---
     from concurrent.futures import ThreadPoolExecutor
 
     n_shards = n_shards or min(len(page_files), 4)
     shards = [sorted(page_files)[i::n_shards] for i in range(n_shards)]
     shards = [s for s in shards if s]
 
-    def _run_shard(k_files):
-        k, files = k_files
+    available = int(ray.cluster_resources().get("CPU", 8))
+    shard_pool = (1, max(2, (available * 3) // 4))
+    shard_names = []
+    for k, files in enumerate(shards):
         fp = fingerprint_paths(files)
         store.load_or_compute(
             "phaseA",
             STAGE_VERSIONS["phaseA"],
             fp,
-            lambda: _phase_a(files, geoip_ref, admin_ref, cfg),
+            lambda files=files: _phase_a(
+                files, geoip_ref, admin_ref, cfg, concurrency=shard_pool
+            ),
             shard=str(k),
         )
-        return str(k)
-
-    # each concurrent shard execution pins >= 1 actor + 1 read task; on a
-    # small cluster concurrent executions would deadlock on reserved CPUs
-    available = int(ray.cluster_resources().get("CPU", 8))
-    max_workers = max(1, min(len(shards), available // 8))
-    with ThreadPoolExecutor(max_workers=max_workers) as pool:
-        shard_names = list(pool.map(_run_shard, enumerate(shards)))
+        shard_names.append(str(k))
 
     def _load_all(columns=None):
         parts = [store.load("phaseA", shard=name, columns=columns) for name in shard_names]

@@ -782,7 +782,7 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY sq_dist, neighbor_id) <=
 # exact-match correctness is enforced by the pytest golden suite)
 
 _PAGES_N_BY_SF = {0.001: 2000, 0.01: 20000, 0.1: 1000000}
-_PAGES_GEN_VERSION = 2  # bump when fixtures/pages.py changes generation -> invalidates /tmp caches
+_PAGES_GEN_VERSION = 4  # bump when fixtures/pages.py changes generation -> invalidates /tmp caches
 
 
 def _sf_of(sf_dir: str) -> float:
@@ -803,7 +803,10 @@ def _pages_corpus(sf_dir: str):
     root = f"/tmp/core_ray_pages_v{_PAGES_GEN_VERSION}_{n}"
     marker = os.path.join(root, ".complete")
     if not os.path.exists(marker):
-        write_corpus(root, n, n_page_files=max(8, n // 40000))
+        # bench-scale corpora carry realistic boilerplate html (~10 KB/page)
+        # so the extract stage has representative parse work
+        noise = 1200 if n >= 100000 else 0
+        write_corpus(root, n, n_page_files=max(8, n // 15000), html_noise_words=noise)
         with open(marker, "w") as f:
             f.write("ok")
     import pyarrow.parquet as pq
