@@ -41,7 +41,7 @@ from core_ray.stages.knn import knn_per_cell
 from core_ray.stages.tiles import tile_rollup
 from core_ray.state.lineage import CheckpointStore, fingerprint_paths
 
-STAGE_VERSIONS = {"phaseA": 1, "deduped": 1, "knn": 1, "tiles": 1}
+STAGE_VERSIONS = {"phaseA": 2, "deduped": 2, "knn": 2, "tiles": 2}
 
 JOINED_COLUMNS = [
     "url", "warc_ts", "lang", "text", "derivation_source", "mention_idx",

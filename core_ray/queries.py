@@ -909,6 +909,128 @@ def media_features(sf_dir: str):
     )
 
 
+
+
+# ---------------------------------------------------------------- misc ops
+# (SURVEY.md §2.7 coverage: sort/limit O1-O2, distinct A4/O4, deterministic
+# sampling O5, as-of join, per-record crypto map M13)
+
+
+def doc_top20_by_chars(sf_dir: str):
+    """Deterministic global sort + truncate (the reference's top-20 sample,
+    tests/integration/snapshot.go:66-97)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(20)
+
+
+DOC_TOP20_SQL = """
+SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 20
+"""
+
+
+def events_distinct_types(sf_dir: str):
+    """ds.unique — distinct values of one column (a shuffle)."""
+    import ray.data
+
+    ds = _read(sf_dir, "events", ["event_type"])
+    vals = sorted(ds.unique("event_type"))
+    return pa.table({"event_type": pa.array(vals, pa.string())})
+
+
+EVENTS_DISTINCT_SQL = "SELECT DISTINCT event_type FROM events"
+
+
+def doc_sample_mod(sf_dir: str, k: int = 20):
+    """Deterministic sampling (hash-mod, not random — SURVEY.md §2.7 O5:
+    fixtures need reproducible samples)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return ds.map_batches(
+        lambda b: b.filter(
+            pa.array((b["doc_id"].to_numpy(zero_copy_only=False) % k) == 0)
+        ),
+        batch_format="pyarrow",
+    )
+
+
+DOC_SAMPLE_SQL = "SELECT doc_id, lang FROM documents WHERE doc_id % 20 = 0"
+
+
+def events_asof_purchase(sf_dir: str):
+    """As-of join: for each event, the timestamp of the user's most recent
+    STRICTLY EARLIER 'purchase' event (ray_guide: sort within key group +
+    windowed scan; ties broken by event_id, mirrored in the SQL window)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def per_user(group: pa.Table) -> pa.Table:
+        us = pc.cast(group["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        et = np.asarray(group["event_type"].to_pylist())
+        order = np.lexsort((eid, us))
+        us_o, eid_o = us[order], eid[order]
+        is_p = et[order] == "purchase"
+        # last purchase among rows STRICTLY BEFORE this row (sorted order)
+        last = np.full(len(us_o), -1, dtype=np.int64)
+        prev = -1
+        for i in range(len(us_o)):
+            last[i] = prev
+            if is_p[i]:
+                prev = us_o[i]
+        uid = group["user_id"][0].as_py()
+        return pa.table(
+            {
+                "event_id": pa.array(eid_o, pa.int64()),
+                "user_id": pa.array(np.full(len(eid_o), uid, dtype=np.int64), pa.int64()),
+                "last_purchase_us": pa.array(
+                    [None if v < 0 else int(v) for v in last], pa.int64()
+                ),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+
+EVENTS_ASOF_SQL = """
+SELECT event_id, user_id,
+       MAX(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+         OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_purchase_us
+FROM events
+"""
+
+
+def doc_encrypt_roundtrip(sf_dir: str):
+    """Per-record crypto map (M13 analog): encrypt text per row in an actor
+    pool; verify decrypt(encrypt(x)) == x inside the batch and return the
+    envelope sizes (content is nondeterministic-looking ciphertext; the
+    round-trip identity is the checked property, tests/test_misc_ops.py)."""
+    from core_ray.text.crypto import Encryptor, decrypt
+
+    key = hashlib.sha256(b"core-ray-demo-key").digest()
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def verify(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        texts = b["text"].to_pylist()
+        envs = b["text_enc"].to_pylist()
+        ok = [decrypt(key, e).decode("utf-8") == t for e, t in zip(envs, texts)]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "env_len": pa.array([len(e) for e in envs], pa.int64()),
+                "roundtrip_ok": pa.array(ok, pa.bool_()),
+            }
+        )
+
+    enc = ds.map_batches(
+        Encryptor, fn_constructor_args=(key,), batch_format="pyarrow",
+        batch_size=1024, concurrency=(1, 4),
+    )
+    return enc.map_batches(verify, batch_format="pyarrow")
+
+
+import hashlib  # noqa: E402  (used by doc_encrypt_roundtrip)
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES = {
@@ -937,6 +1059,11 @@ QUERIES = {
     "pages_knn": pages_knn,
     "pages_errors": pages_errors,
     "media_features": media_features,
+    "doc_top20_by_chars": doc_top20_by_chars,
+    "events_distinct_types": events_distinct_types,
+    "doc_sample_mod": doc_sample_mod,
+    "events_asof_purchase": events_asof_purchase,
+    "doc_encrypt_roundtrip": doc_encrypt_roundtrip,
 }
 
 ORACLE_SQL = {
@@ -955,6 +1082,10 @@ ORACLE_SQL = {
     "geo_tile_counts": GEO_TILE_COUNTS_SQL,
     "geo_pip_admin": GEO_PIP_ADMIN_SQL,
     "geo_knn_tile": GEO_KNN_TILE_SQL,
+    "doc_top20_by_chars": DOC_TOP20_SQL,
+    "events_distinct_types": EVENTS_DISTINCT_SQL,
+    "doc_sample_mod": DOC_SAMPLE_SQL,
+    "events_asof_purchase": EVENTS_ASOF_SQL,
     # rows-only (non-SQL-expressible): doc_langid, doc_fingerprint,
     # doc_minhash_pairs, doc_simhash_pairs, emb_ann_lsh, pages_*, media_features
 }

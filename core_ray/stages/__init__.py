@@ -11,3 +11,4 @@ from core_ray.stages.extract import ExtractText  # noqa: F401
 from core_ray.stages.geocode import Geocoder  # noqa: F401
 from core_ray.stages.cellencode import CellEncoder  # noqa: F401
 from core_ray.stages.pip import PipJoin  # noqa: F401
+from core_ray.stages.analyzer import PageAnalyzer  # noqa: F401
