@@ -44,3 +44,34 @@ class PageAnalyzer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         return self.pip(self.encode(self.geocode(self.extract(batch))))
+
+
+# ---- task-mode variant with worker-process-cached state ----------------
+# An ACTOR pool cannot fuse with the upstream parquet read, so every html
+# block round-trips through the object store; on one node that memcpy path
+# saturates memory bandwidth and the read stops scaling past ~8 cores
+# (measured: actor phase A 25.7 s @ 8 cpus -> 23.7 s @ 32; task-fused:
+# 21.3 s -> 10.2 s). A PLAIN FUNCTION fuses into the read task — html goes
+# decode -> UDF without touching plasma — and Ray reuses worker processes,
+# so caching the built PageAnalyzer in a module global amortizes state
+# exactly like an actor would (state here is light: regexes + STRtree over
+# ~10^2 polygons; a heavy-model stage should stay an actor pool).
+
+_WORKER_ANALYZERS: dict = {}
+
+
+def analyze_batch_task(
+    batch: pa.Table,
+    geoip_ref,
+    admin_ref,
+    max_html_bytes: int,
+    hex_res: int,
+    s2_level: int,
+) -> pa.Table:
+    key = (str(geoip_ref), str(admin_ref), max_html_bytes, hex_res, s2_level)
+    analyzer = _WORKER_ANALYZERS.get(key)
+    if analyzer is None:
+        analyzer = PageAnalyzer(geoip_ref, admin_ref, max_html_bytes, hex_res, s2_level)
+        _WORKER_ANALYZERS.clear()  # one live config per worker is plenty
+        _WORKER_ANALYZERS[key] = analyzer
+    return analyzer(batch)
