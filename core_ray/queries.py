@@ -1031,6 +1031,52 @@ def doc_encrypt_roundtrip(sf_dir: str):
 import hashlib  # noqa: E402  (used by doc_encrypt_roundtrip)
 
 
+
+
+def emb_near_dup_pairs(sf_dir: str, threshold: float = 0.35):
+    """Embedding-cosine near-dup pairs (exact): each batch is scored against
+    the BROADCAST normalized matrix of all vectors (fine while one table side
+    fits the object store — the documented small-side pattern; the scale path
+    for corpus-x-corpus is LSH bucketing, see emb_ann_lsh)."""
+    import ray
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    all_ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+    ref = ray.put((all_ids, m))
+
+    def pairs(batch: pa.Table, ref=ref) -> pa.Table:
+        ids_all, mat = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        ids_b = batch["vec_id"].to_numpy(zero_copy_only=False)
+        x = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+        sims = np.round(x @ mat.T, 6)
+        # emit (a < b) pairs only, threshold on the ROUNDED sim (the oracle
+        # filters identically, so boundary values agree)
+        a_idx, b_idx = np.nonzero((sims >= threshold) & (ids_b[:, None] < ids_all[None, :]))
+        return pa.table(
+            {
+                "vec_id_a": pa.array(ids_b[a_idx], pa.int64()),
+                "vec_id_b": pa.array(ids_all[b_idx], pa.int64()),
+                "sim": pa.array(sims[a_idx, b_idx], pa.float64()),
+            }
+        )
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ds.map_batches(pairs, batch_format="pyarrow", batch_size=2048)
+
+
+EMB_NEAR_DUP_SQL = """
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       ROUND(LIST_COSINE_SIMILARITY(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND(LIST_COSINE_SIMILARITY(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES = {
@@ -1064,6 +1110,7 @@ QUERIES = {
     "doc_sample_mod": doc_sample_mod,
     "events_asof_purchase": events_asof_purchase,
     "doc_encrypt_roundtrip": doc_encrypt_roundtrip,
+    "emb_near_dup_pairs": emb_near_dup_pairs,
 }
 
 ORACLE_SQL = {
@@ -1086,6 +1133,7 @@ ORACLE_SQL = {
     "events_distinct_types": EVENTS_DISTINCT_SQL,
     "doc_sample_mod": DOC_SAMPLE_SQL,
     "events_asof_purchase": EVENTS_ASOF_SQL,
+    "emb_near_dup_pairs": EMB_NEAR_DUP_SQL,
     # rows-only (non-SQL-expressible): doc_langid, doc_fingerprint,
     # doc_minhash_pairs, doc_simhash_pairs, emb_ann_lsh, pages_*, media_features
 }

@@ -1,0 +1,68 @@
+"""CLI driver: ``python -m core_ray.run`` — the scripts/scan.go analog
+(SURVEY.md §3.3): corpus in, flagship outputs + JSON summary out.
+
+Owns its Ray session (library code never calls ray.init)."""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="core_ray flagship pipeline")
+    ap.add_argument("--pages", required=True, help="dir or glob of pages parquet")
+    ap.add_argument("--admin", required=True, help="admin_polygons parquet file")
+    ap.add_argument("--geoip", required=True, help="geoip_ranges parquet file")
+    ap.add_argument("--checkpoint-dir", required=True)
+    ap.add_argument("--out", help="write joined/knn/tiles/errors parquet here")
+    ap.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", 8)))
+    args = ap.parse_args(argv)
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=args.num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    try:
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+        import pyarrow.parquet as pq
+
+        from core_ray.config import PipelineConfig
+        from core_ray.pipelines.flagship import run_flagship
+
+        files = (
+            sorted(glob.glob(os.path.join(args.pages, "*.parquet")))
+            if os.path.isdir(args.pages)
+            else sorted(glob.glob(args.pages))
+        )
+        res = run_flagship(
+            files,
+            pq.read_table(args.admin),
+            pq.read_table(args.geoip),
+            PipelineConfig(),
+            checkpoint_dir=args.checkpoint_dir,
+        )
+        if args.out:
+            os.makedirs(args.out, exist_ok=True)
+            res.joined.write_parquet(os.path.join(args.out, "joined"))
+            res.knn.write_parquet(os.path.join(args.out, "knn"))
+            res.tiles.write_parquet(os.path.join(args.out, "tiles"))
+            res.errors.write_parquet(os.path.join(args.out, "errors"))
+        print(json.dumps({"stats": res.stats, "out": args.out}))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
