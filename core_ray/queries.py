@@ -1077,6 +1077,16 @@ WHERE ROUND(LIST_COSINE_SIMILARITY(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 """
 
 
+
+
+def emb_ann_ivf(sf_dir: str):
+    from core_ray.text.similarity import ivf_ann_topk
+
+    q_ids, _ = _load_queries(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ivf_ann_topk(ds, q_ids, k=5)
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES = {
@@ -1111,6 +1121,7 @@ QUERIES = {
     "events_asof_purchase": events_asof_purchase,
     "doc_encrypt_roundtrip": doc_encrypt_roundtrip,
     "emb_near_dup_pairs": emb_near_dup_pairs,
+    "emb_ann_ivf": emb_ann_ivf,
 }
 
 ORACLE_SQL = {

@@ -235,3 +235,119 @@ def label_centroids(ds, label_col: str = "label", col: str = "embedding"):
 
 
 _ = Count  # re-exported pattern reference
+
+
+# ---------------- IVF ANN (coarse-quantizer scale path) ----------------
+
+
+def _kmeans_fit(x: np.ndarray, n_clusters: int, n_iter: int = 10, seed: int = 7) -> np.ndarray:
+    """Tiny deterministic Lloyd's k-means on a driver-side sample (the coarse
+    quantizer training step of IVF — published FAISS-style design)."""
+    rng = np.random.default_rng(seed)
+    centers = x[rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)]
+    for _ in range(n_iter):
+        d = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(centers)):
+            m = assign == c
+            if m.any():
+                centers[c] = x[m].mean(axis=0)
+    return centers
+
+
+def ivf_ann_topk(ds, query_ids, k: int = 5, n_clusters: int = 16, nprobe: int = 3,
+                 train_sample: int = 2048, id_col: str = "vec_id", col: str = "embedding"):
+    """IVF-style ANN: train a coarse quantizer on a driver-side sample, assign
+    every vector to its nearest centroid (map), then answer each query from
+    its ``nprobe`` nearest centroid buckets (groupby('ivf_probe') shuffle).
+
+    Approximate (recall < 1 when true neighbors live outside probed buckets);
+    tested against brute force for recall. Queries are replicated nprobe
+    ways; candidates once per bucket — the standard IVF trade.
+    """
+    import ray
+
+    # --- train on a sample (driver-side; tiny) ---
+    sample = ds.limit(train_sample)
+    xs = _batch_matrix(pa.concat_tables(ray.get(sample.to_arrow_refs())), col)
+    xs = xs / np.maximum(np.linalg.norm(xs, axis=1, keepdims=True), 1e-30)
+    centers = _kmeans_fit(xs, n_clusters)
+    centers = centers / np.maximum(np.linalg.norm(centers, axis=1, keepdims=True), 1e-30)
+    qset = frozenset(int(i) for i in np.asarray(query_ids).tolist())
+    c_ref = ray.put(centers)
+
+    def assign(batch: pa.Table, c_ref=c_ref) -> pa.Table:
+        cs = ray.get(c_ref) if isinstance(c_ref, ray.ObjectRef) else c_ref
+        x = _batch_matrix(batch, col)
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+        sims = xn @ cs.T
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        is_q = np.array([int(i) in qset for i in ids])
+        home = sims.argmax(axis=1)
+        out_rows, out_bucket, out_isq = [], [], []
+        # every vector lives in its home bucket as a candidate
+        out_rows.append(np.arange(len(ids)))
+        out_bucket.append(home)
+        out_isq.append(np.zeros(len(ids), dtype=bool))
+        # queries probe their nprobe nearest buckets
+        if is_q.any():
+            qi = np.nonzero(is_q)[0]
+            probes = np.argsort(-sims[qi], axis=1, kind="stable")[:, :nprobe]
+            out_rows.append(np.repeat(qi, nprobe))
+            out_bucket.append(probes.ravel())
+            out_isq.append(np.ones(len(qi) * nprobe, dtype=bool))
+        take = np.concatenate(out_rows)
+        t = batch.take(pa.array(take))
+        return t.append_column(
+            "ivf_probe", pa.array(np.concatenate(out_bucket).astype(np.int32), pa.int32())
+        ).append_column("is_query", pa.array(np.concatenate(out_isq), pa.bool_()))
+
+    tagged = ds.map_batches(assign, batch_format="pyarrow", batch_size=4096)
+
+    def bucket_topk(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        is_q = group["is_query"].to_numpy(zero_copy_only=False)
+        x = _batch_matrix(group, col)
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+        cand = np.nonzero(~is_q)[0]
+        out_q, out_v, out_s = [], [], []
+        for qi in np.nonzero(is_q)[0]:
+            row = xn[cand] @ xn[qi]
+            keep = ids[cand] != ids[qi]
+            for ci in np.nonzero(keep)[0]:
+                out_q.append(ids[qi])
+                out_v.append(ids[cand][ci])
+                out_s.append(row[ci])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partial = tagged.groupby("ivf_probe").map_groups(bucket_topk, batch_format="pyarrow")
+    # per-query merge across probed buckets (dedupe candidates, then top-k)
+    def merge(group: pa.Table) -> pa.Table:
+        sims = group["sim"].to_numpy(zero_copy_only=False)
+        vids = group["vec_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((vids, -sims))
+        seen: set = set()
+        keep = []
+        for i in order:
+            if vids[i] not in seen:
+                seen.add(vids[i])
+                keep.append(i)
+            if len(keep) >= k:
+                break
+        qid = group["query_id"][0].as_py()
+        return pa.table(
+            {
+                "query_id": pa.array([qid] * len(keep), pa.int64()),
+                "vec_id": pa.array(vids[keep], pa.int64()),
+                "rank": pa.array(np.arange(len(keep), dtype=np.int32), pa.int32()),
+                "sim": pa.array(np.round(sims[keep], 6), pa.float64()),
+            }
+        )
+
+    return partial.groupby("query_id").map_groups(merge, batch_format="pyarrow")

@@ -185,3 +185,38 @@ class TestSimilarity:
             lab, dim = r["label"], r["dim"] - 1
             want = round(float(x[labels == lab, dim].astype(np.float64).mean()), 6)
             assert r["mean_val"] == pytest.approx(want, abs=2e-6)
+
+
+class TestIvfAnn:
+    def test_recall_vs_brute_force(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from core_ray.text import similarity
+
+        rng = np.random.default_rng(11)
+        x = rng.normal(size=(400, 16)).astype(np.float32)
+        t = pa.table(
+            {
+                "vec_id": pa.array(range(400), pa.int64()),
+                "embedding": pa.array(x.tolist(), pa.list_(pa.float32())),
+            }
+        )
+        q_ids = np.arange(0, 400, 80)
+        ds = ray.data.from_arrow(t)
+        ivf = similarity.ivf_ann_topk(ds, q_ids, k=5, n_clusters=8, nprobe=3)
+        got = {}
+        for r in ivf.take_all():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        brute = similarity.brute_force_topk(
+            ds, q_ids, x[q_ids].astype(np.float64), k=5
+        )
+        want = {}
+        for r in brute.take_all():
+            want.setdefault(r["query_id"], set()).add(r["vec_id"])
+        # nprobe=3/8 buckets: expect decent but not perfect recall
+        recalls = [len(got.get(q, set()) & want[q]) / len(want[q]) for q in want]
+        assert sum(recalls) / len(recalls) >= 0.5, recalls
+        for q, vs in got.items():
+            assert q not in vs  # self excluded
