@@ -16,7 +16,9 @@ Float discipline:
 
 from __future__ import annotations
 
+import hashlib
 import os
+import zlib
 from datetime import datetime
 
 import numpy as np
@@ -889,8 +891,6 @@ class MediaDecodeStub:
         )
 
 
-import zlib  # noqa: E402  (used by MediaDecodeStub)
-
 
 def media_features(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -1027,8 +1027,6 @@ def doc_encrypt_roundtrip(sf_dir: str):
     )
     return enc.map_batches(verify, batch_format="pyarrow")
 
-
-import hashlib  # noqa: E402  (used by doc_encrypt_roundtrip)
 
 
 

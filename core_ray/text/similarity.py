@@ -17,7 +17,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Sum
 
 
 def _batch_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
@@ -107,7 +107,6 @@ def brute_force_topk(ds, query_ids: np.ndarray, query_matrix: np.ndarray,
 
 N_PLANES = 5  # 32 buckets — sized so buckets hold tens of vectors at the test
 # scales; at corpus scale raise this (buckets should hold ~1-10k vectors)
-_rng = np.random.default_rng(99)
 
 
 def _planes(dim: int) -> np.ndarray:
@@ -233,8 +232,6 @@ def label_centroids(ds, label_col: str = "label", col: str = "embedding"):
 
     return agg.map_batches(finish, batch_format="pyarrow")
 
-
-_ = Count  # re-exported pattern reference
 
 
 # ---------------- IVF ANN (coarse-quantizer scale path) ----------------
