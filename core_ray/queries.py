@@ -40,6 +40,22 @@ def _read(sf_dir: str, table: str, columns=None):
     return ray.data.read_parquet(_p(sf_dir, table), columns=columns)
 
 
+def _collect_table(ds) -> pa.Table:
+    """Materialize a SMALL Dataset result on the driver (the broadcast side of
+    a semi-join, a filtered key set, query vectors). Never call on a fact
+    table — distributed filters/projections run first so only the small
+    survivor set crosses to the driver."""
+    import ray
+
+    tables = ray.get(ds.to_arrow_refs())
+    tables = [t for t in tables if t.num_rows] or tables[:1]
+    return pa.concat_tables(tables, promote_options="default")
+
+
+def _collect_numpy(ds, col: str) -> np.ndarray:
+    return _collect_table(ds.select_columns([col]))[col].to_numpy(zero_copy_only=False)
+
+
 # ================================================================ relational
 # Q1-style pricing summary: filter + partial per-batch pre-aggregation (the
 # combiner pattern, SURVEY.md §2.6 A1-A3) + tiny final groupby.
@@ -61,8 +77,10 @@ def q1_pricing_summary(sf_dir: str):
         disc = pc.multiply(batch["l_extendedprice"], pc.subtract(1.0, batch["l_discount"]))
         batch = batch.append_column("disc_price", disc)
         # per-batch combine: emit one row per (flag, status) per batch
+        # ([], "count_all") mirrors COUNT(*) — a ("col", "count") would skip
+        # nulls and diverge from the oracle on nullable columns
         return pa.TableGroupBy(batch, ["l_returnflag", "l_linestatus"]).aggregate(
-            [("l_quantity", "sum"), ("l_extendedprice", "sum"), ("disc_price", "sum"), ("l_quantity", "count")]
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"), ("disc_price", "sum"), ([], "count_all")]
         )
 
     agg = (
@@ -72,7 +90,7 @@ def q1_pricing_summary(sf_dir: str):
             Sum("l_quantity_sum", alias_name="sum_qty"),
             Sum("l_extendedprice_sum", alias_name="sum_base_price"),
             Sum("disc_price_sum", alias_name="sum_disc_price"),
-            Sum("l_quantity_count", alias_name="count_order"),
+            Sum("count_all", alias_name="count_order"),
         )
     )
 
@@ -110,38 +128,57 @@ _Q3_DATE = datetime(1998, 1, 1)
 
 
 def q3_top_orders(sf_dir: str):
+    """Distributed cascade of broadcast semi-joins — no fact table is ever
+    materialized on the driver (only the *surviving key sets* cross, each the
+    product of a distributed filter; membership tests are vectorized
+    ``np.isin`` against a sorted broadcast array, never per-row Python)."""
     import ray
     from ray.data.aggregate import Sum
 
+    # small side 1: BUILDING-segment customer keys (distributed filter)
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    building = {
-        r["c_custkey"]
-        for r in cust.filter(expr="c_mktsegment == 'BUILDING'").take_all()
-    }
+    cust_keys = np.sort(
+        _collect_numpy(cust.filter(expr="c_mktsegment == 'BUILDING'"), "c_custkey")
+    )
+    cust_ref = ray.put(cust_keys)
+
+    # small side 2: order keys surviving (date filter ⋉ customer set) — a
+    # distributed map_batches semi-join over orders; only keys come back
+    class OrdersSemi:
+        def __init__(self, ref):
+            self.keys = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            b = b.filter(pc.less(b["o_orderdate"], pa.scalar(_Q3_DATE)))
+            m = np.isin(b["o_custkey"].to_numpy(zero_copy_only=False), self.keys)
+            return b.filter(pa.array(m)).select(["o_orderkey"])
+
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
-    okeys = {}
-    for r in orders.take_all():
-        if r["o_custkey"] in building and r["o_orderdate"] < _Q3_DATE:
-            okeys[r["o_orderkey"]] = r["o_orderdate"]
+    okeys = np.sort(
+        _collect_numpy(
+            orders.map_batches(
+                OrdersSemi, fn_constructor_args=(cust_ref,), batch_format="pyarrow",
+                batch_size=65536, concurrency=(1, 4),
+            ),
+            "o_orderkey",
+        )
+    )
     okeys_ref = ray.put(okeys)
 
-    class Filter:
+    class LineitemSemi:
         def __init__(self, ref):
-            if isinstance(ref, ray.ObjectRef):
-                ref = ray.get(ref)
-            self.okeys = ref
+            self.okeys = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
 
         def __call__(self, b: pa.Table) -> pa.Table:
             b = b.filter(pc.greater(b["l_shipdate"], pa.scalar(_Q3_DATE)))
-            keys = b["l_orderkey"].to_numpy(zero_copy_only=False)
-            mask = np.array([k in self.okeys for k in keys], dtype=bool)
-            b = b.filter(pa.array(mask))
+            m = np.isin(b["l_orderkey"].to_numpy(zero_copy_only=False), self.okeys)
+            b = b.filter(pa.array(m))
             rev = pc.multiply(b["l_extendedprice"], pc.subtract(1.0, b["l_discount"]))
             return pa.table({"o_orderkey": b["l_orderkey"], "rev": rev})
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
     agg = (
-        li.map_batches(Filter, fn_constructor_args=(okeys_ref,), batch_format="pyarrow",
+        li.map_batches(LineitemSemi, fn_constructor_args=(okeys_ref,), batch_format="pyarrow",
                        batch_size=65536, concurrency=(1, 4))
         .groupby("o_orderkey")
         .aggregate(Sum("rev", alias_name="revenue"))
@@ -493,13 +530,21 @@ def doc_simhash_pairs(sf_dir: str):
 
 
 def _load_queries(sf_dir: str, modulus: int = 100):
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    """Query-vector selection: DISTRIBUTED filter over the embeddings table;
+    only the tiny surviving set (1/modulus of rows) crosses to the driver —
+    never the full table."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    picked = ds.map_batches(
+        lambda b: b.filter(
+            pa.array(b["vec_id"].to_numpy(zero_copy_only=False) % modulus == 0)
+        ),
+        batch_format="pyarrow",
+        batch_size=65536,
+    )
+    t = _collect_table(picked)
     ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
-    m = ids % modulus == 0
-    q = np.array(t["embedding"].to_pylist(), dtype=np.float64)[m]
-    return ids[m], q
+    q = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    return ids, q
 
 
 def emb_topk(sf_dir: str):

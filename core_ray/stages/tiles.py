@@ -117,11 +117,15 @@ def tile_rollup(ds, zooms: tuple[int, ...] = (7, 9, 12)):
                     "url": batch["url"],
                 }
             )
-            # combiner: collapse same (tile, url) inside the batch
+            # combiner: collapse same (tile, url) inside the batch.
+            # select-by-name BEFORE the positional rename: pyarrow's
+            # keys-vs-aggregates column order has varied across versions
+            agg = pa.TableGroupBy(t, ["tile_z", "tile_x", "tile_y", "url"]).aggregate(
+                [([], "count_all")]
+            )
             parts.append(
-                pa.TableGroupBy(t, ["tile_z", "tile_x", "tile_y", "url"]).aggregate(
-                    [([], "count_all")]
-                ).rename_columns(["tile_z", "tile_x", "tile_y", "url", "cnt"])
+                agg.select(["tile_z", "tile_x", "tile_y", "url", "count_all"])
+                .rename_columns(["tile_z", "tile_x", "tile_y", "url", "cnt"])
             )
         out = pa.concat_tables(parts)
         z = out["tile_z"].to_numpy(zero_copy_only=False).astype(np.uint64)

@@ -65,11 +65,20 @@ class Encryptor:
         self.col = col
         self.id_col = id_col
 
-    def _nonce(self, row_id: int) -> bytes:
-        return hashlib.sha256(self.key + b"|nonce|" + str(row_id).encode()).digest()[:_NONCE_LEN]
+    def _nonce(self, row_id: int, plaintext: bytes) -> bytes:
+        # the plaintext digest is mixed in so two DIFFERENT plaintexts that
+        # accidentally share an id never reuse a keystream (two-time pad);
+        # still fully deterministic for tests
+        return hashlib.sha256(
+            self.key + b"|nonce|" + str(row_id).encode() + b"|"
+            + hashlib.sha256(plaintext).digest()
+        ).digest()[:_NONCE_LEN]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_pylist()
         vals = batch[self.col].to_pylist()
-        enc = [encrypt(self.key, v.encode("utf-8"), self._nonce(i)) for i, v in zip(ids, vals)]
+        enc = [
+            encrypt(self.key, p, self._nonce(i, p))
+            for i, p in ((i, v.encode("utf-8")) for i, v in zip(ids, vals))
+        ]
         return batch.append_column(f"{self.col}_enc", pa.array(enc, pa.string()))
