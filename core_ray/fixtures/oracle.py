@@ -53,12 +53,23 @@ def host_of(url: str) -> str:
     return urlparse(url).netloc
 
 
-def compute_golden(pages: pa.Table, admin_polygons: pa.Table, geoip: pa.Table) -> GoldenOutputs:
+def compute_golden(
+    pages: pa.Table,
+    admin_polygons: pa.Table,
+    geoip: pa.Table,
+    max_html_bytes: int | None = None,
+) -> GoldenOutputs:
+    """``max_html_bytes``: the MaxFileSize analog — pages whose html exceeds
+    it are excluded from geocoding and appear as (phase='extract',
+    reason='max-html-bytes') error rows, mirroring stages/extract.py."""
     out = GoldenOutputs()
     import hashlib
 
     urls = pages["url"].to_pylist()
     texts = pages["text"].to_pylist()
+    html_sizes = (
+        [len(h) for h in pages["html"].to_pylist()] if max_html_bytes is not None else None
+    )
 
     # --- dedup (first-wins by url) ---
     seen: set[str] = set()
@@ -83,8 +94,13 @@ def compute_golden(pages: pa.Table, admin_polygons: pa.Table, geoip: pa.Table) -
     # --- geocode cascade ---
     rows = []  # (url, source, mention_idx, lat, lon)
     src_hist = {"text-mention": 0, "host-geoip": 0}
+    n_oversize = 0
     for i in keep:
         u, t = urls[i], texts[i]
+        if html_sizes is not None and html_sizes[i] > max_html_bytes:
+            out.errors.append({"url": u, "phase": "extract", "reason": "max-html-bytes"})
+            n_oversize += 1
+            continue
         mentions = coords.extract_mentions(t)
         if mentions:
             for j, (la, lo) in enumerate(mentions):
@@ -99,7 +115,8 @@ def compute_golden(pages: pa.Table, admin_polygons: pa.Table, geoip: pa.Table) -
                 out.errors.append({"url": u, "phase": "geocode", "reason": "no-geo-signal"})
     out.stats["pages_deduped"] = len(keep)
     out.stats["derivation_source_hist"] = src_hist
-    out.stats["rows_no_signal"] = len(out.errors)
+    out.stats["pages_oversize"] = n_oversize
+    out.stats["rows_no_signal"] = sum(1 for e in out.errors if e["phase"] == "geocode")
     out.stats["rows_geocoded"] = len(rows)
 
     # --- cells ---

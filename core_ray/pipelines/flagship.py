@@ -39,9 +39,21 @@ import pyarrow as pa
 from core_ray.config import PipelineConfig
 from core_ray.stages.knn import knn_per_cell
 from core_ray.stages.tiles import tile_rollup
-from core_ray.state.lineage import CheckpointStore, fingerprint_paths
+from core_ray.state.lineage import (
+    CheckpointStore,
+    fingerprint_config,
+    fingerprint_paths,
+    fingerprint_table,
+)
 
-STAGE_VERSIONS = {"phaseA": 2, "deduped": 2, "knn": 2, "tiles": 2}
+STAGE_VERSIONS = {"phaseA": 3, "deduped": 3, "knn": 2, "tiles": 2}
+
+# config fields each stage's OUTPUT depends on (state/lineage.py
+# fingerprint_config): resuming with a changed knob recomputes exactly the
+# stages that knob feeds
+_PHASE_A_CFG = ("max_html_bytes", "hex_res", "s2_level")
+_KNN_CFG = _PHASE_A_CFG + ("knn_k", "hot_cell_threshold", "salt_group_target")
+_TILES_CFG = _PHASE_A_CFG + ("tile_zooms",)
 
 JOINED_COLUMNS = [
     "url", "warc_ts", "lang", "text", "derivation_source", "mention_idx",
@@ -120,12 +132,15 @@ def _stats_pass(deduped) -> dict:
         .aggregate(Sum("rows_sum", alias_name="rows"), Sum("pages_sum", alias_name="pages"))
     )
     per_src = {r["derivation_source"]: (r["rows"], r["pages"]) for r in agg.take_all()}
-    hist = {s: p for s, (r, p) in per_src.items() if s != "none"}
+    _err_srcs = ("none", "oversize")
+    hist = {s: p for s, (r, p) in per_src.items() if s not in _err_srcs}
     rows_no_signal = per_src.get("none", (0, 0))[0]
+    pages_oversize = per_src.get("oversize", (0, 0))[1]
     return {
-        "rows_geocoded": sum(r for s, (r, p) in per_src.items() if s != "none"),
+        "rows_geocoded": sum(r for s, (r, p) in per_src.items() if s not in _err_srcs),
         "rows_no_signal": rows_no_signal,
-        "pages_deduped": sum(hist.values()) + rows_no_signal,
+        "pages_oversize": pages_oversize,
+        "pages_deduped": sum(hist.values()) + rows_no_signal + pages_oversize,
         "derivation_source_hist": hist,
     }
 
@@ -173,9 +188,13 @@ def run_flagship(
 
     available = int(ray.cluster_resources().get("CPU", 8))
     shard_pool = (1, max(2, (available * 3) // 4))
+    # side tables + config are INPUTS: fold them into every stage fingerprint
+    # so a changed polygon set / geoip map / knob invalidates its checkpoints
+    sides_fp = fingerprint_table(admin_table) + fingerprint_table(geoip_table)
+    phase_a_cfg_fp = fingerprint_config(cfg, _PHASE_A_CFG) + sides_fp
     shard_names = []
     for k, files in enumerate(shards):
-        fp = fingerprint_paths(files)
+        fp = fingerprint_paths(files) + "+" + phase_a_cfg_fp
         store.load_or_compute(
             "phaseA",
             STAGE_VERSIONS["phaseA"],
@@ -199,7 +218,7 @@ def run_flagship(
     # --- phase B: global dedup (duplicate-key broadcast, stages/dedup.py) ---
     from core_ray.stages.dedup import dedup_exact
 
-    input_fp = fingerprint_paths(sorted(page_files))
+    input_fp = fingerprint_paths(sorted(page_files)) + "+" + phase_a_cfg_fp
     ckpt_writer = None
     if store.is_complete("deduped", STAGE_VERSIONS["deduped"], input_fp):
         deduped = store.load("deduped")
@@ -218,19 +237,27 @@ def run_flagship(
             store.save, deduped, "deduped", STAGE_VERSIONS["deduped"], input_fp
         )
 
-    joined = deduped.filter(expr="derivation_source != 'none'")
-    errors = (
-        deduped.filter(expr="derivation_source == 'none'")
-        .map_batches(
-            lambda t: pa.table(
-                {
-                    "url": t["url"],
-                    "phase": pa.array(["geocode"] * t.num_rows, pa.string()),
-                    "reason": pa.array(["no-geo-signal"] * t.num_rows, pa.string()),
-                }
-            ),
-            batch_format="pyarrow",
+    joined = deduped.filter(
+        expr="derivation_source != 'none' and derivation_source != 'oversize'"
+    )
+
+    def _as_error_rows(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        is_over = pc.equal(t["derivation_source"], "oversize")
+        return pa.table(
+            {
+                "url": t["url"],
+                "phase": pc.if_else(is_over, pa.scalar("extract"), pa.scalar("geocode")),
+                "reason": pc.if_else(
+                    is_over, pa.scalar("max-html-bytes"), pa.scalar("no-geo-signal")
+                ),
+            }
         )
+
+    errors = (
+        deduped.filter(expr="derivation_source == 'none' or derivation_source == 'oversize'")
+        .map_batches(_as_error_rows, batch_format="pyarrow")
     )
 
     # knn, tiles and stats all read only the deduped checkpoint — run their
@@ -238,11 +265,14 @@ def run_flagship(
     knn_input = joined.select_columns(["url", "mention_idx", "lat", "lon", "hex_cell"])
     tiles_input = joined.select_columns(["url", "lat", "lon"])
 
+    knn_fp = input_fp + "+" + fingerprint_config(cfg, _KNN_CFG)
+    tiles_fp = input_fp + "+" + fingerprint_config(cfg, _TILES_CFG)
+
     def _knn():
         return store.load_or_compute(
             "knn",
             STAGE_VERSIONS["knn"],
-            input_fp,
+            knn_fp,
             lambda: knn_per_cell(
                 knn_input,
                 k=cfg.knn_k,
@@ -256,7 +286,7 @@ def run_flagship(
         return store.load_or_compute(
             "tiles",
             STAGE_VERSIONS["tiles"],
-            input_fp,
+            tiles_fp,
             lambda: tile_rollup(tiles_input, cfg.tile_zooms),
         )
 

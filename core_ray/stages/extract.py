@@ -9,8 +9,11 @@ block size and would wreck shuffle economics downstream).
 Extraction spec (owned by this engine; the fixture generator produces html
 whose expected extraction is stored in the pages.text column):
   text = "\n".join(html.unescape(p) for each <p>...</p> body, document order)
-Oversized documents (> max_html_bytes) are dropped with an error row, the
-MaxFileSize analog (scanner.go:37-38, 478-489).
+Oversized documents (> max_html_bytes) are NOT parsed — the MaxFileSize
+analog (scanner.go:37-38, 478-489). They are retained as error-as-data rows
+with ``text`` null; the geocode stage routes null-text rows to
+``derivation_source='oversize'`` and the flagship errors side-channel emits
+``(url, phase='extract', reason='max-html-bytes')`` for them.
 """
 
 from __future__ import annotations
@@ -34,13 +37,18 @@ class ExtractText:
         self.max_bytes = max_html_bytes
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        size_ok = pc.less_equal(pc.binary_length(batch["html"]), self.max_bytes)
-        batch = batch.filter(size_ok)
+        oversize = pc.greater(
+            pc.binary_length(batch["html"]), self.max_bytes
+        ).to_numpy(zero_copy_only=False)
         htmls = batch["html"].to_pylist()
         p_re, unescape = self.p_re, self.unescape
+        # oversized html is never decoded/parsed (that's the point of the
+        # cap); the row survives with text=null as an error-as-data marker
         texts = [
-            "\n".join(unescape(m) for m in p_re.findall(h.decode("utf-8")))
-            for h in htmls
+            None
+            if oversize[i]
+            else "\n".join(unescape(m) for m in p_re.findall(h.decode("utf-8")))
+            for i, h in enumerate(htmls)
         ]
         return pa.table(
             {

@@ -4,6 +4,9 @@ The M3 analog (reference Detector.Detect, pkg/parser/detection/detector.go:42-79
 — 4-stage early-return classification with the winning stage recorded in
 ConfidenceDist):
 
+  0. text null (extract skipped the page: oversize) -> one row with
+     derivation_source='oversize' (error-as-data; routed to the errors
+     side-channel as phase='extract' downstream)
   1. explicit coordinate mentions in text  -> one row PER MENTION
      (counting policy per SURVEY.md §7.3 / ADR-02 analog)
   2. host geo-IP via a broadcast lookup table -> exactly one row
@@ -56,6 +59,13 @@ class Geocoder:
         idx, srcs, midx, lats, lons = [], [], [], [], []
         geoip = self.geoip
         for i, (u, t) in enumerate(zip(urls, texts)):
+            if t is None:  # extract skipped this page (oversize)
+                idx.append(i)
+                srcs.append("oversize")
+                midx.append(0)
+                lats.append(None)
+                lons.append(None)
+                continue
             mentions = extract_mentions(t)
             if mentions:
                 for j, (la, lo) in enumerate(mentions):

@@ -122,3 +122,28 @@ def fingerprint_paths(paths: list[str]) -> str:
         st = os.stat(p)
         h.update(f"{p}|{st.st_size}|{st.st_mtime_ns}\n".encode())
     return h.hexdigest()[:16]
+
+
+def fingerprint_config(cfg, fields: tuple[str, ...]) -> str:
+    """Digest of the config fields a stage's OUTPUT depends on. Folded into
+    the stage fingerprint so resuming in an existing checkpoint dir with a
+    changed config recomputes instead of silently returning stale results
+    (execution-only knobs like batch sizes are deliberately excluded)."""
+    import hashlib
+
+    s = "|".join(f"{f}={getattr(cfg, f)!r}" for f in fields)
+    return hashlib.sha256(s.encode()).hexdigest()[:8]
+
+
+def fingerprint_table(table) -> str:
+    """Content digest of a small broadcast-side pyarrow Table (admin polygons,
+    geo-IP map): IPC-serialize and hash. Small sides only — never a fact
+    table."""
+    import hashlib
+
+    import pyarrow as pa
+
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, table.schema) as w:
+        w.write_table(table)
+    return hashlib.sha256(sink.getvalue().to_pybytes()).hexdigest()[:8]

@@ -149,6 +149,78 @@ def test_resume_skips_completed_shards(result_and_golden, corpus):
         assert j["rows"] >= 0 and "files" in j and "wall_s" in j
 
 
+def test_oversize_error_rows(ray_session, tmp_path_factory):
+    """Pages over max_html_bytes surface as (phase='extract',
+    reason='max-html-bytes') error rows — never silently dropped — and are
+    excluded from joined; stats count them (the MaxFileSize analog)."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from core_ray.fixtures.pages import generate_pages
+
+    c = generate_pages(120)
+    big_url = "https://oversized.example.com/p/big"
+    big_html = b"<html><body>" + b"<p>big</p>" * 4000 + b"</body></html>"
+    extra = pa.table(
+        {
+            "url": pa.array([big_url], pa.string()),
+            "warc_ts": pa.array([c.pages["warc_ts"][0].as_py()], pa.timestamp("us")),
+            "html": pa.array([big_html], pa.binary()),
+            "text": pa.array(["big"], pa.large_string()),
+            "lang": pa.array(["en"], pa.string()),
+        }
+    )
+    pages = pa.concat_tables([c.pages, extra])
+    out = str(tmp_path_factory.mktemp("corpus_oversize"))
+    os.makedirs(f"{out}/pages")
+    pq.write_table(pages, f"{out}/pages/part-0000.parquet")
+
+    cap = 20_000  # fixture pages are ~1-2 KB; the big page is ~40 KB
+    cfg = PipelineConfig(max_html_bytes=cap)
+    res = run_flagship(
+        sorted(glob.glob(f"{out}/pages/*.parquet")),
+        c.admin_polygons,
+        c.geoip_ranges,
+        cfg,
+        checkpoint_dir=str(tmp_path_factory.mktemp("ckpt_oversize")),
+    )
+    golden = compute_golden(pages, c.admin_polygons, c.geoip_ranges, max_html_bytes=cap)
+
+    errs = {(r["url"], r["phase"], r["reason"]) for r in res.errors.take_all()}
+    want = {(e["url"], e["phase"], e["reason"]) for e in golden.errors}
+    assert (big_url, "extract", "max-html-bytes") in errs
+    assert errs == want
+    assert res.stats["pages_oversize"] == golden.stats["pages_oversize"] == 1
+    assert res.stats["rows_no_signal"] == golden.stats["rows_no_signal"]
+    assert res.stats["pages_deduped"] == golden.stats["pages_deduped"]
+    joined_urls = {r["url"] for r in res.joined.select_columns(["url"]).take_all()}
+    assert big_url not in joined_urls
+
+
+def test_config_change_invalidates_checkpoint(ray_session, corpus, tmp_path_factory):
+    """Resuming in an existing checkpoint dir with a CHANGED config must
+    recompute the affected stages, not return stale results (ADVICE round 1:
+    config is part of lineage)."""
+    import glob
+
+    out_dir, c = corpus
+    ckpt = str(tmp_path_factory.mktemp("ckpt_cfgchange"))
+    files = sorted(glob.glob(f"{out_dir}/pages/*.parquet"))
+    res1 = run_flagship(
+        files, c.admin_polygons, c.geoip_ranges,
+        PipelineConfig(tile_zooms=(7, 12)), checkpoint_dir=ckpt,
+    )
+    assert {r["tile_z"] for r in res1.tiles.take_all()} == {7, 12}
+    res2 = run_flagship(
+        files, c.admin_polygons, c.geoip_ranges,
+        PipelineConfig(tile_zooms=(5, 7, 12)), checkpoint_dir=ckpt,
+    )
+    assert {r["tile_z"] for r in res2.tiles.take_all()} == {5, 7, 12}
+
+
 def test_hot_cell_salting_equivalence(ray_session, corpus, tmp_path_factory):
     """Force salting (threshold below the top-city cell count) — results must
     be identical to the unsalted run (exactness of the salt/replicate plan)."""
