@@ -58,10 +58,14 @@ def compute_golden(
     admin_polygons: pa.Table,
     geoip: pa.Table,
     max_html_bytes: int | None = None,
+    with_knn: bool = True,
 ) -> GoldenOutputs:
     """``max_html_bytes``: the MaxFileSize analog — pages whose html exceeds
     it are excluded from geocoding and appear as (phase='extract',
-    reason='max-html-bytes') error rows, mirroring stages/extract.py."""
+    reason='max-html-bytes') error rows, mirroring stages/extract.py.
+    ``with_knn=False`` skips the O(n·candidates) pure-Python kNN pass (used
+    when deriving the 20k-page driver golden, where only joined/tiles/errors
+    are needed)."""
     out = GoldenOutputs()
     import hashlib
 
@@ -162,9 +166,11 @@ def compute_golden(
 
     # --- kNN (k=5, ring-1 candidates, euclidean in degrees) ---
     by_cell: dict[int, list[int]] = {}
-    for ridx in range(len(rows)):
+    knn_rows = range(len(rows)) if with_knn else range(0)
+    for ridx in knn_rows:
         by_cell.setdefault(int(hexc[ridx]), []).append(ridx)
-    for ridx, (u, srcname, j, la, lo) in enumerate(rows):
+    for ridx in knn_rows:
+        u, srcname, j, la, lo = rows[ridx]
         cand: list[int] = []
         for c in hexgrid.kring(int(hexc[ridx]), 1):
             cand.extend(by_cell.get(c, []))

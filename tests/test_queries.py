@@ -8,16 +8,19 @@ from core_ray.compare import check_query
 from core_ray.queries import ORACLE_SQL, QUERIES
 
 SF_DIR = "/root/testdata/sf0.001"
+# the pages_* golden-diff oracles are pinned to the DRIVER correctness corpus
+# (sf0.01) — check them at that scale, exactly as the driver will
+SF_PAGES = "/root/testdata/sf0.01"
 
 ORACLE_NAMES = sorted(ORACLE_SQL)
 ROWS_ONLY = sorted(set(QUERIES) - set(ORACLE_SQL) - {
-    "pages_joined", "pages_tiles", "pages_knn", "pages_errors",  # covered by test_flagship golden suite
+    "pages_knn",  # covered by the test_flagship golden suite (incl. kNN)
 })
 
 
 @pytest.mark.parametrize("name", ORACLE_NAMES)
 def test_oracle_query_matches(ray_session, name):
-    r = check_query(name, SF_DIR)
+    r = check_query(name, SF_PAGES if name.startswith("pages_") else SF_DIR)
     assert r["ok"], {k: v for k, v in r.items() if k != "ok"}
 
 
