@@ -1,0 +1,121 @@
+"""Distributed hash-partitioned equi-join (large-large; SURVEY.md §2.5 J1 is
+the broadcast small-side pattern — this is its all-to-all sibling for when
+NEITHER side fits the object store).
+
+Ray Data has no native join operator, so this composes one from primitives:
+
+  1. both sides are tagged with ``__part = hash(key) % n_parts`` (the SAME
+     hash both sides — co-partitioning) and padded to a common schema with
+     null columns for the other side's fields (nulls are bitmap-cheap in
+     Arrow and let the two sides travel through ONE union + ONE shuffle);
+  2. ``groupby(__part).map_groups`` co-locates each partition pair and runs
+     a LOCAL pyarrow (Acero) hash join inside it.
+
+Cost: exactly one all-to-all over (left + right) rows. Skewed keys hurt the
+partition holding them — for a known-hot key, pre-split it with a salt on
+the probe side and replicate the build side (same recipe as stages/knn.py).
+
+Keys must be non-null (null-key rows are dropped up front, matching SQL
+equi-join semantics where NULL never equals NULL).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_JOIN_TYPES = {
+    "inner": "inner",
+    "left": "left outer",
+    "right": "right outer",
+    "full": "full outer",
+}
+
+
+def _key_hash(col) -> np.ndarray:
+    """uint64 hash of a key column (int via splitmix64, string via crc32
+    spread) — identical on both sides by construction."""
+    if pa.types.is_integer(col.type):
+        z = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+    else:
+        import zlib
+
+        z = np.fromiter(
+            (zlib.crc32(str(v).encode("utf-8")) for v in col.to_pylist()),
+            dtype=np.uint64,
+            count=len(col),
+        )
+    m = np.uint64(0xFFFFFFFFFFFFFFFF)
+    z = (z + np.uint64(0x9E3779B97F4A7C15)) & m
+    z = ((z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & m
+    z = ((z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & m
+    return z ^ (z >> np.uint64(31))
+
+
+def hash_join(left, right, on: str, right_on: str | None = None,
+              how: str = "inner", n_parts: int | None = None,
+              left_schema=None, right_schema=None):
+    """left ⋈ right on ``on`` (== ``right_on`` on the right side; defaults to
+    ``on``). Non-key column names must be disjoint across sides. Returns a
+    Dataset with columns [on, *left_others, *right_others].
+
+    ``left_schema``/``right_schema``: optional pyarrow schemas for when a
+    side can be EMPTY (an empty Dataset has no inferable schema)."""
+    if how not in _JOIN_TYPES:
+        raise ValueError(f"how must be one of {sorted(_JOIN_TYPES)}")
+    right_on = right_on or on
+    if n_parts is None:
+        from core_ray.stages.agg import _n_parts
+
+        n_parts = _n_parts()
+
+    lsch = left_schema if left_schema is not None else left.schema()
+    rsch = right_schema if right_schema is not None else right.schema()
+    if lsch is None or rsch is None:
+        raise ValueError(
+            "input schema unavailable (empty dataset?) — pass left_schema/right_schema"
+        )
+    l_others = [(n, t) for n, t in zip(lsch.names, lsch.types) if n != on]
+    r_others = [(n, t) for n, t in zip(rsch.names, rsch.types) if n != right_on]
+    overlap = {n for n, _ in l_others} & {n for n, _ in r_others}
+    if overlap:
+        raise ValueError(f"non-key columns must be disjoint, overlap: {sorted(overlap)}")
+    key_type = dict(zip(lsch.names, lsch.types))[on]
+    l_names = [n for n, _ in l_others]
+    r_names = [n for n, _ in r_others]
+
+    def _pad(side: int, key_name: str):
+        def f(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.is_valid(b[key_name]))
+            n = b.num_rows
+            cols = {on: b[key_name].cast(key_type)}
+            for name, typ in l_others:
+                cols[name] = b[name] if side == 0 else pa.nulls(n, typ)
+            for name, typ in r_others:
+                cols[name] = b[name] if side == 1 else pa.nulls(n, typ)
+            cols["__side"] = pa.array(np.full(n, side, dtype=np.int8), pa.int8())
+            cols["__part"] = pa.array(
+                (_key_hash(cols[on].combine_chunks() if isinstance(cols[on], pa.ChunkedArray) else cols[on])
+                 % np.uint64(n_parts)).astype(np.int32),
+                pa.int32(),
+            )
+            return pa.table(cols)
+
+        return f
+
+    tagged = left.map_batches(_pad(0, on), batch_format="pyarrow").union(
+        right.map_batches(_pad(1, right_on), batch_format="pyarrow")
+    )
+
+    out_names = [on, *l_names, *r_names]
+    join_type = _JOIN_TYPES[how]
+
+    def _local(g: pa.Table) -> pa.Table:
+        side = g["__side"]
+        lt = g.filter(pc.equal(side, 0)).select([on, *l_names])
+        rt = g.filter(pc.equal(side, 1)).select([on, *r_names])
+        out = lt.join(rt, keys=[on], join_type=join_type)
+        return out.select(out_names)
+
+    return tagged.groupby("__part").map_groups(_local, batch_format="pyarrow")

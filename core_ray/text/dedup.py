@@ -3,13 +3,16 @@
 Scale shapes (all shuffles are over SMALL derived rows, never raw text):
 - exact: md5(text) per batch (map) -> groupby(hash) aggregate  [one shuffle
   keyed by a 16-byte hash; the classic hash-partition + per-group-first]
-- MinHash+LSH near-dup: shingle -> 64 minhash sigs per doc (map) -> explode
-  to (band_id, band_hash, doc_id, sigs) rows -> groupby(band) -> candidate
-  pairs -> dedupe pairs -> estimate Jaccard from sig agreement; optional
-  exact verify on the candidate set (n-gram Jaccard kernel) when texts are
-  broadcastable. Candidate generation is the published banding scheme.
-- SimHash: 64-bit signature (map) -> 4x16-bit band buckets -> pairs ->
-  Hamming verify via popcount.
+- MinHash+LSH near-dup: one signature row per doc (text dropped) ->
+  exact-text collapse (identical docs -> min-id rep + linear star pairs) ->
+  (band_id, band_hash, doc_id) rows WITHOUT the signature -> groupby(band)
+  -> vectorized candidate pairs -> vectorized distinct -> signatures
+  re-joined via the hash-partitioned equi-join -> vectorized Jaccard
+  estimate + threshold. Candidate generation is the published banding
+  scheme; optional exact verify (n-gram Jaccard kernel) via
+  verify_pairs_exact.
+- SimHash: same collapse, 4x16-bit band buckets, chunked SWAR-popcount
+  Hamming verify.
 """
 
 from __future__ import annotations
@@ -87,8 +90,14 @@ def _band_hash(band_sigs: np.ndarray) -> int:
     return zlib.crc32(band_sigs.tobytes()) & 0xFFFFFFFF
 
 
-class MinHashBands:
-    """map_batches UDF: (id, text) -> N_BANDS rows (band_id, band_hash, id, sig)."""
+class MinHashSigs:
+    """map_batches UDF: (id, text) -> ONE row per doc
+    (id, text_md5: binary(16), sig: binary — 64 little-endian uint64s).
+
+    Text is dropped here — everything downstream (collapse, banding, verify)
+    shuffles only the ~530-byte signature rows, never the corpus. The sig is
+    a plain binary blob (not a list type) so it can ride through the Acero
+    join as a payload column."""
 
     def __init__(self, id_col: str = "doc_id", col: str = "text", k: int = 3):
         self.id_col = id_col
@@ -96,48 +105,127 @@ class MinHashBands:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_pylist()
         texts = batch[self.col].to_pylist()
-        out_band, out_hash, out_id, out_sig = [], [], [], []
-        for i, t in zip(ids, texts):
-            sig = minhash_signature(t, self.k)
-            for b in range(N_BANDS):
-                band = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
-                out_band.append(b)
-                out_hash.append(_band_hash(band))
-                out_id.append(i)
-                out_sig.append(sig.tolist())
+        sigs = [minhash_signature(t, self.k).tobytes() for t in texts]
+        md5s = [hashlib.md5(t.encode("utf-8")).digest() for t in texts]
         return pa.table(
             {
-                "band_id": pa.array(out_band, pa.int32()),
-                "band_hash": pa.array(out_hash, pa.uint32()),
-                self.id_col: pa.array(out_id),
-                "sig": pa.array(out_sig, pa.list_(pa.uint64())),
+                self.id_col: batch[self.id_col],
+                "text_md5": pa.array(md5s, pa.binary(16)),
+                "sig": pa.array(sigs, pa.binary()),
             }
         )
 
 
-def _bucket_pairs(group: pa.Table, id_col: str, threshold: float) -> pa.Table:
-    ids = group[id_col].to_pylist()
-    sigs = group["sig"].to_pylist()
-    a_out, b_out, j_out = [], [], []
-    order = np.argsort(ids, kind="stable")
-    for x in range(len(order)):
-        for y in range(x + 1, len(order)):
-            ia, ib = order[x], order[y]
-            if ids[ia] == ids[ib]:
-                continue
-            j = float(np.mean(np.asarray(sigs[ia]) == np.asarray(sigs[ib])))
-            if j >= threshold:
-                a_out.append(ids[ia])
-                b_out.append(ids[ib])
-                j_out.append(round(j, 6))
-    return pa.table(
-        {
-            "id_a": pa.array(a_out),
-            "id_b": pa.array(b_out),
-            "jaccard_est": pa.array(j_out, pa.float64()),
+def _sigbin_to_np(col, width: int = N_PERM) -> np.ndarray:
+    """binary sig column (width uint64s per row) -> (n, width) numpy array."""
+    blobs = col.to_pylist()
+    if not blobs:
+        return np.zeros((0, width), dtype=np.uint64)
+    return np.frombuffer(b"".join(blobs), dtype=np.uint64).reshape(-1, width)
+
+
+def _collapse_exact_text(sig_ds, id_col: str):
+    """Collapse byte-identical texts to their min-id representative.
+
+    Input: signature rows carrying ``text_md5``. Returns (reps, star_pairs):
+    reps = one row per DISTINCT text (md5 dropped, payload columns kept);
+    star_pairs = (pair_a=rep, pair_b=member) rows, one per collapsed
+    duplicate — LINEAR in cluster size, which is what bounds the otherwise
+    O(n²) LSH buckets a 10k-identical-doc cluster would create.
+    One hash-partition shuffle of the (tiny) signature rows; the combined
+    output is materialized once so both filters read the same execution
+    (at extreme scale this materialization would be a parquet checkpoint).
+    """
+    from core_ray.stages.agg import _n_parts
+
+    n_parts = _n_parts()
+    gold = np.uint64(0x9E3779B97F4A7C15)
+
+    def part_of(b: pa.Table) -> pa.Table:
+        md5s = b["text_md5"].to_pylist()
+        h = np.fromiter(
+            (int.from_bytes(m[:8], "big") for m in md5s), dtype=np.uint64, count=len(md5s)
+        )
+        return b.append_column(
+            "__part", pa.array(((h * gold) % np.uint64(n_parts)).astype(np.int32), pa.int32())
+        )
+
+    sch = sig_ds.schema()
+    id_type = dict(zip(sch.names, sch.types))[id_col]
+
+    def collapse(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__part"])
+        ids = g[id_col].to_pylist()
+        md5s = g["text_md5"].to_pylist()
+        order = sorted(range(len(ids)), key=lambda i: (md5s[i], ids[i]))
+        rep_idx, star_a, star_b = [], [], []
+        prev, rep = None, None
+        for i in order:
+            if md5s[i] != prev:
+                rep_idx.append(i)
+                prev, rep = md5s[i], ids[i]
+            else:
+                star_a.append(rep)
+                star_b.append(ids[i])
+        reps = g.take(pa.array(rep_idx, pa.int64())).drop_columns(["text_md5"])
+        payload = reps.column_names  # id + payload cols
+        n_r, n_s = reps.num_rows, len(star_a)
+        cols = {c: reps[c] for c in payload}
+        cols["pair_a"] = pa.nulls(n_r, id_type)
+        cols["pair_b"] = pa.nulls(n_r, id_type)
+        cols["kind"] = pa.array(np.zeros(n_r, dtype=np.int8), pa.int8())
+        rep_t = pa.table(cols)
+        scols = {
+            c: pa.nulls(n_s, rep_t.schema.field(c).type) for c in payload
         }
+        scols["pair_a"] = pa.array(star_a, id_type)
+        scols["pair_b"] = pa.array(star_b, id_type)
+        scols["kind"] = pa.array(np.ones(n_s, dtype=np.int8), pa.int8())
+        return pa.concat_tables([rep_t, pa.table(scols)])
+
+    combined = (
+        sig_ds.map_batches(part_of, batch_format="pyarrow", batch_size=65536)
+        .groupby("__part")
+        .map_groups(collapse, batch_format="pyarrow")
+        .materialize()
+    )
+    payload_cols = [c for c in sig_ds.schema().names if c != "text_md5"]
+    reps = combined.filter(expr="kind == 0").select_columns(payload_cols)
+    stars = combined.filter(expr="kind == 1").select_columns(["pair_a", "pair_b"])
+    return reps, stars
+
+
+def _distinct_pairs(pairs, id_a: str = "id_a", id_b: str = "id_b"):
+    """Vectorized distinct over (id_a, id_b): hash-partition + per-partition
+    lexsort/first-wins — never the Python-per-key groupby().aggregate()
+    reduce. All other columns ride along (their values are identical across
+    duplicate pair rows by construction)."""
+    from core_ray.stages.agg import _GOLD, _n_parts
+
+    n_parts = _n_parts()
+
+    def part_of(b: pa.Table) -> pa.Table:
+        a = b[id_a].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bb = b[id_b].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (a * _GOLD) ^ (bb * np.uint64(0xBF58476D1CE4E5B9))
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(n_parts)).astype(np.int32), pa.int32())
+        )
+
+    def first(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__part"])
+        a = g[id_a].to_numpy(zero_copy_only=False)
+        bb = g[id_b].to_numpy(zero_copy_only=False)
+        order = np.lexsort((bb, a))
+        keep = np.ones(len(order), dtype=bool)
+        keep[1:] = (a[order][1:] != a[order][:-1]) | (bb[order][1:] != bb[order][:-1])
+        return g.take(pa.array(order[keep]))
+
+    return (
+        pairs.map_batches(part_of, batch_format="pyarrow", batch_size=131072)
+        .groupby("__part")
+        .map_groups(first, batch_format="pyarrow")
     )
 
 
@@ -145,20 +233,120 @@ def minhash_near_dups(ds, id_col: str = "doc_id", col: str = "text",
                       k: int = 3, threshold: float = 0.6):
     """Dataset[documents] -> near-dup pairs (id_a < id_b, jaccard_est >= t).
 
-    Pairs surfacing in several bands are deduped by a final groupby.
+    Scale shape (reworked per VERDICT r1 item 3):
+      1. one signature row per doc (text dropped immediately);
+      2. byte-identical texts collapse to a min-id representative — duplicate
+         clusters surface as linear STAR pairs (rep ↔ member, est 1.0), so no
+         LSH bucket is ever O(cluster²);
+      3. band rows carry (band_id, band_hash, id) ONLY — the 64-u64 signature
+         is NOT replicated into the 16 band rows (16x lighter shuffle);
+      4. per-bucket candidate pairs are vectorized (np.triu_indices);
+      5. signatures are re-joined onto the distinct candidate pairs with the
+         generic hash-partitioned equi-join (stages/join.py) and the jaccard
+         estimate is computed vectorized, then thresholded.
     """
-    bands = ds.map_batches(
-        MinHashBands, fn_constructor_args=(id_col, col, k),
+    from core_ray.stages.join import hash_join
+
+    sig_ds = ds.map_batches(
+        MinHashSigs, fn_constructor_args=(id_col, col, k),
         batch_format="pyarrow", batch_size=1024, concurrency=(1, 8),
     )
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
-        lambda g: _bucket_pairs(g, id_col, threshold), batch_format="pyarrow"
-    )
-    from ray.data.aggregate import Max
+    reps, stars = _collapse_exact_text(sig_ds, id_col)
+    _sch = ds.schema()
+    id_type = dict(zip(_sch.names, _sch.types))[id_col]
 
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Max("jaccard_est", alias_name="jaccard_est")
+    def bands(b: pa.Table) -> pa.Table:
+        sigs = _sigbin_to_np(b["sig"])
+        n = len(sigs)
+        out_band = np.repeat(np.arange(N_BANDS, dtype=np.int32), n)
+        out_id = np.tile(b[id_col].to_numpy(zero_copy_only=False), N_BANDS)
+        hashes = np.empty(n * N_BANDS, dtype=np.uint32)
+        for band in range(N_BANDS):
+            lo, hi = band * ROWS_PER_BAND, (band + 1) * ROWS_PER_BAND
+            block = np.ascontiguousarray(sigs[:, lo:hi])
+            hashes[band * n : (band + 1) * n] = [
+                _band_hash(block[i]) for i in range(n)
+            ]
+        return pa.table(
+            {
+                "band_id": pa.array(out_band, pa.int32()),
+                "band_hash": pa.array(hashes, pa.uint32()),
+                id_col: pa.array(out_id, id_type),
+            }
+        )
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        ids = np.sort(g[id_col].to_numpy(zero_copy_only=False))
+        iu, ju = np.triu_indices(len(ids), 1)
+        return pa.table(
+            {
+                "id_a": pa.array(ids[iu], id_type),
+                "id_b": pa.array(ids[ju], id_type),
+            }
+        )
+
+    cand = (
+        reps.map_batches(bands, batch_format="pyarrow", batch_size=65536)
+        .groupby(["band_id", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pyarrow")
     )
+    distinct = _distinct_pairs(cand)
+
+    sig_a = reps.map_batches(
+        lambda b: pa.table({"id_a": b[id_col], "sig_a": b["sig"]}),
+        batch_format="pyarrow",
+    )
+    sig_b = reps.map_batches(
+        lambda b: pa.table({"id_b": b[id_col], "sig_b": b["sig"]}),
+        batch_format="pyarrow",
+    )
+    # explicit schemas: the candidate-pair side can legitimately be EMPTY
+    # (e.g. a corpus whose only duplicates were exact — all collapsed)
+    pair_schema = pa.schema([("id_a", id_type), ("id_b", id_type)])
+    j1 = hash_join(
+        distinct, sig_a, on="id_a",
+        left_schema=pair_schema,
+        right_schema=pa.schema([("id_a", id_type), ("sig_a", pa.binary())]),
+    )
+    joined = hash_join(
+        j1, sig_b, on="id_b",
+        left_schema=pa.schema([("id_a", id_type), ("id_b", id_type), ("sig_a", pa.binary())]),
+        right_schema=pa.schema([("id_b", id_type), ("sig_b", pa.binary())]),
+    )
+
+    def estimate(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "id_a": pa.array([], id_type),
+                    "id_b": pa.array([], id_type),
+                    "jaccard_est": pa.array([], pa.float64()),
+                }
+            )
+        a = _sigbin_to_np(b["sig_a"])
+        bb = _sigbin_to_np(b["sig_b"])
+        est = np.round((a == bb).mean(axis=1), 6)
+        keep = pa.array(est >= threshold)
+        return pa.table(
+            {
+                "id_a": b["id_a"].filter(keep),
+                "id_b": b["id_b"].filter(keep),
+                "jaccard_est": pa.array(est[est >= threshold], pa.float64()),
+            }
+        )
+
+    near = joined.map_batches(estimate, batch_format="pyarrow")
+    star_pairs = stars.map_batches(
+        lambda b: pa.table(
+            {
+                "id_a": b["pair_a"],
+                "id_b": b["pair_b"],
+                "jaccard_est": pa.array(np.full(b.num_rows, 1.0), pa.float64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return near.union(star_pairs)
 
 
 # ---------------- SimHash ----------------
@@ -181,51 +369,54 @@ def simhash64(text: str) -> int:
     return int(out)
 
 
-class SimHasher:
+class SimHashSigs:
+    """map_batches UDF: (id, text) -> (id, text_md5, simhash: uint64)."""
+
     def __init__(self, id_col: str = "doc_id", col: str = "text"):
         self.id_col = id_col
         self.col = col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sh = [simhash64(t) for t in batch[self.col].to_pylist()]
+        texts = batch[self.col].to_pylist()
+        sh = [simhash64(t) for t in texts]
+        md5s = [hashlib.md5(t.encode("utf-8")).digest() for t in texts]
         return pa.table(
             {
                 self.id_col: batch[self.id_col],
+                "text_md5": pa.array(md5s, pa.binary(16)),
                 "simhash": pa.array(sh, pa.uint64()),
             }
         )
 
 
-def _simhash_pairs(group: pa.Table, id_col: str, max_hamming: int) -> pa.Table:
-    ids = group[id_col].to_pylist()
-    hs = group["simhash"].to_pylist()
-    a_out, b_out, d_out = [], [], []
-    order = np.argsort(ids, kind="stable")
-    for x in range(len(order)):
-        for y in range(x + 1, len(order)):
-            ia, ib = order[x], order[y]
-            if ids[ia] == ids[ib]:
-                continue
-            d = bin(hs[ia] ^ hs[ib]).count("1")
-            if d <= max_hamming:
-                a_out.append(ids[ia])
-                b_out.append(ids[ib])
-                d_out.append(d)
-    return pa.table(
-        {
-            "id_a": pa.array(a_out),
-            "id_b": pa.array(b_out),
-            "hamming": pa.array(d_out, pa.int32()),
-        }
-    )
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR; np.bitwise_count needs numpy>=2)."""
+    if hasattr(np, "bitwise_count"):
+        return np.bitwise_count(x)
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    h = np.uint64(0x0101010101010101)
+    x = x - ((x >> np.uint64(1)) & m1)
+    x = (x & m2) + ((x >> np.uint64(2)) & m2)
+    x = (x + (x >> np.uint64(4))) & m4
+    return ((x * h) >> np.uint64(56)).astype(np.int64)
 
 
 def simhash_near_dups(ds, id_col: str = "doc_id", col: str = "text", max_hamming: int = 3):
-    """SimHash near-dup pairs via 4x16-bit band buckets + Hamming verify."""
-    sigs = ds.map_batches(
-        SimHasher, fn_constructor_args=(id_col, col),
+    """SimHash near-dup pairs via 4x16-bit band buckets + Hamming verify.
+
+    Same scale shape as minhash_near_dups: exact-text collapse first (star
+    pairs, hamming 0, linear in cluster size), vectorized per-bucket Hamming
+    via SWAR popcount (chunked so memory stays bounded), vectorized distinct.
+    """
+    sig_ds = ds.map_batches(
+        SimHashSigs, fn_constructor_args=(id_col, col),
         batch_format="pyarrow", batch_size=2048, concurrency=(1, 8),
     )
+    reps, stars = _collapse_exact_text(sig_ds, id_col)
+    _sch = ds.schema()
+    id_type = dict(zip(_sch.names, _sch.types))[id_col]
 
     def explode_bands(batch: pa.Table) -> pa.Table:
         h = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -245,16 +436,50 @@ def simhash_near_dups(ds, id_col: str = "doc_id", col: str = "text", max_hamming
             )
         return pa.concat_tables(parts)
 
-    pairs = (
-        sigs.map_batches(explode_bands, batch_format="pyarrow")
-        .groupby(["band_id", "band_val"])
-        .map_groups(lambda g: _simhash_pairs(g, id_col, max_hamming), batch_format="pyarrow")
-    )
-    from ray.data.aggregate import Min as AggMin
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        hs = g["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.argsort(ids, kind="stable")
+        ids, hs = ids[order], hs[order]
+        n = len(ids)
+        a_out, b_out, d_out = [], [], []
+        chunk = 2048  # bounds the (chunk x n) xor matrix
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            d = _popcount64(hs[lo:hi, None] ^ hs[None, :])
+            ii, jj = np.nonzero(d <= max_hamming)
+            keep = lo + ii < jj  # strict upper triangle in global index space
+            a_out.append(lo + ii[keep])
+            b_out.append(jj[keep])
+            d_out.append(d[ii[keep], jj[keep]])
+        ai = np.concatenate(a_out) if a_out else np.zeros(0, dtype=np.int64)
+        bi = np.concatenate(b_out) if b_out else np.zeros(0, dtype=np.int64)
+        dd = np.concatenate(d_out) if d_out else np.zeros(0, dtype=np.int64)
+        return pa.table(
+            {
+                "id_a": pa.array(ids[ai], id_type),
+                "id_b": pa.array(ids[bi], id_type),
+                "hamming": pa.array(dd.astype(np.int32), pa.int32()),
+            }
+        )
 
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        AggMin("hamming", alias_name="hamming")
+    pairs = (
+        reps.map_batches(explode_bands, batch_format="pyarrow")
+        .groupby(["band_id", "band_val"])
+        .map_groups(bucket_pairs, batch_format="pyarrow")
     )
+    distinct = _distinct_pairs(pairs)
+    star_pairs = stars.map_batches(
+        lambda b: pa.table(
+            {
+                "id_a": b["pair_a"],
+                "id_b": b["pair_b"],
+                "hamming": pa.array(np.zeros(b.num_rows, dtype=np.int32), pa.int32()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return distinct.union(star_pairs)
 
 
 # ---------------- n-gram Jaccard kernel ----------------

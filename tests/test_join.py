@@ -1,0 +1,86 @@
+"""hash_join (stages/join.py) vs DuckDB over random keyed tables: inner and
+left joins, duplicate keys on both sides, string keys, null keys dropped."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from core_ray.stages.join import hash_join
+
+
+def _rand_tables(seed=7, n_left=5000, n_right=3000, key_space=800):
+    rng = np.random.default_rng(seed)
+    left = pa.table(
+        {
+            "k": pa.array(rng.integers(0, key_space, n_left), pa.int64()),
+            "lv": pa.array(rng.integers(0, 10**6, n_left), pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array(rng.integers(0, key_space, n_right), pa.int64()),
+            "rv": pa.array(rng.integers(0, 10**6, n_right), pa.int64()),
+        }
+    )
+    return left, right
+
+
+def _norm(t: pa.Table):
+    cols = sorted(t.column_names)
+    rows = sorted(zip(*[t[c].to_pylist() for c in cols]), key=str)
+    return cols, rows
+
+
+def _duck(left, right, sql):
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    return con.sql(sql).arrow()
+
+
+@pytest.mark.parametrize("how,sql", [
+    ("inner", "SELECT l.k, lv, rv FROM l JOIN r ON l.k = r.k"),
+    ("left", "SELECT l.k, lv, rv FROM l LEFT JOIN r ON l.k = r.k"),
+])
+def test_hash_join_matches_duckdb(ray_session, how, sql):
+    import ray.data
+
+    left, right = _rand_tables()
+    got = hash_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right), on="k", how=how
+    )
+    got_t = pa.concat_tables(
+        [t for t in __import__("ray").get(got.to_arrow_refs()) if t.num_rows]
+    )
+    assert _norm(got_t) == _norm(_duck(left, right, sql))
+
+
+def test_hash_join_string_keys_and_right_on(ray_session):
+    import ray.data
+
+    left = pa.table({"name": pa.array(["a", "b", "b", "c"]), "x": pa.array([1, 2, 3, 4])})
+    right = pa.table({"rname": pa.array(["b", "c", "c", "d"]), "y": pa.array([10, 20, 30, 40])})
+    got = hash_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        on="name", right_on="rname", how="inner",
+    )
+    got_rows = sorted(
+        (r["name"], r["x"], r["y"]) for r in got.take_all()
+    )
+    want = _duck(left, right,
+                 "SELECT name, x, y FROM l JOIN r ON l.name = r.rname")
+    want_rows = sorted(zip(want["name"].to_pylist(), want["x"].to_pylist(), want["y"].to_pylist()))
+    assert got_rows == want_rows
+
+
+def test_hash_join_null_keys_dropped(ray_session):
+    import ray.data
+
+    left = pa.table({"k": pa.array([1, None, 2], pa.int64()), "x": pa.array([1, 2, 3])})
+    right = pa.table({"k": pa.array([1, 2, None], pa.int64()), "y": pa.array([9, 8, 7])})
+    got = sorted(
+        (r["k"], r["x"], r["y"])
+        for r in hash_join(ray.data.from_arrow(left), ray.data.from_arrow(right), on="k").take_all()
+    )
+    assert got == [(1, 1, 9), (2, 3, 8)]

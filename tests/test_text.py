@@ -98,6 +98,28 @@ class TestMinHash:
         assert (0, 1) in got or (1, 3) in got  # near-dup caught
         assert all(not (a in (2,) or b in (2,)) for a, b in got)
 
+    def test_identical_cluster_bounded(self, ray_session):
+        """A 10k-doc byte-identical cluster must finish in bounded time and
+        emit LINEAR star pairs (rep 0 <-> member, est 1.0) — never the
+        quadratic all-pairs an LSH bucket would otherwise produce."""
+        import time
+
+        import ray.data
+
+        n = 10_000
+        ds = ray.data.from_arrow(
+            _docs_table(["same text repeated for every single document here"] * n)
+        )
+        t0 = time.time()
+        pairs = dedup.minhash_near_dups(ds, threshold=0.5).take_all()
+        wall = time.time() - t0
+        assert len(pairs) == n - 1
+        assert all(r["id_a"] == 0 and r["jaccard_est"] == 1.0 for r in pairs)
+        assert wall < 120, f"degenerate cluster took {wall:.0f}s"
+        sh = dedup.simhash_near_dups(ds, max_hamming=3).take_all()
+        assert len(sh) == n - 1
+        assert all(r["id_a"] == 0 and r["hamming"] == 0 for r in sh)
+
     def test_ngram_jaccard(self):
         assert dedup.ngram_jaccard("abcdef", "abcdef") == 1.0
         assert dedup.ngram_jaccard("abcdef", "uvwxyz") == 0.0
