@@ -80,3 +80,23 @@ class TestMediaStub:
         assert out["media_bytes"].to_pylist() == [16, 5]
         out2 = stub(t)
         assert out.equals(out2)  # deterministic fake decode
+
+
+class TestEmbNearDupChunked:
+    def test_chunked_equals_single_chunk(self, ray_session):
+        """Block-nested-loop exact near-dup: forcing many small chunks
+        (cross-chunk pairs in both id orientations) must match the
+        single-chunk result exactly."""
+        from core_ray.compare import to_arrow
+        from core_ray.queries import emb_near_dup_pairs
+
+        sf = "/root/testdata/sf0.001"
+
+        def rows(t):
+            return sorted(
+                zip(t["vec_id_a"].to_pylist(), t["vec_id_b"].to_pylist(), t["sim"].to_pylist())
+            )
+
+        one = rows(to_arrow(emb_near_dup_pairs(sf)))
+        many = rows(to_arrow(emb_near_dup_pairs(sf, chunk_rows=16)))
+        assert one == many and len(one) > 0
