@@ -15,10 +15,13 @@ key in Ray Data (see stages/agg.py). Instead:
      first-wins reduction (grouped by the real key columns, so a hash
      collision between two distinct keys keeps both — never loses rows).
 
-Scale caveat (documented): the duplicate-hash array must fit the object
-store. At a ~1% duplicate rate over 10^12 rows it would not — the escape
-hatch is a Bloom filter over duplicate hashes (false positives only route
-extra rows into the small exact reduction). Not needed at sandbox scale.
+Scale escape hatch: when the duplicate-hash set exceeds ``bloom_threshold``
+entries, the exact sorted-array broadcast is replaced by a BLOOM FILTER
+built by streaming the duplicate hashes' bit positions through the driver
+(memory = the bit array, never the hash values). False positives only
+route extra rows into the exact per-key reduction, whose first-wins pass
+keeps singleton keys untouched — so the output is ALWAYS exact; the filter
+only bounds broadcast size.
 
 First-wins tie-break: min ``order_col`` (warc_ts), then stable — duplicate
 rows in the fixture corpus are byte-identical so any-wins is equivalent.
@@ -31,6 +34,40 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from core_ray.stages.agg import count_by_u64, u64_key_of_url_midx
+
+
+class BloomFilter:
+    """Vectorized Bloom filter over uint64 keys (double hashing, k probes).
+
+    ~16 bits/key at k=8 -> ~4e-4 false-positive rate. The serialized form is
+    the raw bit array (numpy uint64 words) — cheap to ``ray.put`` once."""
+
+    def __init__(self, n_keys: int, bits_per_key: int = 16, k: int = 8):
+        self.m = int(max(64, 1 << int(np.ceil(np.log2(max(1, n_keys) * bits_per_key)))))
+        self.k = k
+        self.words = np.zeros(self.m // 64, dtype=np.uint64)
+
+    def _positions(self, keys: np.ndarray) -> np.ndarray:
+        """(n, k) bit positions via h1 + i*h2 double hashing."""
+        keys = keys.astype(np.uint64)
+        mask = np.uint64(0xFFFFFFFFFFFFFFFF)
+        h1 = (keys * np.uint64(0x9E3779B97F4A7C15)) & mask
+        h1 ^= h1 >> np.uint64(29)
+        h2 = ((keys ^ (keys >> np.uint64(33))) * np.uint64(0xBF58476D1CE4E5B9)) & mask
+        h2 |= np.uint64(1)
+        i = np.arange(self.k, dtype=np.uint64)[None, :]
+        return ((h1[:, None] + i * h2[:, None]) & mask) % np.uint64(self.m)
+
+    def add(self, keys: np.ndarray) -> None:
+        pos = self._positions(keys).reshape(-1)
+        np.bitwise_or.at(self.words, pos >> np.uint64(6), np.uint64(1) << (pos & np.uint64(63)))
+
+    def contains(self, keys: np.ndarray) -> np.ndarray:
+        if len(keys) == 0:
+            return np.zeros(0, dtype=bool)
+        pos = self._positions(keys)
+        hit = (self.words[pos >> np.uint64(6)] >> (pos & np.uint64(63))) & np.uint64(1)
+        return hit.all(axis=1)
 
 
 def _first_row_of_group(group: pa.Table, order_col: str) -> pa.Table:
@@ -56,35 +93,64 @@ def _row_hashes(batch: pa.Table, key_cols: list[str]) -> np.ndarray:
     )
 
 
-def dedup_exact(ds, key_cols: list[str], order_col: str = "warc_ts", key_ds=None):
+def dedup_exact(ds, key_cols: list[str], order_col: str = "warc_ts", key_ds=None,
+                bloom_threshold: int = 2_000_000):
     """Dataset -> Dataset with one row per distinct key tuple.
 
     ``key_ds``: optional column-pruned projection of ``ds`` holding only the
     key columns (e.g. a parquet read with columns=key_cols) — the counting
     pass then never touches the wide text/html columns.
+
+    ``bloom_threshold``: above this many duplicate hashes the broadcast
+    switches from an exact sorted array to a Bloom filter (see module
+    docstring); the final output is exact either way.
     """
+    import ray
+
     def tag(b: pa.Table) -> pa.Table:
         return pa.table({"key": pa.array(_row_hashes(b, key_cols), pa.uint64())})
 
-    counts = count_by_u64(
-        (key_ds if key_ds is not None else ds).map_batches(
-            tag, batch_format="pyarrow", batch_size=65536
-        ),
-        "key",
+    counts_dup = (
+        count_by_u64(
+            (key_ds if key_ds is not None else ds).map_batches(
+                tag, batch_format="pyarrow", batch_size=65536
+            ),
+            "key",
+        )
+        .filter(expr="cnt > 1")
+        .materialize()  # tiny: one row per DUPLICATE hash, consumed twice
     )
-    dup_rows = counts.filter(expr="cnt > 1").take_all()
-    dup_hashes = np.sort(np.array([r["key"] for r in dup_rows], dtype=np.uint64))
-    if len(dup_hashes) == 0:
+    n_dups = counts_dup.count()
+    if n_dups == 0:
         return ds
 
-    # stateless task filters: the dup-hash array is tiny, so capturing it in
-    # the task closure beats an actor pool (no pool startup, fully elastic)
+    if n_dups <= bloom_threshold:
+        tables = [t for t in ray.get(counts_dup.to_arrow_refs()) if t.num_rows]
+        dup_hashes = np.sort(
+            np.concatenate(
+                [t["key"].to_numpy(zero_copy_only=False) for t in tables]
+            ).astype(np.uint64)
+        )
+
+        def is_dup(h: np.ndarray) -> np.ndarray:
+            return np.isin(h, dup_hashes)
+
+    else:
+        # stream only BIT POSITIONS through the driver; memory = the filter
+        bloom = BloomFilter(n_dups)
+        for b in counts_dup.iter_batches(batch_size=262144, batch_format="pyarrow"):
+            bloom.add(b["key"].to_numpy(zero_copy_only=False))
+        is_dup = bloom.contains
+
+    # stateless task filters: the membership state (sorted array or bloom
+    # words) is captured in the task closure — shipped once per worker, no
+    # actor pool startup, fully elastic
     def keep_clean(batch: pa.Table) -> pa.Table:
-        m = np.isin(_row_hashes(batch, key_cols), dup_hashes)
+        m = is_dup(_row_hashes(batch, key_cols))
         return batch.filter(pa.array(~m))
 
     def keep_dup(batch: pa.Table) -> pa.Table:
-        m = np.isin(_row_hashes(batch, key_cols), dup_hashes)
+        m = is_dup(_row_hashes(batch, key_cols))
         return batch.filter(pa.array(m))
 
     clean = ds.map_batches(keep_clean, batch_format="pyarrow", batch_size=16384)
