@@ -145,6 +145,58 @@ def _stats_pass(deduped) -> dict:
     }
 
 
+def scan_files(
+    page_files: list[str],
+    admin_table: pa.Table,
+    geoip_table: pa.Table,
+    cfg: PipelineConfig | None = None,
+    checkpoint_dir: str | None = None,
+):
+    """Incremental re-run entry point — the ScanFiles analog (reference
+    pkg/parser/scanner.go:224-270: callers re-process a supplied file
+    subset). (Re)processes ONLY ``page_files`` through phase A and returns
+    their per-mention rows (including the 'none'/'oversize' error-as-data
+    rows) as one Dataset.
+
+    Each file is its own checkpoint shard keyed by a path digest: repeated
+    calls skip unchanged files entirely, and a changed file (new
+    size/mtime) invalidates exactly its own shard — the changed-shard
+    resume granularity run_flagship's round-robin shards can't offer."""
+    import hashlib
+
+    import ray
+
+    cfg = cfg or PipelineConfig()
+    checkpoint_dir = checkpoint_dir or cfg.checkpoint_dir
+    if checkpoint_dir is None:
+        import tempfile
+
+        checkpoint_dir = tempfile.mkdtemp(prefix="core_ray_scan_")
+    store = CheckpointStore(checkpoint_dir)
+    geoip_ref = ray.put(_geoip_dict(geoip_table))
+    admin_ref = ray.put(admin_table)
+    sides_fp = fingerprint_table(admin_table) + fingerprint_table(geoip_table)
+    cfg_fp = fingerprint_config(cfg, _PHASE_A_CFG) + sides_fp
+
+    parts = []
+    for f in sorted(page_files):
+        shard = hashlib.sha256(f.encode()).hexdigest()[:12]
+        fp = fingerprint_paths([f]) + "+" + cfg_fp
+        parts.append(
+            store.load_or_compute(
+                "scanfiles",
+                STAGE_VERSIONS["phaseA"],
+                fp,
+                lambda f=f: _phase_a([f], geoip_ref, admin_ref, cfg),
+                shard=shard,
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
 def run_flagship(
     page_files: list[str],
     admin_table: pa.Table,
@@ -152,8 +204,17 @@ def run_flagship(
     cfg: PipelineConfig | None = None,
     checkpoint_dir: str | None = None,
     n_shards: int | None = None,
+    deadline_s: float | None = None,
 ) -> FlagshipResult:
-    """Run the flagship pipeline. Ray must already be initialized."""
+    """Run the flagship pipeline. Ray must already be initialized.
+
+    ``deadline_s``: soft deadline — the context-deadline analog (reference
+    pkg/parser/scanner.go:161-167, 211-219: partial inventory + sentinel).
+    Checked between phase-A shards: when exceeded, remaining shards are
+    SKIPPED and phases B+ run over the shards that did finish; the result
+    carries ``stats['timed_out']=True`` and ``stats['shards_done']``. At
+    least one shard always completes, and already-checkpointed shards are
+    reused, so successive deadline-bounded runs make monotonic progress."""
     import ray
 
     # warm lazy fsspec imports on the main thread: concurrent first-touch
@@ -192,8 +253,19 @@ def run_flagship(
     # so a changed polygon set / geoip map / knob invalidates its checkpoints
     sides_fp = fingerprint_table(admin_table) + fingerprint_table(geoip_table)
     phase_a_cfg_fp = fingerprint_config(cfg, _PHASE_A_CFG) + sides_fp
+    import time as _time
+
+    t_start = _time.monotonic()
     shard_names = []
+    timed_out = False
     for k, files in enumerate(shards):
+        if (
+            deadline_s is not None
+            and shard_names  # at least one shard always completes
+            and (_time.monotonic() - t_start) > deadline_s
+        ):
+            timed_out = True
+            break
         fp = fingerprint_paths(files) + "+" + phase_a_cfg_fp
         store.load_or_compute(
             "phaseA",
@@ -205,6 +277,9 @@ def run_flagship(
             shard=str(k),
         )
         shard_names.append(str(k))
+    # downstream fingerprints cover the files actually PROCESSED, so a
+    # partial (deadline-bounded) run never poisons a later full run's resume
+    processed_files = sorted(f for s in shards[: len(shard_names)] for f in s)
 
     def _load_all(columns=None):
         parts = [store.load("phaseA", shard=name, columns=columns) for name in shard_names]
@@ -218,7 +293,7 @@ def run_flagship(
     # --- phase B: global dedup (duplicate-key broadcast, stages/dedup.py) ---
     from core_ray.stages.dedup import dedup_exact
 
-    input_fp = fingerprint_paths(sorted(page_files)) + "+" + phase_a_cfg_fp
+    input_fp = fingerprint_paths(processed_files) + "+" + phase_a_cfg_fp
     ckpt_writer = None
     if store.is_complete("deduped", STAGE_VERSIONS["deduped"], input_fp):
         deduped = store.load("deduped")
@@ -300,4 +375,6 @@ def run_flagship(
         knn, tiles, stats = _knn(), _tiles(), _stats_pass(deduped)
     if ckpt_writer is not None:
         ckpt_writer.result()  # checkpoint durable before returning
+    stats["timed_out"] = timed_out
+    stats["shards_done"] = f"{len(shard_names)}/{len(shards)}"
     return FlagshipResult(joined=joined, errors=errors, knn=knn, tiles=tiles, stats=stats)

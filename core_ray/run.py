@@ -18,7 +18,11 @@ def main(argv=None) -> int:
     ap.add_argument("--admin", required=True, help="admin_polygons parquet file")
     ap.add_argument("--geoip", required=True, help="geoip_ranges parquet file")
     ap.add_argument("--checkpoint-dir", required=True)
-    ap.add_argument("--out", help="write joined/knn/tiles/errors parquet here")
+    ap.add_argument("--out", help="write joined/knn/tiles/errors datasets here")
+    ap.add_argument(
+        "--format", choices=("parquet", "json", "csv"), default="parquet",
+        help="output dataset format (scripts/scan.go JSON-sink analog)",
+    )
     ap.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", 8)))
     args = ap.parse_args(argv)
 
@@ -54,11 +58,17 @@ def main(argv=None) -> int:
         )
         if args.out:
             os.makedirs(args.out, exist_ok=True)
-            res.joined.write_parquet(os.path.join(args.out, "joined"))
-            res.knn.write_parquet(os.path.join(args.out, "knn"))
-            res.tiles.write_parquet(os.path.join(args.out, "tiles"))
-            res.errors.write_parquet(os.path.join(args.out, "errors"))
-        print(json.dumps({"stats": res.stats, "out": args.out}))
+            write = {
+                "parquet": lambda ds, p: ds.write_parquet(p),
+                "json": lambda ds, p: ds.write_json(p),
+                "csv": lambda ds, p: ds.write_csv(p),
+            }[args.format]
+            for name, ds in (
+                ("joined", res.joined), ("knn", res.knn),
+                ("tiles", res.tiles), ("errors", res.errors),
+            ):
+                write(ds, os.path.join(args.out, name))
+        print(json.dumps({"stats": res.stats, "out": args.out, "format": args.format}))
         return 0
     finally:
         ray.shutdown()

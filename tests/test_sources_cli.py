@@ -72,3 +72,116 @@ def test_cli_parser():
 
     with pytest.raises(SystemExit):
         main(["--pages"])  # missing required args
+
+
+def test_scan_files_incremental(ray_session, tmp_path):
+    """ScanFiles analog: per-file shards; a touched file re-runs EXACTLY its
+    own shard; untouched files resume from checkpoint."""
+    import json
+    import os
+    import time
+
+    from core_ray.fixtures.pages import write_corpus
+    from core_ray.pipelines.flagship import scan_files
+
+    out = str(tmp_path / "corpus")
+    c = write_corpus(out, 300, n_page_files=3)
+    files = sorted(glob.glob(f"{out}/pages/*.parquet"))
+    assert len(files) == 3
+    ckpt = str(tmp_path / "scan_ckpt")
+
+    rows1 = scan_files(files, c.admin_polygons, c.geoip_ranges, checkpoint_dir=ckpt)
+    n1 = rows1.count()
+    assert n1 > 0
+    manifests = sorted(glob.glob(f"{ckpt}/scanfiles/**/manifest.json", recursive=True))
+    assert len(manifests) == 3
+    before = {m: os.stat(m).st_mtime_ns for m in manifests}
+
+    # touch ONE file (content unchanged, mtime bumped -> fingerprint change)
+    time.sleep(0.01)
+    os.utime(files[1])
+    rows2 = scan_files(files, c.admin_polygons, c.geoip_ranges, checkpoint_dir=ckpt)
+    assert rows2.count() == n1
+    after = {m: os.stat(m).st_mtime_ns for m in manifests}
+    changed = [m for m in manifests if before[m] != after[m]]
+    assert len(changed) == 1, "exactly one shard must recompute"
+    with open(changed[0]) as f:
+        assert json.load(f)["stage"] == "scanfiles"
+
+    # subset call returns only that subset's rows, reusing its checkpoint
+    sub = scan_files(files[:1], c.admin_polygons, c.geoip_ranges, checkpoint_dir=ckpt)
+    assert 0 < sub.count() < n1
+
+
+def test_deadline_partial_results(ray_session, tmp_path):
+    """Context-deadline analog: deadline_s=0 completes exactly one shard and
+    returns partial results + sentinel; a follow-up unbounded run reuses the
+    finished shard and completes."""
+    from core_ray.config import PipelineConfig
+    from core_ray.fixtures.pages import write_corpus
+    from core_ray.pipelines.flagship import run_flagship
+
+    out = str(tmp_path / "corpus_dl")
+    c = write_corpus(out, 300, n_page_files=3)
+    files = sorted(glob.glob(f"{out}/pages/*.parquet"))
+    ckpt = str(tmp_path / "ckpt_dl")
+
+    part = run_flagship(files, c.admin_polygons, c.geoip_ranges, PipelineConfig(),
+                        checkpoint_dir=ckpt, n_shards=3, deadline_s=0)
+    assert part.stats["timed_out"] is True
+    assert part.stats["shards_done"] == "1/3"
+    partial_pages = part.stats["pages_deduped"]
+    assert 0 < partial_pages < 300
+
+    full = run_flagship(files, c.admin_polygons, c.geoip_ranges, PipelineConfig(),
+                        checkpoint_dir=ckpt, n_shards=3)
+    assert full.stats["timed_out"] is False
+    assert full.stats["shards_done"] == "3/3"
+    assert full.stats["pages_deduped"] == 300
+
+
+def test_cli_format_json_csv(ray_session, tmp_path, html_dir):
+    """--format json|csv write the scripts/scan.go-style sinks."""
+    import subprocess
+    import sys
+
+    from core_ray.sources.ingest import ingest_html_dir
+
+    pages = str(tmp_path / "pages_fmt")
+    ingest_html_dir(html_dir, pages)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    admin = pa.table(
+        {
+            "admin_id": pa.array(["W0"], pa.string()),
+            "level": pa.array([0], pa.int8()),
+            "parent_id": pa.array([None], pa.string()),
+            "wkt": pa.array(["POLYGON ((-180 -85, 180 -85, 180 85, -180 85, -180 -85))"], pa.string()),
+        }
+    )
+    geoip = pa.table(
+        {
+            "host": pa.array(["ingested.example.com"], pa.string()),
+            "lat": pa.array([10.0], pa.float64()),
+            "lon": pa.array([20.0], pa.float64()),
+        }
+    )
+    pq.write_table(admin, str(tmp_path / "admin.parquet"))
+    pq.write_table(geoip, str(tmp_path / "geoip.parquet"))
+    out = str(tmp_path / "out_json")
+    cmd = [
+        sys.executable, "-m", "core_ray.run",
+        "--pages", pages, "--admin", str(tmp_path / "admin.parquet"),
+        "--geoip", str(tmp_path / "geoip.parquet"),
+        "--checkpoint-dir", str(tmp_path / "cli_ckpt"),
+        "--out", out, "--format", "json", "--num-cpus", "4",
+    ]
+    env = dict(os.environ, PYTHONPATH="/root/repo", RAY_ADDRESS="")
+    r = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    import json as _json
+
+    summary = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["format"] == "json"
+    assert glob.glob(f"{out}/joined/*.json"), "json sink must write files"
