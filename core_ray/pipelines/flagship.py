@@ -302,11 +302,14 @@ def run_flagship(
         # written by a BACKGROUND thread while knn/tiles/stats consume the
         # materialized copy — the write leaves the critical path but still
         # completes before run_flagship returns (resume semantics intact)
+        # single_scan: the wide phase-A checkpoint is parquet-decoded ONCE
+        # (tag pass); the clean/dup split then filters in-memory blocks
         deduped = dedup_exact(
             all_rows,
             ["url", "mention_idx"],
             order_col="warc_ts",
             key_ds=_load_all(columns=["url", "mention_idx"]),
+            single_scan=True,
         ).materialize()
         ckpt_writer = ThreadPoolExecutor(max_workers=1).submit(
             store.save, deduped, "deduped", STAGE_VERSIONS["deduped"], input_fp

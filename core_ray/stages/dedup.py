@@ -94,7 +94,7 @@ def _row_hashes(batch: pa.Table, key_cols: list[str]) -> np.ndarray:
 
 
 def dedup_exact(ds, key_cols: list[str], order_col: str = "warc_ts", key_ds=None,
-                bloom_threshold: int = 2_000_000):
+                bloom_threshold: int = 2_000_000, single_scan: bool = False):
     """Dataset -> Dataset with one row per distinct key tuple.
 
     ``key_ds``: optional column-pruned projection of ``ds`` holding only the
@@ -104,6 +104,13 @@ def dedup_exact(ds, key_cols: list[str], order_col: str = "warc_ts", key_ds=None
     ``bloom_threshold``: above this many duplicate hashes the broadcast
     switches from an exact sorted array to a Bloom filter (see module
     docstring); the final output is exact either way.
+
+    ``single_scan``: tag-and-materialize instead of two filter passes — the
+    wide input is SCANNED ONCE (the dup flag is added in that scan and the
+    tagged corpus lands in the object store); clean/dup sides are then cheap
+    in-memory filters. Use when the caller was going to materialize the
+    result anyway (flagship phase B); leave False to keep the result fully
+    streaming at the cost of a second scan.
     """
     import ray
 
@@ -153,7 +160,25 @@ def dedup_exact(ds, key_cols: list[str], order_col: str = "warc_ts", key_ds=None
         m = is_dup(_row_hashes(batch, key_cols))
         return batch.filter(pa.array(m))
 
-    clean = ds.map_batches(keep_clean, batch_format="pyarrow", batch_size=16384)
+    if single_scan:
+        def tag_rows(batch: pa.Table) -> pa.Table:
+            m = is_dup(_row_hashes(batch, key_cols))
+            return batch.append_column("__dup", pa.array(m))
+
+        tagged = ds.map_batches(
+            tag_rows, batch_format="pyarrow", batch_size=16384
+        ).materialize()
+        clean_src = tagged.filter(expr="__dup == False")
+        dup_src = tagged.filter(expr="__dup == True")
+
+        def drop_flag(b: pa.Table) -> pa.Table:
+            return b.drop_columns(["__dup"])
+
+        clean = clean_src.map_batches(drop_flag, batch_format="pyarrow")
+        dup_in = dup_src.map_batches(drop_flag, batch_format="pyarrow")
+    else:
+        clean = ds.map_batches(keep_clean, batch_format="pyarrow", batch_size=16384)
+        dup_in = ds.map_batches(keep_dup, batch_format="pyarrow", batch_size=16384)
     # dup path: co-locate by key hash, then ONE vectorized first-wins pass per
     # partition over the EXACT key columns (collisions keep both keys)
     from core_ray.stages.agg import _n_parts
@@ -192,7 +217,7 @@ def dedup_exact(ds, key_cols: list[str], order_col: str = "warc_ts", key_ds=None
         return part.take(pa.array(order[first]))
 
     dup_first = (
-        ds.map_batches(keep_dup, batch_format="pyarrow", batch_size=16384)
+        dup_in
         .map_batches(add_part, batch_format="pyarrow", batch_size=65536)
         .groupby("dedup_part")
         .map_groups(first_per_key, batch_format="pyarrow")

@@ -1,0 +1,277 @@
+"""Per-stage scaling evidence (VERDICT r1 item 5): isolate the CPU-BOUND
+kernels at 8 vs 32 cpus over pre-partitioned, page-cached inputs, in fresh
+processes, and report per-stage efficiency next to the substrate control.
+
+Isolation method: the all-to-all shuffle that feeds each reduce is executed
+ONCE up front (at full parallelism) and its partitions are written to disk;
+the timed measurement is then a pure Ray-task fan-out calling the stage's
+partition-reduce kernel over those files. That separates the compute the
+≥0.8 N→4N criterion is about from the single-host substrate (one memory
+bus / disk / object store shared by both "cluster sizes"), whose ceiling
+the `control` row measures with zero engine code.
+
+Usage:
+    python scripts/scaling_stages.py            # orchestrate all stages x (8, 32)
+    python scripts/scaling_stages.py knn 8      # child mode: one measurement
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CKPT = "/tmp/core_ray_stage_scaling_ckpt"
+PARTS_DIR = "/tmp/core_ray_stage_scaling_parts"
+# fixed so every cpu count sees identical partitions; high enough that the
+# largest partition (~4x the mean under city skew) never dominates a wave
+N_PARTS = 512
+CPU_POINTS = (1, 2, 8, 32)
+STAGES = ("knn_reduce", "tile_reduce", "minhash_sigs", "control")
+JOINED_FILTER = "derivation_source != 'none' and derivation_source != 'oversize'"
+
+
+def _pages_files() -> list[str]:
+    from core_ray.queries import _pages_corpus
+
+    files, _, _, _ = _pages_corpus(SF_DIR)
+    return files
+
+
+def _ensure_inputs() -> None:
+    """One-time (full cpus): flagship checkpoint + pre-shuffled partition
+    files for the knn and tile reduces."""
+    knn_dir = os.path.join(PARTS_DIR, "knn")
+    tile_dir = os.path.join(PARTS_DIR, "tile")
+    if os.path.isdir(knn_dir) and os.path.isdir(tile_dir):
+        return
+    import ray
+
+    ray.init(address="local", num_cpus=32, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from core_ray.config import PipelineConfig
+    from core_ray.pipelines.flagship import run_flagship
+    from core_ray.queries import _pages_corpus
+
+    files, admin, geoip, _ = _pages_corpus(SF_DIR)
+    run_flagship(files, admin, geoip, PipelineConfig(), checkpoint_dir=CKPT)
+
+    joined = ray.data.read_parquet(f"{CKPT}/deduped/data").filter(expr=JOINED_FILTER)
+
+    def _write_parts(ds, out_dir: str) -> None:
+        os.makedirs(out_dir, exist_ok=True)
+
+        def w(g: pa.Table) -> pa.Table:
+            part = g["part"][0].as_py()
+            pq.write_table(g, os.path.join(out_dir, f"part-{part:04d}.parquet"))
+            return pa.table({"part": pa.array([part], pa.int32())})
+
+        ds.groupby("part").map_groups(w, batch_format="pyarrow").count()
+
+    # --- knn: expansion + fixed hash partitioning (mirrors knn_per_cell) ---
+    from core_ray.stages.knn import _Expand, _count_fine_cells, _group_key
+    import math
+
+    knn_in = joined.select_columns(["url", "mention_idx", "lat", "lon", "hex_cell"])
+    cells, counts = _count_fine_cells(knn_in)
+    coarse = _group_key(cells, 5)
+    order = np.argsort(coarse, kind="stable")
+    co, cnt_o = coarse[order], counts[order]
+    new = np.ones(len(co), dtype=bool)
+    new[1:] = co[1:] != co[:-1]
+    starts = np.nonzero(new)[0]
+    totals = np.add.reduceat(cnt_o, starts)
+    hot_coarse = co[starts][totals > 4000]
+    fine_salts = {}
+    if len(hot_coarse):
+        in_hot = np.isin(coarse, hot_coarse)
+        for c, n_c in zip(cells[in_hot], counts[in_hot]):
+            if n_c > 4000:
+                fine_salts[int(c)] = math.ceil(int(n_c) / 2000)
+    expanded = knn_in.map_batches(
+        _Expand(hot_coarse, fine_salts, 7), batch_format="pyarrow", batch_size=16384
+    )
+
+    def add_part_knn(b: pa.Table) -> pa.Table:
+        g = b["knn_grp"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        st = b["salt"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (g * np.uint64(0x9E3779B97F4A7C15)) ^ ((st + np.uint64(1)) * np.uint64(0xBF58476D1CE4E5B9))
+        return b.append_column("part", pa.array((h % np.uint64(N_PARTS)).astype(np.int32), pa.int32()))
+
+    _write_parts(
+        expanded.map_batches(add_part_knn, batch_format="pyarrow", batch_size=65536),
+        knn_dir,
+    )
+
+    # --- tiles: assign + explode/preagg with fixed partitioning ---
+    from core_ray.geo import mercator
+    from core_ray.stages.tiles import BASE_ZOOM, _assign_tiles
+
+    def explode_preagg(batch: pa.Table) -> pa.Table:
+        x12 = batch["tile_x"].to_numpy(zero_copy_only=False)
+        y12 = batch["tile_y"].to_numpy(zero_copy_only=False)
+        parts = []
+        for zoom in (7, 9, 12):
+            dz = BASE_ZOOM - zoom
+            t = pa.table(
+                {
+                    "tile_z": pa.array(np.full(len(x12), zoom, dtype=np.int32), pa.int32()),
+                    "tile_x": pa.array(x12 >> dz, pa.int64()),
+                    "tile_y": pa.array(y12 >> dz, pa.int64()),
+                    "url": batch["url"],
+                }
+            )
+            agg = pa.TableGroupBy(t, ["tile_z", "tile_x", "tile_y", "url"]).aggregate([([], "count_all")])
+            parts.append(
+                agg.select(["tile_z", "tile_x", "tile_y", "url", "count_all"])
+                .rename_columns(["tile_z", "tile_x", "tile_y", "url", "cnt"])
+            )
+        out = pa.concat_tables(parts)
+        z = out["tile_z"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        x = out["tile_x"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        y = out["tile_y"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = mercator.tile_key(z, x, y) * np.uint64(0x9E3779B97F4A7C15)
+        return out.append_column("part", pa.array((h % np.uint64(N_PARTS)).astype(np.int32), pa.int32()))
+
+    _write_parts(
+        joined.select_columns(["url", "lat", "lon"])
+        .map_batches(_assign_tiles, batch_format="pyarrow", batch_size=65536)
+        .map_batches(explode_preagg, batch_format="pyarrow", batch_size=65536),
+        tile_dir,
+    )
+    ray.shutdown()
+
+
+def _warm_files(files: list[str]) -> None:
+    for p in files:
+        with open(p, "rb") as f:
+            f.read()
+
+
+def _reduce_fanout(files: list[str], kernel: str) -> tuple[float, int]:
+    """Time a pure task fan-out of the named partition kernel over files."""
+    import ray
+
+    @ray.remote(num_cpus=1)
+    def red(path: str) -> int:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path)
+        if kernel == "knn":
+            from core_ray.stages.knn import _process_partition
+
+            return _process_partition(t, 5).num_rows
+        from core_ray.stages.tiles import _reduce_partition
+
+        return _reduce_partition(t.drop_columns(["part"])).num_rows
+
+    t0 = time.perf_counter()
+    n = sum(ray.get([red.remote(p) for p in files]))
+    return time.perf_counter() - t0, n
+
+
+def child(stage: str, ncpu: int) -> None:
+    import glob
+
+    import ray
+
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data
+
+    if stage == "knn_reduce":
+        files = sorted(glob.glob(os.path.join(PARTS_DIR, "knn", "*.parquet")))
+        _warm_files(files)
+        wall, n = _reduce_fanout(files, "knn")
+    elif stage == "tile_reduce":
+        files = sorted(glob.glob(os.path.join(PARTS_DIR, "tile", "*.parquet")))
+        _warm_files(files)
+        wall, n = _reduce_fanout(files, "tile")
+    elif stage == "minhash_sigs":
+        # signatures over ~1M extracted page texts (pure per-doc compute,
+        # fused into the cached-parquet read; fine-split blocks so the last
+        # wave isn't one straggler block)
+        from core_ray.text.dedup import MinHashSigs
+
+        data_dir = f"{CKPT}/deduped/data"
+        _warm_files(sorted(glob.glob(os.path.join(data_dir, "*.parquet"))))
+        fn = MinHashSigs(id_col="url", col="text")
+        docs = ray.data.read_parquet(
+            data_dir, columns=["url", "text"], override_num_blocks=256
+        )
+        t0 = time.perf_counter()
+        n = docs.map_batches(lambda b: fn(b), batch_format="pyarrow", batch_size=1024).count()
+        wall = time.perf_counter() - t0
+    elif stage == "control":
+        # substrate control: zero engine code — full-width decode of the html
+        # corpus (bandwidth-bound; the single-host scaling ceiling). The
+        # per-batch byte sum forces the actual column decode: a bare count()
+        # would be answered from parquet metadata.
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        files = _pages_files()
+        _warm_files(files)
+
+        def bytes_sum(b: pa.Table) -> pa.Table:
+            s = pc.sum(pc.binary_length(b["html"])).as_py() or 0
+            return pa.table({"s": pa.array([s], pa.int64())})
+
+        t0 = time.perf_counter()
+        n = int(
+            ray.data.read_parquet(files, columns=["html"])
+            .map_batches(bytes_sum, batch_format="pyarrow")
+            .sum("s")
+        )
+        wall = time.perf_counter() - t0
+    else:
+        raise SystemExit(f"unknown stage {stage}")
+    ray.shutdown()
+    print(json.dumps({"stage": stage, "num_cpus": ncpu, "wall_s": round(wall, 2), "rows": n}))
+
+
+def orchestrate() -> None:
+    _ensure_inputs()
+    here = os.path.abspath(__file__)
+    results: dict[str, dict] = {}
+    for stage in STAGES:
+        row = {}
+        for ncpu in CPU_POINTS:
+            out = subprocess.run(
+                [sys.executable, here, stage, str(ncpu)],
+                capture_output=True, text=True, check=True,
+                env=dict(os.environ, GRAFT_SF_DIR=SF_DIR),
+            ).stdout
+            row[ncpu] = json.loads(out.strip().splitlines()[-1])["wall_s"]
+        row["efficiency_8_to_32"] = round((row[8] / row[32]) / 4.0, 3)
+        if 2 in row:
+            # the N->4N analog with BOTH points below the single-host
+            # memory-bandwidth saturation knee
+            row["efficiency_2_to_8"] = round((row[2] / row[8]) / 4.0, 3)
+        if 1 in row:
+            row["speedup_32"] = round(row[1] / row[32], 2)
+            row["parallel_efficiency_32"] = round(row[1] / (32 * row[32]), 3)
+            row["parallel_efficiency_8"] = round(row[1] / (8 * row[8]), 3)
+        results[stage] = row
+    print(json.dumps({"metric": "per_stage_scaling", "sf": SF_DIR, "stages": results}))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) >= 3:
+        child(sys.argv[1], int(sys.argv[2]))
+    else:
+        orchestrate()

@@ -110,3 +110,21 @@ class TestTileHLL:
         tot_e = sum(v[0] for v in exact.values())
         tot_a = sum(v[0] for v in approx.values())
         assert abs(tot_a - tot_e) / tot_e < 0.05
+
+
+class TestDedupSingleScan:
+    def test_single_scan_equals_two_pass(self, ray_session):
+        import ray.data
+
+        t = _dup_corpus(seed=23)
+
+        def result(**kw):
+            out = dedup_exact(ray.data.from_arrow(t), ["url", "mention_idx"],
+                              order_col="warc_ts", **kw)
+            assert "__dup" not in out.schema().names
+            return sorted(
+                (r["url"], r["mention_idx"], str(r["warc_ts"]), r["payload"])
+                for r in out.take_all()
+            )
+
+        assert result(single_scan=True) == result(single_scan=False)
