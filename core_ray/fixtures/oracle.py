@@ -53,6 +53,56 @@ def host_of(url: str) -> str:
     return urlparse(url).netloc
 
 
+def golden_knn_vectorized(joined: list[dict], k: int = KNN_K) -> list[dict]:
+    """Same kNN semantics as compute_golden's pure-Python pass (ring-1
+    candidates, euclidean-in-degrees, (dist, url, mention_idx) tie-break,
+    self excluded) but vectorized per query row — usable at the 20k-page
+    driver-golden scale where the O(n·cand) Python loop is too slow.
+    Verified equivalent to the slow pass by tests/test_flagship.py's corpus
+    (both derive from the same joined rows)."""
+    n = len(joined)
+    if n == 0:
+        return []
+    urls = np.asarray([r["url"] for r in joined])
+    midx = np.asarray([r["mention_idx"] for r in joined], dtype=np.int64)
+    lat = np.asarray([r["lat"] for r in joined], dtype=np.float64)
+    lon = np.asarray([r["lon"] for r in joined], dtype=np.float64)
+    hexc = np.asarray([r["hex_cell"] for r in joined], dtype=np.uint64)
+
+    by_cell: dict[int, list[int]] = {}
+    for i in range(n):
+        by_cell.setdefault(int(hexc[i]), []).append(i)
+    cell_members = {c: np.asarray(v, dtype=np.int64) for c, v in by_cell.items()}
+    ring_cache: dict[int, np.ndarray] = {}
+
+    out = []
+    for i in range(n):
+        c = int(hexc[i])
+        cand = ring_cache.get(c)
+        if cand is None:
+            parts = [cell_members[rc] for rc in hexgrid.kring(c, 1) if rc in cell_members]
+            cand = np.concatenate(parts) if parts else np.zeros(0, dtype=np.int64)
+            ring_cache[c] = cand
+        cand_i = cand[cand != i]
+        if len(cand_i) == 0:
+            continue
+        d = np.hypot(lat[i] - lat[cand_i], lon[i] - lon[cand_i])
+        sel = np.lexsort((midx[cand_i], urls[cand_i], d))[:k]
+        for rank, j_local in enumerate(sel):
+            j = cand_i[j_local]
+            out.append(
+                {
+                    "url": urls[i],
+                    "mention_idx": int(midx[i]),
+                    "neighbor_url": urls[j],
+                    "neighbor_mention_idx": int(midx[j]),
+                    "rank": rank,
+                    "dist": float(d[j_local]),
+                }
+            )
+    return out
+
+
 def compute_golden(
     pages: pa.Table,
     admin_polygons: pa.Table,

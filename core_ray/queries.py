@@ -917,10 +917,11 @@ def _run_pages(sf_dir: str):
 # compare then enforces engine == golden exactly. (VERDICT r1 item 2.)
 
 _GOLDEN_N = _PAGES_N_BY_SF[0.01]
+_GOLDEN_VERSION = 2  # bump when the golden file set / schema changes
 
 
 def _pages_golden_dir() -> str:
-    return f"/tmp/core_ray_golden_v{_PAGES_GEN_VERSION}_{_GOLDEN_N}"
+    return f"/tmp/core_ray_golden_v{_PAGES_GEN_VERSION}.{_GOLDEN_VERSION}_{_GOLDEN_N}"
 
 
 def _ensure_pages_golden(sf_dir: str) -> None:
@@ -973,6 +974,20 @@ def _ensure_pages_golden(sf_dir: str) -> None:
         }
     )
     pq.write_table(errors, f"{root}/errors.parquet")
+    from core_ray.fixtures.oracle import golden_knn_vectorized
+
+    gk = golden_knn_vectorized(g.joined)
+    knn = pa.table(
+        {
+            "url": pa.array([r["url"] for r in gk], pa.string()),
+            "mention_idx": pa.array([r["mention_idx"] for r in gk], pa.int32()),
+            "neighbor_url": pa.array([r["neighbor_url"] for r in gk], pa.string()),
+            "neighbor_mention_idx": pa.array([r["neighbor_mention_idx"] for r in gk], pa.int32()),
+            "rank": pa.array([r["rank"] for r in gk], pa.int32()),
+            "dist": pa.array([round(r["dist"], 6) for r in gk], pa.float64()),
+        }
+    )
+    pq.write_table(knn, f"{root}/knn.parquet")
     with open(marker, "w") as f:
         f.write("ok")
 
@@ -991,7 +1006,15 @@ def pages_tiles(sf_dir: str):
 
 
 def pages_knn(sf_dir: str):
-    return _run_pages(sf_dir).knn
+    _ensure_pages_golden(sf_dir)
+    # dist rounded to 6 on BOTH sides: the engine (np.hypot) and the golden
+    # can differ in the last ulp, which a value-hash would see
+    return _run_pages(sf_dir).knn.map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("dist"), "dist", pc.round(b["dist"], 6)
+        ),
+        batch_format="pyarrow",
+    )
 
 
 def pages_errors(sf_dir: str):
@@ -1003,6 +1026,7 @@ _GD = _pages_golden_dir()
 PAGES_JOINED_SQL = f"SELECT * FROM read_parquet('{_GD}/joined.parquet')"
 PAGES_TILES_SQL = f"SELECT * FROM read_parquet('{_GD}/tiles.parquet')"
 PAGES_ERRORS_SQL = f"SELECT * FROM read_parquet('{_GD}/errors.parquet')"
+PAGES_KNN_SQL = f"SELECT * FROM read_parquet('{_GD}/knn.parquet')"
 
 
 # ---------------------------------------------------------------- multimodal
@@ -1366,8 +1390,8 @@ ORACLE_SQL = {
     "pages_joined": PAGES_JOINED_SQL,
     "pages_tiles": PAGES_TILES_SQL,
     "pages_errors": PAGES_ERRORS_SQL,
+    "pages_knn": PAGES_KNN_SQL,
     # rows-only (non-SQL-expressible by design): doc_fingerprint (rolling
     # hash), doc_minhash_pairs / doc_simhash_pairs (crc32-seeded sketches),
-    # emb_ann_lsh / emb_ann_ivf (approximate by contract), pages_knn (exact
-    # golden enforced by the pytest suite instead)
+    # emb_ann_lsh / emb_ann_ivf (approximate by contract)
 }
