@@ -1326,6 +1326,260 @@ def emb_ann_ivf(sf_dir: str):
     return ivf_ann_topk(ds, q_ids, k=5)
 
 
+# ------------------------------------------------- extended operators (r2)
+# Breadth additions, each the Ray-Data-first shape of a classic relational /
+# streaming operator class, all DuckDB-oracle-checked: rolling window (O/W),
+# interval join (J), grouped top-k (O2), exact percentiles (A), anti-join
+# (J/set-op), histogram binning (A).
+
+
+def events_rolling_max(sf_dir: str, frame: int = 3):
+    """Rolling MAX of ``value`` over the current + 2 preceding events per
+    user (ordered by ts, event_id) — the order-sensitive window-function
+    shape: partition by key, sort within group, vectorized frame scan.
+    MAX (not SUM) keeps the oracle float-exact: it is order-independent."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def per_user(g: pa.Table) -> pa.Table:
+        us = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        val = g["value"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, us))
+        v = val[order]
+        out = v.copy()
+        for s in range(1, frame):
+            out[s:] = np.maximum(out[s:], v[:-s])
+        uid = g["user_id"][0].as_py()
+        return pa.table(
+            {
+                "event_id": pa.array(eid[order], pa.int64()),
+                "user_id": pa.array(np.full(len(eid), uid, dtype=np.int64), pa.int64()),
+                "rolling_max": pa.array(np.round(out, 2), pa.float64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+
+EVENTS_ROLLING_MAX_SQL = """
+SELECT event_id, user_id,
+       ROUND(MAX(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS rolling_max
+FROM events
+"""
+
+
+# deterministic overlapping windows over the events span (interval join):
+# 120 windows, 8h long, stepping 6h across the events month — an event can
+# land in up to two windows.
+_WIN_START_US = 1704067200000000  # 2024-01-01T00:00:00 in epoch-us
+_WIN_STEP_US = 6 * 3600 * 1000 * 1000
+_WIN_LEN_US = 8 * 3600 * 1000 * 1000
+_N_WINDOWS = 120
+
+
+def events_window_join(sf_dir: str):
+    """Interval (range) join: events ⋈ overlapping time windows, then a
+    per-window rollup. The window table is the broadcast small side; the
+    match is vectorized comparisons per batch (no shuffle beyond the tiny
+    final aggregate)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+    starts = _WIN_START_US + np.arange(_N_WINDOWS, dtype=np.int64) * _WIN_STEP_US
+
+    def match(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        val = b["value"].to_numpy(zero_copy_only=False)
+        out_w, out_v = [], []
+        for w, s in enumerate(starts):
+            m = (us >= s) & (us < s + _WIN_LEN_US)
+            if m.any():
+                out_w.append(np.full(int(m.sum()), w, dtype=np.int64))
+                out_v.append(val[m])
+        if not out_w:
+            return pa.table({"window_id": pa.array([], pa.int64()), "value": pa.array([], pa.float64())})
+        return pa.table(
+            {
+                "window_id": pa.array(np.concatenate(out_w), pa.int64()),
+                "value": pa.array(np.concatenate(out_v), pa.float64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(match, batch_format="pyarrow", batch_size=65536)
+        .groupby("window_id")
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "window_id": b["window_id"],
+                "n_events": pc.cast(b["n_events"], pa.int64()),
+                "sum_value": pc.round(b["sum_value"], 2),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+EVENTS_WINDOW_JOIN_SQL = f"""
+WITH w AS (
+  SELECT i AS window_id,
+         {_WIN_START_US} + i * {_WIN_STEP_US} AS start_us,
+         {_WIN_START_US} + i * {_WIN_STEP_US} + {_WIN_LEN_US} AS end_us
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, {_N_WINDOWS - 1})) AS i))
+SELECT w.window_id, COUNT(*) AS n_events, ROUND(SUM(e.value), 2) AS sum_value
+FROM events e JOIN w ON epoch_us(e.ts) >= w.start_us AND epoch_us(e.ts) < w.end_us
+GROUP BY 1
+"""
+
+
+def doc_top2_per_lang(sf_dir: str, per: int = 2):
+    """Grouped top-k: the per-batch combiner prunes to k rows per group
+    BEFORE the shuffle, so the groupby moves at most k x groups x batches
+    rows — never the table."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def prune(b: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            b, sort_keys=[("lang", "ascending"), ("n_chars", "descending"), ("doc_id", "ascending")]
+        )
+        t = b.take(order)
+        langs = np.asarray(t["lang"].to_pylist())
+        new = np.ones(len(langs), dtype=bool)
+        new[1:] = langs[1:] != langs[:-1]
+        grp_start = np.maximum.accumulate(np.where(new, np.arange(len(langs)), 0))
+        keep = (np.arange(len(langs)) - grp_start) < per
+        return t.filter(pa.array(keep))
+
+    def top_per_lang(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            g, sort_keys=[("n_chars", "descending"), ("doc_id", "ascending")]
+        )
+        return g.take(order[:per])
+
+    return (
+        ds.map_batches(prune, batch_format="pyarrow", batch_size=65536)
+        .groupby("lang")
+        .map_groups(top_per_lang, batch_format="pyarrow")
+    )
+
+
+DOC_TOP2_PER_LANG_SQL = """
+SELECT doc_id, lang, n_chars FROM documents
+QUALIFY ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) <= 2
+"""
+
+
+def events_value_quantiles(sf_dir: str):
+    """Exact per-group percentiles (p50/p90, linear interpolation — the same
+    definition as SQL QUANTILE_CONT): groupby + one vectorized np.quantile
+    per group; rounded to 6 on both sides."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def q(g: pa.Table) -> pa.Table:
+        v = g["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": pa.array([g["event_type"][0].as_py()], pa.string()),
+                "p50": pa.array([round(float(np.quantile(v, 0.5)), 6)], pa.float64()),
+                "p90": pa.array([round(float(np.quantile(v, 0.9)), 6)], pa.float64()),
+            }
+        )
+
+    return ds.groupby("event_type").map_groups(q, batch_format="pyarrow")
+
+
+EVENTS_QUANTILES_SQL = """
+SELECT event_type,
+       ROUND(QUANTILE_CONT(value, 0.5), 6) AS p50,
+       ROUND(QUANTILE_CONT(value, 0.9), 6) AS p90
+FROM events GROUP BY 1
+"""
+
+
+_NO_ORDERS_CUTOFF = datetime(2000, 6, 1)
+
+
+def cust_no_orders(sf_dir: str):
+    """Anti-join: customers with NO order since the cutoff. The order-key
+    side is filtered + reduced DISTRIBUTEDLY to its distinct custkeys
+    (per-batch np.unique combiner), broadcast sorted, and the probe is a
+    vectorized np.isin — the same broadcast-semi-join shape as q3, negated."""
+    import ray
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def recent_keys(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater_equal(b["o_orderdate"], pa.scalar(_NO_ORDERS_CUTOFF)))
+        return pa.table(
+            {"o_custkey": pa.array(np.unique(b["o_custkey"].to_numpy(zero_copy_only=False)))}
+        )
+
+    okeys = np.unique(
+        _collect_numpy(
+            orders.map_batches(recent_keys, batch_format="pyarrow", batch_size=131072),
+            "o_custkey",
+        )
+    )
+    ref = ray.put(okeys)
+
+    class Anti:
+        def __init__(self, r):
+            self.keys = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            m = np.isin(b["c_custkey"].to_numpy(zero_copy_only=False), self.keys)
+            return b.filter(pa.array(~m))
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    return cust.map_batches(
+        Anti, fn_constructor_args=(ref,), batch_format="pyarrow",
+        batch_size=65536, concurrency=(1, 4),
+    )
+
+
+CUST_NO_ORDERS_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-06-01')
+"""
+
+
+def events_value_histogram(sf_dir: str, bin_width: float = 10.0):
+    """Fixed-width histogram: per-batch vectorized binning + combiner, one
+    tiny final groupby (identical FLOOR(value/width) arithmetic in SQL)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["value"])
+
+    def binit(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        bins = np.floor(v / bin_width).astype(np.int64)
+        u, c = np.unique(bins, return_counts=True)
+        return pa.table(
+            {"bin": pa.array(u, pa.int64()), "n": pa.array(c.astype(np.int64), pa.int64())}
+        )
+
+    agg = (
+        ds.map_batches(binit, batch_format="pyarrow", batch_size=131072)
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table({"bin": b["bin"], "n": pc.cast(b["n"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
+EVENTS_HISTOGRAM_SQL = """
+SELECT CAST(FLOOR(value / 10.0) AS BIGINT) AS bin, COUNT(*) AS n
+FROM events GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES = {
@@ -1361,6 +1615,12 @@ QUERIES = {
     "doc_encrypt_roundtrip": doc_encrypt_roundtrip,
     "emb_near_dup_pairs": emb_near_dup_pairs,
     "emb_ann_ivf": emb_ann_ivf,
+    "events_rolling_max": events_rolling_max,
+    "events_window_join": events_window_join,
+    "doc_top2_per_lang": doc_top2_per_lang,
+    "events_value_quantiles": events_value_quantiles,
+    "cust_no_orders": cust_no_orders,
+    "events_value_histogram": events_value_histogram,
 }
 
 ORACLE_SQL = {
@@ -1391,6 +1651,12 @@ ORACLE_SQL = {
     "pages_tiles": PAGES_TILES_SQL,
     "pages_errors": PAGES_ERRORS_SQL,
     "pages_knn": PAGES_KNN_SQL,
+    "events_rolling_max": EVENTS_ROLLING_MAX_SQL,
+    "events_window_join": EVENTS_WINDOW_JOIN_SQL,
+    "doc_top2_per_lang": DOC_TOP2_PER_LANG_SQL,
+    "events_value_quantiles": EVENTS_QUANTILES_SQL,
+    "cust_no_orders": CUST_NO_ORDERS_SQL,
+    "events_value_histogram": EVENTS_HISTOGRAM_SQL,
     # rows-only (non-SQL-expressible by design): doc_fingerprint (rolling
     # hash), doc_minhash_pairs / doc_simhash_pairs (crc32-seeded sketches),
     # emb_ann_lsh / emb_ann_ivf (approximate by contract)
