@@ -229,68 +229,122 @@ def _distinct_pairs(pairs, id_a: str = "id_a", id_b: str = "id_b"):
     )
 
 
-def minhash_near_dups(ds, id_col: str = "doc_id", col: str = "text",
-                      k: int = 3, threshold: float = 0.6):
-    """Dataset[documents] -> near-dup pairs (id_a < id_b, jaccard_est >= t).
+def _bucketed_pairs(bands_ds, bucket_cols: tuple[str, str], id_col: str, id_type):
+    """(bucket..., id) rows -> candidate (id_a < id_b) pairs, computed with
+    ONE vectorized call per hash partition (numpy segment boundaries; only
+    multi-member buckets are visited)."""
+    from core_ray.stages.agg import _GOLD, _n_parts
 
-    Scale shape (reworked per VERDICT r1 item 3):
-      1. one signature row per doc (text dropped immediately);
-      2. byte-identical texts collapse to a min-id representative — duplicate
-         clusters surface as linear STAR pairs (rep ↔ member, est 1.0), so no
-         LSH bucket is ever O(cluster²);
-      3. band rows carry (band_id, band_hash, id) ONLY — the 64-u64 signature
-         is NOT replicated into the 16 band rows (16x lighter shuffle);
-      4. per-bucket candidate pairs are vectorized (np.triu_indices);
-      5. signatures are re-joined onto the distinct candidate pairs with the
-         generic hash-partitioned equi-join (stages/join.py) and the jaccard
-         estimate is computed vectorized, then thresholded.
-    """
+    n_parts = _n_parts()
+
+    def part_of(b: pa.Table) -> pa.Table:
+        c0 = b[bucket_cols[0]].to_numpy(zero_copy_only=False).astype(np.uint64)
+        c1 = b[bucket_cols[1]].to_numpy(zero_copy_only=False).astype(np.uint64)
+        key = (c0 << np.uint64(32)) | c1
+        return pa.table(
+            {
+                "bkey": pa.array(key, pa.uint64()),
+                id_col: b[id_col],
+                "__part": pa.array(
+                    (((key * _GOLD) % np.uint64(n_parts))).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    def pairs_in_partition(g: pa.Table) -> pa.Table:
+        key = g["bkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, key))
+        k_o, id_o = key[order], ids[order]
+        new = np.ones(len(k_o), dtype=bool)
+        new[1:] = k_o[1:] != k_o[:-1]
+        starts = np.nonzero(new)[0]
+        ends = np.append(starts[1:], len(k_o))
+        a_out, b_out = [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            iu, ju = np.triu_indices(e - s, 1)
+            a_out.append(id_o[s + iu])
+            b_out.append(id_o[s + ju])
+        a = np.concatenate(a_out) if a_out else ids[:0]
+        b = np.concatenate(b_out) if b_out else ids[:0]
+        return pa.table({"id_a": pa.array(a, id_type), "id_b": pa.array(b, id_type)})
+
+    return (
+        bands_ds.map_batches(part_of, batch_format="pyarrow", batch_size=131072)
+        .groupby("__part")
+        .map_groups(pairs_in_partition, batch_format="pyarrow")
+    )
+
+
+def _estimate_table(pairs_t: pa.Table, sig_of: dict, threshold: float, id_type) -> pa.Table:
+    a_ids = pairs_t["id_a"].to_pylist()
+    b_ids = pairs_t["id_b"].to_pylist()
+    if not a_ids:
+        return pa.table(
+            {
+                "id_a": pa.array([], id_type),
+                "id_b": pa.array([], id_type),
+                "jaccard_est": pa.array([], pa.float64()),
+            }
+        )
+    a = np.frombuffer(b"".join(sig_of[i] for i in a_ids), dtype=np.uint64).reshape(len(a_ids), N_PERM)
+    b = np.frombuffer(b"".join(sig_of[i] for i in b_ids), dtype=np.uint64).reshape(len(b_ids), N_PERM)
+    est = np.round((a == b).mean(axis=1), 6)
+    keep = pa.array(est >= threshold)
+    return pa.table(
+        {
+            "id_a": pairs_t["id_a"].filter(keep),
+            "id_b": pairs_t["id_b"].filter(keep),
+            "jaccard_est": pa.array(est[est >= threshold], pa.float64()),
+        }
+    )
+
+
+def _estimate_broadcast(distinct, reps, id_col: str, threshold: float, id_type):
+    """Small candidate set: collect the pair ids, semi-filter the signature
+    rows distributedly, broadcast the (tiny) id->sig dict, estimate in one
+    map over the pairs."""
+    import ray
+
+    pair_tables = [t for t in ray.get(distinct.to_arrow_refs()) if t.num_rows]
+    need = np.unique(
+        np.concatenate(
+            [t["id_a"].to_numpy(zero_copy_only=False) for t in pair_tables]
+            + [t["id_b"].to_numpy(zero_copy_only=False) for t in pair_tables]
+        )
+    )
+    need_ref = ray.put(need)
+
+    def pick(b: pa.Table, need_ref=need_ref) -> pa.Table:
+        nd = ray.get(need_ref) if not isinstance(need_ref, np.ndarray) else need_ref
+        m = np.isin(b[id_col].to_numpy(zero_copy_only=False), nd)
+        return b.filter(pa.array(m))
+
+    sig_tables = [
+        t
+        for t in ray.get(
+            reps.map_batches(pick, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    sig_of = {}
+    for t in sig_tables:
+        sig_of.update(zip(t[id_col].to_pylist(), t["sig"].to_pylist()))
+    sig_ref = ray.put(sig_of)
+
+    def est(b: pa.Table, sig_ref=sig_ref) -> pa.Table:
+        so = ray.get(sig_ref) if not isinstance(sig_ref, dict) else sig_ref
+        return _estimate_table(b, so, threshold, id_type)
+
+    return distinct.map_batches(est, batch_format="pyarrow")
+
+
+def _estimate_joined(distinct, reps, id_col: str, threshold: float, id_type):
+    """Large candidate set: re-join signatures onto the pairs with the
+    generic hash-partitioned equi-join."""
     from core_ray.stages.join import hash_join
-
-    sig_ds = ds.map_batches(
-        MinHashSigs, fn_constructor_args=(id_col, col, k),
-        batch_format="pyarrow", batch_size=1024, concurrency=(1, 8),
-    )
-    reps, stars = _collapse_exact_text(sig_ds, id_col)
-    _sch = ds.schema()
-    id_type = dict(zip(_sch.names, _sch.types))[id_col]
-
-    def bands(b: pa.Table) -> pa.Table:
-        sigs = _sigbin_to_np(b["sig"])
-        n = len(sigs)
-        out_band = np.repeat(np.arange(N_BANDS, dtype=np.int32), n)
-        out_id = np.tile(b[id_col].to_numpy(zero_copy_only=False), N_BANDS)
-        hashes = np.empty(n * N_BANDS, dtype=np.uint32)
-        for band in range(N_BANDS):
-            lo, hi = band * ROWS_PER_BAND, (band + 1) * ROWS_PER_BAND
-            block = np.ascontiguousarray(sigs[:, lo:hi])
-            hashes[band * n : (band + 1) * n] = [
-                _band_hash(block[i]) for i in range(n)
-            ]
-        return pa.table(
-            {
-                "band_id": pa.array(out_band, pa.int32()),
-                "band_hash": pa.array(hashes, pa.uint32()),
-                id_col: pa.array(out_id, id_type),
-            }
-        )
-
-    def bucket_pairs(g: pa.Table) -> pa.Table:
-        ids = np.sort(g[id_col].to_numpy(zero_copy_only=False))
-        iu, ju = np.triu_indices(len(ids), 1)
-        return pa.table(
-            {
-                "id_a": pa.array(ids[iu], id_type),
-                "id_b": pa.array(ids[ju], id_type),
-            }
-        )
-
-    cand = (
-        reps.map_batches(bands, batch_format="pyarrow", batch_size=65536)
-        .groupby(["band_id", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pyarrow")
-    )
-    distinct = _distinct_pairs(cand)
 
     sig_a = reps.map_batches(
         lambda b: pa.table({"id_a": b[id_col], "sig_a": b["sig"]}),
@@ -300,8 +354,6 @@ def minhash_near_dups(ds, id_col: str = "doc_id", col: str = "text",
         lambda b: pa.table({"id_b": b[id_col], "sig_b": b["sig"]}),
         batch_format="pyarrow",
     )
-    # explicit schemas: the candidate-pair side can legitimately be EMPTY
-    # (e.g. a corpus whose only duplicates were exact — all collapsed)
     pair_schema = pa.schema([("id_a", id_type), ("id_b", id_type)])
     j1 = hash_join(
         distinct, sig_a, on="id_a",
@@ -335,7 +387,92 @@ def minhash_near_dups(ds, id_col: str = "doc_id", col: str = "text",
             }
         )
 
-    near = joined.map_batches(estimate, batch_format="pyarrow")
+    return joined.map_batches(estimate, batch_format="pyarrow")
+
+
+def minhash_near_dups(ds, id_col: str = "doc_id", col: str = "text",
+                      k: int = 3, threshold: float = 0.6,
+                      broadcast_pairs_threshold: int = 200_000):
+    """Dataset[documents] -> near-dup pairs (id_a < id_b, jaccard_est >= t).
+
+    Scale shape (reworked per VERDICT r1 item 3):
+      1. one signature row per doc (text dropped immediately);
+      2. byte-identical texts collapse to a min-id representative — duplicate
+         clusters surface as linear STAR pairs (rep ↔ member, est 1.0), so no
+         LSH bucket is ever O(cluster²);
+      3. band rows carry (band_id, band_hash, id) ONLY — the 64-u64 signature
+         is NOT replicated into the 16 band rows (16x lighter shuffle);
+      4. candidate pairs are generated with one vectorized call per hash
+         partition (np.triu_indices per multi-member bucket);
+      5. signatures are re-attached to the distinct candidate pairs by an
+         ADAPTIVE join: below ``broadcast_pairs_threshold`` pairs, the
+         candidate ids are collected and exactly their signatures broadcast
+         (2 fewer shuffles); above it, the generic hash-partitioned
+         equi-join (stages/join.py). Output identical either way.
+    """
+    from core_ray.stages.join import hash_join
+
+    sig_ds = ds.map_batches(
+        MinHashSigs, fn_constructor_args=(id_col, col, k),
+        batch_format="pyarrow", batch_size=1024, concurrency=(1, 8),
+    )
+    reps, stars = _collapse_exact_text(sig_ds, id_col)
+    _sch = ds.schema()
+    id_type = dict(zip(_sch.names, _sch.types))[id_col]
+
+    def bands(b: pa.Table) -> pa.Table:
+        sigs = _sigbin_to_np(b["sig"])
+        n = len(sigs)
+        out_band = np.repeat(np.arange(N_BANDS, dtype=np.int32), n)
+        out_id = np.tile(b[id_col].to_numpy(zero_copy_only=False), N_BANDS)
+        hashes = np.empty(n * N_BANDS, dtype=np.uint32)
+        for band in range(N_BANDS):
+            lo, hi = band * ROWS_PER_BAND, (band + 1) * ROWS_PER_BAND
+            block = np.ascontiguousarray(sigs[:, lo:hi])
+            hashes[band * n : (band + 1) * n] = [
+                _band_hash(block[i]) for i in range(n)
+            ]
+        return pa.table(
+            {
+                "band_id": pa.array(out_band, pa.int32()),
+                "band_hash": pa.array(hashes, pa.uint32()),
+                id_col: pa.array(out_id, id_type),
+            }
+        )
+
+    # bucket pairs are generated PER HASH PARTITION, not per bucket:
+    # groupby().map_groups over ~#buckets groups costs ~1.4 ms of Python per
+    # group (see stages/agg.py); one partition call handles all its buckets
+    # with numpy segment boundaries, looping only over multi-member buckets
+    cand = _bucketed_pairs(
+        reps.map_batches(bands, batch_format="pyarrow", batch_size=65536),
+        bucket_cols=("band_id", "band_hash"),
+        id_col=id_col,
+        id_type=id_type,
+    )
+    distinct = _distinct_pairs(cand).materialize()  # tiny: candidate pairs only
+
+    # adaptive join strategy (the broadcast-vs-shuffle selector): LSH
+    # candidates are usually a vanishing fraction of the corpus — collect the
+    # candidate ids, broadcast-fetch exactly those signatures, and estimate
+    # in one map. Beyond the threshold, fall back to the fully-distributed
+    # hash-partitioned equi-join (identical output).
+    n_pairs = distinct.count()
+    if n_pairs == 0:
+        near = distinct.map_batches(
+            lambda b: pa.table(
+                {
+                    "id_a": pa.array([], id_type),
+                    "id_b": pa.array([], id_type),
+                    "jaccard_est": pa.array([], pa.float64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    elif n_pairs <= broadcast_pairs_threshold:
+        near = _estimate_broadcast(distinct, reps, id_col, threshold, id_type)
+    else:
+        near = _estimate_joined(distinct, reps, id_col, threshold, id_type)
     star_pairs = stars.map_batches(
         lambda b: pa.table(
             {
@@ -436,37 +573,68 @@ def simhash_near_dups(ds, id_col: str = "doc_id", col: str = "text", max_hamming
             )
         return pa.concat_tables(parts)
 
-    def bucket_pairs(g: pa.Table) -> pa.Table:
-        ids = g[id_col].to_numpy(zero_copy_only=False)
-        hs = g["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        order = np.argsort(ids, kind="stable")
-        ids, hs = ids[order], hs[order]
+    def _one_bucket(ids: np.ndarray, hs: np.ndarray, a_out, b_out, d_out):
         n = len(ids)
-        a_out, b_out, d_out = [], [], []
         chunk = 2048  # bounds the (chunk x n) xor matrix
         for lo in range(0, n, chunk):
             hi = min(lo + chunk, n)
             d = _popcount64(hs[lo:hi, None] ^ hs[None, :])
             ii, jj = np.nonzero(d <= max_hamming)
-            keep = lo + ii < jj  # strict upper triangle in global index space
-            a_out.append(lo + ii[keep])
-            b_out.append(jj[keep])
+            keep = lo + ii < jj  # strict upper triangle in bucket index space
+            a_out.append(ids[lo + ii[keep]])
+            b_out.append(ids[jj[keep]])
             d_out.append(d[ii[keep], jj[keep]])
-        ai = np.concatenate(a_out) if a_out else np.zeros(0, dtype=np.int64)
-        bi = np.concatenate(b_out) if b_out else np.zeros(0, dtype=np.int64)
+
+    # one vectorized call per hash PARTITION; only multi-member buckets pay
+    from core_ray.stages.agg import _GOLD, _n_parts
+
+    n_parts = _n_parts()
+
+    def part_of(b: pa.Table) -> pa.Table:
+        c0 = b["band_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        c1 = b["band_val"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        key = (c0 << np.uint64(32)) | c1
+        return pa.table(
+            {
+                "bkey": pa.array(key, pa.uint64()),
+                id_col: b[id_col],
+                "simhash": b["simhash"],
+                "__part": pa.array(
+                    ((key * _GOLD) % np.uint64(n_parts)).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    def pairs_in_partition(g: pa.Table) -> pa.Table:
+        key = g["bkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        hs = g["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.lexsort((ids, key))
+        k_o, id_o, h_o = key[order], ids[order], hs[order]
+        new = np.ones(len(k_o), dtype=bool)
+        new[1:] = k_o[1:] != k_o[:-1]
+        starts = np.nonzero(new)[0]
+        ends = np.append(starts[1:], len(k_o))
+        a_out, b_out, d_out = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s >= 2:
+                _one_bucket(id_o[s:e], h_o[s:e], a_out, b_out, d_out)
+        a = np.concatenate(a_out) if a_out else ids[:0]
+        b = np.concatenate(b_out) if b_out else ids[:0]
         dd = np.concatenate(d_out) if d_out else np.zeros(0, dtype=np.int64)
         return pa.table(
             {
-                "id_a": pa.array(ids[ai], id_type),
-                "id_b": pa.array(ids[bi], id_type),
+                "id_a": pa.array(a, id_type),
+                "id_b": pa.array(b, id_type),
                 "hamming": pa.array(dd.astype(np.int32), pa.int32()),
             }
         )
 
     pairs = (
         reps.map_batches(explode_bands, batch_format="pyarrow")
-        .groupby(["band_id", "band_val"])
-        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .map_batches(part_of, batch_format="pyarrow", batch_size=131072)
+        .groupby("__part")
+        .map_groups(pairs_in_partition, batch_format="pyarrow")
     )
     distinct = _distinct_pairs(pairs)
     star_pairs = stars.map_batches(
