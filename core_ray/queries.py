@@ -1101,6 +1101,118 @@ FROM h
 """
 
 
+class MediaResizeStub:
+    """Actor-pool resize stage: (doc_id, media, width, height) ->
+    (doc_id, thumb_w, thumb_h, thumb_bytes). Aspect-preserving fit into a
+    max_side box via integer arithmetic (ceil-division), thumb payload size
+    = w*h*3 (RGB). A real implementation swaps only the body for a PIL/
+    libvips call; the batch plumbing, schema, and actor signature stay."""
+
+    def __init__(self, max_side: int = 64):
+        self.max_side = max_side
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        w = batch["width"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = batch["height"].to_numpy(zero_copy_only=False).astype(np.int64)
+        long_side = np.maximum(w, h)
+        # scaled = dim * max_side / long_side, floor, min 1 (integer math)
+        tw = np.maximum(1, (w * self.max_side) // long_side).astype(np.int32)
+        th = np.maximum(1, (h * self.max_side) // long_side).astype(np.int32)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "thumb_w": pa.array(tw, pa.int32()),
+                "thumb_h": pa.array(th, pa.int32()),
+                "thumb_bytes": pa.array((tw.astype(np.int64) * th * 3), pa.int64()),
+            }
+        )
+
+
+def media_thumbnails(sf_dir: str):
+    """decode (stub) -> resize (stub): the two-stage multimodal actor-pool
+    chain over an opaque binary column with typed metadata."""
+    decoded = media_features(sf_dir)
+    return decoded.map_batches(
+        MediaResizeStub, batch_format="pyarrow", batch_size=512, concurrency=(1, 4)
+    )
+
+
+MEDIA_THUMBNAILS_SQL = """
+WITH m AS (
+  SELECT doc_id, OCTET_LENGTH(ENCODE(text)) AS media_bytes FROM documents),
+h AS (
+  SELECT doc_id, (doc_id * 2654435761 + media_bytes * 97) % 4294967296 AS hv FROM m),
+wh AS (
+  SELECT doc_id, 16 + hv % 256 AS w, 16 + (hv // 256) % 256 AS h FROM h),
+t AS (
+  SELECT doc_id,
+         GREATEST(1, (w * 64) // GREATEST(w, h)) AS thumb_w,
+         GREATEST(1, (h * 64) // GREATEST(w, h)) AS thumb_h
+  FROM wh)
+SELECT doc_id, CAST(thumb_w AS INTEGER) AS thumb_w, CAST(thumb_h AS INTEGER) AS thumb_h,
+       thumb_w * thumb_h * 3 AS thumb_bytes
+FROM t
+"""
+
+
+class FrameSampleStub:
+    """Actor-pool frame-sampling stage (video analog): one input row
+    explodes into one row per sampled frame — (doc_id, frame_idx,
+    frame_offset_ms). frame_count is derived from the payload size
+    (25 fps, 40 B/frame fake container); every ``stride``-th frame is kept.
+    A real decoder replaces the count/offset derivation only."""
+
+    def __init__(self, stride: int = 2, bytes_per_frame: int = 40):
+        self.stride = stride
+        self.bpf = bytes_per_frame
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        nb = np.array([len(b) for b in batch["media"].to_pylist()], dtype=np.int64)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n_frames = nb // self.bpf + 1
+        n_sampled = (n_frames + self.stride - 1) // self.stride
+        out_id = np.repeat(ids, n_sampled)
+        # frame_idx = 0, stride, 2*stride, ... per doc
+        offsets = np.concatenate([np.arange(k) for k in n_sampled]) if len(n_sampled) else np.zeros(0, np.int64)
+        frame_idx = offsets * self.stride
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "frame_idx": pa.array(frame_idx, pa.int64()),
+                "frame_offset_ms": pa.array(frame_idx * 40, pa.int64()),  # 25 fps
+            }
+        )
+
+
+def media_frames(sf_dir: str):
+    """Frame-sampling explode over the opaque media column (flat-map shape:
+    one row in, n rows out, vectorized with np.repeat)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_media(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "media": pa.array([t.encode("utf-8") for t in b["text"].to_pylist()], pa.binary()),
+            }
+        )
+
+    media = ds.map_batches(to_media, batch_format="pyarrow", batch_size=2048)
+    return media.map_batches(
+        FrameSampleStub, batch_format="pyarrow", batch_size=512, concurrency=(1, 4)
+    )
+
+
+MEDIA_FRAMES_SQL = """
+WITH m AS (
+  SELECT doc_id, OCTET_LENGTH(ENCODE(text)) // 40 + 1 AS n_frames FROM documents),
+s AS (
+  SELECT doc_id, UNNEST(GENERATE_SERIES(0, CAST((n_frames + 1) // 2 AS BIGINT) - 1)) AS i
+  FROM m)
+SELECT doc_id, i * 2 AS frame_idx, i * 2 * 40 AS frame_offset_ms FROM s
+"""
+
+
 
 
 # ---------------------------------------------------------------- misc ops
@@ -1615,6 +1727,8 @@ QUERIES = {
     "doc_encrypt_roundtrip": doc_encrypt_roundtrip,
     "emb_near_dup_pairs": emb_near_dup_pairs,
     "emb_ann_ivf": emb_ann_ivf,
+    "media_thumbnails": media_thumbnails,
+    "media_frames": media_frames,
     "events_rolling_max": events_rolling_max,
     "events_window_join": events_window_join,
     "doc_top2_per_lang": doc_top2_per_lang,
@@ -1651,6 +1765,8 @@ ORACLE_SQL = {
     "pages_tiles": PAGES_TILES_SQL,
     "pages_errors": PAGES_ERRORS_SQL,
     "pages_knn": PAGES_KNN_SQL,
+    "media_thumbnails": MEDIA_THUMBNAILS_SQL,
+    "media_frames": MEDIA_FRAMES_SQL,
     "events_rolling_max": EVENTS_ROLLING_MAX_SQL,
     "events_window_join": EVENTS_WINDOW_JOIN_SQL,
     "doc_top2_per_lang": DOC_TOP2_PER_LANG_SQL,
