@@ -38,6 +38,11 @@ BENCH_QUERIES = [
     "geo_tile_counts",
     "geo_pip_admin",
     "geo_knn_tile",
+    # round-2 additions
+    "emb_near_dup_pairs",
+    "events_window_join",
+    "doc_top2_per_lang",
+    "events_rolling_max",
 ]
 
 
