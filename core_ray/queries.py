@@ -1660,6 +1660,57 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
 """
 
 
+def orders_cust_join(sf_dir: str):
+    """Large-large equi-join through the generic hash-partitioned join
+    operator (stages/join.py): orders ⋈ customer on custkey — NEITHER side
+    broadcast — then a per-segment rollup. This drives hash_join itself
+    through the driver's oracle gate."""
+    from ray.data.aggregate import Count, Sum
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        # exact integer cents: a float SUM at ~1e9 magnitude rounds
+        # differently depending on accumulation order (Ray partials vs SQL)
+        v = b["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "custkey": b["o_custkey"],
+                "cents": pa.array(np.round(v * 100.0).astype(np.int64), pa.int64()),
+            }
+        )
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        to_cents, batch_format="pyarrow"
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda b: pa.table({"custkey": b["c_custkey"], "c_mktsegment": b["c_mktsegment"]}),
+        batch_format="pyarrow",
+    )
+    from core_ray.stages.join import hash_join
+
+    joined = hash_join(orders, cust, on="custkey")
+    agg = joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"), Sum("cents", alias_name="total_cents")
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "c_mktsegment": b["c_mktsegment"],
+                "n_orders": pc.cast(b["n_orders"], pa.int64()),
+                "total": pc.divide(pc.cast(b["total_cents"], pa.float64()), 100.0),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+ORDERS_CUST_JOIN_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+       SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) / 100.0 AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+"""
+
+
 def events_value_histogram(sf_dir: str, bin_width: float = 10.0):
     """Fixed-width histogram: per-batch vectorized binning + combiner, one
     tiny final groupby (identical FLOOR(value/width) arithmetic in SQL)."""
@@ -1735,6 +1786,7 @@ QUERIES = {
     "events_value_quantiles": events_value_quantiles,
     "cust_no_orders": cust_no_orders,
     "events_value_histogram": events_value_histogram,
+    "orders_cust_join": orders_cust_join,
 }
 
 ORACLE_SQL = {
@@ -1773,6 +1825,7 @@ ORACLE_SQL = {
     "events_value_quantiles": EVENTS_QUANTILES_SQL,
     "cust_no_orders": CUST_NO_ORDERS_SQL,
     "events_value_histogram": EVENTS_HISTOGRAM_SQL,
+    "orders_cust_join": ORDERS_CUST_JOIN_SQL,
     # rows-only (non-SQL-expressible by design): doc_fingerprint (rolling
     # hash), doc_minhash_pairs / doc_simhash_pairs (crc32-seeded sketches),
     # emb_ann_lsh / emb_ann_ivf (approximate by contract)

@@ -84,3 +84,20 @@ def test_hash_join_null_keys_dropped(ray_session):
         for r in hash_join(ray.data.from_arrow(left), ray.data.from_arrow(right), on="k").take_all()
     )
     assert got == [(1, 1, 9), (2, 3, 8)]
+
+
+@pytest.mark.parametrize("how,sql", [
+    ("right", "SELECT COALESCE(l.k, r.k) AS k, lv, rv FROM l RIGHT JOIN r ON l.k = r.k"),
+    ("full", "SELECT COALESCE(l.k, r.k) AS k, lv, rv FROM l FULL JOIN r ON l.k = r.k"),
+])
+def test_hash_join_outer_variants(ray_session, how, sql):
+    import ray.data
+
+    left, right = _rand_tables(seed=19, n_left=800, n_right=600, key_space=1200)
+    got = hash_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right), on="k", how=how
+    )
+    got_t = pa.concat_tables(
+        [t for t in __import__("ray").get(got.to_arrow_refs()) if t.num_rows]
+    )
+    assert _norm(got_t) == _norm(_duck(left, right, sql))
