@@ -28,13 +28,18 @@ def main(argv=None) -> int:
 
     import ray
 
-    ray.init(
-        address="local",
-        num_cpus=args.num_cpus,
+    # RAY_ADDRESS=local (sandbox default) -> single-node; under
+    # `ray job submit` the env points at the cluster and num_cpus is ignored
+    address = os.environ.get("RAY_ADDRESS") or "local"
+    init_kwargs = dict(
+        address=address,
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
     )
+    if address == "local":
+        init_kwargs["num_cpus"] = args.num_cpus
+    ray.init(**init_kwargs)
     try:
         from ray.data import DataContext
 
