@@ -32,6 +32,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from core_ray.queries import ORACLE_SQL
+    from core_ray.queries import ORACLE_SQL, _ensure_pages_golden
 
+    # the pages_* oracles read a golden parquet derived by the pure-Python
+    # fixture oracle; materialize it up front (cached, no Ray needed) so the
+    # SQL is runnable regardless of whether the queries ran first
+    try:
+        _ensure_pages_golden("/root/testdata/sf0.01")
+    except Exception:
+        pass  # queries()-side ensure still covers the normal path
     return dict(ORACLE_SQL)
