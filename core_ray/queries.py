@@ -347,34 +347,53 @@ LIMIT 10
 
 
 def events_sessionize(sf_dir: str):
-    """Session windows (gap > 30 min) per user — the streaming-shaped op
-    (ray_guide 'Streaming-shaped workloads': partition by key, sort by ts
-    within the group, window with pandas/numpy)."""
+    """Session windows (gap > 30 min) per user — the streaming-shaped op:
+    hash-partition by user, then ONE fully-vectorized pass per partition
+    (lexsort + segment boundaries) handles every user in it. Never the
+    Python-per-user map_groups (~1.4 ms/user — the job, at 10^8 users)."""
+    from core_ray.stages.agg import map_groups_partitioned
+
     ds = _read(sf_dir, "events", ["user_id", "ts"])
 
-    def sessions(group: pa.Table) -> pa.Table:
-        us = np.sort(pc.cast(group["ts"], pa.int64()).to_numpy(zero_copy_only=False))
-        new_session = np.ones(len(us), dtype=np.int64)
-        if len(us) > 1:
-            new_session[1:] = (np.diff(us) > _SESSION_GAP_US).astype(np.int64)
-        sid = np.cumsum(new_session) - 1
-        uid = group["user_id"][0].as_py()
-        out_sid, out_n, out_dur = [], [], []
-        for s in np.unique(sid):
-            m = sid == s
-            out_sid.append(int(s))
-            out_n.append(int(m.sum()))
-            out_dur.append(int(us[m].max() - us[m].min()))
+    def sessions_part(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "session_idx": pa.array([], pa.int32()),
+                    "n_events": pa.array([], pa.int64()),
+                    "duration_us": pa.array([], pa.int64()),
+                }
+            )
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((us, uid))
+        uid, us = uid[order], us[order]
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        new_s = new_user.copy()
+        new_s[1:] |= (us[1:] - us[:-1]) > _SESSION_GAP_US
+        s_starts = np.nonzero(new_s)[0]
+        s_last = np.append(s_starts[1:], n) - 1
+        n_ev = np.append(s_starts[1:], n) - s_starts
+        dur = us[s_last] - us[s_starts]
+        user_first = np.nonzero(new_user)[0]
+        sessions_per_user = np.add.reduceat(new_s.astype(np.int64), user_first)
+        # sessions are numbered 0..S-1 in sorted order; subtracting each
+        # user's first session ordinal yields the per-user session_idx
+        first_session_of_user = np.cumsum(np.concatenate([[0], sessions_per_user[:-1]]))
+        s_idx = np.arange(len(s_starts)) - np.repeat(first_session_of_user, sessions_per_user)
         return pa.table(
             {
-                "user_id": pa.array([uid] * len(out_sid), pa.int64()),
-                "session_idx": pa.array(out_sid, pa.int32()),
-                "n_events": pa.array(out_n, pa.int64()),
-                "duration_us": pa.array(out_dur, pa.int64()),
+                "user_id": pa.array(uid[s_starts], pa.int64()),
+                "session_idx": pa.array(s_idx.astype(np.int32), pa.int32()),
+                "n_events": pa.array(n_ev.astype(np.int64), pa.int64()),
+                "duration_us": pa.array(dur.astype(np.int64), pa.int64()),
             }
         )
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+    return map_groups_partitioned(ds, "user_id", sessions_part)
 
 
 EVENTS_SESSIONIZE_SQL = """
@@ -1263,34 +1282,49 @@ def events_asof_purchase(sf_dir: str):
     """As-of join: for each event, the timestamp of the user's most recent
     STRICTLY EARLIER 'purchase' event (ray_guide: sort within key group +
     windowed scan; ties broken by event_id, mirrored in the SQL window)."""
+    from core_ray.stages.agg import map_groups_partitioned
+
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
 
-    def per_user(group: pa.Table) -> pa.Table:
-        us = pc.cast(group["ts"], pa.int64()).to_numpy(zero_copy_only=False)
-        eid = group["event_id"].to_numpy(zero_copy_only=False)
-        et = np.asarray(group["event_type"].to_pylist())
-        order = np.lexsort((eid, us))
-        us_o, eid_o = us[order], eid[order]
-        is_p = et[order] == "purchase"
-        # last purchase among rows STRICTLY BEFORE this row (sorted order)
-        last = np.full(len(us_o), -1, dtype=np.int64)
-        prev = -1
-        for i in range(len(us_o)):
-            last[i] = prev
-            if is_p[i]:
-                prev = us_o[i]
-        uid = group["user_id"][0].as_py()
+    def per_part(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "last_purchase_us": pa.array([], pa.int64()),
+                }
+            )
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        is_p = pc.equal(g["event_type"], "purchase").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, us, uid))
+        uid, us, eid, is_p = uid[order], us[order], eid[order], is_p[order]
+        # rows are time-sorted within user, so "last purchase strictly
+        # before this row" = previous row's running max of purchase ts,
+        # reset at user boundaries (vectorized via segmented cummax)
+        v = np.where(is_p, us, np.int64(-1))
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        starts = np.nonzero(new_user)[0]
+        cm = np.empty(n, dtype=np.int64)
+        for s, e in zip(starts, np.append(starts[1:], n)):
+            np.maximum.accumulate(v[s:e], out=cm[s:e])
+        last = np.empty(n, dtype=np.int64)
+        last[0] = -1
+        last[1:] = cm[:-1]
+        last[starts] = -1
         return pa.table(
             {
-                "event_id": pa.array(eid_o, pa.int64()),
-                "user_id": pa.array(np.full(len(eid_o), uid, dtype=np.int64), pa.int64()),
-                "last_purchase_us": pa.array(
-                    [None if v < 0 else int(v) for v in last], pa.int64()
-                ),
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "last_purchase_us": pa.array(last, pa.int64(), mask=last < 0),
             }
         )
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+    return map_groups_partitioned(ds, "user_id", per_part)
 
 
 EVENTS_ASOF_SQL = """
@@ -1450,27 +1484,43 @@ def events_rolling_max(sf_dir: str, frame: int = 3):
     user (ordered by ts, event_id) — the order-sensitive window-function
     shape: partition by key, sort within group, vectorized frame scan.
     MAX (not SUM) keeps the oracle float-exact: it is order-independent."""
+    from core_ray.stages.agg import map_groups_partitioned
+
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
-    def per_user(g: pa.Table) -> pa.Table:
+    def per_part(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "rolling_max": pa.array([], pa.float64()),
+                }
+            )
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         us = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
         eid = g["event_id"].to_numpy(zero_copy_only=False)
         val = g["value"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((eid, us))
-        v = val[order]
+        order = np.lexsort((eid, us, uid))
+        uid, eid, v = uid[order], eid[order], val[order]
         out = v.copy()
+        same_user = np.zeros(n, dtype=bool)
+        same_user[1:] = uid[1:] == uid[:-1]
+        run = same_user.copy()  # row s positions where the s-step shift stays in-user
         for s in range(1, frame):
-            out[s:] = np.maximum(out[s:], v[:-s])
-        uid = g["user_id"][0].as_py()
+            np.maximum(out[s:], np.where(run[s:], v[:-s], -np.inf), out=out[s:])
+            if s + 1 < frame:
+                run[s + 1 :] = run[s + 1 :] & same_user[1:-s]
         return pa.table(
             {
-                "event_id": pa.array(eid[order], pa.int64()),
-                "user_id": pa.array(np.full(len(eid), uid, dtype=np.int64), pa.int64()),
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
                 "rolling_max": pa.array(np.round(out, 2), pa.float64()),
             }
         )
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+    return map_groups_partitioned(ds, "user_id", per_part)
 
 
 EVENTS_ROLLING_MAX_SQL = """
