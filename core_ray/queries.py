@@ -663,38 +663,50 @@ def _derive_coords(doc_id: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def geo_tile_counts(sf_dir: str, zooms=(7, 9, 12)):
-    from ray.data.aggregate import Count
+    """Tile-key counting at high cardinality (~#distinct tiles keys): the
+    (z,x,y) triple packs losslessly into uint64 (stages/tiles.py key
+    layout), so the count runs through the vectorized combiner +
+    hash-partition reduce (stages/agg.py) and unpacks at the end — never
+    Ray's Python-per-key aggregate."""
+    from core_ray.stages.agg import count_by_u64
 
     ds = _read(sf_dir, "documents", ["doc_id"])
 
     def tiles(b: pa.Table) -> pa.Table:
         doc_id = b["doc_id"].to_numpy(zero_copy_only=False)
         lat, lon = _derive_coords(doc_id)
-        parts = []
+        keys = []
         for z in zooms:
             x, y = mercator.lonlat_to_tile(lon, lat, z)
-            parts.append(
-                pa.table(
-                    {
-                        "tile_z": pa.array(np.full(len(x), z, dtype=np.int32), pa.int32()),
-                        "tile_x": pa.array(x, pa.int64()),
-                        "tile_y": pa.array(y, pa.int64()),
-                    }
+            keys.append(
+                mercator.tile_key(
+                    np.full(len(x), z, dtype=np.uint64),
+                    x.astype(np.uint64),
+                    y.astype(np.uint64),
                 )
             )
-        return pa.concat_tables(parts)
+        return pa.table({"key": pa.array(np.concatenate(keys), pa.uint64())})
 
-    agg = (
-        ds.map_batches(tiles, batch_format="pyarrow", batch_size=65536)
-        .groupby(["tile_z", "tile_x", "tile_y"])
-        .aggregate(Count(alias_name="n_points"))
+    counted = count_by_u64(
+        ds.map_batches(tiles, batch_format="pyarrow", batch_size=65536), "key"
     )
-    return agg.map_batches(
-        lambda b: b.set_column(
-            b.schema.get_field_index("n_points"), "n_points", pc.cast(b["n_points"], pa.int64())
-        ),
-        batch_format="pyarrow",
-    )
+
+    def unpack(b: pa.Table) -> pa.Table:
+        k = b["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table(
+            {
+                "tile_z": pa.array((k >> np.uint64(58)).astype(np.int32), pa.int32()),
+                "tile_x": pa.array(
+                    ((k >> np.uint64(29)) & np.uint64((1 << 29) - 1)).astype(np.int64), pa.int64()
+                ),
+                "tile_y": pa.array((k & np.uint64((1 << 29) - 1)).astype(np.int64), pa.int64()),
+                "n_points": pa.array(
+                    b["cnt"].to_numpy(zero_copy_only=False).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return counted.map_batches(unpack, batch_format="pyarrow")
 
 
 def _geo_tile_sql_one(z: int) -> str:

@@ -23,8 +23,6 @@ import zlib
 import numpy as np
 import pyarrow as pa
 
-from ray.data.aggregate import Count, Min
-
 # ---------------- exact dedup ----------------
 
 
@@ -34,12 +32,62 @@ def add_text_hash(batch: pa.Table, col: str = "text") -> pa.Table:
 
 
 def exact_dedup_groups(ds, id_col: str = "doc_id", col: str = "text"):
-    """Dataset[documents] -> (text_hash, doc_id=min id, n_copies)."""
+    """Dataset[documents] -> (text_hash, doc_id=min id, n_copies).
+
+    Key cardinality ≈ corpus size, so the reduce is the partitioned
+    vectorized shape (per-batch combiner -> hash partition -> one
+    lexsort/reduceat pass per partition), not Ray's Python-per-key
+    aggregate."""
+    from core_ray.stages.agg import _n_parts
+
+    n_parts = _n_parts()
+
+    def combine(b: pa.Table) -> pa.Table:
+        b = add_text_hash(b, col)
+        h = np.asarray(b["text_hash"].to_pylist())
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h))
+        h_o, id_o = h[order], ids[order]
+        new = np.ones(len(h_o), dtype=bool)
+        new[1:] = h_o[1:] != h_o[:-1]
+        starts = np.nonzero(new)[0]
+        cnt = np.diff(np.append(starts, len(h_o)))
+        hu = h_o[starts]
+        part = np.fromiter(
+            (int(x[:8], 16) for x in hu), dtype=np.uint64, count=len(hu)
+        ) % np.uint64(n_parts)
+        return pa.table(
+            {
+                "text_hash": pa.array(hu, pa.string()),
+                id_col: pa.array(id_o[starts]),
+                "n_copies": pa.array(cnt.astype(np.int64), pa.int64()),
+                "__part": pa.array(part.astype(np.int32), pa.int32()),
+            }
+        )
+
+    def reduce(g: pa.Table) -> pa.Table:
+        h = np.asarray(g["text_hash"].to_pylist())
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        cnt = g["n_copies"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h))
+        h_o, id_o, c_o = h[order], ids[order], cnt[order]
+        new = np.ones(len(h_o), dtype=bool)
+        new[1:] = h_o[1:] != h_o[:-1]
+        starts = np.nonzero(new)[0]
+        return pa.table(
+            {
+                "text_hash": pa.array(h_o[starts], pa.string()),
+                id_col: pa.array(id_o[starts]),  # min id: first in (hash, id) order
+                "n_copies": pa.array(
+                    np.add.reduceat(c_o, starts).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
     return (
-        ds.map_batches(lambda b: add_text_hash(b, col), batch_format="pyarrow")
-        .select_columns(["text_hash", id_col])
-        .groupby("text_hash")
-        .aggregate(Min(id_col, alias_name=id_col), Count(alias_name="n_copies"))
+        ds.map_batches(combine, batch_format="pyarrow", batch_size=65536)
+        .groupby("__part")
+        .map_groups(reduce, batch_format="pyarrow")
     )
 
 
