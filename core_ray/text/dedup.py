@@ -716,11 +716,64 @@ def ngram_jaccard(a: str, b: str, n: int = 5) -> float:
     return inter / union if union else 0.0
 
 
+def verify_pairs_joined(pairs_ds, docs_ds, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 5,
+                        threshold: float = 0.5, id_type=None):
+    """Exact n-gram-Jaccard verification at corpus scale: candidate texts
+    are RE-JOINED by id through the hash-partitioned equi-join (two
+    all-to-alls over pair rows + the candidate texts only) — no corpus
+    broadcast anywhere. Equivalent output to verify_pairs_exact."""
+    import pyarrow.compute as pc
+
+    from core_ray.stages.join import hash_join
+
+    id_type = id_type or pa.int64()
+    text_a = docs_ds.map_batches(
+        lambda b: pa.table(
+            {"id_a": b[id_col], "text_a": b[text_col].cast(pa.large_string())}
+        ),
+        batch_format="pyarrow",
+    )
+    text_b = docs_ds.map_batches(
+        lambda b: pa.table(
+            {"id_b": b[id_col], "text_b": b[text_col].cast(pa.large_string())}
+        ),
+        batch_format="pyarrow",
+    )
+    pair_schema = pa.schema([("id_a", id_type), ("id_b", id_type)])
+    t_type = pa.large_string()
+    j1 = hash_join(
+        pairs_ds, text_a, on="id_a",
+        left_schema=pair_schema,
+        right_schema=pa.schema([("id_a", id_type), ("text_a", t_type)]),
+    )
+    joined = hash_join(
+        j1, text_b, on="id_b",
+        left_schema=pa.schema([("id_a", id_type), ("id_b", id_type), ("text_a", t_type)]),
+        right_schema=pa.schema([("id_b", id_type), ("text_b", t_type)]),
+    )
+
+    def score(b: pa.Table) -> pa.Table:
+        ta = b["text_a"].to_pylist()
+        tb = b["text_b"].to_pylist()
+        j = [round(ngram_jaccard(x, y, n), 6) for x, y in zip(ta, tb)]
+        out = pa.table(
+            {
+                "id_a": b["id_a"],
+                "id_b": b["id_b"],
+                "jaccard": pa.array(j, pa.float64()),
+            }
+        )
+        return out.filter(pc.greater_equal(out["jaccard"], threshold))
+
+    return joined.map_batches(score, batch_format="pyarrow")
+
+
 def verify_pairs_exact(pairs_ds, docs_ref, id_col: str = "doc_id",
                        n: int = 5, threshold: float = 0.5):
     """Exact n-gram-Jaccard verification of candidate pairs against a
-    BROADCAST id->text dict (valid when the doc table fits the object store;
-    at larger scale re-join texts by id instead — documented trade-off)."""
+    BROADCAST id->text dict — the small-side variant; verify_pairs_joined
+    is the corpus-scale path (re-join by id, no broadcast)."""
 
     class Verify:
         def __init__(self, docs_ref):

@@ -242,3 +242,35 @@ class TestIvfAnn:
         assert sum(recalls) / len(recalls) >= 0.5, recalls
         for q, vs in got.items():
             assert q not in vs  # self excluded
+
+
+class TestVerifyJoined:
+    def test_joined_equals_broadcast(self, ray_session):
+        """The re-join verify path (no corpus broadcast) must match the
+        broadcast-dict variant exactly."""
+        import ray
+        import ray.data
+
+        texts = [
+            "alpha beta gamma delta epsilon zeta eta theta",
+            "alpha beta gamma delta epsilon zeta eta thetb",
+            "one two three four five six seven eight",
+            "completely different text with other words here",
+        ]
+        docs = _docs_table(texts)
+        pairs = pa.table(
+            {
+                "id_a": pa.array([0, 0, 2], pa.int64()),
+                "id_b": pa.array([1, 2, 3], pa.int64()),
+            }
+        )
+        docs_ref = ray.put(dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())))
+        bd = dedup.verify_pairs_exact(
+            ray.data.from_arrow(pairs), docs_ref, threshold=0.2
+        ).take_all()
+        jn = dedup.verify_pairs_joined(
+            ray.data.from_arrow(pairs), ray.data.from_arrow(docs), threshold=0.2
+        ).take_all()
+        key = lambda r: (r["id_a"], r["id_b"], r["jaccard"])
+        assert sorted(map(key, bd)) == sorted(map(key, jn))
+        assert len(bd) > 0
