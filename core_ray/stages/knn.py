@@ -354,39 +354,75 @@ def _count_fine_cells(ds) -> tuple[np.ndarray, np.ndarray]:
     return np.concatenate(ks), np.concatenate(cs)
 
 
+def _hot_sets(ds, group_res: int, hot_threshold: int, salt_target: int):
+    """Distributed hot-set discovery: the full per-cell count histogram is a
+    DATASET (at planet scale it is itself big); only ABOVE-THRESHOLD keys
+    ever reach the driver. A hot fine cell's coarse group is necessarily hot
+    too (the coarse total dominates its members), so the fine filter needs
+    no coarse-membership check."""
+    import math
+
+    import ray
+
+    from core_ray.stages.agg import count_by_u64, sum_by_u64
+
+    fine = count_by_u64(
+        ds.select_columns(["hex_cell"]).map_batches(
+            lambda b: pa.table({"key": b["hex_cell"]}), batch_format="pyarrow",
+            batch_size=131072,
+        ),
+        "key",
+    ).materialize()  # one row per DISTINCT cell; consumed twice below
+    if fine.count() == 0:
+        return np.zeros(0, dtype=np.uint64), {}
+
+    def to_coarse(b: pa.Table) -> pa.Table:
+        cells = b["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table(
+            {
+                "key": pa.array(_group_key(cells, group_res), pa.uint64()),
+                "cnt": b["cnt"],
+            }
+        )
+
+    coarse = sum_by_u64(
+        fine.map_batches(to_coarse, batch_format="pyarrow", batch_size=131072),
+        "key",
+        "cnt",
+    )
+    hot_coarse_tables = [
+        t
+        for t in ray.get(coarse.filter(expr=f"cnt > {hot_threshold}").to_arrow_refs())
+        if t.num_rows
+    ]
+    hot_coarse = (
+        np.concatenate(
+            [t["key"].to_numpy(zero_copy_only=False).astype(np.uint64) for t in hot_coarse_tables]
+        )
+        if hot_coarse_tables
+        else np.zeros(0, dtype=np.uint64)
+    )
+    fine_salts: dict[int, int] = {}
+    for t in ray.get(fine.filter(expr=f"cnt > {hot_threshold}").to_arrow_refs()):
+        for k, c in zip(t["key"].to_pylist(), t["cnt"].to_pylist()):
+            fine_salts[int(k)] = math.ceil(int(c) / salt_target)
+    return hot_coarse, fine_salts
+
+
 def knn_per_cell(ds, k: int = 5, hot_threshold: int = 4000, salt_target: int = 2000,
                  cell_res: int = 7):
     """Dataset[joined rows] -> Dataset[(url, mention_idx, neighbor_url,
     neighbor_mention_idx, rank, dist)].
 
-    Two-pass: one vectorized per-cell count pass drives the adaptive grouping
-    plan (coarse / fine / salted — see _Expand), then the expansion + a
+    Two-pass: one DISTRIBUTED per-cell count pass drives the adaptive
+    grouping plan (coarse / fine / salted — see _Expand; only the tiny
+    above-threshold hot sets reach the driver), then the expansion + a
     hash-partitioned vectorized reduce.
     """
-    import math
-
     import ray
 
     group_res = cell_res - COARSEN
-    cells, counts = _count_fine_cells(ds)
-    coarse = _group_key(cells, group_res) if len(cells) else cells
-    # coarse totals via sort + reduceat (driver-side; a few 100k cells max —
-    # at larger scale keep this as a dataset and join it in, same plan shape)
-    order = np.argsort(coarse, kind="stable")
-    co, cnt_o = coarse[order], counts[order]
-    new = np.ones(len(co), dtype=bool)
-    if len(co):
-        new[1:] = co[1:] != co[:-1]
-    starts = np.nonzero(new)[0]
-    totals = np.add.reduceat(cnt_o, starts) if len(starts) else cnt_o[:0]
-    hot_coarse = co[starts][totals > hot_threshold]
-    # fine salts: still-hot cells inside hot coarse groups
-    fine_salts: dict[int, int] = {}
-    if len(hot_coarse):
-        in_hot = np.isin(coarse, hot_coarse)
-        for c, n_c in zip(cells[in_hot], counts[in_hot]):
-            if n_c > hot_threshold:
-                fine_salts[int(c)] = math.ceil(int(n_c) / salt_target)
+    hot_coarse, fine_salts = _hot_sets(ds, group_res, hot_threshold, salt_target)
 
     # stateless expansion tasks (plan state is tiny; closure capture beats an
     # actor pool: no startup latency, elastic across the cluster)

@@ -80,25 +80,10 @@ def _ensure_inputs() -> None:
         ds.groupby("part").map_groups(w, batch_format="pyarrow").count()
 
     # --- knn: expansion + fixed hash partitioning (mirrors knn_per_cell) ---
-    from core_ray.stages.knn import _Expand, _count_fine_cells, _group_key
-    import math
+    from core_ray.stages.knn import _Expand, _hot_sets
 
     knn_in = joined.select_columns(["url", "mention_idx", "lat", "lon", "hex_cell"])
-    cells, counts = _count_fine_cells(knn_in)
-    coarse = _group_key(cells, 5)
-    order = np.argsort(coarse, kind="stable")
-    co, cnt_o = coarse[order], counts[order]
-    new = np.ones(len(co), dtype=bool)
-    new[1:] = co[1:] != co[:-1]
-    starts = np.nonzero(new)[0]
-    totals = np.add.reduceat(cnt_o, starts)
-    hot_coarse = co[starts][totals > 4000]
-    fine_salts = {}
-    if len(hot_coarse):
-        in_hot = np.isin(coarse, hot_coarse)
-        for c, n_c in zip(cells[in_hot], counts[in_hot]):
-            if n_c > 4000:
-                fine_salts[int(c)] = math.ceil(int(n_c) / 2000)
+    hot_coarse, fine_salts = _hot_sets(knn_in, 5, 4000, 2000)
     expanded = knn_in.map_batches(
         _Expand(hot_coarse, fine_salts, 7), batch_format="pyarrow", batch_size=16384
     )
