@@ -354,12 +354,16 @@ def _count_fine_cells(ds) -> tuple[np.ndarray, np.ndarray]:
     return np.concatenate(ks), np.concatenate(cs)
 
 
-def _hot_sets(ds, group_res: int, hot_threshold: int, salt_target: int):
-    """Distributed hot-set discovery: the full per-cell count histogram is a
-    DATASET (at planet scale it is itself big); only ABOVE-THRESHOLD keys
-    ever reach the driver. A hot fine cell's coarse group is necessarily hot
-    too (the coarse total dominates its members), so the fine filter needs
-    no coarse-membership check."""
+def _hot_sets(ds, group_res: int, hot_threshold: int, salt_target: int,
+              driver_cells_threshold: int = 2_000_000):
+    """Hot-set discovery for the skew plan. The full per-cell count
+    histogram is a DATASET (at planet scale it is itself big): above
+    ``driver_cells_threshold`` distinct cells, only ABOVE-THRESHOLD keys
+    ever reach the driver (coarse totals via a distributed weighted sum; a
+    hot fine cell's coarse group is necessarily hot too, so the fine filter
+    needs no coarse-membership check). Below it, the histogram is small and
+    the driver computes the same sets locally in one pass — identical
+    output, two fewer distributed executions."""
     import math
 
     import ray
@@ -372,9 +376,30 @@ def _hot_sets(ds, group_res: int, hot_threshold: int, salt_target: int):
             batch_size=131072,
         ),
         "key",
-    ).materialize()  # one row per DISTINCT cell; consumed twice below
-    if fine.count() == 0:
+    ).materialize()  # one row per DISTINCT cell
+    n_cells = fine.count()
+    if n_cells == 0:
         return np.zeros(0, dtype=np.uint64), {}
+
+    if n_cells <= driver_cells_threshold:
+        tables = [t for t in ray.get(fine.to_arrow_refs()) if t.num_rows]
+        cells = np.concatenate(
+            [t["key"].to_numpy(zero_copy_only=False).astype(np.uint64) for t in tables]
+        )
+        counts = np.concatenate([t["cnt"].to_numpy(zero_copy_only=False) for t in tables])
+        coarse_k = _group_key(cells, group_res)
+        order = np.argsort(coarse_k, kind="stable")
+        co, cnt_o = coarse_k[order], counts[order]
+        new = np.ones(len(co), dtype=bool)
+        new[1:] = co[1:] != co[:-1]
+        starts = np.nonzero(new)[0]
+        totals = np.add.reduceat(cnt_o, starts)
+        hot_coarse = co[starts][totals > hot_threshold]
+        fine_salts = {
+            int(c): math.ceil(int(n_c) / salt_target)
+            for c, n_c in zip(cells[counts > hot_threshold], counts[counts > hot_threshold])
+        }
+        return hot_coarse, fine_salts
 
     def to_coarse(b: pa.Table) -> pa.Table:
         cells = b["key"].to_numpy(zero_copy_only=False).astype(np.uint64)

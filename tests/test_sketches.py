@@ -128,3 +128,31 @@ class TestDedupSingleScan:
             )
 
         assert result(single_scan=True) == result(single_scan=False)
+
+
+class TestHotSetDiscovery:
+    def test_distributed_equals_driver_path(self, ray_session):
+        """_hot_sets: the distributed above-threshold-only path must produce
+        the same hot coarse groups and fine salts as the small-histogram
+        driver path."""
+        import ray.data
+
+        from core_ray.stages.knn import _hot_sets
+
+        rng = np.random.default_rng(5)
+        # one mega-cell + background
+        cells = np.concatenate(
+            [
+                np.full(5000, 1234567, dtype=np.uint64),
+                rng.integers(1, 10**6, 3000).astype(np.uint64),
+            ]
+        )
+        t = pa.table({"hex_cell": pa.array(cells, pa.uint64())})
+        ds = ray.data.from_arrow(t)
+        hc1, fs1 = _hot_sets(ds, 5, hot_threshold=1000, salt_target=500)
+        hc2, fs2 = _hot_sets(
+            ray.data.from_arrow(t), 5, hot_threshold=1000, salt_target=500,
+            driver_cells_threshold=0,
+        )
+        assert sorted(hc1.tolist()) == sorted(hc2.tolist()) and len(hc1) > 0
+        assert fs1 == fs2 and 1234567 in fs1
