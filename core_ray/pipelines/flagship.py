@@ -191,6 +191,10 @@ def scan_files(
                 shard=shard,
             )
         )
+    if not parts:  # "nothing changed" is a legitimate incremental call
+        import ray.data
+
+        return ray.data.from_items([])
     out = parts[0]
     for p in parts[1:]:
         out = out.union(p)

@@ -1560,17 +1560,24 @@ def events_window_join(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
     ds = _read(sf_dir, "events", ["ts", "value"])
-    starts = _WIN_START_US + np.arange(_N_WINDOWS, dtype=np.int64) * _WIN_STEP_US
+    n_cover = -(-_WIN_LEN_US // _WIN_STEP_US)  # windows that can cover one t
 
     def match(b: pa.Table) -> pa.Table:
         us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
         val = b["value"].to_numpy(zero_copy_only=False)
+        rel = us - _WIN_START_US
+        w_hi = rel // _WIN_STEP_US  # latest window starting at/before t
         out_w, out_v = [], []
-        for w, s in enumerate(starts):
-            m = (us >= s) & (us < s + _WIN_LEN_US)
-            if m.any():
-                out_w.append(np.full(int(m.sum()), w, dtype=np.int64))
-                out_v.append(val[m])
+        for d in range(n_cover):
+            w = w_hi - d
+            ok = (
+                (w >= 0)
+                & (w < _N_WINDOWS)
+                & (rel < w * _WIN_STEP_US + _WIN_LEN_US)
+            )
+            if ok.any():
+                out_w.append(w[ok])
+                out_v.append(val[ok])
         if not out_w:
             return pa.table({"window_id": pa.array([], pa.int64()), "value": pa.array([], pa.float64())})
         return pa.table(

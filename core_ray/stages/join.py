@@ -15,8 +15,11 @@ Cost: exactly one all-to-all over (left + right) rows. Skewed keys hurt the
 partition holding them — for a known-hot key, pre-split it with a salt on
 the probe side and replicate the build side (same recipe as stages/knn.py).
 
-Keys must be non-null (null-key rows are dropped up front, matching SQL
-equi-join semantics where NULL never equals NULL).
+NULL keys never match (SQL equi-join semantics). Null-key rows are dropped
+up front on any side whose unmatched rows would vanish anyway (both sides
+for inner, the non-preserved side for left/right); on preserved sides they
+are retained and surface as unmatched rows with nulls, exactly like SQL
+outer joins.
 """
 
 from __future__ import annotations
@@ -85,9 +88,17 @@ def hash_join(left, right, on: str, right_on: str | None = None,
     l_names = [n for n, _ in l_others]
     r_names = [n for n, _ in r_others]
 
+    # null keys on a PRESERVED side must survive (they surface as unmatched
+    # rows); on other sides they can never contribute and are dropped early
+    keep_nulls = {
+        0: how in ("left", "full"),
+        1: how in ("right", "full"),
+    }
+
     def _pad(side: int, key_name: str):
         def f(b: pa.Table) -> pa.Table:
-            b = b.filter(pc.is_valid(b[key_name]))
+            if not keep_nulls[side]:
+                b = b.filter(pc.is_valid(b[key_name]))
             n = b.num_rows
             cols = {on: b[key_name].cast(key_type)}
             for name, typ in l_others:
@@ -95,11 +106,22 @@ def hash_join(left, right, on: str, right_on: str | None = None,
             for name, typ in r_others:
                 cols[name] = b[name] if side == 1 else pa.nulls(n, typ)
             cols["__side"] = pa.array(np.full(n, side, dtype=np.int8), pa.int8())
-            cols["__part"] = pa.array(
-                (_key_hash(cols[on].combine_chunks() if isinstance(cols[on], pa.ChunkedArray) else cols[on])
-                 % np.uint64(n_parts)).astype(np.int32),
-                pa.int32(),
+            key_arr = (
+                cols[on].combine_chunks()
+                if isinstance(cols[on], pa.ChunkedArray)
+                else cols[on]
             )
+            valid = np.asarray(pc.is_valid(key_arr))
+            part = np.empty(n, dtype=np.int32)
+            if valid.any():
+                part[valid] = (
+                    _key_hash(key_arr.filter(pa.array(valid))) % np.uint64(n_parts)
+                ).astype(np.int32)
+            if (~valid).any():
+                # null keys match nothing: scatter them round-robin so one
+                # partition doesn't absorb every null row
+                part[~valid] = (np.arange(int((~valid).sum())) % n_parts).astype(np.int32)
+            cols["__part"] = pa.array(part, pa.int32())
             return pa.table(cols)
 
         return f

@@ -333,27 +333,6 @@ def _knn_empty() -> pa.Table:
     )
 
 
-def _count_fine_cells(ds) -> tuple[np.ndarray, np.ndarray]:
-    """(cells, counts) per res-R home cell — vectorized count (stages/agg.py;
-    Ray's built-in aggregate reduces Python-side per distinct key)."""
-    from core_ray.stages.agg import count_by_u64
-
-    counts = count_by_u64(
-        ds.select_columns(["hex_cell"]).map_batches(
-            lambda b: pa.table({"key": b["hex_cell"]}), batch_format="pyarrow",
-            batch_size=131072,
-        ),
-        "key",
-    )
-    ks, cs = [], []
-    for b in counts.iter_batches(batch_format="pyarrow"):
-        ks.append(b["key"].to_numpy(zero_copy_only=False).astype(np.uint64))
-        cs.append(b["cnt"].to_numpy(zero_copy_only=False))
-    if not ks:
-        return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.int64)
-    return np.concatenate(ks), np.concatenate(cs)
-
-
 def _hot_sets(ds, group_res: int, hot_threshold: int, salt_target: int,
               driver_cells_threshold: int = 2_000_000):
     """Hot-set discovery for the skew plan. The full per-cell count

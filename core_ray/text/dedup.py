@@ -441,7 +441,14 @@ def _estimate_joined(distinct, reps, id_col: str, threshold: float, id_type):
 def minhash_near_dups(ds, id_col: str = "doc_id", col: str = "text",
                       k: int = 3, threshold: float = 0.6,
                       broadcast_pairs_threshold: int = 200_000):
-    """Dataset[documents] -> near-dup pairs (id_a < id_b, jaccard_est >= t).
+    """Dataset[documents] -> near-dup pairs (id_a < id_b, jaccard_est >= t),
+    at CLUSTER granularity for byte-identical duplicates: cross-corpus pairs
+    are emitted against each exact-duplicate cluster's min-id REPRESENTATIVE
+    (one pair per (cluster, neighbor), not one per member), and the cluster's
+    interior surfaces as linear star pairs (rep ↔ member, est 1.0). The full
+    member-level pair set is the transitive expansion through those
+    est-1.0 star pairs; materializing it directly is inherently quadratic in
+    cluster size, which is exactly the blow-up this contract avoids.
 
     Scale shape (reworked per VERDICT r1 item 3):
       1. one signature row per doc (text dropped immediately);
@@ -591,9 +598,11 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
 def simhash_near_dups(ds, id_col: str = "doc_id", col: str = "text", max_hamming: int = 3):
     """SimHash near-dup pairs via 4x16-bit band buckets + Hamming verify.
 
-    Same scale shape as minhash_near_dups: exact-text collapse first (star
-    pairs, hamming 0, linear in cluster size), vectorized per-bucket Hamming
-    via SWAR popcount (chunked so memory stays bounded), vectorized distinct.
+    Same scale shape AND cluster-granularity contract as minhash_near_dups:
+    exact-text collapse first (cross-corpus pairs use the cluster's min-id
+    representative; interior = linear star pairs with hamming 0), vectorized
+    per-bucket Hamming via SWAR popcount (chunked so memory stays bounded),
+    vectorized distinct.
     """
     sig_ds = ds.map_batches(
         SimHashSigs, fn_constructor_args=(id_col, col),
@@ -719,22 +728,53 @@ def ngram_jaccard(a: str, b: str, n: int = 5) -> float:
 def verify_pairs_joined(pairs_ds, docs_ds, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 5,
                         threshold: float = 0.5, id_type=None):
-    """Exact n-gram-Jaccard verification at corpus scale: candidate texts
-    are RE-JOINED by id through the hash-partitioned equi-join (two
-    all-to-alls over pair rows + the candidate texts only) — no corpus
-    broadcast anywhere. Equivalent output to verify_pairs_exact."""
+    """Exact n-gram-Jaccard verification at corpus scale: the corpus is
+    SEMI-FILTERED to the candidate ids first (distributed np.isin against
+    the broadcast sorted id set — candidate sets are small by LSH
+    construction), then candidate texts are RE-JOINED by id through the
+    hash-partitioned equi-join, so the two all-to-alls move pair rows + the
+    candidate texts only — never the corpus. Equivalent output to
+    verify_pairs_exact."""
     import pyarrow.compute as pc
+    import ray
 
     from core_ray.stages.join import hash_join
 
     id_type = id_type or pa.int64()
-    text_a = docs_ds.map_batches(
+    pairs_ds = pairs_ds.materialize()  # consumed twice: id collection + join
+    pair_tables = [t for t in ray.get(pairs_ds.to_arrow_refs()) if t.num_rows]
+    if not pair_tables:
+        return pairs_ds.map_batches(
+            lambda b: pa.table(
+                {
+                    "id_a": pa.array([], id_type),
+                    "id_b": pa.array([], id_type),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    need = np.unique(
+        np.concatenate(
+            [t["id_a"].to_numpy(zero_copy_only=False) for t in pair_tables]
+            + [t["id_b"].to_numpy(zero_copy_only=False) for t in pair_tables]
+        )
+    )
+    need_ref = ray.put(need)
+
+    def pick(b: pa.Table, need_ref=need_ref) -> pa.Table:
+        nd = need_ref if isinstance(need_ref, np.ndarray) else ray.get(need_ref)
+        m = np.isin(b[id_col].to_numpy(zero_copy_only=False), nd)
+        return b.filter(pa.array(m))
+
+    cand_docs = docs_ds.map_batches(pick, batch_format="pyarrow").materialize()
+    text_a = cand_docs.map_batches(
         lambda b: pa.table(
             {"id_a": b[id_col], "text_a": b[text_col].cast(pa.large_string())}
         ),
         batch_format="pyarrow",
     )
-    text_b = docs_ds.map_batches(
+    text_b = cand_docs.map_batches(
         lambda b: pa.table(
             {"id_b": b[id_col], "text_b": b[text_col].cast(pa.large_string())}
         ),

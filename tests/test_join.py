@@ -101,3 +101,34 @@ def test_hash_join_outer_variants(ray_session, how, sql):
         [t for t in __import__("ray").get(got.to_arrow_refs()) if t.num_rows]
     )
     assert _norm(got_t) == _norm(_duck(left, right, sql))
+
+
+def test_outer_joins_keep_null_key_rows(ray_session):
+    """Outer joins must retain null-key rows on the preserved side as
+    unmatched rows (SQL semantics), while nulls never match each other."""
+    import ray.data
+
+    left = pa.table({"k": pa.array([1, None, 2], pa.int64()), "x": pa.array([1, 2, 3])})
+    right = pa.table({"k": pa.array([1, None], pa.int64()), "y": pa.array([9, 7])})
+    lres = sorted(
+        (
+            (r["k"], r["x"], r["y"])
+            for r in hash_join(
+                ray.data.from_arrow(left), ray.data.from_arrow(right), on="k", how="left"
+            ).take_all()
+        ),
+        key=str,
+    )
+    assert lres == sorted([(1, 1, 9), (None, 2, None), (2, 3, None)], key=str)
+    fres = sorted(
+        (
+            (r["k"], r["x"], r["y"])
+            for r in hash_join(
+                ray.data.from_arrow(left), ray.data.from_arrow(right), on="k", how="full"
+            ).take_all()
+        ),
+        key=str,
+    )
+    assert fres == sorted(
+        [(1, 1, 9), (None, 2, None), (2, 3, None), (None, None, 7)], key=str
+    )
