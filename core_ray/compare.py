@@ -25,11 +25,9 @@ def to_arrow(result) -> pa.Table:
     if isinstance(result, pd.DataFrame):
         return pa.Table.from_pandas(result, preserve_index=False)
     # ray Dataset (small results only)
-    import ray
+    from core_ray.collect import collect_table
 
-    tables = ray.get(result.to_arrow_refs())
-    tables = [t for t in tables if t.num_rows] or tables[:1]
-    return pa.concat_tables(tables, promote_options="default")
+    return collect_table(result)
 
 
 def run_oracle(sql: str, sf_dir: str) -> pa.Table:

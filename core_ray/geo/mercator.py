@@ -50,3 +50,16 @@ def tile_key(z: np.ndarray | int, x: np.ndarray, y: np.ndarray) -> np.ndarray:
         | (np.asarray(x, dtype=np.uint64) << np.uint64(29))
         | np.asarray(y, dtype=np.uint64)
     )
+
+
+def tile_unkey(key: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Inverse of tile_key: uint64 -> (z:int32, x:int64, y:int64). The ONE
+    place that knows the bit layout's inverse — every reduce that unpacks
+    tile keys goes through here."""
+    key = np.asarray(key, dtype=np.uint64)
+    mask = np.uint64((1 << 29) - 1)
+    return (
+        (key >> np.uint64(58)).astype(np.int32),
+        ((key >> np.uint64(29)) & mask).astype(np.int64),
+        (key & mask).astype(np.int64),
+    )

@@ -55,11 +55,6 @@ _PHASE_A_CFG = ("max_html_bytes", "hex_res", "s2_level")
 _KNN_CFG = _PHASE_A_CFG + ("knn_k", "hot_cell_threshold", "salt_group_target")
 _TILES_CFG = _PHASE_A_CFG + ("tile_zooms",)
 
-JOINED_COLUMNS = [
-    "url", "warc_ts", "lang", "text", "derivation_source", "mention_idx",
-    "lat", "lon", "hex_cell", "s2_cell", "admin_id", "admin_level",
-]
-
 
 @dataclass
 class FlagshipResult:
@@ -81,8 +76,7 @@ def _geoip_dict(geoip_table: pa.Table) -> dict[str, tuple[float, float]]:
     }
 
 
-def _phase_a(page_files: list[str], geoip_ref, admin_ref, cfg: PipelineConfig,
-             concurrency: tuple[int, int] | None = None):
+def _phase_a(page_files: list[str], geoip_ref, admin_ref, cfg: PipelineConfig):
     """One fused per-document stage.
 
     TASK-based (not an actor pool) so it fuses with the parquet read — the
@@ -96,7 +90,6 @@ def _phase_a(page_files: list[str], geoip_ref, admin_ref, cfg: PipelineConfig,
 
     from core_ray.stages.analyzer import analyze_batch_task
 
-    _ = concurrency  # elastic tasks: no pool to size
     ds = ray.data.read_parquet(page_files, columns=["url", "warc_ts", "html", "lang"])
     fn = functools.partial(
         analyze_batch_task,
@@ -229,6 +222,8 @@ def run_flagship(
     except ImportError:
         pass
 
+    if not page_files:
+        raise ValueError("run_flagship: page_files is empty (no pages parquet found)")
     cfg = cfg or PipelineConfig()
     checkpoint_dir = checkpoint_dir or cfg.checkpoint_dir
     if checkpoint_dir is None:
@@ -241,10 +236,9 @@ def run_flagship(
     admin_ref = ray.put(admin_table)
 
     # --- phase A: sharded map-only, per-shard resume. Shards run
-    # SEQUENTIALLY, each as one execution with an actor pool sized to ~3/4 of
-    # the cluster (io tasks get the rest). Concurrent shard executions
-    # measured pathologically slow under contention (4 pools fighting for the
-    # same CPUs), while a lone execution already saturates the node. ---
+    # SEQUENTIALLY, each as one task-fused streaming execution that already
+    # saturates the node; concurrent shard executions measured
+    # pathologically slow under contention. ---
     from concurrent.futures import ThreadPoolExecutor
 
     n_shards = n_shards or min(len(page_files), 4)
@@ -252,7 +246,6 @@ def run_flagship(
     shards = [s for s in shards if s]
 
     available = int(ray.cluster_resources().get("CPU", 8))
-    shard_pool = (1, max(2, (available * 3) // 4))
     # side tables + config are INPUTS: fold them into every stage fingerprint
     # so a changed polygon set / geoip map / knob invalidates its checkpoints
     sides_fp = fingerprint_table(admin_table) + fingerprint_table(geoip_table)
@@ -275,9 +268,7 @@ def run_flagship(
             "phaseA",
             STAGE_VERSIONS["phaseA"],
             fp,
-            lambda files=files: _phase_a(
-                files, geoip_ref, admin_ref, cfg, concurrency=shard_pool
-            ),
+            lambda files=files: _phase_a(files, geoip_ref, admin_ref, cfg),
             shard=str(k),
         )
         shard_names.append(str(k))

@@ -25,6 +25,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from core_ray.geo import mercator
+from core_ray.rounding import sql_round, sql_round_np
 
 # ---------------------------------------------------------------- helpers
 
@@ -40,15 +41,10 @@ def _read(sf_dir: str, table: str, columns=None):
 
 
 def _collect_table(ds) -> pa.Table:
-    """Materialize a SMALL Dataset result on the driver (the broadcast side of
-    a semi-join, a filtered key set, query vectors). Never call on a fact
-    table — distributed filters/projections run first so only the small
-    survivor set crosses to the driver."""
-    import ray
+    """Materialize a SMALL Dataset result on the driver (core_ray.collect)."""
+    from core_ray.collect import collect_table
 
-    tables = ray.get(ds.to_arrow_refs())
-    tables = [t for t in tables if t.num_rows] or tables[:1]
-    return pa.concat_tables(tables, promote_options="default")
+    return collect_table(ds)
 
 
 def _collect_numpy(ds, col: str) -> np.ndarray:
@@ -98,9 +94,9 @@ def q1_pricing_summary(sf_dir: str):
             {
                 "l_returnflag": b["l_returnflag"],
                 "l_linestatus": b["l_linestatus"],
-                "sum_qty": pc.round(b["sum_qty"], 2),
-                "sum_base_price": pc.round(b["sum_base_price"], 2),
-                "sum_disc_price": pc.round(b["sum_disc_price"], 2),
+                "sum_qty": sql_round(b["sum_qty"], 2),
+                "sum_base_price": sql_round(b["sum_base_price"], 2),
+                "sum_disc_price": sql_round(b["sum_disc_price"], 2),
                 "count_order": pc.cast(b["count_order"], pa.int64()),
             }
         )
@@ -185,7 +181,7 @@ def q3_top_orders(sf_dir: str):
 
     def finish(b: pa.Table) -> pa.Table:
         return pa.table(
-            {"o_orderkey": b["o_orderkey"], "revenue": pc.round(b["revenue"], 2)}
+            {"o_orderkey": b["o_orderkey"], "revenue": sql_round(b["revenue"], 2)}
         )
 
     out = agg.map_batches(finish, batch_format="pyarrow")
@@ -230,23 +226,35 @@ def q5_region_revenue(sf_dir: str, region: str = "ASIA"):
         for r in supplier.to_pylist()
         if r["s_nationkey"] in n_in
     }
-    ref = ray.put(supp_nation)
+    # broadcast as SORTED parallel arrays so the fact-table probe is
+    # vectorized (np.searchsorted + np.take), never a per-row dict.get
+    skeys = np.sort(np.fromiter(supp_nation.keys(), dtype=np.int64, count=len(supp_nation)))
+    snames = np.asarray([supp_nation[k] for k in skeys])
+    ref = ray.put((skeys, snames))
 
     class MapSupp:
         def __init__(self, ref):
             if isinstance(ref, ray.ObjectRef):
                 ref = ray.get(ref)
-            self.supp = ref
+            self.skeys, self.snames = ref
 
         def __call__(self, b: pa.Table) -> pa.Table:
+            if len(self.skeys) == 0:
+                return pa.table(
+                    {"n_name": pa.array([], pa.string()), "rev": pa.array([], pa.float64())}
+                )
             keys = b["l_suppkey"].to_numpy(zero_copy_only=False)
-            names = [self.supp.get(k) for k in keys]
-            mask = pa.array([n is not None for n in names])
+            pos = np.searchsorted(self.skeys, keys)
+            pos = np.minimum(pos, len(self.skeys) - 1)
+            hit = self.skeys[pos] == keys
             rev = pc.multiply(b["l_extendedprice"], pc.subtract(1.0, b["l_discount"]))
             t = pa.table(
-                {"n_name": pa.array([n if n else "" for n in names], pa.string()), "rev": rev}
+                {
+                    "n_name": pa.array(self.snames[pos], pa.string()),
+                    "rev": rev,
+                }
             )
-            return t.filter(mask)
+            return t.filter(pa.array(hit))
 
     li = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
     agg = (
@@ -256,7 +264,7 @@ def q5_region_revenue(sf_dir: str, region: str = "ASIA"):
         .aggregate(Sum("rev", alias_name="revenue"))
     )
     return agg.map_batches(
-        lambda b: pa.table({"n_name": b["n_name"], "revenue": pc.round(b["revenue"], 2)}),
+        lambda b: pa.table({"n_name": b["n_name"], "revenue": sql_round(b["revenue"], 2)}),
         batch_format="pyarrow",
     )
 
@@ -304,7 +312,7 @@ def events_hourly(sf_dir: str):
                 "event_type": b["event_type"],
                 "hour": b["hour"],
                 "n_events": pc.cast(b["n_events"], pa.int64()),
-                "sum_value": pc.round(b["sum_value"], 2),
+                "sum_value": sql_round(b["sum_value"], 2),
             }
         ),
         batch_format="pyarrow",
@@ -329,7 +337,7 @@ def events_top_users(sf_dir: str):
         lambda b: pa.table(
             {
                 "user_id": b["user_id"],
-                "total_value": pc.round(b["total_value"], 2),
+                "total_value": sql_round(b["total_value"], 2),
                 "n_events": pc.cast(b["n_events"], pa.int64()),
             }
         ),
@@ -450,7 +458,7 @@ def doc_lang_dist(sf_dir: str):
             {
                 "lang": b["lang"],
                 "n_docs": pc.cast(b["n_docs"], pa.int64()),
-                "avg_chars": pc.round(
+                "avg_chars": sql_round(
                     pc.divide(pc.cast(b["sum_chars"], pa.float64()), pc.cast(b["n_docs"], pa.float64())), 2
                 ),
             }
@@ -692,14 +700,12 @@ def geo_tile_counts(sf_dir: str, zooms=(7, 9, 12)):
     )
 
     def unpack(b: pa.Table) -> pa.Table:
-        k = b["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        uz, ux, uy = mercator.tile_unkey(b["key"].to_numpy(zero_copy_only=False))
         return pa.table(
             {
-                "tile_z": pa.array((k >> np.uint64(58)).astype(np.int32), pa.int32()),
-                "tile_x": pa.array(
-                    ((k >> np.uint64(29)) & np.uint64((1 << 29) - 1)).astype(np.int64), pa.int64()
-                ),
-                "tile_y": pa.array((k & np.uint64((1 << 29) - 1)).astype(np.int64), pa.int64()),
+                "tile_z": pa.array(uz, pa.int32()),
+                "tile_x": pa.array(ux, pa.int64()),
+                "tile_y": pa.array(uy, pa.int64()),
                 "n_points": pa.array(
                     b["cnt"].to_numpy(zero_copy_only=False).astype(np.int64), pa.int64()
                 ),
@@ -1436,7 +1442,7 @@ def emb_near_dup_pairs(sf_dir: str, threshold: float = 0.35, chunk_rows: int = 4
                 continue
             # threshold on the ROUNDED sim (the oracle filters identically,
             # so boundary values agree); emit (a < b) pairs only
-            sims = np.round(xi @ xj.T, 6)
+            sims = sql_round_np(xi @ xj.T, 6)
             hot = sims >= threshold
             a_idx, b_idx = np.nonzero(hot & (ids_i[:, None] < ids_j[None, :]))
             out_a.append(ids_i[a_idx])
@@ -1528,7 +1534,7 @@ def events_rolling_max(sf_dir: str, frame: int = 3):
             {
                 "event_id": pa.array(eid, pa.int64()),
                 "user_id": pa.array(uid, pa.int64()),
-                "rolling_max": pa.array(np.round(out, 2), pa.float64()),
+                "rolling_max": pa.array(sql_round_np(out, 2), pa.float64()),
             }
         )
 
@@ -1597,7 +1603,7 @@ def events_window_join(sf_dir: str):
             {
                 "window_id": b["window_id"],
                 "n_events": pc.cast(b["n_events"], pa.int64()),
-                "sum_value": pc.round(b["sum_value"], 2),
+                "sum_value": sql_round(b["sum_value"], 2),
             }
         ),
         batch_format="pyarrow",
@@ -1664,8 +1670,8 @@ def events_value_quantiles(sf_dir: str):
         return pa.table(
             {
                 "event_type": pa.array([g["event_type"][0].as_py()], pa.string()),
-                "p50": pa.array([round(float(np.quantile(v, 0.5)), 6)], pa.float64()),
-                "p90": pa.array([round(float(np.quantile(v, 0.9)), 6)], pa.float64()),
+                "p50": pa.array([float(sql_round_np(np.quantile(v, 0.5), 6))], pa.float64()),
+                "p90": pa.array([float(sql_round_np(np.quantile(v, 0.9), 6))], pa.float64()),
             }
         )
 
@@ -1743,7 +1749,7 @@ def orders_cust_join(sf_dir: str):
         return pa.table(
             {
                 "custkey": b["o_custkey"],
-                "cents": pa.array(np.round(v * 100.0).astype(np.int64), pa.int64()),
+                "cents": pa.array(sql_round_np(v * 100.0, 0).astype(np.int64), pa.int64()),
             }
         )
 

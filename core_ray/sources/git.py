@@ -27,12 +27,16 @@ def sanitize_url(url: str) -> str:
     return _USERINFO_RE.sub("//", url)
 
 
+_LEADING_USERINFO_RE = re.compile(r"^[^/@]*@")
+
+
 def inject_token(url: str, token: str) -> str:
-    """https://host/... -> https://<token>@host/... (clone-time only)."""
+    """https://host/... -> https://<token>@host/... (clone-time only).
+    Existing userinfo in the URL is REPLACED, never concatenated."""
     if "://" not in url:
         raise ValueError("token injection needs a scheme:// URL")
     scheme, rest = url.split("://", 1)
-    return f"{scheme}://{token}@{_USERINFO_RE.sub('', rest) if rest.startswith('//') else rest}"
+    return f"{scheme}://{token}@{_LEADING_USERINFO_RE.sub('', rest)}"
 
 
 def shallow_clone(url: str, dest: str | None = None, token: str | None = None,

@@ -25,11 +25,26 @@ def ingest_html_dir(
     base_url: str = "https://ingested.example.com",
     default_lang: str = "en",
     warc_ts: str = "2025-01-01T00:00:00",
+    overwrite: bool = False,
 ) -> int:
     """Read every *.html under ``src_dir`` into pages-schema parquet at
-    ``out_dir``. Returns the number of pages written. Ray must be running."""
+    ``out_dir``. Returns the number of pages written. Ray must be running.
+
+    ``out_dir`` must not already hold parquet (a second ingest would
+    silently mix corpora and inflate the returned count) — pass
+    ``overwrite=True`` to clear previous output first."""
     import numpy as np
     import ray.data
+
+    if os.path.isdir(out_dir):
+        stale = [f for f in os.listdir(out_dir) if f.endswith(".parquet")]
+        if stale and not overwrite:
+            raise ValueError(
+                f"out_dir {out_dir!r} already holds {len(stale)} parquet file(s); "
+                "pass overwrite=True to replace them"
+            )
+        for f in stale:
+            os.remove(os.path.join(out_dir, f))
 
     ds = ray.data.read_binary_files(
         src_dir, include_paths=True, file_extensions=["html", "htm"]

@@ -76,14 +76,12 @@ def _reduce_partition(part: pa.Table) -> pa.Table:
     tile_starts = np.nonzero(tile_new)[0]
     mention = np.add.reduceat(cnt_o, tile_starts)
     pages = np.add.reduceat(pair_new.astype(np.int64), tile_starts)
-    tk_u = tk_o[tile_starts]
+    uz, ux, uy = mercator.tile_unkey(tk_o[tile_starts])
     return pa.table(
         {
-            "tile_z": pa.array((tk_u >> np.uint64(58)).astype(np.int32), pa.int32()),
-            "tile_x": pa.array(
-                ((tk_u >> np.uint64(29)) & np.uint64((1 << 29) - 1)).astype(np.int64), pa.int64()
-            ),
-            "tile_y": pa.array((tk_u & np.uint64((1 << 29) - 1)).astype(np.int64), pa.int64()),
+            "tile_z": pa.array(uz, pa.int32()),
+            "tile_x": pa.array(ux, pa.int64()),
+            "tile_y": pa.array(uy, pa.int64()),
             "page_count": pa.array(pages, pa.int64()),
             "mention_count": pa.array(mention, pa.int64()),
         }
@@ -264,14 +262,12 @@ def _tile_rollup_hll(ds, zooms: tuple[int, ...]):
         merged = np.maximum.reduceat(regs_o, starts, axis=0)
         mention = np.add.reduceat(cnt_o, starts)
         pages = _hll_estimate(merged)
-        tk = key_o[starts]
+        uz, ux, uy = mercator.tile_unkey(key_o[starts])
         return pa.table(
             {
-                "tile_z": pa.array((tk >> np.uint64(58)).astype(np.int32), pa.int32()),
-                "tile_x": pa.array(
-                    ((tk >> np.uint64(29)) & np.uint64((1 << 29) - 1)).astype(np.int64), pa.int64()
-                ),
-                "tile_y": pa.array((tk & np.uint64((1 << 29) - 1)).astype(np.int64), pa.int64()),
+                "tile_z": pa.array(uz, pa.int32()),
+                "tile_x": pa.array(ux, pa.int64()),
+                "tile_y": pa.array(uy, pa.int64()),
                 "page_count": pa.array(pages, pa.int64()),
                 "mention_count": pa.array(mention, pa.int64()),
             }

@@ -45,9 +45,14 @@ def add_quality(batch: pa.Table, col: str = "text") -> pa.Table:
         n_tok[i] = len(toks)
         n_distinct[i] = len(set(toks))
         sum_len[i] = sum(len(w) for w in toks)
+    from core_ray.rounding import sql_round_np
+
     safe = np.maximum(n_tok, 1)
-    distinct_ratio = np.round(n_distinct / safe, 6)
-    mean_token_len = np.round(sum_len / safe, 6)
+    # half-away rounding to match SQL ROUND: ratios with power-of-two
+    # denominators (e.g. 97/128) land on exact ties where numpy's
+    # banker's rounding diverges from the oracle
+    distinct_ratio = sql_round_np(n_distinct / safe, 6)
+    mean_token_len = sql_round_np(sum_len / safe, 6)
     return (
         batch.append_column("n_tokens", pa.array(n_tok, pa.int64()))
         .append_column("distinct_ratio", pa.array(distinct_ratio, pa.float64()))

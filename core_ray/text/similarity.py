@@ -17,6 +17,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from core_ray.rounding import sql_round_np
+
 from ray.data.aggregate import Sum
 
 
@@ -81,7 +83,7 @@ def _merge_topk(group: pa.Table, k: int) -> pa.Table:
             "query_id": pa.array([qid] * len(order), pa.int64()),
             "vec_id": pa.array(vids[order], pa.int64()),
             "rank": pa.array(np.arange(len(order), dtype=np.int32), pa.int32()),
-            "sim": pa.array(np.round(sims[order], 6), pa.float64()),
+            "sim": pa.array(sql_round_np(sims[order], 6), pa.float64()),
         }
     )
 
@@ -158,7 +160,7 @@ def _bucket_topk(group: pa.Table, query_id_set: frozenset, k: int,
             out_q.append(q_ids[qi])
             out_v.append(ids[ci])
             out_r.append(r)
-            out_s.append(round(float(row[ci]), 6))
+            out_s.append(float(sql_round_np(row[ci], 6)))
     return pa.table(
         {
             "query_id": pa.array(out_q, pa.int64()),
@@ -217,7 +219,7 @@ def label_centroids(ds, label_col: str = "label", col: str = "embedding"):
     )
 
     def finish(batch: pa.Table) -> pa.Table:
-        mean = np.round(
+        mean = sql_round_np(
             batch["sum_val"].to_numpy(zero_copy_only=False)
             / batch["cnt"].to_numpy(zero_copy_only=False),
             6,
@@ -343,7 +345,7 @@ def ivf_ann_topk(ds, query_ids, k: int = 5, n_clusters: int = 16, nprobe: int = 
                 "query_id": pa.array([qid] * len(keep), pa.int64()),
                 "vec_id": pa.array(vids[keep], pa.int64()),
                 "rank": pa.array(np.arange(len(keep), dtype=np.int32), pa.int32()),
-                "sim": pa.array(np.round(sims[keep], 6), pa.float64()),
+                "sim": pa.array(sql_round_np(sims[keep], 6), pa.float64()),
             }
         )
 
