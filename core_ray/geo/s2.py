@@ -60,6 +60,12 @@ def xyz_to_face_uv(x: np.ndarray, y: np.ndarray, z: np.ndarray) -> tuple[np.ndar
     major = np.choose(face, [x, y, z])
     face = np.where(major < 0, face + 3, face).astype(np.int64)
     # Per-face (u, v) axes, per the published ValidFaceXYZtoUV mapping.
+    # Sign check (esp. faces 4/5, whose v-axis sign is a common transcription
+    # trap): the published kFaceUVWAxes table gives face 4 axes
+    # u=(0,0,-1) v=(1,0,0) w=(0,-1,0), i.e. xyz = (v, -1, -u) — recovering
+    # v from xyz therefore REQUIRES v = -x/y (and -x/z on face 5); the
+    # inverse in cell_to_center_lonlat uses that same axes table, and the
+    # round-trip property tests pin the pair together.
     u = np.empty_like(x)
     v = np.empty_like(x)
     for f, (ufn, vfn) in enumerate(
