@@ -194,3 +194,25 @@ class TestCoords:
     def test_multiple_in_order(self):
         text = "a 10.1234, 20.5678 b geo:30.1,40.2 c"
         assert coords.extract_mentions(text) == [(10.1234, 20.5678), (30.1, 40.2)]
+
+
+class TestTileKeyRoundtrip:
+    def test_key_unkey_roundtrip_property(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=200, deadline=None)
+        @given(
+            z=st.integers(min_value=0, max_value=30),
+            frac_x=st.floats(min_value=0, max_value=1, exclude_max=True),
+            frac_y=st.floats(min_value=0, max_value=1, exclude_max=True),
+        )
+        def check(z, frac_x, frac_y):
+            n = 1 << z
+            x = np.array([int(frac_x * n)], dtype=np.uint64)
+            y = np.array([int(frac_y * n)], dtype=np.uint64)
+            zz = np.array([z], dtype=np.uint64)
+            uz, ux, uy = mercator.tile_unkey(mercator.tile_key(zz, x, y))
+            assert (uz[0], ux[0], uy[0]) == (z, int(x[0]), int(y[0]))
+
+        check()
