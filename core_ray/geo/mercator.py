@@ -44,7 +44,9 @@ def tile_parent(x: np.ndarray, y: np.ndarray, dz: int) -> tuple[np.ndarray, np.n
 
 
 def tile_key(z: np.ndarray | int, x: np.ndarray, y: np.ndarray) -> np.ndarray:
-    """Pack (z, x, y) into one uint64 sort/group key: z<<58 | x<<29 | y."""
+    """Pack (z, x, y) into one uint64 sort/group key: z<<58 | x<<29 | y.
+    29 bits per axis -> valid for zoom <= 29 (plenty past the engine's z12
+    base; zoom 30 would overflow x into the z bits)."""
     return (
         (np.asarray(z, dtype=np.uint64) << np.uint64(58))
         | (np.asarray(x, dtype=np.uint64) << np.uint64(29))

@@ -201,9 +201,10 @@ class TestTileKeyRoundtrip:
         from hypothesis import given, settings
         from hypothesis import strategies as st
 
+        # 29 bits per axis -> the layout supports zooms up to 29
         @settings(max_examples=200, deadline=None)
         @given(
-            z=st.integers(min_value=0, max_value=30),
+            z=st.integers(min_value=0, max_value=29),
             frac_x=st.floats(min_value=0, max_value=1, exclude_max=True),
             frac_y=st.floats(min_value=0, max_value=1, exclude_max=True),
         )
