@@ -287,24 +287,30 @@ _SESSION_GAP_US = 1800 * 1000 * 1000
 
 
 def events_hourly(sf_dir: str):
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
 
-    def add_hour(b: pa.Table) -> pa.Table:
+    def combine(b: pa.Table) -> pa.Table:
+        # per-batch combiner: the shuffle moves <= (types x hours) rows per
+        # batch instead of every event row
         us = pc.cast(b["ts"], pa.int64())
-        return pa.table(
+        t = pa.table(
             {
                 "event_type": b["event_type"],
                 "hour": pc.divide(us, _HOUR_US),
                 "value": b["value"],
             }
         )
+        agg = pa.TableGroupBy(t, ["event_type", "hour"]).aggregate(
+            [("value", "sum"), ([], "count_all")]
+        )
+        return agg.select(["event_type", "hour", "value_sum", "count_all"])
 
     agg = (
-        ds.map_batches(add_hour, batch_format="pyarrow", batch_size=65536)
+        ds.map_batches(combine, batch_format="pyarrow", batch_size=65536)
         .groupby(["event_type", "hour"])
-        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .aggregate(Sum("count_all", alias_name="n_events"), Sum("value_sum", alias_name="sum_value"))
     )
     return agg.map_batches(
         lambda b: pa.table(
