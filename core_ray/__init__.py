@@ -15,9 +15,21 @@ Layout:
     pipelines/  end-to-end pipeline compositions (flagship spatial pipeline)
     state/      checkpoint + per-partition lineage manifest
     queries.py  driver-facing sf_dir-parameterized queries + DuckDB oracle SQL
+
+Primary public entry points (import lazily — Ray must be initialized by the
+caller before running any pipeline):
+
+    from core_ray.pipelines.flagship import run_flagship, scan_files
+    from core_ray.stages.join import hash_join
+    from core_ray.stages.dedup import dedup_exact, BloomFilter
+    from core_ray.stages.tiles import tile_rollup
+    from core_ray.stages.knn import knn_per_cell
+    from core_ray.text.dedup import minhash_near_dups, simhash_near_dups
+    from core_ray.sources.ingest import ingest_html_dir
+    from core_ray.sources.git import ingest_git_repo
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 
 def _stabilize_fsspec_http() -> None:
