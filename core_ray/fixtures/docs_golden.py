@@ -1,0 +1,306 @@
+"""Independent pure-Python goldens for the sketch/ANN queries.
+
+Closes VERDICT r2 item 1: the five formerly rows-only queries
+(doc_fingerprint, doc_minhash_pairs, doc_simhash_pairs, emb_ann_lsh,
+emb_ann_ivf) get hard DuckDB oracles via the same golden-parquet trick the
+pages_* queries use (reference analog: everything golden-snapshot-checked,
+tests/integration/snapshot.go:216-276): a slow, single-process, independently
+written implementation of each operator's SPEC is materialized as parquet at
+the driver-correctness scale (sf0.01) and the oracle SQL just reads it back,
+so the driver's row/schema/value-hash compare enforces engine == golden.
+
+Independence discipline:
+- doc_fingerprint: each window hash is evaluated DIRECTLY as the polynomial
+  sum(h_i * base^(w-1-i)) mod p per window position — independently validates
+  the engine's rolling Karp-Rabin recurrence (text/analysis.py).
+- minhash / simhash: signatures, banding, bucketing and pair generation are
+  straight-line Python dict/loop code over Python ints — independently
+  validates the engine's vectorized numpy kernels, its exact-text collapse
+  (rep/star contract) and its distributed shuffle plumbing. Spec constants
+  (permutation seeds, band layout, hash mixes) are shared BY DESIGN: they
+  are the operator's published parameters, not implementation detail.
+- ANN (LSH / IVF): approximate by contract, so the golden is a fixed-seed
+  DETERMINISM check (VERDICT r2 item 1): the same published algorithm run
+  as one straight-line numpy process — validates that distributed bucketing,
+  probing and merge reproduce the single-process result exactly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+from core_ray.rounding import sql_round_np
+
+_M64 = (1 << 64) - 1
+_GOLD = 0x9E3779B97F4A7C15
+
+
+def _splitmix(z: int) -> int:
+    """Full splitmix64 finalizer (spec shared with text/dedup.shingle_hashes)."""
+    z = (z + _GOLD) & _M64
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _M64
+    return z ^ (z >> 31)
+
+
+def _avalanche32(h: int) -> int:
+    """Band-hash finalizer (spec shared with text/dedup._band_hashes)."""
+    h = ((h ^ (h >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+    h = ((h ^ (h >> 27)) * 0x94D049BB133111EB) & _M64
+    return (h ^ (h >> 31)) & 0xFFFFFFFF
+
+
+# ---------------- fingerprint ----------------
+
+
+def golden_fingerprints(doc_ids, texts, window: int = 8) -> pa.Table:
+    base, mod = 1000003, (1 << 61) - 1
+    out = []
+    for t in texts:
+        hs = [zlib.crc32(w.encode("utf-8")) & 0xFFFFFFFF for w in t.split()]
+        if len(hs) < window:
+            acc = 1469598103934665603
+            for h in hs:
+                acc = ((acc ^ h) * 1099511628211) & _M64
+            out.append(acc)
+            continue
+        # direct polynomial evaluation per window (no rolling recurrence)
+        powers = [pow(base, window - 1 - j, mod) for j in range(window)]
+        best = None
+        for i in range(len(hs) - window + 1):
+            v = sum(hs[i + j] * powers[j] for j in range(window)) % mod
+            if best is None or v < best:
+                best = v
+        out.append(best)
+    return pa.table(
+        {
+            "doc_id": pa.array(list(doc_ids), pa.int64()),
+            "fingerprint": pa.array(out, pa.uint64()),
+        }
+    )
+
+
+# ---------------- minhash near-dup pairs ----------------
+
+_N_PERM, _N_BANDS = 64, 16
+_ROWS_PER_BAND = _N_PERM // _N_BANDS
+
+
+def _perm_tables():
+    rng = np.random.default_rng(1234)
+    a = (rng.integers(1, 1 << 61, _N_PERM, dtype=np.uint64) | np.uint64(1)).tolist()
+    b = rng.integers(0, 1 << 61, _N_PERM, dtype=np.uint64).tolist()
+    return [int(x) for x in a], [int(x) for x in b]
+
+
+def _py_minhash_sig(text: str, a: list, b: list, k: int = 3) -> list[int]:
+    toks = text.split()
+    if len(toks) < k:
+        shingles = [" ".join(toks)] if toks else []
+    else:
+        shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    if not shingles:
+        return [_M64] * _N_PERM
+    hs = [_splitmix(zlib.crc32(s.encode("utf-8"))) for s in shingles]
+    return [min((a[j] * h + b[j]) & _M64 for h in hs) for j in range(_N_PERM)]
+
+
+def _collapse_by_md5(doc_ids, texts):
+    """Exact-text collapse: min-id representative per distinct text + star
+    members (the cluster-granularity contract of minhash_near_dups)."""
+    groups: dict[bytes, list[int]] = {}
+    text_of: dict[int, str] = {}
+    for i, t in zip(doc_ids, texts):
+        groups.setdefault(hashlib.md5(t.encode("utf-8")).digest(), []).append(int(i))
+        text_of[int(i)] = t
+    reps, stars = [], []
+    for members in groups.values():
+        members.sort()
+        reps.append(members[0])
+        stars.extend((members[0], m) for m in members[1:])
+    return reps, stars, text_of
+
+
+def golden_minhash_pairs(doc_ids, texts, k: int = 3, threshold: float = 0.5) -> pa.Table:
+    a, b = _perm_tables()
+    reps, stars, text_of = _collapse_by_md5(doc_ids, texts)
+    sig = {r: _py_minhash_sig(text_of[r], a, b, k) for r in reps}
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for r in sorted(reps):
+        s = sig[r]
+        for band in range(_N_BANDS):
+            h = 0
+            for lane in s[band * _ROWS_PER_BAND : (band + 1) * _ROWS_PER_BAND]:
+                h = (h * _GOLD + lane) & _M64
+            buckets.setdefault((band, _avalanche32(h)), []).append(r)
+    cand = set()
+    for members in buckets.values():
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                cand.add((members[i], members[j]))
+    id_a, id_b, est = [], [], []
+    for x, y in sorted(cand):
+        e = sum(u == v for u, v in zip(sig[x], sig[y])) / _N_PERM
+        if e >= threshold:
+            id_a.append(x)
+            id_b.append(y)
+            est.append(e)  # m/64 is always exact at <=6 decimals
+    for x, y in stars:
+        id_a.append(x)
+        id_b.append(y)
+        est.append(1.0)
+    return pa.table(
+        {
+            "id_a": pa.array(id_a, pa.int64()),
+            "id_b": pa.array(id_b, pa.int64()),
+            "jaccard_est": pa.array(est, pa.float64()),
+        }
+    )
+
+
+# ---------------- simhash near-dup pairs ----------------
+
+
+def _py_simhash(text: str) -> int:
+    toks = text.split()
+    if not toks:
+        return 0
+    acc = [0] * 64
+    for t in toks:
+        z = (zlib.crc32(t.encode("utf-8")) + _GOLD) & _M64
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+        z = z ^ (z >> 31)  # the engine's simhash64 token mix (2-step)
+        for bit in range(64):
+            acc[bit] += 1 if (z >> bit) & 1 else -1
+    out = 0
+    for bit in range(64):
+        if acc[bit] > 0:
+            out |= 1 << bit
+    return out
+
+
+def golden_simhash_pairs(doc_ids, texts, max_hamming: int = 3) -> pa.Table:
+    reps, stars, text_of = _collapse_by_md5(doc_ids, texts)
+    sh = {r: _py_simhash(text_of[r]) for r in reps}
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for r in sorted(reps):
+        for band in range(4):
+            buckets.setdefault((band, (sh[r] >> (16 * band)) & 0xFFFF, ), []).append(r)
+    found: dict[tuple[int, int], int] = {}
+    for members in buckets.values():
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                x, y = members[i], members[j]
+                d = bin(sh[x] ^ sh[y]).count("1")
+                if d <= max_hamming:
+                    found[(x, y)] = d
+    id_a = [p[0] for p in sorted(found)]
+    id_b = [p[1] for p in sorted(found)]
+    ham = [found[p] for p in sorted(found)]
+    for x, y in stars:
+        id_a.append(x)
+        id_b.append(y)
+        ham.append(0)
+    return pa.table(
+        {
+            "id_a": pa.array(id_a, pa.int64()),
+            "id_b": pa.array(id_b, pa.int64()),
+            "hamming": pa.array(ham, pa.int32()),
+        }
+    )
+
+
+# ---------------- ANN determinism goldens ----------------
+
+
+def _emb_matrix(tbl: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = tbl["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    x = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+    return ids, x
+
+
+def _norm(x: np.ndarray) -> np.ndarray:
+    return x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+
+
+def golden_ann_lsh(tbl: pa.Table, query_modulus: int = 100, k: int = 5,
+                   n_planes: int = 5) -> pa.Table:
+    ids, x = _emb_matrix(tbl)
+    planes = np.random.default_rng(99).normal(size=(n_planes, x.shape[1]))
+    bits = (x @ planes.T) > 0
+    bucket = np.zeros(len(x), dtype=np.int64)
+    for b in range(n_planes):
+        bucket |= bits[:, b].astype(np.int64) << b
+    q_ids = ids[ids % query_modulus == 0]
+    out_q, out_v, out_r, out_s = [], [], [], []
+    for bk in np.unique(bucket):
+        m = bucket == bk
+        b_ids = ids[m]
+        qs = [q for q in q_ids if (b_ids == q).any()]
+        if not qs:
+            continue
+        xn = _norm(x[m])
+        is_q = np.isin(b_ids, np.asarray(qs))
+        sims = xn[is_q] @ xn.T  # same shape as the engine's per-bucket matmul
+        for qi, qid in enumerate(b_ids[is_q]):
+            row = sims[qi].copy()
+            row[b_ids == qid] = -np.inf
+            order = np.lexsort((b_ids, -row))[: min(k, int(np.isfinite(row).sum()))]
+            for r, ci in enumerate(order):
+                out_q.append(int(qid))
+                out_v.append(int(b_ids[ci]))
+                out_r.append(r)
+                out_s.append(float(sql_round_np(row[ci], 6)))
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "rank": pa.array(out_r, pa.int32()),
+            "sim": pa.array(out_s, pa.float64()),
+        }
+    )
+
+
+def golden_ann_ivf(tbl: pa.Table, query_modulus: int = 100, k: int = 5,
+                   n_clusters: int = 16, nprobe: int = 3,
+                   train_sample: int = 2048) -> pa.Table:
+    ids, x = _emb_matrix(tbl)
+    xs = _norm(x[:train_sample])
+    rng = np.random.default_rng(7)
+    centers = xs[rng.choice(len(xs), size=min(n_clusters, len(xs)), replace=False)]
+    for _ in range(10):
+        d = ((xs[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(centers)):
+            m = assign == c
+            if m.any():
+                centers[c] = xs[m].mean(axis=0)
+    centers = _norm(centers)
+    xn = _norm(x)
+    sims_c = xn @ centers.T
+    home = sims_c.argmax(axis=1)
+    q_mask = ids % query_modulus == 0
+    out_q, out_v, out_r, out_s = [], [], [], []
+    for qi in np.nonzero(q_mask)[0]:
+        probes = np.argsort(-sims_c[qi], kind="stable")[:nprobe]
+        cand = np.nonzero(np.isin(home, probes))[0]
+        cand = cand[ids[cand] != ids[qi]]
+        row = xn[cand] @ xn[qi]
+        order = np.lexsort((ids[cand], -row))[:k]
+        for r, ci in enumerate(order):
+            out_q.append(int(ids[qi]))
+            out_v.append(int(ids[cand][ci]))
+            out_r.append(r)
+            out_s.append(float(sql_round_np(row[ci], 6)))
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "rank": pa.array(out_r, pa.int32()),
+            "sim": pa.array(out_s, pa.float64()),
+        }
+    )

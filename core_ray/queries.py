@@ -573,6 +573,7 @@ DOC_LANGID_SQL = _langid_sql()
 def doc_fingerprint(sf_dir: str):
     from core_ray.text.analysis import Fingerprinter
 
+    _ensure_docs_golden(sf_dir)
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(
         Fingerprinter, batch_format="pyarrow", batch_size=4096, concurrency=(1, 4)
@@ -582,6 +583,7 @@ def doc_fingerprint(sf_dir: str):
 def doc_minhash_pairs(sf_dir: str):
     from core_ray.text.dedup import minhash_near_dups
 
+    _ensure_docs_golden(sf_dir)
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return minhash_near_dups(ds, threshold=0.5)
 
@@ -589,6 +591,7 @@ def doc_minhash_pairs(sf_dir: str):
 def doc_simhash_pairs(sf_dir: str):
     from core_ray.text.dedup import simhash_near_dups
 
+    _ensure_docs_golden(sf_dir)
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return simhash_near_dups(ds, max_hamming=6)
 
@@ -658,6 +661,7 @@ FROM x GROUP BY 1, 2
 def emb_ann_lsh(sf_dir: str):
     from core_ray.text.similarity import lsh_ann_topk
 
+    _ensure_docs_golden(sf_dir)
     q_ids, _ = _load_queries(sf_dir)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return lsh_ann_topk(ds, q_ids, k=5)
@@ -1070,6 +1074,59 @@ PAGES_JOINED_SQL = f"SELECT * FROM read_parquet('{_GD}/joined.parquet')"
 PAGES_TILES_SQL = f"SELECT * FROM read_parquet('{_GD}/tiles.parquet')"
 PAGES_ERRORS_SQL = f"SELECT * FROM read_parquet('{_GD}/errors.parquet')"
 PAGES_KNN_SQL = f"SELECT * FROM read_parquet('{_GD}/knn.parquet')"
+
+
+# --- golden-diff oracles for the sketch/ANN queries (VERDICT r2 item 1) ---
+# Same trick as pages_*: the independent pure-Python/single-process goldens
+# (fixtures/docs_golden.py) are materialized as parquet at the
+# driver-correctness scale and the SQL reads them back. This upgrades the
+# five formerly rows-only queries to the full rows+schema+hash check.
+# Exactness at a second scale is enforced by tests/test_docs_golden.py.
+
+_DOCS_GOLDEN_SF = 0.01
+_DOCS_GOLDEN_VERSION = 1  # bump when sketch specs / golden schemas change
+
+
+def _docs_golden_dir() -> str:
+    return f"/tmp/core_ray_docs_golden_v{_DOCS_GOLDEN_VERSION}"
+
+
+def _ensure_docs_golden(sf_dir: str) -> None:
+    """No-op except at the driver-correctness scale (like _ensure_pages_golden)."""
+    if _sf_of(sf_dir) != _DOCS_GOLDEN_SF:
+        return
+    root = _docs_golden_dir()
+    marker = os.path.join(root, ".complete")
+    if os.path.exists(marker):
+        return
+    import pyarrow.parquet as pq
+
+    from core_ray.fixtures import docs_golden as dg
+
+    os.makedirs(root, exist_ok=True)
+    docs = pq.read_table(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    ids = docs["doc_id"].to_pylist()
+    texts = docs["text"].to_pylist()
+    pq.write_table(dg.golden_fingerprints(ids, texts), f"{root}/fingerprint.parquet")
+    pq.write_table(
+        dg.golden_minhash_pairs(ids, texts, threshold=0.5), f"{root}/minhash_pairs.parquet"
+    )
+    pq.write_table(
+        dg.golden_simhash_pairs(ids, texts, max_hamming=6), f"{root}/simhash_pairs.parquet"
+    )
+    emb = pq.read_table(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    pq.write_table(dg.golden_ann_lsh(emb), f"{root}/ann_lsh.parquet")
+    pq.write_table(dg.golden_ann_ivf(emb), f"{root}/ann_ivf.parquet")
+    with open(marker, "w") as f:
+        f.write("ok")
+
+
+_DGD = _docs_golden_dir()
+DOC_FINGERPRINT_SQL = f"SELECT * FROM read_parquet('{_DGD}/fingerprint.parquet')"
+DOC_MINHASH_PAIRS_SQL = f"SELECT * FROM read_parquet('{_DGD}/minhash_pairs.parquet')"
+DOC_SIMHASH_PAIRS_SQL = f"SELECT * FROM read_parquet('{_DGD}/simhash_pairs.parquet')"
+EMB_ANN_LSH_SQL = f"SELECT * FROM read_parquet('{_DGD}/ann_lsh.parquet')"
+EMB_ANN_IVF_SQL = f"SELECT * FROM read_parquet('{_DGD}/ann_ivf.parquet')"
 
 
 # ---------------------------------------------------------------- multimodal
@@ -1491,6 +1548,7 @@ WHERE ROUND(LIST_COSINE_SIMILARITY(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 def emb_ann_ivf(sf_dir: str):
     from core_ray.text.similarity import ivf_ann_topk
 
+    _ensure_docs_golden(sf_dir)
     q_ids, _ = _load_queries(sf_dir)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return ivf_ann_topk(ds, q_ids, k=5)
@@ -1907,7 +1965,12 @@ ORACLE_SQL = {
     "cust_no_orders": CUST_NO_ORDERS_SQL,
     "events_value_histogram": EVENTS_HISTOGRAM_SQL,
     "orders_cust_join": ORDERS_CUST_JOIN_SQL,
-    # rows-only (non-SQL-expressible by design): doc_fingerprint (rolling
-    # hash), doc_minhash_pairs / doc_simhash_pairs (crc32-seeded sketches),
-    # emb_ann_lsh / emb_ann_ivf (approximate by contract)
+    # golden-parquet oracles (independent pure-Python implementations,
+    # fixtures/docs_golden.py — the pages_*-style hard check for the
+    # formerly rows-only sketch/ANN queries; VERDICT r2 item 1):
+    "doc_fingerprint": DOC_FINGERPRINT_SQL,
+    "doc_minhash_pairs": DOC_MINHASH_PAIRS_SQL,
+    "doc_simhash_pairs": DOC_SIMHASH_PAIRS_SQL,
+    "emb_ann_lsh": EMB_ANN_LSH_SQL,
+    "emb_ann_ivf": EMB_ANN_IVF_SQL,
 }

@@ -134,8 +134,34 @@ def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
     return float((sig_a == sig_b).mean())
 
 
-def _band_hash(band_sigs: np.ndarray) -> int:
-    return zlib.crc32(band_sigs.tobytes()) & 0xFFFFFFFF
+def _band_hashes(block: np.ndarray) -> np.ndarray:
+    """(n, lanes) uint64 signature block -> uint32 bucket hashes, one
+    vectorized pass (splitmix-style lane combine; replaced the per-row crc32
+    loop, VERDICT r2 item 2). Band hashes only seed LSH buckets: equal lane
+    blocks MUST collide (pure function of the lanes) and unequal blocks
+    should rarely collide (64->32-bit avalanche)."""
+    h = np.zeros(len(block), dtype=np.uint64)
+    for j in range(block.shape[1]):  # lanes per band (4), not rows
+        h = h * np.uint64(0x9E3779B97F4A7C15) + block[:, j]  # wraps mod 2^64
+    h = h ^ (h >> np.uint64(30))
+    h = h * np.uint64(0xBF58476D1CE4E5B9)
+    h = h ^ (h >> np.uint64(27))
+    h = h * np.uint64(0x94D049BB133111EB)
+    h = h ^ (h >> np.uint64(31))
+    return (h & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+
+
+def _md5_u64_pairs(col) -> tuple[np.ndarray, np.ndarray]:
+    """fixed_size_binary(16) column -> (hi, lo) native-uint64 arrays holding
+    the big-endian interpretation of each half, so sorting by (hi, lo)
+    orders exactly like memcmp on the 16 raw bytes."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    buf = arr.buffers()[1]
+    raw = np.frombuffer(buf, dtype=">u8", count=2 * (arr.offset + len(arr)))
+    raw = raw.reshape(-1, 2)[arr.offset :]
+    return np.ascontiguousarray(raw[:, 0]).astype(np.uint64), np.ascontiguousarray(
+        raw[:, 1]
+    ).astype(np.uint64)
 
 
 class MinHashSigs:
@@ -191,10 +217,7 @@ def _collapse_exact_text(sig_ds, id_col: str):
     gold = np.uint64(0x9E3779B97F4A7C15)
 
     def part_of(b: pa.Table) -> pa.Table:
-        md5s = b["text_md5"].to_pylist()
-        h = np.fromiter(
-            (int.from_bytes(m[:8], "big") for m in md5s), dtype=np.uint64, count=len(md5s)
-        )
+        h, _ = _md5_u64_pairs(b["text_md5"])  # hi half == first 8 bytes, big-endian
         return b.append_column(
             "__part", pa.array(((h * gold) % np.uint64(n_parts)).astype(np.int32), pa.int32())
         )
@@ -203,20 +226,21 @@ def _collapse_exact_text(sig_ds, id_col: str):
     id_type = dict(zip(sch.names, sch.types))[id_col]
 
     def collapse(g: pa.Table) -> pa.Table:
+        # one lexsort + vectorized masks per partition (replaced the per-row
+        # Python walk, VERDICT r2 item 2; same shape as exact_dedup_groups)
         g = g.drop_columns(["__part"])
-        ids = g[id_col].to_pylist()
-        md5s = g["text_md5"].to_pylist()
-        order = sorted(range(len(ids)), key=lambda i: (md5s[i], ids[i]))
-        rep_idx, star_a, star_b = [], [], []
-        prev, rep = None, None
-        for i in order:
-            if md5s[i] != prev:
-                rep_idx.append(i)
-                prev, rep = md5s[i], ids[i]
-            else:
-                star_a.append(rep)
-                star_b.append(ids[i])
-        reps = g.take(pa.array(rep_idx, pa.int64())).drop_columns(["text_md5"])
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        hi, lo = _md5_u64_pairs(g["text_md5"])
+        order = np.lexsort((ids, lo, hi))  # (md5 bytes, id) ascending
+        hi_o, lo_o, id_o = hi[order], lo[order], ids[order]
+        new = np.ones(len(order), dtype=bool)
+        new[1:] = (hi_o[1:] != hi_o[:-1]) | (lo_o[1:] != lo_o[:-1])
+        starts = np.nonzero(new)[0]
+        grp = np.cumsum(new) - 1  # group index per sorted row
+        rep_ids = id_o[starts]  # min id per distinct md5
+        star_a = rep_ids[grp[~new]]
+        star_b = id_o[~new]
+        reps = g.take(pa.array(order[starts], pa.int64())).drop_columns(["text_md5"])
         payload = reps.column_names  # id + payload cols
         n_r, n_s = reps.num_rows, len(star_a)
         cols = {c: reps[c] for c in payload}
@@ -483,10 +507,7 @@ def minhash_near_dups(ds, id_col: str = "doc_id", col: str = "text",
         hashes = np.empty(n * N_BANDS, dtype=np.uint32)
         for band in range(N_BANDS):
             lo, hi = band * ROWS_PER_BAND, (band + 1) * ROWS_PER_BAND
-            block = np.ascontiguousarray(sigs[:, lo:hi])
-            hashes[band * n : (band + 1) * n] = [
-                _band_hash(block[i]) for i in range(n)
-            ]
+            hashes[band * n : (band + 1) * n] = _band_hashes(sigs[:, lo:hi])
         return pa.table(
             {
                 "band_id": pa.array(out_band, pa.int32()),

@@ -8,9 +8,18 @@ from core_ray.compare import check_query
 from core_ray.queries import ORACLE_SQL, QUERIES
 
 SF_DIR = "/root/testdata/sf0.001"
-# the pages_* golden-diff oracles are pinned to the DRIVER correctness corpus
-# (sf0.01) — check them at that scale, exactly as the driver will
+# the golden-diff oracles (pages_* and the sketch/ANN docs goldens) are pinned
+# to the DRIVER correctness corpus (sf0.01) — check them at that scale,
+# exactly as the driver will
 SF_PAGES = "/root/testdata/sf0.01"
+_GOLDEN_PINNED = (
+    "pages_",
+    "doc_fingerprint",
+    "doc_minhash_pairs",
+    "doc_simhash_pairs",
+    "emb_ann_lsh",
+    "emb_ann_ivf",
+)
 
 ORACLE_NAMES = sorted(ORACLE_SQL)
 ROWS_ONLY = sorted(set(QUERIES) - set(ORACLE_SQL) - {
@@ -20,7 +29,7 @@ ROWS_ONLY = sorted(set(QUERIES) - set(ORACLE_SQL) - {
 
 @pytest.mark.parametrize("name", ORACLE_NAMES)
 def test_oracle_query_matches(ray_session, name):
-    r = check_query(name, SF_PAGES if name.startswith("pages_") else SF_DIR)
+    r = check_query(name, SF_PAGES if name.startswith(_GOLDEN_PINNED) else SF_DIR)
     assert r["ok"], {k: v for k, v in r.items() if k != "ok"}
 
 
