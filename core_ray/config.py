@@ -69,6 +69,15 @@ class PipelineConfig:
     geocode_batch_size: int = 2048
     encode_batch_size: int = 8192
     actor_concurrency: tuple[int, int] | None = None  # None -> pool_size() at runtime
+    # phase-A shard executions in flight at once. MEASURED (sf0.1, 32 cpus):
+    # 2 concurrent task-fused executions split the saturated node's CPUs —
+    # per-shard walls double, total phase-A wall unchanged, plus contention
+    # (52.4s e2e vs 39.9s sequential); a single fused execution is no faster
+    # either (20.9s vs 18.4s summed sequential). Overlap only pays on a
+    # multi-node cluster where one execution can't saturate the fleet;
+    # default stays 1 (execution-only knob, excluded from lineage
+    # fingerprints).
+    phase_a_overlap: int = 1
 
     checkpoint_dir: str | None = None
     resume: bool = True

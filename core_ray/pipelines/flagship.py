@@ -255,23 +255,40 @@ def run_flagship(
     t_start = _time.monotonic()
     shard_names = []
     timed_out = False
-    for k, files in enumerate(shards):
-        if (
-            deadline_s is not None
-            and shard_names  # at least one shard always completes
-            and (_time.monotonic() - t_start) > deadline_s
-        ):
-            timed_out = True
-            break
-        fp = fingerprint_paths(files) + "+" + phase_a_cfg_fp
-        store.load_or_compute(
-            "phaseA",
-            STAGE_VERSIONS["phaseA"],
-            fp,
-            lambda files=files: _phase_a(files, geoip_ref, admin_ref, cfg),
-            shard=str(k),
-        )
-        shard_names.append(str(k))
+    # bounded overlap (VERDICT r2 item 5b): shards are SUBMITTED in order
+    # through a small slot pool, so one execution's write/teardown tail
+    # overlaps the next one's read ramp-up. Submission order + wait-for-all
+    # preserves the deadline contract's prefix property: the completed set is
+    # always shards[0..n) (a partial run never poisons a later resume).
+    overlap = max(1, int(getattr(cfg, "phase_a_overlap", 1)))
+    with ThreadPoolExecutor(max_workers=overlap) as shard_pool:
+        inflight = []
+        for k, files in enumerate(shards):
+            if (
+                deadline_s is not None
+                and (shard_names or inflight)  # at least one shard always completes
+                and (_time.monotonic() - t_start) > deadline_s
+            ):
+                timed_out = True
+                break
+            fp = fingerprint_paths(files) + "+" + phase_a_cfg_fp
+            if overlap > 1 and len(inflight) >= overlap:
+                inflight.pop(0).result()  # free a slot before the deadline check
+            fut = shard_pool.submit(
+                store.load_or_compute,
+                "phaseA",
+                STAGE_VERSIONS["phaseA"],
+                fp,
+                lambda files=files: _phase_a(files, geoip_ref, admin_ref, cfg),
+                str(k),
+            )
+            if overlap > 1:
+                inflight.append(fut)
+            else:
+                fut.result()
+            shard_names.append(str(k))
+        for fut in inflight:
+            fut.result()
     # downstream fingerprints cover the files actually PROCESSED, so a
     # partial (deadline-bounded) run never poisons a later full run's resume
     processed_files = sorted(f for s in shards[: len(shard_names)] for f in s)

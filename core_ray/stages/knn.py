@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from core_ray.geo import hexgrid
 
@@ -171,17 +172,25 @@ def _process_partition(part: pa.Table, k: int) -> pa.Table:
 
     lat = part["lat"].to_numpy(zero_copy_only=False)[order]
     lon = part["lon"].to_numpy(zero_copy_only=False)[order]
-    urls = np.asarray(part["url"].to_pylist())[order]
     midx = part["mention_idx"].to_numpy(zero_copy_only=False)[order]
     is_q = part["is_query"].to_numpy(zero_copy_only=False)[order]
     cells = part["hex_cell"].to_numpy(zero_copy_only=False).astype(np.uint64)[order]
     cq, cr, _ = hexgrid.unpack(cells)
     grp, salt = grp[order], salt[order]
 
-    # factorize (url) ONCE: np.unique codes are string-rank ordered, so
-    # integer lexsorts below preserve the documented (dist, url, midx)
-    # tie-break exactly while avoiding per-query string comparisons
-    u_uniq, u_code = np.unique(urls, return_inverse=True)
+    # factorize (url) ONCE into string-rank-ordered codes, so the integer
+    # lexsorts below preserve the documented (dist, url, midx) tie-break
+    # exactly while avoiding per-query string comparisons. Arrow-side
+    # dictionary_encode + a rank permutation of the (small) dictionary is
+    # ~6x cheaper than to_pylist + np.unique over Python strings (the
+    # string columns never materialize as Python objects).
+    denc = pc.dictionary_encode(part["url"]).combine_chunks()
+    d_arr = denc.dictionary
+    d_sort = pc.sort_indices(d_arr).to_numpy(zero_copy_only=False)
+    rank = np.empty(len(d_arr), dtype=np.int64)
+    rank[d_sort] = np.arange(len(d_arr))
+    u_code = rank[denc.indices.to_numpy(zero_copy_only=False)][order]
+    u_uniq = d_arr.take(pa.array(d_sort))  # pyarrow StringArray in rank order
 
     boundary = (np.diff(grp) != 0) | (np.diff(salt) != 0)
     bounds = np.nonzero(boundary)[0] + 1
@@ -310,9 +319,9 @@ def _process_partition(part: pa.Table, k: int) -> pa.Table:
         return _knn_empty()
     return pa.table(
         {
-            "url": pa.array(u_uniq[np.concatenate(out_code)], pa.string()),
+            "url": u_uniq.take(pa.array(np.concatenate(out_code))).cast(pa.string()),
             "mention_idx": pa.array(np.concatenate(out_midx).astype(np.int32), pa.int32()),
-            "neighbor_url": pa.array(u_uniq[np.concatenate(out_ncode)], pa.string()),
+            "neighbor_url": u_uniq.take(pa.array(np.concatenate(out_ncode))).cast(pa.string()),
             "neighbor_mention_idx": pa.array(np.concatenate(out_nmidx).astype(np.int32), pa.int32()),
             "rank": pa.array(np.concatenate(out_rank).astype(np.int32), pa.int32()),
             "dist": pa.array(np.concatenate(out_dist).astype(np.float64), pa.float64()),
@@ -453,8 +462,14 @@ def knn_per_cell(ds, k: int = 5, hot_threshold: int = 4000, salt_target: int = 2
             "part", pa.array((h % np.uint64(n_parts)).astype(np.int32), pa.int32())
         )
 
+    # split into ~n_parts blocks BEFORE the groupby sort: the sort's output
+    # block count (= reduce task count) follows its input block count, and
+    # the task-fused expansion otherwise hands it only ~#input-files blocks —
+    # 17 reduce tasks on 32 cpus was the measured critical path (one task
+    # wave with stragglers). repartition is a cheap split, no shuffle.
     return (
         expanded.map_batches(add_part, batch_format="pyarrow", batch_size=65536)
+        .repartition(n_parts)
         .groupby("part")
         .map_groups(lambda g: _process_partition(g, k), batch_format="pyarrow")
     )
