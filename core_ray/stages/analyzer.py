@@ -36,9 +36,10 @@ class PageAnalyzer:
         max_html_bytes: int = 10 * 1024 * 1024,
         hex_res: int = 7,
         s2_level: int = 12,
+        registry=None,  # DerivationRegistry; None -> the default cascade
     ):
         self.extract = ExtractText(max_html_bytes)
-        self.geocode = Geocoder(geoip_ref)
+        self.geocode = Geocoder(geoip_ref, registry=registry)
         self.encode = CellEncoder(hex_res, s2_level)
         self.pip = PipJoin(admin_ref)
 

@@ -23,7 +23,7 @@ import numpy as np
 import pyarrow as pa
 
 from core_ray.config import register_stage
-from core_ray.geo.coords import MENTION_RE, extract_mentions
+from core_ray.geo.coords import MENTION_RE
 
 
 def host_of(url: str) -> str:
@@ -40,52 +40,91 @@ class Geocoder:
 
     Output: (url, warc_ts, lang, text, derivation_source, mention_idx, lat, lon)
     — lat/lon are null for 'none' rows.
+
+    The cascade is ROUTED THROUGH THE DERIVATION REGISTRY (core_ray/registry
+    — priority classes + per-language candidate lists, the reference's
+    registry/detect pairing, registry.go:68-96 / detector.go:42-79): rules
+    are consulted in priority order, each over only the rows still
+    unresolved by higher-priority rules (batch-vectorized early-return).
+    The default registry reproduces the original inlined cascade exactly:
+    text-mention (Specialized) -> host-geoip (Generic) -> 'none'.
+    'oversize' (text null: extract skipped the page) bypasses the cascade.
     """
 
-    def __init__(self, geoip_ref):
+    def __init__(self, geoip_ref, registry=None):
         # broadcast small side, fetched once per actor (zero per-batch cost).
         # Ray auto-resolves ObjectRefs passed in fn_constructor_args, so this
         # is usually already the value; accept a raw ref too for direct use.
         import ray
 
+        from core_ray.registry import DEFAULT_REGISTRY
+
         if isinstance(geoip_ref, ray.ObjectRef):
             geoip_ref = ray.get(geoip_ref)
         self.geoip: dict[str, tuple[float, float]] = geoip_ref
+        self.registry = registry if registry is not None else DEFAULT_REGISTRY
+        self.state = {"geoip": self.geoip}
         self.mention_re = MENTION_RE  # compiled at import; pinned per actor
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
         texts = batch["text"].to_pylist()
+        langs = (
+            batch["lang"].to_pylist()
+            if "lang" in batch.column_names
+            else [None] * len(urls)
+        )
+        n = len(urls)
+        # per-row result: (rule_name, [(lat, lon), ...]) or None
+        results: list = [None] * n
+        live = [i for i in range(n) if texts[i] is not None]
+
+        # group unresolved rows by lang (candidate lists are per-language),
+        # then walk that language's priority-ordered rules over the shrinking
+        # unresolved subset — per-document early-return, batch-vectorized
+        by_lang: dict = {}
+        for i in live:
+            by_lang.setdefault(langs[i], []).append(i)
+        for lang, rows in by_lang.items():
+            unresolved = rows
+            for rule in self.registry.candidates(lang):
+                if not unresolved:
+                    break
+                matches = rule.match_batch(
+                    [urls[i] for i in unresolved],
+                    [texts[i] for i in unresolved],
+                    self.state,
+                )
+                still = []
+                for i, m in zip(unresolved, matches):
+                    if m:
+                        results[i] = (rule.name, m)
+                    else:
+                        still.append(i)
+                unresolved = still
+
         idx, srcs, midx, lats, lons = [], [], [], [], []
-        geoip = self.geoip
-        for i, (u, t) in enumerate(zip(urls, texts)):
-            if t is None:  # extract skipped this page (oversize)
+        for i in range(n):
+            if texts[i] is None:  # extract skipped this page (oversize)
                 idx.append(i)
                 srcs.append("oversize")
                 midx.append(0)
                 lats.append(None)
                 lons.append(None)
-                continue
-            mentions = extract_mentions(t)
-            if mentions:
-                for j, (la, lo) in enumerate(mentions):
+            elif results[i] is None:
+                idx.append(i)
+                srcs.append("none")
+                midx.append(0)
+                lats.append(None)
+                lons.append(None)
+            else:
+                name, coords = results[i]
+                for j, (la, lo) in enumerate(coords):
                     idx.append(i)
-                    srcs.append("text-mention")
+                    srcs.append(name)
                     midx.append(j)
                     lats.append(la)
                     lons.append(lo)
-            else:
-                hit = geoip.get(host_of(u))
-                idx.append(i)
-                midx.append(0)
-                if hit is not None:
-                    srcs.append("host-geoip")
-                    lats.append(hit[0])
-                    lons.append(hit[1])
-                else:
-                    srcs.append("none")
-                    lats.append(None)
-                    lons.append(None)
         take = pa.array(np.asarray(idx, dtype=np.int64))
         out = batch.take(take)
         return out.append_column(
