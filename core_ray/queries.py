@@ -1095,11 +1095,49 @@ def pages_errors(sf_dir: str):
     return _run_pages(sf_dir).errors
 
 
+def pages_nested(sf_dir: str):
+    """Nested-output model (VERDICT r2 item 4; reference's recursive suites,
+    pkg/domain/test.go:16-30 -> SURVEY §1.2 list<struct> mapping): joined
+    mention rows are NESTED per url into mentions: list<struct<mention_idx,
+    lat, lon, admin_id>> (one partitioned shuffle, Arrow-native assembly),
+    then EXPLODED back flat. The DuckDB oracle performs the same
+    LIST(STRUCT_PACK(...)) -> UNNEST roundtrip over the golden joined
+    parquet, so the hash compare proves the nest/explode pair is lossless
+    and ordered (list elements sorted by mention_idx)."""
+    from core_ray.stages.nest import explode_list, nest_by_key
+
+    _ensure_pages_golden(sf_dir)
+    joined = _run_pages(sf_dir).joined.select_columns(
+        ["url", "mention_idx", "lat", "lon", "admin_id"]
+    )
+    nested = nest_by_key(
+        joined,
+        key_col="url",
+        order_col="mention_idx",
+        payload_cols=["mention_idx", "lat", "lon", "admin_id"],
+        list_col="mentions",
+    )
+    return explode_list(nested, key_col="url", list_col="mentions")
+
+
 _GD = _pages_golden_dir()
 PAGES_JOINED_SQL = f"SELECT * FROM read_parquet('{_GD}/joined.parquet')"
 PAGES_TILES_SQL = f"SELECT * FROM read_parquet('{_GD}/tiles.parquet')"
 PAGES_ERRORS_SQL = f"SELECT * FROM read_parquet('{_GD}/errors.parquet')"
 PAGES_KNN_SQL = f"SELECT * FROM read_parquet('{_GD}/knn.parquet')"
+# the UNNEST-roundtrip oracle: DuckDB nests the golden joined rows per url
+# (list elements ordered by mention_idx) and unnests them back — hash-equal
+# to the engine's nest_by_key -> explode_list pair
+PAGES_NESTED_SQL = f"""
+WITH nested AS (
+  SELECT url,
+         LIST(STRUCT_PACK(mention_idx := mention_idx, lat := lat, lon := lon,
+                          admin_id := admin_id) ORDER BY mention_idx) AS mentions
+  FROM read_parquet('{_GD}/joined.parquet') GROUP BY url
+),
+exploded AS (SELECT url, UNNEST(mentions, recursive := true) FROM nested)
+SELECT * FROM exploded
+"""
 
 
 # --- golden-diff oracles for the sketch/ANN queries (VERDICT r2 item 1) ---
@@ -1935,6 +1973,7 @@ QUERIES = {
     "pages_tiles": pages_tiles,
     "pages_knn": pages_knn,
     "pages_errors": pages_errors,
+    "pages_nested": pages_nested,
     "media_features": media_features,
     "doc_top20_by_chars": doc_top20_by_chars,
     "events_distinct_types": events_distinct_types,
@@ -1982,6 +2021,7 @@ ORACLE_SQL = {
     "pages_tiles": PAGES_TILES_SQL,
     "pages_errors": PAGES_ERRORS_SQL,
     "pages_knn": PAGES_KNN_SQL,
+    "pages_nested": PAGES_NESTED_SQL,
     "media_thumbnails": MEDIA_THUMBNAILS_SQL,
     "media_frames": MEDIA_FRAMES_SQL,
     "events_rolling_max": EVENTS_ROLLING_MAX_SQL,

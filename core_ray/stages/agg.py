@@ -148,6 +148,34 @@ def map_groups_partitioned(ds, key_col: str, partition_fn, n_parts: int | None =
     )
 
 
+def hash_strings(col) -> np.ndarray:
+    """Vectorized uint64 hash of a pyarrow string column (for PARTITIONING:
+    equal strings always collide; unequal rarely — collisions only co-locate
+    extra rows, never corrupt results). Uses polars' vectorized hash kernel
+    (fixed seed, deterministic across workers running the same build — a
+    partitioner-consistency assumption documented here); falls back to a
+    per-row crc32 loop when polars is unavailable."""
+    import pyarrow as _pa
+
+    if isinstance(col, _pa.ChunkedArray):
+        col = col.combine_chunks()
+    try:
+        import polars as pl
+
+        return (
+            pl.from_arrow(col).hash(seed=42).to_numpy().astype(np.uint64)
+        )
+    except Exception:
+        import zlib
+
+        vals = col.to_pylist()
+        return np.fromiter(
+            (zlib.crc32(v.encode()) * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF for v in vals),
+            dtype=np.uint64,
+            count=len(vals),
+        )
+
+
 def u64_key_of_url_midx(urls: list[str], midx: np.ndarray) -> np.ndarray:
     """Deterministic 64-bit key for (url, mention_idx) rows (crc32 x adler32
     spread; used by dedup — collisions only route extra rows into the exact
