@@ -82,3 +82,25 @@ class PipelineConfig:
     checkpoint_dir: str | None = None
     resume: bool = True
     stage_versions: dict[str, int] = field(default_factory=dict)
+
+    # SELECTIVE STAGE SUBSET (the WithDomainHints / selective-plugin-import
+    # analog, pkg/parser/options.go:64-72; VERDICT r2 item 8): None runs the
+    # full pipeline; otherwise only the named optional stages run. Skippable:
+    # 's2-encode' (secondary cell extraction -> drops the s2_cell column),
+    # 'pip' (admin containment join -> drops admin_id/admin_level),
+    # 'knn', 'tiles' (their outputs become empty). Folded into lineage
+    # fingerprints PER STAGE (stage_sel_phase_a below), so toggling a stage
+    # invalidates exactly the checkpoints that depend on it.
+    stages: tuple[str, ...] | None = None
+
+    SKIPPABLE_STAGES = ("s2-encode", "pip", "knn", "tiles")
+    _PHASE_A_SKIPPABLE = ("s2-encode", "pip")
+
+    def stage_enabled(self, name: str) -> bool:
+        return self.stages is None or name in self.stages
+
+    @property
+    def stage_sel_phase_a(self) -> tuple[str, ...]:
+        """Deterministic phase-A-relevant stage selection (fingerprint
+        input): skipping e.g. 'tiles' must NOT invalidate phase A."""
+        return tuple(s for s in self._PHASE_A_SKIPPABLE if self.stage_enabled(s))

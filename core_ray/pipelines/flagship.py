@@ -50,8 +50,9 @@ STAGE_VERSIONS = {"phaseA": 3, "deduped": 3, "knn": 2, "tiles": 2}
 
 # config fields each stage's OUTPUT depends on (state/lineage.py
 # fingerprint_config): resuming with a changed knob recomputes exactly the
-# stages that knob feeds
-_PHASE_A_CFG = ("max_html_bytes", "hex_res", "s2_level")
+# stages that knob feeds. stage_sel_phase_a covers the phase-A stage toggles
+# ONLY (s2-encode/pip) — skipping knn or tiles must not invalidate phase A.
+_PHASE_A_CFG = ("max_html_bytes", "hex_res", "s2_level", "stage_sel_phase_a")
 _KNN_CFG = _PHASE_A_CFG + ("knn_k", "hot_cell_threshold", "salt_group_target")
 _TILES_CFG = _PHASE_A_CFG + ("tile_zooms",)
 
@@ -98,6 +99,7 @@ def _phase_a(page_files: list[str], geoip_ref, admin_ref, cfg: PipelineConfig):
         max_html_bytes=cfg.max_html_bytes,
         hex_res=cfg.hex_res,
         s2_level=cfg.s2_level,
+        stage_sel=cfg.stage_sel_phase_a,
     )
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=cfg.extract_batch_size)
 
@@ -379,6 +381,19 @@ def run_flagship(
             tiles_fp,
             lambda: tile_rollup(tiles_input, cfg.tile_zooms),
         )
+
+    def _empty():
+        import ray.data
+
+        return ray.data.from_items([])
+
+    # stage toggles (WithDomainHints-analog opt-outs): a skipped wide stage
+    # computes nothing and leaves no checkpoint; re-enabling recomputes it
+    # (fingerprints are unchanged by OTHER stages' toggles)
+    if not cfg.stage_enabled("knn"):
+        _knn = _empty
+    if not cfg.stage_enabled("tiles"):
+        _tiles = _empty
 
     if available >= 16:
         with ThreadPoolExecutor(max_workers=3) as pool:

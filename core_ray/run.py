@@ -14,7 +14,17 @@ import sys
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description="core_ray flagship pipeline")
-    ap.add_argument("--pages", required=True, help="dir or glob of pages parquet")
+    ap.add_argument(
+        "--source", default="parquet",
+        help="registered source name (core_ray.sources.open_source): "
+        "parquet | html-dir | git | any user-registered name",
+    )
+    ap.add_argument(
+        "--source-arg", action="append", default=[], metavar="KEY=VALUE",
+        help="extra kwargs for the source factory (repeatable)",
+    )
+    ap.add_argument("--pages", required=True,
+                    help="main source argument (parquet dir/glob, html dir, git url)")
     ap.add_argument("--admin", required=True, help="admin_polygons parquet file")
     ap.add_argument("--geoip", required=True, help="geoip_ranges parquet file")
     ap.add_argument("--checkpoint-dir", required=True)
@@ -48,33 +58,44 @@ def main(argv=None) -> int:
 
         from core_ray.config import PipelineConfig
         from core_ray.pipelines.flagship import run_flagship
+        from core_ray.sources import open_source
 
-        files = (
-            sorted(glob.glob(os.path.join(args.pages, "*.parquet")))
-            if os.path.isdir(args.pages)
-            else sorted(glob.glob(args.pages))
-        )
-        res = run_flagship(
-            files,
-            pq.read_table(args.admin),
-            pq.read_table(args.geoip),
-            PipelineConfig(),
-            checkpoint_dir=args.checkpoint_dir,
-        )
-        if args.out:
-            os.makedirs(args.out, exist_ok=True)
-            write = {
-                "parquet": lambda ds, p: ds.write_parquet(p),
-                "json": lambda ds, p: ds.write_json(p),
-                "csv": lambda ds, p: ds.write_csv(p),
-            }[args.format]
-            for name, ds in (
-                ("joined", res.joined), ("knn", res.knn),
-                ("tiles", res.tiles), ("errors", res.errors),
-            ):
-                write(ds, os.path.join(args.out, name))
-        print(json.dumps({"stats": res.stats, "out": args.out, "format": args.format}))
-        return 0
+        src_kwargs = dict(kv.split("=", 1) for kv in args.source_arg)
+        source = open_source(args.source, args.pages, **src_kwargs)
+        try:
+            files = source.pages()
+            res = run_flagship(
+                files,
+                pq.read_table(args.admin),
+                pq.read_table(args.geoip),
+                PipelineConfig(),
+                checkpoint_dir=args.checkpoint_dir,
+            )
+            if args.out:
+                os.makedirs(args.out, exist_ok=True)
+                write = {
+                    "parquet": lambda ds, p: ds.write_parquet(p),
+                    "json": lambda ds, p: ds.write_json(p),
+                    "csv": lambda ds, p: ds.write_csv(p),
+                }[args.format]
+                for name, ds in (
+                    ("joined", res.joined), ("knn", res.knn),
+                    ("tiles", res.tiles), ("errors", res.errors),
+                ):
+                    write(ds, os.path.join(args.out, name))
+            print(
+                json.dumps(
+                    {
+                        "source": source.describe(),
+                        "stats": res.stats,
+                        "out": args.out,
+                        "format": args.format,
+                    }
+                )
+            )
+            return 0
+        finally:
+            source.close()
     finally:
         ray.shutdown()
 

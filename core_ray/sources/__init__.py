@@ -1,1 +1,8 @@
 """Ingestion connectors (the Source-plugin surface, SURVEY.md §2.1/§2.10)."""
+
+from core_ray.sources.base import (  # noqa: F401
+    SOURCE_REGISTRY,
+    Source,
+    open_source,
+    register_source,
+)

@@ -37,14 +37,16 @@ class PageAnalyzer:
         hex_res: int = 7,
         s2_level: int = 12,
         registry=None,  # DerivationRegistry; None -> the default cascade
+        stage_sel: tuple[str, ...] = ("s2-encode", "pip"),  # enabled optional stages
     ):
         self.extract = ExtractText(max_html_bytes)
         self.geocode = Geocoder(geoip_ref, registry=registry)
-        self.encode = CellEncoder(hex_res, s2_level)
-        self.pip = PipJoin(admin_ref)
+        self.encode = CellEncoder(hex_res, s2_level, with_s2="s2-encode" in stage_sel)
+        self.pip = PipJoin(admin_ref) if "pip" in stage_sel else None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return self.pip(self.encode(self.geocode(self.extract(batch))))
+        out = self.encode(self.geocode(self.extract(batch)))
+        return self.pip(out) if self.pip is not None else out
 
 
 # ---- task-mode variant with worker-process-cached state ----------------
@@ -68,11 +70,14 @@ def analyze_batch_task(
     max_html_bytes: int,
     hex_res: int,
     s2_level: int,
+    stage_sel: tuple[str, ...] = ("s2-encode", "pip"),
 ) -> pa.Table:
-    key = (str(geoip_ref), str(admin_ref), max_html_bytes, hex_res, s2_level)
+    key = (str(geoip_ref), str(admin_ref), max_html_bytes, hex_res, s2_level, stage_sel)
     analyzer = _WORKER_ANALYZERS.get(key)
     if analyzer is None:
-        analyzer = PageAnalyzer(geoip_ref, admin_ref, max_html_bytes, hex_res, s2_level)
+        analyzer = PageAnalyzer(
+            geoip_ref, admin_ref, max_html_bytes, hex_res, s2_level, stage_sel=stage_sel
+        )
         _WORKER_ANALYZERS.clear()  # one live config per worker is plenty
         _WORKER_ANALYZERS[key] = analyzer
     return analyzer(batch)
