@@ -1561,26 +1561,31 @@ def emb_near_dup_pairs(sf_dir: str, threshold: float = 0.35, chunk_rows: int = 4
 
     def score(batch: pa.Table, refs=refs) -> pa.Table:
         out_a, out_b, out_s = [], [], []
-        for ci, cj in zip(batch["ci"].to_pylist(), batch["cj"].to_pylist()):
-            ti, tj = ray.get([refs[ci], refs[cj]])
-            ids_i, xi = _chunk_np(ti)
-            ids_j, xj = _chunk_np(tj)
-            if not len(ids_i) or not len(ids_j):
+        for ci, cjs in zip(batch["ci"].to_pylist(), batch["cjs"].to_pylist()):
+            # the shared left chunk is fetched ONCE per task and stays
+            # resident across its cj segment (VERDICT r2 item 5: grouping by
+            # ci cuts chunk transfers ~2x — 1 + seg fetches per seg scores)
+            ids_i, xi = _chunk_np(ray.get(refs[ci]))
+            if not len(ids_i):
                 continue
-            # threshold on the ROUNDED sim (the oracle filters identically,
-            # so boundary values agree); emit (a < b) pairs only
-            sims = sql_round_np(xi @ xj.T, 6)
-            hot = sims >= threshold
-            a_idx, b_idx = np.nonzero(hot & (ids_i[:, None] < ids_j[None, :]))
-            out_a.append(ids_i[a_idx])
-            out_b.append(ids_j[b_idx])
-            out_s.append(sims[a_idx, b_idx])
-            if ci != cj:
-                # cross-chunk pairs whose SMALLER id lives in chunk j
-                a2, b2 = np.nonzero(hot & (ids_j[None, :] < ids_i[:, None]))
-                out_a.append(ids_j[b2])
-                out_b.append(ids_i[a2])
-                out_s.append(sims[a2, b2])
+            for cj in cjs:
+                ids_j, xj = _chunk_np(ray.get(refs[cj]))
+                if not len(ids_j):
+                    continue
+                # threshold on the ROUNDED sim (the oracle filters
+                # identically, so boundary values agree); emit (a < b) only
+                sims = sql_round_np(xi @ xj.T, 6)
+                hot = sims >= threshold
+                a_idx, b_idx = np.nonzero(hot & (ids_i[:, None] < ids_j[None, :]))
+                out_a.append(ids_i[a_idx])
+                out_b.append(ids_j[b_idx])
+                out_s.append(sims[a_idx, b_idx])
+                if ci != cj:
+                    # cross-chunk pairs whose SMALLER id lives in chunk j
+                    a2, b2 = np.nonzero(hot & (ids_j[None, :] < ids_i[:, None]))
+                    out_a.append(ids_j[b2])
+                    out_b.append(ids_i[a2])
+                    out_s.append(sims[a2, b2])
         cat = (lambda xs, d: np.concatenate(xs) if xs else np.zeros(0, dtype=d))
         return pa.table(
             {
@@ -1590,11 +1595,16 @@ def emb_near_dup_pairs(sf_dir: str, threshold: float = 0.35, chunk_rows: int = 4
             }
         )
 
-    # upper-triangle chunk pairs, one task each; cross pairs need BOTH
-    # orientations' (a<b) mask, which the id comparison inside score handles
-    pair_items = [
-        {"ci": i, "cj": j} for i in range(n_chunks) for j in range(i, n_chunks)
-    ]
+    # upper-triangle chunk pairs, ci-major, segmented so each task scores up
+    # to ``seg`` pairs SHARING its left chunk (bounded per-task work keeps
+    # the task pool balanced; cross pairs need BOTH orientations' (a<b)
+    # mask, which the id comparison inside score handles)
+    seg = 8
+    pair_items = []
+    for i in range(n_chunks):
+        cjs = list(range(i, n_chunks))
+        for s in range(0, len(cjs), seg):
+            pair_items.append({"ci": i, "cjs": cjs[s : s + seg]})
     pairs_ds = ray.data.from_items(pair_items)
     return pairs_ds.map_batches(score, batch_format="pyarrow", batch_size=1)
 
