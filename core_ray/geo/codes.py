@@ -1,0 +1,212 @@
+"""Coordinate code decoders: geohash, Open Location Code (plus codes), UTM.
+
+Published public algorithms, implemented from their specs (no library deps):
+
+- geohash: base-32 interleaved binary subdivision (Niemeyer's public spec;
+  even bit positions refine longitude, odd refine latitude when counting
+  from the first bit). Decode returns the CELL CENTER.
+- Open Location Code: the open published spec (base-20 digit pairs, 8+
+  digits then a '+' separator; each pair refines a 20x20 grid). Decode
+  returns the cell center; only full (non-shortened) codes are supported.
+- UTM: standard transverse-Mercator series (Krüger series as published in
+  Snyder, "Map Projections — A Working Manual", USGS PP 1395, eqs 8-9..8-25
+  / the standard k0=0.9996, WGS84 ellipsoid). Accuracy of the series inverse
+  is centimeter-level — far below the engine's coordinate rounding.
+
+Each decoder is a scalar kernel used by a derivation rule (core_ray/rules);
+the rules compile their trigger regexes once per actor.
+"""
+
+from __future__ import annotations
+
+import math
+
+# ---------------- geohash ----------------
+
+_GH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+_GH_IDX = {c: i for i, c in enumerate(_GH32)}
+
+
+def geohash_decode(code: str) -> tuple[float, float] | None:
+    """geohash string -> (lat, lon) of the cell center; None if invalid."""
+    if not code:
+        return None
+    lat_lo, lat_hi = -90.0, 90.0
+    lon_lo, lon_hi = -180.0, 180.0
+    even = True  # first bit refines longitude
+    for ch in code.lower():
+        idx = _GH_IDX.get(ch)
+        if idx is None:
+            return None
+        for bit in (16, 8, 4, 2, 1):
+            if even:
+                mid = (lon_lo + lon_hi) / 2.0
+                if idx & bit:
+                    lon_lo = mid
+                else:
+                    lon_hi = mid
+            else:
+                mid = (lat_lo + lat_hi) / 2.0
+                if idx & bit:
+                    lat_lo = mid
+                else:
+                    lat_hi = mid
+            even = not even
+    return ((lat_lo + lat_hi) / 2.0, (lon_lo + lon_hi) / 2.0)
+
+
+def geohash_encode(lat: float, lon: float, precision: int = 9) -> str:
+    """Inverse of geohash_decode (used by the roundtrip tests)."""
+    lat_lo, lat_hi = -90.0, 90.0
+    lon_lo, lon_hi = -180.0, 180.0
+    even = True
+    out, idx, bits = [], 0, 0
+    while len(out) < precision:
+        if even:
+            mid = (lon_lo + lon_hi) / 2.0
+            if lon >= mid:
+                idx = idx * 2 + 1
+                lon_lo = mid
+            else:
+                idx = idx * 2
+                lon_hi = mid
+        else:
+            mid = (lat_lo + lat_hi) / 2.0
+            if lat >= mid:
+                idx = idx * 2 + 1
+                lat_lo = mid
+            else:
+                idx = idx * 2
+                lat_hi = mid
+        even = not even
+        bits += 1
+        if bits == 5:
+            out.append(_GH32[idx])
+            idx, bits = 0, 0
+    return "".join(out)
+
+
+# ---------------- Open Location Code (plus codes) ----------------
+
+_OLC_ALPHA = "23456789CFGHJMPQRVWX"
+_OLC_IDX = {c: i for i, c in enumerate(_OLC_ALPHA)}
+
+
+def pluscode_decode(code: str) -> tuple[float, float] | None:
+    """Full plus code (e.g. '8FVC2222+22') -> (lat, lon) cell center.
+
+    Supports full codes only: 8 digits, '+', then 2+ more digits (the grid
+    refinement beyond 10 digits uses the published 4x5 single-digit grid)."""
+    code = code.strip().upper()
+    if "+" not in code:
+        return None
+    head, tail = code.split("+", 1)
+    if len(head) != 8 or any(c not in _OLC_IDX for c in head + tail[:2]):
+        return None
+    digits = head + tail
+    lat, lon = -90.0, -180.0
+    lat_res, lon_res = 400.0, 400.0  # degrees per digit-pair step pre-divide
+    i = 0
+    # digit pairs: each divides the cell 20x20
+    while i + 1 < len(digits) and i < 10:
+        lat_res /= 20.0
+        lon_res /= 20.0
+        lat += _OLC_IDX[digits[i]] * lat_res
+        lon += _OLC_IDX[digits[i + 1]] * lon_res
+        i += 2
+    # grid refinement: each further digit divides the cell into the spec's
+    # 4-column (lon) x 5-row (lat) grid; digit index d -> row d//4, col d%4
+    for ch in digits[i:]:
+        d = _OLC_IDX.get(ch)
+        if d is None:
+            return None
+        lat_res /= 5.0
+        lon_res /= 4.0
+        lat += (d // 4) * lat_res
+        lon += (d % 4) * lon_res
+    return (lat + lat_res / 2.0, lon + lon_res / 2.0)
+
+
+# ---------------- UTM (WGS84, k0 = 0.9996) ----------------
+
+_WGS84_A = 6378137.0
+_WGS84_F = 1.0 / 298.257223563
+_K0 = 0.9996
+_E2 = _WGS84_F * (2.0 - _WGS84_F)  # first eccentricity squared
+_EP2 = _E2 / (1.0 - _E2)  # second eccentricity squared
+_E1 = (1.0 - math.sqrt(1.0 - _E2)) / (1.0 + math.sqrt(1.0 - _E2))
+
+
+def utm_to_lonlat(zone: int, hemisphere: str, easting: float, northing: float
+                  ) -> tuple[float, float] | None:
+    """UTM -> (lat, lon) via the standard series inverse (Snyder 8-17..8-25)."""
+    if not (1 <= zone <= 60) or hemisphere not in ("N", "S"):
+        return None
+    x = easting - 500000.0
+    y = northing - (10000000.0 if hemisphere == "S" else 0.0)
+    m = y / _K0
+    mu = m / (_WGS84_A * (1.0 - _E2 / 4.0 - 3.0 * _E2 * _E2 / 64.0 - 5.0 * _E2**3 / 256.0))
+    e1 = _E1
+    phi1 = (
+        mu
+        + (3.0 * e1 / 2.0 - 27.0 * e1**3 / 32.0) * math.sin(2.0 * mu)
+        + (21.0 * e1**2 / 16.0 - 55.0 * e1**4 / 32.0) * math.sin(4.0 * mu)
+        + (151.0 * e1**3 / 96.0) * math.sin(6.0 * mu)
+        + (1097.0 * e1**4 / 512.0) * math.sin(8.0 * mu)
+    )
+    sin1, cos1, tan1 = math.sin(phi1), math.cos(phi1), math.tan(phi1)
+    c1 = _EP2 * cos1 * cos1
+    t1 = tan1 * tan1
+    n1 = _WGS84_A / math.sqrt(1.0 - _E2 * sin1 * sin1)
+    r1 = _WGS84_A * (1.0 - _E2) / (1.0 - _E2 * sin1 * sin1) ** 1.5
+    d = x / (n1 * _K0)
+    lat = phi1 - (n1 * tan1 / r1) * (
+        d * d / 2.0
+        - (5.0 + 3.0 * t1 + 10.0 * c1 - 4.0 * c1 * c1 - 9.0 * _EP2) * d**4 / 24.0
+        + (61.0 + 90.0 * t1 + 298.0 * c1 + 45.0 * t1 * t1 - 252.0 * _EP2 - 3.0 * c1 * c1)
+        * d**6 / 720.0
+    )
+    lon0 = math.radians((zone - 1) * 6.0 - 180.0 + 3.0)
+    lon = lon0 + (
+        d
+        - (1.0 + 2.0 * t1 + c1) * d**3 / 6.0
+        + (5.0 - 2.0 * c1 + 28.0 * t1 - 3.0 * c1 * c1 + 8.0 * _EP2 + 24.0 * t1 * t1)
+        * d**5 / 120.0
+    ) / cos1
+    return (math.degrees(lat), math.degrees(lon))
+
+
+def lonlat_to_utm(lat: float, lon: float) -> tuple[int, str, float, float]:
+    """Forward UTM (Snyder 8-9..8-13) — used by the inverse roundtrip tests."""
+    zone = int((lon + 180.0) // 6.0) + 1
+    hemi = "N" if lat >= 0 else "S"
+    phi = math.radians(lat)
+    lam = math.radians(lon)
+    lam0 = math.radians((zone - 1) * 6.0 - 180.0 + 3.0)
+    sinp, cosp, tanp = math.sin(phi), math.cos(phi), math.tan(phi)
+    n = _WGS84_A / math.sqrt(1.0 - _E2 * sinp * sinp)
+    t = tanp * tanp
+    c = _EP2 * cosp * cosp
+    a_ = cosp * (lam - lam0)
+    m = _WGS84_A * (
+        (1.0 - _E2 / 4.0 - 3.0 * _E2**2 / 64.0 - 5.0 * _E2**3 / 256.0) * phi
+        - (3.0 * _E2 / 8.0 + 3.0 * _E2**2 / 32.0 + 45.0 * _E2**3 / 1024.0) * math.sin(2.0 * phi)
+        + (15.0 * _E2**2 / 256.0 + 45.0 * _E2**3 / 1024.0) * math.sin(4.0 * phi)
+        - (35.0 * _E2**3 / 3072.0) * math.sin(6.0 * phi)
+    )
+    easting = _K0 * n * (
+        a_
+        + (1.0 - t + c) * a_**3 / 6.0
+        + (5.0 - 18.0 * t + t * t + 72.0 * c - 58.0 * _EP2) * a_**5 / 120.0
+    ) + 500000.0
+    northing = _K0 * (
+        m
+        + n * tanp * (
+            a_**2 / 2.0
+            + (5.0 - t + 9.0 * c + 4.0 * c * c) * a_**4 / 24.0
+            + (61.0 - 58.0 * t + t * t + 600.0 * c - 330.0 * _EP2) * a_**6 / 720.0
+        )
+    )
+    if hemi == "S":
+        northing += 10000000.0
+    return (zone, hemi, easting, northing)

@@ -38,9 +38,10 @@ class PageAnalyzer:
         s2_level: int = 12,
         registry=None,  # DerivationRegistry; None -> the default cascade
         stage_sel: tuple[str, ...] = ("s2-encode", "pip"),  # enabled optional stages
+        extra_state=None,  # extra broadcast side tables for registry rules
     ):
         self.extract = ExtractText(max_html_bytes)
-        self.geocode = Geocoder(geoip_ref, registry=registry)
+        self.geocode = Geocoder(geoip_ref, registry=registry, extra_state=extra_state)
         self.encode = CellEncoder(hex_res, s2_level, with_s2="s2-encode" in stage_sel)
         self.pip = PipJoin(admin_ref) if "pip" in stage_sel else None
 

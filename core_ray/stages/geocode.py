@@ -51,10 +51,13 @@ class Geocoder:
     'oversize' (text null: extract skipped the page) bypasses the cascade.
     """
 
-    def __init__(self, geoip_ref, registry=None):
-        # broadcast small side, fetched once per actor (zero per-batch cost).
-        # Ray auto-resolves ObjectRefs passed in fn_constructor_args, so this
-        # is usually already the value; accept a raw ref too for direct use.
+    def __init__(self, geoip_ref, registry=None, extra_state=None):
+        # broadcast small sides, fetched once per actor (zero per-batch cost).
+        # Ray auto-resolves ObjectRefs passed in fn_constructor_args, so these
+        # are usually already values; accept raw refs too for direct use.
+        # ``extra_state``: additional {name: table-or-ref} entries exposed to
+        # registry rules via the cascade state dict (e.g. the catalog's
+        # 'airports' / 'gazetteer' broadcast tables).
         import ray
 
         from core_ray.registry import DEFAULT_REGISTRY
@@ -64,6 +67,8 @@ class Geocoder:
         self.geoip: dict[str, tuple[float, float]] = geoip_ref
         self.registry = registry if registry is not None else DEFAULT_REGISTRY
         self.state = {"geoip": self.geoip}
+        for k, v in (extra_state or {}).items():
+            self.state[k] = ray.get(v) if isinstance(v, ray.ObjectRef) else v
         self.mention_re = MENTION_RE  # compiled at import; pinned per actor
 
     def __call__(self, batch: pa.Table) -> pa.Table:

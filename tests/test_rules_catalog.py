@@ -1,0 +1,231 @@
+"""Coordinate-code decoders (geo/codes.py) + the derivation-rule catalog
+(rules/catalog.py) — the reference's per-strategy definition tests shape
+(strategies/*/definition_test.go: trigger + exact decode per rule)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from core_ray.geo.codes import (
+    geohash_decode,
+    geohash_encode,
+    lonlat_to_utm,
+    pluscode_decode,
+    utm_to_lonlat,
+)
+from core_ray.rules import CATALOG_RULES, full_registry
+from core_ray.stages.geocode import Geocoder
+
+# ---------------- decoders ----------------
+
+
+def test_geohash_known_value():
+    lat, lon = geohash_decode("ezs42")  # the spec's canonical example cell
+    assert lat == pytest.approx(42.605, abs=0.005)
+    assert lon == pytest.approx(-5.603, abs=0.005)
+
+
+def test_geohash_roundtrip_grid():
+    rng = np.random.default_rng(11)
+    for _ in range(50):
+        la = float(rng.uniform(-89, 89))
+        lo = float(rng.uniform(-179, 179))
+        dla, dlo = geohash_decode(geohash_encode(la, lo, 9))
+        assert dla == pytest.approx(la, abs=3e-5)
+        assert dlo == pytest.approx(lo, abs=3e-5)
+
+
+def test_geohash_invalid():
+    assert geohash_decode("") is None
+    assert geohash_decode("ab!") is None  # 'a' itself is also not in base32
+    assert geohash_decode("ail") is None  # a, i, l excluded from the alphabet
+
+
+def test_pluscode_spec_examples():
+    lat, lon = pluscode_decode("8FVC2222+22")
+    assert (lat, lon) == pytest.approx((47.0000625, 8.0000625))
+    lat, lon = pluscode_decode("849VCWC8+R9")  # Googleplex area
+    assert lat == pytest.approx(37.4220, abs=0.001)
+    assert lon == pytest.approx(-122.0841, abs=0.001)
+
+
+def test_pluscode_grid_refinement_shrinks_cell():
+    c10 = pluscode_decode("8FVC2222+22")
+    c11 = pluscode_decode("8FVC2222+22G")
+    # the 11-digit center must lie inside the 10-digit cell (1/8000 deg)
+    assert abs(c11[0] - c10[0]) < 1.0 / 8000
+    assert abs(c11[1] - c10[1]) < 1.0 / 8000
+
+
+def test_pluscode_invalid():
+    assert pluscode_decode("NOPLUS") is None
+    assert pluscode_decode("8FVC22+22") is None  # short code unsupported
+    assert pluscode_decode("8FVA2222+22") is None  # 'A' not in alphabet
+
+
+def test_utm_roundtrip():
+    rng = np.random.default_rng(12)
+    for _ in range(50):
+        la = float(rng.uniform(-79, 83))  # UTM's defined latitude band
+        lo = float(rng.uniform(-179, 179))
+        z, h, e, n = lonlat_to_utm(la, lo)
+        bla, blo = utm_to_lonlat(z, h, e, n)
+        assert bla == pytest.approx(la, abs=1e-6)
+        assert blo == pytest.approx(lo, abs=1e-6)
+
+
+def test_utm_invalid():
+    assert utm_to_lonlat(0, "N", 5e5, 0.0) is None
+    assert utm_to_lonlat(31, "X", 5e5, 0.0) is None
+
+
+# ---------------- rules through the cascade ----------------
+
+GEOIP = {"known.example.com": (10.0, 20.0)}
+STATE = {
+    "airports": {"SFO": (37.6213, -122.3790)},
+    "gazetteer": {"Paris": (48.8566, 2.3522), "New York": (40.7128, -74.0060)},
+}
+
+
+def _run(rows):
+    g = Geocoder(GEOIP, registry=full_registry(), extra_state=STATE)
+    b = pa.table(
+        {
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+        }
+    )
+    out = g(b)
+    return list(
+        zip(
+            out["derivation_source"].to_pylist(),
+            out["lat"].to_pylist(),
+            out["lon"].to_pylist(),
+        )
+    )
+
+
+def test_catalog_rule_names_and_priorities():
+    names = [r.name for r in full_registry().candidates("en")]
+    assert names == [
+        "map-url", "text-mention",  # Specialized, name-asc
+        "geohash", "pluscode", "utm",  # E2E
+        "airport", "gazetteer", "host-geoip",  # Generic
+    ]
+    assert {r.name for r in CATALOG_RULES} == {
+        "map-url", "geohash", "pluscode", "utm", "airport", "gazetteer"
+    }
+
+
+def test_map_url_rule_beats_text_mention():
+    rows = [("https://maps.example.com/@48.8566,2.3522,12z", "also 12.345, -33.251", "en")]
+    out = _run([rows[0]])
+    assert out[0][0] == "map-url"
+    assert out[0][1] == pytest.approx(48.8566)
+
+
+def test_geohash_pluscode_utm_rules():
+    out = _run(
+        [
+            ("https://x.com/1", "see geohash:ezs42 for the place", "en"),
+            ("https://x.com/2", "code 8FVC2222+22 nearby", "en"),
+            ("https://x.com/3", "grid UTM 31N 448262 5411932", "en"),
+        ]
+    )
+    assert [o[0] for o in out] == ["geohash", "pluscode", "utm"]
+    assert out[0][1] == pytest.approx(42.605, abs=0.005)
+    assert out[1][1] == pytest.approx(47.0000625)
+    assert out[2][1] == pytest.approx(48.858, abs=0.01)  # Eiffel-tower-ish
+
+
+def test_airport_and_gazetteer_rules_with_broadcast_tables():
+    out = _run(
+        [
+            ("https://x.com/1", "flying from SFO Airport tomorrow", "en"),
+            ("https://x.com/2", "we stayed in Paris for a week", "en"),
+            ("https://x.com/3", "meetup in New York soon", "en"),
+            ("https://known.example.com/4", "no place names at all", "en"),
+        ]
+    )
+    assert [o[0] for o in out] == ["airport", "gazetteer", "gazetteer", "host-geoip"]
+    assert out[0][1] == pytest.approx(37.6213)
+    assert out[2][2] == pytest.approx(-74.0060)
+
+
+def test_airport_beats_gazetteer_by_name_within_generic():
+    out = _run([("https://x.com/1", "from SFO Airport while in Paris", "en")])
+    assert out[0][0] == "airport"
+
+
+def test_catalog_without_side_tables_falls_through():
+    g = Geocoder(GEOIP, registry=full_registry())  # no airports/gazetteer
+    b = pa.table(
+        {
+            "url": pa.array(["https://known.example.com/x"], pa.string()),
+            "text": pa.array(["from SFO Airport while in Paris"], pa.string()),
+            "lang": pa.array(["en"], pa.string()),
+        }
+    )
+    assert g(b)["derivation_source"].to_pylist() == ["host-geoip"]
+
+
+def test_full_catalog_through_flagship(ray_session, tmp_path):
+    """Catalog + flagship e2e: a corpus whose pages hit every catalog rule,
+    run with the full registry via the actor-pool PageAnalyzer."""
+    import ray
+
+    from core_ray.stages.analyzer import PageAnalyzer
+
+    texts = {
+        "map": ("https://maps.x.com/@48.8566,2.3522,12z", "nothing else"),
+        "gh": ("https://x.com/gh", "try geohash:u4pruydqqvj today"),
+        "plus": ("https://x.com/plus", "at 849VCWC8+R9 now"),
+        "utm": ("https://x.com/utm", "grid UTM 10N 552100 4182700"),
+        "apt": ("https://x.com/apt", "lands at SFO Airport"),
+        "gaz": ("https://x.com/gaz", "a week in Paris"),
+        "geoip": ("https://known.example.com/h", "plain text"),
+        "none": ("https://x.com/none", "no geo signal"),
+    }
+    urls = [u for u, _ in texts.values()]
+    htmls = [f"<html><body><p>{t}</p></body></html>".encode() for _, t in texts.values()]
+    b = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(
+                np.full(len(urls), np.datetime64("2025-01-01T00:00:00", "us"))
+            ),
+            "html": pa.array(htmls, pa.binary()),
+            "lang": pa.array(["en"] * len(urls), pa.string()),
+        }
+    )
+    admin = pa.table(
+        {
+            "admin_id": pa.array(["W0"], pa.string()),
+            "level": pa.array([0], pa.int8()),
+            "parent_id": pa.array([None], pa.string()),
+            "wkt": pa.array(
+                ["POLYGON ((-180 -85, 180 -85, 180 85, -180 85, -180 -85))"],
+                pa.string(),
+            ),
+        }
+    )
+    out = (
+        ray.data.from_arrow(b)
+        .map_batches(
+            PageAnalyzer,
+            fn_constructor_args=(GEOIP, admin),
+            fn_constructor_kwargs={"registry": full_registry(), "extra_state": STATE},
+            batch_format="pyarrow",
+            concurrency=1,
+        )
+        .take_all()
+    )
+    by_src = {r["derivation_source"] for r in out}
+    assert by_src == {
+        "map-url", "geohash", "pluscode", "utm", "airport", "gazetteer",
+        "host-geoip", "none",
+    }
