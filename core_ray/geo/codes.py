@@ -20,6 +20,7 @@ the rules compile their trigger regexes once per actor.
 from __future__ import annotations
 
 import math
+import re
 
 # ---------------- geohash ----------------
 
@@ -210,3 +211,63 @@ def lonlat_to_utm(lat: float, lon: float) -> tuple[int, str, float, float]:
     if hemi == "S":
         northing += 10000000.0
     return (zone, hemi, easting, northing)
+
+
+# ---------------- Maidenhead locator (ham-radio grid squares) ----------------
+
+def maidenhead_decode(code: str) -> tuple[float, float] | None:
+    """Maidenhead grid locator (4/6/8 chars) -> (lat, lon) of the CELL
+    CENTER. Published scheme: field pair A-R (20 deg x 10 deg), square pair
+    0-9 (2 x 1), subsquare pair a-x (5' x 2.5'), extended square pair 0-9."""
+    code = code.strip()
+    if len(code) not in (4, 6, 8):
+        return None
+    c = code.upper()
+    if not ("A" <= c[0] <= "R" and "A" <= c[1] <= "R" and c[2:4].isdigit()):
+        return None
+    lon = (ord(c[0]) - ord("A")) * 20.0 - 180.0
+    lat = (ord(c[1]) - ord("A")) * 10.0 - 90.0
+    lon += int(c[2]) * 2.0
+    lat += int(c[3]) * 1.0
+    lon_res, lat_res = 2.0, 1.0
+    if len(c) >= 6:
+        if not ("A" <= c[4] <= "X" and "A" <= c[5] <= "X"):
+            return None
+        lon_res, lat_res = 2.0 / 24.0, 1.0 / 24.0
+        lon += (ord(c[4]) - ord("A")) * lon_res
+        lat += (ord(c[5]) - ord("A")) * lat_res
+    if len(c) == 8:
+        if not c[6:8].isdigit():
+            return None
+        lon_res, lat_res = lon_res / 10.0, lat_res / 10.0
+        lon += int(c[6]) * lon_res
+        lat += int(c[7]) * lat_res
+    return (lat + lat_res / 2.0, lon + lon_res / 2.0)
+
+
+# ---------------- ISO 6709 degree strings ----------------
+
+def iso6709_decode(s: str) -> tuple[float, float] | None:
+    """ISO 6709 Annex-H degree form, e.g. '+48.8577+002.2950/' ->
+    (lat, lon). Sign required on both; latitude 2 integer digits, longitude
+    3 (the standard's fixed-width degree representation)."""
+    m = re.fullmatch(r"([+-]\d{2}(?:\.\d+)?)([+-]\d{3}(?:\.\d+)?)/?", s.strip())
+    if not m:
+        return None
+    lat, lon = float(m.group(1)), float(m.group(2))
+    if not (-90.0 <= lat <= 90.0 and -180.0 <= lon <= 180.0):
+        return None
+    return (lat, lon)
+
+
+# ---------------- slippy-map tile center ----------------
+
+def tile_center(z: int, x: int, y: int) -> tuple[float, float] | None:
+    """Web-mercator tile (z, x, y) -> (lat, lon) of the tile center
+    (the published slippy-map inverse: lat = atan(sinh(pi(1 - 2n)))."""
+    if z < 0 or z > 24 or not (0 <= x < (1 << z)) or not (0 <= y < (1 << z)):
+        return None
+    n = float(1 << z)
+    lon = (x + 0.5) / n * 360.0 - 180.0
+    lat = math.degrees(math.atan(math.sinh(math.pi * (1.0 - 2.0 * (y + 0.5) / n))))
+    return (lat, lon)

@@ -112,13 +112,27 @@ def _run(rows):
 def test_catalog_rule_names_and_priorities():
     names = [r.name for r in full_registry().candidates("en")]
     assert names == [
-        "map-url", "text-mention",  # Specialized, name-asc
-        "geohash", "pluscode", "utm",  # E2E
+        "iso6709", "latlon-qs", "map-url", "text-mention",  # Specialized, name-asc
+        "geohash", "maidenhead", "pluscode", "tile-url", "utm",  # E2E
         "airport", "gazetteer", "host-geoip",  # Generic
     ]
-    assert {r.name for r in CATALOG_RULES} == {
-        "map-url", "geohash", "pluscode", "utm", "airport", "gazetteer"
-    }
+    assert len(CATALOG_RULES) == 10
+
+
+def test_iso6709_latlon_qs_maidenhead_tile_rules():
+    out = _run(
+        [
+            ("https://x.com/1", "position +48.8577+002.2950/ recorded", "en"),
+            ("https://x.com/2?lat=12.5&lon=-33.25", "no text signal", "en"),
+            ("https://x.com/3", "operating from grid JN58td tonight", "en"),
+            ("https://tiles.x.com/tiles/11/1050/674.png", "tile page", "en"),
+        ]
+    )
+    assert [o[0] for o in out] == ["iso6709", "latlon-qs", "maidenhead", "tile-url"]
+    assert out[0][1] == pytest.approx(48.8577)
+    assert out[1][1] == pytest.approx(12.5) and out[1][2] == pytest.approx(-33.25)
+    assert out[2][1] == pytest.approx(48.1458, abs=0.001)
+    assert out[3][2] == pytest.approx(4.6582, abs=0.001)
 
 
 def test_map_url_rule_beats_text_mention():
@@ -229,3 +243,23 @@ def test_full_catalog_through_flagship(ray_session, tmp_path):
         "map-url", "geohash", "pluscode", "utm", "airport", "gazetteer",
         "host-geoip", "none",
     }
+
+
+def test_maidenhead_iso_tile_decoders():
+    from core_ray.geo.codes import iso6709_decode, maidenhead_decode, tile_center
+
+    # Maidenhead: Munich subsquare center per the published scheme
+    assert maidenhead_decode("JN58td") == pytest.approx((48.1458333, 11.625))
+    assert maidenhead_decode("FN31pr")[1] == pytest.approx(-72.7083, abs=0.001)
+    assert maidenhead_decode("JN58") == pytest.approx((48.5, 11.0))  # 4-char cell
+    for bad in ("ZZ99", "JN5", "JN58zz", ""):
+        assert maidenhead_decode(bad) is None
+    # ISO 6709 degree strings
+    assert iso6709_decode("+48.8577+002.2950/") == (48.8577, 2.295)
+    assert iso6709_decode("-33.8688+151.2093") == (-33.8688, 151.2093)
+    assert iso6709_decode("48.85+002.29/") is None  # sign required
+    assert iso6709_decode("+99.0+002.0/") is None  # out of range
+    # slippy-map tile center (published inverse formula)
+    lat, lon = tile_center(11, 1050, 674)
+    assert lon == pytest.approx((1050.5 / 2048) * 360 - 180)
+    assert tile_center(2, 9, 0) is None and tile_center(-1, 0, 0) is None
