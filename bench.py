@@ -43,6 +43,9 @@ BENCH_QUERIES = [
     "events_window_join",
     "doc_top2_per_lang",
     "events_rolling_max",
+    # round-3 additions
+    "events_funnel",
+    "q10_returned_revenue",
 ]
 
 

@@ -1956,6 +1956,165 @@ FROM events GROUP BY 1
 """
 
 
+def events_funnel(sf_dir: str, stages=("view", "click", "purchase")):
+    """Ordered sequence-pattern match (the funnel / MATCH_RECOGNIZE-lite
+    operator class): per user, stage k+1 counts only if an event of that
+    type occurs STRICTLY AFTER the user's earliest qualifying stage-k event.
+    Shape: one hash-partition shuffle by user, then a fully vectorized
+    per-partition pass (sorted segments + masked reduceat per stage — no
+    Python per user); stage totals via a 3-key final groupby."""
+    from ray.data.aggregate import Sum
+
+    from core_ray.stages.agg import map_groups_partitioned
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    stage_names = [">".join(stages[: k + 1]) for k in range(len(stages))]
+
+    def funnel_partition(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return pa.table(
+                {"stage": pa.array([], pa.string()), "n_users": pa.array([], pa.int64())}
+            )
+        user = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        etype = np.asarray(g["event_type"].to_pylist())
+        order = np.lexsort((ts, user))
+        user, ts, etype = user[order], ts[order], etype[order]
+        new = np.ones(n, dtype=bool)
+        new[1:] = user[1:] != user[:-1]
+        starts = np.nonzero(new)[0]
+        uidx = np.cumsum(new) - 1  # per-row user segment index
+        n_users = len(starts)
+        big = np.int64(np.iinfo(np.int64).max)
+        prev = np.full(n_users, -np.int64(1))  # stage-0 threshold: strictly after -inf
+        counts = []
+        for k, st in enumerate(stages):
+            # earliest event of this type strictly after the user's previous
+            # stage time: masked min via reduceat over the sorted segments
+            x = np.where((etype == st) & (ts > prev[uidx]), ts, big)
+            cur = np.minimum.reduceat(x, starts)
+            counts.append(int((cur < big).sum()))
+            prev = cur
+        return pa.table(
+            {
+                "stage": pa.array(stage_names, pa.string()),
+                "n_users": pa.array(counts, pa.int64()),
+            }
+        )
+
+    partial = map_groups_partitioned(ds, "user_id", funnel_partition)
+    agg = partial.groupby("stage").aggregate(Sum("n_users", alias_name="n_users"))
+    return agg.map_batches(
+        lambda b: pa.table(
+            {"stage": b["stage"], "n_users": pc.cast(b["n_users"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+EVENTS_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+  WHERE e.event_type = 'click' GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+  WHERE e.event_type = 'purchase' GROUP BY 1
+)
+SELECT 'view' AS stage, COUNT(*) AS n_users FROM v
+UNION ALL SELECT 'view>click', COUNT(*) FROM c
+UNION ALL SELECT 'view>click>purchase', COUNT(*) FROM p
+"""
+
+
+def q10_returned_revenue(sf_dir: str, k: int = 20):
+    """TPC-H q10 shape: revenue of RETURNED items per customer, top-k.
+    Plan: pruned+filtered lineitem scan (returnflag pushed into the read) ->
+    hash-partitioned equi-join against the orders key map (NEITHER fact side
+    broadcast) -> exact integer-cents partitioned sum by custkey
+    (agg.sum_by_u64) -> tiny sort+limit; customer names
+    attached from the small dimension driver-side (same <256 MB guard
+    discipline as q3/q5)."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from core_ray.stages.agg import sum_by_u64
+    from core_ray.stages.join import hash_join
+
+    li = ray.data.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pads.field("l_returnflag") == "R",
+    ).map_batches(
+        # exact integer cents (see orders_cust_join): float SUMs at this
+        # magnitude depend on accumulation order; int64 sums do not
+        lambda b: pa.table(
+            {
+                "okey": b["l_orderkey"],
+                "cents": pa.array(
+                    sql_round_np(
+                        b["l_extendedprice"].to_numpy(zero_copy_only=False)
+                        * (1.0 - b["l_discount"].to_numpy(zero_copy_only=False))
+                        * 100.0,
+                        0,
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        lambda b: pa.table({"okey": b["o_orderkey"], "o_custkey": b["o_custkey"]}),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(li, orders, on="okey")
+    sums = sum_by_u64(
+        joined.map_batches(
+            lambda b: pa.table({"key": pc.cast(b["o_custkey"], pa.uint64()), "cents": b["cents"]}),
+            batch_format="pyarrow",
+        ),
+        "key",
+        "cents",
+    )
+    top = _collect_table(
+        sums.sort(["cnt", "key"], descending=[True, False]).limit(k)
+    )
+    ckeys = top["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ct = pq.read_table(_p(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+    name_of = dict(zip(ct["c_custkey"].to_pylist(), ct["c_name"].to_pylist()))
+    return pa.table(
+        {
+            "c_custkey": pa.array(ckeys, pa.int64()),
+            "c_name": pa.array([name_of[int(c)] for c in ckeys], pa.string()),
+            "revenue": pa.array(
+                top["cnt"].to_numpy(zero_copy_only=False).astype(np.float64) / 100.0,
+                pa.float64(),
+            ),
+        }
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name,
+       SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) / 100.0 AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+GROUP BY 1, 2
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES = {
@@ -2001,6 +2160,8 @@ QUERIES = {
     "cust_no_orders": cust_no_orders,
     "events_value_histogram": events_value_histogram,
     "orders_cust_join": orders_cust_join,
+    "events_funnel": events_funnel,
+    "q10_returned_revenue": q10_returned_revenue,
 }
 
 ORACLE_SQL = {
@@ -2041,6 +2202,8 @@ ORACLE_SQL = {
     "cust_no_orders": CUST_NO_ORDERS_SQL,
     "events_value_histogram": EVENTS_HISTOGRAM_SQL,
     "orders_cust_join": ORDERS_CUST_JOIN_SQL,
+    "events_funnel": EVENTS_FUNNEL_SQL,
+    "q10_returned_revenue": Q10_SQL,
     # golden-parquet oracles (independent pure-Python implementations,
     # fixtures/docs_golden.py — the pages_*-style hard check for the
     # formerly rows-only sketch/ANN queries; VERDICT r2 item 1):
