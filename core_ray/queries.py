@@ -1800,7 +1800,14 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) <= 2
 def events_value_quantiles(sf_dir: str):
     """Exact per-group percentiles (p50/p90, linear interpolation — the same
     definition as SQL QUANTILE_CONT): groupby + one vectorized np.quantile
-    per group; rounded to 6 on both sides."""
+    per group; rounded to 6 on both sides.
+
+    Scale note: exact per-group quantiles hold one group's values in one
+    task — fine here (5 groups), wrong at 10^12 rows. The documented scale
+    path is the mergeable DDSketch-style log-linear histogram
+    (stages/sketch.py::approx_group_quantiles — relative-error alpha,
+    combiner + one sum_by_u64 shuffle), the quantile sibling of the HLL
+    tile sketch and Bloom dedup hatches."""
     ds = _read(sf_dir, "events", ["event_type", "value"])
 
     def q(g: pa.Table) -> pa.Table:
