@@ -46,7 +46,7 @@ def test_geohash_invalid():
 def test_pluscode_spec_examples():
     lat, lon = pluscode_decode("8FVC2222+22")
     assert (lat, lon) == pytest.approx((47.0000625, 8.0000625))
-    lat, lon = pluscode_decode("849VCWC8+R9")  # Googleplex area
+    lat, lon = pluscode_decode("849VCWC8+R9")  # Mountain View area (published OLC example)
     assert lat == pytest.approx(37.4220, abs=0.001)
     assert lon == pytest.approx(-122.0841, abs=0.001)
 
