@@ -87,11 +87,22 @@ def _phase_a(page_files: list[str], geoip_ref, admin_ref, cfg: PipelineConfig):
     plasma round-trip of html saturated single-node memory bandwidth."""
     import functools
 
+    import ray
     import ray.data
 
     from core_ray.stages.analyzer import analyze_batch_task
 
-    ds = ray.data.read_parquet(page_files, columns=["url", "warc_ts", "html", "lang"])
+    # block sizing: the default split (row-group x batching granularity)
+    # produced ~12 tiny blocks per file — per-task overhead dominated the
+    # fused read+analyze (measured 3.7–5.5 s/shard vs 3.0–3.4 s at ~2 blocks
+    # per cpu). Cap blocks at 2x cluster CPUs (floored at the file count so
+    # every file still reads in parallel on a bigger cluster).
+    n_blocks = max(2 * int(ray.cluster_resources().get("CPU", 8)), len(page_files))
+    ds = ray.data.read_parquet(
+        page_files,
+        columns=["url", "warc_ts", "html", "lang"],
+        override_num_blocks=n_blocks,
+    )
     fn = functools.partial(
         analyze_batch_task,
         geoip_ref=geoip_ref,
