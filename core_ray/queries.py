@@ -1963,6 +1963,119 @@ FROM events GROUP BY 1
 """
 
 
+def events_props_stats(sf_dir: str):
+    """Semi-structured extraction (JSON properties column): pull the integer
+    field 'k' out of props per event — ONE vectorized extract_regex kernel
+    per batch with an exact json.loads fallback (text/jsonops.py) — then a
+    tiny per-type rollup. Mirrors DuckDB json_extract semantics."""
+    from ray.data.aggregate import Count, Sum
+
+    from core_ray.text.jsonops import json_field_int64
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def extract(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "k": json_field_int64(b["props"], "k"),
+            }
+        )
+
+    agg = (
+        ds.map_batches(extract, batch_format="pyarrow", batch_size=65536)
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("k", alias_name="sum_k"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "event_type": b["event_type"],
+                "n": pc.cast(b["n"], pa.int64()),
+                "sum_k": pc.cast(b["sum_k"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+EVENTS_PROPS_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k
+FROM events GROUP BY 1
+"""
+
+
+_HOP_US = 30 * 60 * 1000 * 1000  # 30-minute hop
+_WIN_HOPS = 2  # 1-hour windows -> each event lands in exactly 2 hops
+
+
+def events_hopping(sf_dir: str):
+    """Hopping (sliding) window aggregate — 1 h windows every 30 min, the
+    OVERLAPPING sibling of events_hourly's tumbling windows: each event is
+    fanned to its 2 covering window starts inside the batch combiner (pure
+    integer arithmetic mirrored in SQL), value summed as exact integer
+    cents, then one small groupby over ~2x-hourly keys."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def combine(b: pa.Table) -> pa.Table:
+        us = b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        cents = sql_round_np(
+            b["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        base = us - us % _HOP_US
+        ws = np.concatenate([base - h * _HOP_US for h in range(_WIN_HOPS)])
+        cc = np.tile(cents, _WIN_HOPS)
+        order = np.argsort(ws, kind="stable")
+        w_o, c_o = ws[order], cc[order]
+        new = np.ones(len(w_o), dtype=bool)
+        if len(w_o):
+            new[1:] = w_o[1:] != w_o[:-1]
+        starts = np.nonzero(new)[0]
+        return pa.table(
+            {
+                "window_start": pa.array(
+                    w_o[starts].astype("datetime64[us]"), pa.timestamp("us")
+                ),
+                "n": pa.array(np.diff(np.append(starts, len(w_o))).astype(np.int64), pa.int64()),
+                "cents": pa.array(np.add.reduceat(c_o, starts), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(combine, batch_format="pyarrow", batch_size=131072)
+        .groupby("window_start")
+        .aggregate(Sum("n", alias_name="n"), Sum("cents", alias_name="cents"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "window_start": b["window_start"],
+                "n": pc.cast(b["n"], pa.int64()),
+                "sum_value": pc.divide(pc.cast(b["cents"], pa.float64()), 100.0),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+EVENTS_HOPPING_SQL = """
+WITH hops AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS h,
+         CAST(ROUND(value * 100.0) AS BIGINT) AS cents
+  FROM events
+), w AS (
+  SELECT h AS window_start, cents FROM hops
+  UNION ALL
+  SELECT h - INTERVAL '30 minutes' AS window_start, cents FROM hops
+)
+SELECT window_start, COUNT(*) AS n, SUM(cents) / 100.0 AS sum_value
+FROM w GROUP BY 1
+"""
+
+
 def doc_vocab_top20(sf_dir: str, k: int = 20):
     """Global token-frequency top-k (the corpus-vocabulary operator a
     training-data pipeline needs): per-batch token counts (one np.unique per
@@ -2239,6 +2352,8 @@ QUERIES = {
     "events_funnel": events_funnel,
     "q10_returned_revenue": q10_returned_revenue,
     "doc_vocab_top20": doc_vocab_top20,
+    "events_props_stats": events_props_stats,
+    "events_hopping": events_hopping,
 }
 
 ORACLE_SQL = {
@@ -2282,6 +2397,8 @@ ORACLE_SQL = {
     "events_funnel": EVENTS_FUNNEL_SQL,
     "q10_returned_revenue": Q10_SQL,
     "doc_vocab_top20": DOC_VOCAB_SQL,
+    "events_props_stats": EVENTS_PROPS_SQL,
+    "events_hopping": EVENTS_HOPPING_SQL,
     # golden-parquet oracles (independent pure-Python implementations,
     # fixtures/docs_golden.py — the pages_*-style hard check for the
     # formerly rows-only sketch/ANN queries; VERDICT r2 item 1):
