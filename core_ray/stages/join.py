@@ -12,8 +12,12 @@ Ray Data has no native join operator, so this composes one from primitives:
      a LOCAL pyarrow (Acero) hash join inside it.
 
 Cost: exactly one all-to-all over (left + right) rows. Skewed keys hurt the
-partition holding them — for a known-hot key, pre-split it with a salt on
-the probe side and replicate the build side (same recipe as stages/knn.py).
+partition holding them — ``salt_keys={key: s}`` pre-splits a known-hot key:
+LEFT (probe) rows of that key scatter across ``s`` salted partitions and
+RIGHT (build) rows replicate into each, so no single partition absorbs the
+hot key (same recipe as stages/knn.py's query salting). Only ``inner`` and
+``left`` joins may be salted: a replicated right row that matches nothing
+would surface once per salt under right/full semantics.
 
 NULL keys never match (SQL equi-join semantics). Null-key rows are dropped
 up front on any side whose unmatched rows would vanish anyway (both sides
@@ -65,7 +69,8 @@ def _key_hash(col) -> np.ndarray:
 
 def hash_join(left, right, on: str, right_on: str | None = None,
               how: str = "inner", n_parts: int | None = None,
-              left_schema=None, right_schema=None):
+              left_schema=None, right_schema=None,
+              salt_keys: dict | None = None):
     """left ⋈ right on ``on`` (== ``right_on`` on the right side; defaults to
     ``on``). Non-key column names must be disjoint across sides. Returns a
     Dataset with columns [on, *left_others, *right_others].
@@ -74,6 +79,12 @@ def hash_join(left, right, on: str, right_on: str | None = None,
     side can be EMPTY (an empty Dataset has no inferable schema)."""
     if how not in _JOIN_TYPES:
         raise ValueError(f"how must be one of {sorted(_JOIN_TYPES)}")
+    if salt_keys and how not in ("inner", "left"):
+        raise ValueError(
+            "salt_keys requires how in ('inner', 'left'): the replicated "
+            "right side would duplicate unmatched rows under right/full"
+        )
+    salt_keys = salt_keys or {}
     right_on = right_on or on
     if n_parts is None:
         from core_ray.stages.agg import _n_parts
@@ -102,6 +113,12 @@ def hash_join(left, right, on: str, right_on: str | None = None,
         1: how in ("right", "full"),
     }
 
+    def _salted_part(kh0: int, salts: np.ndarray) -> np.ndarray:
+        h = (np.uint64(kh0) * np.uint64(0x9E3779B97F4A7C15)) ^ (
+            (salts.astype(np.uint64) + np.uint64(1)) * np.uint64(0xBF58476D1CE4E5B9)
+        )
+        return (h % np.uint64(n_parts)).astype(np.int32)
+
     def _pad(side: int, key_name: str):
         def f(b: pa.Table) -> pa.Table:
             if not keep_nulls[side]:
@@ -128,8 +145,31 @@ def hash_join(left, right, on: str, right_on: str | None = None,
                 # null keys match nothing: scatter them round-robin so one
                 # partition doesn't absorb every null row
                 part[~valid] = (np.arange(int((~valid).sum())) % n_parts).astype(np.int32)
-            cols["__part"] = pa.array(part, pa.int32())
-            return pa.table(cols)
+            t = pa.table(cols)
+            extra_idx, extra_part = [], []
+            for kv, s in salt_keys.items():
+                m = pc.fill_null(pc.equal(key_arr, kv), False).to_numpy(
+                    zero_copy_only=False
+                )
+                rows = np.nonzero(m)[0]
+                if not len(rows):
+                    continue
+                kh0 = int(_key_hash(pa.array([kv], key_type))[0])
+                if side == 0:
+                    # probe rows scatter cyclically across the s salts
+                    part[rows] = _salted_part(kh0, np.arange(len(rows)) % s)
+                else:
+                    # build rows: replica 0 in place, replicas 1..s-1 appended
+                    part[rows] = _salted_part(kh0, np.zeros(len(rows), dtype=np.int64))
+                    for salt in range(1, s):
+                        extra_idx.append(rows)
+                        extra_part.append(
+                            _salted_part(kh0, np.full(len(rows), salt, dtype=np.int64))
+                        )
+            if extra_idx:
+                t = pa.concat_tables([t, t.take(pa.array(np.concatenate(extra_idx)))])
+                part = np.concatenate([part, *extra_part])
+            return t.append_column("__part", pa.array(part, pa.int32()))
 
         return f
 

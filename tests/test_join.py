@@ -132,3 +132,76 @@ def test_outer_joins_keep_null_key_rows(ray_session):
     assert fres == sorted(
         [(1, 1, 9), (None, 2, None), (2, 3, None), (None, None, 7)], key=str
     )
+
+
+def _skewed_tables(seed=9, hot_key=7):
+    rng = np.random.default_rng(seed)
+    # hot key holds ~40% of the probe side and has many build matches
+    lk = np.concatenate([np.full(2000, hot_key), rng.integers(100, 400, 3000)])
+    rk = np.concatenate([np.full(50, hot_key), rng.integers(100, 400, 1000)])
+    left = pa.table(
+        {"k": pa.array(lk, pa.int64()),
+         "lv": pa.array(rng.integers(0, 10**6, len(lk)), pa.int64())}
+    )
+    right = pa.table(
+        {"k": pa.array(rk, pa.int64()),
+         "rv": pa.array(rng.integers(0, 10**6, len(rk)), pa.int64())}
+    )
+    return left, right
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_salted_join_identical_output(ray_session, how):
+    """salt_keys is a pure re-partitioning: salted and unsalted joins must
+    produce identical multisets for inner and left joins."""
+    import ray
+
+    left, right = _skewed_tables()
+    plain = hash_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right), on="k", how=how
+    )
+    salted = hash_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right), on="k", how=how,
+        salt_keys={7: 4},
+    )
+
+    def collect(ds):
+        tabs = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+        return pa.concat_tables(tabs)
+
+    assert _norm(collect(plain)) == _norm(collect(salted))
+
+
+def test_salted_join_rejects_right_and_full(ray_session):
+    import ray
+
+    left, right = _skewed_tables()
+    for how in ("right", "full"):
+        with pytest.raises(ValueError, match="salt_keys"):
+            hash_join(
+                ray.data.from_arrow(left), ray.data.from_arrow(right),
+                on="k", how=how, salt_keys={7: 4},
+            )
+
+
+def test_salted_join_string_keys(ray_session):
+    import ray
+
+    rng = np.random.default_rng(10)
+    lk = ["hot"] * 500 + [f"k{i}" for i in rng.integers(0, 50, 500)]
+    rk = ["hot"] * 5 + [f"k{i}" for i in rng.integers(0, 50, 200)]
+    left = pa.table({"k": pa.array(lk, pa.string()),
+                     "lv": pa.array(np.arange(len(lk)), pa.int64())})
+    right = pa.table({"k": pa.array(rk, pa.string()),
+                      "rv": pa.array(np.arange(len(rk)), pa.int64())})
+    plain = hash_join(ray.data.from_arrow(left), ray.data.from_arrow(right), on="k")
+    salted = hash_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right), on="k",
+        salt_keys={"hot": 3},
+    )
+
+    def collect(ds):
+        tabs = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+        return pa.concat_tables(tabs)
+
+    assert _norm(collect(plain)) == _norm(collect(salted))
