@@ -1423,6 +1423,47 @@ def doc_sample_mod(sf_dir: str, k: int = 20):
 DOC_SAMPLE_SQL = "SELECT doc_id, lang FROM documents WHERE doc_id % 20 = 0"
 
 
+_BK_MULT = 2654435761  # Knuth multiplicative hash (odd -> injective mod 2^32)
+_BK_SEED = 7
+_BK_MOD = 1 << 32
+
+
+def doc_sample_bottomk(sf_dir: str, k: int = 50):
+    """Bottom-k sampling — a fixed-SIZE uniform-without-replacement sample
+    (the published order-hash design: keep the k rows with the smallest
+    values of a pseudo-random order hash). Mergeable by construction: each
+    batch prunes to its own k smallest keys (combiner), the tiny survivors
+    sort+limit globally. The order hash is an injective multiplicative hash
+    mirrored exactly in SQL, so the sample is deterministic AND
+    oracle-checked — complementing doc_sample_mod's fixed-RATE hash-mod
+    sampling."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def prune(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        key = (ids * np.uint64(_BK_MULT) + np.uint64(_BK_SEED)) % np.uint64(_BK_MOD)
+        keep = np.argsort(key, kind="stable")[:k]
+        out = b.take(pa.array(np.sort(keep)))
+        okey = (
+            out["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            * np.uint64(_BK_MULT)
+            + np.uint64(_BK_SEED)
+        ) % np.uint64(_BK_MOD)
+        return out.append_column("sample_key", pa.array(okey.astype(np.int64), pa.int64()))
+
+    pruned = ds.map_batches(prune, batch_format="pyarrow", batch_size=65536)
+    return pruned.sort(["sample_key", "doc_id"]).limit(k)
+
+
+DOC_SAMPLE_BOTTOMK_SQL = f"""
+SELECT doc_id, lang,
+       CAST((doc_id * {_BK_MULT} + {_BK_SEED}) % {_BK_MOD} AS BIGINT) AS sample_key
+FROM documents
+ORDER BY sample_key, doc_id
+LIMIT 50
+"""
+
+
 def events_asof_purchase(sf_dir: str):
     """As-of join: for each event, the timestamp of the user's most recent
     STRICTLY EARLIER 'purchase' event (ray_guide: sort within key group +
@@ -2354,6 +2395,7 @@ QUERIES = {
     "doc_vocab_top20": doc_vocab_top20,
     "events_props_stats": events_props_stats,
     "events_hopping": events_hopping,
+    "doc_sample_bottomk": doc_sample_bottomk,
 }
 
 ORACLE_SQL = {
@@ -2399,6 +2441,7 @@ ORACLE_SQL = {
     "doc_vocab_top20": DOC_VOCAB_SQL,
     "events_props_stats": EVENTS_PROPS_SQL,
     "events_hopping": EVENTS_HOPPING_SQL,
+    "doc_sample_bottomk": DOC_SAMPLE_BOTTOMK_SQL,
     # golden-parquet oracles (independent pure-Python implementations,
     # fixtures/docs_golden.py — the pages_*-style hard check for the
     # formerly rows-only sketch/ANN queries; VERDICT r2 item 1):
