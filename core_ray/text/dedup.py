@@ -616,25 +616,17 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
     return ((x * h) >> np.uint64(56)).astype(np.int64)
 
 
-def simhash_near_dups(ds, id_col: str = "doc_id", col: str = "text", max_hamming: int = 3):
-    """SimHash near-dup pairs via 4x16-bit band buckets + Hamming verify.
+def hamming_band_pairs(sig_ds, id_col: str, hash_col: str, max_hamming: int, id_type):
+    """uint64 hash column -> distinct (id_a < id_b, hamming <= max_hamming)
+    pairs via 4x16-bit band buckets + chunked SWAR-popcount verify.
 
-    Same scale shape AND cluster-granularity contract as minhash_near_dups:
-    exact-text collapse first (cross-corpus pairs use the cluster's min-id
-    representative; interior = linear star pairs with hamming 0), vectorized
-    per-bucket Hamming via SWAR popcount (chunked so memory stays bounded),
-    vectorized distinct.
-    """
-    sig_ds = ds.map_batches(
-        SimHashSigs, fn_constructor_args=(id_col, col),
-        batch_format="pyarrow", batch_size=2048, concurrency=(1, 8),
-    )
-    reps, stars = _collapse_exact_text(sig_ds, id_col)
-    _sch = ds.schema()
-    id_type = dict(zip(_sch.names, _sch.types))[id_col]
+    EXACTNESS: with 4 bands, any pair at hamming <= 3 leaves at least one
+    band untouched (pigeonhole), so banding finds EVERY such pair;
+    max_hamming > 3 is approximate by the same argument. Shared by the
+    simhash text path and the media perceptual-hash path."""
 
     def explode_bands(batch: pa.Table) -> pa.Table:
-        h = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = batch[hash_col].to_numpy(zero_copy_only=False).astype(np.uint64)
         parts = []
         for b in range(4):
             parts.append(
@@ -645,7 +637,7 @@ def simhash_near_dups(ds, id_col: str = "doc_id", col: str = "text", max_hamming
                             (h >> np.uint64(16 * b)) & np.uint64(0xFFFF), pa.uint32()
                         ),
                         id_col: batch[id_col],
-                        "simhash": batch["simhash"],
+                        hash_col: batch[hash_col],
                     }
                 )
             )
@@ -676,7 +668,7 @@ def simhash_near_dups(ds, id_col: str = "doc_id", col: str = "text", max_hamming
             {
                 "bkey": pa.array(key, pa.uint64()),
                 id_col: b[id_col],
-                "simhash": b["simhash"],
+                hash_col: b[hash_col],
                 "__part": pa.array(
                     ((key * _GOLD) % np.uint64(n_parts)).astype(np.int32), pa.int32()
                 ),
@@ -686,7 +678,7 @@ def simhash_near_dups(ds, id_col: str = "doc_id", col: str = "text", max_hamming
     def pairs_in_partition(g: pa.Table) -> pa.Table:
         key = g["bkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
         ids = g[id_col].to_numpy(zero_copy_only=False)
-        hs = g["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        hs = g[hash_col].to_numpy(zero_copy_only=False).astype(np.uint64)
         order = np.lexsort((ids, key))
         k_o, id_o, h_o = key[order], ids[order], hs[order]
         new = np.ones(len(k_o), dtype=bool)
@@ -709,12 +701,32 @@ def simhash_near_dups(ds, id_col: str = "doc_id", col: str = "text", max_hamming
         )
 
     pairs = (
-        reps.map_batches(explode_bands, batch_format="pyarrow")
+        sig_ds.map_batches(explode_bands, batch_format="pyarrow")
         .map_batches(part_of, batch_format="pyarrow", batch_size=131072)
         .groupby("__part")
         .map_groups(pairs_in_partition, batch_format="pyarrow")
     )
-    distinct = _distinct_pairs(pairs)
+    return _distinct_pairs(pairs)
+
+
+def simhash_near_dups(ds, id_col: str = "doc_id", col: str = "text", max_hamming: int = 3):
+    """SimHash near-dup pairs via 4x16-bit band buckets + Hamming verify.
+
+    Same scale shape AND cluster-granularity contract as minhash_near_dups:
+    exact-text collapse first (cross-corpus pairs use the cluster's min-id
+    representative; interior = linear star pairs with hamming 0), vectorized
+    per-bucket Hamming via SWAR popcount (chunked so memory stays bounded),
+    vectorized distinct.
+    """
+    sig_ds = ds.map_batches(
+        SimHashSigs, fn_constructor_args=(id_col, col),
+        batch_format="pyarrow", batch_size=2048, concurrency=(1, 8),
+    )
+    reps, stars = _collapse_exact_text(sig_ds, id_col)
+    _sch = ds.schema()
+    id_type = dict(zip(_sch.names, _sch.types))[id_col]
+
+    distinct = hamming_band_pairs(reps, id_col, "simhash", max_hamming, id_type)
     star_pairs = stars.map_batches(
         lambda b: pa.table(
             {
