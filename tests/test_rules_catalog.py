@@ -263,3 +263,37 @@ def test_maidenhead_iso_tile_decoders():
     lat, lon = tile_center(11, 1050, 674)
     assert lon == pytest.approx((1050.5 / 2048) * 360 - 180)
     assert tile_center(2, 9, 0) is None and tile_center(-1, 0, 0) is None
+
+
+# ---------------- property tests (hypothesis) ----------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    la=st.floats(min_value=-89.9, max_value=89.9, allow_nan=False),
+    lo=st.floats(min_value=-179.9, max_value=179.9, allow_nan=False),
+)
+def test_geohash_roundtrip_property(la, lo):
+    dla, dlo = geohash_decode(geohash_encode(la, lo, 10))
+    assert abs(dla - la) < 1e-5 and abs(dlo - lo) < 1e-5
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    la=st.floats(min_value=-79.0, max_value=83.0, allow_nan=False),
+    lo=st.floats(min_value=-179.9, max_value=179.9, allow_nan=False),
+)
+def test_utm_roundtrip_property(la, lo):
+    z, h, e, n = lonlat_to_utm(la, lo)
+    assert 1 <= z <= 60 and h in ("N", "S") and n >= 0
+    bla, blo = utm_to_lonlat(z, h, e, n)
+    assert abs(bla - la) < 1e-6 and abs(blo - lo) < 1e-6
+
+
+@settings(max_examples=100, deadline=None)
+@given(code=st.text(alphabet="0123456789bcdefghjkmnpqrstuvwxyz", min_size=1, max_size=12))
+def test_geohash_decode_always_in_range(code):
+    la, lo = geohash_decode(code)
+    assert -90.0 <= la <= 90.0 and -180.0 <= lo <= 180.0
