@@ -320,7 +320,8 @@ def run_flagship(
 
     input_fp = fingerprint_paths(processed_files) + "+" + phase_a_cfg_fp
     ckpt_writer = None
-    if store.is_complete("deduped", STAGE_VERSIONS["deduped"], input_fp):
+    deduped_from_ckpt = store.is_complete("deduped", STAGE_VERSIONS["deduped"], input_fp)
+    if deduped_from_ckpt:
         deduped = store.load("deduped")
     else:
         # compute once into the object store; the parquet checkpoint is
@@ -364,9 +365,22 @@ def run_flagship(
     )
 
     # knn, tiles and stats all read only the deduped checkpoint — run their
-    # executions concurrently (independent sub-DAGs sharing the cluster)
-    knn_input = joined.select_columns(["url", "mention_idx", "lat", "lon", "hex_cell"])
-    tiles_input = joined.select_columns(["url", "lat", "lon"])
+    # executions concurrently (independent sub-DAGs sharing the cluster).
+    # On RESUME runs the checkpoint read is COLUMN-PRUNED per consumer (the
+    # wide text column must never be decoded for knn/tiles); on cold runs
+    # the materialized in-memory blocks are selected instead (no decode).
+    def _joined_narrow(columns: list[str]):
+        src = (
+            store.load("deduped", columns=columns + ["derivation_source"])
+            if deduped_from_ckpt
+            else deduped
+        )
+        return src.filter(
+            expr="derivation_source != 'none' and derivation_source != 'oversize'"
+        ).select_columns(columns)
+
+    knn_input = _joined_narrow(["url", "mention_idx", "lat", "lon", "hex_cell"])
+    tiles_input = _joined_narrow(["url", "lat", "lon"])
 
     knn_fp = input_fp + "+" + fingerprint_config(cfg, _KNN_CFG)
     tiles_fp = input_fp + "+" + fingerprint_config(cfg, _TILES_CFG)
@@ -406,14 +420,19 @@ def run_flagship(
     if not cfg.stage_enabled("tiles"):
         _tiles = _empty
 
+    stats_src = (
+        store.load("deduped", columns=["derivation_source", "mention_idx"])
+        if deduped_from_ckpt
+        else deduped
+    )
     if available >= 16:
         with ThreadPoolExecutor(max_workers=3) as pool:
             knn_f = pool.submit(_knn)
             tiles_f = pool.submit(_tiles)
-            stats_f = pool.submit(_stats_pass, deduped)
+            stats_f = pool.submit(_stats_pass, stats_src)
             knn, tiles, stats = knn_f.result(), tiles_f.result(), stats_f.result()
     else:
-        knn, tiles, stats = _knn(), _tiles(), _stats_pass(deduped)
+        knn, tiles, stats = _knn(), _tiles(), _stats_pass(stats_src)
     if ckpt_writer is not None:
         ckpt_writer.result()  # checkpoint durable before returning
     stats["timed_out"] = timed_out
