@@ -1140,6 +1140,150 @@ SELECT * FROM exploded
 """
 
 
+# --- catalog-cascade golden (rules/catalog.py driver gate) -----------------
+# A self-generated page set whose urls/texts exercise EVERY catalog rule and
+# the cross-class priority interplay; the golden is a LITERAL expectation
+# table (expected source + coordinates written as constants derived from the
+# published specs, NOT recomputed through the matchers), so the oracle
+# hash-checks the distributed cascade: per-language candidate order,
+# early-return, counting policy, broadcast side tables through actors.
+
+_RULES_GEOIP = {"known.example.com": (10.0, 20.0)}
+_RULES_STATE = {
+    "airports": {"SFO": (37.6213, -122.379)},
+    "gazetteer": {"Paris": (48.8566, 2.3522)},
+}
+# (case, url_suffix, text, [(source, lat, lon), ...])  lat/lon pre-rounded 6
+_RULE_CASES = [
+    ("map1", "/@48.8566,2.3522,12z", "plain words only", [("map-url", 48.8566, 2.3522)]),
+    ("map2", "/@-33.8688,151.2093,10z", "plain", [("map-url", -33.8688, 151.2093)]),
+    ("mdec", "/a", "point 12.345, -33.251 here", [("text-mention", 12.345, -33.251)]),
+    ("mgeo", "/b", "geo:10.5,20.25 uri", [("text-mention", 10.5, 20.25)]),
+    ("mdms", "/c", "at 12°30'0\"N 45°15'0\"E mark", [("text-mention", 12.5, 45.25)]),
+    ("iso", "/d", "fix +48.8577+002.2950/ logged", [("iso6709", 48.8577, 2.295)]),
+    ("qs", "/e?lat=12.5&lon=-33.25", "plain", [("latlon-qs", 12.5, -33.25)]),
+    ("gh1", "/f", "see geohash:ezs42 now", [("geohash", 42.60498, -5.603027)]),
+    ("gh2", "/g", "see geohash:s0000 now", [("geohash", 0.021973, 0.021973)]),
+    ("pl1", "/h", "at 8FVC2222+22 spot", [("pluscode", 47.000063, 8.000063)]),
+    ("pl2", "/i", "at 849VCWC8+R9 spot", [("pluscode", 37.422063, -122.084063)]),
+    ("ut1", "/j", "grid UTM 31N 448262 5411932 pos", [("utm", 48.858195, 2.294639)]),
+    ("ut2", "/k", "grid UTM 10N 552100 4182700 pos", [("utm", 37.790177, -122.408272)]),
+    ("mh1", "/l", "op from grid JN58td tonight", [("maidenhead", 48.145833, 11.625)]),
+    ("mh2", "/m", "op from grid FN31pr tonight", [("maidenhead", 41.729167, -72.708333)]),
+    ("ti1", "/tiles/11/1050/674.png", "tile page", [("tile-url", 52.214339, 4.658203)]),
+    ("ti2", "/tiles/12/2100/1348.png", "tile page", [("tile-url", 52.241256, 4.614258)]),
+    ("apt", "/n", "lands at SFO Airport soon", [("airport", 37.6213, -122.379)]),
+    ("gaz", "/o", "a week in Paris was nice", [("gazetteer", 48.8566, 2.3522)]),
+    ("gip", "/p", "no geo signal words", [("host-geoip", 10.0, 20.0)]),
+    ("non", "/q", "no geo signal words", [("none", None, None)]),
+    # cross-class priority interplay (the detect-cascade consult order):
+    ("p1", "/r", "at 8FVC2222+22 in Paris", [("pluscode", 47.000063, 8.000063)]),
+    ("p2", "/s", "point 12.345, -33.251 and geohash:ezs42", [("text-mention", 12.345, -33.251)]),
+    ("p3", "/@37.4220,-122.0841,9z", "point 12.345, -33.251", [("map-url", 37.422, -122.0841)]),
+    # counting policy: every mention = one row, document order
+    ("mm", "/t", "geo:1.5,2.25 then 10.125, -20.375", [
+        ("text-mention", 1.5, 2.25), ("text-mention", 10.125, -20.375)]),
+]
+_RULES_COPIES = 40  # rows per case — exercises batching across actors
+_RULES_GOLDEN_VERSION = 1
+
+
+def _rules_pages() -> pa.Table:
+    urls, texts = [], []
+    for ci, (case, suffix, text, _) in enumerate(_RULE_CASES):
+        host = "known.example.com" if case == "gip" else f"c{ci}.rules.example.org"
+        for j in range(_RULES_COPIES):
+            urls.append(f"https://{host}/{case}/{j}{suffix}")
+            texts.append(text)
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(urls), pa.string()),
+        }
+    )
+
+
+def _rules_golden_dir() -> str:
+    return f"/tmp/core_ray_rules_golden_v{_RULES_GOLDEN_VERSION}"
+
+
+def _ensure_rules_golden() -> None:
+    root = _rules_golden_dir()
+    marker = os.path.join(root, ".complete")
+    if os.path.exists(marker):
+        return
+    import pyarrow.parquet as pq
+
+    urls, srcs, midx, lats, lons = [], [], [], [], []
+    for ci, (case, suffix, text, expected) in enumerate(_RULE_CASES):
+        host = "known.example.com" if case == "gip" else f"c{ci}.rules.example.org"
+        for j in range(_RULES_COPIES):
+            u = f"https://{host}/{case}/{j}{suffix}"
+            for mi, (src, la, lo) in enumerate(expected):
+                urls.append(u)
+                srcs.append(src)
+                midx.append(mi)
+                lats.append(la)
+                lons.append(lo)
+    t = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "derivation_source": pa.array(srcs, pa.string()),
+            "mention_idx": pa.array(midx, pa.int32()),
+            "lat": pa.array(lats, pa.float64()),
+            "lon": pa.array(lons, pa.float64()),
+        }
+    )
+    os.makedirs(root, exist_ok=True)
+    pq.write_table(t, f"{root}/rules.parquet")
+    with open(marker, "w") as f:
+        f.write("ok")
+
+
+def pages_rules(sf_dir: str):
+    """Full catalog cascade, driver-gated: the engineered page set runs
+    through the Geocoder actor pool with full_registry() + broadcast side
+    tables; output must hash-match the literal expectation golden."""
+    import ray
+    import ray.data
+
+    from core_ray.rules import full_registry
+    from core_ray.stages.geocode import Geocoder
+
+    _ensure_rules_golden()
+    ds = ray.data.from_arrow(_rules_pages())
+    out = ds.map_batches(
+        Geocoder,
+        fn_constructor_args=(_RULES_GEOIP,),
+        fn_constructor_kwargs={"registry": full_registry(), "extra_state": _RULES_STATE},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 4),
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        la = b["lat"].to_numpy(zero_copy_only=False)
+        lo = b["lon"].to_numpy(zero_copy_only=False)
+        # 'none' rows carry null coords — keep them null, not NaN
+        return pa.table(
+            {
+                "url": b["url"],
+                "derivation_source": b["derivation_source"],
+                "mention_idx": b["mention_idx"],
+                "lat": pa.array(sql_round_np(la, 6), pa.float64(), mask=np.isnan(la)),
+                "lon": pa.array(sql_round_np(lo, 6), pa.float64(), mask=np.isnan(lo)),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+PAGES_RULES_SQL = (
+    f"SELECT * FROM read_parquet('{_rules_golden_dir()}/rules.parquet')"
+)
+
+
 # --- golden-diff oracles for the sketch/ANN queries (VERDICT r2 item 1) ---
 # Same trick as pages_*: the independent pure-Python/single-process goldens
 # (fixtures/docs_golden.py) are materialized as parquet at the
@@ -2472,6 +2616,7 @@ QUERIES = {
     "pages_knn": pages_knn,
     "pages_errors": pages_errors,
     "pages_nested": pages_nested,
+    "pages_rules": pages_rules,
     "media_features": media_features,
     "doc_top20_by_chars": doc_top20_by_chars,
     "events_distinct_types": events_distinct_types,
@@ -2528,6 +2673,7 @@ ORACLE_SQL = {
     "pages_errors": PAGES_ERRORS_SQL,
     "pages_knn": PAGES_KNN_SQL,
     "pages_nested": PAGES_NESTED_SQL,
+    "pages_rules": PAGES_RULES_SQL,
     "media_thumbnails": MEDIA_THUMBNAILS_SQL,
     "media_frames": MEDIA_FRAMES_SQL,
     "events_rolling_max": EVENTS_ROLLING_MAX_SQL,
