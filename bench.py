@@ -46,6 +46,12 @@ BENCH_QUERIES = [
     # round-3 additions
     "events_funnel",
     "q10_returned_revenue",
+    "doc_vocab_top20",
+    "events_props_stats",
+    "events_hopping",
+    "events_rollup",
+    "doc_sample_bottomk",
+    "media_phash_pairs",
 ]
 
 

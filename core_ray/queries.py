@@ -2506,6 +2506,9 @@ UNION ALL SELECT 'view>click>purchase', COUNT(*) FROM p
 """
 
 
+_Q10_BROADCAST_MAX_BYTES = 256 * 1024 * 1024  # tests force the shuffle path by 0
+
+
 def q10_returned_revenue(sf_dir: str, k: int = 20):
     """TPC-H q10 shape: revenue of RETURNED items per customer, top-k.
     Plan: pruned+filtered lineitem scan (returnflag pushed into the read) ->
@@ -2544,19 +2547,48 @@ def q10_returned_revenue(sf_dir: str, k: int = 20):
         ),
         batch_format="pyarrow",
     )
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
-        lambda b: pa.table({"okey": b["o_orderkey"], "o_custkey": b["o_custkey"]}),
-        batch_format="pyarrow",
-    )
-    joined = hash_join(li, orders, on="okey")
-    sums = sum_by_u64(
-        joined.map_batches(
-            lambda b: pa.table({"key": pc.cast(b["o_custkey"], pa.uint64()), "cents": b["cents"]}),
+    # ADAPTIVE join strategy (the broadcast-vs-shuffle selector, same guard
+    # discipline as q3's customer side): below the size guard the orders key
+    # map broadcasts as sorted parallel arrays and the probe is a vectorized
+    # searchsorted — two fewer all-to-alls; above it, the fully-distributed
+    # hash-partitioned equi-join. Output identical either way.
+    import ray
+
+    orders_path = _p(sf_dir, "orders")
+    if os.path.getsize(orders_path) < _Q10_BROADCAST_MAX_BYTES:
+        ot = pq.read_table(orders_path, columns=["o_orderkey", "o_custkey"])
+        ok = ot["o_orderkey"].to_numpy(zero_copy_only=False)
+        oc = ot["o_custkey"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ok, kind="stable")
+        ref = ray.put((ok[order], oc[order]))
+
+        def map_cust(b: pa.Table, ref=ref) -> pa.Table:
+            okeys, ocust = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            keys = b["okey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(okeys, keys)
+            pos = np.minimum(pos, len(okeys) - 1)
+            hit = okeys[pos] == keys
+            t = pa.table(
+                {
+                    "key": pa.array(ocust[pos].astype(np.uint64), pa.uint64()),
+                    "cents": b["cents"],
+                }
+            )
+            return t.filter(pa.array(hit))
+
+        keyed = li.map_batches(map_cust, batch_format="pyarrow", batch_size=65536)
+    else:
+        orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+            lambda b: pa.table({"okey": b["o_orderkey"], "o_custkey": b["o_custkey"]}),
             batch_format="pyarrow",
-        ),
-        "key",
-        "cents",
-    )
+        )
+        keyed = hash_join(li, orders, on="okey").map_batches(
+            lambda b: pa.table(
+                {"key": pc.cast(b["o_custkey"], pa.uint64()), "cents": b["cents"]}
+            ),
+            batch_format="pyarrow",
+        )
+    sums = sum_by_u64(keyed, "key", "cents")
     top = _collect_table(
         sums.sort(["cnt", "key"], descending=[True, False]).limit(k)
     )

@@ -100,3 +100,19 @@ class TestEmbNearDupChunked:
         one = rows(to_arrow(emb_near_dup_pairs(sf)))
         many = rows(to_arrow(emb_near_dup_pairs(sf, chunk_rows=16)))
         assert one == many and len(one) > 0
+
+
+def test_q10_broadcast_and_shuffle_paths_agree(ray_session):
+    """q10's adaptive join (broadcast orders map vs hash_join) must be a
+    pure strategy choice — identical output either way."""
+    from core_ray import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    a = Q.q10_returned_revenue(sf)
+    saved = Q._Q10_BROADCAST_MAX_BYTES
+    try:
+        Q._Q10_BROADCAST_MAX_BYTES = 0  # force the hash_join path
+        b = Q.q10_returned_revenue(sf)
+    finally:
+        Q._Q10_BROADCAST_MAX_BYTES = saved
+    assert a.equals(b)
