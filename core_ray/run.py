@@ -6,7 +6,6 @@ Owns its Ray session (library code never calls ray.init)."""
 from __future__ import annotations
 
 import argparse
-import glob
 import json
 import os
 import sys
