@@ -277,6 +277,8 @@ def run_flagship(
     with ThreadPoolExecutor(max_workers=overlap) as shard_pool:
         inflight = []
         for k, files in enumerate(shards):
+            if overlap > 1 and len(inflight) >= overlap:
+                inflight.pop(0).result()  # free a slot BEFORE the deadline check
             if (
                 deadline_s is not None
                 and (shard_names or inflight)  # at least one shard always completes
@@ -285,8 +287,6 @@ def run_flagship(
                 timed_out = True
                 break
             fp = fingerprint_paths(files) + "+" + phase_a_cfg_fp
-            if overlap > 1 and len(inflight) >= overlap:
-                inflight.pop(0).result()  # free a slot before the deadline check
             fut = shard_pool.submit(
                 store.load_or_compute,
                 "phaseA",

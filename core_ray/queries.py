@@ -2460,7 +2460,9 @@ def events_funnel(sf_dir: str, stages=("view", "click", "purchase")):
         uidx = np.cumsum(new) - 1  # per-row user segment index
         n_users = len(starts)
         big = np.int64(np.iinfo(np.int64).max)
-        prev = np.full(n_users, -np.int64(1))  # stage-0 threshold: strictly after -inf
+        # stage-0 threshold: strictly after -inf — int64 min, NOT -1 (an
+        # event before 1970 has a negative epoch-us and must still qualify)
+        prev = np.full(n_users, np.iinfo(np.int64).min)
         counts = []
         for k, st in enumerate(stages):
             # earliest event of this type strictly after the user's previous

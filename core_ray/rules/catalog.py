@@ -66,7 +66,7 @@ _ISO6709_RE = re.compile(r"([+-]\d{2}(?:\.\d+)?[+-]\d{3}(?:\.\d+)?/)")
 _LATLON_QS_RE = re.compile(
     r"[?&]lat(?:itude)?=(-?\d{1,2}(?:\.\d+)?)&l(?:on|ng)(?:gitude)?=(-?\d{1,3}(?:\.\d+)?)"
 )
-_MAIDENHEAD_RE = re.compile(r"\bgrid\s+([A-R]{2}\d{2}(?:[a-x]{2}(?:\d{2})?)?)\b")
+_MAIDENHEAD_RE = re.compile(r"\bgrid\s+([A-R]{2}\d{2}(?:[a-xA-X]{2}(?:\d{2})?)?)\b")
 _TILE_URL_RE = re.compile(r"/tiles?/(\d{1,2})/(\d{1,7})/(\d{1,7})(?:\b|\.)")
 
 _LAT_OK = lambda la: -90.0 <= la <= 90.0  # noqa: E731

@@ -59,6 +59,9 @@ def main(argv=None) -> int:
         from core_ray.pipelines.flagship import run_flagship
         from core_ray.sources import open_source
 
+        bad = [kv for kv in args.source_arg if "=" not in kv]
+        if bad:
+            ap.error(f"--source-arg must be KEY=VALUE, got: {bad[0]!r}")
         src_kwargs = dict(kv.split("=", 1) for kv in args.source_arg)
         source = open_source(args.source, args.pages, **src_kwargs)
         try:

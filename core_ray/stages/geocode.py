@@ -23,7 +23,6 @@ import numpy as np
 import pyarrow as pa
 
 from core_ray.config import register_stage
-from core_ray.geo.coords import MENTION_RE
 
 
 def host_of(url: str) -> str:
@@ -69,7 +68,6 @@ class Geocoder:
         self.state = {"geoip": self.geoip}
         for k, v in (extra_state or {}).items():
             self.state[k] = ray.get(v) if isinstance(v, ray.ObjectRef) else v
-        self.mention_re = MENTION_RE  # compiled at import; pinned per actor
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()

@@ -155,16 +155,21 @@ def hash_join(left, right, on: str, right_on: str | None = None,
                 if not len(rows):
                     continue
                 kh0 = int(_key_hash(pa.array([kv], key_type))[0])
+                # the s salts can COLLIDE on a partition (s > n_parts, or by
+                # hash accident); both sides must work over the UNIQUE salted
+                # partition set, else a colliding pair would hold the build
+                # rows twice and duplicate every matched output row
+                uniq = np.unique(_salted_part(kh0, np.arange(s, dtype=np.int64)))
                 if side == 0:
-                    # probe rows scatter cyclically across the s salts
-                    part[rows] = _salted_part(kh0, np.arange(len(rows)) % s)
+                    # probe rows scatter cyclically across the unique parts
+                    part[rows] = uniq[np.arange(len(rows)) % len(uniq)]
                 else:
-                    # build rows: replica 0 in place, replicas 1..s-1 appended
-                    part[rows] = _salted_part(kh0, np.zeros(len(rows), dtype=np.int64))
-                    for salt in range(1, s):
+                    # build rows: one replica per unique salted partition
+                    part[rows] = np.full(len(rows), uniq[0], dtype=np.int32)
+                    for p_salt in uniq[1:]:
                         extra_idx.append(rows)
                         extra_part.append(
-                            _salted_part(kh0, np.full(len(rows), salt, dtype=np.int64))
+                            np.full(len(rows), p_salt, dtype=np.int32)
                         )
             if extra_idx:
                 t = pa.concat_tables([t, t.take(pa.array(np.concatenate(extra_idx)))])

@@ -119,7 +119,12 @@ def approx_group_quantiles(ds, group_col: str, val_col: str, qs=(0.5, 0.9),
             }
         )
 
-    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=131072)
+    # materialized: BOTH consumers below (the count sum and the key->name
+    # side pull) read the same execution — without this the full input scan
+    # and bin combiner would run twice
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=131072
+    ).materialize()
     # counts: exact sum per (group_hash, bin) key
     sums = sum_by_u64(partials.select_columns(["key", "cnt"]), "key", "cnt")
     sum_tabs = [t for t in ray.get(sums.to_arrow_refs()) if t.num_rows]

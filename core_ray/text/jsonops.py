@@ -32,6 +32,15 @@ def json_field_int64(col, field: str) -> pa.Array:
     # unmatched rows surface as '' (not null) in this pyarrow build; a cast
     # of '' raises, so blank them to null first
     vals = pc.if_else(pc.equal(vals, ""), pa.scalar(None, pa.string()), vals)
+    # the regex is only trustworthy on FLAT JSON: a nested object or an
+    # escaped quote could shadow the top-level field ('{"a": {"k": 3},
+    # "k": 5}' would fast-path to 3). Route any row with nesting or escape
+    # characters to the exact fallback instead.
+    flat = pc.and_(
+        pc.equal(pc.count_substring(col, "{"), 1),
+        pc.equal(pc.count_substring(col, "\\"), 0),
+    )
+    vals = pc.if_else(pc.fill_null(flat, False), vals, pa.scalar(None, pa.string()))
     out = pc.cast(vals, pa.int64(), safe=False)
     miss = pc.is_null(out)
     if pc.any(miss).as_py():

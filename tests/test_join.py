@@ -205,3 +205,25 @@ def test_salted_join_string_keys(ray_session):
         return pa.concat_tables(tabs)
 
     assert _norm(collect(plain)) == _norm(collect(salted))
+
+
+def test_salted_join_with_colliding_salt_partitions(ray_session):
+    """s larger than the distinct salted-partition count must NOT duplicate
+    output (build replicas are placed per UNIQUE partition)."""
+    import ray
+
+    left, right = _skewed_tables()
+    plain = hash_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right), on="k", how="inner",
+        n_parts=12,
+    )
+    salted = hash_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right), on="k", how="inner",
+        n_parts=12, salt_keys={7: 6},  # 6 salts over 12 partitions -> collisions
+    )
+
+    def collect(ds):
+        tabs = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+        return pa.concat_tables(tabs)
+
+    assert _norm(collect(plain)) == _norm(collect(salted))

@@ -30,13 +30,16 @@ def test_fast_path_and_fallback_semantics():
     assert out.to_pylist() == [69, -3, 7, None, None, None, None, None, None, 8, None, 42]
 
 
-def test_nested_value_not_matched_as_scalar():
-    col = pa.array(['{"k": {"inner": 1}}', '{"outer": {"k": 3}}'], pa.string())
-    out = json_field_int64(col, "k")
-    # row 0: k is an object -> null; row 1: top-level k absent, but the FLAT
-    # regex may see the nested token — the fallback's json.loads(.get) rules:
-    # top-level only. Regex would match '"k": 3' though. Assert exact policy:
-    assert out.to_pylist()[0] is None
-    # documented limitation: the flat fast path treats any '"k": <int>'
-    # occurrence as the field; acceptable for flat-properties columns
-    assert out.to_pylist()[1] == 3
+def test_nested_and_shadowed_keys_use_exact_json_semantics():
+    # rows with nesting or escapes bypass the regex fast path entirely, so
+    # the answer is always json.loads' top-level view
+    col = pa.array(
+        [
+            '{"k": {"inner": 1}}',            # k is an object -> null
+            '{"outer": {"k": 3}}',            # top-level k absent -> null
+            '{"a": {"k": 3}, "k": 5}',        # nested shadow -> top-level 5
+            '{"note": "set \\"k\\": 9 here", "k": 1}',  # escaped shadow -> 1
+        ],
+        pa.string(),
+    )
+    assert json_field_int64(col, "k").to_pylist() == [None, None, 5, 1]

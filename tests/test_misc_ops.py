@@ -116,3 +116,30 @@ def test_q10_broadcast_and_shuffle_paths_agree(ray_session):
     finally:
         Q._Q10_BROADCAST_MAX_BYTES = saved
     assert a.equals(b)
+
+
+def test_funnel_accepts_pre_epoch_timestamps(ray_session, tmp_path):
+    """Stage-0 threshold must be -inf, not -1us: pre-1970 events qualify."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from core_ray.queries import events_funnel
+
+    ts = np.array(
+        ["1969-12-31T23:59:59", "1970-01-01T00:00:01", "1970-01-01T00:00:02"],
+        dtype="datetime64[us]",
+    )
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array(ts),
+            "user_id": pa.array([1, 1, 1], pa.int64()),
+            "event_type": pa.array(["view", "click", "purchase"], pa.string()),
+            "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+            "props": pa.array(["{}"] * 3, pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = {r["stage"]: r["n_users"] for r in events_funnel(str(tmp_path)).take_all()}
+    assert out == {"view": 1, "view>click": 1, "view>click>purchase": 1}
