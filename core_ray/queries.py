@@ -2622,6 +2622,603 @@ LIMIT 20
 """
 
 
+# ========================================================== relational wave 2
+# TPC-H-shape breadth: EXISTS semi-join (q4), multi-predicate pruned scalar
+# scan (q6), conditional aggregation after a join (q12), group-HAVING +
+# join + top-k (q18). Each exercises a distinct plan shape over the same
+# fact tables; all money/quantity aggregates use exact integer arithmetic
+# (the q10 cents discipline) so hashes match the oracle bit-for-bit.
+
+_Q4_LO = datetime(1996, 1, 1)
+_Q4_HI = datetime(1996, 7, 1)
+
+
+def q4_priority_semi(sf_dir: str):
+    """TPC-H q4 shape: orders per priority with >=1 high-quantity lineitem
+    (EXISTS semi-join). Plan: both predicates pushed into the parquet reads;
+    distinct qualifying orderkeys via the count_by_u64 combiner (per-batch
+    np.unique -> ONE hash partition -> reduceat); hash-partitioned semi-join
+    (neither fact side broadcast — the qualifying-key set is a large
+    fraction of all orders at any scale); 5-key final count."""
+    import pyarrow.dataset as pads
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from core_ray.stages.agg import count_by_u64
+    from core_ray.stages.join import hash_join
+
+    li = ray.data.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_orderkey"],
+        filter=pads.field("l_quantity") > 45.0,
+    ).map_batches(
+        lambda b: pa.table({"key": pc.cast(b["l_orderkey"], pa.uint64())}),
+        batch_format="pyarrow",
+    )
+    # distinct keys (count_by_u64's keys are unique by construction)
+    keys = count_by_u64(li, "key").map_batches(
+        lambda b: pa.table({"okey": pc.cast(b["key"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    orders = ray.data.read_parquet(
+        _p(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderpriority"],
+        filter=(pads.field("o_orderdate") >= _Q4_LO) & (pads.field("o_orderdate") < _Q4_HI),
+    ).map_batches(
+        lambda b: pa.table({"okey": b["o_orderkey"], "o_orderpriority": b["o_orderpriority"]}),
+        batch_format="pyarrow",
+    )
+    j = hash_join(orders, keys, on="okey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.TableGroupBy(b.select(["o_orderpriority"]), "o_orderpriority").aggregate(
+            [([], "count_all")]
+        )
+
+    agg = (
+        j.map_batches(partial, batch_format="pyarrow", batch_size=131072)
+        .groupby("o_orderpriority")
+        .aggregate(Sum("count_all", alias_name="order_count"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderpriority": b["o_orderpriority"],
+                "order_count": pc.cast(b["order_count"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45.0)
+GROUP BY 1
+"""
+
+
+def q6_forecast_revenue(sf_dir: str):
+    """TPC-H q6 shape: multi-predicate pruned scan + single-row scalar
+    aggregate. Every predicate rides the parquet read (row-group pruning);
+    only 2 columns are decoded; the per-batch combiner emits ONE partial row
+    per batch and the tiny partial table is summed on the driver — revenue
+    in exact integer 10^-4 units so the sum is accumulation-order-free."""
+    import pyarrow.dataset as pads
+    import ray.data
+
+    f = (
+        (pads.field("l_shipdate") >= datetime(1996, 1, 1))
+        & (pads.field("l_shipdate") < datetime(1997, 1, 1))
+        & (pads.field("l_discount") >= 0.03)
+        & (pads.field("l_discount") <= 0.07)
+        & (pads.field("l_quantity") < 24.0)
+    )
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "lineitem"), columns=["l_extendedprice", "l_discount"], filter=f
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        units = sql_round_np(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * b["l_discount"].to_numpy(zero_copy_only=False)
+            * 10000.0,
+            0,
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "c": pa.array([int(units.sum())], pa.int64()),
+                "n": pa.array([len(units)], pa.int64()),
+            }
+        )
+
+    parts = _collect_table(ds.map_batches(partial, batch_format="pyarrow", batch_size=131072))
+    c = int(pc.sum(parts["c"]).as_py() or 0)
+    n = int(pc.sum(parts["n"]).as_py() or 0)
+    return pa.table(
+        {
+            "revenue": pa.array([c / 10000.0], pa.float64()),
+            "n_items": pa.array([n], pa.int64()),
+        }
+    )
+
+
+Q6_SQL = """
+SELECT SUM(CAST(ROUND(l_extendedprice * l_discount * 10000.0) AS BIGINT)) / 10000.0 AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24.0
+"""
+
+
+_Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+
+def q12_priority_class(sf_dir: str):
+    """TPC-H q12 shape: conditional aggregation (CASE WHEN) after an
+    equi-join. The ship-year filter rides the read; the orders side joins
+    adaptively (q10 discipline): below the size guard it broadcasts as a
+    sorted (okey -> is_high) bitmap probed with searchsorted, above it the
+    fully-distributed hash join. Per-batch combiner folds to <=2 rows before
+    the final 2-key groupby."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from core_ray.stages.join import hash_join
+
+    li = ray.data.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_linestatus"],
+        filter=(pads.field("l_shipdate") >= datetime(1997, 1, 1))
+        & (pads.field("l_shipdate") < datetime(1998, 1, 1)),
+    )
+
+    orders_path = _p(sf_dir, "orders")
+    if os.path.getsize(orders_path) < _Q10_BROADCAST_MAX_BYTES:
+        ot = pq.read_table(orders_path, columns=["o_orderkey", "o_orderpriority"])
+        ok = ot["o_orderkey"].to_numpy(zero_copy_only=False)
+        hi = pc.is_in(ot["o_orderpriority"], value_set=pa.array(_Q12_HIGH)).to_numpy(
+            zero_copy_only=False
+        )
+        order = np.argsort(ok, kind="stable")
+        ref = ray.put((ok[order], hi[order]))
+
+        def attach(b: pa.Table, ref=ref) -> pa.Table:
+            okeys, ishigh = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            keys = b["l_orderkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(okeys, keys)
+            pos = np.minimum(pos, len(okeys) - 1)
+            hit = okeys[pos] == keys
+            t = pa.table(
+                {
+                    "l_linestatus": b["l_linestatus"],
+                    "high": pa.array(ishigh[pos].astype(np.int64), pa.int64()),
+                }
+            )
+            return t.filter(pa.array(hit))
+
+        joined = li.map_batches(attach, batch_format="pyarrow", batch_size=65536)
+    else:
+        li2 = li.map_batches(
+            lambda b: pa.table({"okey": b["l_orderkey"], "l_linestatus": b["l_linestatus"]}),
+            batch_format="pyarrow",
+        )
+        om = ray.data.read_parquet(
+            orders_path, columns=["o_orderkey", "o_orderpriority"]
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "okey": b["o_orderkey"],
+                    "high": pc.cast(
+                        pc.is_in(b["o_orderpriority"], value_set=pa.array(_Q12_HIGH)),
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        joined = hash_join(li2, om, on="okey").select_columns(["l_linestatus", "high"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        lo = pc.subtract(1, b["high"])
+        t = pa.table({"l_linestatus": b["l_linestatus"], "high": b["high"], "low": lo})
+        return pa.TableGroupBy(t, "l_linestatus").aggregate([("high", "sum"), ("low", "sum")])
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow", batch_size=131072)
+        .groupby("l_linestatus")
+        .aggregate(Sum("high_sum", alias_name="high_count"), Sum("low_sum", alias_name="low_count"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "l_linestatus": b["l_linestatus"],
+                "high_count": pc.cast(b["high_count"], pa.int64()),
+                "low_count": pc.cast(b["low_count"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+GROUP BY 1
+"""
+
+
+_Q18_QTY = 200
+
+
+def q18_heavy_orders(sf_dir: str, k: int = 20):
+    """TPC-H q18 shape: group + HAVING + join + deterministic top-k. Plan:
+    exact integer quantity sums per orderkey (agg.sum_by_u64 — combiner,
+    one shuffle, reduceat), HAVING filter inside map_batches, then a
+    hash-partitioned join against orders (the heavy-order set shrinks with
+    the threshold but is unbounded in principle — never broadcast), sorted
+    top-k on the rounded price with orderkey tie-break."""
+    import ray.data
+
+    from core_ray.stages.agg import sum_by_u64
+    from core_ray.stages.join import hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]).map_batches(
+        # quantities are integral-valued doubles -> exact int64 sums
+        lambda b: pa.table(
+            {
+                "key": pc.cast(b["l_orderkey"], pa.uint64()),
+                "q": pc.cast(pc.round(b["l_quantity"]), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    heavy = sum_by_u64(li, "key", "q").map_batches(
+        lambda b: pa.table(
+            {
+                "okey": pc.cast(b["key"], pa.int64()),
+                "total_qty": b["cnt"],
+            }
+        ).filter(pc.greater(b["cnt"], _Q18_QTY)),
+        batch_format="pyarrow",
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]).map_batches(
+        lambda b: pa.table(
+            {
+                "okey": b["o_orderkey"],
+                "o_custkey": b["o_custkey"],
+                "o_totalprice": sql_round(b["o_totalprice"], 2),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    top = hash_join(heavy, orders, on="okey").sort(
+        ["o_totalprice", "okey"], descending=[True, False]
+    ).limit(k)
+    return top.map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderkey": b["okey"],
+                "o_custkey": b["o_custkey"],
+                "o_totalprice": b["o_totalprice"],
+                "total_qty": pc.cast(b["total_qty"], pa.float64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+Q18_SQL = f"""
+WITH heavy AS (
+  SELECT l_orderkey, SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS q
+  FROM lineitem GROUP BY 1
+  HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) > {_Q18_QTY}
+)
+SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice,
+       CAST(q AS DOUBLE) AS total_qty
+FROM heavy JOIN orders ON l_orderkey = o_orderkey
+ORDER BY ROUND(o_totalprice, 2) DESC, o_orderkey
+LIMIT {20}
+"""
+
+
+# ========================================================== window wave 2
+# LAG delta, RANK/DENSE_RANK/ROW_NUMBER, running total — the remaining
+# order-sensitive window shapes, each one hash-partition shuffle by user +
+# a fully vectorized per-partition pass (the events_rolling_max pattern).
+
+
+def _events_sorted_arrays(g: pa.Table):
+    """(uid, eid, value, order-applied) sorted by (user, ts, event_id)."""
+    uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    us = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+    eid = g["event_id"].to_numpy(zero_copy_only=False)
+    val = g["value"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((eid, us, uid))
+    return uid[order], eid[order], val[order]
+
+
+def events_lag_delta(sf_dir: str):
+    """value - LAG(value) per user ordered by (ts, event_id); NULL on each
+    user's first event. The subtraction is the same IEEE op on the same
+    doubles on both sides, then ROUND(.,2)."""
+    from core_ray.stages.agg import map_groups_partitioned
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def per_part(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "delta": pa.array([], pa.float64()),
+                }
+            )
+        uid, eid, v = _events_sorted_arrays(g)
+        same = np.zeros(n, dtype=bool)
+        same[1:] = uid[1:] == uid[:-1]
+        delta = np.full(n, np.nan)
+        delta[1:] = v[1:] - v[:-1]
+        out = sql_round_np(delta, 2)
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "delta": pa.array(np.where(same, out, np.nan), pa.float64(), mask=~same),
+            }
+        )
+
+    return map_groups_partitioned(ds, "user_id", per_part)
+
+
+EVENTS_LAG_DELTA_SQL = """
+SELECT event_id, user_id,
+       ROUND(value - LAG(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id),
+             2) AS delta
+FROM events
+"""
+
+
+def events_user_rank(sf_dir: str):
+    """ROW_NUMBER / RANK / DENSE_RANK per user over value DESC (row_number
+    tie-broken by event_id). One shuffle; ranks from vectorized run masks —
+    rank = offset of the value-run start inside the user segment,
+    dense_rank = cumulative run count inside the segment."""
+    from core_ray.stages.agg import map_groups_partitioned
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def per_part(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "rn": pa.array([], pa.int64()),
+                    "rnk": pa.array([], pa.int64()),
+                    "drnk": pa.array([], pa.int64()),
+                }
+            )
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        val = g["value"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, -val, uid))
+        uid, eid, v = uid[order], eid[order], val[order]
+        idx = np.arange(n, dtype=np.int64)
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        new_val = new_user.copy()
+        new_val[1:] |= v[1:] != v[:-1]
+        seg_start = np.maximum.accumulate(np.where(new_user, idx, 0))
+        run_start = np.maximum.accumulate(np.where(new_val, idx, 0))
+        rn = idx - seg_start + 1
+        rnk = run_start - seg_start + 1
+        c = np.cumsum(new_val.astype(np.int64))
+        drnk = c - c[seg_start] + 1
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "rn": pa.array(rn, pa.int64()),
+                "rnk": pa.array(rnk, pa.int64()),
+                "drnk": pa.array(drnk, pa.int64()),
+            }
+        )
+
+    return map_groups_partitioned(ds, "user_id", per_part)
+
+
+EVENTS_USER_RANK_SQL = """
+SELECT event_id, user_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS BIGINT) AS rn,
+       CAST(RANK()       OVER (PARTITION BY user_id ORDER BY value DESC) AS BIGINT) AS rnk,
+       CAST(DENSE_RANK() OVER (PARTITION BY user_id ORDER BY value DESC) AS BIGINT) AS drnk
+FROM events
+"""
+
+
+def events_cumsum(sf_dir: str):
+    """Running total of value per user ordered by (ts, event_id) — SUM OVER
+    ROWS UNBOUNDED PRECEDING. Cents-exact: both sides round to int cents
+    FIRST, so the running sum is integer arithmetic with no
+    accumulation-order hazard, divided back to dollars at the end."""
+    from core_ray.stages.agg import map_groups_partitioned
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def per_part(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "run_total": pa.array([], pa.float64()),
+                }
+            )
+        uid, eid, v = _events_sorted_arrays(g)
+        cv = sql_round_np(v * 100.0, 0).astype(np.int64)
+        c = np.cumsum(cv)
+        idx = np.arange(n, dtype=np.int64)
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        seg_start = np.maximum.accumulate(np.where(new_user, idx, 0))
+        run = c - c[seg_start] + cv[seg_start]
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "run_total": pa.array(run / 100.0, pa.float64()),
+            }
+        )
+
+    return map_groups_partitioned(ds, "user_id", per_part)
+
+
+EVENTS_CUMSUM_SQL = """
+SELECT event_id, user_id,
+       SUM(CAST(ROUND(value * 100.0) AS BIGINT))
+         OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ROWS UNBOUNDED PRECEDING) / 100.0 AS run_total
+FROM events
+"""
+
+
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot_hourly(sf_dir: str):
+    """Pivot (long -> wide): event counts per hour-of-day x event-type as
+    one row per hour with a column per type. Per-batch combiner is a single
+    np.bincount over hh*n_types+code (<=24 rows leave each batch); final
+    24-key groupby sums the partials."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+    types = pa.array(list(_PIVOT_TYPES))
+    ntyp = len(_PIVOT_TYPES)
+
+    def combine(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        hh = (us // 3_600_000_000) % 24
+        code = pc.index_in(b["event_type"], value_set=types).to_numpy(zero_copy_only=False)
+        cnt = np.bincount(hh * ntyp + code, minlength=24 * ntyp).reshape(24, ntyp)
+        cols = {"hh": pa.array(np.arange(24, dtype=np.int64), pa.int64())}
+        for i, t in enumerate(_PIVOT_TYPES):
+            cols[f"n_{t}"] = pa.array(cnt[:, i].astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    agg = (
+        ds.map_batches(combine, batch_format="pyarrow", batch_size=131072)
+        .groupby("hh")
+        .aggregate(*[Sum(f"n_{t}", alias_name=f"n_{t}") for t in _PIVOT_TYPES])
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {"hh": b["hh"], **{f"n_{t}": pc.cast(b[f"n_{t}"], pa.int64()) for t in _PIVOT_TYPES}}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+EVENTS_PIVOT_SQL = """
+SELECT epoch_us(ts) // 3600000000 % 24 AS hh,
+       COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+       COUNT(*) FILTER (WHERE event_type = 'error')    AS n_error,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+       COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view
+FROM events
+GROUP BY 1
+"""
+
+
+def events_corr_moments(sf_dir: str):
+    """Pearson correlation per event_type via EXACT integer moment sketches
+    (n, Sx, Sy, Sxx, Syy, Sxy over int cents x user bucket): the classic
+    mergeable-moments pattern — per-batch int64 partials, one tiny 5-key
+    reduce, closed-form corr at the end. The int sums are exact up to
+    ~8.6e9 rows per key at these magnitudes; beyond that promote the
+    partials to int128/float-compensated (noted, not needed at bench
+    scale)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id", "value"])
+
+    def combine(b: pa.Table) -> pa.Table:
+        cv = sql_round_np(b["value"].to_numpy(zero_copy_only=False) * 100.0, 0).astype(np.int64)
+        u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64) % 97
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        keys, inv = np.unique(et, return_inverse=True)
+        m = len(keys)
+        out = {
+            "event_type": pa.array(keys, pa.string()),
+            "n": pa.array(np.bincount(inv, minlength=m).astype(np.int64), pa.int64()),
+        }
+        for name, arr in (
+            ("sx", cv),
+            ("sy", u),
+            ("sxx", cv * cv),
+            ("syy", u * u),
+            ("sxy", cv * u),
+        ):
+            out[name] = pa.array(np.bincount(inv, weights=arr, minlength=m).astype(np.int64), pa.int64())
+        return pa.table(out)
+
+    agg = (
+        ds.map_batches(combine, batch_format="pyarrow", batch_size=131072)
+        .groupby("event_type")
+        .aggregate(*[Sum(c, alias_name=c) for c in ("n", "sx", "sy", "sxx", "syy", "sxy")])
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = b["sx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sy = b["sy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sxx = b["sxx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        syy = b["syy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sxy = b["sxy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        corr = (n * sxy - sx * sy) / np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "corr_vu": pa.array(sql_round_np(corr, 6), pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+EVENTS_CORR_SQL = """
+WITH base AS (
+  SELECT event_type, CAST(ROUND(value * 100.0) AS BIGINT) AS cv, user_id % 97 AS u
+  FROM events
+), s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(cv) AS DOUBLE) AS sx, CAST(SUM(u) AS DOUBLE) AS sy,
+         CAST(SUM(cv * cv) AS DOUBLE) AS sxx, CAST(SUM(u * u) AS DOUBLE) AS syy,
+         CAST(SUM(cv * u) AS DOUBLE) AS sxy
+  FROM base GROUP BY 1
+)
+SELECT event_type,
+       ROUND((n * sxy - sx * sy) / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_vu
+FROM s
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES = {
@@ -2676,6 +3273,15 @@ QUERIES = {
     "doc_sample_bottomk": doc_sample_bottomk,
     "media_phash_pairs": media_phash_pairs,
     "events_rollup": events_rollup,
+    "q4_priority_semi": q4_priority_semi,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q12_priority_class": q12_priority_class,
+    "q18_heavy_orders": q18_heavy_orders,
+    "events_lag_delta": events_lag_delta,
+    "events_user_rank": events_user_rank,
+    "events_cumsum": events_cumsum,
+    "events_pivot_hourly": events_pivot_hourly,
+    "events_corr_moments": events_corr_moments,
 }
 
 ORACLE_SQL = {
@@ -2733,4 +3339,13 @@ ORACLE_SQL = {
     "doc_simhash_pairs": DOC_SIMHASH_PAIRS_SQL,
     "emb_ann_lsh": EMB_ANN_LSH_SQL,
     "emb_ann_ivf": EMB_ANN_IVF_SQL,
+    "q4_priority_semi": Q4_SQL,
+    "q6_forecast_revenue": Q6_SQL,
+    "q12_priority_class": Q12_SQL,
+    "q18_heavy_orders": Q18_SQL,
+    "events_lag_delta": EVENTS_LAG_DELTA_SQL,
+    "events_user_rank": EVENTS_USER_RANK_SQL,
+    "events_cumsum": EVENTS_CUMSUM_SQL,
+    "events_pivot_hourly": EVENTS_PIVOT_SQL,
+    "events_corr_moments": EVENTS_CORR_SQL,
 }
