@@ -3219,6 +3219,174 @@ FROM s
 """
 
 
+# ========================================================== misc wave 2
+# Ordered string aggregation, bag-difference set op, stratified sampling.
+
+
+def region_nations_agg(sf_dir: str):
+    """STRING_AGG per group (ordered list aggregation): nation names per
+    region, comma-joined in name order. One hash-partition shuffle by the
+    grouping key; the per-partition pass sorts each key's segment and joins
+    — string concatenation is inherently per-group work, but groups never
+    leave their partition and the 5-row region dim rides a closure."""
+    import pyarrow.parquet as pq
+
+    from core_ray.stages.agg import map_groups_partitioned
+
+    rt = pq.read_table(_p(sf_dir, "region"), columns=["r_regionkey", "r_name"])
+    r_name_of = dict(zip(rt["r_regionkey"].to_pylist(), rt["r_name"].to_pylist()))
+
+    ds = _read(sf_dir, "nation", ["n_regionkey", "n_name"]).map_batches(
+        lambda b: pa.table(
+            {"rkey": pc.cast(b["n_regionkey"], pa.int64()), "n_name": b["n_name"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+    def per_part(g: pa.Table, r_name_of=r_name_of) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"r_name": pa.array([], pa.string()), "nations": pa.array([], pa.string())})
+        rk = g["rkey"].to_numpy(zero_copy_only=False)
+        names = np.asarray(g["n_name"].to_pylist())
+        out_r, out_n = [], []
+        for key in np.unique(rk):
+            seg = np.sort(names[rk == key])
+            out_r.append(r_name_of[int(key)])
+            out_n.append(",".join(seg))
+        return pa.table(
+            {"r_name": pa.array(out_r, pa.string()), "nations": pa.array(out_n, pa.string())}
+        )
+
+    return map_groups_partitioned(ds, "rkey", per_part)
+
+
+REGION_NATIONS_SQL = """
+SELECT r_name, STRING_AGG(n_name, ',' ORDER BY n_name) AS nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1
+"""
+
+
+def events_purchasers_except(sf_dir: str):
+    """Set difference (EXCEPT): distinct purchasing users minus users with
+    a high-value error. Per-batch combiner ORs two flags per user (np.unique
+    + maximum.at), one hash partition, per-partition flag reduce — the
+    DISTINCT + anti-join fused into one boolean-flag aggregate."""
+    from core_ray.stages.agg import map_groups_partitioned
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        val = b["value"].to_numpy(zero_copy_only=False)
+        is_p = (et == "purchase").astype(np.int8)
+        is_e = ((et == "error") & (val > 100.0)).astype(np.int8)
+        u, inv = np.unique(uid, return_inverse=True)
+        p = np.zeros(len(u), dtype=np.int8)
+        e = np.zeros(len(u), dtype=np.int8)
+        np.maximum.at(p, inv, is_p)
+        np.maximum.at(e, inv, is_e)
+        return pa.table(
+            {
+                "user_id": pa.array(u, pa.int64()),
+                "p": pa.array(p, pa.int8()),
+                "e": pa.array(e, pa.int8()),
+            }
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", batch_size=131072)
+
+    def per_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64())})
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        p = g["p"].to_numpy(zero_copy_only=False)
+        e = g["e"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(uid, return_inverse=True)
+        pm = np.zeros(len(u), dtype=np.int8)
+        em = np.zeros(len(u), dtype=np.int8)
+        np.maximum.at(pm, inv, p)
+        np.maximum.at(em, inv, e)
+        keep = (pm == 1) & (em == 0)
+        return pa.table({"user_id": pa.array(u[keep], pa.int64())})
+
+    return map_groups_partitioned(tagged, "user_id", per_part)
+
+
+EVENTS_EXCEPT_SQL = """
+SELECT user_id FROM events WHERE event_type = 'purchase'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'error' AND value > 100.0
+"""
+
+
+_STRAT_K = 5
+
+
+def doc_sample_stratified(sf_dir: str, k: int = _STRAT_K):
+    """Stratified deterministic sample: k docs per lang, ordered by the
+    same injective order-hash as doc_sample_bottomk — a per-group bottom-k.
+    One shuffle by lang hash; each partition takes its langs' bottom-k with
+    one lexsort (at scale the per-batch bottom-k prune of sample_bottomk
+    composes in front of this shuffle; at k*n_langs rows it is unneeded)."""
+    from core_ray.stages.agg import _GOLD, _n_parts, hash_strings
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    n_parts = _n_parts()
+
+    def tag(b: pa.Table) -> pa.Table:
+        h = hash_strings(b["lang"])
+        part = ((h * _GOLD) % np.uint64(n_parts)).astype(np.int32)
+        return b.append_column("__part", pa.array(part, pa.int32()))
+
+    def per_part(g: pa.Table, k=k) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "sample_key": pa.array([], pa.int64()),
+                }
+            )
+        ids = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        langs = np.asarray(g["lang"].to_pylist())
+        key = ((ids * np.uint64(_BK_MULT) + np.uint64(_BK_SEED)) % np.uint64(_BK_MOD)).astype(
+            np.int64
+        )
+        order = np.lexsort((ids, key, langs))
+        langs, ids, key = langs[order], ids[order], key[order]
+        new = np.ones(len(langs), dtype=bool)
+        new[1:] = langs[1:] != langs[:-1]
+        seg_start = np.maximum.accumulate(np.where(new, np.arange(len(langs)), 0))
+        rn = np.arange(len(langs)) - seg_start
+        keep = rn < k
+        return pa.table(
+            {
+                "lang": pa.array(langs[keep], pa.string()),
+                "doc_id": pa.array(ids[keep].astype(np.int64), pa.int64()),
+                "sample_key": pa.array(key[keep], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", batch_size=131072)
+        .groupby("__part")
+        .map_groups(lambda g: per_part(g.drop_columns(["__part"])), batch_format="pyarrow")
+    )
+
+
+DOC_SAMPLE_STRAT_SQL = f"""
+SELECT lang, doc_id, sample_key FROM (
+  SELECT lang, doc_id,
+         CAST((doc_id * {_BK_MULT} + {_BK_SEED}) % {_BK_MOD} AS BIGINT) AS sample_key,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY (doc_id * {_BK_MULT} + {_BK_SEED}) % {_BK_MOD}, doc_id) AS rn
+  FROM documents
+) WHERE rn <= {_STRAT_K}
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES = {
@@ -3282,6 +3450,9 @@ QUERIES = {
     "events_cumsum": events_cumsum,
     "events_pivot_hourly": events_pivot_hourly,
     "events_corr_moments": events_corr_moments,
+    "region_nations_agg": region_nations_agg,
+    "events_purchasers_except": events_purchasers_except,
+    "doc_sample_stratified": doc_sample_stratified,
 }
 
 ORACLE_SQL = {
@@ -3348,4 +3519,7 @@ ORACLE_SQL = {
     "events_cumsum": EVENTS_CUMSUM_SQL,
     "events_pivot_hourly": EVENTS_PIVOT_SQL,
     "events_corr_moments": EVENTS_CORR_SQL,
+    "region_nations_agg": REGION_NATIONS_SQL,
+    "events_purchasers_except": EVENTS_EXCEPT_SQL,
+    "doc_sample_stratified": DOC_SAMPLE_STRAT_SQL,
 }
