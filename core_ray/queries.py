@@ -3387,6 +3387,143 @@ SELECT lang, doc_id, sample_key FROM (
 """
 
 
+def doc_tfidf_top3(sf_dir: str, k: int = 3):
+    """Per-document top-k TF-IDF terms — the multi-shuffle text-scoring
+    pipeline: (1) per-batch tokenize + (doc, token) tf counts (docs never
+    span batches, so per-batch pairs are globally unique); (2) shuffle by
+    TOKEN hash — each partition owns its tokens completely, so df (document
+    frequency) is a local row count and idf attaches with NO second join;
+    (3) shuffle by DOC and take each doc's top-k. idf is integer-quantized
+    ((N*1000)//df — exact int arithmetic on both engines) so ranking and
+    hashing carry no transcendental-function cross-library hazard; the
+    tie-break (tfidf desc, token asc) is mirrored in SQL."""
+    from core_ray.stages.agg import _GOLD, _n_parts, hash_strings, map_groups_partitioned
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()  # parquet metadata row count — no data decode
+    n_parts = _n_parts()
+
+    def pair_counts(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        texts = b["text"].to_pylist()
+        toks_per_doc = [t.split() for t in texts]
+        lens = np.fromiter((len(t) for t in toks_per_doc), dtype=np.int64, count=len(texts))
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "token": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+                "__part": pa.array([], pa.int32()),
+            }
+        )
+        if lens.sum() == 0:
+            return empty
+        doc_arr = np.repeat(ids, lens)
+        tok_arr = np.asarray([w for toks in toks_per_doc for w in toks])
+        order = np.lexsort((doc_arr, tok_arr))
+        d, t = doc_arr[order], tok_arr[order]
+        new = np.ones(len(d), dtype=bool)
+        new[1:] = (d[1:] != d[:-1]) | (t[1:] != t[:-1])
+        starts = np.nonzero(new)[0]
+        tf = np.diff(np.append(starts, len(d))).astype(np.int64)
+        toks = pa.array(t[starts], pa.string())
+        part = ((hash_strings(toks) * _GOLD) % np.uint64(n_parts)).astype(np.int32)
+        return pa.table(
+            {
+                "doc_id": pa.array(d[starts].astype(np.int64), pa.int64()),
+                "token": toks,
+                "tf": pa.array(tf, pa.int64()),
+                "__part": pa.array(part, pa.int32()),
+            }
+        )
+
+    def attach_idf(g: pa.Table) -> pa.Table:
+        # every row of a token is in this partition: df = rows per token
+        g = g.drop_columns(["__part"])
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "token": pa.array([], pa.string()),
+                    "tfidf": pa.array([], pa.int64()),
+                }
+            )
+        toks = np.asarray(g["token"].to_pylist())
+        tf = g["tf"].to_numpy(zero_copy_only=False)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(toks, kind="stable")
+        toks, tf, ids = toks[order], tf[order], ids[order]
+        new = np.ones(len(toks), dtype=bool)
+        new[1:] = toks[1:] != toks[:-1]
+        run_id = np.cumsum(new) - 1
+        df = np.bincount(run_id)
+        idf_milli = (np.int64(n_docs) * 1000) // df
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "token": pa.array(toks, pa.string()),
+                "tfidf": pa.array(tf * idf_milli[run_id], pa.int64()),
+            }
+        )
+
+    scored = (
+        ds.map_batches(pair_counts, batch_format="pyarrow", batch_size=8192)
+        .groupby("__part")
+        .map_groups(attach_idf, batch_format="pyarrow")
+    )
+
+    def top_per_doc(g: pa.Table, k=k) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "token": pa.array([], pa.string()),
+                    "tfidf": pa.array([], pa.int64()),
+                    "rn": pa.array([], pa.int64()),
+                }
+            )
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        toks = np.asarray(g["token"].to_pylist())
+        s = g["tfidf"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((toks, -s, ids))
+        ids, toks, s = ids[order], toks[order], s[order]
+        idx = np.arange(len(ids), dtype=np.int64)
+        new = np.ones(len(ids), dtype=bool)
+        new[1:] = ids[1:] != ids[:-1]
+        seg_start = np.maximum.accumulate(np.where(new, idx, 0))
+        rn = idx - seg_start + 1
+        keep = rn <= k
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "token": pa.array(toks[keep], pa.string()),
+                "tfidf": pa.array(s[keep], pa.int64()),
+                "rn": pa.array(rn[keep], pa.int64()),
+            }
+        )
+
+    return map_groups_partitioned(scored, "doc_id", top_per_doc)
+
+
+DOC_TFIDF_SQL = """
+WITH toks AS (
+  SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents WHERE trim(text) <> ''
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks WHERE token <> '' GROUP BY 1, 2
+), df AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY 1
+), n AS (SELECT COUNT(*) AS nd FROM documents),
+s AS (
+  SELECT t.doc_id, t.token, t.tf * ((n.nd * 1000) // d.df) AS tfidf
+  FROM tf t JOIN df d USING (token) CROSS JOIN n
+)
+SELECT doc_id, token, CAST(tfidf AS BIGINT) AS tfidf, CAST(rn AS BIGINT) AS rn FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn FROM s
+) WHERE rn <= 3
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES = {
@@ -3453,6 +3590,7 @@ QUERIES = {
     "region_nations_agg": region_nations_agg,
     "events_purchasers_except": events_purchasers_except,
     "doc_sample_stratified": doc_sample_stratified,
+    "doc_tfidf_top3": doc_tfidf_top3,
 }
 
 ORACLE_SQL = {
@@ -3522,4 +3660,5 @@ ORACLE_SQL = {
     "region_nations_agg": REGION_NATIONS_SQL,
     "events_purchasers_except": EVENTS_EXCEPT_SQL,
     "doc_sample_stratified": DOC_SAMPLE_STRAT_SQL,
+    "doc_tfidf_top3": DOC_TFIDF_SQL,
 }
