@@ -304,3 +304,38 @@ def golden_ann_ivf(tbl: pa.Table, query_modulus: int = 100, k: int = 5,
             "sim": pa.array(out_s, pa.float64()),
         }
     )
+
+
+# ---------------- near-dup cluster assignment (connected components) ----------------
+
+
+def golden_dup_clusters(pairs: pa.Table) -> pa.Table:
+    """Independent oracle for stages/cc.py: textbook union-find with path
+    compression over the (already-golden-checked) minhash pair list; every
+    node in at least one pair gets its component's minimum doc id."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    ids_a = pairs["id_a"].to_pylist()
+    ids_b = pairs["id_b"].to_pylist()
+    for a, b in zip(ids_a, ids_b):
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = sorted(parent)
+    comps = [find(n) for n in nodes]
+    return pa.table(
+        {
+            "node": pa.array(nodes, pa.int64()),
+            "comp": pa.array(comps, pa.int64()),
+        }
+    )

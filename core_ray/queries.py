@@ -622,6 +622,22 @@ def doc_simhash_pairs(sf_dir: str):
     return simhash_near_dups(ds, max_hamming=6)
 
 
+def doc_dup_clusters(sf_dir: str):
+    """Near-dup CLUSTER assignment: minhash pairs -> connected components
+    (min-label propagation + pointer jumping, stages/cc.py), every paired
+    document labeled with its component's minimum doc id. This is the step
+    that turns pairwise near-dup evidence into the keep/drop partition a
+    corpus dedup actually applies (chained near-dups A~B~C collapse to one
+    cluster even though A and C never paired directly)."""
+    from core_ray.stages.cc import connected_components
+    from core_ray.text.dedup import minhash_near_dups
+
+    _ensure_docs_golden(sf_dir)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_near_dups(ds, threshold=0.5)
+    return connected_components(pairs, src="id_a", dst="id_b")
+
+
 # ---------------------------------------------------------------- embeddings
 
 
@@ -1292,7 +1308,7 @@ PAGES_RULES_SQL = (
 # Exactness at a second scale is enforced by tests/test_docs_golden.py.
 
 _DOCS_GOLDEN_SF = 0.01
-_DOCS_GOLDEN_VERSION = 1  # bump when sketch specs / golden schemas change
+_DOCS_GOLDEN_VERSION = 2  # bump when sketch specs / golden schemas change
 
 
 def _docs_golden_dir() -> str:
@@ -1316,9 +1332,9 @@ def _ensure_docs_golden(sf_dir: str) -> None:
     ids = docs["doc_id"].to_pylist()
     texts = docs["text"].to_pylist()
     pq.write_table(dg.golden_fingerprints(ids, texts), f"{root}/fingerprint.parquet")
-    pq.write_table(
-        dg.golden_minhash_pairs(ids, texts, threshold=0.5), f"{root}/minhash_pairs.parquet"
-    )
+    mh = dg.golden_minhash_pairs(ids, texts, threshold=0.5)
+    pq.write_table(mh, f"{root}/minhash_pairs.parquet")
+    pq.write_table(dg.golden_dup_clusters(mh), f"{root}/dup_clusters.parquet")
     pq.write_table(
         dg.golden_simhash_pairs(ids, texts, max_hamming=6), f"{root}/simhash_pairs.parquet"
     )
@@ -1332,6 +1348,7 @@ def _ensure_docs_golden(sf_dir: str) -> None:
 _DGD = _docs_golden_dir()
 DOC_FINGERPRINT_SQL = f"SELECT * FROM read_parquet('{_DGD}/fingerprint.parquet')"
 DOC_MINHASH_PAIRS_SQL = f"SELECT * FROM read_parquet('{_DGD}/minhash_pairs.parquet')"
+DOC_DUP_CLUSTERS_SQL = f"SELECT * FROM read_parquet('{_DGD}/dup_clusters.parquet')"
 DOC_SIMHASH_PAIRS_SQL = f"SELECT * FROM read_parquet('{_DGD}/simhash_pairs.parquet')"
 EMB_ANN_LSH_SQL = f"SELECT * FROM read_parquet('{_DGD}/ann_lsh.parquet')"
 EMB_ANN_IVF_SQL = f"SELECT * FROM read_parquet('{_DGD}/ann_ivf.parquet')"
@@ -3540,6 +3557,7 @@ QUERIES = {
     "doc_langid": doc_langid,
     "doc_fingerprint": doc_fingerprint,
     "doc_minhash_pairs": doc_minhash_pairs,
+    "doc_dup_clusters": doc_dup_clusters,
     "doc_simhash_pairs": doc_simhash_pairs,
     "emb_topk": emb_topk,
     "emb_centroids": emb_centroids,
@@ -3645,6 +3663,7 @@ ORACLE_SQL = {
     # formerly rows-only sketch/ANN queries; VERDICT r2 item 1):
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "doc_minhash_pairs": DOC_MINHASH_PAIRS_SQL,
+    "doc_dup_clusters": DOC_DUP_CLUSTERS_SQL,
     "doc_simhash_pairs": DOC_SIMHASH_PAIRS_SQL,
     "emb_ann_lsh": EMB_ANN_LSH_SQL,
     "emb_ann_ivf": EMB_ANN_IVF_SQL,

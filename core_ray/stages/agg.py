@@ -186,3 +186,55 @@ def u64_key_of_url_midx(urls: list[str], midx: np.ndarray) -> np.ndarray:
     h1 = np.fromiter((zlib.crc32(u.encode()) for u in urls), dtype=np.uint64, count=n)
     h2 = np.fromiter((zlib.adler32(u.encode()) for u in urls), dtype=np.uint64, count=n)
     return (h1 << np.uint64(32)) ^ (h2 * np.uint64(2654435761)) ^ midx.astype(np.uint64)
+
+
+def min_by_u64(ds, key_col: str, val_col: str):
+    """Dataset with uint64 ``key_col`` + uint64 ``val_col`` ->
+    Dataset[(key_col, val_col = min of vals)] — the MIN sibling of
+    sum_by_u64 (combiner + one hash partition + minimum.reduceat). Used by
+    stages/cc.py's label propagation, where per-key minima shrink the
+    shuffle the same way partial sums do."""
+    n_parts = _n_parts()
+
+    def pre(b: pa.Table) -> pa.Table:
+        k = b[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = b[val_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.argsort(k, kind="stable")
+        ks, vs = k[order], v[order]
+        new = np.ones(len(ks), dtype=bool)
+        if len(ks):
+            new[1:] = ks[1:] != ks[:-1]
+        starts = np.nonzero(new)[0]
+        u = ks[starts]
+        mins = np.minimum.reduceat(vs, starts) if len(starts) else vs[:0]
+        part = ((u * _GOLD) % np.uint64(n_parts)).astype(np.int32)
+        return pa.table(
+            {
+                key_col: pa.array(u, pa.uint64()),
+                val_col: pa.array(mins, pa.uint64()),
+                "part": pa.array(part, pa.int32()),
+            }
+        )
+
+    def reduce(g: pa.Table) -> pa.Table:
+        k = g[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = g[val_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.argsort(k, kind="stable")
+        ks, vs = k[order], v[order]
+        new = np.ones(len(ks), dtype=bool)
+        if len(ks):
+            new[1:] = ks[1:] != ks[:-1]
+        starts = np.nonzero(new)[0]
+        mins = np.minimum.reduceat(vs, starts) if len(starts) else vs[:0]
+        return pa.table(
+            {
+                key_col: pa.array(ks[starts], pa.uint64()),
+                val_col: pa.array(mins, pa.uint64()),
+            }
+        )
+
+    return (
+        ds.map_batches(pre, batch_format="pyarrow", batch_size=131072)
+        .groupby("part")
+        .map_groups(reduce, batch_format="pyarrow")
+    )

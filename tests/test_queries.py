@@ -16,6 +16,7 @@ _GOLDEN_PINNED = (
     "pages_",
     "doc_fingerprint",
     "doc_minhash_pairs",
+    "doc_dup_clusters",
     "doc_simhash_pairs",
     "emb_ann_lsh",
     "emb_ann_ivf",
