@@ -1860,6 +1860,33 @@ WHERE ROUND(LIST_COSINE_SIMILARITY(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 
 
 
+def emb_dup_clusters(sf_dir: str):
+    """Embedding near-dup CLUSTERS: the exact cosine pair graph
+    (emb_near_dup_pairs) closed transitively by connected components
+    (stages/cc.py). Unlike doc_dup_clusters (golden-parquet oracle), this one
+    is checked against a pure-SQL RECURSIVE CTE that computes min-reachable
+    labels in DuckDB — a fully independent oracle for the CC operator."""
+    from core_ray.stages.cc import connected_components
+
+    pairs = emb_near_dup_pairs(sf_dir)
+    return connected_components(pairs, src="vec_id_a", dst="vec_id_b")
+
+
+EMB_DUP_CLUSTERS_SQL = """
+WITH RECURSIVE
+p AS (
+  SELECT a.vec_id AS u, b.vec_id AS v
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE ROUND(LIST_COSINE_SIMILARITY(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35),
+e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+reach(node, comp) AS (
+  SELECT u, u FROM e
+  UNION
+  SELECT e.u, r.comp FROM e JOIN reach r ON r.node = e.v)
+SELECT node, MIN(comp) AS comp FROM reach GROUP BY node
+"""
+
+
 def emb_ann_ivf(sf_dir: str):
     from core_ray.text.similarity import ivf_ann_topk
 
@@ -3578,6 +3605,7 @@ QUERIES = {
     "events_asof_purchase": events_asof_purchase,
     "doc_encrypt_roundtrip": doc_encrypt_roundtrip,
     "emb_near_dup_pairs": emb_near_dup_pairs,
+    "emb_dup_clusters": emb_dup_clusters,
     "emb_ann_ivf": emb_ann_ivf,
     "media_thumbnails": media_thumbnails,
     "media_frames": media_frames,
@@ -3632,6 +3660,7 @@ ORACLE_SQL = {
     "doc_sample_mod": DOC_SAMPLE_SQL,
     "events_asof_purchase": EVENTS_ASOF_SQL,
     "emb_near_dup_pairs": EMB_NEAR_DUP_SQL,
+    "emb_dup_clusters": EMB_DUP_CLUSTERS_SQL,
     "doc_langid": DOC_LANGID_SQL,
     "doc_encrypt_roundtrip": DOC_ENCRYPT_SQL,
     "media_features": MEDIA_FEATURES_SQL,
