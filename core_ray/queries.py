@@ -2975,6 +2975,737 @@ LIMIT {20}
 """
 
 
+# ===================================================== relational wave 3
+# q13/q14/q16/q17/q19/q22 shapes: outer-join count distribution, promo
+# ratio, distinct-count per group with anti-join, per-group-avg threshold
+# join, disjunctive multi-table predicate, scalar-subquery threshold +
+# anti-join. Discipline as above: predicates ride the read, facts never
+# broadcast, dims attach adaptively (sorted-array broadcast under the q10
+# size guard, hash_join above it), monetary math in exact integer units.
+
+
+def _sorted_probe(keys_sorted: np.ndarray, probe: np.ndarray):
+    """Positions of ``probe`` values in a sorted key array + hit mask."""
+    pos = np.searchsorted(keys_sorted, probe)
+    pos = np.minimum(pos, max(len(keys_sorted) - 1, 0))
+    hit = keys_sorted[pos] == probe if len(keys_sorted) else np.zeros(len(probe), bool)
+    return pos, hit
+
+
+def q13_cust_order_dist(sf_dir: str):
+    """TPC-H q13 shape: LEFT outer join + two-level aggregation — the
+    distribution of per-customer order counts INCLUDING zero-order
+    customers. Plan: per-custkey counts via the count_by_u64 combiner (one
+    small shuffle over distinct custkeys, never the orders fact); customer
+    keys LEFT-hash-join those counts (misses zero-filled); the distribution
+    itself is a second count_by_u64 whose key is the count value."""
+    from core_ray.stages.agg import count_by_u64
+    from core_ray.stages.join import hash_join
+
+    counts = count_by_u64(
+        _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+            lambda b: pa.table({"key": pc.cast(b["o_custkey"], pa.uint64())}),
+            batch_format="pyarrow",
+        ),
+        "key",
+    ).map_batches(
+        lambda b: pa.table({"ckey": pc.cast(b["key"], pa.int64()), "n_orders": b["cnt"]}),
+        batch_format="pyarrow",
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        lambda b: pa.table({"ckey": b["c_custkey"]}), batch_format="pyarrow"
+    )
+    filled = hash_join(cust, counts, on="ckey", how="left").map_batches(
+        lambda b: pa.table({"key": pc.cast(pc.fill_null(b["n_orders"], 0), pa.uint64())}),
+        batch_format="pyarrow",
+    )
+    return count_by_u64(filled, "key").map_batches(
+        lambda b: pa.table(
+            {"c_count": pc.cast(b["key"], pa.int64()), "custdist": b["cnt"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY 1)
+GROUP BY 1
+"""
+
+
+def q14_promo_revenue(sf_dir: str):
+    """TPC-H q14 shape: conditional aggregation ratio after a fact-dim
+    join. The month window rides the lineitem read; the part side reduces
+    to ONE bit (is-promo) and attaches adaptively — a sorted
+    (pkey -> promo) bitmap broadcast under the size guard, hash_join above
+    it. Revenue in exact 10^-4 units; the ratio is one float division on
+    the driver, identical IEEE ops to the SQL."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    from core_ray.stages.join import hash_join
+
+    li = ray.data.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_shipdate") >= datetime(1997, 9, 1))
+        & (pads.field("l_shipdate") < datetime(1997, 10, 1)),
+    )
+
+    def units_of(b: pa.Table) -> np.ndarray:
+        return sql_round_np(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - b["l_discount"].to_numpy(zero_copy_only=False))
+            * 10000.0,
+            0,
+        ).astype(np.int64)
+
+    part_path = _p(sf_dir, "part")
+    if os.path.getsize(part_path) < _Q10_BROADCAST_MAX_BYTES:
+        pt = pq.read_table(part_path, columns=["p_partkey", "p_type"])
+        pk = pt["p_partkey"].to_numpy(zero_copy_only=False)
+        promo = pc.equal(pt["p_type"], "PROMO").to_numpy(zero_copy_only=False)
+        order = np.argsort(pk, kind="stable")
+        ref = ray.put((pk[order], promo[order]))
+
+        def partial(b: pa.Table, ref=ref) -> pa.Table:
+            pks, isp = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            pos, hit = _sorted_probe(pks, b["l_partkey"].to_numpy(zero_copy_only=False))
+            u = units_of(b)
+            pu = u[hit & isp[pos]]
+            return pa.table(
+                {
+                    "p": pa.array([int(pu.sum())], pa.int64()),
+                    "t": pa.array([int(u[hit].sum())], pa.int64()),
+                }
+            )
+
+        parts = li.map_batches(partial, batch_format="pyarrow", batch_size=131072)
+    else:
+        li2 = li.map_batches(
+            lambda b: pa.table(
+                {"pkey": b["l_partkey"], "units": pa.array(units_of(b), pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        pm = ray.data.read_parquet(part_path, columns=["p_partkey", "p_type"]).map_batches(
+            lambda b: pa.table(
+                {
+                    "pkey": b["p_partkey"],
+                    "promo": pc.cast(pc.equal(b["p_type"], "PROMO"), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        j = hash_join(li2, pm, on="pkey")
+
+        def partial(b: pa.Table) -> pa.Table:
+            u = b["units"].to_numpy(zero_copy_only=False)
+            f = b["promo"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "p": pa.array([int((u * f).sum())], pa.int64()),
+                    "t": pa.array([int(u.sum())], pa.int64()),
+                }
+            )
+
+        parts = j.map_batches(partial, batch_format="pyarrow", batch_size=131072)
+
+    pt_tbl = _collect_table(parts)
+    p = int(pc.sum(pt_tbl["p"]).as_py() or 0)
+    t = int(pc.sum(pt_tbl["t"]).as_py() or 0)
+    val = sql_round(100.0 * p / t, 6) if t else None
+    return pa.table({"promo_revenue": pa.array([val], pa.float64())})
+
+
+Q14_SQL = """
+SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)
+                 ELSE 0 END)
+       / SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)), 6)
+       AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= DATE '1997-09-01' AND l_shipdate < DATE '1997-10-01'
+"""
+
+
+_Q16_SIZES = (5, 10, 15, 20, 25, 30)
+_Q16_SUPP_BAL = 2000.0
+
+
+def q16_supplier_cnt(sf_dir: str):
+    """TPC-H q16 shape: COUNT(DISTINCT supplier) per part group, with a
+    NOT-IN supplier anti-join. Plan: the part-supplier relation is distinct
+    (partkey, suppkey) pairs from lineitem — ONE packed-u64 count_by_u64;
+    excluded suppliers (tiny dim subset) broadcast as an np.isin mask;
+    group labels are discovered DISTRIBUTEDLY (per-batch distinct triple
+    combiner -> tiny driver set, <= brands x types x sizes rows), parts map
+    to a dense gid (sorted-array broadcast under the size guard, hash_join
+    above); distinct (gid, suppkey) and the final per-gid counts are two
+    more packed count_by_u64 passes — no shuffle ever carries strings."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    from core_ray.stages.agg import count_by_u64
+    from core_ray.stages.join import hash_join
+
+    # excluded suppliers: tiny dim subset -> driver np array
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"]).map_batches(
+        lambda b: b.filter(pc.less(b["s_acctbal"], _Q16_SUPP_BAL)).select(["s_suppkey"]),
+        batch_format="pyarrow",
+    )
+    excl = np.unique(_collect_table(supp)["s_suppkey"].to_numpy(zero_copy_only=False))
+
+    pfilter = (pads.field("p_brand") != "Brand#1") & (
+        pads.field("p_size").isin(list(_Q16_SIZES))
+    )
+    parts = ray.data.read_parquet(
+        _p(sf_dir, "part"),
+        columns=["p_partkey", "p_brand", "p_type", "p_size"],
+        filter=pfilter,
+    )
+
+    def _codes(b: pa.Table) -> pa.Array:
+        return pc.binary_join_element_wise(
+            b["p_brand"], b["p_type"], pc.cast(b["p_size"], pa.string()), "|"
+        )
+
+    # distinct group triples: per-batch unique combiner -> tiny driver set
+    gtbl = _collect_table(
+        parts.map_batches(
+            lambda b: pa.table({"g": pc.unique(_codes(b))}), batch_format="pyarrow"
+        )
+    )
+    gset = np.unique(gtbl["g"].to_numpy(zero_copy_only=False))
+    if len(gset) == 0:
+        return pa.table(
+            {
+                "p_brand": pa.array([], pa.string()),
+                "p_type": pa.array([], pa.string()),
+                "p_size": pa.array([], pa.int32()),
+                "supplier_cnt": pa.array([], pa.int64()),
+            }
+        )
+
+    # distinct (partkey, suppkey) pairs, excluded suppliers dropped
+    def pairs_pre(b: pa.Table, excl=excl) -> pa.Table:
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        keep = ~np.isin(sk.astype(np.int64), excl)
+        return pa.table(
+            {"key": pa.array((pk[keep] << np.uint64(32)) | sk[keep], pa.uint64())}
+        )
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    pairs = count_by_u64(
+        li.map_batches(pairs_pre, batch_format="pyarrow", batch_size=131072), "key"
+    )
+
+    part_path = _p(sf_dir, "part")
+    if os.path.getsize(part_path) < _Q10_BROADCAST_MAX_BYTES:
+        pt = pq.read_table(part_path, columns=["p_partkey", "p_brand", "p_type", "p_size"])
+        pt = pt.filter(
+            pc.and_(
+                pc.not_equal(pt["p_brand"], "Brand#1"),
+                pc.is_in(pt["p_size"], value_set=pa.array(list(_Q16_SIZES), pa.int32())),
+            )
+        )
+        pk = pt["p_partkey"].to_numpy(zero_copy_only=False)
+        gid = np.searchsorted(gset, _codes(pt).to_numpy(zero_copy_only=False))
+        order = np.argsort(pk, kind="stable")
+        ref = ray.put((pk[order], gid[order]))
+
+        def attach(b: pa.Table, ref=ref) -> pa.Table:
+            pks, gids = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            key = b["key"].to_numpy(zero_copy_only=False)
+            pkey = (key >> np.uint64(32)).astype(np.int64)
+            skey = (key & np.uint64(0xFFFFFFFF)).astype(np.uint64)
+            pos, hit = _sorted_probe(pks, pkey)
+            g = gids[pos][hit].astype(np.uint64)
+            return pa.table(
+                {"key": pa.array((g << np.uint64(32)) | skey[hit], pa.uint64())}
+            )
+
+        gs_pairs = pairs.map_batches(attach, batch_format="pyarrow", batch_size=131072)
+    else:
+        unpacked = pairs.map_batches(
+            lambda b: pa.table(
+                {
+                    "pkey": pc.cast(
+                        pc.shift_right(b["key"], 32), pa.int64()
+                    ),
+                    "skey": pc.cast(
+                        pc.bit_wise_and(b["key"], 0xFFFFFFFF), pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+        def gid_map(b: pa.Table, gset=gset) -> pa.Table:
+            gid = np.searchsorted(gset, _codes(b).to_numpy(zero_copy_only=False))
+            return pa.table(
+                {"pkey": b["p_partkey"], "gid": pa.array(gid.astype(np.int64), pa.int64())}
+            )
+
+        pm = parts.map_batches(gid_map, batch_format="pyarrow")
+        gs_pairs = hash_join(unpacked, pm, on="pkey").map_batches(
+            lambda b: pa.table(
+                {
+                    "key": pa.array(
+                        (
+                            b["gid"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                            << np.uint64(32)
+                        )
+                        | b["skey"].to_numpy(zero_copy_only=False).astype(np.uint64),
+                        pa.uint64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    # distinct (gid, suppkey) -> per-gid count; result <= #groups rows
+    gs_distinct = count_by_u64(gs_pairs, "key").map_batches(
+        lambda b: pa.table({"key": pc.shift_right(b["key"], 32)}),
+        batch_format="pyarrow",
+    )
+    final = _collect_table(count_by_u64(gs_distinct, "key"))
+    gids = final["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cnts = final["cnt"].to_numpy(zero_copy_only=False)
+    trip = [gset[g].split("|") for g in gids]
+    return pa.table(
+        {
+            "p_brand": pa.array([t[0] for t in trip], pa.string()),
+            "p_type": pa.array([t[1] for t in trip], pa.string()),
+            "p_size": pa.array([int(t[2]) for t in trip], pa.int32()),
+            "supplier_cnt": pa.array(cnts, pa.int64()),
+        }
+    )
+
+
+Q16_SQL = f"""
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_size IN {_Q16_SIZES}
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < {_Q16_SUPP_BAL})
+GROUP BY 1, 2, 3
+"""
+
+
+_Q17_BRAND = "Brand#23"
+
+
+def q17_small_qty_revenue(sf_dir: str):
+    """TPC-H q17 shape: join against a per-group AVERAGE threshold
+    (correlated-subquery flattening). Plan: qualifying partkeys (one brand,
+    dim side) broadcast sorted; pass 1 computes per-part (sum_qty, count)
+    in ONE packed sum_by_u64 (qty100 << 21 | 1 — exact while a part has
+    < 2^21 lineitems); the threshold re-attaches adaptively on pass 2 and
+    the avg comparison is pure integers (qty*5*cnt < sum — no division);
+    revenue in 10^-4 units, one-row result."""
+    import ray
+
+    from core_ray.stages.agg import sum_by_u64
+    from core_ray.stages.join import hash_join
+
+    # qualifying partkeys (one brand, ~1/25 of the dim): distributed filter,
+    # only the surviving key set crosses to the driver
+    pk_ds = _read(sf_dir, "part", ["p_partkey", "p_brand"]).map_batches(
+        lambda b: b.filter(pc.equal(b["p_brand"], _Q17_BRAND)).select(["p_partkey"]),
+        batch_format="pyarrow",
+    )
+    pkeys = np.sort(_collect_table(pk_ds)["p_partkey"].to_numpy(zero_copy_only=False))
+    pref = ray.put(pkeys)
+
+    def qty_pre(b: pa.Table, pref=pref) -> pa.Table:
+        pks = ray.get(pref) if isinstance(pref, ray.ObjectRef) else pref
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        pos, hit = _sorted_probe(pks, pk)
+        q100 = sql_round_np(
+            b["l_quantity"].to_numpy(zero_copy_only=False)[hit] * 100.0, 0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(pk[hit].astype(np.uint64), pa.uint64()),
+                "v": pa.array((q100 << 21) | 1, pa.int64()),
+            }
+        )
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+    agg = sum_by_u64(
+        li.map_batches(qty_pre, batch_format="pyarrow", batch_size=131072), "key", "v"
+    )
+
+    # the per-part stat table has <= |qualifying parts| rows — broadcastable
+    # exactly when the part dim itself is (same guard as the other adaptive
+    # joins); above the guard it re-attaches via the distributed hash join
+    if os.path.getsize(_p(sf_dir, "part")) < _Q10_BROADCAST_MAX_BYTES:
+        at = _collect_table(agg)
+        ak = at["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        av = at["cnt"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ak, kind="stable")
+        sref = ray.put((ak[order], av[order]))
+
+        def partial(b: pa.Table, sref=sref) -> pa.Table:
+            aks, avs = ray.get(sref) if isinstance(sref, ray.ObjectRef) else sref
+            pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+            pos, hit = _sorted_probe(aks, pk)
+            v = avs[pos]
+            s100, cnt = v >> 21, v & ((1 << 21) - 1)
+            q100 = sql_round_np(
+                b["l_quantity"].to_numpy(zero_copy_only=False) * 100.0, 0
+            ).astype(np.int64)
+            u = sql_round_np(
+                b["l_extendedprice"].to_numpy(zero_copy_only=False) * 10000.0, 0
+            ).astype(np.int64)
+            keep = hit & (q100 * 5 * cnt < s100)
+            return pa.table(
+                {
+                    "u": pa.array([int(u[keep].sum())], pa.int64()),
+                    "n": pa.array([int(keep.sum())], pa.int64()),
+                }
+            )
+
+        parts = _read(
+            sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"]
+        ).map_batches(partial, batch_format="pyarrow", batch_size=131072)
+    else:
+        li2 = _read(
+            sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"]
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "pkey": b["l_partkey"],
+                    "q100": pa.array(
+                        sql_round_np(
+                            b["l_quantity"].to_numpy(zero_copy_only=False) * 100.0, 0
+                        ).astype(np.int64),
+                        pa.int64(),
+                    ),
+                    "u": pa.array(
+                        sql_round_np(
+                            b["l_extendedprice"].to_numpy(zero_copy_only=False) * 10000.0,
+                            0,
+                        ).astype(np.int64),
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        am = agg.map_batches(
+            lambda b: pa.table(
+                {"pkey": pc.cast(b["key"], pa.int64()), "v": b["cnt"]}
+            ),
+            batch_format="pyarrow",
+        )
+        j = hash_join(li2, am, on="pkey")
+
+        def partial(b: pa.Table) -> pa.Table:
+            v = b["v"].to_numpy(zero_copy_only=False)
+            s100, cnt = v >> 21, v & ((1 << 21) - 1)
+            q100 = b["q100"].to_numpy(zero_copy_only=False)
+            u = b["u"].to_numpy(zero_copy_only=False)
+            keep = q100 * 5 * cnt < s100
+            return pa.table(
+                {
+                    "u": pa.array([int(u[keep].sum())], pa.int64()),
+                    "n": pa.array([int(keep.sum())], pa.int64()),
+                }
+            )
+
+        parts = j.map_batches(partial, batch_format="pyarrow", batch_size=131072)
+
+    t = _collect_table(parts)
+    u = int(pc.sum(t["u"]).as_py() or 0)
+    n = int(pc.sum(t["n"]).as_py() or 0)
+    return pa.table(
+        {
+            "avg_yearly": pa.array([sql_round(u / 70000.0, 2)], pa.float64()),
+            "n_items": pa.array([n], pa.int64()),
+        }
+    )
+
+
+Q17_SQL = f"""
+WITH ag AS (
+  SELECT l_partkey AS pk,
+         SUM(CAST(ROUND(l_quantity * 100.0) AS BIGINT)) AS s100,
+         COUNT(*) AS cnt
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = '{_Q17_BRAND}'
+  GROUP BY 1)
+SELECT ROUND(COALESCE(SUM(CAST(ROUND(l_extendedprice * 10000.0) AS BIGINT)), 0) / 70000.0, 2)
+         AS avg_yearly,
+       COUNT(*) AS n_items
+FROM lineitem l JOIN ag ON l.l_partkey = ag.pk
+WHERE CAST(ROUND(l.l_quantity * 100.0) AS BIGINT) * 5 * ag.cnt < ag.s100
+"""
+
+
+_Q19_BRACKETS = (
+    (12, 1, 11, 1, 5),
+    (23, 10, 20, 1, 10),
+    (34, 20, 30, 1, 15),
+)
+
+
+def q19_disjunctive_revenue(sf_dir: str):
+    """TPC-H q19 shape: revenue under a DISJUNCTION of multi-table
+    predicate brackets (brand x quantity-range x size-range). The common
+    envelope (quantity <= max bracket) rides the read; part attrs reduce to
+    (brand_num, size) ints and attach adaptively; the OR-of-ANDs mask is
+    one vectorized expression; exact integer units, one-row result."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    from core_ray.stages.join import hash_join
+
+    qmax = float(max(hi for _, _, hi, _, _ in _Q19_BRACKETS))
+    li = ray.data.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        filter=pads.field("l_quantity") <= qmax,
+    )
+
+    def mask_of(bn: np.ndarray, size: np.ndarray, qty: np.ndarray) -> np.ndarray:
+        m = np.zeros(len(bn), dtype=bool)
+        for brand, qlo, qhi, slo, shi in _Q19_BRACKETS:
+            m |= (
+                (bn == brand)
+                & (qty >= qlo)
+                & (qty <= qhi)
+                & (size >= slo)
+                & (size <= shi)
+            )
+        return m
+
+    def units_of(b: pa.Table) -> np.ndarray:
+        return sql_round_np(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - b["l_discount"].to_numpy(zero_copy_only=False))
+            * 10000.0,
+            0,
+        ).astype(np.int64)
+
+    part_path = _p(sf_dir, "part")
+    if os.path.getsize(part_path) < _Q10_BROADCAST_MAX_BYTES:
+        pt = pq.read_table(part_path, columns=["p_partkey", "p_brand", "p_size"])
+        pk = pt["p_partkey"].to_numpy(zero_copy_only=False)
+        bn = pc.cast(pc.utf8_slice_codeunits(pt["p_brand"], 6, 99), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        sz = pt["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(pk, kind="stable")
+        ref = ray.put((pk[order], bn[order], sz[order]))
+
+        def partial(b: pa.Table, ref=ref) -> pa.Table:
+            pks, bns, szs = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            pos, hit = _sorted_probe(pks, b["l_partkey"].to_numpy(zero_copy_only=False))
+            qty = b["l_quantity"].to_numpy(zero_copy_only=False)
+            keep = hit & mask_of(bns[pos], szs[pos], qty)
+            u = units_of(b)[keep]
+            return pa.table(
+                {
+                    "u": pa.array([int(u.sum())], pa.int64()),
+                    "n": pa.array([int(keep.sum())], pa.int64()),
+                }
+            )
+
+        parts = li.map_batches(partial, batch_format="pyarrow", batch_size=131072)
+    else:
+        li2 = li.map_batches(
+            lambda b: pa.table(
+                {
+                    "pkey": b["l_partkey"],
+                    "qty": b["l_quantity"],
+                    "units": pa.array(units_of(b), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        pm = ray.data.read_parquet(
+            part_path, columns=["p_partkey", "p_brand", "p_size"]
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "pkey": b["p_partkey"],
+                    "bn": pc.cast(pc.utf8_slice_codeunits(b["p_brand"], 6, 99), pa.int64()),
+                    "sz": pc.cast(b["p_size"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        j = hash_join(li2, pm, on="pkey")
+
+        def partial(b: pa.Table) -> pa.Table:
+            keep = mask_of(
+                b["bn"].to_numpy(zero_copy_only=False),
+                b["sz"].to_numpy(zero_copy_only=False),
+                b["qty"].to_numpy(zero_copy_only=False),
+            )
+            u = b["units"].to_numpy(zero_copy_only=False)[keep]
+            return pa.table(
+                {
+                    "u": pa.array([int(u.sum())], pa.int64()),
+                    "n": pa.array([int(keep.sum())], pa.int64()),
+                }
+            )
+
+        parts = j.map_batches(partial, batch_format="pyarrow", batch_size=131072)
+
+    t = _collect_table(parts)
+    u = int(pc.sum(t["u"]).as_py() or 0)
+    n = int(pc.sum(t["n"]).as_py() or 0)
+    return pa.table(
+        {
+            "revenue": pa.array([sql_round(u / 10000.0, 2)], pa.float64()),
+            "n_items": pa.array([n], pa.int64()),
+        }
+    )
+
+
+Q19_SQL = f"""
+SELECT ROUND(COALESCE(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)), 0)
+             / 10000.0, 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+"""
+
+
+_Q22_CUTOFF = datetime(1999, 1, 1)
+
+
+def q22_idle_balance(sf_dir: str):
+    """TPC-H q22 shape: scalar-subquery threshold (global average of
+    positive balances) + NOT-IN anti-join + group aggregate. Plan: the
+    threshold is two integers (sum, count of positive rounded cents) from a
+    per-batch combiner; RECENT purchaser custkeys (idle = no order since
+    the cutoff — every customer has ordered at least once in this corpus)
+    reduce distributedly to a distinct sorted array (broadcast, negated
+    np.isin probe — the cust_no_orders shape); the avg comparison is
+    integer cross-multiply (cents * n > sum), so both engines agree
+    exactly."""
+    import pyarrow.dataset as pads
+    import ray
+    import ray.data
+
+    from core_ray.stages.agg import count_by_u64
+
+    def cents_of(b: pa.Table) -> np.ndarray:
+        return sql_round_np(
+            b["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def thresh_partial(b: pa.Table) -> pa.Table:
+        c = cents_of(b)
+        pos = c > 0
+        return pa.table(
+            {
+                "s": pa.array([int(c[pos].sum())], pa.int64()),
+                "n": pa.array([int(pos.sum())], pa.int64()),
+            }
+        )
+
+    tt = _collect_table(
+        cust.map_batches(thresh_partial, batch_format="pyarrow", batch_size=131072)
+    )
+    s = int(pc.sum(tt["s"]).as_py() or 0)
+    n = int(pc.sum(tt["n"]).as_py() or 0)
+
+    purch = count_by_u64(
+        ray.data.read_parquet(
+            _p(sf_dir, "orders"),
+            columns=["o_custkey"],
+            filter=pads.field("o_orderdate") >= _Q22_CUTOFF,
+        ).map_batches(
+            lambda b: pa.table({"key": pc.cast(b["o_custkey"], pa.uint64())}),
+            batch_format="pyarrow",
+        ),
+        "key",
+    )
+    pkeys = np.sort(
+        _collect_table(purch)["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    pref = ray.put(pkeys)
+
+    def partial(b: pa.Table, pref=pref, s=s, n=n) -> pa.Table:
+        pks = ray.get(pref) if isinstance(pref, ray.ObjectRef) else pref
+        ck = b["c_custkey"].to_numpy(zero_copy_only=False)
+        c = cents_of(b)
+        keep = (c * n > s) & ~np.isin(ck, pks)
+        code = ck[keep] % 7
+        cc = c[keep]
+        u = np.unique(code)
+        sums = np.array([int(cc[code == g].sum()) for g in u], dtype=np.int64)
+        cnts = np.array([int((code == g).sum()) for g in u], dtype=np.int64)
+        return pa.table(
+            {
+                "cntrycode": pa.array(u, pa.int64()),
+                "numcust": pa.array(cnts, pa.int64()),
+                "cents": pa.array(sums, pa.int64()),
+            }
+        )
+
+    parts = _collect_table(
+        cust.map_batches(partial, batch_format="pyarrow", batch_size=131072)
+    )
+    code = parts["cntrycode"].to_numpy(zero_copy_only=False)
+    order = np.argsort(code, kind="stable")
+    code, nc, ce = (
+        code[order],
+        parts["numcust"].to_numpy(zero_copy_only=False)[order],
+        parts["cents"].to_numpy(zero_copy_only=False)[order],
+    )
+    new = np.ones(len(code), dtype=bool)
+    if len(code):
+        new[1:] = code[1:] != code[:-1]
+    starts = np.nonzero(new)[0]
+    return pa.table(
+        {
+            "cntrycode": pa.array(code[starts], pa.int64()),
+            "numcust": pa.array(
+                np.add.reduceat(nc, starts) if len(starts) else nc[:0], pa.int64()
+            ),
+            "totacctbal": pa.array(
+                sql_round_np(
+                    (np.add.reduceat(ce, starts) if len(starts) else ce[:0]) / 100.0, 2
+                ),
+                pa.float64(),
+            ),
+        }
+    )
+
+
+Q22_SQL = """
+WITH t AS (
+  SELECT SUM(CAST(ROUND(c_acctbal * 100.0) AS BIGINT)) AS s, COUNT(*) AS n
+  FROM customer WHERE CAST(ROUND(c_acctbal * 100.0) AS BIGINT) > 0)
+SELECT c_custkey % 7 AS cntrycode, COUNT(*) AS numcust,
+       ROUND(SUM(CAST(ROUND(c_acctbal * 100.0) AS BIGINT)) / 100.0, 2) AS totacctbal
+FROM customer, t
+WHERE CAST(ROUND(c_acctbal * 100.0) AS BIGINT) * t.n > t.s
+  AND c_custkey NOT IN (SELECT DISTINCT o_custkey FROM orders
+                        WHERE o_orderdate >= DATE '1999-01-01')
+GROUP BY 1
+"""
+
+
 # ========================================================== window wave 2
 # LAG delta, RANK/DENSE_RANK/ROW_NUMBER, running total — the remaining
 # order-sensitive window shapes, each one hash-partition shuffle by user +
@@ -3627,7 +4358,13 @@ QUERIES = {
     "q4_priority_semi": q4_priority_semi,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q12_priority_class": q12_priority_class,
+    "q13_cust_order_dist": q13_cust_order_dist,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q16_supplier_cnt": q16_supplier_cnt,
+    "q17_small_qty_revenue": q17_small_qty_revenue,
     "q18_heavy_orders": q18_heavy_orders,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "q22_idle_balance": q22_idle_balance,
     "events_lag_delta": events_lag_delta,
     "events_user_rank": events_user_rank,
     "events_cumsum": events_cumsum,
@@ -3699,7 +4436,13 @@ ORACLE_SQL = {
     "q4_priority_semi": Q4_SQL,
     "q6_forecast_revenue": Q6_SQL,
     "q12_priority_class": Q12_SQL,
+    "q13_cust_order_dist": Q13_SQL,
+    "q14_promo_revenue": Q14_SQL,
+    "q16_supplier_cnt": Q16_SQL,
+    "q17_small_qty_revenue": Q17_SQL,
     "q18_heavy_orders": Q18_SQL,
+    "q19_disjunctive_revenue": Q19_SQL,
+    "q22_idle_balance": Q22_SQL,
     "events_lag_delta": EVENTS_LAG_DELTA_SQL,
     "events_user_rank": EVENTS_USER_RANK_SQL,
     "events_cumsum": EVENTS_CUMSUM_SQL,

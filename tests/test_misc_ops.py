@@ -118,6 +118,31 @@ def test_q10_broadcast_and_shuffle_paths_agree(ray_session):
     assert a.equals(b)
 
 
+@pytest.mark.parametrize(
+    "name",
+    ["q14_promo_revenue", "q16_supplier_cnt", "q17_small_qty_revenue", "q19_disjunctive_revenue"],
+)
+def test_relational_wave3_paths_agree(ray_session, name):
+    """The wave-3 adaptive joins (sorted-array broadcast vs hash_join) must
+    be a pure strategy choice — identical rows either way."""
+    from core_ray import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+
+    def rows(t):
+        cols = sorted(t.column_names)
+        return sorted(zip(*[t[c].to_pylist() for c in cols]), key=str)
+
+    a = rows(getattr(Q, name)(sf))
+    saved = Q._Q10_BROADCAST_MAX_BYTES
+    try:
+        Q._Q10_BROADCAST_MAX_BYTES = 0  # force the hash_join path
+        b = rows(getattr(Q, name)(sf))
+    finally:
+        Q._Q10_BROADCAST_MAX_BYTES = saved
+    assert a == b and len(a) > 0
+
+
 def test_funnel_accepts_pre_epoch_timestamps(ray_session, tmp_path):
     """Stage-0 threshold must be -inf, not -1us: pre-1970 events qualify."""
     import numpy as np
