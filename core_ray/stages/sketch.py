@@ -169,3 +169,104 @@ def approx_group_quantiles(ds, group_col: str, val_col: str, qs=(0.5, 0.9),
         cols[f"q_{q}"] = pa.array(out_qs[i], pa.float64())
     t = pa.table(cols)
     return t.take(pa.compute.sort_indices(t, sort_keys=[(group_col, "ascending")]))
+
+
+# ---------------- mergeable heavy hitters (Misra-Gries) ----------------
+# The approximate scale hatch for frequency top-k, sibling of the DDSketch
+# quantiles above and the HLL/Bloom hatches: the EXACT path
+# (queries.py doc_vocab_top20) hash-partitions every distinct token through
+# one shuffle, which is right when the distinct set is worth counting and
+# wrong when only the heavy head matters over 10^12 rows. Misra-Gries
+# summaries are mergeable with the one-pass guarantee intact (published
+# result — "Mergeable Summaries", Agarwal et al., PODS 2012: ANY merge tree
+# of MG(m) summaries keeps total undercount <= N/(m+1)), so the engine
+# shape is pure combiner:
+#
+#     per-batch exact counts -> MG(m) compression      # combiner
+#     -> agg.sum_by_u64 over the survivors             # ONE small shuffle
+#     -> per-output-batch MG(m) compression            # disjoint key sets
+#     -> driver top-k over <= m x n_blocks rows
+#
+# Estimates are LOWER bounds: true count in [est, est + N // (m+1)].
+
+
+def mg_compress(items: np.ndarray, counts: np.ndarray, m: int):
+    """One Misra-Gries compression step: if more than ``m`` items, subtract
+    the (m+1)-th largest count from every count and keep the positives.
+    Returns (items, counts, decrement)."""
+    if len(items) <= m:
+        return items, counts.astype(np.int64), 0
+    # descending by count, item-ascending tie-break for determinism
+    order = np.lexsort((items, -counts.astype(np.int64)))
+    dec = int(counts[order[m]])
+    c = counts.astype(np.int64) - dec
+    pos = c > 0
+    return items[pos], c[pos], dec
+
+
+def approx_top_k(ds, key_col: str, k: int = 20, m: int = 4096):
+    """Dataset with a uint64 ``key_col`` -> (pyarrow Table (item, est),
+    n_total, err_bound).
+
+    Heavy-hitter top-k with Misra-Gries summaries of size ``m`` (see module
+    note): ``est`` is a lower bound on the true count and
+    ``true <= est + err_bound`` with ``err_bound = n_total // (m + 1)``;
+    every item whose true count exceeds ``err_bound`` is guaranteed to
+    survive into the candidate set. Rows with est <= 0 never surface."""
+    import ray
+
+    from core_ray.stages.agg import sum_by_u64
+
+    def partial(b: pa.Table) -> pa.Table:
+        ks = b[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        u, c = np.unique(ks, return_counts=True)
+        u, c, _ = mg_compress(u, c.astype(np.int64), m)
+        # sentinel row carries the batch row count even when compression
+        # empties the summary (all-distinct batches); key 0 / cnt 0 is inert
+        items = np.concatenate([u, np.zeros(1, dtype=np.uint64)])
+        cnts = np.concatenate([c, np.zeros(1, dtype=np.int64)])
+        nrows = np.zeros(len(items), dtype=np.int64)
+        nrows[-1] = len(ks)
+        return pa.table(
+            {
+                "key": pa.array(items, pa.uint64()),
+                "cnt": pa.array(cnts, pa.int64()),
+                "nrows": pa.array(nrows, pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=131072).materialize()
+    n_total = 0
+    for t in ray.get(partials.select_columns(["nrows"]).to_arrow_refs()):
+        if t.num_rows:
+            n_total += int(np.sum(t["nrows"].to_numpy(zero_copy_only=False)))
+
+    sums = sum_by_u64(partials.select_columns(["key", "cnt"]), "key", "cnt")
+
+    def recompress(b: pa.Table) -> pa.Table:
+        u = b["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        c = b["cnt"].to_numpy(zero_copy_only=False)
+        u, c, _ = mg_compress(u, c, m)
+        return pa.table(
+            {"key": pa.array(u, pa.uint64()), "cnt": pa.array(c, pa.int64())}
+        )
+
+    comp = sums.map_batches(recompress, batch_format="pyarrow")
+    tabs = [t for t in ray.get(comp.to_arrow_refs()) if t.num_rows]
+    if tabs:
+        merged = pa.concat_tables(tabs)
+        items = merged["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ests = merged["cnt"].to_numpy(zero_copy_only=False)
+    else:
+        items = np.zeros(0, dtype=np.uint64)
+        ests = np.zeros(0, dtype=np.int64)
+    pos = ests > 0
+    items, ests = items[pos], ests[pos]
+    order = np.lexsort((items, -ests))[:k]
+    out = pa.table(
+        {
+            "item": pa.array(items[order].astype(np.int64), pa.int64()),
+            "est": pa.array(ests[order], pa.int64()),
+        }
+    )
+    return out, n_total, n_total // (m + 1)

@@ -71,3 +71,69 @@ def test_approx_group_quantiles_distributed(ray_session):
         e50, e90 = truth[name]
         assert abs(q50 - e50) / e50 < 0.03  # 2*alpha + rank granularity
         assert abs(q90 - e90) / e90 < 0.03
+
+
+# ---------------- Misra-Gries heavy hitters ----------------
+
+
+class TestMisraGries:
+    def _exact(self, keys):
+        u, c = np.unique(keys, return_counts=True)
+        return dict(zip(u.tolist(), c.tolist()))
+
+    def test_compress_bound_and_determinism(self):
+        from core_ray.stages.sketch import mg_compress
+
+        rng = np.random.default_rng(5)
+        items = np.arange(1, 2001, dtype=np.uint64)
+        counts = rng.integers(1, 1000, 2000).astype(np.int64)
+        u, c, dec = mg_compress(items, counts, 64)
+        assert len(u) <= 64 and dec > 0
+        exact = dict(zip(items.tolist(), counts.tolist()))
+        for it, est in zip(u.tolist(), c.tolist()):
+            assert est == exact[it] - dec and est > 0
+        u2, c2, dec2 = mg_compress(items, counts, 64)
+        assert (u == u2).all() and (c == c2).all() and dec == dec2
+
+    def test_topk_bounds_on_zipf(self, ray_session):
+        import ray.data
+
+        from core_ray.stages.sketch import approx_top_k
+
+        rng = np.random.default_rng(11)
+        keys = np.minimum(rng.zipf(1.3, 200_000), 1 << 30).astype(np.uint64)
+        ds = ray.data.from_arrow(
+            pa.table({"k": pa.array(keys, pa.uint64())})
+        ).repartition(8)
+        out, n, err = approx_top_k(ds, "k", k=20, m=512)
+        assert n == len(keys)
+        assert err == len(keys) // 513
+        exact = self._exact(keys)
+        got = dict(zip(out["item"].to_pylist(), out["est"].to_pylist()))
+        assert len(got) == 20
+        # lower-bound estimates within the published mergeable-MG bound
+        for it, est in got.items():
+            true = exact[it]
+            assert est <= true <= est + err, (it, est, true, err)
+        # every truly-heavy item (count comfortably above the bound) is found
+        heavy = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))
+        for it, true in heavy[:20]:
+            if true > 2 * err:
+                assert it in got, (it, true, err)
+
+    def test_topk_small_and_empty(self, ray_session):
+        import ray.data
+
+        from core_ray.stages.sketch import approx_top_k
+
+        ds = ray.data.from_arrow(
+            pa.table({"k": pa.array([7, 7, 7, 3, 3, 9], pa.uint64())})
+        )
+        out, n, err = approx_top_k(ds, "k", k=2, m=16)
+        assert n == 6 and err == 0  # m+1 > n: exact
+        assert out["item"].to_pylist() == [7, 3]
+        assert out["est"].to_pylist() == [3, 2]
+
+        empty = ray.data.from_arrow(pa.table({"k": pa.array([], pa.uint64())}))
+        out, n, err = approx_top_k(empty, "k", k=5, m=16)
+        assert n == 0 and out.num_rows == 0
