@@ -52,6 +52,13 @@ BENCH_QUERIES = [
     "events_rollup",
     "doc_sample_bottomk",
     "media_phash_pairs",
+    # round-3b additions
+    "q13_cust_order_dist",
+    "q16_supplier_cnt",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_revenue",
+    "doc_dup_clusters",
+    "emb_dup_clusters",
 ]
 
 

@@ -2993,14 +2993,15 @@ def _sorted_probe(keys_sorted: np.ndarray, probe: np.ndarray):
 
 
 def q13_cust_order_dist(sf_dir: str):
-    """TPC-H q13 shape: LEFT outer join + two-level aggregation — the
-    distribution of per-customer order counts INCLUDING zero-order
-    customers. Plan: per-custkey counts via the count_by_u64 combiner (one
-    small shuffle over distinct custkeys, never the orders fact); customer
-    keys LEFT-hash-join those counts (misses zero-filled); the distribution
-    itself is a second count_by_u64 whose key is the count value."""
+    """TPC-H q13 shape: LEFT-outer-join count distribution — per-customer
+    order counts INCLUDING zero-order customers. Plan: per-custkey counts
+    via the count_by_u64 combiner (one small shuffle over distinct
+    custkeys, never the orders fact); the distribution is a second tiny
+    count_by_u64 whose key is the count value; the zero-order bucket is
+    |customer| minus the ordering customers — pure subtraction, so the
+    customer table is never shuffled at all (metadata row count only;
+    relies on o_custkey ⊆ c_custkey, which the corpus guarantees)."""
     from core_ray.stages.agg import count_by_u64
-    from core_ray.stages.join import hash_join
 
     counts = count_by_u64(
         _read(sf_dir, "orders", ["o_custkey"]).map_batches(
@@ -3009,21 +3010,22 @@ def q13_cust_order_dist(sf_dir: str):
         ),
         "key",
     ).map_batches(
-        lambda b: pa.table({"ckey": pc.cast(b["key"], pa.int64()), "n_orders": b["cnt"]}),
+        lambda b: pa.table({"key": pc.cast(b["cnt"], pa.uint64())}),
         batch_format="pyarrow",
     )
-    cust = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
-        lambda b: pa.table({"ckey": b["c_custkey"]}), batch_format="pyarrow"
-    )
-    filled = hash_join(cust, counts, on="ckey", how="left").map_batches(
-        lambda b: pa.table({"key": pc.cast(pc.fill_null(b["n_orders"], 0), pa.uint64())}),
-        batch_format="pyarrow",
-    )
-    return count_by_u64(filled, "key").map_batches(
-        lambda b: pa.table(
-            {"c_count": pc.cast(b["key"], pa.int64()), "custdist": b["cnt"]}
-        ),
-        batch_format="pyarrow",
+    hist = _collect_table(count_by_u64(counts, "key"))
+    c_count = hist["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+    custdist = hist["cnt"].to_numpy(zero_copy_only=False)
+    n_cust = _read(sf_dir, "customer", ["c_custkey"]).count()
+    zero = n_cust - int(custdist.sum())
+    if zero > 0:
+        c_count = np.concatenate([c_count, [0]])
+        custdist = np.concatenate([custdist, [zero]])
+    return pa.table(
+        {
+            "c_count": pa.array(c_count, pa.int64()),
+            "custdist": pa.array(custdist, pa.int64()),
+        }
     )
 
 
