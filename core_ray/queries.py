@@ -1349,6 +1349,11 @@ _DGD = _docs_golden_dir()
 DOC_FINGERPRINT_SQL = f"SELECT * FROM read_parquet('{_DGD}/fingerprint.parquet')"
 DOC_MINHASH_PAIRS_SQL = f"SELECT * FROM read_parquet('{_DGD}/minhash_pairs.parquet')"
 DOC_DUP_CLUSTERS_SQL = f"SELECT * FROM read_parquet('{_DGD}/dup_clusters.parquet')"
+DOC_DEDUP_KEEP_SQL = f"""
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (
+  SELECT node FROM read_parquet('{_DGD}/dup_clusters.parquet') WHERE node <> comp)
+"""
 DOC_SIMHASH_PAIRS_SQL = f"SELECT * FROM read_parquet('{_DGD}/simhash_pairs.parquet')"
 EMB_ANN_LSH_SQL = f"SELECT * FROM read_parquet('{_DGD}/ann_lsh.parquet')"
 EMB_ANN_IVF_SQL = f"SELECT * FROM read_parquet('{_DGD}/ann_ivf.parquet')"
@@ -1858,6 +1863,47 @@ WHERE ROUND(LIST_COSINE_SIMILARITY(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 """
 
 
+
+
+def doc_dedup_keep(sf_dir: str):
+    """The APPLY step of near-dup dedup: the corpus minus every non-
+    representative cluster member (keep = each component's min doc id,
+    plus all unpaired docs). The drop set is the cluster table minus its
+    representatives — bounded by the number of PAIRED docs, tiny relative
+    to the corpus — broadcast sorted and probed with a vectorized negated
+    np.isin, the cust_no_orders anti-join shape; the corpus side streams."""
+    import ray
+
+    from core_ray.stages.cc import connected_components
+    from core_ray.text.dedup import minhash_near_dups
+
+    _ensure_docs_golden(sf_dir)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_near_dups(ds, threshold=0.5)
+    clusters = connected_components(pairs, src="id_a", dst="id_b")
+    drop_t = _collect_table(
+        clusters.map_batches(
+            lambda b: pa.table(
+                {"node": b["node"].filter(pc.not_equal(b["node"], b["comp"]))}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    drop = np.sort(drop_t["node"].to_numpy(zero_copy_only=False))
+    ref = ray.put(drop)
+
+    class Keep:
+        def __init__(self, r):
+            self.drop = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            return b.select(["doc_id"]).filter(pa.array(~np.isin(ids, self.drop)))
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        Keep, fn_constructor_args=(ref,), batch_format="pyarrow",
+        batch_size=65536, concurrency=(1, 4),
+    )
 
 
 def emb_dup_clusters(sf_dir: str):
@@ -4318,6 +4364,7 @@ QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "doc_minhash_pairs": doc_minhash_pairs,
     "doc_dup_clusters": doc_dup_clusters,
+    "doc_dedup_keep": doc_dedup_keep,
     "doc_simhash_pairs": doc_simhash_pairs,
     "emb_topk": emb_topk,
     "emb_centroids": emb_centroids,
@@ -4432,6 +4479,7 @@ ORACLE_SQL = {
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "doc_minhash_pairs": DOC_MINHASH_PAIRS_SQL,
     "doc_dup_clusters": DOC_DUP_CLUSTERS_SQL,
+    "doc_dedup_keep": DOC_DEDUP_KEEP_SQL,
     "doc_simhash_pairs": DOC_SIMHASH_PAIRS_SQL,
     "emb_ann_lsh": EMB_ANN_LSH_SQL,
     "emb_ann_ivf": EMB_ANN_IVF_SQL,

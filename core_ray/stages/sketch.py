@@ -28,25 +28,36 @@ import pyarrow as pa
 
 
 class DDSketchParams:
-    def __init__(self, alpha: float = 0.01, min_positive: float = 1e-9):
+    def __init__(self, alpha: float = 0.01, min_positive: float = 1e-9,
+                 two_sided: bool = False):
+        """``two_sided=True`` adds the mirrored negative store from the
+        published design: negative values land in sign-mirrored bins
+        (-bin_of(|v|)) with the same relative-error guarantee on |v|;
+        values in (-min_positive, min_positive) share the zero bin."""
         if not 0 < alpha < 1:
             raise ValueError("alpha must be in (0, 1)")
         self.alpha = alpha
         self.min_positive = min_positive
+        self.two_sided = two_sided
         self.gamma = (1 + alpha) / (1 - alpha)
         self.log_gamma = math.log(self.gamma)
 
     def bin_of(self, v: np.ndarray) -> np.ndarray:
         """Vectorized bin index; bin 0 is the zero/underflow bin, positive
-        values map to ceil(log_gamma(v)) shifted to stay >= 1."""
+        values map to ceil(log_gamma(v)) shifted to stay >= 1; negatives
+        (two-sided stores only) mirror to the negated index."""
         v = np.asarray(v, dtype=np.float64)
-        if (v < 0).any():
+        neg = v < 0
+        if neg.any() and not self.two_sided:
             raise ValueError("DDSketch store is one-sided (values must be >= 0)")
+        a = np.abs(v)
         out = np.zeros(len(v), dtype=np.int64)
-        pos = v >= self.min_positive
+        pos = a >= self.min_positive
         if pos.any():
-            raw = np.ceil(np.log(v[pos]) / self.log_gamma).astype(np.int64)
+            raw = np.ceil(np.log(a[pos]) / self.log_gamma).astype(np.int64)
             out[pos] = raw - self._bin_floor
+        if neg.any():
+            out[neg] = -out[neg]
         return out
 
     @property
@@ -56,12 +67,15 @@ class DDSketchParams:
 
     def value_of(self, bins: np.ndarray) -> np.ndarray:
         """Bin index -> representative value (the bin's geometric midpoint,
-        2*gamma^k/(gamma+1) per the published estimator); bin 0 -> 0.0."""
+        2*gamma^k/(gamma+1) per the published estimator); bin 0 -> 0.0;
+        negative bins mirror to the negated midpoint."""
         bins = np.asarray(bins, dtype=np.int64)
         out = np.zeros(len(bins), dtype=np.float64)
-        pos = bins > 0
-        raw = bins[pos] + self._bin_floor
-        out[pos] = 2.0 * np.power(self.gamma, raw.astype(np.float64)) / (self.gamma + 1.0)
+        nz = bins != 0
+        raw = np.abs(bins[nz]) + self._bin_floor
+        out[nz] = np.sign(bins[nz]) * (
+            2.0 * np.power(self.gamma, raw.astype(np.float64)) / (self.gamma + 1.0)
+        )
         return out
 
 
@@ -81,8 +95,12 @@ def quantiles_from_bins(bins: np.ndarray, counts: np.ndarray, qs, params: DDSket
     return out
 
 
+_BIN_OFF = np.uint64(1 << 19)  # signed-bin offset inside the 20-bit key field
+
+
 def approx_group_quantiles(ds, group_col: str, val_col: str, qs=(0.5, 0.9),
-                           alpha: float = 0.01, max_groups: int = 1 << 20):
+                           alpha: float = 0.01, max_groups: int = 1 << 20,
+                           two_sided: bool = False):
     """Dataset -> pyarrow Table (group_col, q_0.5, q_0.9, ...) with
     relative-error-alpha approximate quantiles per group.
 
@@ -96,13 +114,14 @@ def approx_group_quantiles(ds, group_col: str, val_col: str, qs=(0.5, 0.9),
 
     from core_ray.stages.agg import hash_strings, sum_by_u64
 
-    params = DDSketchParams(alpha=alpha)
+    params = DDSketchParams(alpha=alpha, two_sided=two_sided)
 
     def partial(b: pa.Table) -> pa.Table:
         v = b[val_col].to_numpy(zero_copy_only=False)
         bins = params.bin_of(v)
         gh = hash_strings(b[group_col]) % np.uint64(max_groups)
-        key = (gh << np.uint64(20)) | bins.astype(np.uint64)  # 20 bits of bin
+        # 20 bits of bin, offset so signed (two-sided) bins pack cleanly
+        key = (gh << np.uint64(20)) | (bins + np.int64(_BIN_OFF)).astype(np.uint64)
         order = np.argsort(key, kind="stable")
         ks = key[order]
         new = np.ones(len(ks), dtype=bool)
@@ -151,7 +170,7 @@ def approx_group_quantiles(ds, group_col: str, val_col: str, qs=(0.5, 0.9),
     keys = merged["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
     cnts = merged["cnt"].to_numpy(zero_copy_only=False)
     gh = keys >> np.uint64(20)
-    bins = (keys & np.uint64((1 << 20) - 1)).astype(np.int64)
+    bins = (keys & np.uint64((1 << 20) - 1)).astype(np.int64) - np.int64(_BIN_OFF)
     order = np.argsort(gh, kind="stable")
     gh, bins, cnts, keys = gh[order], bins[order], cnts[order], keys[order]
     new = np.ones(len(gh), dtype=bool)

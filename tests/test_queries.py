@@ -17,6 +17,7 @@ _GOLDEN_PINNED = (
     "doc_fingerprint",
     "doc_minhash_pairs",
     "doc_dup_clusters",
+    "doc_dedup_keep",
     "doc_simhash_pairs",
     "emb_ann_lsh",
     "emb_ann_ivf",

@@ -137,3 +137,47 @@ class TestMisraGries:
         empty = ray.data.from_arrow(pa.table({"k": pa.array([], pa.uint64())}))
         out, n, err = approx_top_k(empty, "k", k=5, m=16)
         assert n == 0 and out.num_rows == 0
+
+
+# ---------------- two-sided (signed) store ----------------
+
+
+def test_two_sided_roundtrip_relative_error():
+    p = DDSketchParams(alpha=0.01, two_sided=True)
+    rng = np.random.default_rng(6)
+    mag = np.exp(rng.uniform(np.log(1e-6), np.log(1e6), size=5000))
+    v = mag * rng.choice([-1.0, 1.0], size=5000)
+    back = p.value_of(p.bin_of(v))
+    rel = np.abs(back - v) / np.abs(v)
+    assert rel.max() <= p.alpha * 1.0000001
+    assert (np.sign(back) == np.sign(v)).all()
+
+
+def test_two_sided_quantiles_with_negative_values(ray_session):
+    import ray
+
+    rng = np.random.default_rng(7)
+    v = rng.normal(0.0, 100.0, size=120_000)  # ~half negative
+    t = pa.table(
+        {
+            "g": pa.array(["x"] * len(v), pa.string()),
+            "value": pa.array(v, pa.float64()),
+        }
+    )
+    out = approx_group_quantiles(
+        ray.data.from_arrow(t), "g", "value", qs=(0.1, 0.5, 0.9),
+        alpha=0.01, two_sided=True,
+    )
+    for q, got in zip((0.1, 0.5, 0.9), (out["q_0.1"][0].as_py(),
+                                        out["q_0.5"][0].as_py(),
+                                        out["q_0.9"][0].as_py())):
+        exact = float(np.quantile(v, q))
+        # relative error on |value| plus rank granularity; median sits near
+        # the zero bin so compare on absolute scale there
+        tol = max(0.03 * abs(exact), 3.0)
+        assert abs(got - exact) <= tol, (q, got, exact)
+
+
+def test_one_sided_still_rejects_negatives():
+    with pytest.raises(ValueError):
+        DDSketchParams(alpha=0.01).bin_of(np.array([-2.0]))
