@@ -271,3 +271,97 @@ def tile_center(z: int, x: int, y: int) -> tuple[float, float] | None:
     lon = (x + 0.5) / n * 360.0 - 180.0
     lat = math.degrees(math.atan(math.sinh(math.pi * (1.0 - 2.0 * (y + 0.5) / n))))
     return (lat, lon)
+
+
+# ---------------- MGRS (military grid reference system) ----------------
+# From the published NGA grid scheme (the same public tables every MGRS
+# implementation encodes): 8-degree latitude bands C..X (I/O skipped, X
+# spans 72..84), 100 km column letters cycling A-H / J-R / S-Z by
+# zone mod 3, row letters A..V (I/O skipped, 2,000 km cycle) with a
+# 5-letter offset on even zones. Decode resolves the 2,000 km row
+# ambiguity against the latitude band; verification is roundtrip through
+# the Snyder-series UTM pair above (itself spec-tested), plus structural
+# letter-table checks.
+
+_MGRS_BANDS = "CDEFGHJKLMNPQRSTUVWX"  # 8-deg bands from -80; X extends to 84
+_MGRS_COLS = ("ABCDEFGH", "JKLMNPQR", "STUVWXYZ")
+_MGRS_ROWS = "ABCDEFGHJKLMNPQRSTUV"  # 20 letters, 2,000 km northing cycle
+
+
+def _mgrs_band_of(lat: float) -> str | None:
+    if not -80.0 <= lat <= 84.0:
+        return None
+    return _MGRS_BANDS[min(19, int((lat + 80.0) // 8.0))]
+
+
+def mgrs_encode(lat: float, lon: float, digits: int = 5) -> str | None:
+    """(lat, lon) -> MGRS string with ``digits`` easting/northing digits
+    (5 = 1 m grid). None outside the MGRS latitude range."""
+    band = _mgrs_band_of(lat)
+    if band is None or not 1 <= digits <= 5:
+        return None
+    zone, _, e, n = lonlat_to_utm(lat, lon)
+    col = _MGRS_COLS[(zone - 1) % 3][int(e // 100000.0) - 1]
+    row_off = 5 if zone % 2 == 0 else 0
+    row = _MGRS_ROWS[(int(n // 100000.0) + row_off) % 20]
+    cell = 10 ** (5 - digits)
+    de = int((e % 100000.0) // cell)
+    dn = int((n % 100000.0) // cell)
+    return f"{zone}{band}{col}{row}{de:0{digits}d}{dn:0{digits}d}"
+
+
+def mgrs_decode(code: str) -> tuple[float, float] | None:
+    """MGRS string -> (lat, lon) of the grid cell's center. Row-letter
+    northing ambiguity (2,000 km cycle) resolves against the latitude
+    band; None on any malformed field."""
+    s = code.strip().upper().replace(" ", "")
+    i = 0
+    while i < len(s) and s[i].isdigit():
+        i += 1
+    if not 1 <= i <= 2 or len(s) < i + 3:
+        return None
+    zone = int(s[:i])
+    band, col, row = s[i], s[i + 1], s[i + 2]
+    digits_s = s[i + 3:]
+    if (
+        not 1 <= zone <= 60
+        or band not in _MGRS_BANDS
+        or col not in _MGRS_COLS[(zone - 1) % 3]
+        or row not in _MGRS_ROWS
+        or len(digits_s) % 2 != 0
+        or len(digits_s) > 10
+        or (digits_s and not digits_s.isdigit())
+    ):
+        return None
+    d = len(digits_s) // 2
+    cell = 10 ** (5 - d)
+    e100k = (_MGRS_COLS[(zone - 1) % 3].index(col) + 1) * 100000.0
+    de = (int(digits_s[:d]) + 0.5) * cell if d else 50000.0
+    easting = e100k + de
+
+    row_off = 5 if zone % 2 == 0 else 0
+    n100k = ((_MGRS_ROWS.index(row) - row_off) % 20) * 100000.0
+    dn = (int(digits_s[d:]) + 0.5) * cell if d else 50000.0
+
+    band_idx = _MGRS_BANDS.index(band)
+    lat_lo = -80.0 + 8.0 * band_idx
+    lat_hi = 84.0 if band == "X" else lat_lo + 8.0
+    hemi = "N" if band_idx >= 10 else "S"
+    # northing candidates every 2,000 km; keep the one whose latitude lands
+    # in (or nearest to) the band
+    best, best_gap = None, float("inf")
+    for k in range(6):
+        northing = n100k + dn + 2000000.0 * k
+        if northing >= 10000000.0:
+            break
+        dec = utm_to_lonlat(zone, hemi, easting, northing)
+        if dec is None:
+            continue
+        lat, lon = dec
+        if lat_lo - 0.02 <= lat <= lat_hi + 0.02:
+            return (lat, lon)
+        gap = max(lat_lo - lat, lat - lat_hi)
+        if gap < best_gap:
+            best, best_gap = dec, gap
+    # tolerate edge cells whose center drifts just outside the band
+    return best if best is not None and best_gap < 0.6 else None

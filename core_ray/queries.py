@@ -1184,6 +1184,10 @@ _RULE_CASES = [
     ("pl2", "/i", "at 849VCWC8+R9 spot", [("pluscode", 37.422063, -122.084063)]),
     ("ut1", "/j", "grid UTM 31N 448262 5411932 pos", [("utm", 48.858195, 2.294639)]),
     ("ut2", "/k", "grid UTM 10N 552100 4182700 pos", [("utm", 37.790177, -122.408272)]),
+    # MGRS literals = the spec-tested Snyder UTM inverse of the cell center
+    # (31N e=448252.5 n=5411717.5; 56S e=334368.5 n=6250948.5), rounded 6
+    ("mg1", "/j2", "ref MGRS 31UDQ4825211717 pos", [("mgrs", 48.856265, 2.294537)]),
+    ("mg2", "/k2", "ref MGRS 56HLH3436850948 pos", [("mgrs", -33.868799, 151.209299)]),
     ("mh1", "/l", "op from grid JN58td tonight", [("maidenhead", 48.145833, 11.625)]),
     ("mh2", "/m", "op from grid FN31pr tonight", [("maidenhead", 41.729167, -72.708333)]),
     ("ti1", "/tiles/11/1050/674.png", "tile page", [("tile-url", 52.214339, 4.658203)]),
@@ -1201,7 +1205,7 @@ _RULE_CASES = [
         ("text-mention", 1.5, 2.25), ("text-mention", 10.125, -20.375)]),
 ]
 _RULES_COPIES = 40  # rows per case — exercises batching across actors
-_RULES_GOLDEN_VERSION = 1
+_RULES_GOLDEN_VERSION = 2  # v2: + mgrs rule cases
 
 
 def _rules_pages() -> pa.Table:

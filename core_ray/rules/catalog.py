@@ -12,6 +12,7 @@ semantics, registered exactly like the built-ins:
 | text-mention  | Specialized | built-in (geo URI / DMS / decimal pair)       |
 | geohash       | E2E         | 'geohash:<base32>' token in text              |
 | maidenhead    | E2E         | 'grid <locator>' ham-radio grid square        |
+| mgrs          | E2E         | 'MGRS <grid reference>' token in text         |
 | pluscode      | E2E         | full Open Location Code in text               |
 | tile-url      | E2E         | '/tiles/z/x/y' slippy-map path in the URL     |
 | utm           | E2E         | 'UTM <zone><hemi> <easting> <northing>'       |
@@ -43,6 +44,7 @@ from core_ray.geo.codes import (
     geohash_decode,
     iso6709_decode,
     maidenhead_decode,
+    mgrs_decode,
     pluscode_decode,
     tile_center,
     utm_to_lonlat,
@@ -60,6 +62,7 @@ _MAP_URL_RE = re.compile(r"@(-?\d{1,2}\.\d+),(-?\d{1,3}\.\d+)")
 _GEOHASH_RE = re.compile(r"\bgeohash:([0-9bcdefghjkmnpqrstuvwxyz]{4,12})\b")
 _PLUSCODE_RE = re.compile(r"\b([23456789CFGHJMPQRVWX]{8}\+[23456789CFGHJMPQRVWX]{2,7})\b")
 _UTM_RE = re.compile(r"\bUTM\s+(\d{1,2})([NS])\s+(\d{1,7}(?:\.\d+)?)\s+(\d{1,8}(?:\.\d+)?)\b")
+_MGRS_RE = re.compile(r"\bMGRS\s+(\d{1,2}[C-HJ-NP-X][A-HJ-NP-Z]{2}\d{2,10})\b")
 _AIRPORT_RE = re.compile(r"\b([A-Z]{3})\s+[Aa]irport\b")
 _GAZETTEER_RE = re.compile(r"\bin\s+([A-Z][A-Za-z]+(?:\s+[A-Z][A-Za-z]+)?)\b")
 _ISO6709_RE = re.compile(r"([+-]\d{2}(?:\.\d+)?[+-]\d{3}(?:\.\d+)?/)")
@@ -104,6 +107,18 @@ def _match_pluscode(urls, texts, state):
         for m in _PLUSCODE_RE.finditer(t):
             dec = pluscode_decode(m.group(1))
             if dec is not None and _LAT_OK(dec[0]) and _LON_OK(dec[1]):
+                coords.append(dec)
+        out.append(coords or None)
+    return out
+
+
+def _match_mgrs(urls, texts, state):
+    out = []
+    for t in texts:
+        coords = []
+        for m in _MGRS_RE.finditer(t):
+            dec = mgrs_decode(m.group(1))
+            if dec is not None:
                 coords.append(dec)
         out.append(coords or None)
     return out
@@ -207,6 +222,7 @@ CATALOG_RULES = [
     DerivationRule("map-url", PRIORITY_SPECIALIZED, _match_map_url),
     DerivationRule("geohash", PRIORITY_E2E, _match_geohash),
     DerivationRule("maidenhead", PRIORITY_E2E, _match_maidenhead),
+    DerivationRule("mgrs", PRIORITY_E2E, _match_mgrs),
     DerivationRule("pluscode", PRIORITY_E2E, _match_pluscode),
     DerivationRule("tile-url", PRIORITY_E2E, _match_tile_url),
     DerivationRule("utm", PRIORITY_E2E, _match_utm),

@@ -81,6 +81,47 @@ def test_utm_invalid():
     assert utm_to_lonlat(31, "X", 5e5, 0.0) is None
 
 
+def test_mgrs_roundtrip_and_structure():
+    from core_ray.geo.codes import mgrs_decode, mgrs_encode
+
+    rng = np.random.default_rng(13)
+    for _ in range(60):
+        la = float(rng.uniform(-79.9, 83.9))
+        lo = float(rng.uniform(-179.9, 179.9))
+        code = mgrs_encode(la, lo)
+        bla, blo = mgrs_decode(code)
+        # 1 m cells: center within ~1.5 m of the input
+        assert bla == pytest.approx(la, abs=2e-5)
+        assert blo == pytest.approx(lo, abs=2e-5 / max(0.02, np.cos(np.radians(la))))
+    # structural spec checks: column letter set cycles by zone mod 3, row
+    # letters offset 5 on even zones, bands are the 8-degree C..X table
+    # zone-center points (easting ~500 km -> 5th column letter of the set):
+    # 31 -> A-H gives 'E', 32 -> J-R gives 'N', 33 -> S-Z gives 'W'; row 0
+    # is 'A' on odd zones and 'F' (offset 5) on even zones
+    assert mgrs_encode(0.5, 3.0).startswith("31NEA")
+    assert mgrs_encode(0.5, 9.0).startswith("32NNF")
+    assert mgrs_encode(0.5, 15.0).startswith("33NWA")
+    assert mgrs_encode(78.2, 15.6).startswith("33X")   # X band spans 72..84
+    # canonical grid-zone example: Honolulu sits in 4Q square FJ
+    assert mgrs_encode(21.3069, -157.8583).startswith("4QFJ")
+    hla, hlo = mgrs_decode("4QFJ1234567890")
+    assert 16.0 <= hla <= 24.0 and -162.0 <= hlo <= -156.0
+
+
+def test_mgrs_precision_and_invalid():
+    from core_ray.geo.codes import mgrs_decode, mgrs_encode
+
+    # coarser digit counts decode to the bigger cell's center
+    full = mgrs_encode(48.8566, 2.3522)          # 1 m
+    km = full[:5] + full[5:7] + full[10:12]       # 2+2 digits -> 1 km cell
+    la, lo = mgrs_decode(km)
+    assert la == pytest.approx(48.8566, abs=0.01)
+    assert lo == pytest.approx(2.3522, abs=0.02)
+    for bad in ("", "99ZAA11", "31UDQ123", "31UDQ12345678901", "0UDQ1122",
+                "31UII1122", "31IDQ1122"):
+        assert mgrs_decode(bad) is None
+
+
 # ---------------- rules through the cascade ----------------
 
 GEOIP = {"known.example.com": (10.0, 20.0)}
@@ -113,10 +154,10 @@ def test_catalog_rule_names_and_priorities():
     names = [r.name for r in full_registry().candidates("en")]
     assert names == [
         "iso6709", "latlon-qs", "map-url", "text-mention",  # Specialized, name-asc
-        "geohash", "maidenhead", "pluscode", "tile-url", "utm",  # E2E
+        "geohash", "maidenhead", "mgrs", "pluscode", "tile-url", "utm",  # E2E
         "airport", "gazetteer", "host-geoip",  # Generic
     ]
-    assert len(CATALOG_RULES) == 10
+    assert len(CATALOG_RULES) == 11
 
 
 def test_iso6709_latlon_qs_maidenhead_tile_rules():
@@ -199,6 +240,7 @@ def test_full_catalog_through_flagship(ray_session, tmp_path):
         "gh": ("https://x.com/gh", "try geohash:u4pruydqqvj today"),
         "plus": ("https://x.com/plus", "at 849VCWC8+R9 now"),
         "utm": ("https://x.com/utm", "grid UTM 10N 552100 4182700"),
+        "mgrs": ("https://x.com/mgrs", "ref MGRS 31UDQ4825211717 pos"),
         "apt": ("https://x.com/apt", "lands at SFO Airport"),
         "gaz": ("https://x.com/gaz", "a week in Paris"),
         "geoip": ("https://known.example.com/h", "plain text"),
@@ -240,8 +282,8 @@ def test_full_catalog_through_flagship(ray_session, tmp_path):
     )
     by_src = {r["derivation_source"] for r in out}
     assert by_src == {
-        "map-url", "geohash", "pluscode", "utm", "airport", "gazetteer",
-        "host-geoip", "none",
+        "map-url", "geohash", "pluscode", "utm", "mgrs", "airport",
+        "gazetteer", "host-geoip", "none",
     }
 
 
