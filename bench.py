@@ -59,6 +59,8 @@ BENCH_QUERIES = [
     "q19_disjunctive_revenue",
     "doc_dup_clusters",
     "emb_dup_clusters",
+    "q2_min_cost_supplier",
+    "q7_nation_volume",
 ]
 
 

@@ -3503,6 +3503,229 @@ WHERE CAST(ROUND(l.l_quantity * 100.0) AS BIGINT) * 5 * ag.cnt < ag.s100
 """
 
 
+_Q2_SUPP_BITS = 24  # suppkey rides the low bits of the packed argmin value
+
+
+def q2_min_cost_supplier(sf_dir: str):
+    """TPC-H q2 shape: grouped ARGMIN with join-back — per part, the
+    supplier offering the minimum price (price tie -> min suppkey). Plan:
+    ONE packed agg.min_by_u64 pass (price_cents << 24 | suppkey, so the
+    u64 minimum IS the lexicographic (price, suppkey) argmin — no window,
+    no second scan); supplier names attach from the tiny dim broadcast.
+    Bound: suppkey < 2^24, price < 2^39 cents — both hold by orders of
+    magnitude at any TPC-H scale."""
+    import ray
+
+    from core_ray.stages.agg import min_by_u64
+
+    def pre(b: pa.Table) -> pa.Table:
+        cents = sql_round_np(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.uint64)
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table(
+            {
+                "key": pc.cast(b["l_partkey"], pa.uint64()),
+                "val": pa.array(
+                    (cents << np.uint64(_Q2_SUPP_BITS)) | sk, pa.uint64()
+                ),
+            }
+        )
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice"])
+    best = min_by_u64(li.map_batches(pre, batch_format="pyarrow", batch_size=131072), "key", "val")
+
+    st = _collect_table(_read(sf_dir, "supplier", ["s_suppkey", "s_name"]))
+    sk = st["s_suppkey"].to_numpy(zero_copy_only=False)
+    order = np.argsort(sk, kind="stable")
+    names = np.asarray(st["s_name"].to_pylist())[order]
+    ref = ray.put((sk[order], names))
+
+    def finish(b: pa.Table, ref=ref) -> pa.Table:
+        sks, nms = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        v = b["val"].to_numpy(zero_copy_only=False)
+        supp = (v & np.uint64((1 << _Q2_SUPP_BITS) - 1)).astype(np.int64)
+        cents = (v >> np.uint64(_Q2_SUPP_BITS)).astype(np.int64)
+        pos, hit = _sorted_probe(sks, supp)
+        return pa.table(
+            {
+                "p_partkey": pc.cast(b["key"], pa.int64()),
+                "s_suppkey": pa.array(supp, pa.int64()),
+                "min_price": pa.array(sql_round_np(cents / 100.0, 2), pa.float64()),
+                "s_name": pa.array(np.where(hit, nms[pos], None)),
+            }
+        )
+
+    return best.map_batches(finish, batch_format="pyarrow")
+
+
+Q2_SQL = """
+WITH r AS (
+  SELECT l_partkey, l_suppkey, l_extendedprice,
+         ROW_NUMBER() OVER (
+           PARTITION BY l_partkey
+           ORDER BY CAST(ROUND(l_extendedprice * 100.0) AS BIGINT), l_suppkey) AS rn
+  FROM lineitem)
+SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey,
+       ROUND(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT) / 100.0, 2) AS min_price,
+       s_name
+FROM r JOIN supplier ON s_suppkey = l_suppkey
+WHERE rn = 1
+"""
+
+
+_Q7_NATIONS = ("NATION_3", "NATION_7")
+
+
+def q7_nation_volume(sf_dir: str):
+    """TPC-H q7 shape: shipping volume between two nations, grouped by the
+    directed (supp_nation, cust_nation) pair and ship year. Plan: the
+    supplier side prunes lineitem EARLY (tiny suppkey -> nationkey
+    broadcast, rows outside the two nations never reach the join); the
+    orders fact attaches via the fully-distributed hash join (fact-fact —
+    never broadcast); customer nation attaches from the customer dim under
+    the adaptive size guard; final group is (2 x 2 x years) rows via a
+    per-batch combiner. Exact integer 10^-4 revenue units."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from core_ray.stages.join import hash_join
+
+    # nation name -> key (tiny)
+    nt = _collect_table(_read(sf_dir, "nation", ["n_nationkey", "n_name"]))
+    key_of = dict(zip(nt["n_name"].to_pylist(), nt["n_nationkey"].to_pylist()))
+    nk = {key_of[n] for n in _Q7_NATIONS if n in key_of}
+    name_of = {key_of[n]: n for n in _Q7_NATIONS if n in key_of}
+
+    # supplier -> nation (tiny dim): sorted broadcast, two-nation mask
+    st = _collect_table(_read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]))
+    sk = st["s_suppkey"].to_numpy(zero_copy_only=False)
+    sn = st["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(sk, kind="stable")
+    sref = ray.put((sk[order], sn[order]))
+
+    def li_pre(b: pa.Table, sref=sref) -> pa.Table:
+        sks, sns = ray.get(sref) if isinstance(sref, ray.ObjectRef) else sref
+        pos, hit = _sorted_probe(sks, b["l_suppkey"].to_numpy(zero_copy_only=False))
+        nat = sns[pos]
+        keep = hit & np.isin(nat, list(nk))
+        units = sql_round_np(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+            * (1.0 - b["l_discount"].to_numpy(zero_copy_only=False)[keep])
+            * 10000.0,
+            0,
+        ).astype(np.int64)
+        yr = (
+            b["l_shipdate"].to_numpy(zero_copy_only=False)[keep]
+            .astype("datetime64[Y]")
+            .astype(np.int64)
+            + 1970
+        )
+        return pa.table(
+            {
+                "okey": pa.array(
+                    b["l_orderkey"].to_numpy(zero_copy_only=False)[keep], pa.int64()
+                ),
+                "supp_nk": pa.array(nat[keep], pa.int64()),
+                "l_year": pa.array(yr, pa.int64()),
+                "units": pa.array(units, pa.int64()),
+            }
+        )
+
+    li = ray.data.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(pads.field("l_shipdate") >= datetime(1996, 1, 1))
+        & (pads.field("l_shipdate") < datetime(1998, 1, 1)),
+    ).map_batches(li_pre, batch_format="pyarrow", batch_size=131072)
+
+    # customer -> nation, restricted to the two nations (dim under guard)
+    cust_path = _p(sf_dir, "customer")
+    ct = pq.read_table(cust_path, columns=["c_custkey", "c_nationkey"])
+    ck = ct["c_custkey"].to_numpy(zero_copy_only=False)
+    cn = ct["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    corder = np.argsort(ck, kind="stable")
+    cref = ray.put((ck[corder], cn[corder]))
+
+    def orders_pre(b: pa.Table, cref=cref) -> pa.Table:
+        cks, cns = ray.get(cref) if isinstance(cref, ray.ObjectRef) else cref
+        pos, hit = _sorted_probe(cks, b["o_custkey"].to_numpy(zero_copy_only=False))
+        nat = cns[pos]
+        keep = hit & np.isin(nat, list(nk))
+        return pa.table(
+            {
+                "okey": pa.array(
+                    b["o_orderkey"].to_numpy(zero_copy_only=False)[keep], pa.int64()
+                ),
+                "cust_nk": pa.array(nat[keep], pa.int64()),
+            }
+        )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        orders_pre, batch_format="pyarrow", batch_size=131072
+    )
+    j = hash_join(li, orders, on="okey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "supp_nk": b["supp_nk"],
+                "cust_nk": b["cust_nk"],
+                "l_year": b["l_year"],
+                "units": b["units"],
+            }
+        )
+        # directed pairs between DISTINCT nations only (q7 semantics)
+        t = t.filter(pc.not_equal(t["supp_nk"], t["cust_nk"]))
+        g = pa.TableGroupBy(t, ["supp_nk", "cust_nk", "l_year"]).aggregate(
+            [("units", "sum")]
+        )
+        return g
+
+    agg = (
+        j.map_batches(partial, batch_format="pyarrow", batch_size=131072)
+        .groupby(["supp_nk", "cust_nk", "l_year"])
+        .aggregate(Sum("units_sum", alias_name="u"))
+    )
+    t = _collect_table(agg)
+    return pa.table(
+        {
+            "supp_nation": pa.array(
+                [name_of[k] for k in t["supp_nk"].to_pylist()], pa.string()
+            ),
+            "cust_nation": pa.array(
+                [name_of[k] for k in t["cust_nk"].to_pylist()], pa.string()
+            ),
+            "l_year": pc.cast(t["l_year"], pa.int64()),
+            "revenue": pa.array(
+                sql_round_np(t["u"].to_numpy(zero_copy_only=False) / 10000.0, 2),
+                pa.float64(),
+            ),
+        }
+    )
+
+
+Q7_SQL = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+       ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT))
+             / 10000.0, 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE sn.n_name IN {_Q7_NATIONS} AND cn.n_name IN {_Q7_NATIONS}
+  AND sn.n_name <> cn.n_name
+  AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'
+GROUP BY 1, 2, 3
+"""
+
+
 _Q19_BRACKETS = (
     (12, 1, 11, 1, 5),
     (23, 10, 20, 1, 10),
@@ -4418,6 +4641,8 @@ QUERIES = {
     "q18_heavy_orders": q18_heavy_orders,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "q22_idle_balance": q22_idle_balance,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q7_nation_volume": q7_nation_volume,
     "events_lag_delta": events_lag_delta,
     "events_user_rank": events_user_rank,
     "events_cumsum": events_cumsum,
@@ -4497,6 +4722,8 @@ ORACLE_SQL = {
     "q18_heavy_orders": Q18_SQL,
     "q19_disjunctive_revenue": Q19_SQL,
     "q22_idle_balance": Q22_SQL,
+    "q2_min_cost_supplier": Q2_SQL,
+    "q7_nation_volume": Q7_SQL,
     "events_lag_delta": EVENTS_LAG_DELTA_SQL,
     "events_user_rank": EVENTS_USER_RANK_SQL,
     "events_cumsum": EVENTS_CUMSUM_SQL,
