@@ -3726,6 +3726,96 @@ GROUP BY 1, 2, 3
 """
 
 
+def q15_top_supplier(sf_dir: str):
+    """TPC-H q15 shape: global ARGMAX with ties — every supplier achieving
+    the maximum quarterly revenue (LIMIT 1 would silently drop ties, which
+    is the point of the shape). Plan: per-supplier exact revenue units via
+    ONE sum_by_u64; the global max is a per-batch combiner over that small
+    table (never collected whole); a second pass filters equality. Output
+    joins the tiny supplier dim for names."""
+    import pyarrow.dataset as pads
+    import ray
+    import ray.data
+
+    from core_ray.stages.agg import sum_by_u64
+
+    def pre(b: pa.Table) -> pa.Table:
+        units = sql_round_np(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - b["l_discount"].to_numpy(zero_copy_only=False))
+            * 10000.0,
+            0,
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "key": pc.cast(b["l_suppkey"], pa.uint64()),
+                "v": pa.array(units, pa.int64()),
+            }
+        )
+
+    li = ray.data.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_shipdate") >= datetime(1997, 1, 1))
+        & (pads.field("l_shipdate") < datetime(1997, 4, 1)),
+    ).map_batches(pre, batch_format="pyarrow", batch_size=131072)
+    rev = sum_by_u64(li, "key", "v").materialize()  # one execution, two consumers
+
+    mx_parts = _collect_table(
+        rev.map_batches(
+            lambda b: pa.table(
+                {
+                    "m": pa.array(
+                        [int(b["cnt"].to_numpy(zero_copy_only=False).max()) if b.num_rows else np.iinfo(np.int64).min],
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    mx = int(pc.max(mx_parts["m"]).as_py())
+
+    st = _collect_table(_read(sf_dir, "supplier", ["s_suppkey", "s_name"]))
+    sk = st["s_suppkey"].to_numpy(zero_copy_only=False)
+    order = np.argsort(sk, kind="stable")
+    names = np.asarray(st["s_name"].to_pylist())[order]
+    ref = ray.put((sk[order], names))
+
+    def winners(b: pa.Table, ref=ref, mx=mx) -> pa.Table:
+        sks, nms = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        keep = b.filter(pc.equal(b["cnt"], mx))
+        supp = keep["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos, hit = _sorted_probe(sks, supp)
+        return pa.table(
+            {
+                "s_suppkey": pa.array(supp, pa.int64()),
+                "s_name": pa.array(np.where(hit, nms[pos], None)),
+                "total_revenue": pa.array(
+                    sql_round_np(
+                        keep["cnt"].to_numpy(zero_copy_only=False) / 10000.0, 2
+                    ),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return rev.map_batches(winners, batch_format="pyarrow")
+
+
+Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)) AS u
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-04-01'
+  GROUP BY 1)
+SELECT l_suppkey AS s_suppkey, s_name, ROUND(u / 10000.0, 2) AS total_revenue
+FROM rev JOIN supplier ON s_suppkey = l_suppkey
+WHERE u = (SELECT MAX(u) FROM rev)
+"""
+
+
 _Q19_BRACKETS = (
     (12, 1, 11, 1, 5),
     (23, 10, 20, 1, 10),
@@ -4643,6 +4733,7 @@ QUERIES = {
     "q22_idle_balance": q22_idle_balance,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q7_nation_volume": q7_nation_volume,
+    "q15_top_supplier": q15_top_supplier,
     "events_lag_delta": events_lag_delta,
     "events_user_rank": events_user_rank,
     "events_cumsum": events_cumsum,
@@ -4724,6 +4815,7 @@ ORACLE_SQL = {
     "q22_idle_balance": Q22_SQL,
     "q2_min_cost_supplier": Q2_SQL,
     "q7_nation_volume": Q7_SQL,
+    "q15_top_supplier": Q15_SQL,
     "events_lag_delta": EVENTS_LAG_DELTA_SQL,
     "events_user_rank": EVENTS_USER_RANK_SQL,
     "events_cumsum": EVENTS_CUMSUM_SQL,
