@@ -4666,6 +4666,503 @@ SELECT doc_id, token, CAST(tfidf AS BIGINT) AS tfidf, CAST(rn AS BIGINT) AS rn F
 
 # ---------------------------------------------------------------- registry
 
+# ---------------------------------------------------------------- q8/q9/q11/q20/q21 shapes
+# The last relational skeletons from the TPC-H family expressible over this
+# corpus (no partsupp table exists, so q9/q11/q20 substitute an equivalent
+# dim/threshold while keeping the plan shape — noted per query).
+
+_Q8_TYPE = "ECONOMY"
+_Q8_REGION = "ASIA"
+_Q8_NATION = "NATION_2"  # regionkey 2 = ASIA (n_regionkey = n_nationkey % 5)
+
+
+def q8_market_share(sf_dir: str):
+    """TPC-H q8 shape: national market share — the share of one nation's
+    suppliers in a region's market for one part type, by order year. Plan:
+    both dims reduce to sorted broadcasts (part -> is-type bit set,
+    supplier -> nationkey), the region's customer set prunes orders BEFORE
+    the fact-fact hash join on orderkey, and the share is a conditional /
+    total ratio of exact 10^-4 integer units with ONE float division per
+    year (identical IEEE ops to the SQL)."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from core_ray.stages.join import hash_join
+
+    nt = pq.read_table(_p(sf_dir, "nation"), columns=["n_nationkey", "n_name", "n_regionkey"])
+    rt = pq.read_table(_p(sf_dir, "region"), columns=["r_regionkey", "r_name"])
+    region_key = rt["r_regionkey"].to_pylist()[rt["r_name"].to_pylist().index(_Q8_REGION)]
+    region_nations = {
+        k
+        for k, r in zip(nt["n_nationkey"].to_pylist(), nt["n_regionkey"].to_pylist())
+        if r == region_key
+    }
+    nation_key = nt["n_nationkey"].to_pylist()[nt["n_name"].to_pylist().index(_Q8_NATION)]
+
+    # part dim -> sorted partkey set of the target type (broadcast)
+    pt = pq.read_table(_p(sf_dir, "part"), columns=["p_partkey", "p_type"])
+    pks = np.sort(
+        pt.filter(pc.equal(pt["p_type"], _Q8_TYPE))["p_partkey"].to_numpy(
+            zero_copy_only=False
+        )
+    )
+    # supplier dim -> sorted suppkey -> nationkey (broadcast)
+    st = pq.read_table(_p(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
+    sk = st["s_suppkey"].to_numpy(zero_copy_only=False)
+    sn = st["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sorder = np.argsort(sk, kind="stable")
+    bref = ray.put((pks, sk[sorder], sn[sorder]))
+
+    def li_pre(b: pa.Table, bref=bref) -> pa.Table:
+        pks, sks, sns = ray.get(bref) if isinstance(bref, ray.ObjectRef) else bref
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        if len(pks) == 0:
+            keep = np.zeros(len(pk), bool)
+        else:
+            pos = np.minimum(np.searchsorted(pks, pk), len(pks) - 1)
+            keep = pks[pos] == pk
+        spos, shit = _sorted_probe(sks, b["l_suppkey"].to_numpy(zero_copy_only=False))
+        keep &= shit
+        units = sql_round_np(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+            * (1.0 - b["l_discount"].to_numpy(zero_copy_only=False)[keep])
+            * 10000.0,
+            0,
+        ).astype(np.int64)
+        is_nat = (sns[spos][keep] == nation_key).astype(np.int64)
+        return pa.table(
+            {
+                "okey": pa.array(
+                    b["l_orderkey"].to_numpy(zero_copy_only=False)[keep], pa.int64()
+                ),
+                "units": pa.array(units, pa.int64()),
+                "nat_units": pa.array(units * is_nat, pa.int64()),
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(li_pre, batch_format="pyarrow", batch_size=131072)
+
+    # orders in the window, customers in the region (customer dim broadcast)
+    ct = pq.read_table(_p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    ck = ct["c_custkey"].to_numpy(zero_copy_only=False)
+    cn = ct["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    corder = np.argsort(ck, kind="stable")
+    cref = ray.put((ck[corder], cn[corder]))
+
+    def orders_pre(b: pa.Table, cref=cref) -> pa.Table:
+        cks, cns = ray.get(cref) if isinstance(cref, ray.ObjectRef) else cref
+        pos, hit = _sorted_probe(cks, b["o_custkey"].to_numpy(zero_copy_only=False))
+        keep = hit & np.isin(cns[pos], list(region_nations))
+        yr = (
+            b["o_orderdate"].to_numpy(zero_copy_only=False)[keep]
+            .astype("datetime64[Y]")
+            .astype(np.int64)
+            + 1970
+        )
+        return pa.table(
+            {
+                "okey": pa.array(
+                    b["o_orderkey"].to_numpy(zero_copy_only=False)[keep], pa.int64()
+                ),
+                "o_year": pa.array(yr, pa.int64()),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        _p(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pads.field("o_orderdate") >= datetime(1995, 1, 1))
+        & (pads.field("o_orderdate") < datetime(1997, 1, 1)),
+    ).map_batches(orders_pre, batch_format="pyarrow", batch_size=131072)
+
+    j = hash_join(li, orders, on="okey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            pa.table({"o_year": b["o_year"], "units": b["units"], "nat_units": b["nat_units"]}),
+            ["o_year"],
+        ).aggregate([("units", "sum"), ("nat_units", "sum")])
+        return g
+
+    agg = (
+        j.map_batches(partial, batch_format="pyarrow", batch_size=131072)
+        .groupby("o_year")
+        .aggregate(Sum("units_sum", alias_name="t"), Sum("nat_units_sum", alias_name="p"))
+    )
+    t = _collect_table(agg).sort_by("o_year")
+    tot = t["t"].to_numpy(zero_copy_only=False).astype(np.float64)
+    nat = t["p"].to_numpy(zero_copy_only=False).astype(np.float64)
+    share = sql_round_np(nat / tot, 6)
+    return pa.table(
+        {
+            "o_year": pc.cast(t["o_year"], pa.int64()),
+            "mkt_share": pa.array(share, pa.float64()),
+        }
+    )
+
+
+Q8_SQL = f"""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       ROUND(CAST(SUM(CASE WHEN sn.n_name = '{_Q8_NATION}'
+                      THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)
+                      ELSE 0 END) AS DOUBLE)
+             / SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)),
+             6) AS mkt_share
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region   ON cn.n_regionkey = r_regionkey
+WHERE p_type = '{_Q8_TYPE}' AND r_name = '{_Q8_REGION}'
+  AND o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1997-01-01'
+GROUP BY 1
+"""
+
+
+_Q9_TOKEN = "widget"
+
+
+def q9_profit_proxy(sf_dir: str):
+    """TPC-H q9 shape: product-type profit by supplier nation and year.
+    The corpus has no partsupp, so supply cost is the deterministic proxy
+    0.5 * p_retailprice * l_quantity (identical expression in the SQL) —
+    the PLAN is q9's: a substring-filtered part dim and the supplier dim
+    both attach as sorted broadcasts, profit is exact 10^-4 integer units,
+    and the final group is (nation x year) via a per-batch combiner."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    pt = pq.read_table(_p(sf_dir, "part"), columns=["p_partkey", "p_name", "p_retailprice"])
+    m = pc.match_substring(pt["p_name"], _Q9_TOKEN)
+    pt = pt.filter(m)
+    pk = pt["p_partkey"].to_numpy(zero_copy_only=False)
+    price = pt["p_retailprice"].to_numpy(zero_copy_only=False)
+    porder = np.argsort(pk, kind="stable")
+
+    st = pq.read_table(_p(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
+    sk = st["s_suppkey"].to_numpy(zero_copy_only=False)
+    sn = st["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sorder = np.argsort(sk, kind="stable")
+    bref = ray.put((pk[porder], price[porder], sk[sorder], sn[sorder]))
+
+    def partial(b: pa.Table, bref=bref) -> pa.Table:
+        pks, prices, sks, sns = ray.get(bref) if isinstance(bref, ray.ObjectRef) else bref
+        ppos, phit = _sorted_probe(pks, b["l_partkey"].to_numpy(zero_copy_only=False))
+        spos, shit = _sorted_probe(sks, b["l_suppkey"].to_numpy(zero_copy_only=False))
+        keep = phit & shit
+        ext = b["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)[keep]
+        qty = b["l_quantity"].to_numpy(zero_copy_only=False)[keep]
+        cost = prices[ppos][keep]
+        profit = sql_round_np(ext * (1.0 - disc) * 10000.0, 0).astype(
+            np.int64
+        ) - sql_round_np(0.5 * cost * qty * 10000.0, 0).astype(np.int64)
+        yr = (
+            b["l_shipdate"].to_numpy(zero_copy_only=False)[keep]
+            .astype("datetime64[Y]")
+            .astype(np.int64)
+            + 1970
+        )
+        t = pa.table(
+            {
+                "nk": pa.array(sns[spos][keep], pa.int64()),
+                "l_year": pa.array(yr, pa.int64()),
+                "profit_u": pa.array(profit, pa.int64()),
+            }
+        )
+        return pa.TableGroupBy(t, ["nk", "l_year"]).aggregate([("profit_u", "sum")])
+
+    agg = (
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+        )
+        .map_batches(partial, batch_format="pyarrow", batch_size=131072)
+        .groupby(["nk", "l_year"])
+        .aggregate(Sum("profit_u_sum", alias_name="u"))
+    )
+    t = _collect_table(agg)
+    nt = pq.read_table(_p(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    name_of = dict(zip(nt["n_nationkey"].to_pylist(), nt["n_name"].to_pylist()))
+    return pa.table(
+        {
+            "nation": pa.array([name_of[k] for k in t["nk"].to_pylist()], pa.string()),
+            "l_year": pc.cast(t["l_year"], pa.int64()),
+            "profit": pa.array(
+                sql_round_np(t["u"].to_numpy(zero_copy_only=False) / 10000.0, 2),
+                pa.float64(),
+            ),
+        }
+    )
+
+
+Q9_SQL = f"""
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+       ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)
+               - CAST(ROUND(0.5 * p_retailprice * l_quantity * 10000.0) AS BIGINT))
+             / 10000.0, 2) AS profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%{_Q9_TOKEN}%'
+GROUP BY 1, 2
+"""
+
+
+_Q11_FRACTION = 0.02
+
+
+def q11_balance_concentration(sf_dir: str):
+    """TPC-H q11 shape: groups whose aggregate exceeds a fraction of the
+    GLOBAL aggregate (scalar-subquery HAVING). No partsupp table, so the
+    measured value is supplier account balance by nation; the plan is
+    q11's: one distributed pass produces per-group integer-cent sums, the
+    global scalar is the sum OF those group sums (no second scan), and the
+    threshold compare is one float multiply (identical IEEE ops in SQL)."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    def pre(b: pa.Table) -> pa.Table:
+        cents = sql_round_np(
+            b["s_acctbal"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        t = pa.table(
+            {"nk": pc.cast(b["s_nationkey"], pa.int64()), "cents": pa.array(cents, pa.int64())}
+        )
+        return pa.TableGroupBy(t, ["nk"]).aggregate([("cents", "sum")])
+
+    agg = (
+        _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+        .map_batches(pre, batch_format="pyarrow", batch_size=131072)
+        .groupby("nk")
+        .aggregate(Sum("cents_sum", alias_name="cents"))
+    )
+    t = _collect_table(agg)
+    cents = t["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+    total = int(cents.sum())
+    keep = cents.astype(np.float64) > _Q11_FRACTION * float(total)
+    nt = pq.read_table(_p(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    name_of = dict(zip(nt["n_nationkey"].to_pylist(), nt["n_name"].to_pylist()))
+    out = pa.table(
+        {
+            "n_name": pa.array(
+                [name_of[k] for k in pc.array_filter(t["nk"], pa.array(keep)).to_pylist()],
+                pa.string(),
+            ),
+            "balance": pa.array(
+                sql_round_np(cents[keep] / 100.0, 2), pa.float64()
+            ),
+        }
+    )
+    return out.sort_by([("balance", "descending"), ("n_name", "ascending")])
+
+
+Q11_SQL = f"""
+WITH sums AS (
+  SELECT s_nationkey AS nk,
+         SUM(CAST(ROUND(s_acctbal * 100.0) AS BIGINT)) AS cents
+  FROM supplier GROUP BY 1)
+SELECT n_name, ROUND(cents / 100.0, 2) AS balance
+FROM sums JOIN nation ON nk = n_nationkey
+WHERE CAST(cents AS DOUBLE) > {_Q11_FRACTION} * (SELECT CAST(SUM(cents) AS DOUBLE) FROM sums)
+ORDER BY balance DESC, n_name
+"""
+
+
+_Q20_BRAND = "Brand#13"
+_Q20_YEAR = 1996
+
+
+def q20_excess_shippers(sf_dir: str):
+    """TPC-H q20 shape: suppliers selected by a nested aggregate threshold
+    — here, suppliers whose shipped quantity of one brand's parts in one
+    year exceeds the per-supplier average of that same aggregate (the
+    partsupp availqty threshold re-expressed self-referentially). Plan:
+    brand partkeys broadcast as a sorted set, ONE combiner pass sums
+    integer centi-units per supplier, the scalar threshold is derived from
+    the collected per-supplier sums (tiny: |supplier| rows), and the name
+    join is a driver-side dim lookup."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    pt = pq.read_table(_p(sf_dir, "part"), columns=["p_partkey", "p_brand"])
+    pks = np.sort(
+        pt.filter(pc.equal(pt["p_brand"], _Q20_BRAND))["p_partkey"].to_numpy(
+            zero_copy_only=False
+        )
+    )
+    pref = ray.put(pks)
+
+    def pre(b: pa.Table, pref=pref) -> pa.Table:
+        pks = ray.get(pref) if isinstance(pref, ray.ObjectRef) else pref
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        if len(pks) == 0:
+            keep = np.zeros(len(pk), bool)
+        else:
+            pos = np.minimum(np.searchsorted(pks, pk), len(pks) - 1)
+            keep = pks[pos] == pk
+        cq = sql_round_np(
+            b["l_quantity"].to_numpy(zero_copy_only=False)[keep] * 100.0, 0
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "sk": pa.array(b["l_suppkey"].to_numpy(zero_copy_only=False)[keep], pa.int64()),
+                "cq": pa.array(cq, pa.int64()),
+            }
+        )
+        return pa.TableGroupBy(t, ["sk"]).aggregate([("cq", "sum")])
+
+    agg = (
+        ray.data.read_parquet(
+            _p(sf_dir, "lineitem"),
+            columns=["l_partkey", "l_suppkey", "l_quantity"],
+            filter=(pads.field("l_shipdate") >= datetime(_Q20_YEAR, 1, 1))
+            & (pads.field("l_shipdate") < datetime(_Q20_YEAR + 1, 1, 1)),
+        )
+        .map_batches(pre, batch_format="pyarrow", batch_size=131072)
+        .groupby("sk")
+        .aggregate(Sum("cq_sum", alias_name="cq"))
+    )
+    t = _collect_table(agg)
+    cq = t["cq"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(cq)
+    if n == 0:
+        return pa.table({"s_name": pa.array([], pa.string()), "qty": pa.array([], pa.float64())})
+    thresh = float(cq.sum()) / n  # single division, mirrored in SQL
+    keep = cq.astype(np.float64) > thresh
+    st = pq.read_table(_p(sf_dir, "supplier"), columns=["s_suppkey", "s_name"])
+    name_of = dict(zip(st["s_suppkey"].to_pylist(), st["s_name"].to_pylist()))
+    out = pa.table(
+        {
+            "s_name": pa.array(
+                [name_of[k] for k in pc.array_filter(t["sk"], pa.array(keep)).to_pylist()],
+                pa.string(),
+            ),
+            "qty": pa.array(sql_round_np(cq[keep] / 100.0, 2), pa.float64()),
+        }
+    )
+    return out.sort_by("s_name")
+
+
+Q20_SQL = f"""
+WITH sums AS (
+  SELECT l_suppkey AS sk, SUM(CAST(ROUND(l_quantity * 100.0) AS BIGINT)) AS cq
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = '{_Q20_BRAND}'
+    AND l_shipdate >= DATE '{_Q20_YEAR}-01-01' AND l_shipdate < DATE '{_Q20_YEAR + 1}-01-01'
+  GROUP BY 1)
+SELECT s_name, ROUND(cq / 100.0, 2) AS qty
+FROM sums JOIN supplier ON sk = s_suppkey
+WHERE CAST(cq AS DOUBLE) > (SELECT CAST(SUM(cq) AS DOUBLE) / COUNT(*) FROM sums)
+ORDER BY s_name
+"""
+
+
+def q21_sole_supplier(sf_dir: str):
+    """TPC-H q21 shape: per-group EXISTS / NOT-EXISTS over sibling rows —
+    here, suppliers who were the SOLE supplier on a multi-line order (the
+    corpus has no commit/receipt dates, so 'other supplier kept it
+    waiting' becomes 'no other supplier present'; the skeleton — an
+    order-grained co-grouping deciding each supplier's membership — is
+    q21's). Plan: per-batch combiner computes (orderkey -> count, min supp,
+    max supp), ONE hash shuffle co-locates order fragments, a vectorized
+    reduceat merge closes each order, and the per-supplier count is a tiny
+    final aggregate."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    from core_ray.stages.agg import map_groups_partitioned
+
+    def pre(b: pa.Table) -> pa.Table:
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ok, kind="stable")
+        oks, sks = ok[order], sk[order]
+        new = np.ones(len(oks), dtype=bool)
+        if len(oks):
+            new[1:] = oks[1:] != oks[:-1]
+        starts = np.nonzero(new)[0]
+        cnt = np.diff(np.append(starts, len(oks)))
+        mn = np.minimum.reduceat(sks, starts) if len(starts) else sks[:0]
+        mx = np.maximum.reduceat(sks, starts) if len(starts) else sks[:0]
+        return pa.table(
+            {
+                "okey": pa.array(oks[starts], pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+                "mn": pa.array(mn, pa.int64()),
+                "mx": pa.array(mx, pa.int64()),
+            }
+        )
+
+    def close_orders(g: pa.Table) -> pa.Table:
+        ok = g["okey"].to_numpy(zero_copy_only=False)
+        n = g["n"].to_numpy(zero_copy_only=False)
+        mn = g["mn"].to_numpy(zero_copy_only=False)
+        mx = g["mx"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ok, kind="stable")
+        oks = ok[order]
+        new = np.ones(len(oks), dtype=bool)
+        if len(oks):
+            new[1:] = oks[1:] != oks[:-1]
+        starts = np.nonzero(new)[0]
+        tot = np.add.reduceat(n[order], starts) if len(starts) else n[:0]
+        tmn = np.minimum.reduceat(mn[order], starts) if len(starts) else mn[:0]
+        tmx = np.maximum.reduceat(mx[order], starts) if len(starts) else mx[:0]
+        sole = (tot >= 2) & (tmn == tmx)
+        t = pa.table({"sk": pa.array(tmn[sole], pa.int64())})
+        t = t.append_column("one", pa.array(np.ones(len(t), np.int64), pa.int64()))
+        return pa.TableGroupBy(t, ["sk"]).aggregate([("one", "sum")])
+
+    per_supp = (
+        map_groups_partitioned(
+            _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"]).map_batches(
+                pre, batch_format="pyarrow", batch_size=131072
+            ),
+            "okey",
+            close_orders,
+        )
+        .groupby("sk")
+        .aggregate(Sum("one_sum", alias_name="numsole"))
+    )
+    t = _collect_table(per_supp)
+    st = pq.read_table(_p(sf_dir, "supplier"), columns=["s_suppkey", "s_name"])
+    name_of = dict(zip(st["s_suppkey"].to_pylist(), st["s_name"].to_pylist()))
+    out = pa.table(
+        {
+            "s_name": pa.array([name_of[k] for k in t["sk"].to_pylist()], pa.string()),
+            "numsole": pc.cast(t["numsole"], pa.int64()),
+        }
+    ).sort_by([("numsole", "descending"), ("s_name", "ascending")])
+    return out.slice(0, 20)
+
+
+Q21_SQL = """
+WITH per_order AS (
+  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n,
+         MIN(l_suppkey) AS mn, MAX(l_suppkey) AS mx
+  FROM lineitem GROUP BY 1)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numsole
+FROM per_order JOIN supplier ON mn = s_suppkey
+WHERE n >= 2 AND mn = mx
+GROUP BY 1 ORDER BY numsole DESC, s_name LIMIT 20
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -4743,6 +5240,11 @@ QUERIES = {
     "events_purchasers_except": events_purchasers_except,
     "doc_sample_stratified": doc_sample_stratified,
     "doc_tfidf_top3": doc_tfidf_top3,
+    "q8_market_share": q8_market_share,
+    "q9_profit_proxy": q9_profit_proxy,
+    "q11_balance_concentration": q11_balance_concentration,
+    "q20_excess_shippers": q20_excess_shippers,
+    "q21_sole_supplier": q21_sole_supplier,
 }
 
 ORACLE_SQL = {
@@ -4825,4 +5327,9 @@ ORACLE_SQL = {
     "events_purchasers_except": EVENTS_EXCEPT_SQL,
     "doc_sample_stratified": DOC_SAMPLE_STRAT_SQL,
     "doc_tfidf_top3": DOC_TFIDF_SQL,
+    "q8_market_share": Q8_SQL,
+    "q9_profit_proxy": Q9_SQL,
+    "q11_balance_concentration": Q11_SQL,
+    "q20_excess_shippers": Q20_SQL,
+    "q21_sole_supplier": Q21_SQL,
 }
