@@ -947,6 +947,208 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY sq_dist, neighbor_id) <=
 """
 
 
+def geo_zonal_stats(sf_dir: str):
+    """Zonal statistics (classic raster->vector aggregate): per admin zone,
+    the count and mean size of the documents whose point falls inside it,
+    zone membership decided by the SAME deepest-wins PipJoin actor the
+    containment join uses. Payload columns ride THROUGH the actor-pool
+    stage (PipJoin appends, never projects), so the stats need no second
+    join; the final group is |zones| rows via a per-batch combiner. The
+    mean is one float division of exact integer sums, mirrored in SQL."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from core_ray.stages.pip import PipJoin
+
+    admin_ref = ray.put(_geo_admin_table())
+
+    def coords(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy(zero_copy_only=False)
+        lat, lon = _derive_coords(doc_id)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_chars": b["n_chars"],
+                "lat": pa.array(lat, pa.float64()),
+                "lon": pa.array(lon, pa.float64()),
+            }
+        )
+
+    joined = (
+        _read(sf_dir, "documents", ["doc_id", "n_chars"])
+        .map_batches(coords, batch_format="pyarrow", batch_size=65536)
+        .map_batches(
+            PipJoin, fn_constructor_args=(admin_ref,), batch_format="pyarrow",
+            batch_size=65536, concurrency=(1, 4),
+        )
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater_equal(b["admin_level"], 0))
+        t = pa.table(
+            {
+                "admin_id": t["admin_id"],
+                "n": pa.array(np.ones(len(t), np.int64), pa.int64()),
+                "chars": pc.cast(t["n_chars"], pa.int64()),
+            }
+        )
+        return pa.TableGroupBy(t, ["admin_id"]).aggregate([("n", "sum"), ("chars", "sum")])
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("admin_id")
+        .aggregate(Sum("n_sum", alias_name="n_docs"), Sum("chars_sum", alias_name="sum_chars"))
+    )
+    t = _collect_table(agg)
+    n = t["n_docs"].to_numpy(zero_copy_only=False).astype(np.float64)
+    s = t["sum_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+    return pa.table(
+        {
+            "admin_id": t["admin_id"],
+            "n_docs": pc.cast(t["n_docs"], pa.int64()),
+            "sum_chars": pc.cast(t["sum_chars"], pa.int64()),
+            "mean_chars": pa.array(sql_round_np(s / n, 6), pa.float64()),
+        }
+    ).sort_by("admin_id")
+
+
+GEO_ZONAL_SQL = f"""
+WITH pts AS (
+  SELECT doc_id, n_chars, {GEO_LAT_SQL} AS lat, {GEO_LON_SQL} AS lon FROM documents),
+hits AS (
+  SELECT p.doc_id, p.n_chars, r.admin_id, r.level
+  FROM pts p JOIN {_geo_rects_values_sql()}
+    ON p.lat BETWEEN r.lat0 AND r.lat1 AND p.lon BETWEEN r.lon0 AND r.lon1),
+best AS (
+  SELECT doc_id, n_chars, admin_id FROM hits
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY level DESC, admin_id) = 1)
+SELECT admin_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       SUM(CAST(n_chars AS BIGINT)) AS sum_chars,
+       ROUND(CAST(SUM(CAST(n_chars AS BIGINT)) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS mean_chars
+FROM best GROUP BY 1 ORDER BY 1
+"""
+
+
+_GEO_PAIR_RADIUS_DEG = 5.0  # band radius; cell size == radius (3x3 cover)
+
+
+def geo_distance_pairs(sf_dir: str, radius: float = _GEO_PAIR_RADIUS_DEG):
+    """Distance-band spatial self-join: ALL pairs of documents within
+    ``radius`` in squared-degree space — the within-distance join per-tile
+    kNN cannot express (kNN misses cross-tile neighbors; this op is exact
+    across cells). The operator lives in stages/distband.py (home+ghost
+    cell replication, ONE hash shuffle, vectorized per-partition pair
+    construction, chunked against dense-cell skew); its cross-cell
+    exactness is property-tested against a dense brute-force oracle in
+    tests/test_distband.py, and the driver hash checks the derived-
+    coordinate lattice against DuckDB's brute-force cross join —
+    (a-b)*(a-b) sums, bit-identical IEEE ops on both sides."""
+    from core_ray.stages.distband import distance_pairs
+
+    def coords(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy(zero_copy_only=False)
+        lat, lon = _derive_coords(doc_id)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "lat": pa.array(lat, pa.float64()),
+                "lon": pa.array(lon, pa.float64()),
+            }
+        )
+
+    pts = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        coords, batch_format="pyarrow", batch_size=65536
+    )
+    return distance_pairs(pts, radius)
+
+
+GEO_DISTANCE_PAIRS_SQL = f"""
+WITH pts AS (
+  SELECT doc_id, {GEO_LAT_SQL} AS lat, {GEO_LON_SQL} AS lon FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       (a.lat - b.lat) * (a.lat - b.lat) + (a.lon - b.lon) * (a.lon - b.lon) AS sq_dist
+FROM pts a JOIN pts b ON a.doc_id < b.doc_id
+WHERE (a.lat - b.lat) * (a.lat - b.lat) + (a.lon - b.lon) * (a.lon - b.lon)
+      <= {_GEO_PAIR_RADIUS_DEG * _GEO_PAIR_RADIUS_DEG}
+"""
+
+
+_HEXBIN_RES = 0
+
+
+def geo_hexbin(sf_dir: str, res: int = _HEXBIN_RES):
+    """Hexagonal binning over the aperture-7 hex index (geo/hexgrid.py, the
+    H3-analog from the north rule): documents counted per hex cell at one
+    resolution. The packed uint64 cell id routes the count through the
+    vectorized combiner + hash-partition reduce (never Ray's Python-per-key
+    aggregate); the oracle mirrors the full float pipeline — axial
+    projection constants inlined at full precision and cube-rounding with
+    round_even (numpy round IS banker's rounding) — so the driver hash
+    checks the hex index math itself."""
+    from core_ray.geo import hexgrid
+    from core_ray.stages.agg import count_by_u64
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def cells(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy(zero_copy_only=False)
+        lat, lon = _derive_coords(doc_id)
+        return pa.table(
+            {"key": pa.array(hexgrid.lonlat_to_cell(lon, lat, res), pa.uint64())}
+        )
+
+    counted = count_by_u64(
+        ds.map_batches(cells, batch_format="pyarrow", batch_size=65536), "key"
+    )
+
+    def unpack(b: pa.Table) -> pa.Table:
+        q, r, _ = hexgrid.unpack(b["key"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "hex_q": pa.array(q, pa.int64()),
+                "hex_r": pa.array(r, pa.int64()),
+                "n_docs": pa.array(
+                    b["cnt"].to_numpy(zero_copy_only=False).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return counted.map_batches(unpack, batch_format="pyarrow")
+
+
+def _hexbin_sql(res: int) -> str:
+    from core_ray.geo import hexgrid
+
+    size = hexgrid.edge_deg(res)
+    c1 = hexgrid.SQRT3 / 3.0
+    return f"""
+WITH pts AS (
+  SELECT {GEO_LAT_SQL} AS lat, {GEO_LON_SQL} AS lon FROM documents),
+frac AS (
+  SELECT ({c1!r} * lon - lat / 3.0) / {size!r} AS qf,
+         (0.6666666666666666 * lat) / {size!r} AS rf
+  FROM pts),
+cube AS (
+  SELECT qf, rf, -qf - rf AS yf,
+         round_even(qf, 0) AS rx, round_even(-qf - rf, 0) AS ry, round_even(rf, 0) AS rz
+  FROM frac),
+fixed AS (
+  SELECT CASE WHEN ABS(rx - qf) > ABS(ry - yf) AND ABS(rx - qf) > ABS(rz - rf)
+              THEN -ry - rz ELSE rx END AS rx2, ry, rz,
+         NOT (ABS(rx - qf) > ABS(ry - yf) AND ABS(rx - qf) > ABS(rz - rf))
+             AND ABS(rz - rf) > ABS(ry - yf) AS fix_z
+  FROM cube)
+SELECT CAST(rx2 AS BIGINT) AS hex_q,
+       CAST(CASE WHEN fix_z THEN -rx2 - ry ELSE rz END AS BIGINT) AS hex_r,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM fixed GROUP BY 1, 2
+"""
+
+
+GEO_HEXBIN_SQL = _hexbin_sql(_HEXBIN_RES)
+
+
 # ---------------------------------------------------------------- pages
 # (flagship pipeline over the synthesized corpus; rows-only driver checks —
 # exact-match correctness is enforced by the pytest golden suite)
@@ -5245,6 +5447,9 @@ QUERIES = {
     "q11_balance_concentration": q11_balance_concentration,
     "q20_excess_shippers": q20_excess_shippers,
     "q21_sole_supplier": q21_sole_supplier,
+    "geo_zonal_stats": geo_zonal_stats,
+    "geo_distance_pairs": geo_distance_pairs,
+    "geo_hexbin": geo_hexbin,
 }
 
 ORACLE_SQL = {
@@ -5332,4 +5537,7 @@ ORACLE_SQL = {
     "q11_balance_concentration": Q11_SQL,
     "q20_excess_shippers": Q20_SQL,
     "q21_sole_supplier": Q21_SQL,
+    "geo_zonal_stats": GEO_ZONAL_SQL,
+    "geo_distance_pairs": GEO_DISTANCE_PAIRS_SQL,
+    "geo_hexbin": GEO_HEXBIN_SQL,
 }
