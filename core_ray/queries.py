@@ -552,6 +552,96 @@ FROM t
 """
 
 
+def doc_repetition(sf_dir: str):
+    """Repetition quality filters in the published Gopher / RefinedWeb
+    style: per document, the fraction of tokens taken by the single most
+    frequent word and by the most frequent bigram — high values flag
+    boilerplate/spam for corpus filtering. Fully vectorized and exact:
+    words dictionary-encode to integer codes per batch (no hashing, so
+    distinct/top counts cannot collide), per-doc runs reduce with
+    lexsort + reduceat, and bigrams are code-pair integers on the same
+    machinery. Documents are row-local so the whole operator is one
+    map_batches — no shuffle at any scale."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy(zero_copy_only=False)
+        words = pc.split_pattern(b["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        n_per_doc = np.diff(words.offsets.to_numpy(zero_copy_only=False)).astype(np.int64)
+        flat = words.flatten()
+        codes = flat.dictionary_encode().indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = int(codes.max()) + 1 if len(codes) else 1
+        d_idx = np.repeat(np.arange(len(doc_id), dtype=np.int64), n_per_doc)
+
+        def top_count(keys: np.ndarray, docs: np.ndarray) -> np.ndarray:
+            """Max run length of (doc, key) pairs, per doc (0 where absent)."""
+            out = np.zeros(len(doc_id), dtype=np.int64)
+            if not len(keys):
+                return out
+            order = np.lexsort((keys, docs))
+            ks, ds_ = keys[order], docs[order]
+            new = np.ones(len(ks), dtype=bool)
+            new[1:] = (ks[1:] != ks[:-1]) | (ds_[1:] != ds_[:-1])
+            starts = np.nonzero(new)[0]
+            runs = np.diff(np.append(starts, len(ks)))
+            run_doc = ds_[starts]
+            doc_new = np.ones(len(run_doc), dtype=bool)
+            doc_new[1:] = run_doc[1:] != run_doc[:-1]
+            doc_starts = np.nonzero(doc_new)[0]
+            out[run_doc[doc_starts]] = np.maximum.reduceat(runs, doc_starts)
+            return out
+
+        topw = top_count(codes, d_idx)
+        same_doc = d_idx[1:] == d_idx[:-1] if len(d_idx) else np.zeros(0, bool)
+        big = codes[:-1][same_doc] * vocab + codes[1:][same_doc]
+        topb = top_count(big, d_idx[:-1][same_doc])
+
+        n = n_per_doc.astype(np.float64)
+        word_frac = sql_round_np(topw.astype(np.float64) / n, 6)
+        nb = n_per_doc - 1
+        bigram_frac = np.where(
+            nb > 0, sql_round_np(topb.astype(np.float64) / np.maximum(nb, 1), 6), np.nan
+        )
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_words": pa.array(n_per_doc, pa.int64()),
+                "top_word_frac": pa.array(word_frac, pa.float64()),
+                "top_bigram_frac": pa.array(
+                    bigram_frac, pa.float64(), from_pandas=True
+                ),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=4096)
+
+
+DOC_REPETITION_SQL = """
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+w AS (SELECT doc_id, UNNEST(l) AS w FROM ws),
+tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM w GROUP BY 1),
+topw AS (
+  SELECT doc_id, MAX(c) AS mc FROM
+    (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY 1, 2) GROUP BY 1),
+bg AS (
+  SELECT doc_id,
+         UNNEST(list_transform(generate_series(1, len(l) - 1),
+                               i -> l[i] || ' ' || l[i + 1])) AS b
+  FROM ws),
+topb AS (
+  SELECT doc_id, MAX(c) AS mb FROM
+    (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2) GROUP BY 1)
+SELECT t.doc_id, t.n AS n_words,
+       ROUND(CAST(topw.mc AS DOUBLE) / CAST(t.n AS DOUBLE), 6) AS top_word_frac,
+       CASE WHEN t.n > 1
+            THEN ROUND(CAST(topb.mb AS DOUBLE) / CAST(t.n - 1 AS DOUBLE), 6)
+            END AS top_bigram_frac
+FROM tot t JOIN topw USING (doc_id) LEFT JOIN topb USING (doc_id)
+"""
+
+
 def doc_langid(sf_dir: str):
     from core_ray.text.analysis import LangId
 
@@ -1072,6 +1162,86 @@ FROM pts a JOIN pts b ON a.doc_id < b.doc_id
 WHERE (a.lat - b.lat) * (a.lat - b.lat) + (a.lon - b.lon) * (a.lon - b.lon)
       <= {_GEO_PAIR_RADIUS_DEG * _GEO_PAIR_RADIUS_DEG}
 """
+
+
+_COVER_ZOOM = 4
+
+
+def geo_rect_cover(sf_dir: str, zoom: int = _COVER_ZOOM):
+    """Vector->raster covering (the polyfill primitive): every z/x/y tile
+    intersecting each admin polygon's bbox at one zoom. This is the
+    broadcast-side builder for raster joins — polyfill the (small) polygon
+    table once, then any tile-keyed fact joins against it without geometry
+    tests. The explode is the vectorized repeat/offset construction (no
+    per-rect Python beyond the batch); the tile floor/clip float math is
+    the same kernel geo_tile_counts already hash-verifies against SQL."""
+    import ray.data
+
+    def cover(b: pa.Table) -> pa.Table:
+        aid = b["admin_id"].to_pylist()
+        lat0 = b["lat0"].to_numpy(zero_copy_only=False)
+        lon0 = b["lon0"].to_numpy(zero_copy_only=False)
+        lat1 = b["lat1"].to_numpy(zero_copy_only=False)
+        lon1 = b["lon1"].to_numpy(zero_copy_only=False)
+        x0, y1 = mercator.lonlat_to_tile(lon0, lat0, zoom)  # y grows southward
+        x1, y0 = mercator.lonlat_to_tile(lon1, lat1, zoom)
+        nx = (x1 - x0 + 1).astype(np.int64)
+        ny = (y1 - y0 + 1).astype(np.int64)
+        cnt = nx * ny
+        total = int(cnt.sum())
+        rect = np.repeat(np.arange(len(aid), dtype=np.int64), cnt)
+        pair_start = np.cumsum(cnt) - cnt
+        offs = np.arange(total, dtype=np.int64) - np.repeat(pair_start, cnt)
+        tx = x0[rect] + offs // ny[rect]
+        ty = y0[rect] + offs % ny[rect]
+        return pa.table(
+            {
+                "admin_id": pa.array([aid[i] for i in rect], pa.string()),
+                "tile_z": pa.array(np.full(total, zoom, np.int32), pa.int32()),
+                "tile_x": pa.array(tx, pa.int64()),
+                "tile_y": pa.array(ty, pa.int64()),
+            }
+        )
+
+    rects = pa.table(
+        {
+            "admin_id": pa.array([r[0] for r in GEO_RECTS], pa.string()),
+            "lat0": pa.array([r[2] for r in GEO_RECTS], pa.float64()),
+            "lon0": pa.array([r[3] for r in GEO_RECTS], pa.float64()),
+            "lat1": pa.array([r[4] for r in GEO_RECTS], pa.float64()),
+            "lon1": pa.array([r[5] for r in GEO_RECTS], pa.float64()),
+        }
+    )
+    return ray.data.from_arrow(rects).map_batches(
+        cover, batch_format="pyarrow", batch_size=4096
+    )
+
+
+def _cover_tile_expr(lon: str, lat: str, zoom: int) -> str:
+    n = float(1 << zoom)
+    tx = f"CAST(LEAST({n} - 1, GREATEST(0, FLOOR(({lon} + 180.0) / 360.0 * {n}))) AS BIGINT)"
+    ty = (
+        f"CAST(LEAST({n} - 1, GREATEST(0, FLOOR((1.0 - LN(TAN(RADIANS({lat})) + 1.0 / "
+        f"COS(RADIANS({lat}))) / PI()) / 2.0 * {n}))) AS BIGINT)"
+    )
+    return tx, ty
+
+
+def _rect_cover_sql(zoom: int) -> str:
+    tx0, ty1 = _cover_tile_expr("r.lon0", "r.lat0", zoom)
+    tx1, ty0 = _cover_tile_expr("r.lon1", "r.lat1", zoom)
+    return f"""
+WITH bounds AS (
+  SELECT r.admin_id, {tx0} AS x0, {tx1} AS x1, {ty0} AS y0, {ty1} AS y1
+  FROM {_geo_rects_values_sql()})
+SELECT admin_id, CAST({zoom} AS INTEGER) AS tile_z, gx.x AS tile_x, gy.y AS tile_y
+FROM bounds,
+     LATERAL (SELECT UNNEST(generate_series(x0, x1)) AS x) gx,
+     LATERAL (SELECT UNNEST(generate_series(y0, y1)) AS y) gy
+"""
+
+
+GEO_RECT_COVER_SQL = _rect_cover_sql(_COVER_ZOOM)
 
 
 _HEXBIN_RES = 0
@@ -5450,6 +5620,8 @@ QUERIES = {
     "geo_zonal_stats": geo_zonal_stats,
     "geo_distance_pairs": geo_distance_pairs,
     "geo_hexbin": geo_hexbin,
+    "doc_repetition": doc_repetition,
+    "geo_rect_cover": geo_rect_cover,
 }
 
 ORACLE_SQL = {
@@ -5540,4 +5712,6 @@ ORACLE_SQL = {
     "geo_zonal_stats": GEO_ZONAL_SQL,
     "geo_distance_pairs": GEO_DISTANCE_PAIRS_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
+    "doc_repetition": DOC_REPETITION_SQL,
+    "geo_rect_cover": GEO_RECT_COVER_SQL,
 }
