@@ -61,6 +61,14 @@ BENCH_QUERIES = [
     "emb_dup_clusters",
     "q2_min_cost_supplier",
     "q7_nation_volume",
+    # round-3c additions
+    "q8_market_share",
+    "q9_profit_proxy",
+    "q21_sole_supplier",
+    "geo_zonal_stats",
+    "geo_distance_pairs",
+    "geo_hexbin",
+    "doc_repetition",
 ]
 
 

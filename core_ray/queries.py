@@ -1164,6 +1164,56 @@ WHERE (a.lat - b.lat) * (a.lat - b.lat) + (a.lon - b.lon) * (a.lon - b.lon)
 """
 
 
+def geo_nearest_admin(sf_dir: str):
+    """Nearest-neighbor join against a SMALL vector side: each document is
+    assigned the admin zone with the closest bbox centroid (squared-degree
+    distance, smallest-admin_id tie-break). The centroid table broadcasts
+    once (rows x |zones| distance matrix per batch, one argmin) — the
+    pattern for any fact-vs-small-gazetteer nearest join; for large right sides
+    the cell-bucketed kNN (stages/knn.py) is the scale path. Distance
+    arithmetic is (a-b)*(a-b) sums, IEEE-identical to the SQL cross join;
+    argmin over centroids pre-sorted by admin_id makes numpy's
+    first-minimum exactly the SQL (dist, admin_id) ordering."""
+    rects = sorted(GEO_RECTS)  # admin_id ascending
+    aid = np.array([r[0] for r in rects])
+    clat = np.array([(r[2] + r[4]) / 2.0 for r in rects])
+    clon = np.array([(r[3] + r[5]) / 2.0 for r in rects])
+
+    def nearest(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy(zero_copy_only=False)
+        lat, lon = _derive_coords(doc_id)
+        dla = lat[:, None] - clat[None, :]
+        dlo = lon[:, None] - clon[None, :]
+        sq = dla * dla + dlo * dlo
+        j = np.argmin(sq, axis=1)  # first min == smallest admin_id on ties
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "admin_id": pa.array(aid[j], pa.string()),
+                "sq_dist": pa.array(sq[np.arange(len(j)), j], pa.float64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        nearest, batch_format="pyarrow", batch_size=65536
+    )
+
+
+GEO_NEAREST_ADMIN_SQL = f"""
+WITH pts AS (
+  SELECT doc_id, {GEO_LAT_SQL} AS lat, {GEO_LON_SQL} AS lon FROM documents),
+cent AS (
+  SELECT admin_id, (lat0 + lat1) / 2.0 AS clat, (lon0 + lon1) / 2.0 AS clon
+  FROM {_geo_rects_values_sql()}),
+d AS (
+  SELECT p.doc_id, c.admin_id,
+         (p.lat - c.clat) * (p.lat - c.clat) + (p.lon - c.clon) * (p.lon - c.clon) AS sq_dist
+  FROM pts p CROSS JOIN cent c)
+SELECT doc_id, admin_id, sq_dist FROM d
+QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY sq_dist, admin_id) = 1
+"""
+
+
 _COVER_ZOOM = 4
 
 
@@ -2518,6 +2568,79 @@ SELECT event_type,
        ROUND(QUANTILE_CONT(value, 0.5), 6) AS p50,
        ROUND(QUANTILE_CONT(value, 0.9), 6) AS p90
 FROM events GROUP BY 1
+"""
+
+
+def doc_quality_buckets(sf_dir: str):
+    """CCNet-style corpus partitioning: documents split into head / middle /
+    tail terciles of a quality signal (n_chars) by GLOBAL quantile
+    thresholds. Scale shape: the quantiles come from a distributed
+    value->count histogram (count_by_u64 — distinct signal values, not
+    rows, reach the driver), the two scalar thresholds broadcast into a
+    stateless assignment map. Threshold floats are interpolated once on the
+    driver; ulp differences vs the SQL QUANTILE_CONT cannot flip a bucket
+    because an interpolated threshold either IS an exact integer (frac 0)
+    or lies strictly between two adjacent integer signal values."""
+    import ray
+    from core_ray.stages.agg import count_by_u64
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    hist = count_by_u64(
+        ds.map_batches(
+            lambda b: pa.table(
+                {"key": pc.cast(b["n_chars"], pa.uint64())}
+            ),
+            batch_format="pyarrow",
+            batch_size=65536,
+        ),
+        "key",
+    )
+    h = _collect_table(hist)
+    vals = h["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cnts = h["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(vals, kind="stable")
+    vals, cnts = vals[order], cnts[order]
+    cum = np.cumsum(cnts)
+    n = int(cum[-1])
+
+    def quantile_cont(q: float) -> float:
+        # QUANTILE_CONT over the expanded multiset, from the histogram:
+        # h = (N-1)*q; v[floor(h)] + frac * (v[ceil(h)] - v[floor(h)])
+        hpos = (n - 1) * q
+        lo_rank = int(np.floor(hpos))
+        frac = hpos - lo_rank
+        lo_i = int(np.searchsorted(cum, lo_rank + 1))
+        hi_i = int(np.searchsorted(cum, lo_rank + 2)) if frac > 0 else lo_i
+        lo_v, hi_v = float(vals[lo_i]), float(vals[min(hi_i, len(vals) - 1)])
+        return lo_v + frac * (hi_v - lo_v)
+
+    t1, t2 = quantile_cont(1.0 / 3.0), quantile_cont(2.0 / 3.0)
+
+    def assign(b: pa.Table) -> pa.Table:
+        c = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        bucket = np.where(c <= t1, "tail", np.where(c <= t2, "middle", "head"))
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_chars": pc.cast(b["n_chars"], pa.int64()),
+                "bucket": pa.array(bucket, pa.string()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow", batch_size=65536)
+
+
+DOC_QUALITY_BUCKETS_SQL = """
+WITH t AS (
+  SELECT QUANTILE_CONT(n_chars, 1.0 / 3.0) AS t1,
+         QUANTILE_CONT(n_chars, 2.0 / 3.0) AS t2
+  FROM documents)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       CASE WHEN n_chars <= t1 THEN 'tail'
+            WHEN n_chars <= t2 THEN 'middle'
+            ELSE 'head' END AS bucket
+FROM documents, t
 """
 
 
@@ -5622,6 +5745,8 @@ QUERIES = {
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
+    "doc_quality_buckets": doc_quality_buckets,
+    "geo_nearest_admin": geo_nearest_admin,
 }
 
 ORACLE_SQL = {
@@ -5714,4 +5839,6 @@ ORACLE_SQL = {
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
+    "doc_quality_buckets": DOC_QUALITY_BUCKETS_SQL,
+    "geo_nearest_admin": GEO_NEAREST_ADMIN_SQL,
 }
