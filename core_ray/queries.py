@@ -2644,6 +2644,177 @@ FROM documents, t
 """
 
 
+_IVB_BASE_US = int(np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64))
+_IVB_N = 50
+_IVB_STEP_H = 12
+_IVB_BUCKET_US = 12 * 3600 * 1_000_000
+
+
+def _ivb_intervals() -> pa.Table:
+    i = np.arange(_IVB_N, dtype=np.int64)
+    lo = _IVB_BASE_US + i * (_IVB_STEP_H * 3600 * 1_000_000)
+    length = (2 + (i % 5) * 6) * 3600 * 1_000_000  # 2h..26h, overlapping
+    return pa.table(
+        {
+            "interval_id": pa.array(i, pa.int64()),
+            "lo": pa.array(lo, pa.int64()),
+            "hi": pa.array(lo + length, pa.int64()),
+        }
+    )
+
+
+def events_interval_agg(sf_dir: str):
+    """Arbitrary-interval range join on the BUCKETED scale path
+    (stages/interval.py::interval_join_bucketed — points map to one time
+    bucket, intervals replicate per overlapped bucket, one all-to-all,
+    vectorized per-partition match): 50 fixed OVERLAPPING windows of
+    varying length over the events month, then an exact integer-cents
+    rollup per window. The broadcast path would also work here (50
+    intervals); the query pins the bucketed machinery under the driver
+    hash — same-output equivalence between the two paths is unit-tested in
+    tests/test_interval.py."""
+    from ray.data.aggregate import Sum
+
+    from core_ray.stages.interval import interval_join_bucketed
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts = (
+            b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        )
+        cents = sql_round_np(
+            b["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        return pa.table(
+            {"p": pa.array(ts, pa.int64()), "cents": pa.array(cents, pa.int64())}
+        )
+
+    pts = _read(sf_dir, "events", ["ts", "value"]).map_batches(
+        prep, batch_format="pyarrow", batch_size=131072
+    )
+    j = interval_join_bucketed(
+        pts, _ivb_intervals(), point_col="p", id_col="interval_id",
+        lo_col="lo", hi_col="hi", bucket_width=_IVB_BUCKET_US,
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "interval_id": b["interval_id"],
+                "n": pa.array(np.ones(b.num_rows, np.int64), pa.int64()),
+                "cents": b["cents"],
+            }
+        )
+        return pa.TableGroupBy(t, ["interval_id"]).aggregate([("n", "sum"), ("cents", "sum")])
+
+    agg = (
+        j.map_batches(partial, batch_format="pyarrow", batch_size=131072)
+        .groupby("interval_id")
+        .aggregate(Sum("n_sum", alias_name="n_events"), Sum("cents_sum", alias_name="c"))
+    )
+    t = _collect_table(agg)
+    return pa.table(
+        {
+            "interval_id": pc.cast(t["interval_id"], pa.int64()),
+            "n_events": pc.cast(t["n_events"], pa.int64()),
+            "value_sum": pa.array(
+                sql_round_np(t["c"].to_numpy(zero_copy_only=False) / 100.0, 2),
+                pa.float64(),
+            ),
+        }
+    )
+
+
+EVENTS_INTERVAL_AGG_SQL = f"""
+WITH iv AS (
+  SELECT i AS interval_id,
+         TIMESTAMP '2024-01-01' + INTERVAL (i * {_IVB_STEP_H}) HOUR AS lo,
+         TIMESTAMP '2024-01-01' + INTERVAL (i * {_IVB_STEP_H}) HOUR
+           + INTERVAL (2 + (i % 5) * 6) HOUR AS hi
+  FROM (SELECT UNNEST(generate_series(0, {_IVB_N - 1})) AS i))
+SELECT iv.interval_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(CAST(ROUND(e.value * 100.0) AS BIGINT)) / 100.0, 2) AS value_sum
+FROM iv JOIN events e ON e.ts >= iv.lo AND e.ts < iv.hi
+GROUP BY 1
+"""
+
+
+_WEIGHTS = (("click", 3), ("error", 1), ("purchase", 7), ("signup", 2), ("view", 5))
+
+
+def events_weighted_salted(sf_dir: str):
+    """Skew-salted equi-join under the driver hash: the events fact joins a
+    tiny type->weight dim on the SKEWED string key through
+    stages/join.py::hash_join with ``salt_keys`` splitting the hottest key
+    across 8 salted partitions (build rows replicate into each). On a real
+    zipf key this is what keeps one partition from serializing the join;
+    here it pins the salted machinery end-to-end (salted == unsalted
+    multiset is also unit-tested). Weighted sum in exact integer cents."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from core_ray.stages.join import hash_join
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = sql_round_np(
+            b["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        return pa.table(
+            {"event_type": b["event_type"], "cents": pa.array(cents, pa.int64())}
+        )
+
+    fact = _read(sf_dir, "events", ["event_type", "value"]).map_batches(
+        prep, batch_format="pyarrow", batch_size=131072
+    )
+    dim = ray.data.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array([w[0] for w in _WEIGHTS], pa.string()),
+                "weight": pa.array([w[1] for w in _WEIGHTS], pa.int64()),
+            }
+        )
+    )
+    j = hash_join(fact, dim, on="event_type", salt_keys={"click": 8})
+
+    def partial(b: pa.Table) -> pa.Table:
+        w = b["weight"].to_numpy(zero_copy_only=False)
+        c = b["cents"].to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "event_type": b["event_type"],
+                "n": pa.array(np.ones(b.num_rows, np.int64), pa.int64()),
+                "wc": pa.array(w * c, pa.int64()),
+            }
+        )
+        return pa.TableGroupBy(t, ["event_type"]).aggregate([("n", "sum"), ("wc", "sum")])
+
+    agg = (
+        j.map_batches(partial, batch_format="pyarrow", batch_size=131072)
+        .groupby("event_type")
+        .aggregate(Sum("n_sum", alias_name="n_events"), Sum("wc_sum", alias_name="wc"))
+    )
+    t = _collect_table(agg)
+    return pa.table(
+        {
+            "event_type": t["event_type"],
+            "n_events": pc.cast(t["n_events"], pa.int64()),
+            "weighted_sum": pa.array(
+                sql_round_np(t["wc"].to_numpy(zero_copy_only=False) / 100.0, 2),
+                pa.float64(),
+            ),
+        }
+    ).sort_by("event_type")
+
+
+EVENTS_WEIGHTED_SALTED_SQL = f"""
+WITH dim(event_type, weight) AS (VALUES {", ".join(f"('{k}', {v})" for k, v in _WEIGHTS)})
+SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(d.weight * CAST(ROUND(e.value * 100.0) AS BIGINT)) / 100.0, 2)
+         AS weighted_sum
+FROM events e JOIN dim d USING (event_type)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 _NO_ORDERS_CUTOFF = datetime(2000, 6, 1)
 
 
@@ -5747,6 +5918,8 @@ QUERIES = {
     "geo_rect_cover": geo_rect_cover,
     "doc_quality_buckets": doc_quality_buckets,
     "geo_nearest_admin": geo_nearest_admin,
+    "events_interval_agg": events_interval_agg,
+    "events_weighted_salted": events_weighted_salted,
 }
 
 ORACLE_SQL = {
@@ -5841,4 +6014,6 @@ ORACLE_SQL = {
     "geo_rect_cover": GEO_RECT_COVER_SQL,
     "doc_quality_buckets": DOC_QUALITY_BUCKETS_SQL,
     "geo_nearest_admin": GEO_NEAREST_ADMIN_SQL,
+    "events_interval_agg": EVENTS_INTERVAL_AGG_SQL,
+    "events_weighted_salted": EVENTS_WEIGHTED_SALTED_SQL,
 }
