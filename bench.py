@@ -69,6 +69,9 @@ BENCH_QUERIES = [
     "geo_distance_pairs",
     "geo_hexbin",
     "doc_repetition",
+    "events_interval_agg",
+    "geo_focal_mean",
+    "doc_quality_buckets",
 ]
 
 

@@ -1164,6 +1164,119 @@ WHERE (a.lat - b.lat) * (a.lat - b.lat) + (a.lon - b.lon) * (a.lon - b.lon)
 """
 
 
+_FOCAL_ZOOM = 5
+
+
+def geo_focal_mean(sf_dir: str, zoom: int = _FOCAL_ZOOM):
+    """Raster focal statistics (the kernel-density-lite smoothing pass every
+    heatmap tiler runs): per z/x/y tile, the MEAN document count over its
+    3x3 neighborhood (missing neighbors count 0; windows clipped at the
+    grid edge use the true in-range cell count as the divisor). Plan: one
+    count_by_u64 rasterization (combiner + single shuffle), then each
+    nonzero tile's count replicates to its <=9 in-range neighbors — the
+    raster sibling of the distance-band ghost trick — and a second
+    sum_by_u64 closes the window; work scales with NONZERO tiles x 9,
+    never with the full grid."""
+    from core_ray.stages.agg import count_by_u64, sum_by_u64
+
+    n_side = 1 << zoom
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def tiles(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy(zero_copy_only=False)
+        lat, lon = _derive_coords(doc_id)
+        x, y = mercator.lonlat_to_tile(lon, lat, zoom)
+        return pa.table(
+            {
+                "key": pa.array(
+                    mercator.tile_key(
+                        np.full(len(x), zoom, np.uint64),
+                        x.astype(np.uint64),
+                        y.astype(np.uint64),
+                    ),
+                    pa.uint64(),
+                )
+            }
+        )
+
+    counts = count_by_u64(
+        ds.map_batches(tiles, batch_format="pyarrow", batch_size=65536), "key"
+    )
+
+    dx = np.array([-1, -1, -1, 0, 0, 0, 1, 1, 1], dtype=np.int64)
+    dy = np.array([-1, 0, 1, -1, 0, 1, -1, 0, 1], dtype=np.int64)
+
+    def spread(b: pa.Table) -> pa.Table:
+        _, x, y = mercator.tile_unkey(b["key"].to_numpy(zero_copy_only=False))
+        c = b["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(x)
+        nx = np.repeat(x, 9) + np.tile(dx, n)
+        ny = np.repeat(y, 9) + np.tile(dy, n)
+        ok = (nx >= 0) & (nx < n_side) & (ny >= 0) & (ny < n_side)
+        key = mercator.tile_key(
+            np.full(int(ok.sum()), zoom, np.uint64),
+            nx[ok].astype(np.uint64),
+            ny[ok].astype(np.uint64),
+        )
+        return pa.table(
+            {
+                "key": pa.array(key, pa.uint64()),
+                "v": pa.array(np.repeat(c, 9)[ok], pa.int64()),
+            }
+        )
+
+    summed = sum_by_u64(
+        counts.map_batches(spread, batch_format="pyarrow", batch_size=65536), "key", "v"
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        _, x, y = mercator.tile_unkey(b["key"].to_numpy(zero_copy_only=False))
+        s = b["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+        win = (np.minimum(x + 1, n_side - 1) - np.maximum(x - 1, 0) + 1) * (
+            np.minimum(y + 1, n_side - 1) - np.maximum(y - 1, 0) + 1
+        )
+        return pa.table(
+            {
+                "tile_x": pa.array(x, pa.int64()),
+                "tile_y": pa.array(y, pa.int64()),
+                "focal_mean": pa.array(
+                    sql_round_np(s / win.astype(np.float64), 6), pa.float64()
+                ),
+            }
+        )
+
+    return summed.map_batches(finish, batch_format="pyarrow")
+
+
+def _focal_sql(zoom: int) -> str:
+    n = 1 << zoom
+    nf = float(n)
+    return f"""
+WITH pts AS (
+  SELECT {GEO_LAT_SQL} AS lat, {GEO_LON_SQL} AS lon FROM documents),
+c AS (
+  SELECT CAST(LEAST({nf} - 1, GREATEST(0, FLOOR((lon + 180.0) / 360.0 * {nf}))) AS BIGINT) AS x,
+         CAST(LEAST({nf} - 1, GREATEST(0, FLOOR((1.0 - LN(TAN(RADIANS(lat)) + 1.0 / COS(RADIANS(lat))) / PI()) / 2.0 * {nf}))) AS BIGINT) AS y,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM pts GROUP BY 1, 2),
+nb AS (
+  SELECT c.x + dx.i AS x, c.y + dy.j AS y, SUM(cnt) AS s
+  FROM c,
+       (SELECT UNNEST(generate_series(-1, 1)) AS i) dx,
+       (SELECT UNNEST(generate_series(-1, 1)) AS j) dy
+  WHERE c.x + dx.i BETWEEN 0 AND {n - 1} AND c.y + dy.j BETWEEN 0 AND {n - 1}
+  GROUP BY 1, 2)
+SELECT x AS tile_x, y AS tile_y,
+       ROUND(CAST(s AS DOUBLE) / CAST(
+         (LEAST(x + 1, {n - 1}) - GREATEST(x - 1, 0) + 1)
+         * (LEAST(y + 1, {n - 1}) - GREATEST(y - 1, 0) + 1) AS DOUBLE), 6) AS focal_mean
+FROM nb
+"""
+
+
+GEO_FOCAL_MEAN_SQL = _focal_sql(_FOCAL_ZOOM)
+
+
 def geo_nearest_admin(sf_dir: str):
     """Nearest-neighbor join against a SMALL vector side: each document is
     assigned the admin zone with the closest bbox centroid (squared-degree
@@ -5920,6 +6033,7 @@ QUERIES = {
     "geo_nearest_admin": geo_nearest_admin,
     "events_interval_agg": events_interval_agg,
     "events_weighted_salted": events_weighted_salted,
+    "geo_focal_mean": geo_focal_mean,
 }
 
 ORACLE_SQL = {
@@ -6016,4 +6130,5 @@ ORACLE_SQL = {
     "geo_nearest_admin": GEO_NEAREST_ADMIN_SQL,
     "events_interval_agg": EVENTS_INTERVAL_AGG_SQL,
     "events_weighted_salted": EVENTS_WEIGHTED_SALTED_SQL,
+    "geo_focal_mean": GEO_FOCAL_MEAN_SQL,
 }
