@@ -562,42 +562,12 @@ def doc_repetition(sf_dir: str):
     lexsort + reduceat, and bigrams are code-pair integers on the same
     machinery. Documents are row-local so the whole operator is one
     map_batches — no shuffle at any scale."""
+    from core_ray.text.analysis import repetition_fractions
+
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def f(b: pa.Table) -> pa.Table:
-        doc_id = b["doc_id"].to_numpy(zero_copy_only=False)
-        words = pc.split_pattern(b["text"], " ")
-        if isinstance(words, pa.ChunkedArray):
-            words = words.combine_chunks()
-        n_per_doc = np.diff(words.offsets.to_numpy(zero_copy_only=False)).astype(np.int64)
-        flat = words.flatten()
-        codes = flat.dictionary_encode().indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        vocab = int(codes.max()) + 1 if len(codes) else 1
-        d_idx = np.repeat(np.arange(len(doc_id), dtype=np.int64), n_per_doc)
-
-        def top_count(keys: np.ndarray, docs: np.ndarray) -> np.ndarray:
-            """Max run length of (doc, key) pairs, per doc (0 where absent)."""
-            out = np.zeros(len(doc_id), dtype=np.int64)
-            if not len(keys):
-                return out
-            order = np.lexsort((keys, docs))
-            ks, ds_ = keys[order], docs[order]
-            new = np.ones(len(ks), dtype=bool)
-            new[1:] = (ks[1:] != ks[:-1]) | (ds_[1:] != ds_[:-1])
-            starts = np.nonzero(new)[0]
-            runs = np.diff(np.append(starts, len(ks)))
-            run_doc = ds_[starts]
-            doc_new = np.ones(len(run_doc), dtype=bool)
-            doc_new[1:] = run_doc[1:] != run_doc[:-1]
-            doc_starts = np.nonzero(doc_new)[0]
-            out[run_doc[doc_starts]] = np.maximum.reduceat(runs, doc_starts)
-            return out
-
-        topw = top_count(codes, d_idx)
-        same_doc = d_idx[1:] == d_idx[:-1] if len(d_idx) else np.zeros(0, bool)
-        big = codes[:-1][same_doc] * vocab + codes[1:][same_doc]
-        topb = top_count(big, d_idx[:-1][same_doc])
-
+        n_per_doc, topw, topb = repetition_fractions(b["text"])
         n = n_per_doc.astype(np.float64)
         word_frac = sql_round_np(topw.astype(np.float64) / n, 6)
         nb = n_per_doc - 1
@@ -2445,6 +2415,46 @@ def doc_dedup_keep(sf_dir: str):
     )
 
 
+def doc_curated(sf_dir: str):
+    """The COMPOSED curation pipeline (pipelines/corpus.py) under the
+    driver hash: near-dup dedup (minhash pairs -> components -> keep
+    reps) + Gopher repetition/length gates + CCNet tercile buckets, one
+    streaming pass over the corpus. The oracle rebuilds every stage in
+    SQL — the dedup drop set from the golden cluster parquet, the
+    repetition fractions from UNNEST word counts, the tercile thresholds
+    from QUANTILE_CONT — so the end-to-end composition is hash-checked,
+    not just its pieces."""
+    from core_ray.pipelines.corpus import curate_corpus
+
+    _ensure_docs_golden(sf_dir)
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+    return curate_corpus(ds).curated
+
+
+DOC_CURATED_SQL = f"""
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+w AS (SELECT doc_id, UNNEST(l) AS w FROM ws),
+tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM w GROUP BY 1),
+topw AS (
+  SELECT doc_id, MAX(c) AS mc FROM
+    (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY 1, 2) GROUP BY 1),
+th AS (
+  SELECT QUANTILE_CONT(n_chars, 1.0 / 3.0) AS t1,
+         QUANTILE_CONT(n_chars, 2.0 / 3.0) AS t2
+  FROM documents)
+SELECT d.doc_id, d.lang,
+       CASE WHEN d.n_chars <= th.t1 THEN 'tail'
+            WHEN d.n_chars <= th.t2 THEN 'middle'
+            ELSE 'head' END AS bucket
+FROM documents d JOIN tot USING (doc_id) JOIN topw USING (doc_id), th
+WHERE d.doc_id NOT IN (
+        SELECT node FROM read_parquet('{_DGD}/dup_clusters.parquet')
+        WHERE node <> comp)
+  AND tot.n >= 25
+  AND ROUND(CAST(topw.mc AS DOUBLE) / CAST(tot.n AS DOUBLE), 6) <= 0.12
+"""
+
+
 def emb_dup_clusters(sf_dir: str):
     """Embedding near-dup CLUSTERS: the exact cosine pair graph
     (emb_near_dup_pairs) closed transitively by connected components
@@ -2925,6 +2935,67 @@ SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
          AS weighted_sum
 FROM events e JOIN dim d USING (event_type)
 GROUP BY 1 ORDER BY 1
+"""
+
+
+def events_value_percentile(sf_dir: str):
+    """GLOBAL order statistics without a global sort: every event's
+    PERCENT_RANK among ALL events. A window function over the whole corpus
+    would need one total-order sort; instead a value->count histogram
+    (count_by_u64 over integer cents — distinct values, not rows, leave
+    the workers) yields cumulative counts-below, which broadcast back as a
+    sorted lookup so each row computes cnt_less / (N-1) locally — exact,
+    two passes, no all-to-all over rows. The division uses the same
+    integers as SQL's (rank-1)/(N-1), so the doubles are bit-identical."""
+    import ray
+    from core_ray.stages.agg import count_by_u64
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+
+    def cents_of(b: pa.Table) -> np.ndarray:
+        return sql_round_np(
+            b["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+
+    hist = count_by_u64(
+        ds.map_batches(
+            lambda b: pa.table({"key": pa.array(cents_of(b).astype(np.uint64), pa.uint64())}),
+            batch_format="pyarrow",
+            batch_size=131072,
+        ),
+        "key",
+    )
+    h = _collect_table(hist)
+    vals = h["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cnts = h["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(vals, kind="stable")
+    vals, cnts = vals[order], cnts[order]
+    below = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+    n_total = int(cnts.sum())
+    ref = ray.put((vals, below))
+
+    def rank(b: pa.Table, ref=ref) -> pa.Table:
+        vs, bl = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        c = cents_of(b)
+        pos = np.searchsorted(vs, c)  # every value exists in the histogram
+        pr = bl[pos].astype(np.float64) / float(n_total - 1)
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "value_cents": pa.array(c, pa.int64()),
+                "pct_rank": pa.array(sql_round_np(pr, 6), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(rank, batch_format="pyarrow", batch_size=131072)
+
+
+EVENTS_VALUE_PERCENTILE_SQL = """
+SELECT event_id,
+       CAST(ROUND(value * 100.0) AS BIGINT) AS value_cents,
+       ROUND(PERCENT_RANK() OVER (ORDER BY CAST(ROUND(value * 100.0) AS BIGINT)), 6)
+         AS pct_rank
+FROM events
 """
 
 
@@ -6034,6 +6105,8 @@ QUERIES = {
     "events_interval_agg": events_interval_agg,
     "events_weighted_salted": events_weighted_salted,
     "geo_focal_mean": geo_focal_mean,
+    "events_value_percentile": events_value_percentile,
+    "doc_curated": doc_curated,
 }
 
 ORACLE_SQL = {
@@ -6131,4 +6204,6 @@ ORACLE_SQL = {
     "events_interval_agg": EVENTS_INTERVAL_AGG_SQL,
     "events_weighted_salted": EVENTS_WEIGHTED_SALTED_SQL,
     "geo_focal_mean": GEO_FOCAL_MEAN_SQL,
+    "events_value_percentile": EVENTS_VALUE_PERCENTILE_SQL,
+    "doc_curated": DOC_CURATED_SQL,
 }

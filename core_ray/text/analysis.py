@@ -145,3 +145,44 @@ class Fingerprinter:
     def __call__(self, batch: pa.Table) -> pa.Table:
         fps = [doc_fingerprint(t, self.window) for t in batch[self.col].to_pylist()]
         return batch.append_column("fingerprint", pa.array(fps, pa.uint64()))
+
+
+def repetition_fractions(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-document Gopher/RefinedWeb repetition signals over a space-
+    tokenized string column: (n_words, top_word_count, top_bigram_count).
+    Exact dictionary-code vectorization — words dictionary-encode to
+    integer codes (no hashing, so counts cannot collide), per-doc runs
+    reduce with lexsort + reduceat, bigrams are code-pair integers on the
+    same machinery. Zero shuffles; documents are row-local."""
+    words = pc.split_pattern(texts, " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    n_per_doc = np.diff(words.offsets.to_numpy(zero_copy_only=False)).astype(np.int64)
+    n_docs = len(n_per_doc)
+    flat = words.flatten()
+    codes = flat.dictionary_encode().indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = int(codes.max()) + 1 if len(codes) else 1
+    d_idx = np.repeat(np.arange(n_docs, dtype=np.int64), n_per_doc)
+
+    def top_count(keys: np.ndarray, docs: np.ndarray) -> np.ndarray:
+        out = np.zeros(n_docs, dtype=np.int64)
+        if not len(keys):
+            return out
+        order = np.lexsort((keys, docs))
+        ks, ds_ = keys[order], docs[order]
+        new = np.ones(len(ks), dtype=bool)
+        new[1:] = (ks[1:] != ks[:-1]) | (ds_[1:] != ds_[:-1])
+        starts = np.nonzero(new)[0]
+        runs = np.diff(np.append(starts, len(ks)))
+        run_doc = ds_[starts]
+        doc_new = np.ones(len(run_doc), dtype=bool)
+        doc_new[1:] = run_doc[1:] != run_doc[:-1]
+        doc_starts = np.nonzero(doc_new)[0]
+        out[run_doc[doc_starts]] = np.maximum.reduceat(runs, doc_starts)
+        return out
+
+    topw = top_count(codes, d_idx)
+    same_doc = d_idx[1:] == d_idx[:-1] if len(d_idx) else np.zeros(0, bool)
+    big = codes[:-1][same_doc] * vocab + codes[1:][same_doc]
+    topb = top_count(big, d_idx[:-1][same_doc])
+    return n_per_doc, topw, topb

@@ -18,6 +18,7 @@ _GOLDEN_PINNED = (
     "doc_minhash_pairs",
     "doc_dup_clusters",
     "doc_dedup_keep",
+    "doc_curated",
     "doc_simhash_pairs",
     "emb_ann_lsh",
     "emb_ann_ivf",
