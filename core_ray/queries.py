@@ -1134,6 +1134,99 @@ WHERE (a.lat - b.lat) * (a.lat - b.lat) + (a.lon - b.lon) * (a.lon - b.lon)
 """
 
 
+# CCW triangles at .0005 offsets (same off-lattice trick as GEO_RECTS): the
+# ray-casting kernel and the SQL half-plane signs agree everywhere except ON
+# an edge, which the offset keeps the derived 10^-3 lattice away from.
+GEO_TRIS = [
+    ("T0-am", (-120.0005, 10.0005), (-100.0005, 10.0005), (-110.0005, 40.0005)),
+    ("T1-af", (20.0005, -50.0005), (60.0005, -50.0005), (40.0005, -10.0005)),
+    ("T2-as", (100.0005, 20.0005), (140.0005, 25.0005), (120.0005, 55.0005)),
+    ("T3-eu", (-40.0005, 40.0005), (-10.0005, 42.0005), (-30.0005, 65.0005)),
+]
+
+
+def geo_pip_triangles(sf_dir: str):
+    """Containment JOIN against NON-rectangular polygons — every (document,
+    triangle) pair whose point falls inside (overlaps allowed; no winner
+    selection), through the SAME WKT-parse -> STRtree -> even-odd
+    ray-casting path the flagship pip stage uses (stages/pip.py
+    build_polygon_index). The rect-based geo_pip_admin oracle can only
+    exercise BETWEEN boxes; here the DuckDB mirror is the exact half-plane
+    sign test per CCW triangle, so the general polygon kernel itself is
+    driver-hash-checked."""
+    import ray
+
+    from core_ray.geo import geometry
+    from core_ray.stages.pip import build_polygon_index
+
+    tri_tbl = pa.table(
+        {
+            "admin_id": pa.array([t[0] for t in GEO_TRIS], pa.string()),
+            "level": pa.array([0] * len(GEO_TRIS), pa.int8()),
+            "wkt": pa.array(
+                [
+                    f"POLYGON (({t[1][0]} {t[1][1]}, {t[2][0]} {t[2][1]}, "
+                    f"{t[3][0]} {t[3][1]}, {t[1][0]} {t[1][1]}))"
+                    for t in GEO_TRIS
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    tref = ray.put(tri_tbl)
+
+    class TriJoin:
+        def __init__(self, r):
+            t = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+            self.parts, self.tree = build_polygon_index(t)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            doc_id = b["doc_id"].to_numpy(zero_copy_only=False)
+            lat, lon = _derive_coords(doc_id)
+            pt, item = self.tree.query_points(lon, lat)
+            out_doc, out_tri = [], []
+            for it in np.unique(item) if len(item) else []:
+                m = item == it
+                pts = pt[m]
+                inside = geometry.points_in_polygon(lon[pts], lat[pts], self.parts[it][2])
+                out_doc.append(doc_id[pts[inside]])
+                out_tri.append(np.full(int(inside.sum()), self.parts[it][0]))
+            if out_doc:
+                return pa.table(
+                    {
+                        "doc_id": pa.array(np.concatenate(out_doc), pa.int64()),
+                        "tri_id": pa.array(np.concatenate(out_tri), pa.string()),
+                    }
+                )
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "tri_id": pa.array([], pa.string())}
+            )
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        TriJoin, fn_constructor_args=(tref,), batch_format="pyarrow",
+        batch_size=65536, concurrency=(1, 4),
+    )
+
+
+def _tri_values_sql() -> str:
+    rows = ",\n    ".join(
+        f"('{tid}', {x1}, {y1}, {x2}, {y2}, {x3}, {y3})"
+        for tid, (x1, y1), (x2, y2), (x3, y3) in GEO_TRIS
+    )
+    return f"(VALUES\n    {rows}) AS t(tri_id, x1, y1, x2, y2, x3, y3)"
+
+
+GEO_PIP_TRIANGLES_SQL = f"""
+WITH pts AS (
+  SELECT doc_id, {GEO_LAT_SQL} AS lat, {GEO_LON_SQL} AS lon FROM documents)
+SELECT p.doc_id, t.tri_id
+FROM pts p JOIN {_tri_values_sql()}
+  ON  (t.x2 - t.x1) * (p.lat - t.y1) - (t.y2 - t.y1) * (p.lon - t.x1) > 0
+  AND (t.x3 - t.x2) * (p.lat - t.y2) - (t.y3 - t.y2) * (p.lon - t.x2) > 0
+  AND (t.x1 - t.x3) * (p.lat - t.y3) - (t.y1 - t.y3) * (p.lon - t.x3) > 0
+"""
+
+
 _FOCAL_ZOOM = 5
 
 
@@ -6107,6 +6200,7 @@ QUERIES = {
     "geo_focal_mean": geo_focal_mean,
     "events_value_percentile": events_value_percentile,
     "doc_curated": doc_curated,
+    "geo_pip_triangles": geo_pip_triangles,
 }
 
 ORACLE_SQL = {
@@ -6206,4 +6300,5 @@ ORACLE_SQL = {
     "geo_focal_mean": GEO_FOCAL_MEAN_SQL,
     "events_value_percentile": EVENTS_VALUE_PERCENTILE_SQL,
     "doc_curated": DOC_CURATED_SQL,
+    "geo_pip_triangles": GEO_PIP_TRIANGLES_SQL,
 }
