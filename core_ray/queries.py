@@ -1754,6 +1754,72 @@ SELECT * FROM exploded
 """
 
 
+def pages_local_hour(sf_dir: str):
+    """Geo-temporal rollup over the PAGES-scale corpus: mentions histogram
+    by LOCAL SOLAR HOUR (crawl timestamp shifted by lon/15h) — the "when
+    was each place crawled, in its own day" cut a crawl-ops dashboard
+    needs. The mention side (url, lon) re-joins the pages fact (url,
+    warc_ts) through the fully-distributed string-keyed hash_join — at
+    10^12 pages neither side broadcasts — and the hour arithmetic is ALL
+    integer (epoch-us floor-division minutes + ROUND(lon*4) minute offset),
+    so the SQL mirror is exact with no float-boundary hazard."""
+    import ray.data
+
+    from core_ray.stages.join import hash_join
+
+    _ensure_pages_golden(sf_dir)
+    res = _run_pages(sf_dir)
+    mentions = res.joined.select_columns(["url", "lon"])
+    files, _, _, _ = _pages_corpus(sf_dir)
+    pages = ray.data.read_parquet(files, columns=["url", "warc_ts"])
+    j = hash_join(mentions, pages, on="url")
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = (
+            b["warc_ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        off = sql_round_np(
+            b["lon"].to_numpy(zero_copy_only=False) * 4.0, 0
+        ).astype(np.int64)
+        h = ((us // 60_000_000 + off) // 60) % 24
+        cnt = np.bincount(h, minlength=24).astype(np.int64)
+        return pa.table(
+            {
+                "local_hour": pa.array(np.arange(24, dtype=np.int64), pa.int64()),
+                "n": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        j.map_batches(partial, batch_format="pyarrow", batch_size=131072)
+        .groupby("local_hour")
+        .aggregate(Sum("n", alias_name="n_mentions"))
+    )
+    t = _collect_table(agg)
+    t = t.filter(pc.greater(t["n_mentions"], 0))
+    return pa.table(
+        {
+            "local_hour": pc.cast(t["local_hour"], pa.int64()),
+            "n_mentions": pc.cast(t["n_mentions"], pa.int64()),
+        }
+    )
+
+
+_PAGES_CORPUS_GLOB = f"/tmp/core_ray_pages_v{_PAGES_GEN_VERSION}_{_GOLDEN_N}/pages/*.parquet"
+PAGES_LOCAL_HOUR_SQL = f"""
+SELECT ((epoch_us(p.warc_ts) // 60000000 + CAST(ROUND(m.lon * 4.0) AS BIGINT)) // 60) % 24
+         AS local_hour,
+       CAST(COUNT(*) AS BIGINT) AS n_mentions
+FROM read_parquet('{_GD}/joined.parquet') m
+JOIN read_parquet('{_PAGES_CORPUS_GLOB}') p USING (url)
+GROUP BY 1
+"""
+
+
 # --- catalog-cascade golden (rules/catalog.py driver gate) -----------------
 # A self-generated page set whose urls/texts exercise EVERY catalog rule and
 # the cross-class priority interplay; the golden is a LITERAL expectation
@@ -6201,6 +6267,7 @@ QUERIES = {
     "events_value_percentile": events_value_percentile,
     "doc_curated": doc_curated,
     "geo_pip_triangles": geo_pip_triangles,
+    "pages_local_hour": pages_local_hour,
 }
 
 ORACLE_SQL = {
@@ -6301,4 +6368,5 @@ ORACLE_SQL = {
     "events_value_percentile": EVENTS_VALUE_PERCENTILE_SQL,
     "doc_curated": DOC_CURATED_SQL,
     "geo_pip_triangles": GEO_PIP_TRIANGLES_SQL,
+    "pages_local_hour": PAGES_LOCAL_HOUR_SQL,
 }
