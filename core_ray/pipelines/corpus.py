@@ -39,7 +39,7 @@ class CurationResult:
 def _bucket_thresholds(ds) -> tuple[float, float]:
     """Global QUANTILE_CONT tercile thresholds of n_chars via a distributed
     value->count histogram (same contract as queries.doc_quality_buckets)."""
-    from core_ray.stages.agg import count_by_u64
+    from core_ray.stages.agg import count_by_u64, histogram_quantile_cont
 
     hist = count_by_u64(
         ds.map_batches(
@@ -55,21 +55,10 @@ def _bucket_thresholds(ds) -> tuple[float, float]:
     h = pa.concat_tables(parts)
     vals = h["key"].to_numpy(zero_copy_only=False).astype(np.int64)
     cnts = h["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.argsort(vals, kind="stable")
-    vals, cnts = vals[order], cnts[order]
-    cum = np.cumsum(cnts)
-    n = int(cum[-1])
-
-    def qc(q: float) -> float:
-        hpos = (n - 1) * q
-        lo_rank = int(np.floor(hpos))
-        frac = hpos - lo_rank
-        lo_i = int(np.searchsorted(cum, lo_rank + 1))
-        hi_i = int(np.searchsorted(cum, lo_rank + 2)) if frac > 0 else lo_i
-        lo_v, hi_v = float(vals[lo_i]), float(vals[min(hi_i, len(vals) - 1)])
-        return lo_v + frac * (hi_v - lo_v)
-
-    return qc(1.0 / 3.0), qc(2.0 / 3.0)
+    return (
+        histogram_quantile_cont(vals, cnts, 1.0 / 3.0),
+        histogram_quantile_cont(vals, cnts, 2.0 / 3.0),
+    )
 
 
 def curate_corpus(ds, out_dir: str | None = None, *,
@@ -151,5 +140,9 @@ def curate_corpus(ds, out_dir: str | None = None, *,
         import ray.data
 
         curated = ray.data.read_parquet(out_dir)
+    else:
+        # one execution total: stats count and downstream consumers share
+        # the materialized blocks instead of re-running the curation pass
+        curated = curated.materialize()
     stats["n_curated"] = curated.count()
     return CurationResult(curated=curated, stats=stats)

@@ -2878,26 +2878,13 @@ def doc_quality_buckets(sf_dir: str):
         ),
         "key",
     )
+    from core_ray.stages.agg import histogram_quantile_cont
+
     h = _collect_table(hist)
     vals = h["key"].to_numpy(zero_copy_only=False).astype(np.int64)
     cnts = h["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.argsort(vals, kind="stable")
-    vals, cnts = vals[order], cnts[order]
-    cum = np.cumsum(cnts)
-    n = int(cum[-1])
-
-    def quantile_cont(q: float) -> float:
-        # QUANTILE_CONT over the expanded multiset, from the histogram:
-        # h = (N-1)*q; v[floor(h)] + frac * (v[ceil(h)] - v[floor(h)])
-        hpos = (n - 1) * q
-        lo_rank = int(np.floor(hpos))
-        frac = hpos - lo_rank
-        lo_i = int(np.searchsorted(cum, lo_rank + 1))
-        hi_i = int(np.searchsorted(cum, lo_rank + 2)) if frac > 0 else lo_i
-        lo_v, hi_v = float(vals[lo_i]), float(vals[min(hi_i, len(vals) - 1)])
-        return lo_v + frac * (hi_v - lo_v)
-
-    t1, t2 = quantile_cont(1.0 / 3.0), quantile_cont(2.0 / 3.0)
+    t1 = histogram_quantile_cont(vals, cnts, 1.0 / 3.0)
+    t2 = histogram_quantile_cont(vals, cnts, 2.0 / 3.0)
 
     def assign(b: pa.Table) -> pa.Table:
         c = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -3137,7 +3124,8 @@ def events_value_percentile(sf_dir: str):
         vs, bl = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
         c = cents_of(b)
         pos = np.searchsorted(vs, c)  # every value exists in the histogram
-        pr = bl[pos].astype(np.float64) / float(n_total - 1)
+        # SQL PERCENT_RANK of a single-row table is 0, not 0/0
+        pr = bl[pos].astype(np.float64) / float(max(n_total - 1, 1))
         return pa.table(
             {
                 "event_id": b["event_id"],
@@ -5728,11 +5716,7 @@ def q8_market_share(sf_dir: str):
     def li_pre(b: pa.Table, bref=bref) -> pa.Table:
         pks, sks, sns = ray.get(bref) if isinstance(bref, ray.ObjectRef) else bref
         pk = b["l_partkey"].to_numpy(zero_copy_only=False)
-        if len(pks) == 0:
-            keep = np.zeros(len(pk), bool)
-        else:
-            pos = np.minimum(np.searchsorted(pks, pk), len(pks) - 1)
-            keep = pks[pos] == pk
+        _, keep = _sorted_probe(pks, pk)
         spos, shit = _sorted_probe(sks, b["l_suppkey"].to_numpy(zero_copy_only=False))
         keep &= shit
         units = sql_round_np(
@@ -6020,11 +6004,7 @@ def q20_excess_shippers(sf_dir: str):
     def pre(b: pa.Table, pref=pref) -> pa.Table:
         pks = ray.get(pref) if isinstance(pref, ray.ObjectRef) else pref
         pk = b["l_partkey"].to_numpy(zero_copy_only=False)
-        if len(pks) == 0:
-            keep = np.zeros(len(pk), bool)
-        else:
-            pos = np.minimum(np.searchsorted(pks, pk), len(pks) - 1)
-            keep = pks[pos] == pk
+        _, keep = _sorted_probe(pks, pk)
         cq = sql_round_np(
             b["l_quantity"].to_numpy(zero_copy_only=False)[keep] * 100.0, 0
         ).astype(np.int64)

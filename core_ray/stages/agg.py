@@ -238,3 +238,25 @@ def min_by_u64(ds, key_col: str, val_col: str):
         .groupby("part")
         .map_groups(reduce, batch_format="pyarrow")
     )
+
+
+def histogram_quantile_cont(vals: np.ndarray, cnts: np.ndarray, q: float) -> float:
+    """QUANTILE_CONT over the expanded multiset, from a value->count
+    histogram (the distributed-quantile driver step: distinct values, not
+    rows, reach the caller). Definition matches SQL/np.quantile 'linear':
+    h = (N-1)*q; v[floor(h)] + frac * (v[ceil(h)] - v[floor(h)]). An
+    interpolated threshold is either an exact integer (frac 0) or lies
+    strictly between two adjacent values, so ulp differences vs a SQL
+    QUANTILE_CONT cannot flip a bucket-boundary comparison."""
+    order = np.argsort(vals, kind="stable")
+    vals, cnts = vals[order], cnts[order]
+    cum = np.cumsum(cnts)
+    n = int(cum[-1])
+    hpos = (n - 1) * q
+    lo_rank = int(np.floor(hpos))
+    frac = hpos - lo_rank
+    lo_i = int(np.searchsorted(cum, lo_rank + 1))
+    hi_i = int(np.searchsorted(cum, lo_rank + 2)) if frac > 0 else lo_i
+    lo_v = float(vals[lo_i])
+    hi_v = float(vals[min(hi_i, len(vals) - 1)])
+    return lo_v + frac * (hi_v - lo_v)

@@ -47,6 +47,19 @@ def replicate_to_cells(
     """9x home+ghost replication of (id, lat, lon) keyed by packed cell."""
     cx = np.floor(lat / radius).astype(np.int64)
     cy = np.floor(lon / radius).astype(np.int64)
+    # 21-bit packed axes (offset 2^20): a radius too small for the coordinate
+    # extent would silently wrap cy into the cx bits and merge far-apart
+    # cells into one segment (quadratic pair blowup, not wrong output) —
+    # refuse instead; callers with finer bands rescale coordinates first.
+    lim = (1 << 20) - 2
+    if len(cx) and (
+        max(abs(int(cx.max())), abs(int(cx.min())),
+            abs(int(cy.max())), abs(int(cy.min()))) > lim
+    ):
+        raise ValueError(
+            f"radius {radius} too small for the coordinate extent: cell "
+            f"indices exceed the 21-bit packed range (+-{lim})"
+        )
     n = len(ids)
     dx = np.array([0, -1, -1, -1, 0, 0, 1, 1, 1], dtype=np.int64)
     dy = np.array([0, -1, 0, 1, -1, 1, -1, 0, 1], dtype=np.int64)
