@@ -3137,6 +3137,63 @@ def events_value_percentile(sf_dir: str):
     return ds.map_batches(rank, batch_format="pyarrow", batch_size=131072)
 
 
+def events_value_mad(sf_dir: str):
+    """Robust statistics: the median absolute deviation of event values —
+    TWO chained GLOBAL order statistics, each computed as a distributed
+    value->count histogram (count_by_u64) + driver-side QUANTILE_CONT
+    interpolation, with the median broadcast into the second pass's
+    deviation map. Everything stays integer until the final /2 divisions:
+    cents, then |2*cents - 2*median| (2x units absorb the .5-interpolated
+    median exactly), so the SQL mirror has no float-summation hazard."""
+    from core_ray.stages.agg import count_by_u64, histogram_quantile_cont
+
+    ds = _read(sf_dir, "events", ["value"])
+
+    def cents_of(b: pa.Table) -> np.ndarray:
+        return sql_round_np(
+            b["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+
+    def hist_of(fn) -> tuple[np.ndarray, np.ndarray]:
+        h = _collect_table(
+            count_by_u64(
+                ds.map_batches(
+                    lambda b: pa.table(
+                        {"key": pa.array(fn(b).astype(np.uint64), pa.uint64())}
+                    ),
+                    batch_format="pyarrow",
+                    batch_size=131072,
+                ),
+                "key",
+            )
+        )
+        return (
+            h["key"].to_numpy(zero_copy_only=False).astype(np.int64),
+            h["cnt"].to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+
+    vals, cnts = hist_of(cents_of)
+    med2 = int(round(2.0 * histogram_quantile_cont(vals, cnts, 0.5)))
+    dvals, dcnts = hist_of(lambda b: np.abs(2 * cents_of(b) - med2))
+    mad2 = histogram_quantile_cont(dvals, dcnts, 0.5)
+    return pa.table(
+        {
+            "median": pa.array([float(sql_round_np(med2 / 2.0 / 100.0, 6))], pa.float64()),
+            "mad": pa.array([float(sql_round_np(mad2 / 2.0 / 100.0, 6))], pa.float64()),
+        }
+    )
+
+
+EVENTS_VALUE_MAD_SQL = """
+WITH c AS (SELECT CAST(ROUND(value * 100.0) AS BIGINT) AS cents FROM events),
+m AS (SELECT CAST(ROUND(2.0 * QUANTILE_CONT(cents, 0.5)) AS BIGINT) AS med2 FROM c),
+d AS (SELECT ABS(2 * c.cents - m.med2) AS dev2 FROM c, m)
+SELECT ROUND((SELECT med2 FROM m) / 2.0 / 100.0, 6) AS median,
+       ROUND(QUANTILE_CONT(dev2, 0.5) / 2.0 / 100.0, 6) AS mad
+FROM d
+"""
+
+
 EVENTS_VALUE_PERCENTILE_SQL = """
 SELECT event_id,
        CAST(ROUND(value * 100.0) AS BIGINT) AS value_cents,
@@ -6248,6 +6305,7 @@ QUERIES = {
     "doc_curated": doc_curated,
     "geo_pip_triangles": geo_pip_triangles,
     "pages_local_hour": pages_local_hour,
+    "events_value_mad": events_value_mad,
 }
 
 ORACLE_SQL = {
@@ -6349,4 +6407,5 @@ ORACLE_SQL = {
     "doc_curated": DOC_CURATED_SQL,
     "geo_pip_triangles": GEO_PIP_TRIANGLES_SQL,
     "pages_local_hour": PAGES_LOCAL_HOUR_SQL,
+    "events_value_mad": EVENTS_VALUE_MAD_SQL,
 }
