@@ -157,13 +157,14 @@ def q3_top_orders(sf_dir: str):
     # VERDICT r2 item 6) — the date columns never leave storage.
     import pyarrow.dataset as pads
 
-    class OrdersSemi:
-        def __init__(self, ref):
-            self.keys = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            m = np.isin(b["o_custkey"].to_numpy(zero_copy_only=False), self.keys)
-            return b.filter(pa.array(m)).select(["o_orderkey"])
+    # plain functions over broadcast refs, not actor pools: the semi-join
+    # probe is stateless (one plasma ray.get per batch, shared memory on the
+    # node), and an actor pool's spin-up is pure latency on each of these
+    # two short chained executions
+    def orders_semi(b: pa.Table, ref=cust_ref) -> pa.Table:
+        keys = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        m = np.isin(b["o_custkey"].to_numpy(zero_copy_only=False), keys)
+        return b.filter(pa.array(m)).select(["o_orderkey"])
 
     import ray.data
 
@@ -174,24 +175,18 @@ def q3_top_orders(sf_dir: str):
     )
     okeys = np.sort(
         _collect_numpy(
-            orders.map_batches(
-                OrdersSemi, fn_constructor_args=(cust_ref,), batch_format="pyarrow",
-                batch_size=65536, concurrency=(1, 4),
-            ),
+            orders.map_batches(orders_semi, batch_format="pyarrow", batch_size=65536),
             "o_orderkey",
         )
     )
     okeys_ref = ray.put(okeys)
 
-    class LineitemSemi:
-        def __init__(self, ref):
-            self.okeys = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            m = np.isin(b["l_orderkey"].to_numpy(zero_copy_only=False), self.okeys)
-            b = b.filter(pa.array(m))
-            rev = pc.multiply(b["l_extendedprice"], pc.subtract(1.0, b["l_discount"]))
-            return pa.table({"o_orderkey": b["l_orderkey"], "rev": rev})
+    def lineitem_semi(b: pa.Table, ref=okeys_ref) -> pa.Table:
+        ok = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        m = np.isin(b["l_orderkey"].to_numpy(zero_copy_only=False), ok)
+        b = b.filter(pa.array(m))
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(1.0, b["l_discount"]))
+        return pa.table({"o_orderkey": b["l_orderkey"], "rev": rev})
 
     li = ray.data.read_parquet(
         _p(sf_dir, "lineitem"),
@@ -199,8 +194,7 @@ def q3_top_orders(sf_dir: str):
         filter=pads.field("l_shipdate") > _Q3_DATE,
     )
     agg = (
-        li.map_batches(LineitemSemi, fn_constructor_args=(okeys_ref,), batch_format="pyarrow",
-                       batch_size=65536, concurrency=(1, 4))
+        li.map_batches(lineitem_semi, batch_format="pyarrow", batch_size=65536)
         .groupby("o_orderkey")
         .aggregate(Sum("rev", alias_name="revenue"))
     )
