@@ -252,34 +252,23 @@ def q5_region_revenue(sf_dir: str, region: str = "ASIA"):
     snames = np.asarray([supp_nation[k] for k in skeys])
     ref = ray.put((skeys, snames))
 
-    class MapSupp:
-        def __init__(self, ref):
-            if isinstance(ref, ray.ObjectRef):
-                ref = ray.get(ref)
-            self.skeys, self.snames = ref
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            if len(self.skeys) == 0:
-                return pa.table(
-                    {"n_name": pa.array([], pa.string()), "rev": pa.array([], pa.float64())}
-                )
-            keys = b["l_suppkey"].to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(self.skeys, keys)
-            pos = np.minimum(pos, len(self.skeys) - 1)
-            hit = self.skeys[pos] == keys
-            rev = pc.multiply(b["l_extendedprice"], pc.subtract(1.0, b["l_discount"]))
-            t = pa.table(
-                {
-                    "n_name": pa.array(self.snames[pos], pa.string()),
-                    "rev": rev,
-                }
+    # plain task, not an actor pool: the probe is stateless (plasma fetch
+    # per batch) and pool spin-up is pure latency on a short execution
+    def map_supp(b: pa.Table, ref=ref) -> pa.Table:
+        skeys, snames = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        if len(skeys) == 0:
+            return pa.table(
+                {"n_name": pa.array([], pa.string()), "rev": pa.array([], pa.float64())}
             )
-            return t.filter(pa.array(hit))
+        keys = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        pos, hit = _sorted_probe(skeys, keys)
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(1.0, b["l_discount"]))
+        t = pa.table({"n_name": pa.array(snames[pos], pa.string()), "rev": rev})
+        return t.filter(pa.array(hit))
 
     li = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
     agg = (
-        li.map_batches(MapSupp, fn_constructor_args=(ref,), batch_format="pyarrow",
-                       batch_size=65536, concurrency=(1, 4))
+        li.map_batches(map_supp, batch_format="pyarrow", batch_size=65536)
         .groupby("n_name")
         .aggregate(Sum("rev", alias_name="revenue"))
     )
@@ -2554,17 +2543,13 @@ def doc_dedup_keep(sf_dir: str):
     drop = np.sort(drop_t["node"].to_numpy(zero_copy_only=False))
     ref = ray.put(drop)
 
-    class Keep:
-        def __init__(self, r):
-            self.drop = ray.get(r) if isinstance(r, ray.ObjectRef) else r
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            ids = b["doc_id"].to_numpy(zero_copy_only=False)
-            return b.select(["doc_id"]).filter(pa.array(~np.isin(ids, self.drop)))
+    def keep(b: pa.Table, ref=ref) -> pa.Table:
+        drop = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.select(["doc_id"]).filter(pa.array(~np.isin(ids, drop)))
 
     return _read(sf_dir, "documents", ["doc_id"]).map_batches(
-        Keep, fn_constructor_args=(ref,), batch_format="pyarrow",
-        batch_size=65536, concurrency=(1, 4),
+        keep, batch_format="pyarrow", batch_size=65536
     )
 
 
@@ -3223,19 +3208,13 @@ def cust_no_orders(sf_dir: str):
     )
     ref = ray.put(okeys)
 
-    class Anti:
-        def __init__(self, r):
-            self.keys = ray.get(r) if isinstance(r, ray.ObjectRef) else r
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            m = np.isin(b["c_custkey"].to_numpy(zero_copy_only=False), self.keys)
-            return b.filter(pa.array(~m))
+    def anti(b: pa.Table, ref=ref) -> pa.Table:
+        keys = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        m = np.isin(b["c_custkey"].to_numpy(zero_copy_only=False), keys)
+        return b.filter(pa.array(~m))
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
-    return cust.map_batches(
-        Anti, fn_constructor_args=(ref,), batch_format="pyarrow",
-        batch_size=65536, concurrency=(1, 4),
-    )
+    return cust.map_batches(anti, batch_format="pyarrow", batch_size=65536)
 
 
 CUST_NO_ORDERS_SQL = """
