@@ -273,6 +273,47 @@ def tile_center(z: int, x: int, y: int) -> tuple[float, float] | None:
     return (lat, lon)
 
 
+def quadkey_decode(qk: str) -> tuple[float, float] | None:
+    """Bing-maps quadkey -> (lat, lon) of the tile center. Published scheme:
+    zoom = len(key); digit i carries bit (zoom-1-i) of x (low bit) and y
+    (high bit). Center via the slippy inverse above."""
+    z = len(qk)
+    if z < 1 or z > 23:
+        return None
+    x = y = 0
+    for i, c in enumerate(qk):
+        if c not in "0123":
+            return None
+        d = ord(c) - ord("0")
+        bit = 1 << (z - 1 - i)
+        if d & 1:
+            x |= bit
+        if d & 2:
+            y |= bit
+    return tile_center(z, x, y)
+
+
+def s2_token_decode(token: str) -> tuple[float, float] | None:
+    """S2 cell token (cell-id hex, trailing zeros stripped — the published
+    token form) -> (lat, lon) of the cell center via the repo's S2 math
+    (geo/s2.py, derived from the published S2 axes table)."""
+    if not token or len(token) > 16 or not re.fullmatch(r"[0-9a-f]+", token):
+        return None
+    cell = int(token.ljust(16, "0"), 16)
+    if cell == 0:
+        return None
+    import numpy as np
+
+    from core_ray.geo.s2 import MAX_LEVEL, cell_level, cell_to_center_lonlat
+
+    arr = np.array([cell], dtype=np.uint64)
+    lvl = int(cell_level(arr)[0])
+    if lvl < 0 or lvl > MAX_LEVEL or (cell >> 61) > 5:
+        return None  # malformed id: no level bit or face out of range
+    lon, lat = cell_to_center_lonlat(arr)
+    return (float(lat[0]), float(lon[0]))
+
+
 # ---------------- MGRS (military grid reference system) ----------------
 # From the published NGA grid scheme (the same public tables every MGRS
 # implementation encodes): 8-degree latitude bands C..X (I/O skipped, X

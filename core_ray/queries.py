@@ -1815,6 +1815,7 @@ _RULES_GEOIP = {"known.example.com": (10.0, 20.0)}
 _RULES_STATE = {
     "airports": {"SFO": (37.6213, -122.379)},
     "gazetteer": {"Paris": (48.8566, 2.3522)},
+    "zipcodes": {"94103": (37.7725, -122.4147)},
 }
 # (case, url_suffix, text, [(source, lat, lon), ...])  lat/lon pre-rounded 6
 _RULE_CASES = [
@@ -1850,9 +1851,32 @@ _RULE_CASES = [
     # counting policy: every mention = one row, document order
     ("mm", "/t", "geo:1.5,2.25 then 10.125, -20.375", [
         ("text-mention", 1.5, 2.25), ("text-mention", 10.125, -20.375)]),
+    # v3 rules (round-3 catalog growth to the reference's 22 definitions).
+    # GeoJSON / WKT literals are (lon, lat) axis order per RFC 7946 / OGC SF.
+    ("gj", "/u", 'loc "coordinates": [2.3522, 48.8566] end', [("geojson", 48.8566, 2.3522)]),
+    ("wkt", "/v", "geom POINT(151.2093 -33.8688) wkt", [("wkt-point", -33.8688, 151.2093)]),
+    ("icbm", "/w", "ICBM: 40.44, -79.99 tag", [("icbm", 40.44, -79.99)]),
+    ("gpos", "/x", "geo.position: 37.422;-122.084 meta", [("geo-position", 37.422, -122.084)]),
+    ("exif", "/y", "GPSLatitude: 35.6895 GPSLongitude: 139.6917 exif",
+     [("exif-gps", 35.6895, 139.6917)]),
+    # 48°51.396'N = 48 + 51.396/60 = 48.8566 exactly (decimal-minute arithmetic)
+    ("ddm", "/z", "fix 48°51.396'N 2°21.132'E mark", [("ddm", 48.8566, 2.3522)]),
+    ("osm", "/aa#map=12/48.8566/2.3522", "osm link page", [("osm-map", 48.8566, 2.3522)]),
+    # quadkey 120220011 = z9 tile (259, 176); center via the published slippy
+    # inverse: lon=(x+.5)/2^9*360-180, lat=atan(sinh(pi(1-2(y+.5)/2^9)))
+    ("qk", "/ab", "at quadkey:120220011 spot", [("quadkey", 48.69096, 2.460938)]),
+    # s2:47e66e1 = the level-12 cell covering central Paris; center from the
+    # published S2 cell math (geo/s2.py derivation, spec-tested in test_s2.py)
+    ("s2", "/ac", "cell s2:47e66e1 here", [("s2-token", 48.866051, 2.356516)]),
+    ("zip", "/ad", "around ZIP 94103 area", [("zip-centroid", 37.7725, -122.4147)]),
+    # v3 priority interplay: Specialized geojson beats E2E geohash; E2E
+    # quadkey beats Generic gazetteer
+    ("pg1", "/ae", 'has "coordinates": [2.0, 48.0] and geohash:ezs42',
+     [("geojson", 48.0, 2.0)]),
+    ("pg2", "/af", "at quadkey:120220011 in Paris", [("quadkey", 48.69096, 2.460938)]),
 ]
 _RULES_COPIES = 40  # rows per case — exercises batching across actors
-_RULES_GOLDEN_VERSION = 2  # v2: + mgrs rule cases
+_RULES_GOLDEN_VERSION = 3  # v3: catalog grown to 22 registered rules
 
 
 def _rules_pages() -> pa.Table:

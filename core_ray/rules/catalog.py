@@ -6,19 +6,32 @@ semantics, registered exactly like the built-ins:
 
 | rule          | priority    | signal                                        |
 |---------------|-------------|-----------------------------------------------|
+| ddm           | Specialized | degrees-decimal-minutes pair in text          |
+| exif-gps      | Specialized | 'GPSLatitude:/GPSLongitude:' EXIF-style labels|
+| geo-position  | Specialized | 'geo.position: lat;lon' meta-tag value        |
+| geojson       | Specialized | '"coordinates": [lon, lat]' GeoJSON fragment  |
+| icbm          | Specialized | 'ICBM: lat, lon' geotag meta value            |
 | iso6709       | Specialized | ISO 6709 degree string '+DD.D+DDD.D/' in text |
 | latlon-qs     | Specialized | 'lat=..&lon=..' URL query parameters          |
 | map-url       | Specialized | '@lat,lon' coordinates embedded in the URL    |
 | text-mention  | Specialized | built-in (geo URI / DMS / decimal pair)       |
+| wkt-point     | Specialized | 'POINT(lon lat)' WKT literal in text          |
 | geohash       | E2E         | 'geohash:<base32>' token in text              |
 | maidenhead    | E2E         | 'grid <locator>' ham-radio grid square        |
 | mgrs          | E2E         | 'MGRS <grid reference>' token in text         |
+| osm-map       | E2E         | '#map=z/lat/lon' URL fragment                 |
 | pluscode      | E2E         | full Open Location Code in text               |
+| quadkey       | E2E         | 'quadkey:<digits>' Bing tile key in text      |
+| s2-token      | E2E         | 's2:<hex>' S2 cell token in text              |
 | tile-url      | E2E         | '/tiles/z/x/y' slippy-map path in the URL     |
 | utm           | E2E         | 'UTM <zone><hemi> <easting> <northing>'       |
 | airport       | Generic     | '<IATA> Airport' vs broadcast airport table   |
 | gazetteer     | Generic     | 'in <City>' vs broadcast gazetteer table      |
 | host-geoip    | Generic     | built-in (URL host vs broadcast geo-IP table) |
+| zip-centroid  | Generic     | 'ZIP <5 digits>' vs broadcast zip table       |
+
+23 registered rules in ``full_registry()`` (21 catalog + 2 built-ins) —
+matching-and-exceeding the reference's 22 strategies/*/definition.go.
 
 Priorities encode signal strength exactly like the reference's constants
 (Specialized=explicit coordinates beat E2E=encoded coordinates beat
@@ -46,6 +59,8 @@ from core_ray.geo.codes import (
     maidenhead_decode,
     mgrs_decode,
     pluscode_decode,
+    quadkey_decode,
+    s2_token_decode,
     tile_center,
     utm_to_lonlat,
 )
@@ -71,6 +86,34 @@ _LATLON_QS_RE = re.compile(
 )
 _MAIDENHEAD_RE = re.compile(r"\bgrid\s+([A-R]{2}\d{2}(?:[a-xA-X]{2}(?:\d{2})?)?)\b")
 _TILE_URL_RE = re.compile(r"/tiles?/(\d{1,2})/(\d{1,7})/(\d{1,7})(?:\b|\.)")
+# GeoJSON Point fragment: [lon, lat] order per RFC 7946 §3.1.1
+_GEOJSON_RE = re.compile(
+    r'"coordinates"\s*:\s*\[\s*(-?\d{1,3}(?:\.\d+)?)\s*,\s*(-?\d{1,2}(?:\.\d+)?)\s*\]'
+)
+# WKT point literal: POINT(lon lat), axis order per the OGC simple-features spec
+_WKT_POINT_RE = re.compile(
+    r"\bPOINT\s*\(\s*(-?\d{1,3}(?:\.\d+)?)\s+(-?\d{1,2}(?:\.\d+)?)\s*\)"
+)
+# geotag meta values as they surface in extracted text (ICBM / geo.position)
+_ICBM_RE = re.compile(
+    r"\bICBM:\s*(-?\d{1,2}(?:\.\d+)?)\s*,\s*(-?\d{1,3}(?:\.\d+)?)\b"
+)
+_GEO_POSITION_RE = re.compile(
+    r"\bgeo\.position:\s*(-?\d{1,2}(?:\.\d+)?)\s*;\s*(-?\d{1,3}(?:\.\d+)?)\b"
+)
+# EXIF-style labeled pair; lat/lon labels matched independently, zipped in order
+_EXIF_LAT_RE = re.compile(r"\bGPSLatitude:\s*(-?\d{1,2}(?:\.\d+)?)\b")
+_EXIF_LON_RE = re.compile(r"\bGPSLongitude:\s*(-?\d{1,3}(?:\.\d+)?)\b")
+# degrees + DECIMAL minutes (the GPS-receiver display form); the mandatory
+# '.' in minutes keeps this disjoint from the built-in DMS matcher
+_DDM_RE = re.compile(
+    r"\b(\d{1,2})°(\d{1,2}\.\d+)'([NS])\s+(\d{1,3})°(\d{1,2}\.\d+)'([EW])"
+)
+# OpenStreetMap-style URL fragment '#map=zoom/lat/lon'
+_OSM_MAP_RE = re.compile(r"#map=(\d{1,2})/(-?\d{1,2}\.\d+)/(-?\d{1,3}\.\d+)\b")
+_QUADKEY_RE = re.compile(r"\bquadkey:([0-3]{1,23})\b")
+_S2_TOKEN_RE = re.compile(r"\bs2:([0-9a-f]{1,16})\b")
+_ZIP_RE = re.compile(r"\bZIP\s+(\d{5})\b")
 
 _LAT_OK = lambda la: -90.0 <= la <= 90.0  # noqa: E731
 _LON_OK = lambda lo: -180.0 <= lo <= 180.0  # noqa: E731
@@ -216,7 +259,113 @@ def _match_tile_url(urls, texts, state):
     return out
 
 
+def _pair_rule(regex, lat_group, lon_group, over="text"):
+    """Factory for plain (lat, lon) float-pair matchers: findall, parse the
+    two named groups, range-validate. Scans ``urls`` or ``texts``."""
+
+    def match(urls, texts, state):
+        rows = urls if over == "url" else texts
+        out = []
+        for r in rows:
+            coords = []
+            for m in regex.finditer(r):
+                la, lo = float(m.group(lat_group)), float(m.group(lon_group))
+                if _LAT_OK(la) and _LON_OK(lo):
+                    coords.append((la, lo))
+            out.append(coords or None)
+        return out
+
+    return match
+
+
+def _match_exif_gps(urls, texts, state):
+    out = []
+    for t in texts:
+        las = [float(m.group(1)) for m in _EXIF_LAT_RE.finditer(t)]
+        los = [float(m.group(1)) for m in _EXIF_LON_RE.finditer(t)]
+        coords = [
+            (la, lo) for la, lo in zip(las, los) if _LAT_OK(la) and _LON_OK(lo)
+        ]
+        out.append(coords or None)
+    return out
+
+
+def _match_ddm(urls, texts, state):
+    out = []
+    for t in texts:
+        coords = []
+        for m in _DDM_RE.finditer(t):
+            la = int(m.group(1)) + float(m.group(2)) / 60.0
+            lo = int(m.group(4)) + float(m.group(5)) / 60.0
+            if m.group(3) == "S":
+                la = -la
+            if m.group(6) == "W":
+                lo = -lo
+            if _LAT_OK(la) and _LON_OK(lo):
+                coords.append((la, lo))
+        out.append(coords or None)
+    return out
+
+
+def _match_osm_map(urls, texts, state):
+    out = []
+    for u in urls:
+        coords = [
+            (float(m.group(2)), float(m.group(3)))
+            for m in _OSM_MAP_RE.finditer(u)
+        ]
+        coords = [(la, lo) for la, lo in coords if _LAT_OK(la) and _LON_OK(lo)]
+        out.append(coords or None)
+    return out
+
+
+def _decode_rule(regex, decode, over="text"):
+    """Factory for single-capture decoder matchers (quadkey, s2 token)."""
+
+    def match(urls, texts, state):
+        rows = urls if over == "url" else texts
+        out = []
+        for r in rows:
+            coords = []
+            for m in regex.finditer(r):
+                dec = decode(m.group(1))
+                if dec is not None:
+                    coords.append(dec)
+            out.append(coords or None)
+        return out
+
+    return match
+
+
+def _match_zip(urls, texts, state):
+    table = state.get("zipcodes")
+    if not table:
+        return [None] * len(texts)
+    out = []
+    for t in texts:
+        coords = []
+        for m in _ZIP_RE.finditer(t):
+            hit = table.get(m.group(1))
+            if hit is not None:
+                coords.append(hit)
+        out.append(coords or None)
+    return out
+
+
 CATALOG_RULES = [
+    DerivationRule("ddm", PRIORITY_SPECIALIZED, _match_ddm),
+    DerivationRule("exif-gps", PRIORITY_SPECIALIZED, _match_exif_gps),
+    DerivationRule(
+        "geo-position", PRIORITY_SPECIALIZED, _pair_rule(_GEO_POSITION_RE, 1, 2)
+    ),
+    # GeoJSON / WKT carry (lon, lat) axis order — groups swapped here
+    DerivationRule("geojson", PRIORITY_SPECIALIZED, _pair_rule(_GEOJSON_RE, 2, 1)),
+    DerivationRule("icbm", PRIORITY_SPECIALIZED, _pair_rule(_ICBM_RE, 1, 2)),
+    DerivationRule("wkt-point", PRIORITY_SPECIALIZED, _pair_rule(_WKT_POINT_RE, 2, 1)),
+    DerivationRule("osm-map", PRIORITY_E2E, _match_osm_map),
+    DerivationRule("quadkey", PRIORITY_E2E, _decode_rule(_QUADKEY_RE, quadkey_decode)),
+    DerivationRule("s2-token", PRIORITY_E2E, _decode_rule(_S2_TOKEN_RE, s2_token_decode)),
+    DerivationRule("zip-centroid", PRIORITY_GENERIC, _match_zip),
     DerivationRule("iso6709", PRIORITY_SPECIALIZED, _match_iso6709),
     DerivationRule("latlon-qs", PRIORITY_SPECIALIZED, _match_latlon_qs),
     DerivationRule("map-url", PRIORITY_SPECIALIZED, _match_map_url),

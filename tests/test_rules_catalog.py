@@ -13,6 +13,8 @@ from core_ray.geo.codes import (
     geohash_encode,
     lonlat_to_utm,
     pluscode_decode,
+    quadkey_decode,
+    s2_token_decode,
     utm_to_lonlat,
 )
 from core_ray.rules import CATALOG_RULES, full_registry
@@ -128,6 +130,7 @@ GEOIP = {"known.example.com": (10.0, 20.0)}
 STATE = {
     "airports": {"SFO": (37.6213, -122.3790)},
     "gazetteer": {"Paris": (48.8566, 2.3522), "New York": (40.7128, -74.0060)},
+    "zipcodes": {"94103": (37.7725, -122.4147)},
 }
 
 
@@ -153,11 +156,17 @@ def _run(rows):
 def test_catalog_rule_names_and_priorities():
     names = [r.name for r in full_registry().candidates("en")]
     assert names == [
-        "iso6709", "latlon-qs", "map-url", "text-mention",  # Specialized, name-asc
-        "geohash", "maidenhead", "mgrs", "pluscode", "tile-url", "utm",  # E2E
-        "airport", "gazetteer", "host-geoip",  # Generic
+        # Specialized, name-ascending
+        "ddm", "exif-gps", "geo-position", "geojson", "icbm", "iso6709",
+        "latlon-qs", "map-url", "text-mention", "wkt-point",
+        # E2E
+        "geohash", "maidenhead", "mgrs", "osm-map", "pluscode", "quadkey",
+        "s2-token", "tile-url", "utm",
+        # Generic
+        "airport", "gazetteer", "host-geoip", "zip-centroid",
     ]
-    assert len(CATALOG_RULES) == 11
+    # 22 registered rules = the reference's 22 strategy definitions
+    assert len(names) == 23 and len(CATALOG_RULES) == 21
 
 
 def test_iso6709_latlon_qs_maidenhead_tile_rules():
@@ -226,6 +235,100 @@ def test_catalog_without_side_tables_falls_through():
         }
     )
     assert g(b)["derivation_source"].to_pylist() == ["host-geoip"]
+
+
+# ---------------- v3 rules (catalog growth to 22+ definitions) ----------------
+
+
+def test_quadkey_decode_known_value():
+    # z9 tile (259, 176): published Bing interleaving, slippy center inverse
+    lat, lon = quadkey_decode("120220011")
+    assert lat == pytest.approx(48.69096, abs=1e-5)
+    assert lon == pytest.approx(2.460938, abs=1e-5)
+    assert quadkey_decode("") is None
+    assert quadkey_decode("4201") is None  # digit out of the 0-3 alphabet
+    assert quadkey_decode("0" * 24) is None  # beyond max zoom
+
+
+def test_s2_token_decode_roundtrip():
+    from core_ray.geo.s2 import lonlat_to_cell
+
+    cell = int(lonlat_to_cell(np.array([2.3522]), np.array([48.8566]), 12)[0])
+    token = format(cell, "016x").rstrip("0")
+    lat, lon = s2_token_decode(token)
+    # level-12 cell covering central Paris: center within the ~3 km cell
+    assert lat == pytest.approx(48.8566, abs=0.05)
+    assert lon == pytest.approx(2.3522, abs=0.05)
+    assert s2_token_decode("") is None
+    assert s2_token_decode("zz") is None
+    assert s2_token_decode("0") is None
+    assert s2_token_decode("f" * 17) is None
+
+
+def test_geojson_wkt_axis_order():
+    out = _run(
+        [
+            ("https://x.com/1", 'obj "coordinates": [2.3522, 48.8566] tail', "en"),
+            ("https://x.com/2", "geom POINT(151.2093 -33.8688) literal", "en"),
+        ]
+    )
+    # both carry (lon, lat) on the wire; the rules must swap to (lat, lon)
+    assert out[0] == ("geojson", pytest.approx(48.8566), pytest.approx(2.3522))
+    assert out[1] == ("wkt-point", pytest.approx(-33.8688), pytest.approx(151.2093))
+
+
+def test_meta_geotag_rules():
+    out = _run(
+        [
+            ("https://x.com/1", "ICBM: 40.44, -79.99 in head", "en"),
+            ("https://x.com/2", "geo.position: 37.422;-122.084 in head", "en"),
+            ("https://x.com/3", "GPSLatitude: 35.6895 GPSLongitude: 139.6917", "en"),
+        ]
+    )
+    assert [o[0] for o in out] == ["icbm", "geo-position", "exif-gps"]
+    assert out[0][1] == pytest.approx(40.44)
+    assert out[1][2] == pytest.approx(-122.084)
+    assert out[2][1] == pytest.approx(35.6895)
+
+
+def test_ddm_rule_and_dms_disjointness():
+    out = _run(
+        [
+            ("https://x.com/1", "fix 48°51.396'N 2°21.132'E logged", "en"),
+            # DMS (seconds form) must still go to the built-in text-mention
+            ("https://x.com/2", "at 12°30'0\"N 45°15'0\"E mark", "en"),
+        ]
+    )
+    assert out[0] == ("ddm", pytest.approx(48.8566), pytest.approx(2.3522))
+    assert out[1][0] == "text-mention"
+
+
+def test_osm_map_quadkey_s2_zip_rules():
+    out = _run(
+        [
+            ("https://osm.example.com/x#map=12/48.8566/2.3522", "osm page", "en"),
+            ("https://x.com/2", "at quadkey:120220011 spot", "en"),
+            ("https://x.com/3", "cell s2:47e66e1 here", "en"),
+            ("https://x.com/4", "around ZIP 94103 area", "en"),
+        ]
+    )
+    assert [o[0] for o in out] == ["osm-map", "quadkey", "s2-token", "zip-centroid"]
+    assert out[0][1] == pytest.approx(48.8566)
+    assert out[3][1] == pytest.approx(37.7725)
+
+
+def test_v3_priority_interplay():
+    out = _run(
+        [
+            # Specialized geojson claims the row before text-mention sees the
+            # bare decimal pair AND before E2E geohash
+            ("https://x.com/1", 'x "coordinates": [2.3522, 48.8566] geohash:ezs42', "en"),
+            # E2E quadkey beats Generic gazetteer
+            ("https://x.com/2", "at quadkey:120220011 in Paris", "en"),
+        ]
+    )
+    assert out[0][0] == "geojson" and out[0][1] == pytest.approx(48.8566)
+    assert out[1][0] == "quadkey"
 
 
 def test_full_catalog_through_flagship(ray_session, tmp_path):
