@@ -6206,6 +6206,436 @@ GROUP BY 1 ORDER BY numsole DESC, s_name LIMIT 20
 """
 
 
+# --- corpus-curation operators (round 3d): contamination / novelty / PII ---
+
+
+def _word_ngrams(texts: list[str], n: int) -> tuple[np.ndarray, np.ndarray]:
+    """All word-level n-grams (space-joined, split(' ') to mirror DuckDB's
+    string_split) across ``texts``, fully vectorized: one flat word array,
+    gram strings built by n-1 chained np.char.add calls over shifted views
+    — no per-gram Python. Returns (row_idx int64, grams unicode) where
+    row_idx indexes into ``texts``; rows with < n words contribute nothing."""
+    words_per = [t.split(" ") for t in texts]
+    counts = np.fromiter((len(w) for w in words_per), np.int64, len(words_per))
+    flat = np.asarray([w for ws in words_per for w in ws])
+    if len(flat) == 0:
+        return np.empty(0, np.int64), np.empty(0, dtype="U1")
+    ends = np.cumsum(counts)
+    row_of = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+    pos = np.arange(len(flat), dtype=np.int64)
+    valid = pos + (n - 1) < ends[row_of]  # gram must not cross a row boundary
+    starts = pos[valid]
+    grams = flat[starts]
+    for k in range(1, n):
+        grams = np.char.add(np.char.add(grams, " "), flat[starts + k])
+    return row_of[valid], grams
+
+
+_CONTAM_MOD = 97  # benchmark set = docs with doc_id % 97 == 0 (first 8-gram)
+_CONTAM_N = 8
+
+
+def doc_contamination(sf_dir: str):
+    """Benchmark-contamination check (the decontamination operator every
+    published LLM data pipeline runs): a small 'benchmark' set of 8-gram
+    probes — here the first 8 words of every (doc_id %% 97 == 0) document —
+    is broadcast, and each document reports how many DISTINCT probes its
+    word-8-gram set contains. Scale shape: the probe side is tiny by
+    construction (broadcast once via the closure), the corpus side is one
+    map_batches with vectorized gram construction + np.isin — grams are
+    never shuffled. Word-level gram equality (not raw substring search) on
+    both sides, so the oracle joins on identical gram strings."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def probe_grams(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ids % _CONTAM_MOD == 0
+        texts = [t for t, k in zip(b["text"].to_pylist(), keep) if k]
+        out = []
+        for t in texts:
+            w = t.split(" ")
+            if len(w) >= _CONTAM_N:
+                out.append(" ".join(w[:_CONTAM_N]))
+        return pa.table({"gram": pa.array(out, pa.string())})
+
+    bench = np.unique(
+        np.asarray(
+            _collect_table(
+                ds.map_batches(probe_grams, batch_format="pyarrow")
+            )["gram"].to_pylist()
+        )
+    )
+
+    def scan(b: pa.Table) -> pa.Table:
+        ridx, grams = _word_ngrams(b["text"].to_pylist(), _CONTAM_N)
+        hit = np.isin(grams, bench)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        if not hit.any():
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "n_hits": pa.array([], pa.int64())}
+            )
+        # COUNT(DISTINCT gram) per doc: dedupe (row, gram) hit pairs
+        pairs = np.unique(
+            np.stack([ridx[hit], np.searchsorted(bench, grams[hit])], axis=1),
+            axis=0,
+        )
+        rows, n_hits = np.unique(pairs[:, 0], return_counts=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[rows], pa.int64()),
+                "n_hits": pa.array(n_hits.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(scan, batch_format="pyarrow", batch_size=4096)
+
+
+DOC_CONTAMINATION_SQL = f"""
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+bench AS (
+  SELECT DISTINCT l[1] || ' ' || l[2] || ' ' || l[3] || ' ' || l[4] || ' ' ||
+                  l[5] || ' ' || l[6] || ' ' || l[7] || ' ' || l[8] AS gram
+  FROM ws WHERE doc_id % {_CONTAM_MOD} = 0 AND len(l) >= {_CONTAM_N}),
+grams AS (
+  SELECT doc_id,
+         UNNEST(list_transform(generate_series(1, len(l) - {_CONTAM_N - 1}),
+                i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]
+                     || ' ' || l[i+4] || ' ' || l[i+5] || ' ' || l[i+6]
+                     || ' ' || l[i+7])) AS gram
+  FROM ws)
+SELECT g.doc_id, CAST(COUNT(DISTINCT g.gram) AS BIGINT) AS n_hits
+FROM grams g JOIN bench b USING (gram) GROUP BY 1
+"""
+
+
+def doc_ngram_novelty(sf_dir: str, n: int = 3):
+    """Per-document n-gram novelty: the fraction of a document's word
+    3-grams that occur exactly once in the WHOLE corpus (a dedup-adjacent
+    curation signal — low novelty means templated/duplicated text). Two
+    corpus passes, both combiner-first: (1) exact global gram counts — per
+    batch np.unique partials, hash-partitioned by gram string so each
+    partition's sums are global (the vocab-count shape); (2) per-doc gram
+    rows hash-joined to those counts (stages/join.py — fully distributed,
+    no broadcast: the singleton-gram set is O(corpus) at real scale), then
+    per-doc fractions via a partitioned reduceat. No stage materializes
+    the gram table on the driver."""
+    from core_ray.stages.agg import _GOLD, _n_parts, hash_strings
+    from core_ray.stages.join import hash_join
+
+    n_parts = _n_parts()
+
+    def gram_counts(b: pa.Table) -> pa.Table:
+        _, grams = _word_ngrams(b["text"].to_pylist(), n)
+        u, c = np.unique(grams, return_counts=True)
+        h = hash_strings(pa.array(u, pa.string()))
+        part = ((h * _GOLD) % np.uint64(n_parts)).astype(np.int32)
+        return pa.table(
+            {
+                "gram": pa.array(u, pa.string()),
+                "n": pa.array(c.astype(np.int64), pa.int64()),
+                "__part": pa.array(part, pa.int32()),
+            }
+        )
+
+    def reduce_counts(g: pa.Table) -> pa.Table:
+        grams = np.asarray(g["gram"].to_pylist())
+        cnts = g["n"].to_numpy(zero_copy_only=False)
+        order = np.argsort(grams, kind="stable")
+        gs, cs = grams[order], cnts[order]
+        new = np.ones(len(gs), dtype=bool)
+        new[1:] = gs[1:] != gs[:-1]
+        starts = np.nonzero(new)[0]
+        return pa.table(
+            {
+                "gram": pa.array(gs[starts], pa.string()),
+                "cnt": pa.array(np.add.reduceat(cs, starts).astype(np.int64), pa.int64()),
+            }
+        )
+
+    counts = (
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(gram_counts, batch_format="pyarrow", batch_size=4096)
+        .groupby("__part")
+        .map_groups(reduce_counts, batch_format="pyarrow")
+    )
+
+    def doc_grams(b: pa.Table) -> pa.Table:
+        ridx, grams = _word_ngrams(b["text"].to_pylist(), n)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[ridx], pa.int64()),
+                "gram": pa.array(grams, pa.string()),
+            }
+        )
+
+    grams_ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        doc_grams, batch_format="pyarrow", batch_size=4096
+    )
+    joined = hash_join(grams_ds, counts, on="gram")
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        novel = (b["cnt"].to_numpy(zero_copy_only=False) == 1).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids, novel = ids[order], novel[order]
+        new = np.ones(len(ids), dtype=bool)
+        new[1:] = ids[1:] != ids[:-1]
+        starts = np.nonzero(new)[0]
+        u = ids[starts]
+        part = ((u.astype(np.uint64) * _GOLD) % np.uint64(n_parts)).astype(np.int32)
+        return pa.table(
+            {
+                "doc_id": pa.array(u, pa.int64()),
+                "n_part": pa.array(
+                    np.add.reduceat(np.ones(len(ids), np.int64), starts), pa.int64()
+                ),
+                "novel_part": pa.array(np.add.reduceat(novel, starts), pa.int64()),
+                "__part": pa.array(part, pa.int32()),
+            }
+        )
+
+    def finish(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        nn = g["n_part"].to_numpy(zero_copy_only=False)
+        nv = g["novel_part"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids, nn, nv = ids[order], nn[order], nv[order]
+        new = np.ones(len(ids), dtype=bool)
+        new[1:] = ids[1:] != ids[:-1]
+        starts = np.nonzero(new)[0]
+        tot = np.add.reduceat(nn, starts)
+        nov = np.add.reduceat(nv, starts)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[starts], pa.int64()),
+                "n_grams": pa.array(tot.astype(np.int64), pa.int64()),
+                "novel_frac": pa.array(
+                    sql_round_np(nov.astype(np.float64) / tot.astype(np.float64), 6),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("__part")
+        .map_groups(finish, batch_format="pyarrow")
+    )
+
+
+DOC_NGRAM_NOVELTY_SQL = """
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+g AS (
+  SELECT doc_id,
+         UNNEST(list_transform(generate_series(1, len(l) - 2),
+                i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS gram
+  FROM ws),
+c AS (SELECT gram, COUNT(*) AS cnt FROM g GROUP BY 1)
+SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       ROUND(CAST(SUM(CASE WHEN c.cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS novel_frac
+FROM g JOIN c USING (gram) GROUP BY 1
+"""
+
+
+# PII scrubbing runs on an engineered corpus with PLANTED identifiers (the
+# synthetic documents table contains none); the oracle is NOT a golden — it
+# is DuckDB independently re-running the same two RE2 regexes over the same
+# parquet, so redaction semantics are double-implemented and hash-compared.
+_PII_VERSION = 1
+_PII_N = 240
+_PII_EMAIL_PAT = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE_PAT = r"\+?\d{1,3}[ -]\d{3}[ -]\d{4}"
+
+
+def _pii_dir() -> str:
+    return f"/tmp/core_ray_pii_v{_PII_VERSION}"
+
+
+def _ensure_pii_corpus() -> None:
+    root = _pii_dir()
+    marker = os.path.join(root, ".complete")
+    if os.path.exists(marker):
+        return
+    import pyarrow.parquet as pq
+
+    filler = [
+        "please reach out about the order",
+        "support hours are nine to five",
+        "the meeting moved to thursday",
+        "no contact details in this row at all",
+    ]
+    ids, texts = [], []
+    for i in range(_PII_N):
+        parts = [filler[i % len(filler)]]
+        if i % 3 != 2:  # two thirds carry an email
+            parts.append(f"mail user{i}.dev@example{i % 7}.org today")
+        if i % 4 != 3:  # three quarters carry a phone
+            parts.append(f"call +{1 + i % 89} 555-{1000 + i} now")
+        if i % 12 == 0:  # some rows carry a second email
+            parts.append(f"cc backup_{i}@mail{i % 5}.example.net too")
+        ids.append(i)
+        texts.append(" ".join(parts))
+    t = pa.table(
+        {"pii_id": pa.array(ids, pa.int64()), "text": pa.array(texts, pa.string())}
+    )
+    os.makedirs(root, exist_ok=True)
+    pq.write_table(t, f"{root}/pii.parquet")
+    with open(marker, "w") as f:
+        f.write("ok")
+
+
+def doc_pii_scrub(sf_dir: str):
+    """PII redaction (the scrubbing pass every published LLM corpus
+    pipeline runs before training): emails then phone numbers are replaced
+    with typed placeholders, and per-row match counts are reported from the
+    ORIGINAL text. Pure vectorized Arrow kernels (count_substring_regex /
+    replace_substring_regex — RE2, the same engine DuckDB's regexp_* use,
+    so the oracle re-derives the result independently), one map_batches, no
+    shuffle; documents are row-local at any scale."""
+    import ray.data
+
+    _ensure_pii_corpus()
+    ds = ray.data.read_parquet(f"{_pii_dir()}/pii.parquet")
+
+    def scrub(b: pa.Table) -> pa.Table:
+        text = b["text"]
+        n_em = pc.count_substring_regex(text, _PII_EMAIL_PAT)
+        n_ph = pc.count_substring_regex(text, _PII_PHONE_PAT)
+        clean = pc.replace_substring_regex(
+            pc.replace_substring_regex(text, _PII_EMAIL_PAT, "<EMAIL>"),
+            _PII_PHONE_PAT,
+            "<PHONE>",
+        )
+        return pa.table(
+            {
+                "pii_id": b["pii_id"],
+                "n_emails": pc.cast(n_em, pa.int64()),
+                "n_phones": pc.cast(n_ph, pa.int64()),
+                "clean_text": clean,
+            }
+        )
+
+    return ds.map_batches(scrub, batch_format="pyarrow", batch_size=4096)
+
+
+DOC_PII_SCRUB_SQL = f"""
+SELECT pii_id,
+       CAST(len(regexp_extract_all(text, '{_PII_EMAIL_PAT}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PII_PHONE_PAT}')) AS BIGINT) AS n_phones,
+       regexp_replace(regexp_replace(text, '{_PII_EMAIL_PAT}', '<EMAIL>', 'g'),
+                      '{_PII_PHONE_PAT}', '<PHONE>', 'g') AS clean_text
+FROM read_parquet('{{pii_dir}}/pii.parquet')
+""".replace("{pii_dir}", _pii_dir())
+
+
+_DOMAIN_PAT = r"^https?://(?:[A-Za-z0-9-]+\.)*?([A-Za-z0-9-]+\.[A-Za-z0-9-]+)(?::\d+)?/"
+
+
+def pages_domain_stats(sf_dir: str):
+    """Per-registered-domain crawl rollup over the pages corpus (the
+    domain-level curation view: crawl budget, dedup and quality decisions
+    are made per domain at Common-Crawl scale): registered domain = last
+    two host labels, extracted by ONE RE2 regex shared verbatim with the
+    oracle. Combiner-first: per batch the (domain, lang) partials collapse
+    via np.unique, then one hash-partition shuffle carries only the tiny
+    partial rows, and a reduceat finish computes exact page counts, total
+    text chars and distinct-lang counts per domain."""
+    from core_ray.stages.agg import _GOLD, _n_parts, hash_strings
+
+    _pages_corpus(sf_dir)  # ensure the corpus parquet exists at this sf
+    import ray.data
+
+    n = _PAGES_N_BY_SF.get(_sf_of(sf_dir), 2000)
+    ds = ray.data.read_parquet(
+        f"/tmp/core_ray_pages_v{_PAGES_GEN_VERSION}_{n}/pages",
+        columns=["url", "text", "lang"],
+    )
+    n_parts = _n_parts()
+
+    # pc.extract_regex needs a NAMED group; the oracle uses the same pattern
+    # with the plain group (DuckDB regexp_extract is index-addressed)
+    named_pat = _DOMAIN_PAT.replace("([A-Za-z", "(?P<d>[A-Za-z", 1)
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.extract_regex(b["url"], named_pat)
+        dom = np.asarray(pc.struct_field(m, "d").to_pylist())
+        langs = np.asarray(b["lang"].to_pylist())
+        chars = pc.utf8_length(b["text"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = np.char.add(np.char.add(dom, "|"), langs)
+        order = np.argsort(keys, kind="stable")
+        ks, ch = keys[order], chars[order]
+        new = np.ones(len(ks), dtype=bool)
+        new[1:] = ks[1:] != ks[:-1]
+        starts = np.nonzero(new)[0]
+        uk = ks[starts]
+        n_pages = np.add.reduceat(np.ones(len(ks), np.int64), starts)
+        tot_chars = np.add.reduceat(ch, starts)
+        ud = np.asarray([k.split("|")[0] for k in uk])
+        ul = np.asarray([k.split("|")[1] for k in uk])
+        h = hash_strings(pa.array(ud, pa.string()))
+        part = ((h * _GOLD) % np.uint64(n_parts)).astype(np.int32)
+        return pa.table(
+            {
+                "domain": pa.array(ud, pa.string()),
+                "lang": pa.array(ul, pa.string()),
+                "n_pages": pa.array(n_pages, pa.int64()),
+                "total_chars": pa.array(tot_chars, pa.int64()),
+                "__part": pa.array(part, pa.int32()),
+            }
+        )
+
+    def finish(g: pa.Table) -> pa.Table:
+        dom = np.asarray(g["domain"].to_pylist())
+        lang = np.asarray(g["lang"].to_pylist())
+        np_pages = g["n_pages"].to_numpy(zero_copy_only=False)
+        tc = g["total_chars"].to_numpy(zero_copy_only=False)
+        keys = np.char.add(np.char.add(dom, "|"), lang)
+        order = np.argsort(keys, kind="stable")
+        keys, dom, lang = keys[order], dom[order], lang[order]
+        np_pages, tc = np_pages[order], tc[order]
+        new = np.ones(len(keys), dtype=bool)
+        new[1:] = keys[1:] != keys[:-1]
+        starts = np.nonzero(new)[0]
+        # collapse to (domain, lang) totals, then roll up per domain
+        d2, n2 = dom[starts], np.add.reduceat(np_pages, starts)
+        c2 = np.add.reduceat(tc, starts)
+        order2 = np.argsort(d2, kind="stable")
+        d2, n2, c2 = d2[order2], n2[order2], c2[order2]
+        new2 = np.ones(len(d2), dtype=bool)
+        new2[1:] = d2[1:] != d2[:-1]
+        s2 = np.nonzero(new2)[0]
+        return pa.table(
+            {
+                "domain": pa.array(d2[s2], pa.string()),
+                "n_pages": pa.array(np.add.reduceat(n2, s2).astype(np.int64), pa.int64()),
+                "n_langs": pa.array(
+                    np.add.reduceat(np.ones(len(d2), np.int64), s2), pa.int64()
+                ),
+                "total_chars": pa.array(np.add.reduceat(c2, s2).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("__part")
+        .map_groups(finish, batch_format="pyarrow")
+    )
+
+
+PAGES_DOMAIN_STATS_SQL = f"""
+WITH p AS (
+  SELECT regexp_extract(url, '{_DOMAIN_PAT}', 1) AS domain, lang,
+         CAST(length(text) AS BIGINT) AS chars
+  FROM read_parquet('{_PAGES_CORPUS_GLOB}'))
+SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_pages,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(SUM(chars) AS BIGINT) AS total_chars
+FROM p GROUP BY 1
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -6303,6 +6733,10 @@ QUERIES = {
     "geo_pip_triangles": geo_pip_triangles,
     "pages_local_hour": pages_local_hour,
     "events_value_mad": events_value_mad,
+    "doc_contamination": doc_contamination,
+    "doc_ngram_novelty": doc_ngram_novelty,
+    "doc_pii_scrub": doc_pii_scrub,
+    "pages_domain_stats": pages_domain_stats,
 }
 
 ORACLE_SQL = {
@@ -6405,4 +6839,8 @@ ORACLE_SQL = {
     "geo_pip_triangles": GEO_PIP_TRIANGLES_SQL,
     "pages_local_hour": PAGES_LOCAL_HOUR_SQL,
     "events_value_mad": EVENTS_VALUE_MAD_SQL,
+    "doc_contamination": DOC_CONTAMINATION_SQL,
+    "doc_ngram_novelty": DOC_NGRAM_NOVELTY_SQL,
+    "doc_pii_scrub": DOC_PII_SCRUB_SQL,
+    "pages_domain_stats": PAGES_DOMAIN_STATS_SQL,
 }

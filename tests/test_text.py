@@ -274,3 +274,32 @@ class TestVerifyJoined:
         key = lambda r: (r["id_a"], r["id_b"], r["jaccard"])
         assert sorted(map(key, bd)) == sorted(map(key, jn))
         assert len(bd) > 0
+
+
+class TestWordNgrams:
+    """_word_ngrams: the vectorized gram builder under contamination/novelty."""
+
+    def test_grams_match_python_reference(self):
+        from core_ray.queries import _word_ngrams
+
+        texts = ["a b c d", "x y", "", "p q r"]
+        ridx, grams = _word_ngrams(texts, 3)
+        ref = []
+        for i, t in enumerate(texts):
+            w = t.split(" ")
+            ref += [(i, " ".join(w[j : j + 3])) for j in range(len(w) - 2)]
+        assert list(zip(ridx.tolist(), grams.tolist())) == ref
+
+    def test_no_cross_row_grams(self):
+        from core_ray.queries import _word_ngrams
+
+        # last word of row 0 + first of row 1 must never form a gram
+        ridx, grams = _word_ngrams(["a b", "c d"], 2)
+        assert grams.tolist() == ["a b", "c d"]
+        assert ridx.tolist() == [0, 1]
+
+    def test_all_rows_too_short(self):
+        from core_ray.queries import _word_ngrams
+
+        ridx, grams = _word_ngrams(["a", "b"], 8)
+        assert len(ridx) == 0 and len(grams) == 0
