@@ -72,6 +72,10 @@ BENCH_QUERIES = [
     "events_interval_agg",
     "geo_focal_mean",
     "doc_quality_buckets",
+    # round-3d additions
+    "doc_contamination",
+    "doc_ngram_novelty",
+    "pages_domain_stats",
 ]
 
 

@@ -6308,17 +6308,20 @@ FROM grams g JOIN bench b USING (gram) GROUP BY 1
 """
 
 
-def doc_ngram_novelty(sf_dir: str, n: int = 3):
+def doc_ngram_novelty(sf_dir: str, n: int = 3, broadcast_max: int = 2_000_000):
     """Per-document n-gram novelty: the fraction of a document's word
     3-grams that occur exactly once in the WHOLE corpus (a dedup-adjacent
-    curation signal — low novelty means templated/duplicated text). Two
-    corpus passes, both combiner-first: (1) exact global gram counts — per
-    batch np.unique partials, hash-partitioned by gram string so each
-    partition's sums are global (the vocab-count shape); (2) per-doc gram
-    rows hash-joined to those counts (stages/join.py — fully distributed,
-    no broadcast: the singleton-gram set is O(corpus) at real scale), then
-    per-doc fractions via a partitioned reduceat. No stage materializes
-    the gram table on the driver."""
+    curation signal — low novelty means templated/duplicated text). Pass 1
+    is combiner-first exact global gram counts — per-batch np.unique
+    partials, hash-partitioned by gram string so each partition's sums are
+    global (the vocab-count shape). Pass 2 is ADAPTIVE (the same guard
+    pattern as the minhash verify join): when the singleton-gram set fits
+    ``broadcast_max`` it is broadcast once and each document scores inside
+    ONE map_batches (documents are row-local, so no join and no per-doc
+    shuffle exist at all); above the guard, per-doc gram rows hash-join to
+    the counts (stages/join.py — fully distributed, the singleton set is
+    O(corpus) at real scale) and a partitioned reduceat finishes. Both
+    paths are exact and value-identical (unit-tested)."""
     from core_ray.stages.agg import _GOLD, _n_parts, hash_strings
     from core_ray.stages.join import hash_join
 
@@ -6357,7 +6360,48 @@ def doc_ngram_novelty(sf_dir: str, n: int = 3):
         .map_batches(gram_counts, batch_format="pyarrow", batch_size=4096)
         .groupby("__part")
         .map_groups(reduce_counts, batch_format="pyarrow")
-    )
+    ).materialize()  # O(distinct grams), reused by whichever pass-2 path wins
+
+    singles = counts.filter(expr="cnt == 1")
+    n_singles = singles.count()
+    if n_singles <= broadcast_max:
+        import ray
+
+        bench = np.sort(
+            np.asarray(_collect_table(singles.select_columns(["gram"]))["gram"].to_pylist())
+        )
+        ref = ray.put(bench)
+
+        def score(b: pa.Table) -> pa.Table:
+            singleton = ray.get(ref)  # zero-copy plasma read, cached per worker
+            ridx, grams = _word_ngrams(b["text"].to_pylist(), n)
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            if len(ridx) == 0:
+                return pa.table(
+                    {
+                        "doc_id": pa.array([], pa.int64()),
+                        "n_grams": pa.array([], pa.int64()),
+                        "novel_frac": pa.array([], pa.float64()),
+                    }
+                )
+            novel = np.isin(grams, singleton).astype(np.int64)
+            rows, starts = np.unique(ridx, return_index=True)  # ridx is sorted
+            tot = np.diff(np.append(starts, len(ridx)))
+            nov = np.add.reduceat(novel, starts)
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids[rows], pa.int64()),
+                    "n_grams": pa.array(tot.astype(np.int64), pa.int64()),
+                    "novel_frac": pa.array(
+                        sql_round_np(nov.astype(np.float64) / tot.astype(np.float64), 6),
+                        pa.float64(),
+                    ),
+                }
+            )
+
+        return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            score, batch_format="pyarrow", batch_size=4096
+        )
 
     def doc_grams(b: pa.Table) -> pa.Table:
         ridx, grams = _word_ngrams(b["text"].to_pylist(), n)

@@ -49,3 +49,22 @@ def test_entry_contract(ray_session):
     s = e.oracle_sql()
     assert set(s) <= set(q), "oracle_sql keys must be a subset of queries"
     assert len(q) >= 20
+
+
+def test_ngram_novelty_paths_agree(ray_session):
+    """Broadcast and distributed-join pass-2 paths must be value-identical."""
+    from core_ray.queries import doc_ngram_novelty
+
+    a = (
+        doc_ngram_novelty(SF_DIR)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        doc_ngram_novelty(SF_DIR, broadcast_max=0)  # force the join path
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
