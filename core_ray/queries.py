@@ -6680,6 +6680,196 @@ FROM p GROUP BY 1
 """
 
 
+# --- fuzzy string-match join (FastSS deletion-variant candidates) ----------
+# Engineered word table (planted typos), like the PII corpus: the synthetic
+# documents vocabulary is too small to exercise edit-distance joins.
+_TYPO_VERSION = 1
+_TYPO_BASE = 600
+
+
+def _typo_dir() -> str:
+    return f"/tmp/core_ray_typos_v{_TYPO_VERSION}"
+
+
+def _ensure_typo_corpus() -> None:
+    root = _typo_dir()
+    marker = os.path.join(root, ".complete")
+    if os.path.exists(marker):
+        return
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(1234)
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    ids, words = [], []
+    for i in range(_TYPO_BASE):
+        ln = int(rng.integers(5, 10))
+        w = "".join(letters[rng.integers(0, 26, ln)])
+        ids.append(2 * i)
+        words.append(w)
+        if i % 2 == 0:  # half the base words get one planted typo variant
+            kind = i % 3
+            pos = int(rng.integers(0, len(w)))
+            if kind == 0:  # deletion
+                v = w[:pos] + w[pos + 1 :]
+            elif kind == 1:  # substitution
+                v = w[:pos] + str(letters[(ord(w[pos]) - 97 + 1) % 26]) + w[pos + 1 :]
+            else:  # insertion
+                v = w[:pos] + str(letters[rng.integers(0, 26)]) + w[pos:]
+            ids.append(2 * i + 1)
+            words.append(v)
+    t = pa.table(
+        {"typo_id": pa.array(ids, pa.int64()), "word": pa.array(words, pa.string())}
+    )
+    os.makedirs(root, exist_ok=True)
+    pq.write_table(t, f"{root}/typos.parquet")
+    with open(marker, "w") as f:
+        f.write("ok")
+
+
+def _lev_le1(a: str, b: str) -> bool:
+    """Exact levenshtein(a, b) <= 1 (verify kernel for FastSS candidates)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) <= 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # b is a by one insertion? single skip allowed
+    i = j = 0
+    skipped = False
+    while i < la and j < lb:
+        if a[i] == b[j]:
+            i += 1
+            j += 1
+        elif skipped:
+            return False
+        else:
+            skipped = True
+            j += 1
+    return True
+
+
+def doc_typo_pairs(sf_dir: str):
+    """Fuzzy string-match self-join: all word pairs within edit distance 1,
+    via the published FastSS deletion-variant technique — each word emits
+    its |w|+1 single-deletion variants (itself included); two words within
+    distance 1 ALWAYS share a variant, so candidates come from ONE
+    hash-partition shuffle on the variant string (no all-pairs anywhere),
+    then an exact O(len) verify kernel filters the false positives the
+    variant collision admits (e.g. 'ab'/'ba'). Pairs found through several
+    shared variants dedupe per partition by a packed (id_a, id_b) u64.
+    Oracle: DuckDB's built-in levenshtein over the engineered word table —
+    an independent O(n²) re-derivation of the same pair set."""
+    import ray.data
+
+    from core_ray.stages.agg import _GOLD, _n_parts, hash_strings
+
+    _ensure_typo_corpus()
+    ds = ray.data.read_parquet(f"{_typo_dir()}/typos.parquet")
+    n_parts = _n_parts()
+
+    def variants(b: pa.Table) -> pa.Table:
+        ids = b["typo_id"].to_numpy(zero_copy_only=False)
+        words = b["word"].to_pylist()
+        v_ids, v_words, v_vars = [], [], []
+        for i, w in zip(ids, words):
+            for p in range(len(w) + 1):
+                v = w if p == len(w) else w[:p] + w[p + 1 :]
+                v_ids.append(i)
+                v_words.append(w)
+                v_vars.append(v)
+        h = hash_strings(pa.array(v_vars, pa.string()))
+        part = ((h * _GOLD) % np.uint64(n_parts)).astype(np.int32)
+        return pa.table(
+            {
+                "typo_id": pa.array(v_ids, pa.int64()),
+                "word": pa.array(v_words, pa.string()),
+                "variant": pa.array(v_vars, pa.string()),
+                "__part": pa.array(part, pa.int32()),
+            }
+        )
+
+    def pairs(g: pa.Table) -> pa.Table:
+        ids = g["typo_id"].to_numpy(zero_copy_only=False)
+        words = np.asarray(g["word"].to_pylist(), dtype=object)
+        var = np.asarray(g["variant"].to_pylist())
+        order = np.argsort(var, kind="stable")
+        ids, words, var = ids[order], words[order], var[order]
+        new = np.ones(len(var), dtype=bool)
+        new[1:] = var[1:] != var[:-1]
+        starts = np.nonzero(new)[0]
+        ends = np.append(starts[1:], len(var))
+        out_a, out_b, wa, wb = [], [], [], []
+        seen = set()
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            seg_ids, seg_words = ids[s:e], words[s:e]
+            iu, ju = np.triu_indices(e - s, k=1)
+            for i, j in zip(iu, ju):
+                a, b = int(seg_ids[i]), int(seg_ids[j])
+                if a == b:
+                    continue  # same word via two of its own variants
+                if a > b:
+                    a, b = b, a
+                    i, j = j, i
+                key = (a << 32) | b
+                if key in seen:
+                    continue
+                seen.add(key)
+                if _lev_le1(seg_words[i], seg_words[j]):
+                    out_a.append(a)
+                    out_b.append(b)
+                    wa.append(seg_words[i])
+                    wb.append(seg_words[j])
+        return pa.table(
+            {
+                "id_a": pa.array(out_a, pa.int64()),
+                "id_b": pa.array(out_b, pa.int64()),
+                "word_a": pa.array(wa, pa.string()),
+                "word_b": pa.array(wb, pa.string()),
+            }
+        )
+
+    cand = (
+        ds.map_batches(variants, batch_format="pyarrow", batch_size=4096)
+        .groupby("__part")
+        .map_groups(pairs, batch_format="pyarrow")
+    )
+
+    # cross-partition dedupe: the same pair can surface in DIFFERENT
+    # partitions (different shared variants); one tiny distinct pass on the
+    # packed pair key
+    def tag(b: pa.Table) -> pa.Table:
+        a = b["id_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bb = b["id_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        key = (a << np.uint64(32)) | bb
+        part = ((key * _GOLD) % np.uint64(n_parts)).astype(np.int32)
+        return b.append_column("__part", pa.array(part, pa.int32()))
+
+    def uniq(g: pa.Table) -> pa.Table:
+        a = g["id_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bb = g["id_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        key = (a << np.uint64(32)) | bb
+        _, first = np.unique(key, return_index=True)
+        return g.select(["id_a", "id_b", "word_a", "word_b"]).take(
+            pa.array(np.sort(first))
+        )
+
+    return cand.map_batches(tag, batch_format="pyarrow").groupby("__part").map_groups(
+        uniq, batch_format="pyarrow"
+    )
+
+
+DOC_TYPO_PAIRS_SQL = f"""
+SELECT a.typo_id AS id_a, b.typo_id AS id_b, a.word AS word_a, b.word AS word_b
+FROM read_parquet('{_typo_dir()}/typos.parquet') a
+JOIN read_parquet('{_typo_dir()}/typos.parquet') b
+  ON a.typo_id < b.typo_id AND levenshtein(a.word, b.word) <= 1
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -6781,6 +6971,7 @@ QUERIES = {
     "doc_ngram_novelty": doc_ngram_novelty,
     "doc_pii_scrub": doc_pii_scrub,
     "pages_domain_stats": pages_domain_stats,
+    "doc_typo_pairs": doc_typo_pairs,
 }
 
 ORACLE_SQL = {
@@ -6887,4 +7078,5 @@ ORACLE_SQL = {
     "doc_ngram_novelty": DOC_NGRAM_NOVELTY_SQL,
     "doc_pii_scrub": DOC_PII_SCRUB_SQL,
     "pages_domain_stats": PAGES_DOMAIN_STATS_SQL,
+    "doc_typo_pairs": DOC_TYPO_PAIRS_SQL,
 }

@@ -303,3 +303,35 @@ class TestWordNgrams:
 
         ridx, grams = _word_ngrams(["a", "b"], 8)
         assert len(ridx) == 0 and len(grams) == 0
+
+
+class TestLevLe1:
+    """_lev_le1 verify kernel under doc_typo_pairs (FastSS candidates)."""
+
+    def test_against_bruteforce(self):
+        import itertools
+
+        from core_ray.queries import _lev_le1
+
+        def lev(a, b):
+            if len(a) < len(b):
+                a, b = b, a
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+                prev = cur
+            return prev[-1]
+
+        words = ["", "a", "ab", "ba", "abc", "abd", "acb", "abcd", "bbcd",
+                 "aabb", "abab", "xyz", "xxyz", "xyzz", "yz"]
+        for a, b in itertools.product(words, repeat=2):
+            assert _lev_le1(a, b) == (lev(a, b) <= 1), (a, b)
+
+    def test_false_positive_candidates_filtered(self):
+        # 'ab'/'ba' share deletion variant 'a' (and 'b') but lev = 2
+        from core_ray.queries import _lev_le1
+
+        assert not _lev_le1("ab", "ba")
+        assert not _lev_le1("abcde", "edcba")
