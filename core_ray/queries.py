@@ -6870,6 +6870,81 @@ JOIN read_parquet('{_typo_dir()}/typos.parquet') b
 """
 
 
+def emb_triangles(sf_dir: str):
+    """Distributed triangle counting over the embedding near-dup graph (the
+    node-iterator algorithm): edges (a < b) hash-partition by their SMALLER
+    endpoint; each partition emits wedges (u, v) from every node's
+    greater-neighbor list — so each triangle is generated exactly once, at
+    its smallest vertex — and wedges close into triangles via the
+    distributed hash join against the edge set on a packed (u, v) u64 key.
+    Wedge explosion is O(sum deg²); at corpus scale the standard hatches
+    are degree-capping the hub nodes or edge-sampling (documented, not
+    needed at these densities). Triangle density here measures how clique-
+    like near-dup clusters are — a dedup-quality diagnostic."""
+    from core_ray.stages.agg import _GOLD, _n_parts
+    from core_ray.stages.join import hash_join
+
+    n_parts = _n_parts()
+    # materialized once: both the wedge pass and the closing join consume it
+    edges = (
+        emb_near_dup_pairs(sf_dir).select_columns(["vec_id_a", "vec_id_b"]).materialize()
+    )
+
+    def pack(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        return (a.astype(np.uint64) << np.uint64(32)) | b.astype(np.uint64)
+
+    def tag(b: pa.Table) -> pa.Table:
+        a = b["vec_id_a"].to_numpy(zero_copy_only=False)
+        part = ((a.astype(np.uint64) * _GOLD) % np.uint64(n_parts)).astype(np.int32)
+        return b.append_column("__part", pa.array(part, pa.int32()))
+
+    def wedges(g: pa.Table) -> pa.Table:
+        a = g["vec_id_a"].to_numpy(zero_copy_only=False)
+        bb = g["vec_id_b"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((bb, a))
+        a, bb = a[order], bb[order]
+        new = np.ones(len(a), dtype=bool)
+        new[1:] = a[1:] != a[:-1]
+        starts = np.nonzero(new)[0]
+        ends = np.append(starts[1:], len(a))
+        out = []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            nb = bb[s:e]  # sorted greater-neighbors of one node
+            iu, ju = np.triu_indices(e - s, k=1)
+            out.append(pack(nb[iu], nb[ju]))
+        keys = np.concatenate(out) if out else np.zeros(0, dtype=np.uint64)
+        return pa.table({"wkey": pa.array(keys, pa.uint64())})
+
+    wedge_ds = (
+        edges.map_batches(tag, batch_format="pyarrow", batch_size=65536)
+        .groupby("__part")
+        .map_groups(wedges, batch_format="pyarrow")
+    )
+
+    def edge_keys(b: pa.Table) -> pa.Table:
+        a = b["vec_id_a"].to_numpy(zero_copy_only=False)
+        bb = b["vec_id_b"].to_numpy(zero_copy_only=False)
+        return pa.table({"wkey": pa.array(pack(a, bb), pa.uint64())})
+
+    ekey_ds = edges.map_batches(edge_keys, batch_format="pyarrow")
+    sch = pa.schema([("wkey", pa.uint64())])
+    closed = hash_join(
+        wedge_ds, ekey_ds, on="wkey", left_schema=sch, right_schema=sch
+    )
+    return pa.table({"n_triangles": pa.array([closed.count()], pa.int64())})
+
+
+EMB_TRIANGLES_SQL = f"""
+WITH e AS ({EMB_NEAR_DUP_SQL})
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM e e1
+JOIN e e2 ON e2.vec_id_a = e1.vec_id_a AND e2.vec_id_b > e1.vec_id_b
+JOIN e e3 ON e3.vec_id_a = e1.vec_id_b AND e3.vec_id_b = e2.vec_id_b
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -6972,6 +7047,7 @@ QUERIES = {
     "doc_pii_scrub": doc_pii_scrub,
     "pages_domain_stats": pages_domain_stats,
     "doc_typo_pairs": doc_typo_pairs,
+    "emb_triangles": emb_triangles,
 }
 
 ORACLE_SQL = {
@@ -7079,4 +7155,5 @@ ORACLE_SQL = {
     "doc_pii_scrub": DOC_PII_SCRUB_SQL,
     "pages_domain_stats": PAGES_DOMAIN_STATS_SQL,
     "doc_typo_pairs": DOC_TYPO_PAIRS_SQL,
+    "emb_triangles": EMB_TRIANGLES_SQL,
 }
