@@ -306,10 +306,15 @@ def s2_token_decode(token: str) -> tuple[float, float] | None:
 
     from core_ray.geo.s2 import MAX_LEVEL, cell_level, cell_to_center_lonlat
 
+    # validity per the published CellId.is_valid: face in 0..5 and the
+    # trailing sentinel bit at an EVEN position (0x1555... = bits 0,2,..,60)
+    lsb = cell & (~cell + 1)
+    if (cell >> 61) > 5 or not (lsb & 0x1555555555555555):
+        return None
     arr = np.array([cell], dtype=np.uint64)
     lvl = int(cell_level(arr)[0])
-    if lvl < 0 or lvl > MAX_LEVEL or (cell >> 61) > 5:
-        return None  # malformed id: no level bit or face out of range
+    if lvl < 0 or lvl > MAX_LEVEL:
+        return None
     lon, lat = cell_to_center_lonlat(arr)
     return (float(lat[0]), float(lon[0]))
 

@@ -1876,7 +1876,7 @@ _RULE_CASES = [
     ("pg2", "/af", "at quadkey:120220011 in Paris", [("quadkey", 48.69096, 2.460938)]),
 ]
 _RULES_COPIES = 40  # rows per case — exercises batching across actors
-_RULES_GOLDEN_VERSION = 3  # v3: catalog grown to 22 registered rules
+_RULES_GOLDEN_VERSION = 3  # v3: catalog grown to 23 registered rules
 
 
 def _rules_pages() -> pa.Table:
@@ -6250,7 +6250,9 @@ def doc_contamination(sf_dir: str):
     def probe_grams(b: pa.Table) -> pa.Table:
         ids = b["doc_id"].to_numpy(zero_copy_only=False)
         keep = ids % _CONTAM_MOD == 0
-        texts = [t for t, k in zip(b["text"].to_pylist(), keep) if k]
+        # Arrow-filter FIRST: only the ~1/97 probe rows' text bytes ever
+        # become Python strings
+        texts = b.filter(pa.array(keep))["text"].to_pylist()
         out = []
         for t in texts:
             w = t.split(" ")
@@ -6322,7 +6324,12 @@ def doc_ngram_novelty(sf_dir: str, n: int = 3, broadcast_max: int = 2_000_000):
     the counts (stages/join.py — fully distributed, the singleton set is
     O(corpus) at real scale) and a partitioned reduceat finishes. Both
     paths are exact and value-identical (unit-tested)."""
-    from core_ray.stages.agg import _GOLD, _n_parts, hash_strings
+    from core_ray.stages.agg import (
+        _GOLD,
+        _n_parts,
+        hash_strings,
+        map_groups_partitioned,
+    )
     from core_ray.stages.join import hash_join
 
     n_parts = _n_parts()
@@ -6426,16 +6433,13 @@ def doc_ngram_novelty(sf_dir: str, n: int = 3, broadcast_max: int = 2_000_000):
         new = np.ones(len(ids), dtype=bool)
         new[1:] = ids[1:] != ids[:-1]
         starts = np.nonzero(new)[0]
-        u = ids[starts]
-        part = ((u.astype(np.uint64) * _GOLD) % np.uint64(n_parts)).astype(np.int32)
         return pa.table(
             {
-                "doc_id": pa.array(u, pa.int64()),
+                "doc_id": pa.array(ids[starts], pa.int64()),
                 "n_part": pa.array(
                     np.add.reduceat(np.ones(len(ids), np.int64), starts), pa.int64()
                 ),
                 "novel_part": pa.array(np.add.reduceat(novel, starts), pa.int64()),
-                "__part": pa.array(part, pa.int32()),
             }
         )
 
@@ -6461,10 +6465,10 @@ def doc_ngram_novelty(sf_dir: str, n: int = 3, broadcast_max: int = 2_000_000):
             }
         )
 
-    return (
-        joined.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-        .groupby("__part")
-        .map_groups(finish, batch_format="pyarrow")
+    return map_groups_partitioned(
+        joined.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        "doc_id",
+        finish,
     )
 
 
@@ -6604,7 +6608,10 @@ def pages_domain_stats(sf_dir: str):
 
     def partial(b: pa.Table) -> pa.Table:
         m = pc.extract_regex(b["url"], named_pat)
-        dom = np.asarray(pc.struct_field(m, "d").to_pylist())
+        # non-matching urls -> '' exactly like the oracle's regexp_extract
+        dom = np.asarray(
+            [d if d is not None else "" for d in pc.struct_field(m, "d").to_pylist()]
+        )
         langs = np.asarray(b["lang"].to_pylist())
         chars = pc.utf8_length(b["text"]).to_numpy(zero_copy_only=False).astype(np.int64)
         keys = np.char.add(np.char.add(dom, "|"), langs)
@@ -6839,26 +6846,23 @@ def doc_typo_pairs(sf_dir: str):
     )
 
     # cross-partition dedupe: the same pair can surface in DIFFERENT
-    # partitions (different shared variants); one tiny distinct pass on the
-    # packed pair key
-    def tag(b: pa.Table) -> pa.Table:
+    # partitions (different shared variants); one tiny distinct pass
+    # co-locating rows by the packed pair key
+    from core_ray.stages.agg import map_groups_partitioned
+
+    def add_key(b: pa.Table) -> pa.Table:
         a = b["id_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
         bb = b["id_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        key = (a << np.uint64(32)) | bb
-        part = ((key * _GOLD) % np.uint64(n_parts)).astype(np.int32)
-        return b.append_column("__part", pa.array(part, pa.int32()))
+        return b.append_column("pkey", pa.array((a << np.uint64(32)) | bb, pa.uint64()))
 
     def uniq(g: pa.Table) -> pa.Table:
-        a = g["id_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        bb = g["id_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        key = (a << np.uint64(32)) | bb
-        _, first = np.unique(key, return_index=True)
+        _, first = np.unique(g["pkey"].to_numpy(zero_copy_only=False), return_index=True)
         return g.select(["id_a", "id_b", "word_a", "word_b"]).take(
             pa.array(np.sort(first))
         )
 
-    return cand.map_batches(tag, batch_format="pyarrow").groupby("__part").map_groups(
-        uniq, batch_format="pyarrow"
+    return map_groups_partitioned(
+        cand.map_batches(add_key, batch_format="pyarrow"), "pkey", uniq
     )
 
 
@@ -6881,10 +6885,9 @@ def emb_triangles(sf_dir: str):
     are degree-capping the hub nodes or edge-sampling (documented, not
     needed at these densities). Triangle density here measures how clique-
     like near-dup clusters are — a dedup-quality diagnostic."""
-    from core_ray.stages.agg import _GOLD, _n_parts
+    from core_ray.stages.agg import map_groups_partitioned
     from core_ray.stages.join import hash_join
 
-    n_parts = _n_parts()
     # materialized once: both the wedge pass and the closing join consume it
     edges = (
         emb_near_dup_pairs(sf_dir).select_columns(["vec_id_a", "vec_id_b"]).materialize()
@@ -6892,11 +6895,6 @@ def emb_triangles(sf_dir: str):
 
     def pack(a: np.ndarray, b: np.ndarray) -> np.ndarray:
         return (a.astype(np.uint64) << np.uint64(32)) | b.astype(np.uint64)
-
-    def tag(b: pa.Table) -> pa.Table:
-        a = b["vec_id_a"].to_numpy(zero_copy_only=False)
-        part = ((a.astype(np.uint64) * _GOLD) % np.uint64(n_parts)).astype(np.int32)
-        return b.append_column("__part", pa.array(part, pa.int32()))
 
     def wedges(g: pa.Table) -> pa.Table:
         a = g["vec_id_a"].to_numpy(zero_copy_only=False)
@@ -6917,11 +6915,7 @@ def emb_triangles(sf_dir: str):
         keys = np.concatenate(out) if out else np.zeros(0, dtype=np.uint64)
         return pa.table({"wkey": pa.array(keys, pa.uint64())})
 
-    wedge_ds = (
-        edges.map_batches(tag, batch_format="pyarrow", batch_size=65536)
-        .groupby("__part")
-        .map_groups(wedges, batch_format="pyarrow")
-    )
+    wedge_ds = map_groups_partitioned(edges, "vec_id_a", wedges)
 
     def edge_keys(b: pa.Table) -> pa.Table:
         a = b["vec_id_a"].to_numpy(zero_copy_only=False)

@@ -101,9 +101,11 @@ _ICBM_RE = re.compile(
 _GEO_POSITION_RE = re.compile(
     r"\bgeo\.position:\s*(-?\d{1,2}(?:\.\d+)?)\s*;\s*(-?\d{1,3}(?:\.\d+)?)\b"
 )
-# EXIF-style labeled pair; lat/lon labels matched independently, zipped in order
-_EXIF_LAT_RE = re.compile(r"\bGPSLatitude:\s*(-?\d{1,2}(?:\.\d+)?)\b")
-_EXIF_LON_RE = re.compile(r"\bGPSLongitude:\s*(-?\d{1,3}(?:\.\d+)?)\b")
+# EXIF-style ADJACENT label pair (one regex, so an unpaired GPSLatitude can
+# never mispair with a later photo block's GPSLongitude)
+_EXIF_RE = re.compile(
+    r"\bGPSLatitude:\s*(-?\d{1,2}(?:\.\d+)?)\s+GPSLongitude:\s*(-?\d{1,3}(?:\.\d+)?)\b"
+)
 # degrees + DECIMAL minutes (the GPS-receiver display form); the mandatory
 # '.' in minutes keeps this disjoint from the built-in DMS matcher
 _DDM_RE = re.compile(
@@ -278,23 +280,13 @@ def _pair_rule(regex, lat_group, lon_group, over="text"):
     return match
 
 
-def _match_exif_gps(urls, texts, state):
-    out = []
-    for t in texts:
-        las = [float(m.group(1)) for m in _EXIF_LAT_RE.finditer(t)]
-        los = [float(m.group(1)) for m in _EXIF_LON_RE.finditer(t)]
-        coords = [
-            (la, lo) for la, lo in zip(las, los) if _LAT_OK(la) and _LON_OK(lo)
-        ]
-        out.append(coords or None)
-    return out
-
-
 def _match_ddm(urls, texts, state):
     out = []
     for t in texts:
         coords = []
         for m in _DDM_RE.finditer(t):
+            if float(m.group(2)) >= 60.0 or float(m.group(5)) >= 60.0:
+                continue  # minutes must be < 60 in well-formed DDM
             la = int(m.group(1)) + float(m.group(2)) / 60.0
             lo = int(m.group(4)) + float(m.group(5)) / 60.0
             if m.group(3) == "S":
@@ -354,7 +346,7 @@ def _match_zip(urls, texts, state):
 
 CATALOG_RULES = [
     DerivationRule("ddm", PRIORITY_SPECIALIZED, _match_ddm),
-    DerivationRule("exif-gps", PRIORITY_SPECIALIZED, _match_exif_gps),
+    DerivationRule("exif-gps", PRIORITY_SPECIALIZED, _pair_rule(_EXIF_RE, 1, 2)),
     DerivationRule(
         "geo-position", PRIORITY_SPECIALIZED, _pair_rule(_GEO_POSITION_RE, 1, 2)
     ),

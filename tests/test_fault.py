@@ -22,9 +22,11 @@ def test_map_task_crash_is_retried_and_output_exact(ray_session, tmp_path):
     t = pa.table({"x": pa.array(range(n), pa.int64())})
 
     def flaky_double(b: pa.Table) -> pa.Table:
-        if os.path.exists(marker):
-            os.unlink(marker)
+        try:
+            os.unlink(marker)  # exactly one concurrent task wins the unlink
             os._exit(1)  # hard worker death, not a Python exception
+        except FileNotFoundError:
+            pass
         return b.set_column(0, "x", pc.multiply(b["x"], 2))
 
     ds = ray.data.from_arrow(t).repartition(8)
@@ -52,9 +54,11 @@ def test_actor_pool_worker_death_recovers(ray_session, tmp_path):
             self.offset = 7  # per-actor state built in __init__
 
         def __call__(self, b: pa.Table) -> pa.Table:
-            if os.path.exists(marker):
-                os.unlink(marker)
+            try:
+                os.unlink(marker)  # exactly one concurrent call wins
                 os._exit(1)
+            except FileNotFoundError:
+                pass
             return b.set_column(0, "x", pc.add(b["x"], self.offset))
 
     ds = ray.data.from_arrow(t).repartition(8)

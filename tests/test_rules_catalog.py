@@ -165,7 +165,7 @@ def test_catalog_rule_names_and_priorities():
         # Generic
         "airport", "gazetteer", "host-geoip", "zip-centroid",
     ]
-    # 22 registered rules = the reference's 22 strategy definitions
+    # 23 registered rules (21 catalog + 2 built-ins) vs the reference's 22 definitions
     assert len(names) == 23 and len(CATALOG_RULES) == 21
 
 
