@@ -6939,6 +6939,162 @@ JOIN e e3 ON e3.vec_id_a = e1.vec_id_b AND e3.vec_id_b = e2.vec_id_b
 """
 
 
+# --- iterative PageRank over the near-dup graph (golden-diff oracle) -------
+# SQL cannot express fixed-point iteration with aggregation (recursive CTEs
+# forbid GROUP BY in the recursive term), so — exactly like the sketch/ANN
+# queries — the oracle is an INDEPENDENT single-process re-derivation
+# (plain numpy O(n²) pair scan + dict adjacency + Python loop iteration)
+# materialized as parquet. Both sides round ranks to 12 dp per iteration
+# (resetting float-order drift far below the final 6-dp rounding granule).
+_PAGERANK_ITERS = 10
+_PAGERANK_D = 0.85
+_PAGERANK_SF = 0.01
+_PAGERANK_VERSION = 1
+
+
+def _pagerank_dir() -> str:
+    return f"/tmp/core_ray_pagerank_v{_PAGERANK_VERSION}"
+
+
+def _ensure_pagerank_golden(sf_dir: str) -> None:
+    if _sf_of(sf_dir) != _PAGERANK_SF:
+        return
+    root = _pagerank_dir()
+    marker = os.path.join(root, ".complete")
+    if os.path.exists(marker):
+        return
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ids = np.asarray(emb["vec_id"].to_pylist(), dtype=np.int64)
+    x = np.array(emb["embedding"].to_pylist(), dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+    sims = sql_round_np(x @ x.T, 6)
+    iu, ju = np.nonzero(np.triu(sims >= 0.35, k=1))
+    adj: dict[int, list[int]] = {}
+    for a, b in zip(ids[iu], ids[ju]):
+        adj.setdefault(int(a), []).append(int(b))
+        adj.setdefault(int(b), []).append(int(a))
+    nodes = sorted(adj)
+    n = len(nodes)
+    rank = {m: 1.0 / n for m in nodes}
+    for _ in range(_PAGERANK_ITERS):
+        rank = {
+            m: round(
+                (1.0 - _PAGERANK_D) / n
+                + _PAGERANK_D * sum(rank[nb] / len(adj[nb]) for nb in adj[m]),
+                12,
+            )
+            for m in nodes
+        }
+    t = pa.table(
+        {
+            "vec_id": pa.array(nodes, pa.int64()),
+            "rank": pa.array(
+                [float(sql_round_np(rank[m], 6)) for m in nodes], pa.float64()
+            ),
+        }
+    )
+    os.makedirs(root, exist_ok=True)
+    pq.write_table(t, f"{root}/pagerank.parquet")
+    with open(marker, "w") as f:
+        f.write("ok")
+
+
+def emb_pagerank(sf_dir: str):
+    """Iterative distributed PageRank (damping 0.85, 10 synchronous
+    iterations) over the undirected near-dup graph — the iterative-dataflow
+    class beyond connected components. Shape: the edge table stays
+    DISTRIBUTED and materialized once; each iteration is one map_batches
+    pass that joins the broadcast rank vector against its edge batch (rank
+    and degree lookups are vectorized np.searchsorted against the sorted
+    node array) and emits per-batch partial dst sums; the driver merges
+    the O(nodes) partials and re-broadcasts. The rank vector is bounded by
+    the PAIRED-node count (tiny next to the corpus, same bound as the
+    dedup keep list); for web-graph scale the documented path shards the
+    rank vector and replaces the broadcast with the hash join."""
+    import ray
+
+    _ensure_pagerank_golden(sf_dir)
+
+    edges = (
+        emb_near_dup_pairs(sf_dir).select_columns(["vec_id_a", "vec_id_b"]).materialize()
+    )
+
+    def expand(b: pa.Table) -> pa.Table:
+        a = b["vec_id_a"].to_numpy(zero_copy_only=False)
+        bb = b["vec_id_b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, bb]), pa.int64()),
+                "dst": pa.array(np.concatenate([bb, a]), pa.int64()),
+            }
+        )
+
+    und = edges.map_batches(expand, batch_format="pyarrow").materialize()
+
+    # node + degree table: tiny by construction -> driver-side arrays
+    def deg_partial(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        u, c = np.unique(s, return_counts=True)
+        return pa.table(
+            {"node": pa.array(u, pa.int64()), "c": pa.array(c.astype(np.int64), pa.int64())}
+        )
+
+    dp = _collect_table(und.map_batches(deg_partial, batch_format="pyarrow"))
+    nodes_u, inv = np.unique(dp["node"].to_numpy(zero_copy_only=False), return_inverse=True)
+    deg = np.bincount(inv, weights=dp["c"].to_numpy(zero_copy_only=False)).astype(
+        np.float64
+    )
+    n = len(nodes_u)
+    if n == 0:
+        return pa.table(
+            {"vec_id": pa.array([], pa.int64()), "rank": pa.array([], pa.float64())}
+        )
+    rank = np.full(n, 1.0 / n)
+
+    for _ in range(_PAGERANK_ITERS):
+        state = ray.put((nodes_u, rank / deg))
+
+        def contrib(b: pa.Table, state=state) -> pa.Table:
+            nd, share = ray.get(state)
+            s = b["src"].to_numpy(zero_copy_only=False)
+            dst = b["dst"].to_numpy(zero_copy_only=False)
+            vals = share[np.searchsorted(nd, s)]
+            order = np.argsort(dst, kind="stable")
+            dsts, vs = dst[order], vals[order]
+            new = np.ones(len(dsts), dtype=bool)
+            new[1:] = dsts[1:] != dsts[:-1]
+            starts = np.nonzero(new)[0]
+            return pa.table(
+                {
+                    "dst": pa.array(dsts[starts], pa.int64()),
+                    "s": pa.array(np.add.reduceat(vs, starts), pa.float64()),
+                }
+            )
+
+        part = _collect_table(und.map_batches(contrib, batch_format="pyarrow"))
+        sums = np.zeros(n)
+        np.add.at(
+            sums,
+            np.searchsorted(nodes_u, part["dst"].to_numpy(zero_copy_only=False)),
+            part["s"].to_numpy(zero_copy_only=False),
+        )
+        rank = np.round((1.0 - _PAGERANK_D) / n + _PAGERANK_D * sums, 12)
+
+    return pa.table(
+        {
+            "vec_id": pa.array(nodes_u, pa.int64()),
+            "rank": pa.array(sql_round_np(rank, 6), pa.float64()),
+        }
+    )
+
+
+EMB_PAGERANK_SQL = (
+    f"SELECT * FROM read_parquet('{_pagerank_dir()}/pagerank.parquet')"
+)
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -7042,6 +7198,7 @@ QUERIES = {
     "pages_domain_stats": pages_domain_stats,
     "doc_typo_pairs": doc_typo_pairs,
     "emb_triangles": emb_triangles,
+    "emb_pagerank": emb_pagerank,
 }
 
 ORACLE_SQL = {
@@ -7150,4 +7307,5 @@ ORACLE_SQL = {
     "pages_domain_stats": PAGES_DOMAIN_STATS_SQL,
     "doc_typo_pairs": DOC_TYPO_PAIRS_SQL,
     "emb_triangles": EMB_TRIANGLES_SQL,
+    "emb_pagerank": EMB_PAGERANK_SQL,
 }

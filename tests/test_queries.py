@@ -22,6 +22,7 @@ _GOLDEN_PINNED = (
     "doc_simhash_pairs",
     "emb_ann_lsh",
     "emb_ann_ivf",
+    "emb_pagerank",
 )
 
 ORACLE_NAMES = sorted(ORACLE_SQL)
