@@ -7095,6 +7095,89 @@ EMB_PAGERANK_SQL = (
 )
 
 
+_DAY_US = 86_400_000_000
+
+
+def events_retention(sf_dir: str):
+    """Day-over-day cohort retention (the analytics class behind every
+    retention matrix): for each day d, how many users were active on BOTH d
+    and d+1. One shuffle total: per-batch (user, day) dedupe combiner, hash
+    partition by user (each user's full day set co-locates), per-partition
+    vectorized consecutive-day detection on the sorted distinct pairs, then
+    a tiny per-day rollup. Day = integer epoch-day on both sides (the
+    events_hourly convention — no date-type parity risk)."""
+    from core_ray.stages.agg import map_groups_partitioned
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        day = pc.divide(pc.cast(b["ts"], pa.int64()), _DAY_US).to_numpy(
+            zero_copy_only=False
+        )
+        key = np.unique((u.astype(np.uint64) << np.uint64(20)) | day.astype(np.uint64))
+        return pa.table(
+            {
+                "user_id": pa.array((key >> np.uint64(20)).astype(np.int64), pa.int64()),
+                "day": pa.array(
+                    (key & np.uint64((1 << 20) - 1)).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def retained(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        day = g["day"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((day, u))
+        u, day = u[order], day[order]
+        keep = np.ones(len(u), dtype=bool)  # cross-batch distinct per partition
+        keep[1:] = (u[1:] != u[:-1]) | (day[1:] != day[:-1])
+        u, day = u[keep], day[keep]
+        hit = (u[1:] == u[:-1]) & (day[1:] == day[:-1] + 1)
+        d0 = day[:-1][hit]
+        ud, c = np.unique(d0, return_counts=True)
+        return pa.table(
+            {
+                "day": pa.array(ud, pa.int64()),
+                "retained_part": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = map_groups_partitioned(
+        ds.map_batches(pairs, batch_format="pyarrow", batch_size=65536),
+        "user_id",
+        retained,
+    )
+
+    def finish(g: pa.Table) -> pa.Table:
+        day = g["day"].to_numpy(zero_copy_only=False)
+        c = g["retained_part"].to_numpy(zero_copy_only=False)
+        order = np.argsort(day, kind="stable")
+        day, c = day[order], c[order]
+        new = np.ones(len(day), dtype=bool)
+        new[1:] = day[1:] != day[:-1]
+        starts = np.nonzero(new)[0]
+        return pa.table(
+            {
+                "day": pa.array(day[starts], pa.int64()),
+                "retained": pa.array(
+                    np.add.reduceat(c, starts).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return map_groups_partitioned(parts, "day", finish)
+
+
+EVENTS_RETENTION_SQL = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {_DAY_US} AS day FROM events)
+SELECT a.day, CAST(COUNT(*) AS BIGINT) AS retained
+FROM ud a JOIN ud b ON b.user_id = a.user_id AND b.day = a.day + 1
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -7199,6 +7282,7 @@ QUERIES = {
     "doc_typo_pairs": doc_typo_pairs,
     "emb_triangles": emb_triangles,
     "emb_pagerank": emb_pagerank,
+    "events_retention": events_retention,
 }
 
 ORACLE_SQL = {
@@ -7308,4 +7392,5 @@ ORACLE_SQL = {
     "doc_typo_pairs": DOC_TYPO_PAIRS_SQL,
     "emb_triangles": EMB_TRIANGLES_SQL,
     "emb_pagerank": EMB_PAGERANK_SQL,
+    "events_retention": EVENTS_RETENTION_SQL,
 }
