@@ -6,3 +6,4 @@ from core_ray.sources.base import (  # noqa: F401
     open_source,
     register_source,
 )
+from core_ray.sources import warc as _warc  # noqa: F401  (registers "warc")

@@ -1,0 +1,156 @@
+"""Minimal WARC (ISO 28500 / WARC 1.x) ingest — the container format Common
+Crawl actually ships. Reference analog: a Source connector that converts a
+raw corpus into the canonical pages parquet once (sources/base.py contract,
+pkg/source/source.go:15-35 shape).
+
+Scale design: the WARC FILE is the parallel unit (ray.data.read_binary_files
+fans one task per file — Common Crawl shards corpora into ~1 GB warc.gz
+files, so file-level parallelism is the published layout's natural grain;
+record-level splitting would need the gzip member offsets from the
+cdx/cluster indexes and is noted as the finer-grained path). Only
+``response`` records are ingested: ``url`` from WARC-Target-URI, ``warc_ts``
+from WARC-Date, ``html`` = the HTTP payload with the response-header block
+stripped. Gzip members are detected by magic and decompressed in-task.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from core_ray.sources.base import Source, register_source
+
+_GZ_MAGIC = b"\x1f\x8b"
+
+
+def parse_warc(blob: bytes) -> list[tuple[str, str, bytes]]:
+    """Parse one WARC file's bytes -> [(url, iso_ts, payload)] for every
+    ``response`` record. Tolerant of trailing garbage / truncated tails
+    (stops at the first malformed header block)."""
+    if blob[:2] == _GZ_MAGIC:
+        import gzip
+
+        blob = gzip.decompress(blob)  # multi-member streams concatenate
+    out: list[tuple[str, str, bytes]] = []
+    i, n = 0, len(blob)
+    while i < n:
+        if blob.startswith(b"\r\n", i):  # inter-record CRLF CRLF separator
+            i += 2
+            continue
+        head_end = blob.find(b"\r\n\r\n", i)
+        if head_end < 0:
+            break
+        lines = blob[i:head_end].decode("utf-8", "replace").split("\r\n")
+        if not lines or not lines[0].startswith("WARC/"):
+            break
+        fields = {}
+        for ln in lines[1:]:
+            if ":" in ln:
+                k, v = ln.split(":", 1)
+                fields[k.strip().lower()] = v.strip()
+        try:
+            clen = int(fields.get("content-length", "0"))
+        except ValueError:
+            break
+        body = blob[head_end + 4 : head_end + 4 + clen]
+        i = head_end + 4 + clen
+        if fields.get("warc-type") == "response":
+            payload = body
+            if payload[:5] == b"HTTP/":  # strip the HTTP response headers
+                he = payload.find(b"\r\n\r\n")
+                if he >= 0:
+                    payload = payload[he + 4 :]
+            out.append(
+                (
+                    fields.get("warc-target-uri", ""),
+                    fields.get("warc-date", ""),
+                    payload,
+                )
+            )
+    return out
+
+
+def ingest_warc(
+    src: str,
+    out_dir: str,
+    default_lang: str = "en",
+    overwrite: bool = False,
+) -> int:
+    """Read every *.warc / *.warc.gz under ``src`` into pages-schema parquet
+    at ``out_dir`` (url, warc_ts, html, lang — the same shape
+    ingest_html_dir emits; text derives downstream in the extract stage).
+    Returns the number of pages written. Ray must be running."""
+    import ray.data
+
+    if os.path.isdir(out_dir):
+        stale = [f for f in os.listdir(out_dir) if f.endswith(".parquet")]
+        if stale and not overwrite:
+            raise ValueError(
+                f"out_dir {out_dir!r} already holds {len(stale)} parquet file(s); "
+                "pass overwrite=True to replace them"
+            )
+        for f in stale:
+            os.remove(os.path.join(out_dir, f))
+
+    ds = ray.data.read_binary_files(src, file_extensions=["warc", "gz"])
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        urls, tss, payloads = [], [], []
+        for blob in batch["bytes"].to_pylist():
+            for url, ts, payload in parse_warc(blob):
+                urls.append(url)
+                # WARC-Date is ISO 8601 UTC ('...Z'); datetime64 wants naive
+                tss.append(np.datetime64(ts.rstrip("Z") or "1970-01-01", "us"))
+                payloads.append(payload)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(tss, pa.timestamp("us")),
+                "html": pa.array(payloads, pa.binary()),
+                "lang": pa.array([default_lang] * len(urls), pa.string()),
+            }
+        )
+
+    pages = ds.map_batches(to_pages, batch_format="pyarrow", batch_size=16)
+    os.makedirs(out_dir, exist_ok=True)
+    try:
+        pages.write_parquet(out_dir, min_rows_per_file=32_768)
+    except TypeError:
+        pages.write_parquet(out_dir, num_rows_per_file=32_768)
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.read_metadata(os.path.join(out_dir, f)).num_rows
+        for f in os.listdir(out_dir)
+        if f.endswith(".parquet")
+    )
+
+
+@register_source("warc")
+class WarcSource(Source):
+    """Common-Crawl-style WARC connector: one-time distributed ingest into
+    pages parquet, then the standard parquet read path."""
+
+    def __init__(self, src: str, out_dir: str | None = None, **ingest_kwargs):
+        import tempfile
+
+        self._own_tmp = out_dir is None
+        self.out_dir = out_dir or tempfile.mkdtemp(prefix="core_ray_src_warc_")
+        self.src = src
+        self.n_pages = ingest_warc(src, self.out_dir, overwrite=True, **ingest_kwargs)
+
+    def pages(self) -> list[str]:
+        return sorted(_glob.glob(os.path.join(self.out_dir, "*.parquet")))
+
+    def describe(self) -> dict:
+        return {"type": "warc", "src": self.src, "out_dir": self.out_dir,
+                "n_pages": self.n_pages}
+
+    def close(self) -> None:
+        if self._own_tmp:
+            import shutil
+
+            shutil.rmtree(self.out_dir, ignore_errors=True)

@@ -1,0 +1,74 @@
+"""WARC source (sources/warc.py): ISO 28500 record parsing + distributed
+ingest into the pages schema, plain and gzip, registered as --source warc."""
+
+from __future__ import annotations
+
+import gzip
+
+import pyarrow.parquet as pq
+
+from core_ray.sources.warc import parse_warc
+
+
+def _record(wtype: str, uri: str, date: str, body: bytes) -> bytes:
+    head = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: {wtype}\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        f"WARC-Date: {date}\r\n"
+        f"Content-Length: {len(body)}\r\n"
+    ).encode()
+    return head + b"\r\n" + body + b"\r\n\r\n"
+
+
+def _warc_bytes() -> bytes:
+    http1 = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html>page one</html>"
+    http2 = b"HTTP/1.1 200 OK\r\n\r\n<html>page two</html>"
+    return (
+        _record("warcinfo", "", "2025-03-01T00:00:00Z", b"software: test\r\n")
+        + _record("request", "https://a.example.com/1", "2025-03-01T10:00:00Z",
+                  b"GET /1 HTTP/1.1\r\n\r\n")
+        + _record("response", "https://a.example.com/1", "2025-03-01T10:00:00Z", http1)
+        + _record("response", "https://b.example.com/2", "2025-03-02T11:30:00Z", http2)
+    )
+
+
+def test_parse_warc_responses_only_headers_stripped():
+    recs = parse_warc(_warc_bytes())
+    assert [(u, t) for u, t, _ in recs] == [
+        ("https://a.example.com/1", "2025-03-01T10:00:00Z"),
+        ("https://b.example.com/2", "2025-03-02T11:30:00Z"),
+    ]
+    assert recs[0][2] == b"<html>page one</html>"
+    assert recs[1][2] == b"<html>page two</html>"
+
+
+def test_parse_warc_gzip_and_garbage_tolerance():
+    gz = gzip.compress(_warc_bytes())
+    assert len(parse_warc(gz)) == 2
+    # truncated tail: the complete prefix records still parse
+    blob = _warc_bytes() + b"WARC/1.0\r\nWARC-Type: response\r\nConten"
+    assert len(parse_warc(blob)) == 2
+    assert parse_warc(b"") == []
+
+
+def test_warc_source_ingest_end_to_end(ray_session, tmp_path):
+    from core_ray.sources import open_source
+
+    (tmp_path / "a.warc").write_bytes(_warc_bytes())
+    (tmp_path / "b.warc.gz").write_bytes(gzip.compress(_warc_bytes()))
+    out = tmp_path / "pages"
+    with open_source("warc", str(tmp_path), out_dir=str(out)) as src:
+        assert src.n_pages == 4  # 2 responses per file
+        files = src.pages()
+        assert files
+        t = pq.read_table(files[0])
+        assert set(t.column_names) == {"url", "warc_ts", "html", "lang"}
+        urls = sorted(t["url"].to_pylist())
+        assert urls == sorted(
+            ["https://a.example.com/1", "https://b.example.com/2"] * 2
+        )
+        htmls = set(t["html"].to_pylist())
+        assert htmls == {b"<html>page one</html>", b"<html>page two</html>"}
+        ts = sorted(str(x) for x in t["warc_ts"].to_pylist())
+        assert ts[0].startswith("2025-03-01 10:00:00")
