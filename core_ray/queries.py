@@ -7178,6 +7178,43 @@ GROUP BY 1
 """
 
 
+def doc_sample_weighted(sf_dir: str, k: int = 50):
+    """WEIGHTED fixed-size sampling (weight = n_chars): the exponential-
+    clock / A-ES design — keep the k rows with the smallest priority, where
+    priority is a per-row pseudo-random clock divided by the row's weight,
+    so selection probability scales with weight. The clock here is the
+    bottom-k order hash rather than -ln(U) (one exact float division
+    instead of a transcendental, so the oracle reproduces it bit-for-bit);
+    the mergeable shape is identical to doc_sample_bottomk: per-batch
+    prune to k (combiner), tiny global sort+limit. Completes the sampling
+    family: fixed-rate (mod), fixed-size uniform (bottom-k), stratified,
+    and now weighted."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def prune(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        w = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        h = (ids * np.uint64(_BK_MULT) + np.uint64(_BK_SEED)) % np.uint64(_BK_MOD)
+        pri = h.astype(np.float64) / np.maximum(w, 1.0)
+        keep = np.argsort(pri, kind="stable")[:k]
+        keep = np.sort(keep)
+        out = b.take(pa.array(keep))
+        return out.append_column("priority", pa.array(pri[keep], pa.float64()))
+
+    pruned = ds.map_batches(prune, batch_format="pyarrow", batch_size=65536)
+    return pruned.sort(["priority", "doc_id"]).limit(k)
+
+
+DOC_SAMPLE_WEIGHTED_SQL = f"""
+SELECT doc_id, lang, n_chars,
+       CAST((doc_id * {_BK_MULT} + {_BK_SEED}) % {_BK_MOD} AS DOUBLE)
+         / CAST(GREATEST(n_chars, 1) AS DOUBLE) AS priority
+FROM documents
+ORDER BY priority, doc_id
+LIMIT 50
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -7283,6 +7320,7 @@ QUERIES = {
     "emb_triangles": emb_triangles,
     "emb_pagerank": emb_pagerank,
     "events_retention": events_retention,
+    "doc_sample_weighted": doc_sample_weighted,
 }
 
 ORACLE_SQL = {
@@ -7393,4 +7431,5 @@ ORACLE_SQL = {
     "emb_triangles": EMB_TRIANGLES_SQL,
     "emb_pagerank": EMB_PAGERANK_SQL,
     "events_retention": EVENTS_RETENTION_SQL,
+    "doc_sample_weighted": DOC_SAMPLE_WEIGHTED_SQL,
 }
