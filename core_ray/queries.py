@@ -7215,6 +7215,53 @@ LIMIT 50
 """
 
 
+_S2_PARENT_LEVEL = 8
+
+
+def pages_s2_parents(sf_dir: str):
+    """S2-pyramid rollup (the S2 sibling of the z/x/y tile pyramid the
+    north star names): joined mentions aggregated per LEVEL-8 ancestor of
+    their level-12 cell — parent via the id-arithmetic prefix truncation
+    (geo/s2.py::cell_parent), counts via the packed-u64 combiner reduce
+    (count_by_u64: one shuffle of (cell, partial) rows). The oracle
+    recomputes the parent with the SAME truncation expressed as integer
+    arithmetic over the golden joined parquet."""
+    from core_ray.geo.s2 import cell_parent
+    from core_ray.stages.agg import count_by_u64
+
+    _ensure_pages_golden(sf_dir)
+    joined = _run_pages(sf_dir).joined
+
+    def to_parent(b: pa.Table) -> pa.Table:
+        cells = b["s2_cell"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table(
+            {"key": pa.array(cell_parent(cells, _S2_PARENT_LEVEL), pa.uint64())}
+        )
+
+    counted = count_by_u64(
+        joined.map_batches(to_parent, batch_format="pyarrow"), "key"
+    )
+    return counted.map_batches(
+        lambda b: pa.table(
+            {
+                "s2_parent": b["key"],
+                "n_mentions": pc.cast(b["cnt"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# parent(cell, L) = floor(cell / 2*lsb_L) * 2*lsb_L + lsb_L, lsb_L = 2^(60-2L)
+_S2_LSB = 1 << (60 - 2 * _S2_PARENT_LEVEL)
+PAGES_S2_PARENTS_SQL = f"""
+SELECT (s2_cell // {2 * _S2_LSB}) * {2 * _S2_LSB} + {_S2_LSB} AS s2_parent,
+       CAST(COUNT(*) AS BIGINT) AS n_mentions
+FROM read_parquet('{_GD}/joined.parquet')
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -7321,6 +7368,7 @@ QUERIES = {
     "emb_pagerank": emb_pagerank,
     "events_retention": events_retention,
     "doc_sample_weighted": doc_sample_weighted,
+    "pages_s2_parents": pages_s2_parents,
 }
 
 ORACLE_SQL = {
@@ -7432,4 +7480,5 @@ ORACLE_SQL = {
     "emb_pagerank": EMB_PAGERANK_SQL,
     "events_retention": EVENTS_RETENTION_SQL,
     "doc_sample_weighted": DOC_SAMPLE_WEIGHTED_SQL,
+    "pages_s2_parents": PAGES_S2_PARENTS_SQL,
 }
