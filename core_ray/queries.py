@@ -7262,6 +7262,139 @@ GROUP BY 1
 """
 
 
+def pages_mention_drift(sf_dir: str):
+    """Spatio-temporal drift: per registered domain, how far the daily
+    CENTROID of its geocoded mentions moves between consecutive crawl days
+    (a crawl-ops signal for content relocation / geo-targeting changes).
+    Float-parity design: per-(domain, day) sums are INTEGER micro-degrees
+    (order-independent, so distributed partial sums match SQL's sequential
+    SUM exactly) and the centroid/drift math is a fixed chain of
+    correctly-rounded IEEE ops (two divisions, squares, sqrt) — bit-equal
+    on both sides, no transcendental haversine needed for the parity
+    demonstration. One string-keyed hash join (mentions -> crawl ts) and
+    one partition shuffle by domain."""
+    import ray.data
+
+    from core_ray.stages.agg import _GOLD, _n_parts, hash_strings
+    from core_ray.stages.join import hash_join
+
+    _ensure_pages_golden(sf_dir)
+    res = _run_pages(sf_dir)
+    mentions = res.joined.select_columns(["url", "lat", "lon"])
+    files, _, _, _ = _pages_corpus(sf_dir)
+    pages = ray.data.read_parquet(files, columns=["url", "warc_ts"])
+    j = hash_join(mentions, pages, on="url")
+    n_parts = _n_parts()
+    named_pat = _DOMAIN_PAT.replace("([A-Za-z", "(?P<d>[A-Za-z", 1)
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.extract_regex(b["url"], named_pat)
+        dom = np.asarray(
+            [d if d is not None else "" for d in pc.struct_field(m, "d").to_pylist()]
+        )
+        day = (
+            b["warc_ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+            // _DAY_US
+        )
+        lat6 = sql_round_np(
+            b["lat"].to_numpy(zero_copy_only=False) * 1e6, 0
+        ).astype(np.int64)
+        lon6 = sql_round_np(
+            b["lon"].to_numpy(zero_copy_only=False) * 1e6, 0
+        ).astype(np.int64)
+        keys = np.char.add(np.char.add(dom, "|"), day.astype("U"))
+        order = np.argsort(keys, kind="stable")
+        keys, dom, day = keys[order], dom[order], day[order]
+        lat6, lon6 = lat6[order], lon6[order]
+        new = np.ones(len(keys), dtype=bool)
+        new[1:] = keys[1:] != keys[:-1]
+        starts = np.nonzero(new)[0]
+        h = hash_strings(pa.array(dom[starts], pa.string()))
+        return pa.table(
+            {
+                "domain": pa.array(dom[starts], pa.string()),
+                "day": pa.array(day[starts], pa.int64()),
+                "slat": pa.array(np.add.reduceat(lat6, starts), pa.int64()),
+                "slon": pa.array(np.add.reduceat(lon6, starts), pa.int64()),
+                "n": pa.array(
+                    np.add.reduceat(np.ones(len(keys), np.int64), starts), pa.int64()
+                ),
+                "__part": pa.array(
+                    ((h * _GOLD) % np.uint64(n_parts)).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    def drift(g: pa.Table) -> pa.Table:
+        dom = np.asarray(g["domain"].to_pylist())
+        day = g["day"].to_numpy(zero_copy_only=False)
+        slat = g["slat"].to_numpy(zero_copy_only=False)
+        slon = g["slon"].to_numpy(zero_copy_only=False)
+        n = g["n"].to_numpy(zero_copy_only=False)
+        keys = np.char.add(np.char.add(dom, "|"), day.astype("U"))
+        order = np.argsort(keys, kind="stable")
+        dom, day = dom[order], day[order]
+        slat, slon, n = slat[order], slon[order], n[order]
+        new = np.ones(len(keys), dtype=bool)
+        new[1:] = keys[order][1:] != keys[order][:-1]
+        starts = np.nonzero(new)[0]
+        dom, day = dom[starts], day[starts]
+        slat = np.add.reduceat(slat, starts)
+        slon = np.add.reduceat(slon, starts)
+        n = np.add.reduceat(n, starts)
+        clat = (slat.astype(np.float64) / n) / 1e6
+        clon = (slon.astype(np.float64) / n) / 1e6
+        # rows are sorted by (domain, day-string); day strings are all
+        # 5-digit epoch days so string order == numeric order here, but
+        # re-sort numerically to be explicit
+        order2 = np.lexsort((day, dom))
+        dom, day = dom[order2], day[order2]
+        clat, clon = clat[order2], clon[order2]
+        hit = (dom[1:] == dom[:-1]) & (day[1:] == day[:-1] + 1)
+        d = np.sqrt(
+            (clat[1:] - clat[:-1]) ** 2 + (clon[1:] - clon[:-1]) ** 2
+        )[hit]
+        return pa.table(
+            {
+                "domain": pa.array(dom[:-1][hit], pa.string()),
+                "day": pa.array(day[:-1][hit], pa.int64()),
+                "drift_deg": pa.array(sql_round_np(d, 6), pa.float64()),
+            }
+        )
+
+    return (
+        j.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("__part")
+        .map_groups(drift, batch_format="pyarrow")
+    )
+
+
+PAGES_MENTION_DRIFT_SQL = f"""
+WITH j AS (
+  SELECT m.url, m.lat, m.lon, p.warc_ts
+  FROM read_parquet('{_GD}/joined.parquet') m
+  JOIN read_parquet('{_PAGES_CORPUS_GLOB}') p USING (url)),
+g AS (
+  SELECT regexp_extract(url, '{_DOMAIN_PAT}', 1) AS domain,
+         epoch_us(warc_ts) // {_DAY_US} AS day,
+         SUM(CAST(ROUND(lat * 1000000) AS BIGINT)) AS slat,
+         SUM(CAST(ROUND(lon * 1000000) AS BIGINT)) AS slon,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM j GROUP BY 1, 2),
+c AS (
+  SELECT domain, day,
+         (CAST(slat AS DOUBLE) / n) / 1000000 AS clat,
+         (CAST(slon AS DOUBLE) / n) / 1000000 AS clon
+  FROM g)
+SELECT a.domain, a.day,
+       ROUND(sqrt((b.clat - a.clat) * (b.clat - a.clat)
+                + (b.clon - a.clon) * (b.clon - a.clon)), 6) AS drift_deg
+FROM c a JOIN c b ON b.domain = a.domain AND b.day = a.day + 1
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -7369,6 +7502,7 @@ QUERIES = {
     "events_retention": events_retention,
     "doc_sample_weighted": doc_sample_weighted,
     "pages_s2_parents": pages_s2_parents,
+    "pages_mention_drift": pages_mention_drift,
 }
 
 ORACLE_SQL = {
@@ -7481,4 +7615,5 @@ ORACLE_SQL = {
     "events_retention": EVENTS_RETENTION_SQL,
     "doc_sample_weighted": DOC_SAMPLE_WEIGHTED_SQL,
     "pages_s2_parents": PAGES_S2_PARENTS_SQL,
+    "pages_mention_drift": PAGES_MENTION_DRIFT_SQL,
 }
