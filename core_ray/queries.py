@@ -604,6 +604,45 @@ def doc_langid(sf_dir: str):
     ).select_columns(["doc_id", "lang_pred"])
 
 
+def doc_lang_confusion(sf_dir: str):
+    """Language-ID evaluation matrix: (labeled lang, predicted lang) counts
+    over the corpus — the quality-evaluation view a curation pipeline
+    publishes for its classifier. Reuses the LangId actor pool; the
+    (lang, pred) pair space is tiny, so a per-batch TableGroupBy combiner
+    feeds one small groupby. The oracle nests the full SQL mirror of the
+    classifier as a CTE — the strongest cross-check the langid kernel has
+    (every document's prediction participates, not just the row set)."""
+    from ray.data.aggregate import Sum
+
+    from core_ray.text.analysis import LangId
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    pred = ds.map_batches(
+        LangId, batch_format="pyarrow", batch_size=4096, concurrency=(1, 4)
+    )
+
+    def combine(b: pa.Table) -> pa.Table:
+        t = pa.table({"lang": b["lang"], "lang_pred": b["lang_pred"]})
+        agg = pa.TableGroupBy(t, ["lang", "lang_pred"]).aggregate([([], "count_all")])
+        return agg.select(["lang", "lang_pred", "count_all"])
+
+    agg = (
+        pred.map_batches(combine, batch_format="pyarrow", batch_size=65536)
+        .groupby(["lang", "lang_pred"])
+        .aggregate(Sum("count_all", alias_name="n_docs"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "lang": b["lang"],
+                "lang_pred": b["lang_pred"],
+                "n_docs": pc.cast(b["n_docs"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _langid_sql() -> str:
     """SQL mirror of text/analysis.py::LangId, generated from the SAME
     stopword tables: score = count of tokens in each language's table
@@ -637,6 +676,13 @@ FROM s
 
 
 DOC_LANGID_SQL = _langid_sql()
+
+DOC_LANG_CONFUSION_SQL = f"""
+WITH p AS ({DOC_LANGID_SQL})
+SELECT d.lang, p.lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents d JOIN p USING (doc_id)
+GROUP BY 1, 2
+"""
 
 
 def doc_fingerprint(sf_dir: str):
@@ -7503,6 +7549,7 @@ QUERIES = {
     "doc_sample_weighted": doc_sample_weighted,
     "pages_s2_parents": pages_s2_parents,
     "pages_mention_drift": pages_mention_drift,
+    "doc_lang_confusion": doc_lang_confusion,
 }
 
 ORACLE_SQL = {
@@ -7616,4 +7663,5 @@ ORACLE_SQL = {
     "doc_sample_weighted": DOC_SAMPLE_WEIGHTED_SQL,
     "pages_s2_parents": PAGES_S2_PARENTS_SQL,
     "pages_mention_drift": PAGES_MENTION_DRIFT_SQL,
+    "doc_lang_confusion": DOC_LANG_CONFUSION_SQL,
 }
