@@ -685,6 +685,86 @@ GROUP BY 1, 2
 """
 
 
+def events_hourly_anomalies(sf_dir: str, z_thresh: float = 2.0):
+    """Anomaly detection over the hourly traffic series: hours whose event
+    count deviates from the type's mean by >= ``z_thresh`` population
+    standard deviations. The heavy pass is the distributed per-batch
+    hourly-count combiner (events never leave their batch un-aggregated);
+    the per-type moment pass runs on the aggregated (type, hour) table,
+    which is bounded by types x hours at ANY corpus scale, so its
+    driver-side numpy is scale-correct. Exact cross-engine parity: the
+    moments are INTEGER sums (order-independent) and the z expression is
+    the same fixed chain of correctly-rounded IEEE ops as the SQL."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def combine(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64())
+        t = pa.table(
+            {"event_type": b["event_type"], "hour": pc.divide(us, _HOUR_US)}
+        )
+        agg = pa.TableGroupBy(t, ["event_type", "hour"]).aggregate([([], "count_all")])
+        return agg.select(["event_type", "hour", "count_all"])
+
+    hourly = _collect_table(
+        ds.map_batches(combine, batch_format="pyarrow", batch_size=65536)
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("count_all", alias_name="n_events"))
+    )
+    et = np.asarray(hourly["event_type"].to_pylist())
+    hour = np.asarray(hourly["hour"].to_pylist(), dtype=np.int64)
+    cnt = np.asarray(hourly["n_events"].to_pylist(), dtype=np.int64)
+    order = np.lexsort((hour, et))
+    et, hour, cnt = et[order], hour[order], cnt[order]
+    new = np.ones(len(et), dtype=bool)
+    new[1:] = et[1:] != et[:-1]
+    starts = np.nonzero(new)[0]
+    seg = np.repeat(np.arange(len(starts)), np.diff(np.append(starts, len(et))))
+    n = np.add.reduceat(np.ones(len(et), np.int64), starts)
+    s1 = np.add.reduceat(cnt, starts)
+    s2 = np.add.reduceat(cnt * cnt, starts)
+    # identical expression structure to the SQL: mean = s1/n; var = s2/n - mean*mean
+    mean = s1.astype(np.float64) / n
+    var = s2.astype(np.float64) / n - mean * mean
+    std = np.sqrt(var)
+    ok = std[seg] > 0
+    z = np.zeros(len(et))
+    z[ok] = (cnt[ok].astype(np.float64) - mean[seg][ok]) / std[seg][ok]
+    hit = ok & (np.abs(z) >= z_thresh)
+    return pa.table(
+        {
+            "event_type": pa.array(et[hit], pa.string()),
+            "hour": pa.array(hour[hit], pa.int64()),
+            "n_events": pa.array(cnt[hit], pa.int64()),
+            "z": pa.array(sql_round_np(z[hit], 6), pa.float64()),
+        }
+    )
+
+
+EVENTS_HOURLY_ANOMALIES_SQL = """
+WITH h AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2),
+m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(n_events) AS BIGINT) AS s1,
+         CAST(SUM(n_events * n_events) AS BIGINT) AS s2
+  FROM h GROUP BY 1),
+s AS (
+  SELECT event_type,
+         CAST(s1 AS DOUBLE) / n AS mean,
+         sqrt(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS std
+  FROM m)
+SELECT h.event_type, h.hour, h.n_events,
+       ROUND((CAST(h.n_events AS DOUBLE) - s.mean) / s.std, 6) AS z
+FROM h JOIN s USING (event_type)
+WHERE s.std > 0 AND abs((CAST(h.n_events AS DOUBLE) - s.mean) / s.std) >= 2.0
+"""
+
+
 def doc_fingerprint(sf_dir: str):
     from core_ray.text.analysis import Fingerprinter
 
@@ -7550,6 +7630,7 @@ QUERIES = {
     "pages_s2_parents": pages_s2_parents,
     "pages_mention_drift": pages_mention_drift,
     "doc_lang_confusion": doc_lang_confusion,
+    "events_hourly_anomalies": events_hourly_anomalies,
 }
 
 ORACLE_SQL = {
@@ -7664,4 +7745,5 @@ ORACLE_SQL = {
     "pages_s2_parents": PAGES_S2_PARENTS_SQL,
     "pages_mention_drift": PAGES_MENTION_DRIFT_SQL,
     "doc_lang_confusion": DOC_LANG_CONFUSION_SQL,
+    "events_hourly_anomalies": EVENTS_HOURLY_ANOMALIES_SQL,
 }
