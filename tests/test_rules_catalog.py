@@ -442,3 +442,54 @@ def test_utm_roundtrip_property(la, lo):
 def test_geohash_decode_always_in_range(code):
     la, lo = geohash_decode(code)
     assert -90.0 <= la <= 90.0 and -180.0 <= lo <= 180.0
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    la=st.floats(min_value=-84.9, max_value=84.9, allow_nan=False),
+    lo=st.floats(min_value=-179.9, max_value=179.9, allow_nan=False),
+    z=st.integers(min_value=1, max_value=18),
+)
+def test_quadkey_roundtrip_property(la, lo, z):
+    """Published Bing tile math (independent of quadkey_decode) -> quadkey
+    -> decode must land at that tile's center, inside the tile bounds."""
+    import math
+
+    n = 1 << z
+    x = min(int((lo + 180.0) / 360.0 * n), n - 1)
+    lr = math.radians(la)
+    y = int((1.0 - math.log(math.tan(lr) + 1 / math.cos(lr)) / math.pi) / 2.0 * n)
+    y = min(max(y, 0), n - 1)
+    qk = "".join(
+        str(((x >> (z - 1 - i)) & 1) | (((y >> (z - 1 - i)) & 1) << 1))
+        for i in range(z)
+    )
+    dla, dlo = quadkey_decode(qk)
+    # center must lie inside the tile's longitude span
+    west = x / n * 360.0 - 180.0
+    east = (x + 1) / n * 360.0 - 180.0
+    assert west < dlo < east
+    assert -85.06 < dla < 85.06
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    la=st.floats(min_value=-89.0, max_value=89.0, allow_nan=False),
+    lo=st.floats(min_value=-179.9, max_value=179.9, allow_nan=False),
+    level=st.integers(min_value=4, max_value=20),
+)
+def test_s2_token_roundtrip_property(la, lo, level):
+    """lonlat -> cell -> token -> decode: the decoded center must be inside
+    the cell (distance bounded by the level's max cell diagonal)."""
+    from core_ray.geo.s2 import lonlat_to_cell
+
+    cell = int(lonlat_to_cell(np.array([lo]), np.array([la]), level)[0])
+    token = format(cell, "016x").rstrip("0")
+    dla, dlo = s2_token_decode(token)
+    # max cell edge ~ 90deg / 2^level on a face; diagonal x sqrt(2), plus
+    # lon stretch at high latitude
+    tol = 1.5 * 90.0 / (1 << level)
+    assert abs(dla - la) <= tol
+    dlon = abs(dlo - lo)
+    dlon = min(dlon, 360.0 - dlon)
+    assert dlon * max(0.05, np.cos(np.radians(la))) <= 1.6 * 90.0 / (1 << level)
