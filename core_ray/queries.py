@@ -2743,6 +2743,71 @@ WHERE d.doc_id NOT IN (
 """
 
 
+def doc_curated_v2(sf_dir: str, novelty_floor: float = 0.1):
+    """Curation composition v2: the v1 pipeline (near-dup dedup + Gopher
+    gates + terciles) EXTENDED with the round-3d decontamination and
+    novelty gates — documents overlapping the benchmark probe set (other
+    than the probes themselves) and documents below the 3-gram novelty
+    floor are dropped. Gate application is scale-shaped: the contamination
+    drop set is tiny by construction (broadcast), the low-novelty set is
+    unbounded so it anti-joins through the distributed hash join
+    (left join + null filter). The oracle rebuilds the ENTIRE composition
+    in SQL — every stage's CTE chained — so the end-to-end product is
+    hash-checked, not just its pieces."""
+    from core_ray.pipelines.corpus import curate_corpus
+    from core_ray.stages.join import hash_join
+
+    _ensure_docs_golden(sf_dir)
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+    base = curate_corpus(ds).curated
+
+    # contamination drop: tiny by construction -> broadcast probe-hit ids
+    contam = _collect_table(doc_contamination(sf_dir))
+    cids = contam["doc_id"].to_numpy(zero_copy_only=False)
+    cdrop = np.sort(cids[cids % _CONTAM_MOD != 0])  # probes themselves stay
+
+    def drop_contaminated(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        keep = np.ones(len(ids), dtype=bool)
+        if len(cdrop):
+            pos = np.searchsorted(cdrop, ids)
+            inb = pos < len(cdrop)
+            keep[inb] = cdrop[pos[inb]] != ids[inb]
+        return b.filter(pa.array(keep))
+
+    base = base.map_batches(drop_contaminated, batch_format="pyarrow")
+
+    # novelty floor: the low-novelty set is unbounded -> distributed anti
+    # join (left join against the floor-failers, keep the null side)
+    low = doc_ngram_novelty(sf_dir).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"].filter(
+                    pc.less(b["novel_frac"], novelty_floor)
+                ),
+                "__low": pa.array(
+                    [1]
+                    * len(b["doc_id"].filter(pc.less(b["novel_frac"], novelty_floor))),
+                    pa.int8(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    low_schema = pa.schema([("doc_id", pa.int64()), ("__low", pa.int8())])
+    j = hash_join(base, low, on="doc_id", how="left", right_schema=low_schema)
+    return j.map_batches(
+        lambda b: b.filter(pc.is_null(b["__low"])).select(
+            ["doc_id", "lang", "bucket"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# (DOC_CURATED_V2_SQL is assembled in the round-3d block near the QUERIES
+# dict, after the contamination / novelty SQL constants it nests exist.)
+
+
 def emb_dup_clusters(sf_dir: str):
     """Embedding near-dup CLUSTERS: the exact cosine pair graph
     (emb_near_dup_pairs) closed transitively by connected components
@@ -6613,6 +6678,16 @@ FROM g JOIN c USING (gram) GROUP BY 1
 """
 
 
+DOC_CURATED_V2_SQL = f"""
+WITH v1 AS ({DOC_CURATED_SQL}),
+contam AS ({DOC_CONTAMINATION_SQL}),
+nov AS ({DOC_NGRAM_NOVELTY_SQL})
+SELECT v1.* FROM v1
+WHERE v1.doc_id NOT IN (SELECT doc_id FROM contam WHERE doc_id % {_CONTAM_MOD} != 0)
+  AND v1.doc_id NOT IN (SELECT doc_id FROM nov WHERE novel_frac < 0.1)
+"""
+
+
 # PII scrubbing runs on an engineered corpus with PLANTED identifiers (the
 # synthetic documents table contains none); the oracle is NOT a golden — it
 # is DuckDB independently re-running the same two RE2 regexes over the same
@@ -7631,6 +7706,7 @@ QUERIES = {
     "pages_mention_drift": pages_mention_drift,
     "doc_lang_confusion": doc_lang_confusion,
     "events_hourly_anomalies": events_hourly_anomalies,
+    "doc_curated_v2": doc_curated_v2,
 }
 
 ORACLE_SQL = {
@@ -7746,4 +7822,5 @@ ORACLE_SQL = {
     "pages_mention_drift": PAGES_MENTION_DRIFT_SQL,
     "doc_lang_confusion": DOC_LANG_CONFUSION_SQL,
     "events_hourly_anomalies": EVENTS_HOURLY_ANOMALIES_SQL,
+    "doc_curated_v2": DOC_CURATED_V2_SQL,
 }
