@@ -5372,6 +5372,67 @@ FROM events
 """
 
 
+def events_transitions(sf_dir: str):
+    """Per-user event-type transition counts (the Markov-chain / sequence-
+    model view of the event stream): for every consecutive pair within a
+    user's (ts, event_id)-ordered history, count (from_type -> to_type).
+    One hash-partition shuffle by user; pairs reduce per partition to the
+    types x types partial (bounded at any scale), then a tiny final
+    groupby-sum. Same deterministic total order as the other window
+    queries (ties broken by event_id)."""
+    from ray.data.aggregate import Sum
+
+    from core_ray.stages.agg import map_groups_partitioned
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def per_part(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, us, uid))
+        uid = uid[order]
+        et = np.asarray(g["event_type"].to_pylist())[order]
+        same = uid[1:] == uid[:-1]
+        frm, to = et[:-1][same], et[1:][same]
+        keys = np.char.add(np.char.add(frm, "|"), to)
+        u, c = np.unique(keys, return_counts=True)
+        parts = np.char.partition(u, "|")
+        return pa.table(
+            {
+                "from_type": pa.array(parts[:, 0], pa.string()),
+                "to_type": pa.array(parts[:, 2], pa.string()),
+                "n_part": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        map_groups_partitioned(ds, "user_id", per_part)
+        .groupby(["from_type", "to_type"])
+        .aggregate(Sum("n_part", alias_name="n"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "from_type": b["from_type"],
+                "to_type": b["to_type"],
+                "n": pc.cast(b["n"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+EVENTS_TRANSITIONS_SQL = """
+WITH s AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+  FROM events)
+SELECT prev AS from_type, event_type AS to_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM s WHERE prev IS NOT NULL GROUP BY 1, 2
+"""
+
+
 def events_user_rank(sf_dir: str):
     """ROW_NUMBER / RANK / DENSE_RANK per user over value DESC (row_number
     tie-broken by event_id). One shuffle; ranks from vectorized run masks —
@@ -7707,6 +7768,7 @@ QUERIES = {
     "doc_lang_confusion": doc_lang_confusion,
     "events_hourly_anomalies": events_hourly_anomalies,
     "doc_curated_v2": doc_curated_v2,
+    "events_transitions": events_transitions,
 }
 
 ORACLE_SQL = {
@@ -7823,4 +7885,5 @@ ORACLE_SQL = {
     "doc_lang_confusion": DOC_LANG_CONFUSION_SQL,
     "events_hourly_anomalies": EVENTS_HOURLY_ANOMALIES_SQL,
     "doc_curated_v2": DOC_CURATED_V2_SQL,
+    "events_transitions": EVENTS_TRANSITIONS_SQL,
 }
