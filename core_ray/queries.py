@@ -2779,21 +2779,13 @@ def doc_curated_v2(sf_dir: str, novelty_floor: float = 0.1):
 
     # novelty floor: the low-novelty set is unbounded -> distributed anti
     # join (left join against the floor-failers, keep the null side)
-    low = doc_ngram_novelty(sf_dir).map_batches(
-        lambda b: pa.table(
-            {
-                "doc_id": b["doc_id"].filter(
-                    pc.less(b["novel_frac"], novelty_floor)
-                ),
-                "__low": pa.array(
-                    [1]
-                    * len(b["doc_id"].filter(pc.less(b["novel_frac"], novelty_floor))),
-                    pa.int8(),
-                ),
-            }
-        ),
-        batch_format="pyarrow",
-    )
+    def low_ids(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].filter(pc.less(b["novel_frac"], novelty_floor))
+        return pa.table(
+            {"doc_id": ids, "__low": pa.array(np.ones(len(ids), np.int8), pa.int8())}
+        )
+
+    low = doc_ngram_novelty(sf_dir).map_batches(low_ids, batch_format="pyarrow")
     low_schema = pa.schema([("doc_id", pa.int64()), ("__low", pa.int8())])
     j = hash_join(base, low, on="doc_id", how="left", right_schema=low_schema)
     return j.map_batches(
@@ -7279,9 +7271,9 @@ def emb_pagerank(sf_dir: str):
 
     _ensure_pagerank_golden(sf_dir)
 
-    edges = (
-        emb_near_dup_pairs(sf_dir).select_columns(["vec_id_a", "vec_id_b"]).materialize()
-    )
+    # consumed exactly once (by the undirected expansion, which is itself
+    # materialized) — no extra materialize here
+    edges = emb_near_dup_pairs(sf_dir).select_columns(["vec_id_a", "vec_id_b"])
 
     def expand(b: pa.Table) -> pa.Table:
         a = b["vec_id_a"].to_numpy(zero_copy_only=False)
@@ -7377,6 +7369,10 @@ def events_retention(sf_dir: str):
         day = pc.divide(pc.cast(b["ts"], pa.int64()), _DAY_US).to_numpy(
             zero_copy_only=False
         )
+        # packing contract: day must fit 20 bits and be non-negative (epoch
+        # days through year ~4840); fail loudly rather than corrupt the key
+        if len(day) and (day.min() < 0 or day.max() >= (1 << 20)):
+            raise ValueError("events_retention: epoch day outside [0, 2^20)")
         key = np.unique((u.astype(np.uint64) << np.uint64(20)) | day.astype(np.uint64))
         return pa.table(
             {
@@ -7458,7 +7454,9 @@ def doc_sample_weighted(sf_dir: str, k: int = 50):
         w = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
         h = (ids * np.uint64(_BK_MULT) + np.uint64(_BK_SEED)) % np.uint64(_BK_MOD)
         pri = h.astype(np.float64) / np.maximum(w, 1.0)
-        keep = np.argsort(pri, kind="stable")[:k]
+        # priority is NOT injective (unlike the bottom-k hash): tie-break by
+        # doc_id so the prune order matches the SQL's ORDER BY priority, doc_id
+        keep = np.lexsort((ids, pri))[:k]
         keep = np.sort(keep)
         out = b.take(pa.array(keep))
         return out.append_column("priority", pa.array(pri[keep], pa.float64()))

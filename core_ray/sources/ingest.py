@@ -19,6 +19,37 @@ import os
 import pyarrow as pa
 
 
+def prep_out_dir(out_dir: str, overwrite: bool) -> None:
+    """Refuse to mix corpora: error if ``out_dir`` already holds parquet
+    unless ``overwrite`` (then clear it). Shared by every ingester."""
+    if os.path.isdir(out_dir):
+        stale = [f for f in os.listdir(out_dir) if f.endswith(".parquet")]
+        if stale and not overwrite:
+            raise ValueError(
+                f"out_dir {out_dir!r} already holds {len(stale)} parquet file(s); "
+                "pass overwrite=True to replace them"
+            )
+        for f in stale:
+            os.remove(os.path.join(out_dir, f))
+
+
+def write_pages_parquet(pages, out_dir: str) -> int:
+    """Write a pages Dataset to ``out_dir`` (version-tolerant row-group
+    sizing) and return the row count from the parquet footers."""
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    try:
+        pages.write_parquet(out_dir, min_rows_per_file=32_768)
+    except TypeError:
+        pages.write_parquet(out_dir, num_rows_per_file=32_768)
+    return sum(
+        pq.read_metadata(os.path.join(out_dir, f)).num_rows
+        for f in os.listdir(out_dir)
+        if f.endswith(".parquet")
+    )
+
+
 def ingest_html_dir(
     src_dir: str,
     out_dir: str,
@@ -36,16 +67,7 @@ def ingest_html_dir(
     import numpy as np
     import ray.data
 
-    if os.path.isdir(out_dir):
-        stale = [f for f in os.listdir(out_dir) if f.endswith(".parquet")]
-        if stale and not overwrite:
-            raise ValueError(
-                f"out_dir {out_dir!r} already holds {len(stale)} parquet file(s); "
-                "pass overwrite=True to replace them"
-            )
-        for f in stale:
-            os.remove(os.path.join(out_dir, f))
-
+    prep_out_dir(out_dir, overwrite)
     ds = ray.data.read_binary_files(
         src_dir, include_paths=True, file_extensions=["html", "htm"]
     )
@@ -67,15 +89,4 @@ def ingest_html_dir(
         )
 
     pages = ds.map_batches(to_pages, batch_format="pyarrow", batch_size=256)
-    os.makedirs(out_dir, exist_ok=True)
-    try:
-        pages.write_parquet(out_dir, min_rows_per_file=32_768)
-    except TypeError:
-        pages.write_parquet(out_dir, num_rows_per_file=32_768)
-    import pyarrow.parquet as pq
-
-    return sum(
-        pq.read_metadata(os.path.join(out_dir, f)).num_rows
-        for f in os.listdir(out_dir)
-        if f.endswith(".parquet")
-    )
+    return write_pages_parquet(pages, out_dir)

@@ -55,6 +55,8 @@ def parse_warc(blob: bytes) -> list[tuple[str, str, bytes]]:
             clen = int(fields.get("content-length", "0"))
         except ValueError:
             break
+        if clen < 0:  # corrupt length would move the cursor backwards
+            break
         body = blob[head_end + 4 : head_end + 4 + clen]
         i = head_end + 4 + clen
         if fields.get("warc-type") == "response":
@@ -85,25 +87,29 @@ def ingest_warc(
     Returns the number of pages written. Ray must be running."""
     import ray.data
 
-    if os.path.isdir(out_dir):
-        stale = [f for f in os.listdir(out_dir) if f.endswith(".parquet")]
-        if stale and not overwrite:
-            raise ValueError(
-                f"out_dir {out_dir!r} already holds {len(stale)} parquet file(s); "
-                "pass overwrite=True to replace them"
-            )
-        for f in stale:
-            os.remove(os.path.join(out_dir, f))
+    from core_ray.sources.ingest import prep_out_dir, write_pages_parquet
 
+    prep_out_dir(out_dir, overwrite)
     ds = ray.data.read_binary_files(src, file_extensions=["warc", "gz"])
+
+    def _parse_date(ts: str) -> np.datetime64:
+        # WARC-Date is ISO 8601 UTC; datetime64 wants a naive string. Be as
+        # tolerant as the record parser: strip 'Z' or a zero offset, fall
+        # back to epoch on anything unparseable rather than failing the file
+        s = ts.rstrip("Z")
+        for cand in (s, s.replace("+00:00", ""), "1970-01-01"):
+            try:
+                return np.datetime64(cand or "1970-01-01", "us")
+            except ValueError:
+                continue
+        return np.datetime64("1970-01-01", "us")
 
     def to_pages(batch: pa.Table) -> pa.Table:
         urls, tss, payloads = [], [], []
         for blob in batch["bytes"].to_pylist():
             for url, ts, payload in parse_warc(blob):
                 urls.append(url)
-                # WARC-Date is ISO 8601 UTC ('...Z'); datetime64 wants naive
-                tss.append(np.datetime64(ts.rstrip("Z") or "1970-01-01", "us"))
+                tss.append(_parse_date(ts))
                 payloads.append(payload)
         return pa.table(
             {
@@ -115,18 +121,7 @@ def ingest_warc(
         )
 
     pages = ds.map_batches(to_pages, batch_format="pyarrow", batch_size=16)
-    os.makedirs(out_dir, exist_ok=True)
-    try:
-        pages.write_parquet(out_dir, min_rows_per_file=32_768)
-    except TypeError:
-        pages.write_parquet(out_dir, num_rows_per_file=32_768)
-    import pyarrow.parquet as pq
-
-    return sum(
-        pq.read_metadata(os.path.join(out_dir, f)).num_rows
-        for f in os.listdir(out_dir)
-        if f.endswith(".parquet")
-    )
+    return write_pages_parquet(pages, out_dir)
 
 
 @register_source("warc")

@@ -72,3 +72,29 @@ def test_warc_source_ingest_end_to_end(ray_session, tmp_path):
         assert htmls == {b"<html>page one</html>", b"<html>page two</html>"}
         ts = sorted(str(x) for x in t["warc_ts"].to_pylist())
         assert ts[0].startswith("2025-03-01 10:00:00")
+
+
+def test_parse_warc_negative_content_length_terminates():
+    # corrupt length must not cycle the cursor backwards (infinite loop)
+    blob = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://x/1\r\n"
+        b"WARC-Date: 2025-03-01T00:00:00Z\r\nContent-Length: -54\r\n\r\nbody"
+    )
+    assert parse_warc(blob) == []
+
+
+def test_warc_ingest_tolerates_offset_and_bad_dates(ray_session, tmp_path):
+    from core_ray.sources.warc import ingest_warc
+
+    http = b"HTTP/1.1 200 OK\r\n\r\n<html>x</html>"
+    blob = _record("response", "https://x/1", "2025-03-01T10:00:00+00:00", http) + _record(
+        "response", "https://x/2", "not-a-date", http
+    )
+    (tmp_path / "c.warc").write_bytes(blob)
+    out = tmp_path / "pages"
+    n = ingest_warc(str(tmp_path), str(out))
+    assert n == 2  # neither record fails the ingest
+    t = pq.read_table(sorted(out.glob("*.parquet"))[0])
+    ts = sorted(str(x) for x in t["warc_ts"].to_pylist())
+    assert ts[0].startswith("1970-01-01")      # fallback for the bad date
+    assert ts[1].startswith("2025-03-01 10")   # offset form parsed
