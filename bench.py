@@ -76,6 +76,13 @@ BENCH_QUERIES = [
     "doc_contamination",
     "doc_ngram_novelty",
     "pages_domain_stats",
+    "events_retention",
+    "events_transitions",
+    "events_hourly_anomalies",
+    "emb_pagerank",
+    # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
+    # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
+    # the headline metric), not an independent operator cost
 ]
 
 
