@@ -5425,6 +5425,97 @@ FROM s WHERE prev IS NOT NULL GROUP BY 1, 2
 """
 
 
+def events_hopping_users(sf_dir: str):
+    """EXACT distinct users per hopping window (1 h windows every 30 min) —
+    the windowed-COUNT-DISTINCT sibling of events_hopping's windowed sums.
+    Scale shape: events fan to their 2 covering windows and dedupe to
+    batch-local (window, user) pairs in the combiner; one shuffle keyed by
+    a hash MIX of the pair co-locates every copy of a pair (collisions only
+    co-locate extra rows — the dedupe compares real values), each partition
+    emits exact per-window partial distinct counts, and a tiny final
+    groupby over the bounded window set sums them."""
+    from ray.data.aggregate import Sum
+
+    from core_ray.stages.agg import _GOLD, _n_parts
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+    n_parts = _n_parts()
+
+    def combine(b: pa.Table) -> pa.Table:
+        us = (
+            b["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = us - us % _HOP_US
+        ws = np.concatenate([base - h * _HOP_US for h in range(_WIN_HOPS)])
+        uu = np.tile(uid, _WIN_HOPS)
+        order = np.lexsort((uu, ws))
+        ws, uu = ws[order], uu[order]
+        new = np.ones(len(ws), dtype=bool)
+        new[1:] = (ws[1:] != ws[:-1]) | (uu[1:] != uu[:-1])
+        ws, uu = ws[new], uu[new]
+        mix = (ws.astype(np.uint64) * _GOLD) ^ (uu.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F))
+        return pa.table(
+            {
+                "w": pa.array(ws, pa.int64()),
+                "u": pa.array(uu, pa.int64()),
+                "__part": pa.array(
+                    ((mix * _GOLD) % np.uint64(n_parts)).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    def per_part(g: pa.Table) -> pa.Table:
+        ws = g["w"].to_numpy(zero_copy_only=False)
+        uu = g["u"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((uu, ws))
+        ws, uu = ws[order], uu[order]
+        new = np.ones(len(ws), dtype=bool)
+        new[1:] = (ws[1:] != ws[:-1]) | (uu[1:] != uu[:-1])
+        ws = ws[new]  # globally-distinct pairs (each pair lives here only)
+        uw, c = np.unique(ws, return_counts=True)
+        return pa.table(
+            {
+                "window_start": pa.array(
+                    uw.astype("datetime64[us]"), pa.timestamp("us")
+                ),
+                "n_part": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(combine, batch_format="pyarrow", batch_size=131072)
+        .groupby("__part")
+        .map_groups(per_part, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(Sum("n_part", alias_name="n_users"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "window_start": b["window_start"],
+                "n_users": pc.cast(b["n_users"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+EVENTS_HOPPING_USERS_SQL = """
+WITH hops AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS h, user_id FROM events
+), w AS (
+  SELECT h AS window_start, user_id FROM hops
+  UNION ALL
+  SELECT h - INTERVAL '30 minutes' AS window_start, user_id FROM hops
+)
+SELECT window_start, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM w GROUP BY 1
+"""
+
+
 def events_user_rank(sf_dir: str):
     """ROW_NUMBER / RANK / DENSE_RANK per user over value DESC (row_number
     tie-broken by event_id). One shuffle; ranks from vectorized run masks —
@@ -7767,6 +7858,7 @@ QUERIES = {
     "events_hourly_anomalies": events_hourly_anomalies,
     "doc_curated_v2": doc_curated_v2,
     "events_transitions": events_transitions,
+    "events_hopping_users": events_hopping_users,
 }
 
 ORACLE_SQL = {
@@ -7884,4 +7976,5 @@ ORACLE_SQL = {
     "events_hourly_anomalies": EVENTS_HOURLY_ANOMALIES_SQL,
     "doc_curated_v2": DOC_CURATED_V2_SQL,
     "events_transitions": EVENTS_TRANSITIONS_SQL,
+    "events_hopping_users": EVENTS_HOPPING_USERS_SQL,
 }
