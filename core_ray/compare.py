@@ -69,6 +69,18 @@ def compare(ray_table: pa.Table, oracle_table: pa.Table) -> dict:
     }
     out["rows_match"] = out["rows_ray"] == out["rows_oracle"]
     out["schema_match"] = out["cols_ray"] == out["cols_oracle"]
+    # The driver's value hash is TYPE-sensitive (r3 post-mortem: a DuckDB
+    # HUGEINT sum hash-failed against identical int64 values), so mirror it:
+    # Arrow types must match exactly, column-by-column.
+    types_ray = {f.name: str(f.type) for f in ray_table.schema}
+    types_oracle = {f.name: str(f.type) for f in oracle_table.schema}
+    out["types_match"] = types_ray == types_oracle
+    if not out["types_match"]:
+        out["type_diffs"] = {
+            n: (types_ray.get(n), types_oracle.get(n))
+            for n in set(types_ray) | set(types_oracle)
+            if types_ray.get(n) != types_oracle.get(n)
+        }
     if out["rows_match"] and out["schema_match"]:
         a, b = _norm_rows(ray_table), _norm_rows(oracle_table)
         out["values_match"] = a == b
@@ -77,7 +89,12 @@ def compare(ray_table: pa.Table, oracle_table: pa.Table) -> dict:
             out["first_diffs"] = diff[:3]
     else:
         out["values_match"] = False
-    out["ok"] = out["rows_match"] and out["schema_match"] and out["values_match"]
+    out["ok"] = (
+        out["rows_match"]
+        and out["schema_match"]
+        and out["types_match"]
+        and out["values_match"]
+    )
     return out
 
 

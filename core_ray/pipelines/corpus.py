@@ -64,12 +64,16 @@ def _bucket_thresholds(ds) -> tuple[float, float]:
 def curate_corpus(ds, out_dir: str | None = None, *,
                   near_dup_threshold: float = 0.5,
                   min_words: int = 25,
-                  max_top_word_frac: float = 0.12) -> CurationResult:
+                  max_top_word_frac: float = 0.12,
+                  drop_broadcast_max: int = 2_000_000) -> CurationResult:
     """Dataset[documents(doc_id, text, lang, n_chars, ...)] -> curated
     Dataset[(doc_id, lang, bucket)] (+ partitioned parquet when ``out_dir``
     is given). The drop set (non-representative near-dup members) is
-    bounded by the number of PAIRED docs — tiny vs the corpus — so it
-    broadcasts while the corpus side streams through one filter pass."""
+    bounded by the number of PAIRED docs in the common case, so it
+    broadcasts and the probe fuses into the single curation pass; above
+    ``drop_broadcast_max`` (e.g. a 50 %-duplicate crawl) it never reaches
+    the driver — the probe becomes a distributed anti hash-join on the
+    curated output (stages/join.filter_not_in, equivalence-tested)."""
     import ray
 
     from core_ray.stages.cc import connected_components
@@ -81,20 +85,25 @@ def curate_corpus(ds, out_dir: str | None = None, *,
     # ---- near-dup (and exact-dup, via star pairs) drop set
     pairs = minhash_near_dups(ds, threshold=near_dup_threshold)
     clusters = connected_components(pairs, src="id_a", dst="id_b")
-    drop_parts = [t for t in ray.get(
-        clusters.map_batches(
-            lambda b: pa.table(
-                {"node": b["node"].filter(pc.not_equal(b["node"], b["comp"]))}
-            ),
-            batch_format="pyarrow",
-        ).to_arrow_refs()
-    ) if t.num_rows]
-    drop = (
-        np.sort(pa.concat_tables(drop_parts)["node"].to_numpy(zero_copy_only=False))
-        if drop_parts
-        else np.zeros(0, np.int64)
+    drop_ds = clusters.map_batches(
+        lambda b: pa.table(
+            {"doc_id": b["node"].filter(pc.not_equal(b["node"], b["comp"]))}
+        ),
+        batch_format="pyarrow",
     )
-    stats["n_dropped_dups"] = int(len(drop))
+    n_drop = drop_ds.count()
+    stats["n_dropped_dups"] = int(n_drop)
+    if n_drop <= drop_broadcast_max:
+        from core_ray.collect import collect_table
+
+        t = collect_table(drop_ds)
+        drop = (
+            np.sort(t["doc_id"].to_numpy(zero_copy_only=False))
+            if t.num_rows
+            else np.zeros(0, np.int64)
+        )
+    else:
+        drop = np.zeros(0, np.int64)  # probe disabled; anti-join below
     dref = ray.put(drop)
 
     # ---- bucket thresholds over the FULL corpus (pre-filter, so the
@@ -132,6 +141,16 @@ def curate_corpus(ds, out_dir: str | None = None, *,
         Curate, fn_constructor_args=(dref,), batch_format="pyarrow",
         batch_size=4096, concurrency=(1, 8),
     )
+    if n_drop > drop_broadcast_max:
+        from core_ray.stages.join import filter_not_in
+
+        curated = filter_not_in(
+            curated, drop_ds, on="doc_id", broadcast_max=0, n_drop=n_drop,
+            ds_schema=pa.schema(
+                [("doc_id", pa.int64()), ("lang", pa.string()),
+                 ("bucket", pa.string())]
+            ),
+        )
 
     if out_dir is not None:
         curated.write_parquet(

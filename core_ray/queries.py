@@ -860,8 +860,8 @@ def emb_centroids(sf_dir: str):
 
 EMB_CENTROIDS_SQL = """
 WITH x AS (
-  SELECT label,
-         CAST(GENERATE_SUBSCRIPTS(embedding, 1) AS INTEGER) AS dim,
+  SELECT CAST(label AS BIGINT) AS label,
+         CAST(GENERATE_SUBSCRIPTS(embedding, 1) AS BIGINT) AS dim,
          UNNEST(embedding)::DOUBLE AS val
   FROM embeddings)
 SELECT label, dim, ROUND(SUM(val) / COUNT(*), 6) AS mean_val
@@ -1192,7 +1192,7 @@ best AS (
   SELECT doc_id, n_chars, admin_id FROM hits
   QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY level DESC, admin_id) = 1)
 SELECT admin_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
-       SUM(CAST(n_chars AS BIGINT)) AS sum_chars,
+       CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars,
        ROUND(CAST(SUM(CAST(n_chars AS BIGINT)) AS DOUBLE)
              / CAST(COUNT(*) AS DOUBLE), 6) AS mean_chars
 FROM best GROUP BY 1 ORDER BY 1
@@ -2193,7 +2193,12 @@ class MediaDecodeStub:
                 "media_bytes": pa.array(nb, pa.int64()),
                 "width": pa.array(width, pa.int32()),
                 "height": pa.array(height, pa.int32()),
-                "feature": pa.array(feats.tolist(), pa.list_(pa.float64())),
+                # list child named "l" to byte-match the SQL oracle's Arrow
+                # export (DuckDB names list children "l"; the driver hash is
+                # schema-type-sensitive)
+                "feature": pa.array(
+                    feats.tolist(), pa.list_(pa.field("l", pa.float64()))
+                ),
             }
         )
 
@@ -2666,40 +2671,35 @@ WHERE ROUND(LIST_COSINE_SIMILARITY(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 
 
 
-def doc_dedup_keep(sf_dir: str):
+def doc_dedup_keep(sf_dir: str, broadcast_max: int = 2_000_000):
     """The APPLY step of near-dup dedup: the corpus minus every non-
     representative cluster member (keep = each component's min doc id,
     plus all unpaired docs). The drop set is the cluster table minus its
-    representatives — bounded by the number of PAIRED docs, tiny relative
-    to the corpus — broadcast sorted and probed with a vectorized negated
-    np.isin, the cust_no_orders anti-join shape; the corpus side streams."""
-    import ray
-
+    representatives — bounded by the number of PAIRED docs in the common
+    case, so it broadcasts — but a 50 %-duplicate crawl makes it
+    O(corpus/2), so above ``broadcast_max`` the probe switches to a
+    distributed anti hash-join and the drop set never reaches the driver
+    (stages/join.filter_not_in, both regimes equivalence-tested)."""
     from core_ray.stages.cc import connected_components
+    from core_ray.stages.join import filter_not_in
     from core_ray.text.dedup import minhash_near_dups
 
     _ensure_docs_golden(sf_dir)
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     pairs = minhash_near_dups(ds, threshold=0.5)
     clusters = connected_components(pairs, src="id_a", dst="id_b")
-    drop_t = _collect_table(
-        clusters.map_batches(
-            lambda b: pa.table(
-                {"node": b["node"].filter(pc.not_equal(b["node"], b["comp"]))}
-            ),
-            batch_format="pyarrow",
-        )
+    drop_ds = clusters.map_batches(
+        lambda b: pa.table(
+            {"doc_id": b["node"].filter(pc.not_equal(b["node"], b["comp"]))}
+        ),
+        batch_format="pyarrow",
     )
-    drop = np.sort(drop_t["node"].to_numpy(zero_copy_only=False))
-    ref = ray.put(drop)
-
-    def keep(b: pa.Table, ref=ref) -> pa.Table:
-        drop = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-        ids = b["doc_id"].to_numpy(zero_copy_only=False)
-        return b.select(["doc_id"]).filter(pa.array(~np.isin(ids, drop)))
-
-    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
-        keep, batch_format="pyarrow", batch_size=65536
+    return filter_not_in(
+        _read(sf_dir, "documents", ["doc_id"]),
+        drop_ds,
+        on="doc_id",
+        broadcast_max=broadcast_max,
+        ds_schema=pa.schema([("doc_id", pa.int64())]),
     )
 
 
@@ -3553,7 +3553,7 @@ def events_props_stats(sf_dir: str):
 
 EVENTS_PROPS_SQL = """
 SELECT event_type, COUNT(*) AS n,
-       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
 FROM events GROUP BY 1
 """
 
@@ -3604,7 +3604,10 @@ def events_hopping(sf_dir: str):
     return agg.map_batches(
         lambda b: pa.table(
             {
-                "window_start": b["window_start"],
+                # Ray's groupby re-infers the key as timestamp[s]; the oracle
+                # (DuckDB TIMESTAMP) is [us] and the driver hash is
+                # type-sensitive -> cast back explicitly
+                "window_start": pc.cast(b["window_start"], pa.timestamp("us")),
                 "n": pc.cast(b["n"], pa.int64()),
                 "sum_value": pc.divide(pc.cast(b["cents"], pa.float64()), 100.0),
             }
@@ -4177,8 +4180,8 @@ def q12_priority_class(sf_dir: str):
 
 Q12_SQL = """
 SELECT l_linestatus,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_count,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
 GROUP BY 1
@@ -5495,7 +5498,8 @@ def events_hopping_users(sf_dir: str):
     return agg.map_batches(
         lambda b: pa.table(
             {
-                "window_start": b["window_start"],
+                # same timestamp[s] re-inference as events_hopping -> [us]
+                "window_start": pc.cast(b["window_start"], pa.timestamp("us")),
                 "n_users": pc.cast(b["n_users"], pa.int64()),
             }
         ),

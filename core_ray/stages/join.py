@@ -193,3 +193,71 @@ def hash_join(left, right, on: str, right_on: str | None = None,
         return out.select(out_names)
 
     return tagged.groupby("__part").map_groups(_local, batch_format="pyarrow")
+
+
+def filter_not_in(ds, drop_ds, on: str, broadcast_max: int = 2_000_000,
+                  n_drop: int | None = None, ds_schema=None):
+    """Anti-membership filter: remove from ``ds`` every row whose ``on``
+    value appears in ``drop_ds[on]``. Drop ids must be GLOBALLY UNIQUE
+    (true for CC node tables, contamination hit lists, keep-list drops —
+    a duplicated id on the join path would duplicate surviving rows).
+
+    Two regimes, value-identical (equivalence unit in tests/test_join.py):
+
+      n_drop <= broadcast_max — the drop ids are collected once, sorted,
+      ``ray.put`` once, and probed per batch with vectorized searchsorted.
+      Zero shuffles; the corpus side streams. Right when drops are bounded
+      by the paired-doc count (the common near-dup case).
+
+      n_drop  > broadcast_max — the drop set NEVER reaches the driver: a
+      distributed left hash_join against (on, __drop=1) marker rows + a
+      null filter (anti-join). A 50 %-duplicate crawl (drop set O(corpus/2),
+      common for CC snapshots) lands here instead of OOMing the driver.
+    """
+    import ray
+
+    if n_drop is None:
+        n_drop = drop_ds.count()
+
+    if n_drop <= broadcast_max:
+        from core_ray.collect import collect_table
+
+        t = collect_table(drop_ds)
+        drop = (
+            np.sort(t[on].to_numpy(zero_copy_only=False))
+            if t.num_rows
+            else np.zeros(0, np.int64)
+        )
+        dref = ray.put(drop)
+
+        def probe(b: pa.Table, dref=dref) -> pa.Table:
+            drop = ray.get(dref) if isinstance(dref, ray.ObjectRef) else dref
+            ids = b[on].to_numpy(zero_copy_only=False)
+            keep = np.ones(len(ids), dtype=bool)
+            if len(drop):
+                pos = np.searchsorted(drop, ids)
+                inb = pos < len(drop)
+                keep[inb] = drop[pos[inb]] != ids[inb]
+            return b.filter(pa.array(keep))
+
+        return ds.map_batches(probe, batch_format="pyarrow", batch_size=65536)
+
+    lsch = ds_schema if ds_schema is not None else ds.schema()
+    key_type = dict(zip(lsch.names, lsch.types))[on]
+    marker = drop_ds.map_batches(
+        lambda b: pa.table(
+            {
+                on: b[on],
+                "__drop": pa.array(np.ones(b.num_rows, np.int8), pa.int8()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    mschema = pa.schema([(on, key_type), ("__drop", pa.int8())])
+    j = hash_join(ds, marker, on=on, how="left",
+                  left_schema=lsch, right_schema=mschema)
+    cols = list(lsch.names)
+    return j.map_batches(
+        lambda b: b.filter(pc.is_null(b["__drop"])).select(cols),
+        batch_format="pyarrow",
+    )

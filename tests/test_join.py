@@ -227,3 +227,70 @@ def test_salted_join_with_colliding_salt_partitions(ray_session):
         return pa.concat_tables(tabs)
 
     assert _norm(collect(plain)) == _norm(collect(salted))
+
+
+# ---------------------------------------------------------------- filter_not_in
+
+
+def _fni_fixture(seed=11, n=20_000, n_drop=6_000):
+    rng = np.random.default_rng(seed)
+    ids = np.arange(n, dtype=np.int64)
+    rng.shuffle(ids)
+    t = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "val": pa.array(rng.integers(0, 1000, n), pa.int64()),
+    })
+    drop = pa.table({"doc_id": pa.array(
+        rng.choice(n, size=n_drop, replace=False).astype(np.int64), pa.int64())})
+    return t, drop
+
+
+def test_filter_not_in_paths_agree(ray_session):
+    """Broadcast probe and distributed anti hash-join must be value-identical
+    (VERDICT r3 item 3: every broadcast needs a tested scale path)."""
+    import ray
+
+    from core_ray.stages.join import filter_not_in
+
+    t, drop = _fni_fixture()
+    a = filter_not_in(ray.data.from_arrow(t), ray.data.from_arrow(drop),
+                      on="doc_id", broadcast_max=10**9)
+    b = filter_not_in(ray.data.from_arrow(t), ray.data.from_arrow(drop),
+                      on="doc_id", broadcast_max=0)
+    ta, tb = collect_sorted(a), collect_sorted(b)
+    assert _norm(ta) == _norm(tb)
+    rows = sorted(zip(ta["doc_id"].to_pylist(), ta["val"].to_pylist()))
+    dropped = set(drop["doc_id"].to_pylist())
+    assert len(rows) == t.num_rows - len(dropped)
+    assert all(r[0] not in dropped for r in rows)
+
+
+def collect_sorted(ds):
+    import ray
+
+    tabs = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    return pa.concat_tables(tabs) if tabs else pa.table({"doc_id": pa.array([], pa.int64())})
+
+
+def test_filter_not_in_empty_drop(ray_session):
+    import ray
+
+    from core_ray.stages.join import filter_not_in
+
+    t, _ = _fni_fixture()
+    empty = pa.table({"doc_id": pa.array([], pa.int64())})
+    out = filter_not_in(ray.data.from_arrow(t), ray.data.from_arrow(empty),
+                        on="doc_id", broadcast_max=10**9)
+    assert collect_sorted(out).num_rows == t.num_rows
+
+
+def test_dedup_keep_forced_join_path_equivalent(ray_session):
+    """doc_dedup_keep under the forced anti-join guard (broadcast_max=0)
+    must equal the broadcast default — the keep-list scale hatch is exact."""
+    from core_ray.collect import collect_table
+    from core_ray.queries import doc_dedup_keep
+
+    sf = "/root/testdata/sf0.001"
+    a = sorted(collect_table(doc_dedup_keep(sf))["doc_id"].to_pylist())
+    b = sorted(collect_table(doc_dedup_keep(sf, broadcast_max=0))["doc_id"].to_pylist())
+    assert a == b and len(a) > 0
