@@ -7350,7 +7350,7 @@ def _ensure_pagerank_golden(sf_dir: str) -> None:
         f.write("ok")
 
 
-def emb_pagerank(sf_dir: str):
+def emb_pagerank(sf_dir: str, shard_above_edges: int = 50_000_000):
     """Iterative distributed PageRank (damping 0.85, 10 synchronous
     iterations) over the undirected near-dup graph — the iterative-dataflow
     class beyond connected components. Shape: the edge table stays
@@ -7360,8 +7360,12 @@ def emb_pagerank(sf_dir: str):
     node array) and emits per-batch partial dst sums; the driver merges
     the O(nodes) partials and re-broadcasts. The rank vector is bounded by
     the PAIRED-node count (tiny next to the corpus, same bound as the
-    dedup keep list); for web-graph scale the documented path shards the
-    rank vector and replaces the broadcast with the hash join."""
+    dedup keep list) — and above ``shard_above_edges`` undirected edges
+    the rank vector never reaches the driver at all: the iteration
+    switches to stages/pagerank.pagerank_sharded (distributed rank table,
+    per-iteration hash_join + fsum_by_u64), bit-identical by the shared
+    per-iteration 1e-12 rounding (equivalence-forced in
+    tests/test_pagerank.py)."""
     import ray
 
     _ensure_pagerank_golden(sf_dir)
@@ -7381,6 +7385,20 @@ def emb_pagerank(sf_dir: str):
         )
 
     und = edges.map_batches(expand, batch_format="pyarrow").materialize()
+
+    if und.count() > shard_above_edges:
+        from core_ray.stages.pagerank import pagerank_sharded
+
+        out = _collect_table(pagerank_sharded(und, _PAGERANK_ITERS, _PAGERANK_D))
+        nodes = out["node"].to_numpy(zero_copy_only=False)
+        ranks = out["rank"].to_numpy(zero_copy_only=False)
+        order = np.argsort(nodes, kind="stable")
+        return pa.table(
+            {
+                "vec_id": pa.array(nodes[order], pa.int64()),
+                "rank": pa.array(sql_round_np(ranks[order], 6), pa.float64()),
+            }
+        )
 
     # node + degree table: tiny by construction -> driver-side arrays
     def deg_partial(b: pa.Table) -> pa.Table:

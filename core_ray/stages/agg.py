@@ -122,6 +122,57 @@ def sum_by_u64(ds, key_col: str, val_col: str):
     )
 
 
+def fsum_by_u64(ds, key_col: str, val_col: str):
+    """float64-valued sibling of sum_by_u64: Dataset with uint64 ``key_col``
+    + float ``val_col`` -> Dataset[(key_col, ``val_col``:float64 = sum)].
+    Same combiner + one-hash-shuffle shape. Float addition order differs
+    from a single-pass sum; callers needing cross-path determinism must
+    round downstream (stages/pagerank rounds each iteration to 1e-12)."""
+    n_parts = _n_parts()
+
+    def pre(b: pa.Table) -> pa.Table:
+        k = b[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = b[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.argsort(k, kind="stable")
+        ks, vs = k[order], v[order]
+        new = np.ones(len(ks), dtype=bool)
+        if len(ks):
+            new[1:] = ks[1:] != ks[:-1]
+        starts = np.nonzero(new)[0]
+        u = ks[starts]
+        sums = np.add.reduceat(vs, starts) if len(starts) else vs[:0]
+        part = ((u * _GOLD) % np.uint64(n_parts)).astype(np.int32)
+        return pa.table(
+            {
+                key_col: pa.array(u, pa.uint64()),
+                val_col: pa.array(sums, pa.float64()),
+                "part": pa.array(part, pa.int32()),
+            }
+        )
+
+    def reduce(g: pa.Table) -> pa.Table:
+        k = g[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        c = g[val_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        ks, cs = k[order], c[order]
+        new = np.ones(len(ks), dtype=bool)
+        new[1:] = ks[1:] != ks[:-1]
+        starts = np.nonzero(new)[0]
+        totals = np.add.reduceat(cs, starts) if len(starts) else cs[:0]
+        return pa.table(
+            {
+                key_col: pa.array(ks[starts], pa.uint64()),
+                val_col: pa.array(totals, pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(pre, batch_format="pyarrow", batch_size=131072)
+        .groupby("part")
+        .map_groups(reduce, batch_format="pyarrow")
+    )
+
+
 def map_groups_partitioned(ds, key_col: str, partition_fn, n_parts: int | None = None,
                            batch_size: int = 131072):
     """``groupby(key).map_groups(fn)`` for HIGH-CARDINALITY integer keys:
