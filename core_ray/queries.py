@@ -1843,6 +1843,43 @@ def pages_nested(sf_dir: str):
     return explode_list(nested, key_col="url", list_col="mentions")
 
 
+def pages_nested2(sf_dir: str):
+    """TWO-LEVEL nested-output model (VERDICT r3 item 6; the reference's
+    suites nest RECURSIVELY to MaxTreeDepth=1000, pkg/domain/test.go:16-30 +
+    pkg/parser/tspool/pool.go:40 — one list<struct> level closed §1.2 only
+    partially). Hierarchy: host -> pages: list<struct<url, mentions:
+    list<struct<mention_idx, lat, lon, admin_id>>>> — built by
+    nest_hierarchy (one hash-partition shuffle PER LEVEL, Arrow-native
+    assembly; the inner level carries `host` so the outer key needs no
+    re-join), then exploded twice back to flat rows. The DuckDB oracle
+    performs the same two-level LIST(STRUCT_PACK) -> UNNEST-of-UNNEST
+    roundtrip, so the hash compare proves depth-2 nesting is lossless and
+    ordered at both levels."""
+    from core_ray.stages.nest import explode_list, nest_hierarchy
+
+    _ensure_pages_golden(sf_dir)
+    joined = _run_pages(sf_dir).joined.select_columns(
+        ["url", "mention_idx", "lat", "lon", "admin_id"]
+    )
+
+    def add_host(b: pa.Table) -> pa.Table:
+        m = pc.extract_regex(b["url"], r"^https?://(?P<host>[^/]+)")
+        return b.append_column("host", pc.struct_field(m, "host"))
+
+    nested = nest_hierarchy(
+        joined.map_batches(add_host, batch_format="pyarrow"),
+        levels=[
+            dict(key_col="url", order_col="mention_idx",
+                 payload_cols=["mention_idx", "lat", "lon", "admin_id"],
+                 list_col="mentions", carry_cols=["host"]),
+            dict(key_col="host", order_col="url",
+                 payload_cols=["url", "mentions"], list_col="pages"),
+        ],
+    )
+    flat1 = explode_list(nested, key_cols=["host"], list_col="pages")
+    return explode_list(flat1, key_cols=["host", "url"], list_col="mentions")
+
+
 _GD = _pages_golden_dir()
 PAGES_JOINED_SQL = f"SELECT * FROM read_parquet('{_GD}/joined.parquet')"
 PAGES_TILES_SQL = f"SELECT * FROM read_parquet('{_GD}/tiles.parquet')"
@@ -1860,6 +1897,26 @@ WITH nested AS (
 ),
 exploded AS (SELECT url, UNNEST(mentions, recursive := true) FROM nested)
 SELECT * FROM exploded
+"""
+
+# depth-2 UNNEST-of-UNNEST roundtrip oracle for pages_nested2
+PAGES_NESTED2_SQL = f"""
+WITH l1 AS (
+  SELECT url,
+         LIST(STRUCT_PACK(mention_idx := mention_idx, lat := lat, lon := lon,
+                          admin_id := admin_id) ORDER BY mention_idx) AS mentions
+  FROM read_parquet('{_GD}/joined.parquet') GROUP BY url
+),
+l2 AS (
+  SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+         LIST(STRUCT_PACK(url := url, mentions := mentions) ORDER BY url) AS pages
+  FROM l1 GROUP BY 1
+),
+e2 AS (SELECT host, UNNEST(pages) AS page FROM l2),
+e1 AS (SELECT host, page.url AS url, UNNEST(page.mentions) AS m FROM e2)
+SELECT host, url, m.mention_idx AS mention_idx, m.lat AS lat, m.lon AS lon,
+       m.admin_id AS admin_id
+FROM e1
 """
 
 
@@ -7796,6 +7853,7 @@ QUERIES = {
     "pages_knn": pages_knn,
     "pages_errors": pages_errors,
     "pages_nested": pages_nested,
+    "pages_nested2": pages_nested2,
     "pages_rules": pages_rules,
     "media_features": media_features,
     "doc_top20_by_chars": doc_top20_by_chars,
@@ -7913,6 +7971,7 @@ ORACLE_SQL = {
     "pages_errors": PAGES_ERRORS_SQL,
     "pages_knn": PAGES_KNN_SQL,
     "pages_nested": PAGES_NESTED_SQL,
+    "pages_nested2": PAGES_NESTED2_SQL,
     "pages_rules": PAGES_RULES_SQL,
     "media_thumbnails": MEDIA_THUMBNAILS_SQL,
     "media_frames": MEDIA_FRAMES_SQL,

@@ -68,3 +68,50 @@ def test_nest_empty_partition():
     t = _table().slice(0, 0)
     nested = nest_partition(t, "url", "mention_idx", ["mention_idx", "lat"], "mentions")
     assert nested.num_rows == 0 and pa.types.is_list(nested["mentions"].type)
+
+
+def test_nest_hierarchy_two_level_roundtrip(ray_session):
+    """host -> url -> mentions depth-2 nest, exploded twice, must equal the
+    input up to row order; carry_cols surfaces host at the inner level."""
+    import ray
+
+    from core_ray.stages.nest import nest_hierarchy
+
+    t = _table(n_keys=23, per_key=(0, 6))
+    host = pc.struct_field(
+        pc.extract_regex(t["url"], r"^https?://(?P<host>[^/]+)"), "host"
+    )
+    t2 = t.append_column("host", host)
+    nested = nest_hierarchy(
+        ray.data.from_arrow(t2),
+        levels=[
+            dict(key_col="url", order_col="mention_idx",
+                 payload_cols=["mention_idx", "lat", "lon", "admin_id"],
+                 list_col="mentions", carry_cols=["host"]),
+            dict(key_col="host", order_col="url",
+                 payload_cols=["url", "mentions"], list_col="pages"),
+        ],
+    )
+    # depth-2 structure: list<struct<url, mentions: list<struct<...>>>>
+    nt = pa.concat_tables(
+        [x for x in ray.get(nested.to_arrow_refs()) if x.num_rows]
+    )
+    pages_t = nt["pages"].type
+    assert pa.types.is_list(pages_t) and pa.types.is_struct(pages_t.value_type)
+    inner = pages_t.value_type.field("mentions").type
+    assert pa.types.is_list(inner) and pa.types.is_struct(inner.value_type)
+
+    flat1 = explode_list(nested, key_cols=["host"], list_col="pages")
+    flat = explode_list(flat1, key_cols=["host", "url"], list_col="mentions")
+    tabs = [x for x in ray.get(flat.to_arrow_refs()) if x.num_rows]
+    got = _canon(pa.concat_tables(tabs).select(t2.column_names))
+    assert got.equals(_canon(t2))
+
+
+def test_nest_hierarchy_depth_cap():
+    import pytest
+
+    from core_ray.stages.nest import MAX_NEST_DEPTH, nest_hierarchy
+
+    with pytest.raises(ValueError):
+        nest_hierarchy(None, levels=[{}] * (MAX_NEST_DEPTH + 1))
