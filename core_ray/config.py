@@ -79,6 +79,14 @@ class PipelineConfig:
     # fingerprints).
     phase_a_overlap: int = 1
 
+    # WithPatterns / WithExcludePatterns analog (pkg/parser/options.go:42-100,
+    # doublestar semantics scanner.go:954-971): applied to the page-file list
+    # relative to its common root before sharding; part of the phase-A
+    # lineage fingerprint, so toggling a pattern invalidates exactly the
+    # shards whose input set changed.
+    include_patterns: tuple[str, ...] | None = None
+    exclude_patterns: tuple[str, ...] = ()
+
     checkpoint_dir: str | None = None
     resume: bool = True
     stage_versions: dict[str, int] = field(default_factory=dict)

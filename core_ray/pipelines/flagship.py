@@ -52,7 +52,8 @@ STAGE_VERSIONS = {"phaseA": 3, "deduped": 3, "knn": 2, "tiles": 2}
 # fingerprint_config): resuming with a changed knob recomputes exactly the
 # stages that knob feeds. stage_sel_phase_a covers the phase-A stage toggles
 # ONLY (s2-encode/pip) — skipping knn or tiles must not invalidate phase A.
-_PHASE_A_CFG = ("max_html_bytes", "hex_res", "s2_level", "stage_sel_phase_a")
+_PHASE_A_CFG = ("max_html_bytes", "hex_res", "s2_level", "stage_sel_phase_a",
+                "include_patterns", "exclude_patterns")
 _KNN_CFG = _PHASE_A_CFG + ("knn_k", "hot_cell_threshold", "salt_group_target")
 _TILES_CFG = _PHASE_A_CFG + ("tile_zooms",)
 
@@ -235,9 +236,15 @@ def run_flagship(
     except ImportError:
         pass
 
+    cfg = cfg or PipelineConfig()
+    if cfg.include_patterns or cfg.exclude_patterns:
+        from core_ray.sources.patterns import filter_paths
+
+        page_files = filter_paths(
+            page_files, cfg.include_patterns, cfg.exclude_patterns
+        )
     if not page_files:
         raise ValueError("run_flagship: page_files is empty (no pages parquet found)")
-    cfg = cfg or PipelineConfig()
     checkpoint_dir = checkpoint_dir or cfg.checkpoint_dir
     if checkpoint_dir is None:
         import tempfile

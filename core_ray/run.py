@@ -32,6 +32,16 @@ def main(argv=None) -> int:
         "--format", choices=("parquet", "json", "csv"), default="parquet",
         help="output dataset format (scripts/scan.go JSON-sink analog)",
     )
+    ap.add_argument(
+        "--include", action="append", default=[], metavar="PATTERN",
+        help="doublestar include pattern over page files, repeatable "
+        "(WithPatterns analog; default: all files)",
+    )
+    ap.add_argument(
+        "--exclude", action="append", default=[], metavar="PATTERN",
+        help="doublestar exclude pattern over page files, repeatable "
+        "(WithExcludePatterns analog)",
+    )
     ap.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", 8)))
     args = ap.parse_args(argv)
 
@@ -70,7 +80,10 @@ def main(argv=None) -> int:
                 files,
                 pq.read_table(args.admin),
                 pq.read_table(args.geoip),
-                PipelineConfig(),
+                PipelineConfig(
+                    include_patterns=tuple(args.include) or None,
+                    exclude_patterns=tuple(args.exclude),
+                ),
                 checkpoint_dir=args.checkpoint_dir,
             )
             if args.out:

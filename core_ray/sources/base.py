@@ -70,18 +70,29 @@ class LocalParquetSource(Source):
     parquet. Paths are resolved and must stay under the given root when a
     directory is passed (the resolvePath escape check)."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, include_patterns: tuple[str, ...] | None = None,
+                 exclude_patterns: tuple[str, ...] = ()):
         self.path = path
+        self.include_patterns = tuple(include_patterns) if include_patterns else None
+        self.exclude_patterns = tuple(exclude_patterns)
 
     def pages(self) -> list[str]:
         if os.path.isdir(self.path):
             root = os.path.realpath(self.path)
-            files = sorted(_glob.glob(os.path.join(root, "*.parquet")))
+            files = sorted(_glob.glob(os.path.join(root, "**", "*.parquet"),
+                                      recursive=True))
             escaped = [f for f in files if not os.path.realpath(f).startswith(root + os.sep)]
             if escaped:
                 raise ValueError(f"paths escape source root: {escaped[:3]}")
-            return files
-        return sorted(_glob.glob(self.path))
+        else:
+            root = None
+            files = sorted(_glob.glob(self.path))
+        if self.include_patterns or self.exclude_patterns:
+            from core_ray.sources.patterns import filter_paths
+
+            files = filter_paths(files, self.include_patterns,
+                                 self.exclude_patterns, root=root)
+        return files
 
     def describe(self) -> dict[str, Any]:
         return {"type": "parquet", "path": self.path, "n_files": len(self.pages())}
