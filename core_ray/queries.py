@@ -7825,298 +7825,6 @@ FROM c a JOIN c b ON b.domain = a.domain AND b.day = a.day + 1
 """
 
 
-# --- round-4 additions: TF-IDF keywords, nearest-centroid, funnel ----------
-
-
-def doc_tfidf_top3(sf_dir: str, k_top: int = 3):
-    """Per-document TF-IDF keyword extraction (top-3 terms) — the classic
-    corpus-statistics op a curation pipeline uses for topic tagging.
-
-    Scale shape: ONE tokenize pass emits the distinct (doc_id, term, tf)
-    rows (per-batch np.unique — tf table ≈ Σ distinct terms per doc,
-    materialized once, the corpus text never re-enters); df = rows per term
-    over that table (vocabulary-sized, map_groups_partitioned by a
-    vectorized term hash, exact strings inside each partition); df re-joins
-    tf through the distributed string-keyed hash_join; per-doc top-k is one
-    lexsort per doc-hash partition. score = tf*N/df in IEEE doubles —
-    products of small ints then ONE division, so the DuckDB mirror is
-    bit-exact (no transcendentals; same contract as the quality scores)."""
-    from core_ray.stages.agg import hash_strings, map_groups_partitioned
-    from core_ray.stages.join import hash_join
-
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def tf_rows(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].to_numpy(zero_copy_only=False)
-        texts = b["text"].to_pylist()
-        out_doc, out_term = [], []
-        for i, t in enumerate(texts):
-            toks = t.split()
-            if toks:
-                out_doc.append(np.full(len(toks), ids[i], np.int64))
-                out_term.append(np.asarray(toks, dtype=object))
-        if not out_doc:
-            return pa.table(
-                {"doc_id": pa.array([], pa.int64()),
-                 "term": pa.array([], pa.string()),
-                 "tf": pa.array([], pa.int64())}
-            )
-        doc = np.concatenate(out_doc)
-        term = np.concatenate(out_term)
-        order = np.lexsort((term, doc))
-        doc_o, term_o = doc[order], term[order]
-        new = np.ones(len(doc_o), dtype=bool)
-        new[1:] = (doc_o[1:] != doc_o[:-1]) | (term_o[1:] != term_o[:-1])
-        starts = np.nonzero(new)[0]
-        counts = np.diff(np.append(starts, len(doc_o)))
-        return pa.table(
-            {
-                "doc_id": pa.array(doc_o[starts], pa.int64()),
-                "term": pa.array(term_o[starts].tolist(), pa.string()),
-                "tf": pa.array(counts.astype(np.int64), pa.int64()),
-            }
-        )
-
-    tf = ds.map_batches(tf_rows, batch_format="pyarrow", batch_size=4096).materialize()
-
-    # N = docs with at least one token == distinct doc_ids in the tf table
-    # (per-batch distinct is exact: tf_rows emits each doc's rows in one batch)
-    n_docs = int(
-        sum(
-            t["n"][0].as_py()
-            for t in _collect_table(
-                tf.map_batches(
-                    lambda b: pa.table(
-                        {"n": pa.array([len(np.unique(
-                            b["doc_id"].to_numpy(zero_copy_only=False)))], pa.int64())}
-                    ),
-                    batch_format="pyarrow",
-                )
-            ).to_batches()
-        )
-    )
-
-    def tag_term(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {"term": b["term"],
-             "__tkey": pa.array(hash_strings(b["term"]), pa.uint64())}
-        )
-
-    def df_partition(g: pa.Table) -> pa.Table:
-        terms = np.asarray(g["term"].to_pylist(), dtype=object)
-        u, c = np.unique(terms, return_counts=True)
-        return pa.table(
-            {"term": pa.array(u.tolist(), pa.string()),
-             "df": pa.array(c.astype(np.int64), pa.int64())}
-        )
-
-    df = map_groups_partitioned(
-        tf.map_batches(tag_term, batch_format="pyarrow"), "__tkey", df_partition
-    )
-
-    joined = hash_join(
-        tf, df, on="term",
-        left_schema=pa.schema([("term", pa.string()), ("doc_id", pa.int64()),
-                               ("tf", pa.int64())]),
-        right_schema=pa.schema([("term", pa.string()), ("df", pa.int64())]),
-    )
-
-    def score(b: pa.Table) -> pa.Table:
-        tfv = b["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
-        dfv = b["df"].to_numpy(zero_copy_only=False).astype(np.float64)
-        return pa.table(
-            {
-                "doc_id": b["doc_id"],
-                "term": b["term"],
-                "score": pa.array(tfv * float(n_docs) / dfv, pa.float64()),
-            }
-        )
-
-    def topk(g: pa.Table) -> pa.Table:
-        doc = g["doc_id"].to_numpy(zero_copy_only=False)
-        sc = g["score"].to_numpy(zero_copy_only=False)
-        term = np.asarray(g["term"].to_pylist(), dtype=object)
-        order = np.lexsort((term, -sc, doc))
-        doc_o = doc[order]
-        new = np.ones(len(doc_o), dtype=bool)
-        new[1:] = doc_o[1:] != doc_o[:-1]
-        # rank within doc = position since the doc's first row
-        idx = np.arange(len(doc_o))
-        first = idx[new][np.cumsum(new) - 1]
-        keep = (idx - first) < k_top
-        sel = order[keep]
-        return pa.table(
-            {
-                "doc_id": pa.array(doc[sel], pa.int64()),
-                "term": pa.array(term[sel].tolist(), pa.string()),
-                "score": pa.array(sql_round_np(sc[sel], 6), pa.float64()),
-            }
-        )
-
-    return map_groups_partitioned(
-        joined.map_batches(score, batch_format="pyarrow"), "doc_id", topk
-    )
-
-
-DOC_TFIDF_SQL = """
-WITH toks AS (
-  SELECT doc_id, UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) AS term
-  FROM documents WHERE TRIM(text) <> ''),
-tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
-df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM tf),
-scored AS (
-  SELECT tf.doc_id, tf.term,
-         CAST(tf.tf AS DOUBLE) * n.n / CAST(df.df AS DOUBLE) AS score
-  FROM tf JOIN df USING (term), n)
-SELECT doc_id, term, ROUND(score, 6) AS score FROM scored
-QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) <= 3
-"""
-
-
-def geo_nearest_centroid(sf_dir: str):
-    """Voronoi-style nearest-centroid labeling over the admin-rect
-    centroids — the assignment step of a geo k-means / coverage analysis.
-    The 12-centroid side is a driver constant baked into the batch fn
-    (broadcast-by-closure); per batch one (rows x centroids) vectorized
-    squared-distance matrix + argmin. np.argmin takes the FIRST minimum, and
-    centroids are pre-sorted by admin_id, so ties break admin_id-ascending —
-    exactly the SQL mirror's ROW_NUMBER(ORDER BY dist, admin_id)."""
-    cents = sorted(
-        (aid, (lat0 + lat1) / 2.0, (lon0 + lon1) / 2.0)
-        for aid, _lvl, lat0, lon0, lat1, lon1 in GEO_RECTS
-    )
-    names = np.asarray([c[0] for c in cents], dtype=object)
-    clat = np.array([c[1] for c in cents])
-    clon = np.array([c[2] for c in cents])
-
-    ds = _read(sf_dir, "documents", ["doc_id"])
-
-    def assign(b: pa.Table) -> pa.Table:
-        doc_id = b["doc_id"].to_numpy(zero_copy_only=False)
-        lat, lon = _derive_coords(doc_id)
-        dla = lat[:, None] - clat[None, :]
-        dlo = lon[:, None] - clon[None, :]
-        d = dla * dla + dlo * dlo
-        j = np.argmin(d, axis=1)
-        best = d[np.arange(len(j)), j]
-        return pa.table(
-            {
-                "doc_id": b["doc_id"],
-                "admin_id": pa.array(names[j].tolist(), pa.string()),
-                "dist": pa.array(sql_round_np(best, 6), pa.float64()),
-            }
-        )
-
-    return ds.map_batches(assign, batch_format="pyarrow", batch_size=65536)
-
-
-def _geo_centroid_values_sql() -> str:
-    # CAST-from-string: a bare decimal literal parses as DECIMAL and its
-    # double conversion is NOT correctly rounded (measured 1-ulp dist drift);
-    # string->double parse is, and Python repr round-trips exactly
-    rows = ",\n    ".join(
-        f"('{aid}', CAST('{(lat0 + lat1) / 2.0!r}' AS DOUBLE),"
-        f" CAST('{(lon0 + lon1) / 2.0!r}' AS DOUBLE))"
-        for aid, _lvl, lat0, lon0, lat1, lon1 in sorted(GEO_RECTS)
-    )
-    return f"(VALUES\n    {rows}) AS c(admin_id, clat, clon)"
-
-
-GEO_NEAREST_CENTROID_SQL = f"""
-WITH pts AS (SELECT doc_id, {GEO_LAT_SQL} AS lat, {GEO_LON_SQL} AS lon FROM documents),
-d AS (
-  SELECT doc_id, admin_id,
-         (lat - clat) * (lat - clat) + (lon - clon) * (lon - clon) AS dist
-  FROM pts CROSS JOIN {_geo_centroid_values_sql()})
-SELECT doc_id, admin_id, ROUND(dist, 6) AS dist FROM d
-QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY dist, admin_id) = 1
-"""
-
-
-def events_funnel(sf_dir: str):
-    """Ordered-funnel analysis (view -> click -> purchase, strictly
-    increasing timestamps): how many users reach each stage. One shuffle by
-    user hash; inside each partition every stage is a vectorized
-    min-reduceat over the user's sorted rows (stage k+1 considers only rows
-    strictly after the user's stage-k time) — the sessionize/as-of family's
-    shape. Integer-microsecond comparisons, so the SQL mirror is exact."""
-    from core_ray.stages.agg import map_groups_partitioned
-
-    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
-    stages = ("view", "click", "purchase")
-
-    def pre(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "user_id": b["user_id"],
-                "event_type": b["event_type"],
-                "t": pc.cast(b["ts"], pa.int64()),
-            }
-        )
-
-    def funnel_partition(g: pa.Table) -> pa.Table:
-        users = g["user_id"].to_numpy(zero_copy_only=False)
-        t = g["t"].to_numpy(zero_copy_only=False)
-        et = np.asarray(g["event_type"].to_pylist(), dtype=object)
-        order = np.lexsort((t, users))
-        users, t, et = users[order], t[order], et[order]
-        new = np.ones(len(users), dtype=bool)
-        if len(users):
-            new[1:] = users[1:] != users[:-1]
-        starts = np.nonzero(new)[0]
-        grp = np.cumsum(new) - 1
-        counts = np.zeros(len(stages), np.int64)
-        prev = np.full(len(starts), -1, np.int64)  # stage-k time per user
-        big = np.iinfo(np.int64).max
-        for si, stage in enumerate(stages):
-            ok = (et == stage) & (t > prev[grp])
-            tt = np.where(ok, t, big)
-            cur = np.minimum.reduceat(tt, starts) if len(starts) else tt[:0]
-            reached = cur != big
-            counts[si] = int(reached.sum())
-            prev = np.where(reached, cur, big)  # unreached users block later stages
-        return pa.table(
-            {
-                "stage": pa.array(list(stages), pa.string()),
-                "n_users": pa.array(counts, pa.int64()),
-            }
-        )
-
-    partials = map_groups_partitioned(
-        ds.map_batches(pre, batch_format="pyarrow", batch_size=131072),
-        "user_id",
-        funnel_partition,
-    )
-    t = _collect_table(partials)
-    agg = pa.TableGroupBy(t, ["stage"]).aggregate([("n_users", "sum")])
-    order = {s: i for i, s in enumerate(stages)}
-    rows = sorted(
-        zip(agg["stage"].to_pylist(), agg["n_users_sum"].to_pylist()),
-        key=lambda r: order[r[0]],
-    )
-    return pa.table(
-        {
-            "stage": pa.array([r[0] for r in rows], pa.string()),
-            "n_users": pa.array([r[1] for r in rows], pa.int64()),
-        }
-    )
-
-
-EVENTS_FUNNEL_SQL = """
-WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
-v AS (SELECT user_id, MIN(t) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
-c AS (SELECT e.user_id, MIN(e.t) AS t2 FROM e JOIN v USING (user_id)
-      WHERE e.event_type = 'click' AND e.t > v.t1 GROUP BY 1),
-p AS (SELECT e.user_id, MIN(e.t) AS t3 FROM e JOIN c USING (user_id)
-      WHERE e.event_type = 'purchase' AND e.t > c.t2 GROUP BY 1)
-SELECT * FROM (VALUES
-  ('view', (SELECT CAST(COUNT(*) AS BIGINT) FROM v)),
-  ('click', (SELECT CAST(COUNT(*) AS BIGINT) FROM c)),
-  ('purchase', (SELECT CAST(COUNT(*) AS BIGINT) FROM p))) AS f(stage, n_users)
-"""
-
-
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -8146,9 +7854,6 @@ QUERIES = {
     "pages_errors": pages_errors,
     "pages_nested": pages_nested,
     "pages_nested2": pages_nested2,
-    "doc_tfidf_top3": doc_tfidf_top3,
-    "geo_nearest_centroid": geo_nearest_centroid,
-    "events_funnel": events_funnel,
     "pages_rules": pages_rules,
     "media_features": media_features,
     "doc_top20_by_chars": doc_top20_by_chars,
@@ -8267,9 +7972,6 @@ ORACLE_SQL = {
     "pages_knn": PAGES_KNN_SQL,
     "pages_nested": PAGES_NESTED_SQL,
     "pages_nested2": PAGES_NESTED2_SQL,
-    "doc_tfidf_top3": DOC_TFIDF_SQL,
-    "geo_nearest_centroid": GEO_NEAREST_CENTROID_SQL,
-    "events_funnel": EVENTS_FUNNEL_SQL,
     "pages_rules": PAGES_RULES_SQL,
     "media_thumbnails": MEDIA_THUMBNAILS_SQL,
     "media_frames": MEDIA_FRAMES_SQL,
