@@ -7825,6 +7825,58 @@ FROM c a JOIN c b ON b.domain = a.domain AND b.day = a.day + 1
 """
 
 
+def cust_orders_full_outer(sf_dir: str):
+    """FULL OUTER equi-join at the driver surface — the one hash_join mode
+    (stages/join.py full-outer Acero path, null-key retention unit-tested)
+    that had no oracle query. Left = high-balance customers, right =
+    per-customer 1997+ order counts (exact count_by_u64 combiner): both
+    sides surface unmatched rows (rich customer with no recent orders ->
+    null n_orders; active customer below the balance cut -> null
+    c_acctbal), keys coalesced exactly like SQL USING."""
+    from core_ray.stages.agg import count_by_u64
+    from core_ray.stages.join import hash_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]).filter(
+        expr="c_acctbal > 5000.0"
+    )
+    cutoff = np.datetime64("1997-01-01", "us").astype(np.int64)
+
+    def recent_keys(b: pa.Table) -> pa.Table:
+        t = (
+            b["o_orderdate"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        return pa.table(
+            {"key": pc.cast(b["o_custkey"], pa.uint64()).filter(pa.array(t >= cutoff))}
+        )
+
+    counts = count_by_u64(
+        _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+            recent_keys, batch_format="pyarrow", batch_size=131072
+        ),
+        "key",
+    ).map_batches(
+        lambda b: pa.table(
+            {"c_custkey": pc.cast(b["key"], pa.int64()), "n_orders": b["cnt"]}
+        ),
+        batch_format="pyarrow",
+    )
+    return hash_join(
+        cust, counts, on="c_custkey", how="full",
+        left_schema=pa.schema([("c_custkey", pa.int64()), ("c_acctbal", pa.float64())]),
+        right_schema=pa.schema([("c_custkey", pa.int64()), ("n_orders", pa.int64())]),
+    )
+
+
+CUST_ORDERS_FULL_OUTER_SQL = """
+WITH c AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 5000.0),
+o AS (SELECT o_custkey AS c_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' GROUP BY 1)
+SELECT COALESCE(c.c_custkey, o.c_custkey) AS c_custkey, c.c_acctbal, o.n_orders
+FROM c FULL JOIN o ON c.c_custkey = o.c_custkey
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -7871,6 +7923,7 @@ QUERIES = {
     "doc_top2_per_lang": doc_top2_per_lang,
     "events_value_quantiles": events_value_quantiles,
     "cust_no_orders": cust_no_orders,
+    "cust_orders_full_outer": cust_orders_full_outer,
     "events_value_histogram": events_value_histogram,
     "orders_cust_join": orders_cust_join,
     "events_funnel": events_funnel,
@@ -7980,6 +8033,7 @@ ORACLE_SQL = {
     "doc_top2_per_lang": DOC_TOP2_PER_LANG_SQL,
     "events_value_quantiles": EVENTS_QUANTILES_SQL,
     "cust_no_orders": CUST_NO_ORDERS_SQL,
+    "cust_orders_full_outer": CUST_ORDERS_FULL_OUTER_SQL,
     "events_value_histogram": EVENTS_HISTOGRAM_SQL,
     "orders_cust_join": ORDERS_CUST_JOIN_SQL,
     "events_funnel": EVENTS_FUNNEL_SQL,
