@@ -7868,6 +7868,67 @@ def cust_orders_full_outer(sf_dir: str):
     )
 
 
+def doc_incremental_new(sf_dir: str, broadcast_max: int = 2_000_000):
+    """Cross-snapshot incremental dedup — the op a recurring crawl runs
+    before adding a new snapshot to the corpus: keep only NEW docs whose
+    exact text was never seen in the previous snapshot. Deterministic
+    stand-in split with OVERLAP (consecutive crawls re-fetch mostly the
+    same pages): old snapshot = doc_id%10 < 7, new = doc_id%10 >= 3 — the
+    40% in both snapshots MUST be dropped, so a broken probe can't pass
+    vacuously (this corpus has no cross-doc exact-text twins).
+
+    Scale shape: the old side reduces to DISTINCT text keys (zero-copy md5
+    of the Arrow utf-8 buffer -> u64, exact count_by_u64 combiner — text
+    never leaves its scan), then stages/join.filter_not_in probes the new
+    side: broadcast sorted-searchsorted under the guard, distributed anti
+    hash-join above it (a 10^12-doc seen-set never reaches the driver). At
+    that scale the key should widen to the full 128-bit digest; u64 is
+    collision-safe for any single-box corpus (p ~ n^2/2^64)."""
+    from core_ray.stages.agg import count_by_u64
+    from core_ray.stages.join import filter_not_in
+    from core_ray.text.dedup import _md5_utf8_col
+
+    def text_key(b: pa.Table, which: str) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        m = (ids % 10) < 7 if which == "old" else (ids % 10) >= 3
+        sub = b.filter(pa.array(m))
+        md5s = _md5_utf8_col(sub["text"])
+        key = (
+            np.frombuffer(b"".join(md5s), dtype=">u8").reshape(-1, 2)[:, 0]
+            .astype(np.uint64)
+            if md5s else np.zeros(0, np.uint64)
+        )
+        return pa.table(
+            {"doc_id": sub["doc_id"], "key": pa.array(key, pa.uint64())}
+        )
+
+    seen = count_by_u64(
+        _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            lambda b: text_key(b, "old").select(["key"]),
+            batch_format="pyarrow", batch_size=4096,
+        ),
+        "key",
+    ).map_batches(lambda b: b.select(["key"]), batch_format="pyarrow")
+
+    new = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda b: text_key(b, "new"), batch_format="pyarrow", batch_size=4096
+    )
+    out = filter_not_in(
+        new, seen, on="key", broadcast_max=broadcast_max,
+        ds_schema=pa.schema([("doc_id", pa.int64()), ("key", pa.uint64())]),
+    )
+    return out.map_batches(
+        lambda b: b.select(["doc_id"]), batch_format="pyarrow"
+    )
+
+
+DOC_INCREMENTAL_NEW_SQL = """
+SELECT doc_id FROM documents
+WHERE doc_id % 10 >= 3
+  AND text NOT IN (SELECT text FROM documents WHERE doc_id % 10 < 7)
+"""
+
+
 CUST_ORDERS_FULL_OUTER_SQL = """
 WITH c AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 5000.0),
 o AS (SELECT o_custkey AS c_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
@@ -7924,6 +7985,7 @@ QUERIES = {
     "events_value_quantiles": events_value_quantiles,
     "cust_no_orders": cust_no_orders,
     "cust_orders_full_outer": cust_orders_full_outer,
+    "doc_incremental_new": doc_incremental_new,
     "events_value_histogram": events_value_histogram,
     "orders_cust_join": orders_cust_join,
     "events_funnel": events_funnel,
@@ -8034,6 +8096,7 @@ ORACLE_SQL = {
     "events_value_quantiles": EVENTS_QUANTILES_SQL,
     "cust_no_orders": CUST_NO_ORDERS_SQL,
     "cust_orders_full_outer": CUST_ORDERS_FULL_OUTER_SQL,
+    "doc_incremental_new": DOC_INCREMENTAL_NEW_SQL,
     "events_value_histogram": EVENTS_HISTOGRAM_SQL,
     "orders_cust_join": ORDERS_CUST_JOIN_SQL,
     "events_funnel": EVENTS_FUNNEL_SQL,

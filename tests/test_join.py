@@ -294,3 +294,16 @@ def test_dedup_keep_forced_join_path_equivalent(ray_session):
     a = sorted(collect_table(doc_dedup_keep(sf))["doc_id"].to_pylist())
     b = sorted(collect_table(doc_dedup_keep(sf, broadcast_max=0))["doc_id"].to_pylist())
     assert a == b and len(a) > 0
+
+
+def test_incremental_new_forced_join_path_equivalent(ray_session):
+    """doc_incremental_new under the forced anti-join guard must equal the
+    broadcast default, and must actually drop the snapshot overlap."""
+    from core_ray.collect import collect_table
+    from core_ray.queries import doc_incremental_new
+
+    sf = "/root/testdata/sf0.001"
+    a = sorted(collect_table(doc_incremental_new(sf))["doc_id"].to_pylist())
+    b = sorted(collect_table(doc_incremental_new(sf, broadcast_max=0))["doc_id"].to_pylist())
+    assert a == b and len(a) > 0
+    assert all(d % 10 >= 7 for d in a)  # every overlap doc dropped
