@@ -80,6 +80,9 @@ BENCH_QUERIES = [
     "events_transitions",
     "events_hourly_anomalies",
     "emb_pagerank",
+    # round-4 additions
+    "cust_orders_full_outer",
+    "doc_incremental_new",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

@@ -101,3 +101,47 @@ def test_flagship_exclude_pattern(ray_session, tmp_path):
     for t in ray.get(res.joined.to_arrow_refs()):
         joined_urls |= set(t["url"].to_pylist())
     assert joined_urls and not (joined_urls & excluded_urls)
+
+
+# ---------------------------------------------------------------- properties
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_seg = st.text(alphabet="abcxyz019._-", min_size=1, max_size=6)
+_path = st.lists(_seg, min_size=1, max_size=5).map("/".join)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_path)
+def test_prop_literal_matches_only_itself(p):
+    assert match_doublestar(p, p)
+    assert not match_doublestar(p, p + "x")
+    assert not match_doublestar(p, "q/" + p)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_path, _path)
+def test_prop_doublestar_prefix_matches_any_ancestry(prefix, p):
+    # **/<p> matches <p> at any depth, including depth zero
+    assert match_doublestar("**/" + p, p)
+    assert match_doublestar("**/" + p, prefix + "/" + p)
+    # <p>/** matches everything under <p> and <p> itself
+    assert match_doublestar(p + "/**", p)
+    assert match_doublestar(p + "/**", p + "/" + prefix)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_seg, _seg)
+def test_prop_single_segment_agrees_with_fnmatch(seg, other):
+    import fnmatch
+
+    for pat in (seg, seg[:2] + "*", "?" + seg[1:], "[" + seg[0] + "]" + seg[1:]):
+        assert match_doublestar(pat, other) == fnmatch.fnmatchcase(other, pat)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_seg, _seg, _path)
+def test_prop_brace_is_disjunction(a, b, p):
+    lhs = match_doublestar("{%s,%s}" % (a, b), p)
+    assert lhs == (match_doublestar(a, p) or match_doublestar(b, p))
