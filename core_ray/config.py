@@ -86,6 +86,11 @@ class PipelineConfig:
     # shards whose input set changed.
     include_patterns: tuple[str, ...] | None = None
     exclude_patterns: tuple[str, ...] = ()
+    # root the patterns are relative to; None infers the files' common
+    # directory (fine programmatically, ambiguous from the CLI — run.py
+    # pins it to --pages so 'pages/*.parquet' means the same thing
+    # regardless of sibling directories)
+    pattern_root: str | None = None
 
     checkpoint_dir: str | None = None
     resume: bool = True

@@ -241,7 +241,8 @@ def run_flagship(
         from core_ray.sources.patterns import filter_paths
 
         page_files = filter_paths(
-            page_files, cfg.include_patterns, cfg.exclude_patterns
+            page_files, cfg.include_patterns, cfg.exclude_patterns,
+            root=cfg.pattern_root,
         )
     if not page_files:
         raise ValueError("run_flagship: page_files is empty (no pages parquet found)")

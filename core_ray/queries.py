@@ -7420,9 +7420,10 @@ def emb_pagerank(sf_dir: str, shard_above_edges: int = 50_000_000):
     dedup keep list) — and above ``shard_above_edges`` undirected edges
     the rank vector never reaches the driver at all: the iteration
     switches to stages/pagerank.pagerank_sharded (distributed rank table,
-    per-iteration hash_join + fsum_by_u64), bit-identical by the shared
-    per-iteration 1e-12 rounding (equivalence-forced in
-    tests/test_pagerank.py)."""
+    per-iteration hash_join + fsum_by_u64), value-identical under the
+    shared per-iteration 1e-12 rounding contract (equivalence-forced in
+    tests/test_pagerank.py; see stages/pagerank.py for the boundary
+    caveat)."""
     import ray
 
     _ensure_pagerank_golden(sf_dir)
@@ -7908,7 +7909,9 @@ def doc_incremental_new(sf_dir: str, broadcast_max: int = 2_000_000):
             batch_format="pyarrow", batch_size=4096,
         ),
         "key",
-    ).map_batches(lambda b: b.select(["key"]), batch_format="pyarrow")
+    ).map_batches(lambda b: b.select(["key"]), batch_format="pyarrow").materialize()
+    # materialized: filter_not_in consumes the seen set twice (count + probe);
+    # lazy, the whole old-snapshot scan + md5 + shuffle would run twice
 
     new = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         lambda b: text_key(b, "new"), batch_format="pyarrow", batch_size=4096

@@ -83,6 +83,9 @@ def main(argv=None) -> int:
                 PipelineConfig(
                     include_patterns=tuple(args.include) or None,
                     exclude_patterns=tuple(args.exclude),
+                    # patterns are relative to the source root, not to the
+                    # inferred common dir of whatever files matched
+                    pattern_root=args.pages if os.path.isdir(args.pages) else None,
                 ),
                 checkpoint_dir=args.checkpoint_dir,
             )

@@ -77,10 +77,18 @@ class LocalParquetSource(Source):
         self.exclude_patterns = tuple(exclude_patterns)
 
     def pages(self) -> list[str]:
+        want_patterns = bool(self.include_patterns or self.exclude_patterns)
         if os.path.isdir(self.path):
             root = os.path.realpath(self.path)
-            files = sorted(_glob.glob(os.path.join(root, "**", "*.parquet"),
-                                      recursive=True))
+            # flat top-level listing by default (outputs/checkpoints nested
+            # under the source dir must never become inputs); the recursive
+            # walk is opt-in by giving patterns, which then scope it
+            pat = (
+                os.path.join(root, "**", "*.parquet")
+                if want_patterns
+                else os.path.join(root, "*.parquet")
+            )
+            files = sorted(_glob.glob(pat, recursive=want_patterns))
             escaped = [f for f in files if not os.path.realpath(f).startswith(root + os.sep)]
             if escaped:
                 raise ValueError(f"paths escape source root: {escaped[:3]}")

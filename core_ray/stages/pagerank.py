@@ -18,10 +18,15 @@ vector stays a DISTRIBUTED Dataset end to end:
                 -> rank = round((1-d)/n + d*s, 12)
 
 Nothing O(nodes) ever reaches the driver (the per-iteration state
-materialize holds block REFS only). Per-iteration rounding to 1e-12 makes
-the result bit-identical to the broadcast path despite float-addition
-order differing across shards — the same determinism contract the golden
-oracle already relies on (equivalence-forced unit in tests/test_pagerank.py).
+materialize holds block REFS only). Determinism contract: both paths round
+every iteration to 1e-12, which absorbs the few-ULP float-addition-order
+differences between the sharded reduceat tree and the broadcast
+sequential sum — the same assumption the golden oracle itself makes. A
+pre-rounding sum landing within an ULP of a 0.5e-12 boundary could still
+round apart; with ~1e-17 order noise that is a ~1e-5-per-sum-per-iteration
+event, absent on the tested graphs (equivalence-forced unit in
+tests/test_pagerank.py) and sub-observable under the final 6-dp output
+rounding in practice.
 
 Undirected-graph contract (matches emb_pagerank): ``und`` must already
 contain both (a,b) and (b,a) for every edge, so every node appears as both
@@ -122,7 +127,14 @@ def pagerank_sharded(und, n_iters: int = 10, damping: float = 0.85):
 
     for _ in range(n_iters):
         share = state.map_batches(share_of, batch_format="pyarrow")
-        joined = hash_join(und, share, on="src", right_on="node", how="inner")
+        # schemas passed explicitly: hash_join would otherwise call
+        # .schema() on the lazy share chain, executing a probe block
+        # EVERY iteration (the same probe class commit 5de47bb removed)
+        joined = hash_join(
+            und, share, on="src", right_on="node", how="inner",
+            left_schema=pa.schema([("src", pa.int64()), ("dst", pa.int64())]),
+            right_schema=pa.schema([("node", pa.int64()), ("share", pa.float64())]),
+        )
         sums = fsum_by_u64(
             joined.map_batches(contrib_combiner, batch_format="pyarrow"),
             "key",

@@ -23,7 +23,7 @@ DATA = os.environ.get(
     "SIG_DATA_DIR", "/tmp/core_ray_ckpt_v4_1000000/deduped/data"
 )
 CPU_POINTS = (2, 8)
-VARIANTS = ("md5", "nomd5", "md5only", "sigonly")
+VARIANTS = ("md5", "nomd5", "md5only")
 
 
 def _warm(files):
@@ -63,7 +63,7 @@ def child(variant: str, ncpu: int) -> None:
         md5s = [hashlib.md5(t.encode("utf-8")).digest() for t in texts]
         return pa.table({"url": batch["url"], "text_md5": pa.array(md5s, pa.binary(16))})
 
-    fn = {"md5": full, "nomd5": nomd5, "md5only": md5only, "sigonly": nomd5}[variant]
+    fn = {"md5": full, "nomd5": nomd5, "md5only": md5only}[variant]
     docs = __import__("ray").data.read_parquet(
         DATA, columns=["url", "text"], override_num_blocks=256
     )

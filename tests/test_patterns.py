@@ -59,10 +59,17 @@ def test_source_listing_patterns(tmp_path):
     _write(str(tmp_path / "a.parquet"), ["1"])
     _write(str(tmp_path / "b.parquet"), ["2"])
     _write(str(tmp_path / "nested/c.parquet"), ["3"])
+    # default: flat top-level listing (outputs/checkpoints nested under the
+    # source dir must never become inputs)
     src = open_source("parquet", str(tmp_path))
     assert [os.path.relpath(f, tmp_path) for f in src.pages()] == [
+        "a.parquet", "b.parquet"]
+    # patterns opt into the recursive walk, scoped by the patterns
+    src = open_source("parquet", str(tmp_path), include_patterns=("**/*.parquet",))
+    assert [os.path.relpath(f, tmp_path) for f in src.pages()] == [
         "a.parquet", "b.parquet", "nested/c.parquet"]
-    src = open_source("parquet", str(tmp_path), exclude_patterns=("nested/**",))
+    src = open_source("parquet", str(tmp_path), include_patterns=("**/*.parquet",),
+                      exclude_patterns=("nested/**",))
     assert [os.path.basename(f) for f in src.pages()] == ["a.parquet", "b.parquet"]
     src = open_source("parquet", str(tmp_path), include_patterns=("{a,c}*.parquet",))
     assert [os.path.basename(f) for f in src.pages()] == ["a.parquet"]
