@@ -48,7 +48,12 @@ def _key_hash(col) -> np.ndarray:
     join compares real key values, so results are always exact."""
     if pa.types.is_integer(col.type):
         z = col.to_numpy(zero_copy_only=False).astype(np.uint64)
-    elif pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+    elif (pa.types.is_string(col.type) or pa.types.is_large_string(col.type)
+          or pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type)
+          or pa.types.is_fixed_size_binary(col.type)):
+        # binary included so 128-bit digest keys (e.g. full-md5 dedup keys
+        # at 10^12-doc scale) partition through the vectorized kernel, not
+        # the per-row fallback below
         from core_ray.stages.agg import hash_strings
 
         z = hash_strings(col)

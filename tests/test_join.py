@@ -307,3 +307,24 @@ def test_incremental_new_forced_join_path_equivalent(ray_session):
     b = sorted(collect_table(doc_incremental_new(sf, broadcast_max=0))["doc_id"].to_pylist())
     assert a == b and len(a) > 0
     assert all(d % 10 >= 7 for d in a)  # every overlap doc dropped
+
+
+def test_hash_join_binary_keys(ray_session):
+    """binary(16) keys (full-digest dedup keys) join correctly and take the
+    vectorized hash path."""
+    import ray.data
+
+    left = pa.table({
+        "k": pa.array([b"A" * 16, b"B" * 16, b"C" * 16], pa.binary(16)),
+        "x": pa.array([1, 2, 3], pa.int64()),
+    })
+    right = pa.table({
+        "k": pa.array([b"B" * 16, b"C" * 16, b"D" * 16], pa.binary(16)),
+        "y": pa.array([20, 30, 40], pa.int64()),
+    })
+    got = sorted(
+        (bytes(r["k"]), r["x"], r["y"])
+        for r in hash_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                           on="k").take_all()
+    )
+    assert got == [(b"B" * 16, 2, 20), (b"C" * 16, 3, 30)]
