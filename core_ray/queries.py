@@ -7826,6 +7826,124 @@ FROM c a JOIN c b ON b.domain = a.domain AND b.day = a.day + 1
 """
 
 
+def geo_tile_regions(sf_dir: str, z: int = 5, min_points: int = 2):
+    """Raster -> VECTOR region labeling (the polygonize analog — the inverse
+    direction of the tile rollup): occupied z-5 tiles (>= min_points derived
+    doc points) are 4-connected into regions via distributed connected
+    components; region_id = the region's minimum packed tile key, singleton
+    tiles label themselves.
+
+    Scale shape: exact occupied-tile counts via the packed-u64 combiner
+    (count_by_u64 — work scales with DISTINCT occupied tiles, not points);
+    adjacency = ONE distributed hash_join of each tile's (right, down)
+    neighbor probes against the occupied keys (no all-pairs); regions close
+    through stages/cc.py (log-round pointer jumping above its guard);
+    singletons re-attach via filter_not_in. The DuckDB oracle recomputes
+    the labeling through a fully independent RECURSIVE-CTE min-reachable
+    closure (the emb_dup_clusters pattern, on a grid graph)."""
+    import ray
+
+    from core_ray.stages.agg import count_by_u64
+    from core_ray.stages.cc import connected_components
+    from core_ray.stages.join import filter_not_in, hash_join
+
+    n = float(1 << z)
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def tile_keys(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy(zero_copy_only=False)
+        lat, lon = _derive_coords(doc_id)
+        x = np.minimum(n - 1, np.maximum(0.0, np.floor((lon + 180.0) / 360.0 * n))).astype(np.int64)
+        yv = 1.0 - np.log(np.tan(np.radians(lat)) + 1.0 / np.cos(np.radians(lat))) / np.pi
+        y = np.minimum(n - 1, np.maximum(0.0, np.floor(yv / 2.0 * n))).astype(np.int64)
+        return pa.table(
+            {"key": pa.array(((x.astype(np.uint64) << np.uint64(32))
+                              | y.astype(np.uint64)), pa.uint64())}
+        )
+
+    occ = count_by_u64(
+        ds.map_batches(tile_keys, batch_format="pyarrow", batch_size=65536), "key"
+    ).map_batches(
+        lambda b: pa.table(
+            {"k": pc.cast(b["key"], pa.int64())}
+        ).filter(pc.greater_equal(b["cnt"], min_points)),
+        batch_format="pyarrow",
+    ).materialize()  # bounded by distinct occupied tiles, consumed 3x below
+
+    def nbr_probes(b: pa.Table) -> pa.Table:
+        k = b["k"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        x, y = k >> np.uint64(32), k & np.uint64(0xFFFFFFFF)
+        right = ((x + np.uint64(1)) << np.uint64(32)) | y
+        down = (x << np.uint64(32)) | (y + np.uint64(1))
+        return pa.table(
+            {
+                "nk": pa.array(np.concatenate([right, down]).astype(np.int64), pa.int64()),
+                "u": pa.array(np.concatenate([k, k]).astype(np.int64), pa.int64()),
+            }
+        )
+
+    int_schema = pa.schema([("k", pa.int64())])
+    edges = hash_join(
+        occ.map_batches(nbr_probes, batch_format="pyarrow"), occ,
+        on="nk", right_on="k",
+        left_schema=pa.schema([("nk", pa.int64()), ("u", pa.int64())]),
+        right_schema=int_schema,
+    )
+    labeled = connected_components(edges, src="u", dst="nk").materialize()
+
+    singles = filter_not_in(
+        occ,
+        labeled.map_batches(lambda b: pa.table({"k": b["node"]}),
+                            batch_format="pyarrow"),
+        on="k", ds_schema=int_schema,
+    ).map_batches(
+        lambda b: pa.table({"node": b["k"], "comp": b["k"]}),
+        batch_format="pyarrow",
+    )
+
+    def unpack(b: pa.Table) -> pa.Table:
+        k = b["node"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table(
+            {
+                "tile_x": pa.array((k >> np.uint64(32)).astype(np.int64), pa.int64()),
+                "tile_y": pa.array((k & np.uint64(0xFFFFFFFF)).astype(np.int64), pa.int64()),
+                "region_id": b["comp"],
+            }
+        )
+
+    return labeled.union(singles).map_batches(unpack, batch_format="pyarrow")
+
+
+def _geo_tile_regions_sql(z: int = 5, min_points: int = 2) -> str:
+    n = float(1 << z)
+    return f"""
+WITH RECURSIVE
+pts AS (SELECT {GEO_LAT_SQL} AS lat, {GEO_LON_SQL} AS lon FROM documents),
+t AS (
+  SELECT CAST(LEAST({n} - 1, GREATEST(0, FLOOR((lon + 180.0) / 360.0 * {n}))) AS BIGINT) AS tile_x,
+         CAST(LEAST({n} - 1, GREATEST(0, FLOOR((1.0 - LN(TAN(RADIANS(lat)) + 1.0 / COS(RADIANS(lat))) / PI()) / 2.0 * {n}))) AS BIGINT) AS tile_y
+  FROM pts),
+occ AS (
+  SELECT tile_x, tile_y, tile_x * 4294967296 + tile_y AS k
+  FROM t GROUP BY 1, 2 HAVING COUNT(*) >= {min_points}),
+e0 AS (
+  SELECT a.k AS u, b.k AS v FROM occ a JOIN occ b
+    ON (b.tile_x = a.tile_x + 1 AND b.tile_y = a.tile_y)
+    OR (b.tile_x = a.tile_x AND b.tile_y = a.tile_y + 1)),
+e AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+reach(node, comp) AS (
+  SELECT u, u FROM e
+  UNION
+  SELECT e.u, r.comp FROM e JOIN reach r ON r.node = e.v),
+lab AS (SELECT node, MIN(comp) AS comp FROM reach GROUP BY node)
+SELECT occ.tile_x, occ.tile_y, CAST(COALESCE(lab.comp, occ.k) AS BIGINT) AS region_id
+FROM occ LEFT JOIN lab ON lab.node = occ.k
+"""
+
+
+GEO_TILE_REGIONS_SQL = _geo_tile_regions_sql()
+
+
 def cust_orders_full_outer(sf_dir: str):
     """FULL OUTER equi-join at the driver surface — the one hash_join mode
     (stages/join.py full-outer Acero path, null-key retention unit-tested)
@@ -7962,6 +8080,7 @@ QUERIES = {
     "emb_centroids": emb_centroids,
     "emb_ann_lsh": emb_ann_lsh,
     "geo_tile_counts": geo_tile_counts,
+    "geo_tile_regions": geo_tile_regions,
     "geo_pip_admin": geo_pip_admin,
     "geo_knn_tile": geo_knn_tile,
     "pages_joined": pages_joined,
@@ -8073,6 +8192,7 @@ ORACLE_SQL = {
     "emb_topk": EMB_TOPK_SQL,
     "emb_centroids": EMB_CENTROIDS_SQL,
     "geo_tile_counts": GEO_TILE_COUNTS_SQL,
+    "geo_tile_regions": GEO_TILE_REGIONS_SQL,
     "geo_pip_admin": GEO_PIP_ADMIN_SQL,
     "geo_knn_tile": GEO_KNN_TILE_SQL,
     "doc_top20_by_chars": DOC_TOP20_SQL,
