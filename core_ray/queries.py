@@ -7444,7 +7444,8 @@ def emb_pagerank(sf_dir: str, shard_above_edges: int = 50_000_000):
 
     und = edges.map_batches(expand, batch_format="pyarrow").materialize()
 
-    if und.count() > shard_above_edges:
+    # und holds BOTH directions (2 rows per undirected edge)
+    if und.count() > 2 * shard_above_edges:
         from core_ray.stages.pagerank import pagerank_sharded
 
         out = _collect_table(pagerank_sharded(und, _PAGERANK_ITERS, _PAGERANK_D))

@@ -73,6 +73,21 @@ def main(argv=None) -> int:
         if bad:
             ap.error(f"--source-arg must be KEY=VALUE, got: {bad[0]!r}")
         src_kwargs = dict(kv.split("=", 1) for kv in args.source_arg)
+        # the parquet source owns the root AND the (include-driven) recursive
+        # walk, so patterns must filter ITS listing — applying them after the
+        # fact could never match nested shards the flat default listing
+        # skipped. Other sources produce their own temp page dirs; patterns
+        # go through PipelineConfig there (relative to the produced files).
+        cfg_kwargs = {}
+        if args.include or args.exclude:
+            if args.source == "parquet":
+                src_kwargs["include_patterns"] = tuple(args.include) or None
+                src_kwargs["exclude_patterns"] = tuple(args.exclude)
+            else:
+                cfg_kwargs = dict(
+                    include_patterns=tuple(args.include) or None,
+                    exclude_patterns=tuple(args.exclude),
+                )
         source = open_source(args.source, args.pages, **src_kwargs)
         try:
             files = source.pages()
@@ -80,13 +95,7 @@ def main(argv=None) -> int:
                 files,
                 pq.read_table(args.admin),
                 pq.read_table(args.geoip),
-                PipelineConfig(
-                    include_patterns=tuple(args.include) or None,
-                    exclude_patterns=tuple(args.exclude),
-                    # patterns are relative to the source root, not to the
-                    # inferred common dir of whatever files matched
-                    pattern_root=args.pages if os.path.isdir(args.pages) else None,
-                ),
+                PipelineConfig(**cfg_kwargs),
                 checkpoint_dir=args.checkpoint_dir,
             )
             if args.out:

@@ -77,18 +77,19 @@ class LocalParquetSource(Source):
         self.exclude_patterns = tuple(exclude_patterns)
 
     def pages(self) -> list[str]:
-        want_patterns = bool(self.include_patterns or self.exclude_patterns)
+        # the recursive walk is opt-in via INCLUDE patterns only: the
+        # default (and exclude-only) listing stays flat top-level, so
+        # outputs/checkpoints nested under the source dir can never become
+        # inputs unless an include pattern deliberately reaches for them
+        recursive = bool(self.include_patterns)
         if os.path.isdir(self.path):
             root = os.path.realpath(self.path)
-            # flat top-level listing by default (outputs/checkpoints nested
-            # under the source dir must never become inputs); the recursive
-            # walk is opt-in by giving patterns, which then scope it
             pat = (
                 os.path.join(root, "**", "*.parquet")
-                if want_patterns
+                if recursive
                 else os.path.join(root, "*.parquet")
             )
-            files = sorted(_glob.glob(pat, recursive=want_patterns))
+            files = sorted(_glob.glob(pat, recursive=recursive))
             escaped = [f for f in files if not os.path.realpath(f).startswith(root + os.sep)]
             if escaped:
                 raise ValueError(f"paths escape source root: {escaped[:3]}")

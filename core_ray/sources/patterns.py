@@ -96,11 +96,17 @@ def filter_paths(files: list[str], include: tuple[str, ...] | None = None,
     path relative to it."""
     if not files or (not include and not exclude):
         return list(files)
+    # realpath both sides: a symlink component in root (or in the listed
+    # paths, which sources resolve) would otherwise push '../' into every
+    # relpath and silently match nothing
+    real = [os.path.realpath(f) for f in files]
     if root is None:
-        root = os.path.commonpath([os.path.dirname(os.path.abspath(f)) for f in files])
+        root = os.path.commonpath([os.path.dirname(f) for f in real])
+    else:
+        root = os.path.realpath(root)
     out = []
-    for f in files:
-        rel = os.path.relpath(os.path.abspath(f), root)
+    for f, rf in zip(files, real):
+        rel = os.path.relpath(rf, root)
         if include and not any(match_doublestar(p, rel) for p in include):
             continue
         if any(match_doublestar(p, rel) for p in exclude):

@@ -73,15 +73,15 @@ def count_by_u64(ds, key_col: str = "key"):
     )
 
 
-def sum_by_u64(ds, key_col: str, val_col: str):
-    """Dataset with uint64 ``key_col`` + int64 ``val_col`` ->
-    Dataset[(key_col, cnt:int64 = sum of vals)] — the weighted sibling of
-    count_by_u64, same combiner + hash-partition + reduceat shape."""
+def _sum_by_u64_impl(ds, key_col: str, val_col: str, out_col: str, np_dtype, pa_type):
+    """Shared combiner + one-hash-shuffle sum-by-key (int64 and float64
+    fronts below). One implementation so the argsort/boundary/reduceat
+    pattern has a single owner."""
     n_parts = _n_parts()
 
     def pre(b: pa.Table) -> pa.Table:
         k = b[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
-        v = b[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b[val_col].to_numpy(zero_copy_only=False).astype(np_dtype)
         order = np.argsort(k, kind="stable")
         ks, vs = k[order], v[order]
         new = np.ones(len(ks), dtype=bool)
@@ -94,24 +94,25 @@ def sum_by_u64(ds, key_col: str, val_col: str):
         return pa.table(
             {
                 key_col: pa.array(u, pa.uint64()),
-                "cnt": pa.array(sums.astype(np.int64), pa.int64()),
+                out_col: pa.array(sums.astype(np_dtype), pa_type),
                 "part": pa.array(part, pa.int32()),
             }
         )
 
     def reduce(g: pa.Table) -> pa.Table:
         k = g[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
-        c = g["cnt"].to_numpy(zero_copy_only=False)
+        c = g[out_col].to_numpy(zero_copy_only=False)
         order = np.argsort(k, kind="stable")
         ks, cs = k[order], c[order]
         new = np.ones(len(ks), dtype=bool)
-        new[1:] = ks[1:] != ks[:-1]
+        if len(ks):
+            new[1:] = ks[1:] != ks[:-1]
         starts = np.nonzero(new)[0]
         totals = np.add.reduceat(cs, starts) if len(starts) else cs[:0]
         return pa.table(
             {
                 key_col: pa.array(ks[starts], pa.uint64()),
-                "cnt": pa.array(totals.astype(np.int64), pa.int64()),
+                out_col: pa.array(totals.astype(np_dtype), pa_type),
             }
         )
 
@@ -120,57 +121,22 @@ def sum_by_u64(ds, key_col: str, val_col: str):
         .groupby("part")
         .map_groups(reduce, batch_format="pyarrow")
     )
+
+
+def sum_by_u64(ds, key_col: str, val_col: str):
+    """Dataset with uint64 ``key_col`` + int64 ``val_col`` ->
+    Dataset[(key_col, cnt:int64 = sum of vals)] — the weighted sibling of
+    count_by_u64, same combiner + hash-partition + reduceat shape."""
+    return _sum_by_u64_impl(ds, key_col, val_col, "cnt", np.int64, pa.int64())
 
 
 def fsum_by_u64(ds, key_col: str, val_col: str):
     """float64-valued sibling of sum_by_u64: Dataset with uint64 ``key_col``
     + float ``val_col`` -> Dataset[(key_col, ``val_col``:float64 = sum)].
-    Same combiner + one-hash-shuffle shape. Float addition order differs
-    from a single-pass sum; callers needing cross-path determinism must
-    round downstream (stages/pagerank rounds each iteration to 1e-12)."""
-    n_parts = _n_parts()
-
-    def pre(b: pa.Table) -> pa.Table:
-        k = b[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
-        v = b[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
-        order = np.argsort(k, kind="stable")
-        ks, vs = k[order], v[order]
-        new = np.ones(len(ks), dtype=bool)
-        if len(ks):
-            new[1:] = ks[1:] != ks[:-1]
-        starts = np.nonzero(new)[0]
-        u = ks[starts]
-        sums = np.add.reduceat(vs, starts) if len(starts) else vs[:0]
-        part = ((u * _GOLD) % np.uint64(n_parts)).astype(np.int32)
-        return pa.table(
-            {
-                key_col: pa.array(u, pa.uint64()),
-                val_col: pa.array(sums, pa.float64()),
-                "part": pa.array(part, pa.int32()),
-            }
-        )
-
-    def reduce(g: pa.Table) -> pa.Table:
-        k = g[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
-        c = g[val_col].to_numpy(zero_copy_only=False)
-        order = np.argsort(k, kind="stable")
-        ks, cs = k[order], c[order]
-        new = np.ones(len(ks), dtype=bool)
-        new[1:] = ks[1:] != ks[:-1]
-        starts = np.nonzero(new)[0]
-        totals = np.add.reduceat(cs, starts) if len(starts) else cs[:0]
-        return pa.table(
-            {
-                key_col: pa.array(ks[starts], pa.uint64()),
-                val_col: pa.array(totals, pa.float64()),
-            }
-        )
-
-    return (
-        ds.map_batches(pre, batch_format="pyarrow", batch_size=131072)
-        .groupby("part")
-        .map_groups(reduce, batch_format="pyarrow")
-    )
+    Float addition order differs from a single-pass sum; callers needing
+    cross-path determinism must round downstream (stages/pagerank rounds
+    each iteration to 1e-12)."""
+    return _sum_by_u64_impl(ds, key_col, val_col, val_col, np.float64, pa.float64())
 
 
 def map_groups_partitioned(ds, key_col: str, partition_fn, n_parts: int | None = None,
@@ -221,7 +187,8 @@ def hash_strings(col) -> np.ndarray:
 
         vals = col.to_pylist()
         return np.fromiter(
-            (zlib.crc32(v.encode()) * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF for v in vals),
+            (zlib.crc32(v.encode() if isinstance(v, str) else bytes(v))
+             * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF for v in vals),
             dtype=np.uint64,
             count=len(vals),
         )
