@@ -7827,6 +7827,47 @@ FROM c a JOIN c b ON b.domain = a.domain AND b.day = a.day + 1
 """
 
 
+_URL_BLOCK_PAT = r"example[06]\.com/"
+_URL_DEEP_PAT = r"/p/[0-9]{3}$"
+
+
+def pages_url_filter(sf_dir: str):
+    """URL-rule pre-filter — the stage a crawl pipeline runs BEFORE fetching
+    or parsing anything: classify every page url against an ordered rule
+    list (block-listed domains, then junk-path heuristics) and emit
+    (url, reason). One pruned read of the url column only (nothing else
+    leaves storage), vectorized RE2 kernels, no shuffle — row-local at any
+    corpus scale. The oracle independently re-runs the SAME regexes through
+    DuckDB's regexp_matches (RE2 double implementation, the doc_pii_scrub
+    contract)."""
+    import ray.data
+
+    files, _, _, _ = _pages_corpus(sf_dir)
+    ds = ray.data.read_parquet(files, columns=["url"])
+
+    def classify(b: pa.Table) -> pa.Table:
+        url = b["url"]
+        blocked = pc.match_substring_regex(url, _URL_BLOCK_PAT)
+        deep = pc.match_substring_regex(url, _URL_DEEP_PAT)
+        reason = pc.if_else(
+            blocked,
+            pa.scalar("blocked-domain"),
+            pc.if_else(deep, pa.scalar("deep-path"), pa.scalar("ok")),
+        )
+        return pa.table({"url": url, "reason": reason})
+
+    return ds.map_batches(classify, batch_format="pyarrow", batch_size=65536)
+
+
+PAGES_URL_FILTER_SQL = f"""
+SELECT url,
+       CASE WHEN regexp_matches(url, '{_URL_BLOCK_PAT}') THEN 'blocked-domain'
+            WHEN regexp_matches(url, '{_URL_DEEP_PAT}') THEN 'deep-path'
+            ELSE 'ok' END AS reason
+FROM read_parquet('{_PAGES_CORPUS_GLOB}')
+"""
+
+
 def geo_tile_regions(sf_dir: str, z: int = 5, min_points: int = 2):
     """Raster -> VECTOR region labeling (the polygonize analog — the inverse
     direction of the tile rollup): occupied z-5 tiles (>= min_points derived
@@ -8082,6 +8123,7 @@ QUERIES = {
     "emb_ann_lsh": emb_ann_lsh,
     "geo_tile_counts": geo_tile_counts,
     "geo_tile_regions": geo_tile_regions,
+    "pages_url_filter": pages_url_filter,
     "geo_pip_admin": geo_pip_admin,
     "geo_knn_tile": geo_knn_tile,
     "pages_joined": pages_joined,
@@ -8194,6 +8236,7 @@ ORACLE_SQL = {
     "emb_centroids": EMB_CENTROIDS_SQL,
     "geo_tile_counts": GEO_TILE_COUNTS_SQL,
     "geo_tile_regions": GEO_TILE_REGIONS_SQL,
+    "pages_url_filter": PAGES_URL_FILTER_SQL,
     "geo_pip_admin": GEO_PIP_ADMIN_SQL,
     "geo_knn_tile": GEO_KNN_TILE_SQL,
     "doc_top20_by_chars": DOC_TOP20_SQL,
