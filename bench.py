@@ -83,6 +83,8 @@ BENCH_QUERIES = [
     # round-4 additions
     "cust_orders_full_outer",
     "doc_incremental_new",
+    "geo_tile_regions",
+    "pages_url_filter",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost
