@@ -7684,6 +7684,100 @@ def pages_s2_parents(sf_dir: str):
     )
 
 
+def pages_s2_compact(sf_dir: str, level: int = 12, parent_level: int = 11):
+    """S2 cell-set COMPACTION (the S2/H3 `compact` analog — the coverage-
+    compression API every cell-index user runs before storing or shipping a
+    region): the occupied level-12 cell set is replaced by the minimal
+    mixed-level cover where every COMPLETE 4-sibling set collapses to its
+    level-11 parent and partial sets stay at level 12. Recursive compaction
+    = iterating this op per level.
+
+    Scale shape: distinct occupied cells via the packed-u64 combiner (work
+    scales with distinct cells, not mentions); parent derivation is pure
+    integer prefix arithmetic (geo/s2.py::cell_parent — exactly mirrored in
+    SQL); full-sibling detection is count_by_u64 over parents of DISTINCT
+    children; partial children survive through the guarded anti-join
+    (filter_not_in on the parent key). No floats anywhere — the oracle is
+    integer-exact."""
+    from core_ray.geo import s2 as s2mod
+    from core_ray.stages.agg import count_by_u64
+    from core_ray.stages.join import filter_not_in
+
+    _ensure_pages_golden(sf_dir)
+    cells = _run_pages(sf_dir).joined.select_columns(["s2_cell"])
+    occ = count_by_u64(
+        cells.map_batches(
+            lambda b: pa.table({"key": b["s2_cell"]}), batch_format="pyarrow",
+            batch_size=131072,
+        ),
+        "key",
+    ).map_batches(
+        lambda b: b.select(["key"]), batch_format="pyarrow"
+    ).materialize()  # DISTINCT occupied cells; consumed twice below
+
+    def with_parent(b: pa.Table) -> pa.Table:
+        k = b["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table(
+            {
+                "key": b["key"],
+                "parent": pa.array(s2mod.cell_parent(k, parent_level), pa.uint64()),
+            }
+        )
+
+    occ_p = occ.map_batches(with_parent, batch_format="pyarrow")
+    full = count_by_u64(
+        occ_p.map_batches(
+            lambda b: pa.table({"key": b["parent"]}), batch_format="pyarrow"
+        ),
+        "key",
+    ).map_batches(
+        lambda b: b.select(["key"]).filter(pc.equal(b["cnt"], 4)),
+        batch_format="pyarrow",
+    ).materialize()
+
+    parents_out = full.map_batches(
+        lambda b: pa.table(
+            {
+                "cell_id": b["key"],
+                "level": pa.array(
+                    np.full(b.num_rows, parent_level, np.int32), pa.int32()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    partial_children = filter_not_in(
+        occ_p,
+        full.map_batches(lambda b: pa.table({"parent": b["key"]}),
+                         batch_format="pyarrow"),
+        on="parent",
+        ds_schema=pa.schema([("key", pa.uint64()), ("parent", pa.uint64())]),
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "cell_id": b["key"],
+                "level": pa.array(np.full(b.num_rows, level, np.int32), pa.int32()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return parents_out.union(partial_children)
+
+
+
+PAGES_S2_COMPACT_SQL = f"""
+WITH occ AS (SELECT DISTINCT s2_cell FROM read_parquet('{_GD}/joined.parquet')),
+p AS (SELECT s2_cell,
+             (s2_cell // 549755813888) * 549755813888 + 274877906944 AS parent
+      FROM occ),
+fullp AS (SELECT parent FROM p GROUP BY 1 HAVING COUNT(*) = 4)
+SELECT parent AS cell_id, CAST(11 AS INTEGER) AS level FROM fullp
+UNION ALL
+SELECT s2_cell AS cell_id, CAST(12 AS INTEGER) AS level FROM p
+WHERE parent NOT IN (SELECT parent FROM fullp)
+"""
+
+
 # parent(cell, L) = floor(cell / 2*lsb_L) * 2*lsb_L + lsb_L, lsb_L = 2^(60-2L)
 _S2_LSB = 1 << (60 - 2 * _S2_PARENT_LEVEL)
 PAGES_S2_PARENTS_SQL = f"""
@@ -8213,6 +8307,7 @@ QUERIES = {
     "events_retention": events_retention,
     "doc_sample_weighted": doc_sample_weighted,
     "pages_s2_parents": pages_s2_parents,
+    "pages_s2_compact": pages_s2_compact,
     "pages_mention_drift": pages_mention_drift,
     "doc_lang_confusion": doc_lang_confusion,
     "events_hourly_anomalies": events_hourly_anomalies,
@@ -8336,6 +8431,7 @@ ORACLE_SQL = {
     "events_retention": EVENTS_RETENTION_SQL,
     "doc_sample_weighted": DOC_SAMPLE_WEIGHTED_SQL,
     "pages_s2_parents": PAGES_S2_PARENTS_SQL,
+    "pages_s2_compact": PAGES_S2_COMPACT_SQL,
     "pages_mention_drift": PAGES_MENTION_DRIFT_SQL,
     "doc_lang_confusion": DOC_LANG_CONFUSION_SQL,
     "events_hourly_anomalies": EVENTS_HOURLY_ANOMALIES_SQL,
