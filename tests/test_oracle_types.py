@@ -21,6 +21,36 @@ from core_ray.queries import ORACLE_SQL, QUERIES
 SF = "/root/testdata/sf0.001"
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _goldens():
+    """Materialize the golden parquet files the oracle SQL reads.
+
+    Several oracles read goldens produced at the driver-correctness scale
+    (sf0.01) regardless of the engine-side SF; on a fresh host /tmp is
+    empty and a LIMIT-0 schema probe still needs the files to exist.
+    Mirrors the up-front ensure loop in __ray_entry__.oracle_sql().
+    """
+    from core_ray.queries import (
+        _ensure_docs_golden,
+        _ensure_pagerank_golden,
+        _ensure_pages_golden,
+        _ensure_pii_corpus,
+        _ensure_rules_golden,
+        _ensure_typo_corpus,
+    )
+
+    sf001 = "/root/testdata/sf0.01"
+    for ensure in (
+        lambda: _ensure_pages_golden(sf001),
+        lambda: _ensure_docs_golden(sf001),
+        lambda: _ensure_pagerank_golden(sf001),
+        _ensure_rules_golden,
+        _ensure_pii_corpus,
+        _ensure_typo_corpus,
+    ):
+        ensure()
+
+
 def _types(schema):
     return {f.name: str(f.type) for f in schema}
 
