@@ -8195,6 +8195,80 @@ FROM c FULL JOIN o ON c.c_custkey = o.c_custkey
 """
 
 
+_DBSCAN_EPS = 8.0
+_DBSCAN_MIN_PTS = 4
+
+
+def geo_dbscan(sf_dir: str, eps: float = _DBSCAN_EPS,
+               min_pts: int = _DBSCAN_MIN_PTS):
+    """Distributed DBSCAN over the derived-coordinate lattice — the
+    density-based clustering a geospatial engine owes its users (hotspot
+    detection over page coordinates). The operator (stages/dbscan.py) is
+    the standard distributed equivalence: eps-neighbor pairs from the
+    distance-band join, core points by exact degree, clusters = connected
+    components of the core-core subgraph, border points take the MINIMUM
+    neighboring core cluster (deterministic where sequential DBSCAN is
+    visit-order-dependent), everything else noise. Core-membership filters
+    route through filter_semi/filter_not_in (broadcast under the guard,
+    distributed marker joins above it — the core set is O(corpus) on dense
+    data). The oracle re-derives all of it in SQL: brute-force eps pairs,
+    degree counts, a RECURSIVE min-reachable closure over core-core edges,
+    and a MIN() border attach."""
+    from core_ray.stages.dbscan import dbscan
+
+    def coords(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy(zero_copy_only=False)
+        lat, lon = _derive_coords(doc_id)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "lat": pa.array(lat, pa.float64()),
+                "lon": pa.array(lon, pa.float64()),
+            }
+        )
+
+    pts = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        coords, batch_format="pyarrow", batch_size=65536
+    )
+    return dbscan(pts, eps, min_pts)
+
+
+GEO_DBSCAN_SQL = f"""
+WITH RECURSIVE
+pts AS (SELECT doc_id, {GEO_LAT_SQL} AS lat, {GEO_LON_SQL} AS lon FROM documents),
+p0 AS (
+  SELECT a.doc_id AS da, b.doc_id AS db
+  FROM pts a JOIN pts b ON a.doc_id < b.doc_id
+  WHERE (a.lat - b.lat) * (a.lat - b.lat) + (a.lon - b.lon) * (a.lon - b.lon)
+        <= {_DBSCAN_EPS * _DBSCAN_EPS}),
+e AS (SELECT da AS u, db AS v FROM p0 UNION ALL SELECT db, da FROM p0),
+deg AS (SELECT u AS id, COUNT(*) AS n FROM e GROUP BY u),
+core AS (SELECT id FROM deg WHERE n + 1 >= {_DBSCAN_MIN_PTS}),
+ce0 AS (
+  SELECT da, db FROM p0
+  WHERE da IN (SELECT id FROM core) AND db IN (SELECT id FROM core)),
+ce AS (SELECT da AS u, db AS v FROM ce0 UNION SELECT db, da FROM ce0),
+reach(node, comp) AS (
+  SELECT id, id FROM core
+  UNION
+  SELECT ce.u, r.comp FROM ce JOIN reach r ON r.node = ce.v),
+clab AS (SELECT node, MIN(comp) AS comp FROM reach GROUP BY node),
+border AS (
+  SELECT e.u AS node, MIN(c.comp) AS comp
+  FROM e JOIN clab c ON c.node = e.v
+  WHERE e.u NOT IN (SELECT id FROM core)
+  GROUP BY e.u)
+SELECT p.doc_id,
+       CAST(COALESCE(c.comp, b.comp) AS BIGINT) AS cluster,
+       CASE WHEN c.node IS NOT NULL THEN 'core'
+            WHEN b.node IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role
+FROM pts p
+LEFT JOIN clab c ON c.node = p.doc_id
+LEFT JOIN border b ON b.node = p.doc_id
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -8217,6 +8291,7 @@ QUERIES = {
     "emb_ann_lsh": emb_ann_lsh,
     "geo_tile_counts": geo_tile_counts,
     "geo_tile_regions": geo_tile_regions,
+    "geo_dbscan": geo_dbscan,
     "pages_url_filter": pages_url_filter,
     "geo_pip_admin": geo_pip_admin,
     "geo_knn_tile": geo_knn_tile,
@@ -8331,6 +8406,7 @@ ORACLE_SQL = {
     "emb_centroids": EMB_CENTROIDS_SQL,
     "geo_tile_counts": GEO_TILE_COUNTS_SQL,
     "geo_tile_regions": GEO_TILE_REGIONS_SQL,
+    "geo_dbscan": GEO_DBSCAN_SQL,
     "pages_url_filter": PAGES_URL_FILTER_SQL,
     "geo_pip_admin": GEO_PIP_ADMIN_SQL,
     "geo_knn_tile": GEO_KNN_TILE_SQL,

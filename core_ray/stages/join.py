@@ -266,3 +266,68 @@ def filter_not_in(ds, drop_ds, on: str, broadcast_max: int = 2_000_000,
         lambda b: b.filter(pc.is_null(b["__drop"])).select(cols),
         batch_format="pyarrow",
     )
+
+
+def filter_semi(ds, keep_ds, on: str, broadcast_max: int = 2_000_000,
+                n_keep: int | None = None, ds_schema=None):
+    """Semi-membership filter: keep from ``ds`` only rows whose ``on`` value
+    appears in ``keep_ds[on]`` — the SEMI sibling of filter_not_in, with the
+    same contract (keep ids GLOBALLY UNIQUE — a duplicated id on the join
+    path would duplicate surviving rows) and the same two value-identical
+    regimes:
+
+      n_keep <= broadcast_max — keep ids collected once, sorted, ``ray.put``
+      once, probed per batch with vectorized searchsorted. Zero shuffles.
+
+      n_keep  > broadcast_max — the keep set never reaches the driver: a
+      distributed left hash_join against (on, __keep=1) marker rows + a
+      not-null filter. The DBSCAN core set is O(corpus) on dense data — it
+      lands here instead of OOMing the driver.
+    """
+    import ray
+
+    if n_keep is None:
+        n_keep = keep_ds.count()
+
+    if n_keep <= broadcast_max:
+        from core_ray.collect import collect_table
+
+        t = collect_table(keep_ds)
+        keep_ids = (
+            np.sort(t[on].to_numpy(zero_copy_only=False))
+            if t.num_rows
+            else np.zeros(0, np.int64)
+        )
+        kref = ray.put(keep_ids)
+
+        def probe(b: pa.Table, kref=kref) -> pa.Table:
+            keep_ids = ray.get(kref) if isinstance(kref, ray.ObjectRef) else kref
+            ids = b[on].to_numpy(zero_copy_only=False)
+            keep = np.zeros(len(ids), dtype=bool)
+            if len(keep_ids):
+                pos = np.searchsorted(keep_ids, ids)
+                inb = pos < len(keep_ids)
+                keep[inb] = keep_ids[pos[inb]] == ids[inb]
+            return b.filter(pa.array(keep))
+
+        return ds.map_batches(probe, batch_format="pyarrow", batch_size=65536)
+
+    lsch = ds_schema if ds_schema is not None else ds.schema()
+    key_type = dict(zip(lsch.names, lsch.types))[on]
+    marker = keep_ds.map_batches(
+        lambda b: pa.table(
+            {
+                on: b[on],
+                "__keep": pa.array(np.ones(b.num_rows, np.int8), pa.int8()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    mschema = pa.schema([(on, key_type), ("__keep", pa.int8())])
+    j = hash_join(ds, marker, on=on, how="left",
+                  left_schema=lsch, right_schema=mschema)
+    cols = list(lsch.names)
+    return j.map_batches(
+        lambda b: b.filter(pc.is_valid(b["__keep"])).select(cols),
+        batch_format="pyarrow",
+    )

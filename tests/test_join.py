@@ -328,3 +328,54 @@ def test_hash_join_binary_keys(ray_session):
                            on="k").take_all()
     )
     assert got == [(b"B" * 16, 2, 20), (b"C" * 16, 3, 30)]
+
+
+# ---------------------------------------------------------------- filter_semi
+
+
+def test_filter_semi_paths_agree(ray_session):
+    """Broadcast searchsorted probe and distributed semi hash-join must be
+    value-identical (same contract as filter_not_in: every broadcast has a
+    tested scale path)."""
+    import ray
+
+    from core_ray.stages.join import filter_semi
+
+    t, keep = _fni_fixture()
+    a = filter_semi(ray.data.from_arrow(t), ray.data.from_arrow(keep),
+                    on="doc_id", broadcast_max=10**9)
+    b = filter_semi(ray.data.from_arrow(t), ray.data.from_arrow(keep),
+                    on="doc_id", broadcast_max=0)
+    ta, tb = collect_sorted(a), collect_sorted(b)
+    assert _norm(ta) == _norm(tb)
+    rows = sorted(zip(ta["doc_id"].to_pylist(), ta["val"].to_pylist()))
+    kept = set(keep["doc_id"].to_pylist())
+    assert len(rows) == len(kept)
+    assert all(r[0] in kept for r in rows)
+
+
+def test_filter_semi_empty_keep(ray_session):
+    import ray
+
+    from core_ray.stages.join import filter_semi
+
+    t, _ = _fni_fixture()
+    empty = pa.table({"doc_id": pa.array([], pa.int64())})
+    out = filter_semi(ray.data.from_arrow(t), ray.data.from_arrow(empty),
+                      on="doc_id", broadcast_max=10**9)
+    assert collect_sorted(out).num_rows == 0
+
+
+def test_semi_and_not_in_partition(ray_session):
+    """filter_semi(keep) and filter_not_in(keep) split ds exactly."""
+    import ray
+
+    from core_ray.stages.join import filter_not_in, filter_semi
+
+    t, keep = _fni_fixture(seed=7)
+    ins = collect_sorted(filter_semi(
+        ray.data.from_arrow(t), ray.data.from_arrow(keep), on="doc_id"))
+    outs = collect_sorted(filter_not_in(
+        ray.data.from_arrow(t), ray.data.from_arrow(keep), on="doc_id"))
+    assert ins.num_rows + outs.num_rows == t.num_rows
+    assert not (set(ins["doc_id"].to_pylist()) & set(outs["doc_id"].to_pylist()))
