@@ -5683,6 +5683,162 @@ FROM events
 """
 
 
+# watermark / late-data triage (streaming §2.8): the events fixture arrives
+# perfectly time-ordered, so disorder is derived deterministically — each
+# event suffers a hash-based network delay in [0, 1h) and its EFFECTIVE
+# event time is ts minus that delay; arrival order stays event_id.
+_LATE_DELAY_SQL = "((event_id * 104729) % 3600) * 1000000"
+_LATE_L_US = 900_000_000  # allowed lateness: 15 min
+_LATE_BUCKET_BITS = 10  # arrival buckets of 1024 events (see docstring)
+
+
+def events_late_data(sf_dir: str):
+    """Watermark-based late-data triage — the streaming semantics a windowed
+    engine owes its users (Beam/Flink allowed-lateness): watermark = running
+    MAX of effective event time over ARRIVAL order; per hourly window, count
+    events that were on time (at the watermark), late-but-admitted (within
+    the 15-min allowed lateness) and dropped (beyond it).
+
+    A global running max is a sequential scan, so it distributes as a
+    two-pass prefix: arrival ids split into contiguous buckets (1024 events
+    each); pass 1 reduces per-bucket maxima through the max_by_u64 combiner
+    and the driver folds them into EXCLUSIVE prefix maxima (one u64 per
+    bucket — at 10^12 events widen the bucket, the prefix table stays tiny);
+    pass 2 hash-partitions by bucket, cummaxes each bucket segment locally
+    and ORs in the broadcast carry. Classified rows collapse to per-(hour,
+    class) partial counts inside the same pass — only O(hours x 3) rows ever
+    shuffle after that."""
+    import ray
+
+    from core_ray.collect import collect_table
+    from core_ray.stages.agg import map_groups_partitioned, max_by_u64, sum_by_u64
+
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def with_ets(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (
+            b["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        ets = ts - ((eid * 104729) % 3600) * 1_000_000
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (eid >> _LATE_BUCKET_BITS).astype(np.uint64), pa.uint64()),
+                "event_id": pa.array(eid, pa.int64()),
+                "ets": pa.array(ets.astype(np.uint64), pa.uint64()),
+            }
+        )
+
+    tagged = ds.map_batches(with_ets, batch_format="pyarrow", batch_size=131072)
+
+    bmax = collect_table(max_by_u64(tagged, "bucket", "ets"))
+    bk = bmax["bucket"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    bv = bmax["ets"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    order = np.argsort(bk)
+    bk, bv = bk[order], bv[order]
+    # exclusive prefix max per bucket (0 for the first: ets values are
+    # epoch-us, always > 0, so 0 == "no prior event")
+    prefix = np.zeros(len(bv), dtype=np.uint64)
+    if len(bv) > 1:
+        prefix[1:] = np.maximum.accumulate(bv)[:-1]
+    carry_ref = ray.put((bk, prefix))
+
+    def per_part(g: pa.Table, carry_ref=carry_ref) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {"key": pa.array([], pa.uint64()), "cnt": pa.array([], pa.int64())}
+            )
+        bks, pfx = (
+            ray.get(carry_ref) if isinstance(carry_ref, ray.ObjectRef) else carry_ref
+        )
+        bu = g["bucket"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        ets = g["ets"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.lexsort((eid, bu))
+        bu, ets = bu[order], ets[order]
+        wm = np.empty(len(ets), dtype=np.uint64)
+        new = np.ones(len(bu), dtype=bool)
+        new[1:] = bu[1:] != bu[:-1]
+        starts = np.nonzero(new)[0]
+        bounds = np.append(starts, len(bu))
+        for i, s in enumerate(starts):  # few buckets per partition, not rows
+            e = bounds[i + 1]
+            seg = np.maximum.accumulate(ets[s:e])
+            wm[s:e] = np.maximum(seg, pfx[np.searchsorted(bks, bu[s])])
+        late = wm - ets
+        cls = np.where(
+            late == 0, 0, np.where(late <= np.uint64(_LATE_L_US), 1, 2)
+        ).astype(np.uint64)
+        hour = ets // np.uint64(3_600_000_000)
+        key = (hour << np.uint64(2)) | cls
+        u, c = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "key": pa.array(u, pa.uint64()),
+                "cnt": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    partials = map_groups_partitioned(tagged, "bucket", per_part)
+    totals = sum_by_u64(partials, "key", "cnt")
+
+    def decode(b: pa.Table) -> pa.Table:
+        k = b["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table(
+            {
+                "hour": pa.array(k >> np.uint64(2), pa.uint64()),
+                "cls": pa.array((k & np.uint64(3)).astype(np.int64), pa.int64()),
+                "cnt": pa.array(
+                    b["cnt"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    pa.int64()),
+            }
+        )
+
+    def pivot(g: pa.Table) -> pa.Table:
+        hour = g["hour"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cls = g["cls"].to_numpy(zero_copy_only=False)
+        cnt = g["cnt"].to_numpy(zero_copy_only=False)
+        hours = np.unique(hour)
+        pos = np.searchsorted(hours, hour)
+        out = np.zeros((len(hours), 3), dtype=np.int64)
+        out[pos, cls] = cnt
+        return pa.table(
+            {
+                "window_start": pa.array(
+                    (hours * 3_600_000_000).astype("datetime64[us]")),
+                "n_on_time": pa.array(out[:, 0], pa.int64()),
+                "n_late": pa.array(out[:, 1], pa.int64()),
+                "n_dropped": pa.array(out[:, 2], pa.int64()),
+            }
+        )
+
+    return map_groups_partitioned(
+        totals.map_batches(decode, batch_format="pyarrow"), "hour", pivot
+    )
+
+
+EVENTS_LATE_DATA_SQL = f"""
+WITH e AS (
+  SELECT event_id, epoch_us(ts) - {_LATE_DELAY_SQL} AS ets FROM events),
+w AS (
+  SELECT ets,
+         MAX(ets) OVER (ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS wm
+  FROM e),
+c AS (
+  SELECT ets // 3600000000 AS hr,
+         CASE WHEN wm - ets = 0 THEN 0
+              WHEN wm - ets <= {_LATE_L_US} THEN 1 ELSE 2 END AS cls
+  FROM w)
+SELECT make_timestamp(hr * 3600000000) AS window_start,
+       CAST(COALESCE(SUM(CASE WHEN cls = 0 THEN 1 END), 0) AS BIGINT) AS n_on_time,
+       CAST(COALESCE(SUM(CASE WHEN cls = 1 THEN 1 END), 0) AS BIGINT) AS n_late,
+       CAST(COALESCE(SUM(CASE WHEN cls = 2 THEN 1 END), 0) AS BIGINT) AS n_dropped
+FROM c GROUP BY hr
+"""
+
+
 _PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
@@ -8314,6 +8470,7 @@ QUERIES = {
     "media_thumbnails": media_thumbnails,
     "media_frames": media_frames,
     "events_rolling_max": events_rolling_max,
+    "events_late_data": events_late_data,
     "events_window_join": events_window_join,
     "doc_top2_per_lang": doc_top2_per_lang,
     "events_value_quantiles": events_value_quantiles,
@@ -8429,6 +8586,7 @@ ORACLE_SQL = {
     "media_thumbnails": MEDIA_THUMBNAILS_SQL,
     "media_frames": MEDIA_FRAMES_SQL,
     "events_rolling_max": EVENTS_ROLLING_MAX_SQL,
+    "events_late_data": EVENTS_LATE_DATA_SQL,
     "events_window_join": EVENTS_WINDOW_JOIN_SQL,
     "doc_top2_per_lang": DOC_TOP2_PER_LANG_SQL,
     "events_value_quantiles": EVENTS_QUANTILES_SQL,

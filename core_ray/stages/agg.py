@@ -258,6 +258,24 @@ def min_by_u64(ds, key_col: str, val_col: str):
     )
 
 
+def max_by_u64(ds, key_col: str, val_col: str):
+    """MAX sibling of min_by_u64, by bit complement: max(v) == ~min(~v) on
+    uint64 — one extra vectorized map on each side of the existing combiner
+    instead of a third reduceat kernel."""
+
+    def flip(b: pa.Table) -> pa.Table:
+        v = b[val_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return b.set_column(
+            b.schema.get_field_index(val_col), val_col, pa.array(~v, pa.uint64())
+        )
+
+    inv = min_by_u64(
+        ds.map_batches(flip, batch_format="pyarrow", batch_size=131072),
+        key_col, val_col,
+    )
+    return inv.map_batches(flip, batch_format="pyarrow")
+
+
 def histogram_quantile_cont(vals: np.ndarray, cnts: np.ndarray, q: float) -> float:
     """QUANTILE_CONT over the expanded multiset, from a value->count
     histogram (the distributed-quantile driver step: distinct values, not
