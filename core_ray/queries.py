@@ -3062,6 +3062,179 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) <= 2
 """
 
 
+# BM25 retrieval: fixed query set (broadcast side), Robertson/Lucene idf.
+_BM25_QUERIES: tuple[tuple[int, tuple[str, ...]], ...] = (
+    (0, ("table", "scan")),
+    (1, ("vector", "stream", "merge")),
+    (2, ("customer", "window")),
+)
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 5
+_BM25_TERMS = tuple(
+    dict.fromkeys(t for _, ts in _BM25_QUERIES for t in ts)
+)  # unique, first-seen order
+
+
+def doc_bm25_topk(sf_dir: str):
+    """BM25 top-k retrieval — the search-engine scoring op over the corpus:
+    a fixed query set (the broadcast side; real deployments broadcast the
+    analyzed query batch the same way) ranks documents with the
+    Lucene/Robertson BM25 (k1=1.2, b=0.75, idf = ln((N-df+.5)/(df+.5)+1)).
+
+    Two streaming passes: (1) corpus stats — per-batch combiner emits ONE
+    row (n_docs, total_len, df per query term); the driver folds these tiny
+    partials into N/avgdl/df. (2) scoring — fully vectorized tokenization
+    (Arrow split_pattern -> flatten + reduceat over list offsets; no Python
+    per row), per-query scores summed in FIXED term order and rounded to 6
+    BEFORE ranking (the oracle ranks on the same rounded value, so the
+    k-boundary can't disagree on a last-ulp tie), then a per-batch top-k
+    combiner prunes to k x queries rows before the only shuffle. The oracle
+    mirrors the float pipeline term-by-term as explicit left-to-right
+    additions (COALESCE per-term LEFT JOIN columns, not SUM over rows —
+    GROUP-BY sum order is nondeterministic in the last ulp; a fixed
+    expression tree is not)."""
+    from core_ray.collect import collect_table
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    terms = _BM25_TERMS
+    nt = len(terms)
+
+    def _tok(b: pa.Table):
+        toks = pc.split_pattern(b["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        dl = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        offsets = np.zeros(len(dl), dtype=np.int64)
+        np.cumsum(dl[:-1], out=offsets[1:])
+        return dl, flat, offsets
+
+    def _tf(flat, offsets, dl, term) -> np.ndarray:
+        if len(flat) == 0:
+            return np.zeros(len(dl), dtype=np.int64)
+        eq = pc.equal(flat, term).to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.minimum(offsets, len(eq) - 1)
+        tf = np.add.reduceat(eq, idx) if len(idx) else eq[:0]
+        tf[dl == 0] = 0  # reduceat repeats the element at empty segments
+        return tf
+
+    def stats_part(b: pa.Table) -> pa.Table:
+        dl, flat, offsets = _tok(b)
+        cols = {
+            "n": pa.array([len(dl)], pa.int64()),
+            "tl": pa.array([int(dl.sum())], pa.int64()),
+        }
+        for i, t in enumerate(terms):
+            cols[f"df{i}"] = pa.array(
+                [int((_tf(flat, offsets, dl, t) > 0).sum())], pa.int64())
+        return pa.table(cols)
+
+    st = collect_table(ds.map_batches(stats_part, batch_format="pyarrow",
+                                      batch_size=65536))
+    n_docs = float(sum(st["n"].to_pylist()))
+    avgdl = float(sum(st["tl"].to_pylist())) / n_docs
+    df = {
+        t: float(sum(st[f"df{i}"].to_pylist())) for i, t in enumerate(terms)
+    }
+    idf = {
+        t: float(np.log((n_docs - df[t] + 0.5) / (df[t] + 0.5) + 1.0))
+        for t in terms
+    }
+    k1, b_ = _BM25_K1, _BM25_B
+
+    def score_part(b: pa.Table) -> pa.Table:
+        dl, flat, offsets = _tok(b)
+        doc_id = b["doc_id"].to_numpy(zero_copy_only=False)
+        dlf = dl.astype(np.float64)
+        tfs = {t: _tf(flat, offsets, dl, t).astype(np.float64) for t in terms}
+        out_q, out_d, out_s = [], [], []
+        for qid, qterms in _BM25_QUERIES:
+            s = np.zeros(len(dl), dtype=np.float64)
+            hit = np.zeros(len(dl), dtype=bool)
+            for t in qterms:  # fixed term order == the oracle's expression order
+                tf = tfs[t]
+                s = s + idf[t] * tf * (k1 + 1.0) / (
+                    tf + k1 * (1.0 - b_ + b_ * dlf / avgdl)
+                )
+                hit |= tf > 0
+            s = sql_round_np(s, 6)
+            cand = np.nonzero(hit)[0]
+            order = cand[np.lexsort((doc_id[cand], -s[cand]))][:_BM25_TOPK]
+            out_q.append(np.full(len(order), qid, dtype=np.int32))
+            out_d.append(doc_id[order])
+            out_s.append(s[order])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int32()),
+                "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
+                "score": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    def topk(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            g, sort_keys=[("score", "descending"), ("doc_id", "ascending")]
+        )
+        return g.take(order[:_BM25_TOPK])
+
+    return (
+        ds.map_batches(score_part, batch_format="pyarrow", batch_size=65536)
+        .groupby("query_id")
+        .map_groups(topk, batch_format="pyarrow")
+    )
+
+
+def _bm25_sql() -> str:
+    k1, b_, k = _BM25_K1, _BM25_B, _BM25_TOPK
+    tf_ctes, df_sub = [], {}
+    for i, t in enumerate(_BM25_TERMS):
+        tf_ctes.append(
+            f"tf{i} AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS tf\n"
+            f"  FROM toks WHERE tok = '{t}' GROUP BY doc_id)"
+        )
+        df_sub[t] = f"(SELECT CAST(COUNT(*) AS DOUBLE) FROM tf{i})"
+    term_idx = {t: i for i, t in enumerate(_BM25_TERMS)}
+    selects = []
+    for qid, qterms in _BM25_QUERIES:
+        contribs, joins, any_hit = [], [], []
+        for t in qterms:
+            i = term_idx[t]
+            dfi = df_sub[t]
+            contribs.append(
+                f"COALESCE(LN((s.n - {dfi} + 0.5) / ({dfi} + 0.5) + 1.0)"
+                f" * t{i}.tf * {k1 + 1.0} / (t{i}.tf + {k1} *"
+                f" (1.0 - {b_} + {b_} * d.dl / s.avgdl)), 0.0)"
+            )
+            joins.append(f"LEFT JOIN tf{i} t{i} ON t{i}.doc_id = d.doc_id")
+            any_hit.append(f"t{i}.doc_id IS NOT NULL")
+        selects.append(
+            f"SELECT CAST({qid} AS INTEGER) AS query_id, d.doc_id,\n"
+            f"  {' + '.join(contribs)} AS score\n"
+            f"FROM dl d CROSS JOIN stats s\n" + "\n".join(joins)
+            + f"\nWHERE {' OR '.join(any_hit)}"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    tf_cte_block = ",\n".join(tf_ctes)
+    return f"""
+WITH
+toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+       FROM documents),
+stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS avgdl
+          FROM documents),
+{tf_cte_block}
+SELECT query_id, doc_id, ROUND(score, 6) AS score FROM ({union})
+QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY ROUND(score, 6) DESC, doc_id) <= {k}
+"""
+
+
+DOC_BM25_TOPK_SQL = _bm25_sql()
+
+
 def events_value_quantiles(sf_dir: str):
     """Exact per-group percentiles (p50/p90, linear interpolation — the same
     definition as SQL QUANTILE_CONT): groupby + one vectorized np.quantile
@@ -8473,6 +8646,7 @@ QUERIES = {
     "events_late_data": events_late_data,
     "events_window_join": events_window_join,
     "doc_top2_per_lang": doc_top2_per_lang,
+    "doc_bm25_topk": doc_bm25_topk,
     "events_value_quantiles": events_value_quantiles,
     "cust_no_orders": cust_no_orders,
     "cust_orders_full_outer": cust_orders_full_outer,
@@ -8589,6 +8763,7 @@ ORACLE_SQL = {
     "events_late_data": EVENTS_LATE_DATA_SQL,
     "events_window_join": EVENTS_WINDOW_JOIN_SQL,
     "doc_top2_per_lang": DOC_TOP2_PER_LANG_SQL,
+    "doc_bm25_topk": DOC_BM25_TOPK_SQL,
     "events_value_quantiles": EVENTS_QUANTILES_SQL,
     "cust_no_orders": CUST_NO_ORDERS_SQL,
     "cust_orders_full_outer": CUST_ORDERS_FULL_OUTER_SQL,
