@@ -339,3 +339,37 @@ def golden_dup_clusters(pairs: pa.Table) -> pa.Table:
             "comp": pa.array(comps, pa.int64()),
         }
     )
+
+
+# ---------------- distributed Lloyd's k-means (iterative dataflow) ----------------
+
+
+def golden_kmeans(tbl: pa.Table, k: int = 8, iters: int = 5) -> pa.Table:
+    """Single-process spec oracle for emb_kmeans: init = the embeddings of
+    the k smallest vec_ids (in vec_id order), centers rounded to 6 decimals;
+    each iteration assigns every vector to its nearest center (squared
+    euclidean, ties -> lowest center index) and recomputes means (an empty
+    cluster keeps its center), re-rounding centers to 6 — the per-iteration
+    rounding is the cross-path float-determinism contract (same policy as
+    stages/pagerank's 1e-12). Output = assignment against the final rounded
+    centers."""
+    ids, x = _emb_matrix(tbl)
+    order = np.argsort(ids)
+    centers = sql_round_np(x[order[:k]], 6)
+    for _ in range(iters + 1):
+        d = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        newc = centers.copy()
+        for c in range(len(centers)):
+            m = assign == c
+            if m.any():
+                newc[c] = x[m].sum(axis=0) / m.sum()
+        centers = sql_round_np(newc, 6)
+    # `assign` above is the pass against the final centers: the loop runs
+    # iters+1 times and the last update is discarded.
+    return pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "cluster": pa.array(assign.astype(np.int32), pa.int32()),
+        }
+    )

@@ -858,6 +858,100 @@ def emb_centroids(sf_dir: str):
     return label_centroids(ds)
 
 
+_KMEANS_K = 8
+_KMEANS_ITERS = 5
+
+
+def emb_kmeans(sf_dir: str, k: int = _KMEANS_K, iters: int = _KMEANS_ITERS):
+    """Distributed Lloyd's k-means — the iterative-ML-training dataflow shape
+    (PageRank's sibling: per-iteration full-corpus pass + tiny mergeable
+    state). Deterministic spec: init = embeddings of the k smallest vec_ids,
+    assignment = nearest center (squared euclidean, ties -> lowest index),
+    update = member mean (empty cluster keeps its center), centers rounded
+    to 6 decimals each iteration — the rounding absorbs partial-sum
+    reassociation so the distributed path is bit-equal to the single-process
+    golden (fixtures/docs_golden.golden_kmeans), same determinism contract
+    as stages/pagerank's per-iteration 1e-12 round.
+
+    Scale shape: each iteration is ONE map_batches pass emitting k x dim
+    partial sums per batch (constant-size combiner rows — never the
+    vectors); the driver folds k x dim doubles and re-broadcasts. The
+    corpus is materialized once and re-read per iteration from the object
+    store — the standard distributed-k-means access pattern."""
+    import ray
+
+    from core_ray.collect import collect_table
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+
+    def _mat(b: pa.Table) -> np.ndarray:
+        col = b["embedding"]
+        # list_flatten honors slice offsets (col.values would not on a
+        # zero-copy block slice)
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        return flat.reshape(len(col), -1)
+
+    def seed_prune(b: pa.Table) -> pa.Table:
+        order = pc.sort_indices(b, sort_keys=[("vec_id", "ascending")])
+        return b.take(order[:k])
+
+    seeds = collect_table(
+        ds.map_batches(seed_prune, batch_format="pyarrow", batch_size=65536)
+    )
+    order = np.argsort(seeds["vec_id"].to_numpy(zero_copy_only=False))[:k]
+    centers = sql_round_np(_mat(seeds)[order], 6)
+
+    def partials(b: pa.Table, cref) -> pa.Table:
+        c = ray.get(cref) if isinstance(cref, ray.ObjectRef) else cref
+        x = _mat(b)
+        d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        sums = np.zeros_like(c)
+        np.add.at(sums, a, x)
+        cnt = np.bincount(a, minlength=len(c)).astype(np.int64)
+        kk, dim = c.shape
+        return pa.table(
+            {
+                "cluster": pa.array(np.repeat(np.arange(kk, dtype=np.int32), dim)),
+                "dim": pa.array(np.tile(np.arange(dim, dtype=np.int32), kk)),
+                "s": pa.array(sums.ravel(), pa.float64()),
+                "cnt": pa.array(np.repeat(cnt, dim), pa.int64()),
+            }
+        )
+
+    for _ in range(iters):
+        cref = ray.put(centers)
+        pt = collect_table(
+            ds.map_batches(partials, fn_args=(cref,), batch_format="pyarrow",
+                           batch_size=65536)
+        )
+        cl = pt["cluster"].to_numpy(zero_copy_only=False)
+        dm = pt["dim"].to_numpy(zero_copy_only=False)
+        sums = np.zeros_like(centers)
+        np.add.at(sums, (cl, dm), pt["s"].to_numpy(zero_copy_only=False))
+        cnts = np.zeros(len(centers), dtype=np.int64)
+        np.add.at(cnts, cl[dm == 0], pt["cnt"].to_numpy(zero_copy_only=False)[dm == 0])
+        newc = centers.copy()
+        nz = cnts > 0
+        newc[nz] = sums[nz] / cnts[nz, None]
+        centers = sql_round_np(newc, 6)
+
+    cref = ray.put(centers)
+
+    def assign(b: pa.Table, cref=cref) -> pa.Table:
+        c = ray.get(cref) if isinstance(cref, ray.ObjectRef) else cref
+        x = _mat(b)
+        d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return pa.table(
+            {
+                "vec_id": b["vec_id"],
+                "cluster": pa.array(d.argmin(axis=1).astype(np.int32), pa.int32()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow", batch_size=65536)
+
+
 EMB_CENTROIDS_SQL = """
 WITH x AS (
   SELECT CAST(label AS BIGINT) AS label,
@@ -2166,7 +2260,7 @@ PAGES_RULES_SQL = (
 # Exactness at a second scale is enforced by tests/test_docs_golden.py.
 
 _DOCS_GOLDEN_SF = 0.01
-_DOCS_GOLDEN_VERSION = 2  # bump when sketch specs / golden schemas change
+_DOCS_GOLDEN_VERSION = 3  # bump when sketch specs / golden schemas change
 
 
 def _docs_golden_dir() -> str:
@@ -2199,6 +2293,7 @@ def _ensure_docs_golden(sf_dir: str) -> None:
     emb = pq.read_table(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     pq.write_table(dg.golden_ann_lsh(emb), f"{root}/ann_lsh.parquet")
     pq.write_table(dg.golden_ann_ivf(emb), f"{root}/ann_ivf.parquet")
+    pq.write_table(dg.golden_kmeans(emb), f"{root}/kmeans.parquet")
     with open(marker, "w") as f:
         f.write("ok")
 
@@ -2215,6 +2310,7 @@ WHERE doc_id NOT IN (
 DOC_SIMHASH_PAIRS_SQL = f"SELECT * FROM read_parquet('{_DGD}/simhash_pairs.parquet')"
 EMB_ANN_LSH_SQL = f"SELECT * FROM read_parquet('{_DGD}/ann_lsh.parquet')"
 EMB_ANN_IVF_SQL = f"SELECT * FROM read_parquet('{_DGD}/ann_ivf.parquet')"
+EMB_KMEANS_SQL = f"SELECT * FROM read_parquet('{_DGD}/kmeans.parquet')"
 
 
 # ---------------------------------------------------------------- multimodal
@@ -8640,6 +8736,7 @@ QUERIES = {
     "emb_near_dup_pairs": emb_near_dup_pairs,
     "emb_dup_clusters": emb_dup_clusters,
     "emb_ann_ivf": emb_ann_ivf,
+    "emb_kmeans": emb_kmeans,
     "media_thumbnails": media_thumbnails,
     "media_frames": media_frames,
     "events_rolling_max": events_rolling_max,
@@ -8788,6 +8885,7 @@ ORACLE_SQL = {
     "doc_simhash_pairs": DOC_SIMHASH_PAIRS_SQL,
     "emb_ann_lsh": EMB_ANN_LSH_SQL,
     "emb_ann_ivf": EMB_ANN_IVF_SQL,
+    "emb_kmeans": EMB_KMEANS_SQL,
     "q4_priority_semi": Q4_SQL,
     "q6_forecast_revenue": Q6_SQL,
     "q12_priority_class": Q12_SQL,

@@ -120,3 +120,20 @@ def test_ann_ivf_matches_golden(ray_session, embeddings):
     golden = dg.golden_ann_ivf(embeddings, query_modulus=20)
     assert golden.num_rows > 0
     assert _canon(eng).equals(_canon(golden))
+
+
+def test_kmeans_matches_golden_second_scale(ray_session):
+    """emb_kmeans (distributed partial-sum iterations) must be row-identical
+    to golden_kmeans at a scale the driver never runs (sf0.001) — the
+    per-iteration 6-decimal center rounding is the cross-path contract."""
+    import pyarrow.parquet as pq
+
+    from core_ray.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    eng = _collect(QUERIES["emb_kmeans"](sf))
+    emb = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    golden = dg.golden_kmeans(emb)
+    assert golden.num_rows == eng.num_rows > 0
+    assert len(set(golden["cluster"].to_pylist())) > 1  # non-degenerate
+    assert _canon(eng).equals(_canon(golden))

@@ -23,6 +23,7 @@ _GOLDEN_PINNED = (
     "emb_ann_lsh",
     "emb_ann_ivf",
     "emb_pagerank",
+    "emb_kmeans",
 )
 
 ORACLE_NAMES = sorted(ORACLE_SQL)
