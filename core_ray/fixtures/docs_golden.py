@@ -373,3 +373,68 @@ def golden_kmeans(tbl: pa.Table, k: int = 8, iters: int = 5) -> pa.Table:
             "cluster": pa.array(assign.astype(np.int32), pa.int32()),
         }
     )
+
+
+# ---------------- per-tile convex hulls (grouped vector geometry) ----------------
+
+
+def golden_tile_hulls(doc_ids, zoom: int = 4) -> pa.Table:
+    """Independent oracle for geo_convex_hull: derives the documents'
+    spec coordinate lattice (lat = ((id*7919) % 140000)/1000 - 70,
+    lon = ((id*104729) % 360000)/1000 - 180), buckets points into z/x/y
+    web-mercator tiles, and computes each tile's convex hull with a
+    dict/loop Andrew's monotone chain over DISTINCT points — strict turns
+    (collinear vertices dropped), output CCW starting at the
+    lexicographically smallest (lon, lat) vertex, 1-or-2-point tiles pass
+    through in (lon, lat) order."""
+    import math
+
+    n = float(1 << zoom)
+    tiles: dict[tuple[int, int], set] = {}
+    for d in doc_ids:
+        d = int(d)
+        lat = ((d * 7919) % 140000) / 1000.0 - 70.0
+        lon = ((d * 104729) % 360000) / 1000.0 - 180.0
+        x = int(min(n - 1, max(0.0, math.floor((lon + 180.0) / 360.0 * n))))
+        yv = 1.0 - math.log(math.tan(math.radians(lat))
+                            + 1.0 / math.cos(math.radians(lat))) / math.pi
+        y = int(min(n - 1, max(0.0, math.floor(yv / 2.0 * n))))
+        tiles.setdefault((x, y), set()).add((lon, lat))
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    out_x, out_y, out_seq, out_lat, out_lon = [], [], [], [], []
+    for (tx, ty) in sorted(tiles):
+        pts = sorted(tiles[(tx, ty)])
+        if len(pts) <= 2:
+            hull = pts
+        else:
+            lower = []
+            for p in pts:
+                while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+                    lower.pop()
+                lower.append(p)
+            upper = []
+            for p in reversed(pts):
+                while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+                    upper.pop()
+                upper.append(p)
+            hull = lower[:-1] + upper[:-1]
+            if len(hull) == 0:  # all points collinear: keep the two extremes
+                hull = [pts[0], pts[-1]]
+        for i, (lon, lat) in enumerate(hull):
+            out_x.append(tx)
+            out_y.append(ty)
+            out_seq.append(i)
+            out_lat.append(lat)
+            out_lon.append(lon)
+    return pa.table(
+        {
+            "tile_x": pa.array(out_x, pa.int64()),
+            "tile_y": pa.array(out_y, pa.int64()),
+            "seq": pa.array(out_seq, pa.int32()),
+            "lat": pa.array(out_lat, pa.float64()),
+            "lon": pa.array(out_lon, pa.float64()),
+        }
+    )

@@ -1137,6 +1137,133 @@ FROM pts p LEFT JOIN best b USING (doc_id)
 """
 
 
+_HULL_ZOOM = 4
+
+
+def _monotone_hull(pts: np.ndarray) -> np.ndarray:
+    """Andrew's monotone chain over DISTINCT lexicographically-sorted
+    (lon, lat) rows. Strict turns (collinear vertices dropped); returns
+    hull vertices CCW starting at the smallest vertex; <=2 points pass
+    through. Sign decisions are exact on identical doubles, so engine and
+    golden (fixtures/docs_golden.golden_tile_hulls — an independent
+    dict/loop implementation) agree bit-for-bit."""
+    m = len(pts)
+    if m <= 2:
+        return pts
+
+    def half(seq):
+        h = []
+        for p in seq:
+            while len(h) >= 2 and (
+                (h[-1][0] - h[-2][0]) * (p[1] - h[-2][1])
+                - (h[-1][1] - h[-2][1]) * (p[0] - h[-2][0])
+            ) <= 0.0:
+                h.pop()
+            h.append(p)
+        return h
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.array(lower[:-1] + upper[:-1], dtype=np.float64)
+
+
+def _per_tile_hulls(t: pa.Table, emit_seq: bool) -> pa.Table:
+    """(key:uint64 tile, lon, lat) rows -> per-tile hull vertices. The walk
+    loops over TILES present in the block, never over raw rows; dedup/sort
+    are vectorized."""
+    key = t["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    lon = t["lon"].to_numpy(zero_copy_only=False)
+    lat = t["lat"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((lat, lon, key))
+    key, lon, lat = key[order], lon[order], lat[order]
+    distinct = np.ones(len(key), dtype=bool)
+    distinct[1:] = (
+        (key[1:] != key[:-1]) | (lon[1:] != lon[:-1]) | (lat[1:] != lat[:-1])
+    )
+    key, lon, lat = key[distinct], lon[distinct], lat[distinct]
+    new = np.ones(len(key), dtype=bool)
+    new[1:] = key[1:] != key[:-1]
+    starts = np.nonzero(new)[0]
+    bounds = np.append(starts, len(key))
+    out_k, out_seq, out_lon, out_lat = [], [], [], []
+    for i, s in enumerate(starts):
+        e = bounds[i + 1]
+        hull = _monotone_hull(np.column_stack([lon[s:e], lat[s:e]]))
+        out_k.append(np.full(len(hull), key[s], dtype=np.uint64))
+        out_seq.append(np.arange(len(hull), dtype=np.int32))
+        out_lon.append(hull[:, 0])
+        out_lat.append(hull[:, 1])
+    cols = {
+        "key": pa.array(
+            np.concatenate(out_k) if out_k else np.zeros(0, np.uint64),
+            pa.uint64()),
+    }
+    if emit_seq:
+        cols["seq"] = pa.array(
+            np.concatenate(out_seq) if out_seq else np.zeros(0, np.int32),
+            pa.int32())
+    cols["lon"] = pa.array(
+        np.concatenate(out_lon) if out_lon else np.zeros(0), pa.float64())
+    cols["lat"] = pa.array(
+        np.concatenate(out_lat) if out_lat else np.zeros(0), pa.float64())
+    return pa.table(cols)
+
+
+def tile_hulls(tagged):
+    """Dataset[(key:uint64 tile, lon, lat)] -> Dataset[(tile_x, tile_y, seq,
+    lat, lon)]: per-batch hull-vertex pruning (the exact hull-of-hulls
+    combiner: hull(A ∪ B) == hull(hull(A) ∪ hull(B))), ONE shuffle carrying
+    only hull candidates, per-partition final hulls."""
+    from core_ray.stages.agg import map_groups_partitioned
+
+    pruned = tagged.map_batches(
+        lambda b: _per_tile_hulls(b, emit_seq=False),
+        batch_format="pyarrow", batch_size=65536,
+    )
+
+    def finish(g: pa.Table) -> pa.Table:
+        t = _per_tile_hulls(g, emit_seq=True)
+        k = t["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table(
+            {
+                "tile_x": pa.array((k >> np.uint64(32)).astype(np.int64), pa.int64()),
+                "tile_y": pa.array(
+                    (k & np.uint64(0xFFFFFFFF)).astype(np.int64), pa.int64()),
+                "seq": t["seq"],
+                "lat": t["lat"],
+                "lon": t["lon"],
+            }
+        )
+
+    return map_groups_partitioned(pruned, "key", finish)
+
+
+def geo_convex_hull(sf_dir: str, zoom: int = _HULL_ZOOM):
+    """Per-tile convex hulls — grouped vector geometry (the dissolve/hull
+    half of the raster<->vector family, alongside geo_tile_regions'
+    polygonize and geo_rect_cover's polyfill). Distributed via the exact
+    hull-of-hulls combiner, so the groupby moves at most O(hull size) rows
+    per tile per batch, never the member points (a mega-city tile ships a
+    few dozen vertices, not millions of rows). Oracle: independent
+    dict/loop monotone chain materialized as golden parquet."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy(zero_copy_only=False)
+        lat, lon = _derive_coords(doc_id)
+        x, y = mercator.lonlat_to_tile(lon, lat, zoom)
+        key = (x.astype(np.uint64) << np.uint64(32)) | y.astype(np.uint64)
+        return pa.table(
+            {
+                "key": pa.array(key, pa.uint64()),
+                "lon": pa.array(lon, pa.float64()),
+                "lat": pa.array(lat, pa.float64()),
+            }
+        )
+
+    return tile_hulls(ds.map_batches(tag, batch_format="pyarrow", batch_size=65536))
+
+
 def geo_knn_tile(sf_dir: str, k: int = 3, zoom: int = 4):
     """Per-tile kNN self-join (squared euclidean in degree space; bit-exact
     formula mirrored in SQL). groupby(tile) shuffle + per-group numpy."""
@@ -2260,7 +2387,7 @@ PAGES_RULES_SQL = (
 # Exactness at a second scale is enforced by tests/test_docs_golden.py.
 
 _DOCS_GOLDEN_SF = 0.01
-_DOCS_GOLDEN_VERSION = 3  # bump when sketch specs / golden schemas change
+_DOCS_GOLDEN_VERSION = 4  # bump when sketch specs / golden schemas change
 
 
 def _docs_golden_dir() -> str:
@@ -2294,6 +2421,7 @@ def _ensure_docs_golden(sf_dir: str) -> None:
     pq.write_table(dg.golden_ann_lsh(emb), f"{root}/ann_lsh.parquet")
     pq.write_table(dg.golden_ann_ivf(emb), f"{root}/ann_ivf.parquet")
     pq.write_table(dg.golden_kmeans(emb), f"{root}/kmeans.parquet")
+    pq.write_table(dg.golden_tile_hulls(ids), f"{root}/tile_hulls.parquet")
     with open(marker, "w") as f:
         f.write("ok")
 
@@ -2311,6 +2439,7 @@ DOC_SIMHASH_PAIRS_SQL = f"SELECT * FROM read_parquet('{_DGD}/simhash_pairs.parqu
 EMB_ANN_LSH_SQL = f"SELECT * FROM read_parquet('{_DGD}/ann_lsh.parquet')"
 EMB_ANN_IVF_SQL = f"SELECT * FROM read_parquet('{_DGD}/ann_ivf.parquet')"
 EMB_KMEANS_SQL = f"SELECT * FROM read_parquet('{_DGD}/kmeans.parquet')"
+GEO_CONVEX_HULL_SQL = f"SELECT * FROM read_parquet('{_DGD}/tile_hulls.parquet')"
 
 
 # ---------------------------------------------------------------- multimodal
@@ -8737,6 +8866,7 @@ QUERIES = {
     "emb_dup_clusters": emb_dup_clusters,
     "emb_ann_ivf": emb_ann_ivf,
     "emb_kmeans": emb_kmeans,
+    "geo_convex_hull": geo_convex_hull,
     "media_thumbnails": media_thumbnails,
     "media_frames": media_frames,
     "events_rolling_max": events_rolling_max,
@@ -8886,6 +9016,7 @@ ORACLE_SQL = {
     "emb_ann_lsh": EMB_ANN_LSH_SQL,
     "emb_ann_ivf": EMB_ANN_IVF_SQL,
     "emb_kmeans": EMB_KMEANS_SQL,
+    "geo_convex_hull": GEO_CONVEX_HULL_SQL,
     "q4_priority_semi": Q4_SQL,
     "q6_forecast_revenue": Q6_SQL,
     "q12_priority_class": Q12_SQL,

@@ -24,6 +24,7 @@ _GOLDEN_PINNED = (
     "emb_ann_ivf",
     "emb_pagerank",
     "emb_kmeans",
+    "geo_convex_hull",
 )
 
 ORACLE_NAMES = sorted(ORACLE_SQL)
