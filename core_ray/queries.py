@@ -2951,6 +2951,201 @@ WHERE ROUND(LIST_COSINE_SIMILARITY(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 """
 
 
+def emb_silhouette(sf_dir: str, chunk_rows: int = 1024):
+    """Silhouette scores per vector against the ground-truth ``label``
+    clustering — the cluster-quality evaluation a training pipeline runs
+    after kmeans/dedup clustering. sil(i) = (b-a)/max(a,b) with a = mean
+    euclidean distance to own-cluster members, b = min over other clusters
+    of the mean distance; 0 when degenerate (singleton cluster or all-zero
+    distances), rounded to 6.
+
+    Distributed as the emb_near_dup_pairs block-nested-loop: the corpus is
+    chunked into object-store refs; each task scores one chunk pair (upper
+    triangle, both orientations) and emits PARTIAL per-(vector, other-label)
+    distance sums — O(n x labels) combiner rows, never the n² distances.
+    Distance matrices accumulate dim-by-dim ((xi_k - xj_k)² adds, one m x n
+    buffer — no m x n x d tensor), matching the oracle's list_distance
+    sequential-over-dims sum up to reassociation the final ROUND absorbs.
+    Per-cluster member counts are exact global label counts (a 10-value
+    driver fold), so no count column travels with the partials."""
+    import ray
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+
+    def pack(b: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(b["embedding"]).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        x = flat.reshape(b.num_rows, -1)
+        return pa.table(
+            {
+                "vec_id": b["vec_id"],
+                "label": b["label"],
+                "vec": pa.array([r.tobytes() for r in x], pa.binary()),
+            }
+        )
+
+    packed = ds.map_batches(pack, batch_format="pyarrow", batch_size=chunk_rows)
+    refs = packed.to_arrow_refs()
+    n_chunks = len(refs)
+
+    # exact global label counts: one tiny combiner fold on the driver
+    from core_ray.collect import collect_table
+
+    lc = collect_table(
+        _read(sf_dir, "embeddings", ["label"]).map_batches(
+            lambda b: pa.table(
+                {
+                    "label": pa.array(
+                        np.unique(b["label"].to_numpy(zero_copy_only=False)),
+                        pa.int32()),
+                    "n": pa.array(
+                        np.unique(b["label"].to_numpy(zero_copy_only=False),
+                                  return_counts=True)[1].astype(np.int64),
+                        pa.int64()),
+                }
+            ),
+            batch_format="pyarrow", batch_size=131072,
+        )
+    )
+    n_by_label: dict[int, int] = {}
+    for lab, n in zip(lc["label"].to_pylist(), lc["n"].to_pylist()):
+        n_by_label[lab] = n_by_label.get(lab, 0) + n
+    labels_sorted = sorted(n_by_label)
+
+    def _chunk_np(t: pa.Table):
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int32)
+        if len(ids) == 0:
+            return ids, lab, np.zeros((0, 1), dtype=np.float64)
+        mat = np.frombuffer(b"".join(t["vec"].to_pylist()), dtype=np.float64)
+        return ids, lab, mat.reshape(len(ids), -1)
+
+    def score(batch: pa.Table, refs=refs) -> pa.Table:
+        out_i, out_li, out_lj, out_s = [], [], [], []
+
+        def emit(ids, li, lj_val, s):
+            out_i.append(ids)
+            out_li.append(li)
+            out_lj.append(np.full(len(ids), lj_val, dtype=np.int32))
+            out_s.append(s)
+
+        for ci, cjs in zip(batch["ci"].to_pylist(), batch["cjs"].to_pylist()):
+            ids_i, lab_i, xi = _chunk_np(ray.get(refs[ci]))
+            if not len(ids_i):
+                continue
+            for cj in cjs:
+                ids_j, lab_j, xj = _chunk_np(ray.get(refs[cj]))
+                if not len(ids_j):
+                    continue
+                d2 = np.zeros((len(ids_i), len(ids_j)), dtype=np.float64)
+                for k in range(xi.shape[1]):
+                    diff = xi[:, k][:, None] - xj[:, k][None, :]
+                    d2 += diff * diff
+                d = np.sqrt(d2)
+                # self-pairs (ci == cj diagonal) contribute d == 0 to the
+                # own-label sum; the divisor n_li - 1 excludes them exactly
+                for lv in labels_sorted:
+                    mj = lab_j == lv
+                    if mj.any():
+                        emit(ids_i, lab_i, lv, d[:, mj].sum(axis=1))
+                    if ci != cj:
+                        mi = lab_i == lv
+                        if mi.any():
+                            emit(ids_j, lab_j, lv, d[mi, :].sum(axis=0))
+        cat = (lambda xs, t: np.concatenate(xs) if xs else np.zeros(0, dtype=t))
+        return pa.table(
+            {
+                "vec_id": pa.array(cat(out_i, np.int64), pa.int64()),
+                "li": pa.array(cat(out_li, np.int32), pa.int32()),
+                "lj": pa.array(cat(out_lj, np.int32), pa.int32()),
+                "s": pa.array(cat(out_s, np.float64), pa.float64()),
+            }
+        )
+
+    seg = 8
+    pair_items = []
+    for i in range(n_chunks):
+        cjs = list(range(i, n_chunks))
+        for s in range(0, len(cjs), seg):
+            pair_items.append({"ci": i, "cjs": cjs[s : s + seg]})
+    partials = ray.data.from_items(pair_items).map_batches(
+        score, batch_format="pyarrow", batch_size=1
+    )
+
+    from core_ray.stages.agg import map_groups_partitioned
+
+    nbl = dict(n_by_label)
+
+    def final(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "label": pa.array([], pa.int32()),
+                    "sil": pa.array([], pa.float64()),
+                }
+            )
+        vid = g["vec_id"].to_numpy(zero_copy_only=False)
+        li = g["li"].to_numpy(zero_copy_only=False)
+        lj = g["lj"].to_numpy(zero_copy_only=False)
+        s = g["s"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((lj, vid))
+        vid, li, lj, s = vid[order], li[order], lj[order], s[order]
+        newk = np.ones(len(vid), dtype=bool)
+        newk[1:] = (vid[1:] != vid[:-1]) | (lj[1:] != lj[:-1])
+        kstarts = np.nonzero(newk)[0]
+        ks = np.add.reduceat(s, kstarts)
+        kvid, kli, klj = vid[kstarts], li[kstarts], lj[kstarts]
+        newv = np.ones(len(kvid), dtype=bool)
+        newv[1:] = kvid[1:] != kvid[:-1]
+        vstarts = np.nonzero(newv)[0]
+        max_lab = max(nbl)
+        nbl_arr = np.zeros(max_lab + 1, dtype=np.float64)
+        for lv, n in nbl.items():
+            nbl_arr[lv] = n
+        own = klj == kli
+        denom = nbl_arr[klj] - own  # own-cluster divisor excludes self
+        with np.errstate(divide="ignore", invalid="ignore"):
+            means = ks / denom  # inf/nan on singleton clusters -> sil 0 below
+        a = np.add.reduceat(np.where(own, means, 0.0), vstarts)
+        has_a = np.add.reduceat(own.astype(np.int64), vstarts) > 0
+        b = np.minimum.reduceat(np.where(own, np.inf, means), vstarts)
+        mx = np.maximum(a, b)
+        valid = has_a & np.isfinite(a) & np.isfinite(b) & (mx > 0.0)
+        sil = np.where(
+            valid,
+            sql_round_np((b - a) / np.where(mx > 0.0, mx, 1.0), 6),
+            0.0,
+        )
+        return pa.table(
+            {
+                "vec_id": pa.array(kvid[vstarts], pa.int64()),
+                "label": pa.array(kli[vstarts], pa.int32()),
+                "sil": pa.array(sil, pa.float64()),
+            }
+        )
+
+    return map_groups_partitioned(partials, "vec_id", final)
+
+
+EMB_SILHOUETTE_SQL = """
+WITH d AS (
+  SELECT a.vec_id AS i, a.label AS li, b.label AS lj,
+         list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS d
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+agg AS (SELECT i, li, lj, SUM(d) AS s, COUNT(*) AS c FROM d GROUP BY 1, 2, 3),
+ab AS (
+  SELECT i, li,
+         MAX(CASE WHEN lj = li THEN s / c END) AS a,
+         MIN(CASE WHEN lj <> li THEN s / c END) AS b
+  FROM agg GROUP BY 1, 2)
+SELECT i AS vec_id, li AS label,
+       CASE WHEN a IS NULL OR b IS NULL OR GREATEST(a, b) <= 0 THEN 0.0
+            ELSE ROUND((b - a) / GREATEST(a, b), 6) END AS sil
+FROM ab
+"""
+
+
 
 
 def doc_dedup_keep(sf_dir: str, broadcast_max: int = 2_000_000):
@@ -8863,6 +9058,7 @@ QUERIES = {
     "events_asof_purchase": events_asof_purchase,
     "doc_encrypt_roundtrip": doc_encrypt_roundtrip,
     "emb_near_dup_pairs": emb_near_dup_pairs,
+    "emb_silhouette": emb_silhouette,
     "emb_dup_clusters": emb_dup_clusters,
     "emb_ann_ivf": emb_ann_ivf,
     "emb_kmeans": emb_kmeans,
@@ -8973,6 +9169,7 @@ ORACLE_SQL = {
     "doc_sample_mod": DOC_SAMPLE_SQL,
     "events_asof_purchase": EVENTS_ASOF_SQL,
     "emb_near_dup_pairs": EMB_NEAR_DUP_SQL,
+    "emb_silhouette": EMB_SILHOUETTE_SQL,
     "emb_dup_clusters": EMB_DUP_CLUSTERS_SQL,
     "doc_langid": DOC_LANGID_SQL,
     "doc_encrypt_roundtrip": DOC_ENCRYPT_SQL,

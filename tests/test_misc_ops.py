@@ -168,3 +168,23 @@ def test_funnel_accepts_pre_epoch_timestamps(ray_session, tmp_path):
     pq.write_table(t, str(tmp_path / "events.parquet"))
     out = {r["stage"]: r["n_users"] for r in events_funnel(str(tmp_path)).take_all()}
     assert out == {"view": 1, "view>click": 1, "view>click>purchase": 1}
+
+
+def test_silhouette_multichunk_equivalent(ray_session):
+    """Forced small chunks exercise the cross-chunk (ci != cj) orientation
+    paths of the block-nested-loop; output must equal the single-chunk run."""
+    import pyarrow.compute as pc
+
+    from core_ray.collect import collect_table
+    from core_ray.queries import emb_silhouette
+
+    sf = "/root/testdata/sf0.001"
+
+    def canon(t):
+        t = t.select(["vec_id", "label", "sil"])
+        return t.take(pc.sort_indices(t, sort_keys=[("vec_id", "ascending")]))
+
+    one = canon(collect_table(emb_silhouette(sf, chunk_rows=1024)))
+    many = canon(collect_table(emb_silhouette(sf, chunk_rows=64)))
+    assert one.num_rows == many.num_rows > 0
+    assert canon(one).equals(canon(many))
