@@ -85,6 +85,13 @@ BENCH_QUERIES = [
     "doc_incremental_new",
     "geo_tile_regions",
     "pages_url_filter",
+    # round-4b additions
+    "geo_dbscan",
+    "geo_convex_hull",
+    "events_late_data",
+    "doc_bm25_topk",
+    "emb_kmeans",
+    "emb_silhouette",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost
