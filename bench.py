@@ -92,6 +92,8 @@ BENCH_QUERIES = [
     "doc_bm25_topk",
     "emb_kmeans",
     "emb_silhouette",
+    # round-4c additions
+    "geo_haversine_pairs",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

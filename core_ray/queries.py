@@ -1464,6 +1464,78 @@ WHERE (a.lat - b.lat) * (a.lat - b.lat) + (a.lon - b.lon) * (a.lon - b.lon)
 """
 
 
+_HAVERSINE_BAND_KM = 100.0
+
+
+def geo_haversine_pairs(sf_dir: str, max_km: float = _HAVERSINE_BAND_KM):
+    """Distance-band self-join in TRUE kilometers: all event pairs within
+    ``max_km`` great-circle distance, over the events table (10k/100k rows
+    at sf0.01/0.1 — the densest derived-coordinate lattice). Same one-
+    shuffle home+ghost plan as geo_distance_pairs with metric-aware cell
+    sizing (lat cells from the meridian bound, lon cells widened by
+    1/cos(max|lat|)) and a modular LON RING so antimeridian pairs
+    co-locate (great-circle distance wraps; degree-space does not) — see
+    stages/distband.py haversine_distance_pairs, brute-force-tested incl.
+    wraparound and high-latitude cases in tests/test_distband.py.
+
+    Float-parity design: numpy's sin/cos/asin differ from DuckDB's libm by
+    1-2 ULP (measured: max 3.6e-12 km on this lattice), so emitting the raw
+    distance would hash-mismatch. The output instead carries
+    FLOOR(dist_km)::BIGINT — a flip needs a pair within ~4e-12 km of an
+    integer (p ~ 1e-7 over this output) — and the <= max_km threshold has
+    the same negligible straddle risk."""
+    from core_ray.stages.distband import haversine_distance_pairs
+
+    def coords(b: pa.Table) -> pa.Table:
+        ev = b["event_id"].to_numpy(zero_copy_only=False)
+        lat, lon = _derive_coords(ev)
+        return pa.table(
+            {
+                "doc_id": b["event_id"],
+                "lat": pa.array(lat, pa.float64()),
+                "lon": pa.array(lon, pa.float64()),
+            }
+        )
+
+    pts = _read(sf_dir, "events", ["event_id"]).map_batches(
+        coords, batch_format="pyarrow", batch_size=65536
+    )
+    pairs = haversine_distance_pairs(pts, max_km)
+
+    def finish(b: pa.Table) -> pa.Table:
+        d = b["dist_km"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_a": b["doc_a"],
+                "event_b": b["doc_b"],
+                "km_floor": pa.array(np.floor(d).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return pairs.map_batches(finish, batch_format="pyarrow")
+
+
+# the SQL mirrors haversine_km (stages/distband.py) term-for-term: same
+# left-associative order, a = smaller event_id (matching the engine's
+# home-left/larger-right emission), so both sides run the identical IEEE
+# expression tree modulo libm ULPs (absorbed by the FLOOR output contract).
+GEO_HAVERSINE_PAIRS_SQL = f"""
+WITH pts AS (
+  SELECT event_id, {GEO_LAT_SQL.replace('doc_id', 'event_id')} AS lat,
+         {GEO_LON_SQL.replace('doc_id', 'event_id')} AS lon FROM events),
+d AS (
+  SELECT a.event_id AS event_a, b.event_id AS event_b,
+         2.0 * 6371.0088 * ASIN(SQRT(
+           SIN(RADIANS(b.lat - a.lat) / 2.0) * SIN(RADIANS(b.lat - a.lat) / 2.0)
+           + COS(RADIANS(a.lat)) * COS(RADIANS(b.lat))
+             * SIN(RADIANS(b.lon - a.lon) / 2.0) * SIN(RADIANS(b.lon - a.lon) / 2.0)
+         )) AS dist_km
+  FROM pts a JOIN pts b ON a.event_id < b.event_id)
+SELECT event_a, event_b, CAST(FLOOR(dist_km) AS BIGINT) AS km_floor
+FROM d WHERE dist_km <= {_HAVERSINE_BAND_KM}
+"""
+
+
 # CCW triangles at .0005 offsets (same off-lattice trick as GEO_RECTS): the
 # ray-casting kernel and the SQL half-plane signs agree everywhere except ON
 # an edge, which the offset keeps the derived 10^-3 lattice away from.
@@ -9113,6 +9185,7 @@ QUERIES = {
     "q21_sole_supplier": q21_sole_supplier,
     "geo_zonal_stats": geo_zonal_stats,
     "geo_distance_pairs": geo_distance_pairs,
+    "geo_haversine_pairs": geo_haversine_pairs,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -9243,6 +9316,7 @@ ORACLE_SQL = {
     "q21_sole_supplier": Q21_SQL,
     "geo_zonal_stats": GEO_ZONAL_SQL,
     "geo_distance_pairs": GEO_DISTANCE_PAIRS_SQL,
+    "geo_haversine_pairs": GEO_HAVERSINE_PAIRS_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,

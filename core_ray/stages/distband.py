@@ -41,12 +41,41 @@ _EMPTY = {
 }
 
 
+def haversine_km(lat_a: np.ndarray, lon_a: np.ndarray,
+                 lat_b: np.ndarray, lon_b: np.ndarray) -> np.ndarray:
+    """Great-circle distance in km (R = 6371.0088). The expression tree is
+    mirrored term-for-term by the SQL oracle (same left-associative order),
+    but numpy and DuckDB libm transcendentals differ by 1-2 ULP (measured
+    max 3.6e-12 km), so oracle-checked outputs must quantize coarsely
+    (geo_haversine_pairs emits FLOOR km) rather than carry the raw value."""
+    s1 = np.sin(np.radians(lat_b - lat_a) / 2.0)
+    s2 = np.sin(np.radians(lon_b - lon_a) / 2.0)
+    h = s1 * s1 + np.cos(np.radians(lat_a)) * np.cos(np.radians(lat_b)) * s2 * s2
+    return 2.0 * 6371.0088 * np.arcsin(np.sqrt(h))
+
+
 def replicate_to_cells(
-    ids: np.ndarray, lat: np.ndarray, lon: np.ndarray, radius: float
+    ids: np.ndarray, lat: np.ndarray, lon: np.ndarray, radius: float,
+    radius_lon: float | None = None,
+    lon_wrap_cells: int | None = None,
 ) -> pa.Table:
-    """9x home+ghost replication of (id, lat, lon) keyed by packed cell."""
+    """9x home+ghost replication of (id, lat, lon) keyed by packed cell.
+    ``radius_lon`` (default ``radius``) sets the longitude cell size
+    independently — metric bands need wider lon cells at high latitude
+    (see haversine_distance_pairs). ``lon_wrap_cells=n`` switches the lon
+    axis to a RING of n equal cells over [-180, 180) with ghost offsets
+    taken mod n, so pairs straddling the antimeridian co-locate (great-
+    circle distance wraps; coordinate-space distance does not). n must be
+    >= 4 or ghost offsets would alias into the same cell and emit
+    duplicate pairs."""
     cx = np.floor(lat / radius).astype(np.int64)
-    cy = np.floor(lon / radius).astype(np.int64)
+    if lon_wrap_cells is not None:
+        if lon_wrap_cells < 4:
+            raise ValueError("lon ring needs >= 4 cells (band too wide)")
+        cy = (np.floor((lon + 180.0) / (360.0 / lon_wrap_cells)).astype(np.int64)
+              % lon_wrap_cells)
+    else:
+        cy = np.floor(lon / (radius_lon if radius_lon is not None else radius)).astype(np.int64)
     # 21-bit packed axes (offset 2^20): a radius too small for the coordinate
     # extent would silently wrap cy into the cx bits and merge far-apart
     # cells into one segment (quadratic pair blowup, not wrong output) —
@@ -64,7 +93,10 @@ def replicate_to_cells(
     dx = np.array([0, -1, -1, -1, 0, 0, 1, 1, 1], dtype=np.int64)
     dy = np.array([0, -1, 0, 1, -1, 1, -1, 0, 1], dtype=np.int64)
     rcx = (np.repeat(cx, 9) + np.tile(dx, n) + _OFF21).astype(np.uint64)
-    rcy = (np.repeat(cy, 9) + np.tile(dy, n) + _OFF21).astype(np.uint64)
+    ry = np.repeat(cy, 9) + np.tile(dy, n)
+    if lon_wrap_cells is not None:
+        ry %= lon_wrap_cells
+    rcy = (ry + _OFF21).astype(np.uint64)
     home = np.zeros(9 * n, dtype=bool)
     home[0::9] = True  # offset (0,0) is each point's first replica
     return pa.table(
@@ -78,8 +110,14 @@ def replicate_to_cells(
     )
 
 
-def pairs_in_partition(g: pa.Table, r2: float, chunk_pairs: int = 8 << 20) -> pa.Table:
-    """Vectorized within-cell pair extraction for one co-located partition."""
+def pairs_in_partition(g: pa.Table, r2: float, chunk_pairs: int = 8 << 20,
+                       metric_fn=None, out_col: str = "sq_dist") -> pa.Table:
+    """Vectorized within-cell pair extraction for one co-located partition.
+
+    Default metric is squared euclidean in coordinate space (threshold
+    ``r2`` in squared units); pass ``metric_fn(lat_a, lon_a, lat_b, lon_b)``
+    for another vectorized metric (threshold in its own units) — the cell
+    replication must then COVER the metric's reach (caller's contract)."""
     key = g["ck"].to_numpy(zero_copy_only=False).astype(np.uint64)
     order = np.argsort(key, kind="stable")
     key = key[order]
@@ -89,7 +127,13 @@ def pairs_in_partition(g: pa.Table, r2: float, chunk_pairs: int = 8 << 20) -> pa
     home = g["home"].to_numpy(zero_copy_only=False)[order]
     n = len(key)
     if n == 0:
-        return pa.table(_EMPTY)
+        return pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                out_col: pa.array([], pa.float64()),
+            }
+        )
     new = np.ones(n, dtype=bool)
     new[1:] = key[1:] != key[:-1]
     seg_id = np.cumsum(new) - 1
@@ -109,18 +153,21 @@ def pairs_in_partition(g: pa.Table, r2: float, chunk_pairs: int = 8 << 20) -> pa
         right = np.repeat(starts[seg_id[lo:hi]], L) + offs
         m = home[left] & (ids[right] > ids[left])
         la, lb = left[m], right[m]
-        dla = lat[la] - lat[lb]
-        dlo = lon[la] - lon[lb]
-        sq = dla * dla + dlo * dlo
-        keep = sq <= r2
+        if metric_fn is None:
+            dla = lat[la] - lat[lb]
+            dlo = lon[la] - lon[lb]
+            d = dla * dla + dlo * dlo
+        else:
+            d = metric_fn(lat[la], lon[la], lat[lb], lon[lb])
+        keep = d <= r2
         out_a.append(ids[la][keep])
         out_b.append(ids[lb][keep])
-        out_d.append(sq[keep])
+        out_d.append(d[keep])
     return pa.table(
         {
             "doc_a": pa.array(np.concatenate(out_a), pa.int64()),
             "doc_b": pa.array(np.concatenate(out_b), pa.int64()),
-            "sq_dist": pa.array(np.concatenate(out_d), pa.float64()),
+            out_col: pa.array(np.concatenate(out_d), pa.float64()),
         }
     )
 
@@ -141,3 +188,59 @@ def distance_pairs(ds, radius: float, id_col: str = "doc_id",
 
     rep_ds = ds.map_batches(rep, batch_format="pyarrow", batch_size=65536)
     return map_groups_partitioned(rep_ds, "ck", lambda g: pairs_in_partition(g, r2))
+
+
+def haversine_distance_pairs(ds, max_km: float, max_abs_lat: float = 70.0,
+                             id_col: str = "doc_id",
+                             lat_col: str = "lat", lon_col: str = "lon"):
+    """Distance-band self-join in TRUE kilometers (great-circle): all pairs
+    with haversine distance <= ``max_km``. Same one-shuffle home+ghost plan
+    as distance_pairs, with metric-aware cell sizing:
+
+      lat cells: |dlat| of any qualifying pair <= max_km / R radians
+                 (sin²(dlat/2) <= sin²(d/2R)), so cell_lat = degrees(max_km/R)
+                 padded 1%;
+      lon cells: sin²(dlon/2)·cos(lat_a)cos(lat_b) <= sin²(d/2R) bounds
+                 |dlon| <= 2·asin(sin(max_km/2R)/cos(max_abs_lat)) — the
+                 worst case at the band's latitude limit; padded 1%.
+
+    ``max_abs_lat`` is the caller's promise about the data (this corpus
+    derives |lat| < 70). Beyond ~85° the lon bound degenerates — polar
+    points belong in a cap cell, the documented extension (same policy as
+    mercator's MAX_LAT clamp).
+    """
+    import math
+
+    if max_abs_lat >= 85.0:
+        raise ValueError("haversine bands need a polar-cap cell above ~85°")
+    r_earth = 6371.0088
+    cell_lat = math.degrees(max_km / r_earth) * 1.01
+    sin_half = math.sin(max_km / (2.0 * r_earth))
+    cell_lon = math.degrees(
+        2.0 * math.asin(min(1.0, sin_half / math.cos(math.radians(max_abs_lat))))
+    ) * 1.01
+    # lon axis is a RING: great-circle distance wraps at the antimeridian,
+    # so lon cells must too. floor() widens each cell to 360/n >= cell_lon,
+    # keeping the 3x3 cover; >= 4 cells or ghosts would alias (guarded in
+    # replicate_to_cells).
+    n_lon = int(360.0 // cell_lon)
+    if n_lon < 4:
+        raise ValueError(
+            f"band {max_km} km spans {cell_lon:.1f} deg of longitude at "
+            f"lat {max_abs_lat}: lon ring needs >= 4 cells"
+        )
+
+    def rep(b: pa.Table) -> pa.Table:
+        return replicate_to_cells(
+            b[id_col].to_numpy(zero_copy_only=False).astype(np.int64),
+            b[lat_col].to_numpy(zero_copy_only=False),
+            b[lon_col].to_numpy(zero_copy_only=False),
+            cell_lat, lon_wrap_cells=n_lon,
+        )
+
+    rep_ds = ds.map_batches(rep, batch_format="pyarrow", batch_size=65536)
+    return map_groups_partitioned(
+        rep_ds, "ck",
+        lambda g: pairs_in_partition(g, max_km, metric_fn=haversine_km,
+                                     out_col="dist_km"),
+    )

@@ -89,3 +89,80 @@ def test_dense_cell_chunking_is_exact():
 def test_empty_and_singleton(ray_session):
     pairs, _ = _run(np.array([42], dtype=np.int64), np.array([0.0]), np.array([0.0]), 1.0)
     assert pairs == set()
+
+
+def _brute_hav(ids, lat, lon, max_km):
+    from core_ray.stages.distband import haversine_km
+
+    out = set()
+    for i in range(len(ids)):
+        d = haversine_km(np.full(len(ids), lat[i]), np.full(len(ids), lon[i]), lat, lon)
+        for j in np.nonzero((d <= max_km) & (ids > ids[i]))[0]:
+            out.add((int(ids[i]), int(ids[j])))
+    return out
+
+
+def _run_hav(ids, lat, lon, max_km, max_abs_lat=70.0):
+    import ray.data
+
+    from core_ray.stages.distband import haversine_distance_pairs
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "lat": pa.array(lat, pa.float64()),
+            "lon": pa.array(lon, pa.float64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    got = haversine_distance_pairs(ds, max_km, max_abs_lat=max_abs_lat).take_all()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in got}
+    assert len(pairs) == len(got), "no duplicate pairs"
+    return pairs, got
+
+
+def test_haversine_dense_random_matches_brute_force(ray_session):
+    rng = np.random.default_rng(13)
+    n = 400
+    ids = np.arange(n, dtype=np.int64)
+    rng.shuffle(ids)
+    lat = rng.uniform(-69.9, 69.9, n)
+    lon = rng.uniform(-180.0, 180.0, n)
+    pairs, got = _run_hav(ids, lat, lon, max_km=900.0)
+    assert pairs == _brute_hav(ids, lat, lon, 900.0)
+    assert all(r["dist_km"] <= 900.0 for r in got)
+
+
+def test_haversine_antimeridian_pairs(ray_session):
+    # lon -179.9 and +179.9 are ~22 km apart at the equator: the ring
+    # replication must co-locate them even though raw lon differs by 359.8
+    ids = np.array([1, 2, 3, 4], dtype=np.int64)
+    lat = np.array([0.0, 0.0, 60.0, 60.0])
+    lon = np.array([-179.9, 179.9, -179.5, 179.5])
+    pairs, got = _run_hav(ids, lat, lon, max_km=100.0)
+    assert pairs == _brute_hav(ids, lat, lon, 100.0)
+    assert (1, 2) in pairs and (3, 4) in pairs
+
+
+def test_haversine_high_lat_wide_lon_pairs(ray_session):
+    # at lat 69.9 a 500 km band spans ~13 degrees of longitude — cells
+    # sized for the equator would miss these pairs
+    ids = np.array([7, 8], dtype=np.int64)
+    lat = np.array([69.9, 69.9])
+    lon = np.array([0.0, 12.8])
+    pairs, _ = _run_hav(ids, lat, lon, max_km=500.0)
+    assert pairs == _brute_hav(ids, lat, lon, 500.0) == {(7, 8)}
+
+
+def test_haversine_guards():
+    import ray.data
+
+    from core_ray.stages.distband import haversine_distance_pairs
+
+    t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "lat": pa.array([0.0]), "lon": pa.array([0.0])})
+    with pytest.raises(ValueError):
+        haversine_distance_pairs(ray.data.from_arrow(t), 100.0, max_abs_lat=86.0)
+    with pytest.raises(ValueError):
+        # band so wide the lon ring would have < 4 cells
+        haversine_distance_pairs(ray.data.from_arrow(t), 6000.0)
