@@ -94,6 +94,9 @@ BENCH_QUERIES = [
     "emb_silhouette",
     # round-4c additions
     "geo_haversine_pairs",
+    "geo_traj_stats",
+    "geo_segment_crossings",
+    "geo_area_interp",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

@@ -1536,6 +1536,287 @@ FROM d WHERE dist_km <= {_HAVERSINE_BAND_KM}
 """
 
 
+def geo_traj_stats(sf_dir: str):
+    """Per-user TRAJECTORY statistics: treat each user's (ts, event_id)-
+    ordered event history as a path over the derived coordinate lattice and
+    report legs walked, total great-circle km and the longest single leg.
+    One hash-partition shuffle by user (same plan as events_lag_delta);
+    every user's rows co-locate, so the per-leg haversine AND the per-user
+    reduction finish inside one partition pass — no second shuffle.
+
+    Float parity: per-leg distances quantize to FLOOR km (numpy vs DuckDB
+    libm differ by ULPs — see geo_haversine_pairs); the per-user totals are
+    then INTEGER sums, order-independent and exact on both sides."""
+    from core_ray.stages.agg import map_groups_partitioned
+    from core_ray.stages.distband import haversine_km
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def per_part(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "n_legs": pa.array([], pa.int64()),
+                "total_km": pa.array([], pa.int64()),
+                "max_leg_km": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows == 0:
+            return empty
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, us, uid))
+        uid, eid = uid[order], eid[order]
+        lat, lon = _derive_coords(eid)
+        leg = np.zeros(len(uid), dtype=bool)
+        leg[1:] = uid[1:] == uid[:-1]
+        if not leg.any():
+            return empty
+        i = np.nonzero(leg)[0]
+        km = np.floor(
+            haversine_km(lat[i - 1], lon[i - 1], lat[i], lon[i])
+        ).astype(np.int64)
+        lu = uid[i]  # sorted (legs follow the user-sorted order)
+        starts = np.nonzero(np.r_[True, lu[1:] != lu[:-1]])[0]
+        n_legs = np.diff(np.append(starts, len(lu)))
+        total = np.add.reduceat(km, starts)
+        mx = np.maximum.reduceat(km, starts)
+        return pa.table(
+            {
+                "user_id": pa.array(lu[starts], pa.int64()),
+                "n_legs": pa.array(n_legs.astype(np.int64), pa.int64()),
+                "total_km": pa.array(total, pa.int64()),
+                "max_leg_km": pa.array(mx, pa.int64()),
+            }
+        )
+
+    return map_groups_partitioned(ds, "user_id", per_part)
+
+
+GEO_TRAJ_STATS_SQL = f"""
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         {GEO_LAT_SQL.replace('doc_id', 'event_id')} AS lat,
+         {GEO_LON_SQL.replace('doc_id', 'event_id')} AS lon FROM events),
+legs AS (
+  SELECT user_id,
+         LAG(lat) OVER w AS plat, LAG(lon) OVER w AS plon, lat, lon
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+km AS (
+  SELECT user_id, CAST(FLOOR(
+    2.0 * 6371.0088 * ASIN(SQRT(
+      SIN(RADIANS(lat - plat) / 2.0) * SIN(RADIANS(lat - plat) / 2.0)
+      + COS(RADIANS(plat)) * COS(RADIANS(lat))
+        * SIN(RADIANS(lon - plon) / 2.0) * SIN(RADIANS(lon - plon) / 2.0)
+    ))) AS BIGINT) AS leg_km
+  FROM legs WHERE plat IS NOT NULL)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_legs,
+       CAST(SUM(leg_km) AS BIGINT) AS total_km,
+       MAX(leg_km) AS max_leg_km
+FROM km GROUP BY user_id
+"""
+
+
+# derived short segments (extent <= 1 degree per axis): start at the event's
+# lattice point, end at a deterministic small offset — same spirit as
+# _derive_coords, off-lattice denominators keep endpoints generic.
+GEO_SEG_DLAT_SQL = "((event_id * 31) % 2001) / 1000.0 - 1.0"
+GEO_SEG_DLON_SQL = "((event_id * 57) % 2001) / 1000.0 - 1.0"
+
+
+def geo_segment_crossings(sf_dir: str):
+    """Segment-intersection self-join: every pair of derived trajectory
+    segments that PROPERLY cross in planar coordinate space. Extends the
+    grid-partition join family from points (distband) to extended objects:
+    bbox-overlap cell replication + canonical-cell dedup + strict
+    orientation-sign predicate (multiply/subtract only — the SQL oracle
+    runs the SAME correctly-rounded IEEE expression, so unlike the
+    haversine family there is no ULP caveat and the pair set is bit-exact).
+    See stages/segjoin.py; brute-force-tested in tests/test_segjoin.py."""
+    from core_ray.stages.segjoin import segment_crossings
+
+    def segs(b: pa.Table) -> pa.Table:
+        ev = b["event_id"].to_numpy(zero_copy_only=False)
+        lat, lon = _derive_coords(ev)
+        dlat = ((ev * 31) % 2001) / 1000.0 - 1.0
+        dlon = ((ev * 57) % 2001) / 1000.0 - 1.0
+        return pa.table(
+            {
+                "seg_id": b["event_id"],
+                "ax": pa.array(lon, pa.float64()),
+                "ay": pa.array(lat, pa.float64()),
+                "bx": pa.array(lon + dlon, pa.float64()),
+                "by": pa.array(lat + dlat, pa.float64()),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["event_id"]).map_batches(
+        segs, batch_format="pyarrow", batch_size=65536
+    )
+    return segment_crossings(ds, cell=1.0)
+
+
+GEO_SEGMENT_CROSSINGS_SQL = f"""
+WITH raw AS (
+  SELECT event_id AS seg_id,
+         {GEO_LON_SQL.replace('doc_id', 'event_id')} AS ax,
+         {GEO_LAT_SQL.replace('doc_id', 'event_id')} AS ay,
+         {GEO_LON_SQL.replace('doc_id', 'event_id')} + ({GEO_SEG_DLON_SQL}) AS bx,
+         {GEO_LAT_SQL.replace('doc_id', 'event_id')} + ({GEO_SEG_DLAT_SQL}) AS by
+  FROM events),
+segs AS MATERIALIZED (
+  SELECT seg_id, ax, ay, bx, by,
+         LEAST(ax, bx) AS mnx, GREATEST(ax, bx) AS mxx,
+         LEAST(ay, by) AS mny, GREATEST(ay, by) AS mxy
+  FROM raw)
+SELECT a.seg_id AS seg_a, b.seg_id AS seg_b
+FROM segs a JOIN segs b
+  ON a.seg_id < b.seg_id
+ AND a.mnx <= b.mxx AND b.mnx <= a.mxx
+ AND a.mny <= b.mxy AND b.mny <= a.mxy
+WHERE ((a.bx - a.ax) * (b.ay - a.ay) - (a.by - a.ay) * (b.ax - a.ax))
+      * ((a.bx - a.ax) * (b.by - a.ay) - (a.by - a.ay) * (b.bx - a.ax)) < 0.0
+  AND ((b.bx - b.ax) * (a.ay - b.ay) - (b.by - b.ay) * (a.ax - b.ax))
+      * ((b.bx - b.ax) * (a.by - b.ay) - (b.by - b.ay) * (a.bx - b.ax)) < 0.0
+"""
+
+
+_INTERP_GRID_DEG = 10.0  # target grid cell size (aligned to multiples of 10)
+
+
+def geo_area_interp(sf_dir: str):
+    """AREAL INTERPOLATION (the classic GIS overlay re-aggregation): a
+    quantity known per source zone — documents counted inside each admin
+    rectangle — is re-distributed onto a regular 10-degree target grid
+    proportionally to overlap area. Plan: one streaming pass counts docs
+    per admin (13 rects broadcast as a constant, per-batch partial counts,
+    tiny final groupby); the (admin x grid) overlay then EXPLODES the
+    13-row side table inside map_batches (same broadcast-side-builder
+    shape as geo_rect_cover) and a final small groupby sums per cell.
+
+    Float parity: overlap widths, areas and fractions are min/max/multiply/
+    divide — correctly-rounded IEEE mirrored bit-exactly by SQL — and each
+    per-(cell, admin) contribution is rounded to INTEGER micro-docs before
+    the per-cell sum, so the sum is order-independent BIGINT arithmetic on
+    both sides (double SUM order would otherwise differ)."""
+    import ray
+
+    g = _INTERP_GRID_DEG
+    rects = [
+        (aid, float(lat0), float(lon0), float(lat1), float(lon1))
+        for (aid, _lvl, lat0, lon0, lat1, lon1) in GEO_RECTS
+    ]
+
+    def partial_counts(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy(zero_copy_only=False)
+        lat, lon = _derive_coords(doc_id)
+        aids, ns = [], []
+        for aid, lat0, lon0, lat1, lon1 in rects:
+            m = (lat >= lat0) & (lat <= lat1) & (lon >= lon0) & (lon <= lon1)
+            aids.append(aid)
+            ns.append(int(m.sum()))
+        return pa.table(
+            {"admin_id": pa.array(aids, pa.string()), "n": pa.array(ns, pa.int64())}
+        )
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(partial_counts, batch_format="pyarrow", batch_size=65536)
+        .groupby("admin_id")
+        .aggregate(Sum("n", alias_name="n_docs"))
+        .take_all()
+    )  # 13 rows — the small side table
+    n_by_admin = {r["admin_id"]: r["n_docs"] for r in counts}
+
+    # only rects that contain documents (the SQL counts CTE is an inner
+    # join, so a zero-doc rect contributes no overlay rows there either)
+    occ = [r for r in rects if n_by_admin.get(r[0], 0) > 0]
+    side = pa.table(
+        {
+            "admin_id": pa.array([r[0] for r in occ], pa.string()),
+            "lat0": pa.array([r[1] for r in occ], pa.float64()),
+            "lon0": pa.array([r[2] for r in occ], pa.float64()),
+            "lat1": pa.array([r[3] for r in occ], pa.float64()),
+            "lon1": pa.array([r[4] for r in occ], pa.float64()),
+            "n_docs": pa.array([int(n_by_admin[r[0]]) for r in occ], pa.int64()),
+        }
+    )
+
+    def overlay(b: pa.Table) -> pa.Table:
+        lat0 = b["lat0"].to_numpy(zero_copy_only=False)
+        lon0 = b["lon0"].to_numpy(zero_copy_only=False)
+        lat1 = b["lat1"].to_numpy(zero_copy_only=False)
+        lon1 = b["lon1"].to_numpy(zero_copy_only=False)
+        nd = b["n_docs"].to_numpy(zero_copy_only=False).astype(np.float64)
+        gx0 = np.floor(lon0 / g).astype(np.int64)
+        gx1 = np.floor(lon1 / g).astype(np.int64)
+        gy0 = np.floor(lat0 / g).astype(np.int64)
+        gy1 = np.floor(lat1 / g).astype(np.int64)
+        nx = gx1 - gx0 + 1
+        ny = gy1 - gy0 + 1
+        cnt = nx * ny
+        total = int(cnt.sum())
+        rect = np.repeat(np.arange(b.num_rows), cnt)
+        offs = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        gx = gx0[rect] + offs // ny[rect]
+        gy = gy0[rect] + offs % ny[rect]
+        ov_lon = np.minimum(lon1[rect], (gx + 1) * g) - np.maximum(lon0[rect], gx * g)
+        ov_lat = np.minimum(lat1[rect], (gy + 1) * g) - np.maximum(lat0[rect], gy * g)
+        area = (lat1[rect] - lat0[rect]) * (lon1[rect] - lon0[rect])
+        contrib = nd[rect] * (ov_lat * ov_lon) / area * 1000000.0
+        keep = (ov_lon > 0.0) & (ov_lat > 0.0)
+        return pa.table(
+            {
+                "gx": pa.array(gx[keep], pa.int64()),
+                "gy": pa.array(gy[keep], pa.int64()),
+                "micro": pa.array(
+                    sql_round_np(contrib[keep], 0).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ray.data.from_arrow(side)
+        .map_batches(overlay, batch_format="pyarrow")
+        .groupby(["gx", "gy"])
+        .aggregate(Sum("micro", alias_name="docs_micro"))
+    )
+
+
+GEO_AREA_INTERP_SQL = f"""
+WITH pts AS (
+  SELECT {GEO_LAT_SQL} AS lat, {GEO_LON_SQL} AS lon FROM documents),
+counts AS (
+  SELECT r.admin_id, r.lat0, r.lon0, r.lat1, r.lon1,
+         COUNT(*) AS n_docs
+  FROM pts p JOIN {_geo_rects_values_sql()}
+    ON p.lat BETWEEN r.lat0 AND r.lat1 AND p.lon BETWEEN r.lon0 AND r.lon1
+  GROUP BY 1, 2, 3, 4, 5),
+cells AS (
+  SELECT CAST(x.range AS BIGINT) AS gx, CAST(y.range AS BIGINT) AS gy
+  FROM range(-19, 19) x CROSS JOIN range(-8, 8) y),
+overlay AS (
+  SELECT c.gx, c.gy,
+         CAST(ROUND(CAST(n.n_docs AS DOUBLE)
+           * ((LEAST(n.lat1, (c.gy + 1) * {_INTERP_GRID_DEG}) -
+               GREATEST(n.lat0, c.gy * {_INTERP_GRID_DEG}))
+              * (LEAST(n.lon1, (c.gx + 1) * {_INTERP_GRID_DEG}) -
+                 GREATEST(n.lon0, c.gx * {_INTERP_GRID_DEG})))
+           / ((n.lat1 - n.lat0) * (n.lon1 - n.lon0)) * 1000000.0, 0)
+         AS BIGINT) AS micro
+  FROM counts n JOIN cells c
+    ON LEAST(n.lon1, (c.gx + 1) * {_INTERP_GRID_DEG})
+       - GREATEST(n.lon0, c.gx * {_INTERP_GRID_DEG}) > 0.0
+   AND LEAST(n.lat1, (c.gy + 1) * {_INTERP_GRID_DEG})
+       - GREATEST(n.lat0, c.gy * {_INTERP_GRID_DEG}) > 0.0)
+SELECT gx, gy, CAST(SUM(micro) AS BIGINT) AS docs_micro
+FROM overlay GROUP BY 1, 2
+"""
+
+
 # CCW triangles at .0005 offsets (same off-lattice trick as GEO_RECTS): the
 # ray-casting kernel and the SQL half-plane signs agree everywhere except ON
 # an edge, which the offset keeps the derived 10^-3 lattice away from.
@@ -9186,6 +9467,9 @@ QUERIES = {
     "geo_zonal_stats": geo_zonal_stats,
     "geo_distance_pairs": geo_distance_pairs,
     "geo_haversine_pairs": geo_haversine_pairs,
+    "geo_traj_stats": geo_traj_stats,
+    "geo_segment_crossings": geo_segment_crossings,
+    "geo_area_interp": geo_area_interp,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -9317,6 +9601,9 @@ ORACLE_SQL = {
     "geo_zonal_stats": GEO_ZONAL_SQL,
     "geo_distance_pairs": GEO_DISTANCE_PAIRS_SQL,
     "geo_haversine_pairs": GEO_HAVERSINE_PAIRS_SQL,
+    "geo_traj_stats": GEO_TRAJ_STATS_SQL,
+    "geo_segment_crossings": GEO_SEGMENT_CROSSINGS_SQL,
+    "geo_area_interp": GEO_AREA_INTERP_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
