@@ -97,6 +97,8 @@ BENCH_QUERIES = [
     "geo_traj_stats",
     "geo_segment_crossings",
     "geo_area_interp",
+    "events_geofence",
+    "geo_kde_tiles",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

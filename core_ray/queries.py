@@ -1817,6 +1817,184 @@ FROM overlay GROUP BY 1, 2
 """
 
 
+def events_geofence(sf_dir: str):
+    """GEOFENCE TRANSITIONS: per (user, fence) — how many times the user's
+    (ts, event_id)-ordered trajectory ENTERS and EXITS each level-2 admin
+    rectangle, and total microseconds DWELLED inside (legs whose both
+    endpoints are in). The trajectory x containment combination: one hash
+    shuffle by user (fences are a 5-row broadcast constant), per-partition
+    everything is BETWEEN comparisons and int64 timestamp sums — exact on
+    both sides, no float caveats of any kind."""
+    from core_ray.stages.agg import map_groups_partitioned
+
+    fences = [r for r in GEO_RECTS if r[1] == 2]
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def per_part(g: pa.Table) -> pa.Table:
+        cols = {
+            "user_id": pa.array([], pa.int64()),
+            "fence_id": pa.array([], pa.string()),
+            "n_entries": pa.array([], pa.int64()),
+            "n_exits": pa.array([], pa.int64()),
+            "dwell_us": pa.array([], pa.int64()),
+        }
+        if g.num_rows == 0:
+            return pa.table(cols)
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, us, uid))
+        uid, us, eid = uid[order], us[order], eid[order]
+        lat, lon = _derive_coords(eid)
+        leg = np.zeros(len(uid), dtype=bool)
+        leg[1:] = uid[1:] == uid[:-1]
+        i = np.nonzero(leg)[0]
+        if len(i) == 0:
+            return pa.table(cols)
+        lu = uid[i]
+        starts = np.nonzero(np.r_[True, lu[1:] != lu[:-1]])[0]
+        users, fids = [], []
+        ent, ext, dwl = [], [], []
+        for aid, _lvl, lat0, lon0, lat1, lon1 in fences:
+            inside = (lat >= lat0) & (lat <= lat1) & (lon >= lon0) & (lon <= lon1)
+            pin, cin = inside[i - 1], inside[i]
+            e_in = (~pin & cin).astype(np.int64)
+            e_out = (pin & ~cin).astype(np.int64)
+            dt = np.where(pin & cin, us[i] - us[i - 1], 0)
+            users.append(lu[starts])
+            fids.extend([aid] * len(starts))
+            ent.append(np.add.reduceat(e_in, starts))
+            ext.append(np.add.reduceat(e_out, starts))
+            dwl.append(np.add.reduceat(dt, starts))
+        user_id = np.concatenate(users)
+        n_ent = np.concatenate(ent)
+        n_ext = np.concatenate(ext)
+        dwell = np.concatenate(dwl)
+        keep = (n_ent > 0) | (n_ext > 0) | (dwell > 0)
+        return pa.table(
+            {
+                "user_id": pa.array(user_id[keep], pa.int64()),
+                "fence_id": pa.array(np.array(fids)[keep].tolist(), pa.string()),
+                "n_entries": pa.array(n_ent[keep], pa.int64()),
+                "n_exits": pa.array(n_ext[keep], pa.int64()),
+                "dwell_us": pa.array(dwell[keep], pa.int64()),
+            }
+        )
+
+    return map_groups_partitioned(ds, "user_id", per_part)
+
+
+def _geo_fences_values_sql() -> str:
+    rows = ",\n    ".join(
+        f"('{aid}', {lat0}, {lon0}, {lat1}, {lon1})"
+        for aid, lvl, lat0, lon0, lat1, lon1 in GEO_RECTS
+        if lvl == 2
+    )
+    return f"(VALUES\n    {rows}) AS f(fence_id, lat0, lon0, lat1, lon1)"
+
+
+EVENTS_GEOFENCE_SQL = f"""
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         {GEO_LAT_SQL.replace('doc_id', 'event_id')} AS lat,
+         {GEO_LON_SQL.replace('doc_id', 'event_id')} AS lon FROM events),
+flags AS (
+  SELECT p.user_id, p.ts, p.event_id, f.fence_id,
+         (p.lat BETWEEN f.lat0 AND f.lat1 AND p.lon BETWEEN f.lon0 AND f.lon1)
+           AS inside
+  FROM pts p CROSS JOIN {_geo_fences_values_sql()}),
+legs AS (
+  SELECT user_id, fence_id, inside,
+         LAG(inside) OVER w AS pin,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS dt
+  FROM flags
+  WINDOW w AS (PARTITION BY user_id, fence_id ORDER BY epoch_us(ts), event_id)),
+agg AS (
+  SELECT user_id, fence_id,
+         CAST(SUM(CASE WHEN NOT pin AND inside THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_entries,
+         CAST(SUM(CASE WHEN pin AND NOT inside THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_exits,
+         CAST(SUM(CASE WHEN pin AND inside THEN dt ELSE 0 END) AS BIGINT)
+           AS dwell_us
+  FROM legs WHERE pin IS NOT NULL GROUP BY 1, 2)
+SELECT * FROM agg
+WHERE n_entries > 0 OR n_exits > 0 OR dwell_us > 0
+"""
+
+
+def geo_kde_tiles(sf_dir: str):
+    """KERNEL DENSITY ESTIMATE onto a 1-degree raster: every document point
+    spreads a truncated Gaussian (sigma = 1 deg, cutoff d <= 2 deg) over
+    nearby cell CENTERS; per-cell densities sum. The raster-analysis
+    sibling of geo_focal_mean — here the kernel is distance-weighted and
+    applied scatter-side: one map_batches explodes each point to its 7x7
+    stencil (vectorized, ~12.6 cells survive the circular cutoff), one
+    groupby sums. Grid is clamped to lon [-180,180) x lat [-70,70) cells
+    (edge kernels truncate identically on both sides).
+
+    Float parity: the cutoff d^2 <= 4 uses exact IEEE products; the
+    Gaussian uses EXP (ULP-divergent between numpy and DuckDB), so each
+    contribution rounds to INTEGER micro-density before the order-
+    independent BIGINT sum — a flip needs exp() within ~1e-16 of a
+    rounding boundary (p ~ 1e-10 per contribution)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def scatter(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy(zero_copy_only=False)
+        lat, lon = _derive_coords(doc_id)
+        n = len(lat)
+        off = np.arange(-3, 4, dtype=np.int64)
+        dxg, dyg = np.meshgrid(off, off, indexing="ij")
+        dxg, dyg = dxg.ravel(), dyg.ravel()  # 49 offsets
+        gx = np.floor(lon).astype(np.int64)[:, None] + dxg[None, :]
+        gy = np.floor(lat).astype(np.int64)[:, None] + dyg[None, :]
+        dx = lon[:, None] - (gx + 0.5)
+        dy = lat[:, None] - (gy + 0.5)
+        d2 = dx * dx + dy * dy
+        keep = (
+            (d2 <= 4.0)
+            & (gx >= -180) & (gx <= 179)
+            & (gy >= -70) & (gy <= 69)
+        )
+        micro = sql_round_np(np.exp(-d2[keep] / 2.0) * 1000000.0, 0)
+        return pa.table(
+            {
+                "gx": pa.array(gx[keep], pa.int64()),
+                "gy": pa.array(gy[keep], pa.int64()),
+                "micro": pa.array(micro.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(scatter, batch_format="pyarrow", batch_size=65536)
+        .groupby(["gx", "gy"])
+        .aggregate(Sum("micro", alias_name="kde_micro"))
+    )
+
+
+GEO_KDE_TILES_SQL = f"""
+WITH pts AS (
+  SELECT {GEO_LAT_SQL} AS lat, {GEO_LON_SQL} AS lon FROM documents),
+cells AS (
+  SELECT CAST(x.range AS BIGINT) AS gx, CAST(y.range AS BIGINT) AS gy
+  FROM range(-180, 180) x CROSS JOIN range(-70, 70) y),
+contrib AS (
+  SELECT c.gx, c.gy,
+         CAST(ROUND(EXP(-(
+             (p.lon - (c.gx + 0.5)) * (p.lon - (c.gx + 0.5))
+             + (p.lat - (c.gy + 0.5)) * (p.lat - (c.gy + 0.5))
+           ) / 2.0) * 1000000.0, 0) AS BIGINT) AS micro
+  FROM pts p JOIN cells c
+    ON (p.lon - (c.gx + 0.5)) * (p.lon - (c.gx + 0.5))
+       + (p.lat - (c.gy + 0.5)) * (p.lat - (c.gy + 0.5)) <= 4.0)
+SELECT gx, gy, CAST(SUM(micro) AS BIGINT) AS kde_micro
+FROM contrib GROUP BY 1, 2
+"""
+
+
 # CCW triangles at .0005 offsets (same off-lattice trick as GEO_RECTS): the
 # ray-casting kernel and the SQL half-plane signs agree everywhere except ON
 # an edge, which the offset keeps the derived 10^-3 lattice away from.
@@ -9470,6 +9648,8 @@ QUERIES = {
     "geo_traj_stats": geo_traj_stats,
     "geo_segment_crossings": geo_segment_crossings,
     "geo_area_interp": geo_area_interp,
+    "events_geofence": events_geofence,
+    "geo_kde_tiles": geo_kde_tiles,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -9604,6 +9784,8 @@ ORACLE_SQL = {
     "geo_traj_stats": GEO_TRAJ_STATS_SQL,
     "geo_segment_crossings": GEO_SEGMENT_CROSSINGS_SQL,
     "geo_area_interp": GEO_AREA_INTERP_SQL,
+    "events_geofence": EVENTS_GEOFENCE_SQL,
+    "geo_kde_tiles": GEO_KDE_TILES_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
