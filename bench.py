@@ -99,6 +99,8 @@ BENCH_QUERIES = [
     "geo_area_interp",
     "events_geofence",
     "geo_kde_tiles",
+    "events_contacts",
+    "events_stay_points",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

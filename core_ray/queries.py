@@ -1995,6 +1995,227 @@ FROM contrib GROUP BY 1, 2
 """
 
 
+# Contact-model coordinates: users cluster in 12 "cities" (the pure
+# multiplicative lattice anti-clusters consecutive ids — measured min
+# home-pair distance 7.6 deg — so a co-location join over it is empty by
+# construction). city center + per-user offset (+-1 deg) + per-event
+# jitter (+-0.5 deg), every term a deterministic integer expression.
+CONTACT_LAT_SQL = (
+    "(((user_id % 12) * 11003) % 120000) / 1000.0 - 60.0"
+    " + ((user_id * 7919) % 2001) / 1000.0 - 1.0"
+    " + ((event_id * 13) % 1001) / 1000.0 - 0.5"
+)
+CONTACT_LON_SQL = (
+    "(((user_id % 12) * 104729) % 340000) / 1000.0 - 170.0"
+    " + ((user_id * 104729) % 2001) / 1000.0 - 1.0"
+    " + ((event_id * 29) % 1001) / 1000.0 - 0.5"
+)
+
+_CONTACT_RADIUS_DEG = 1.0
+_CONTACT_WINDOW_US = 6 * 3600 * 1000000  # 6 hours
+
+
+def _contact_coords(event_id: np.ndarray, user_id: np.ndarray):
+    """numpy mirror of CONTACT_LAT/LON_SQL — identical left-associative
+    chain of exact integer derivations and correctly-rounded additions."""
+    lat = (
+        (((user_id % 12) * 11003) % 120000) / 1000.0 - 60.0
+        + ((user_id * 7919) % 2001) / 1000.0 - 1.0
+        + ((event_id * 13) % 1001) / 1000.0 - 0.5
+    )
+    lon = (
+        (((user_id % 12) * 104729) % 340000) / 1000.0 - 170.0
+        + ((user_id * 104729) % 2001) / 1000.0 - 1.0
+        + ((event_id * 29) % 1001) / 1000.0 - 0.5
+    )
+    return lat, lon
+
+
+def events_contacts(sf_dir: str):
+    """SPACE-TIME CONTACT JOIN (the epidemiology / co-location primitive):
+    pairs of DIFFERENT users with events within 1 degree AND 6 hours of
+    each other, aggregated to per-user-pair contact counts. The operator
+    is a 3D home+ghost band join — (lat, lon, time-bucket) cells, 27x
+    replication, ONE hash shuffle, single-emission home rule — in
+    stages/stjoin.py, brute-force-tested in tests/test_stjoin.py. Exact
+    parity throughout: squared-degree spatial threshold (multiply/subtract
+    only) and int64 microsecond window; no transcendental in sight."""
+    from ray.data.aggregate import Sum
+
+    from core_ray.stages.stjoin import spacetime_pairs
+
+    def coords(b: pa.Table) -> pa.Table:
+        ev = b["event_id"].to_numpy(zero_copy_only=False)
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        us = pc.cast(b["ts"], pa.int64())
+        lat, lon = _contact_coords(ev, uid)
+        return pa.table(
+            {
+                "pid": b["event_id"],
+                "uid": b["user_id"],
+                "lat": pa.array(lat, pa.float64()),
+                "lon": pa.array(lon, pa.float64()),
+                "us": us,
+            }
+        )
+
+    pts = _read(sf_dir, "events", ["event_id", "user_id", "ts"]).map_batches(
+        coords, batch_format="pyarrow", batch_size=65536
+    )
+    pairs = spacetime_pairs(pts, _CONTACT_RADIUS_DEG, _CONTACT_WINDOW_US)
+
+    def to_users(b: pa.Table) -> pa.Table:
+        ua = b["uid_a"].to_numpy(zero_copy_only=False)
+        ub = b["uid_b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "u1": pa.array(np.minimum(ua, ub), pa.int64()),
+                "u2": pa.array(np.maximum(ua, ub), pa.int64()),
+                "one": pa.array(np.ones(len(ua), np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        pairs.map_batches(to_users, batch_format="pyarrow")
+        .groupby(["u1", "u2"])
+        .aggregate(Sum("one", alias_name="n_contacts"))
+    )
+
+
+EVENTS_CONTACTS_SQL = f"""
+WITH pts AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us,
+         {CONTACT_LAT_SQL} AS lat, {CONTACT_LON_SQL} AS lon
+  FROM events),
+hits AS (
+  SELECT LEAST(a.user_id, b.user_id) AS u1,
+         GREATEST(a.user_id, b.user_id) AS u2
+  FROM pts a JOIN pts b
+    ON a.event_id < b.event_id AND a.user_id != b.user_id
+ WHERE (a.lat - b.lat) * (a.lat - b.lat) + (a.lon - b.lon) * (a.lon - b.lon)
+       <= {_CONTACT_RADIUS_DEG * _CONTACT_RADIUS_DEG}
+   AND ABS(a.us - b.us) <= {_CONTACT_WINDOW_US})
+SELECT u1, u2, CAST(COUNT(*) AS BIGINT) AS n_contacts
+FROM hits GROUP BY 1, 2
+"""
+
+
+_STAY_STEP_SQ = 1.0  # a step longer than 1 deg breaks the stay
+_STAY_MIN_PTS = 5
+
+
+def events_stay_points(sf_dir: str):
+    """STAY-POINT DETECTION (trajectory mining's gaps-and-islands): split
+    each user's (ts, event_id)-ordered track into maximal runs whose every
+    step is <= 1 degree, keep runs of >= 5 points, report points and
+    dwell duration. The travel model varies the contact-coordinate city
+    with the user's own sequence number (a new city every 20 of the user's
+    events), so stays and travel legs both occur by construction.
+
+    One hash shuffle by user; islands come from a vectorized flag+cumsum
+    inside the partition (the same segmentation kernel sessionize uses,
+    keyed by distance instead of time gap). Exact parity: step lengths are
+    squared products of 0.0005-granule values compared strictly, and all
+    outputs are int64."""
+    from core_ray.stages.agg import map_groups_partitioned
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def per_part(g: pa.Table) -> pa.Table:
+        cols = {
+            "user_id": pa.array([], pa.int64()),
+            "island_ord": pa.array([], pa.int64()),
+            "n_points": pa.array([], pa.int64()),
+            "duration_us": pa.array([], pa.int64()),
+        }
+        if g.num_rows == 0:
+            return pa.table(cols)
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, us, uid))
+        uid, us, eid = uid[order], us[order], eid[order]
+        n = len(uid)
+        first = np.r_[True, uid[1:] != uid[:-1]]
+        ustart = np.nonzero(first)[0]
+        seq = np.arange(n) - np.repeat(ustart, np.diff(np.append(ustart, n)))
+        city = (uid * 7 + seq // 20) % 12
+        lat = (
+            ((city * 11003) % 120000) / 1000.0 - 60.0
+            + ((uid * 7919) % 2001) / 1000.0 - 1.0
+            + ((eid * 13) % 1001) / 1000.0 - 0.5
+        )
+        lon = (
+            ((city * 104729) % 340000) / 1000.0 - 170.0
+            + ((uid * 104729) % 2001) / 1000.0 - 1.0
+            + ((eid * 29) % 1001) / 1000.0 - 0.5
+        )
+        dla = np.zeros(n)
+        dlo = np.zeros(n)
+        dla[1:] = lat[1:] - lat[:-1]
+        dlo[1:] = lon[1:] - lon[:-1]
+        new = first | (dla * dla + dlo * dlo > _STAY_STEP_SQ)
+        isl = np.nonzero(new)[0]
+        counts = np.diff(np.append(isl, n))
+        # island ordinal within each user (SQL: cumulative SUM of the flag)
+        isl_user = uid[isl]
+        iustart = np.nonzero(np.r_[True, isl_user[1:] != isl_user[:-1]])[0]
+        ord_in_user = (
+            np.arange(len(isl))
+            - np.repeat(iustart, np.diff(np.append(iustart, len(isl))))
+            + 1
+        )
+        dur = us[isl + counts - 1] - us[isl]
+        keep = counts >= _STAY_MIN_PTS
+        return pa.table(
+            {
+                "user_id": pa.array(isl_user[keep], pa.int64()),
+                "island_ord": pa.array(ord_in_user[keep].astype(np.int64), pa.int64()),
+                "n_points": pa.array(counts[keep].astype(np.int64), pa.int64()),
+                "duration_us": pa.array(dur[keep], pa.int64()),
+            }
+        )
+
+    return map_groups_partitioned(ds, "user_id", per_part)
+
+
+EVENTS_STAY_POINTS_SQL = f"""
+WITH seqd AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) - 1 AS seq
+  FROM events),
+pts AS (
+  SELECT user_id, event_id, us,
+         (((user_id * 7 + seq // 20) % 12) * 11003) % 120000 / 1000.0 - 60.0
+           + ((user_id * 7919) % 2001) / 1000.0 - 1.0
+           + ((event_id * 13) % 1001) / 1000.0 - 0.5 AS lat,
+         (((user_id * 7 + seq // 20) % 12) * 104729) % 340000 / 1000.0 - 170.0
+           + ((user_id * 104729) % 2001) / 1000.0 - 1.0
+           + ((event_id * 29) % 1001) / 1000.0 - 0.5 AS lon
+  FROM seqd),
+steps AS (
+  SELECT user_id, event_id, us, lat, lon,
+         lat - LAG(lat) OVER w AS dla, lon - LAG(lon) OVER w AS dlo
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+flagged AS (
+  SELECT user_id, event_id, us,
+         CASE WHEN dla IS NULL OR dla * dla + dlo * dlo > {_STAY_STEP_SQ}
+              THEN 1 ELSE 0 END AS new_island
+  FROM steps),
+islands AS (
+  SELECT user_id, us,
+         SUM(new_island) OVER (PARTITION BY user_id ORDER BY us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS island_ord
+  FROM flagged)
+SELECT user_id, CAST(island_ord AS BIGINT) AS island_ord,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us
+FROM islands GROUP BY 1, 2
+HAVING COUNT(*) >= {_STAY_MIN_PTS}
+"""
+
+
 # CCW triangles at .0005 offsets (same off-lattice trick as GEO_RECTS): the
 # ray-casting kernel and the SQL half-plane signs agree everywhere except ON
 # an edge, which the offset keeps the derived 10^-3 lattice away from.
@@ -9650,6 +9871,8 @@ QUERIES = {
     "geo_area_interp": geo_area_interp,
     "events_geofence": events_geofence,
     "geo_kde_tiles": geo_kde_tiles,
+    "events_contacts": events_contacts,
+    "events_stay_points": events_stay_points,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -9786,6 +10009,8 @@ ORACLE_SQL = {
     "geo_area_interp": GEO_AREA_INTERP_SQL,
     "events_geofence": EVENTS_GEOFENCE_SQL,
     "geo_kde_tiles": GEO_KDE_TILES_SQL,
+    "events_contacts": EVENTS_CONTACTS_SQL,
+    "events_stay_points": EVENTS_STAY_POINTS_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
