@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "geo_kde_tiles",
     "events_contacts",
     "events_stay_points",
+    "doc_shingle_containment",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

@@ -2216,6 +2216,197 @@ HAVING COUNT(*) >= {_STAY_MIN_PTS}
 """
 
 
+_SHINGLE_N = 8
+_SHINGLE_MAXDF = 50  # stop-shingle cutoff: ignore grams in > 50 docs
+_CONT_MIN = 0.5
+
+
+def doc_shingle_containment(sf_dir: str):
+    """ASYMMETRIC shingle containment (quote / subset detection — what
+    Jaccard-symmetric near-dup misses when a short doc is wholly quoted
+    inside a long one): for doc pairs sharing word-8-gram shingles,
+    containment(A->B) = |S(A) n S(B)| / |S(A)|; emit pairs where either
+    direction >= 0.5. Shingles in > {maxdf} docs are dropped first (the
+    standard stop-shingle filter — it also BOUNDS the per-gram pair fanout,
+    the operator's skew guard).
+
+    Shape: one pass builds per-doc DISTINCT shingles (docs are row-local,
+    so batch-local dedup is global); rows hash-partition BY GRAM once;
+    each partition emits pre-aggregated pair partials AND per-doc size
+    partials (sentinel doc_b = -1) from the same pass; two tiny groupbys
+    and two hash joins (stages/join.py) finish — the sizes side is
+    corpus-sized at scale, so it is JOINED, never broadcast. Containment
+    divisions are exact-int ratios — correctly-rounded IEEE identical to
+    the SQL, no rounding needed."""
+    from ray.data.aggregate import Sum
+
+    from core_ray.stages.agg import hash_strings, map_groups_partitioned
+    from core_ray.stages.join import hash_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def doc_grams(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        ridx, grams = _word_ngrams(b["text"].to_pylist(), _SHINGLE_N)
+        if len(grams) == 0:
+            return pa.table(
+                {
+                    "gram": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "gh": pa.array([], pa.uint64()),
+                }
+            )
+        order = np.lexsort((ridx, grams))
+        g2, r2 = grams[order], ridx[order]
+        keep = np.r_[True, (g2[1:] != g2[:-1]) | (r2[1:] != r2[:-1])]
+        g2 = g2[keep]
+        gram_col = pa.array(g2, pa.string())
+        return pa.table(
+            {
+                "gram": gram_col,
+                "doc_id": pa.array(ids[r2[keep]], pa.int64()),
+                "gh": pa.array(hash_strings(gram_col), pa.uint64()),
+            }
+        )
+
+    gram_ds = ds.map_batches(doc_grams, batch_format="pyarrow", batch_size=2048)
+
+    def per_part(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows == 0:
+            return empty
+        grams = np.asarray(g["gram"].to_pylist())
+        docs = g["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((docs, grams))
+        gs, dc = grams[order], docs[order]
+        n = len(gs)
+        new = np.r_[True, gs[1:] != gs[:-1]]
+        seg = np.cumsum(new) - 1
+        starts = np.nonzero(new)[0]
+        lens = np.diff(np.append(starts, n)).astype(np.int64)
+        ok = lens <= _SHINGLE_MAXDF
+        row_ok = ok[seg]
+        # per-doc size partials over surviving rows (sentinel doc_b = -1)
+        du, dn = np.unique(dc[row_ok], return_counts=True)
+        out_a = [du]
+        out_b = [np.full(len(du), -1, np.int64)]
+        out_n = [dn.astype(np.int64)]
+        # pair partials from segments with 2..maxdf docs (docs sorted
+        # within each gram, so position order IS doc_a < doc_b)
+        psegs = np.nonzero(ok & (lens >= 2))[0]
+        if len(psegs):
+            # group segments BY LENGTH: one vectorized triangle expansion
+            # per distinct length (<= maxdf-1 iterations, each all-numpy)
+            ai, bi = [], []
+            for length in np.unique(lens[psegs]):
+                bases = starts[psegs[lens[psegs] == length]]
+                iu, ju = np.triu_indices(int(length), k=1)
+                ai.append((bases[:, None] + iu[None, :]).ravel())
+                bi.append((bases[:, None] + ju[None, :]).ravel())
+            a_idx = np.concatenate(ai)
+            b_idx = np.concatenate(bi)
+            pu, pn = np.unique(
+                np.stack([dc[a_idx], dc[b_idx]], 1), axis=0, return_counts=True
+            )
+            out_a.append(pu[:, 0])
+            out_b.append(pu[:, 1])
+            out_n.append(pn.astype(np.int64))
+        return pa.table(
+            {
+                "doc_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "doc_b": pa.array(np.concatenate(out_b), pa.int64()),
+                "n": pa.array(np.concatenate(out_n), pa.int64()),
+            }
+        )
+
+    mixed = map_groups_partitioned(gram_ds, "gh", per_part).materialize()
+    sizes = (
+        mixed.filter(expr="doc_b < 0")
+        .groupby("doc_a")
+        .aggregate(Sum("n", alias_name="sz"))
+    )
+    pairs = (
+        mixed.filter(expr="doc_b >= 0")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Sum("n", alias_name="n_shared"))
+    )
+
+    def _ren(col_from, col_to):
+        def f(b: pa.Table) -> pa.Table:
+            return b.rename_columns(
+                [col_to if c == col_from else c for c in b.column_names]
+            )
+
+        return f
+
+    sz_a = sizes.map_batches(_ren("sz", "sz_a"), batch_format="pyarrow")
+    j1 = hash_join(pairs, sz_a, on="doc_a")
+    sz_b = sizes.map_batches(_ren("sz", "sz_b"), batch_format="pyarrow").map_batches(
+        _ren("doc_a", "doc_b"), batch_format="pyarrow"
+    )
+    j2 = hash_join(j1, sz_b, on="doc_b")
+
+    def finish(b: pa.Table) -> pa.Table:
+        ns = b["n_shared"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ca = ns / b["sz_a"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cb = ns / b["sz_b"].to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = np.maximum(ca, cb) >= _CONT_MIN
+        return pa.table(
+            {
+                "doc_a": pa.array(
+                    b["doc_a"].to_numpy(zero_copy_only=False)[keep], pa.int64()
+                ),
+                "doc_b": pa.array(
+                    b["doc_b"].to_numpy(zero_copy_only=False)[keep], pa.int64()
+                ),
+                "n_shared": pa.array(
+                    b["n_shared"].to_numpy(zero_copy_only=False)[keep], pa.int64()
+                ),
+                "cont_a": pa.array(ca[keep], pa.float64()),
+                "cont_b": pa.array(cb[keep], pa.float64()),
+            }
+        )
+
+    return j2.map_batches(finish, batch_format="pyarrow")
+
+
+_G8 = (
+    "l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || "
+    "l[i+4] || ' ' || l[i+5] || ' ' || l[i+6] || ' ' || l[i+7]"
+)
+
+DOC_SHINGLE_CONTAINMENT_SQL = f"""
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+raw AS (
+  SELECT doc_id,
+         UNNEST(list_transform(generate_series(1, len(l) - {_SHINGLE_N - 1}),
+                i -> {_G8})) AS gram
+  FROM ws),
+grams AS (SELECT DISTINCT doc_id, gram FROM raw),
+df AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) <= {_SHINGLE_MAXDF}),
+kept AS (SELECT g.doc_id, g.gram FROM grams g JOIN df USING (gram)),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY 1),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n
+  FROM kept a JOIN kept b USING (gram)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT s.doc_a, s.doc_b, CAST(s.n AS BIGINT) AS n_shared,
+       CAST(s.n AS DOUBLE) / CAST(sa.sz AS DOUBLE) AS cont_a,
+       CAST(s.n AS DOUBLE) / CAST(sb.sz AS DOUBLE) AS cont_b
+FROM shared s
+JOIN sizes sa ON s.doc_a = sa.doc_id
+JOIN sizes sb ON s.doc_b = sb.doc_id
+WHERE GREATEST(CAST(s.n AS DOUBLE) / CAST(sa.sz AS DOUBLE),
+               CAST(s.n AS DOUBLE) / CAST(sb.sz AS DOUBLE)) >= {_CONT_MIN}
+"""
+
+
 # CCW triangles at .0005 offsets (same off-lattice trick as GEO_RECTS): the
 # ray-casting kernel and the SQL half-plane signs agree everywhere except ON
 # an edge, which the offset keeps the derived 10^-3 lattice away from.
@@ -9873,6 +10064,7 @@ QUERIES = {
     "geo_kde_tiles": geo_kde_tiles,
     "events_contacts": events_contacts,
     "events_stay_points": events_stay_points,
+    "doc_shingle_containment": doc_shingle_containment,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -10011,6 +10203,7 @@ ORACLE_SQL = {
     "geo_kde_tiles": GEO_KDE_TILES_SQL,
     "events_contacts": EVENTS_CONTACTS_SQL,
     "events_stay_points": EVENTS_STAY_POINTS_SQL,
+    "doc_shingle_containment": DOC_SHINGLE_CONTAINMENT_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
