@@ -102,6 +102,9 @@ BENCH_QUERIES = [
     "events_contacts",
     "events_stay_points",
     "doc_shingle_containment",
+    "geo_colocation",
+    "geo_bearing_rose",
+    "geo_traj_simplify",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

@@ -438,3 +438,75 @@ def golden_tile_hulls(doc_ids, zoom: int = 4) -> pa.Table:
             "lon": pa.array(out_lon, pa.float64()),
         }
     )
+
+
+def golden_traj_simplify(event_ids, user_ids, ts_us, eps: float = 0.8) -> pa.Table:
+    """Recursive pure-Python Douglas-Peucker over each user's (ts,
+    event_id)-ordered track on the seq-varying city coordinates (the spec
+    shared with queries.events_stay_points). Distance is to the INFINITE
+    line through the endpoints; the split point is the FIRST index of the
+    maximum; comparisons stay squared (cross^2 > eps^2 * seg2) so no sqrt
+    enters either implementation. Independently validates the engine's
+    vectorized stack-based kernel (queries.geo_traj_simplify)."""
+    rows = sorted(zip(user_ids, ts_us, event_ids))
+    pts: dict = {}
+    seqc: dict = {}
+    for u, _t, e in rows:
+        s = seqc.get(u, 0)
+        seqc[u] = s + 1
+        city = (u * 7 + s // 20) % 12
+        lat = (
+            ((city * 11003) % 120000) / 1000.0 - 60.0
+            + ((u * 7919) % 2001) / 1000.0 - 1.0
+            + ((e * 13) % 1001) / 1000.0 - 0.5
+        )
+        lon = (
+            ((city * 104729) % 340000) / 1000.0 - 170.0
+            + ((u * 104729) % 2001) / 1000.0 - 1.0
+            + ((e * 29) % 1001) / 1000.0 - 0.5
+        )
+        pts.setdefault(u, []).append((e, lat, lon))
+    eps2 = eps * eps
+    out_u, out_e = [], []
+
+    def rec(p, i, j, keep):
+        if j <= i + 1:
+            return
+        ay, ax = p[i][1], p[i][2]
+        by, bx = p[j][1], p[j][2]
+        dx = bx - ax
+        dy = by - ay
+        seg2 = dx * dx + dy * dy
+        best, bestd = -1, -1.0
+        for k in range(i + 1, j):
+            py, px = p[k][1], p[k][2]
+            if seg2 == 0.0:
+                d = (px - ax) * (px - ax) + (py - ay) * (py - ay)
+                thr = eps2
+            else:
+                c = dx * (py - ay) - dy * (px - ax)
+                d = c * c
+                thr = eps2 * seg2
+            if d > bestd:
+                best, bestd = k, d
+        if bestd > thr:
+            keep[best] = True
+            rec(p, i, best, keep)
+            rec(p, best, j, keep)
+
+    for u in sorted(pts):
+        p = pts[u]
+        keep = [False] * len(p)
+        keep[0] = keep[-1] = True
+        if len(p) > 2:
+            rec(p, 0, len(p) - 1, keep)
+        for k, kept in enumerate(keep):
+            if kept:
+                out_u.append(u)
+                out_e.append(p[k][0])
+    return pa.table(
+        {
+            "user_id": pa.array(out_u, pa.int64()),
+            "event_id": pa.array(out_e, pa.int64()),
+        }
+    )

@@ -2407,6 +2407,302 @@ WHERE GREATEST(CAST(s.n AS DOUBLE) / CAST(sa.sz AS DOUBLE),
 """
 
 
+def geo_colocation(sf_dir: str, radius: float = _GEO_PAIR_RADIUS_DEG):
+    """CO-LOCATION PATTERN MINING: which language pairs cluster together in
+    space? Counts distance-band document pairs per unordered (lang, lang)
+    combination and normalizes by the category-size product — the
+    participation-style signal spatial-association mining uses. Shape: the
+    one-shuffle band join (stages/distband.py) emits id pairs; langs attach
+    via TWO hash joins (the doc->lang side is corpus-sized at scale, never
+    broadcast); the per-lang totals are bounded by language cardinality, so
+    THAT side rides the closure. ratio = n_pairs / (n1 * n2) is a fixed
+    chain of exact int->double casts, one multiply, one divide — mirrored
+    bit-exactly in SQL (int64 counts stay below 2^53 here; beyond that the
+    documented form is log-space)."""
+    from ray.data.aggregate import Sum
+
+    from core_ray.stages.distband import distance_pairs
+    from core_ray.stages.join import hash_join
+
+    def coords(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy(zero_copy_only=False)
+        lat, lon = _derive_coords(doc_id)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "lat": pa.array(lat, pa.float64()),
+                "lon": pa.array(lon, pa.float64()),
+            }
+        )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    pts = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        coords, batch_format="pyarrow", batch_size=65536
+    )
+    pairs = distance_pairs(pts, radius).drop_columns(["sq_dist"])
+
+    def _ren(m):
+        def f(b: pa.Table) -> pa.Table:
+            return b.rename_columns([m.get(c, c) for c in b.column_names])
+
+        return f
+
+    la = docs.map_batches(_ren({"doc_id": "doc_a", "lang": "lang_a"}),
+                          batch_format="pyarrow")
+    lb = docs.map_batches(_ren({"doc_id": "doc_b", "lang": "lang_b"}),
+                          batch_format="pyarrow")
+    j = hash_join(hash_join(pairs, la, on="doc_a"), lb, on="doc_b")
+
+    def to_langpair(b: pa.Table) -> pa.Table:
+        a = np.asarray(b["lang_a"].to_pylist())
+        c = np.asarray(b["lang_b"].to_pylist())
+        return pa.table(
+            {
+                "l1": pa.array(np.where(a <= c, a, c).tolist(), pa.string()),
+                "l2": pa.array(np.where(a <= c, c, a).tolist(), pa.string()),
+                "one": pa.array(np.ones(len(a), np.int64), pa.int64()),
+            }
+        )
+
+    counted = (
+        j.map_batches(to_langpair, batch_format="pyarrow")
+        .groupby(["l1", "l2"])
+        .aggregate(Sum("one", alias_name="n_pairs"))
+    )
+
+    def lang_partial(b: pa.Table) -> pa.Table:
+        u, n = np.unique(np.asarray(b["lang"].to_pylist()), return_counts=True)
+        return pa.table(
+            {"lang": pa.array(u.tolist(), pa.string()),
+             "n": pa.array(n.astype(np.int64), pa.int64())}
+        )
+
+    totals = {
+        r["lang"]: r["n"]
+        for r in docs.map_batches(lang_partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    }  # bounded by language cardinality — genuinely small at any scale
+
+    def finish(b: pa.Table) -> pa.Table:
+        l1 = b["l1"].to_pylist()
+        l2 = b["l2"].to_pylist()
+        n1 = np.array([totals[x] for x in l1], np.int64)
+        n2 = np.array([totals[x] for x in l2], np.int64)
+        npair = b["n_pairs"].to_numpy(zero_copy_only=False)
+        ratio = npair.astype(np.float64) / (
+            n1.astype(np.float64) * n2.astype(np.float64)
+        )
+        return pa.table(
+            {
+                "l1": b["l1"],
+                "l2": b["l2"],
+                "n_pairs": pa.array(npair, pa.int64()),
+                "n1": pa.array(n1, pa.int64()),
+                "n2": pa.array(n2, pa.int64()),
+                "ratio": pa.array(ratio, pa.float64()),
+            }
+        )
+
+    return counted.map_batches(finish, batch_format="pyarrow")
+
+
+GEO_COLOCATION_SQL = f"""
+WITH pts AS (
+  SELECT doc_id, lang, {GEO_LAT_SQL} AS lat, {GEO_LON_SQL} AS lon
+  FROM documents),
+hits AS (
+  SELECT LEAST(a.lang, b.lang) AS l1, GREATEST(a.lang, b.lang) AS l2
+  FROM pts a JOIN pts b ON a.doc_id < b.doc_id
+  WHERE (a.lat - b.lat) * (a.lat - b.lat) + (a.lon - b.lon) * (a.lon - b.lon)
+        <= {_GEO_PAIR_RADIUS_DEG * _GEO_PAIR_RADIUS_DEG}),
+totals AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+agg AS (SELECT l1, l2, COUNT(*) AS n_pairs FROM hits GROUP BY 1, 2)
+SELECT a.l1, a.l2, CAST(a.n_pairs AS BIGINT) AS n_pairs,
+       CAST(t1.n AS BIGINT) AS n1, CAST(t2.n AS BIGINT) AS n2,
+       CAST(a.n_pairs AS DOUBLE) / (CAST(t1.n AS DOUBLE) * CAST(t2.n AS DOUBLE))
+         AS ratio
+FROM agg a JOIN totals t1 ON a.l1 = t1.lang JOIN totals t2 ON a.l2 = t2.lang
+"""
+
+
+def geo_bearing_rose(sf_dir: str):
+    """COMPASS ROSE of movement: per user, how many trajectory legs head
+    into each of the 8 45-degree bearing sectors (N, NE, ..., NW) — the
+    directional-distribution view of the event stream. One user-partition
+    pass (same plan as geo_traj_stats); the initial great-circle bearing is
+    the standard atan2 formula, mirrored term-for-term by the SQL.
+
+    Float caveat: atan2/sin/cos differ by ULPs across libms, but a flip
+    needs a bearing within ~1e-13 deg of a 45-degree sector edge; exact
+    edge cases (due-N/E/S/W legs from axis-aligned lattice moves) hit
+    atan2's EXACT special values (atan2(+-0, x), atan2(y, +-0)) which both
+    libms return bit-identically, so they bin identically too."""
+    from core_ray.stages.agg import map_groups_partitioned
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def per_part(g: pa.Table) -> pa.Table:
+        cols = {
+            "user_id": pa.array([], pa.int64()),
+            "sector": pa.array([], pa.int64()),
+            "n_legs": pa.array([], pa.int64()),
+        }
+        if g.num_rows == 0:
+            return pa.table(cols)
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, us, uid))
+        uid, eid = uid[order], eid[order]
+        lat, lon = _derive_coords(eid)
+        leg = np.zeros(len(uid), dtype=bool)
+        leg[1:] = uid[1:] == uid[:-1]
+        i = np.nonzero(leg)[0]
+        if len(i) == 0:
+            return pa.table(cols)
+        la1, lo1 = np.radians(lat[i - 1]), np.radians(lon[i - 1])
+        la2, lo2 = np.radians(lat[i]), np.radians(lon[i])
+        y = np.sin(lo2 - lo1) * np.cos(la2)
+        x = np.cos(la1) * np.sin(la2) - np.sin(la1) * np.cos(la2) * np.cos(lo2 - lo1)
+        deg = np.degrees(np.arctan2(y, x))
+        sector = np.floor(np.mod(deg + 360.0, 360.0) / 45.0).astype(np.int64)
+        key = uid[i] * 8 + sector
+        u, n = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "user_id": pa.array(u // 8, pa.int64()),
+                "sector": pa.array(u % 8, pa.int64()),
+                "n_legs": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return map_groups_partitioned(ds, "user_id", per_part)
+
+
+GEO_BEARING_ROSE_SQL = f"""
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         RADIANS({GEO_LAT_SQL.replace('doc_id', 'event_id')}) AS la,
+         RADIANS({GEO_LON_SQL.replace('doc_id', 'event_id')}) AS lo
+  FROM events),
+legs AS (
+  SELECT user_id, LAG(la) OVER w AS la1, LAG(lo) OVER w AS lo1, la, lo
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+bearing AS (
+  SELECT user_id,
+         DEGREES(ATAN2(
+           SIN(lo - lo1) * COS(la),
+           COS(la1) * SIN(la) - SIN(la1) * COS(la) * COS(lo - lo1))) AS deg
+  FROM legs WHERE la1 IS NOT NULL)
+SELECT user_id,
+       CAST(FLOOR(((deg + 360.0) % 360.0) / 45.0) AS BIGINT) AS sector,
+       CAST(COUNT(*) AS BIGINT) AS n_legs
+FROM bearing GROUP BY 1, 2
+"""
+
+
+_DP_EPS = 0.8  # Douglas-Peucker tolerance in degrees
+
+
+def geo_traj_simplify(sf_dir: str):
+    """POLYLINE SIMPLIFICATION (Douglas-Peucker): per user, reduce the
+    (ts, event_id)-ordered track on the travel-model coordinates (the
+    events_stay_points city/jitter spec) to the points that define its
+    shape within 0.8 deg — jitter inside a stay collapses, travel legs
+    survive. One hash shuffle by user; inside the partition each user's
+    track runs a STACK-based DP whose max-distance scan per split is
+    vectorized numpy (the per-user loop is the per-trajectory kernel
+    itself, same policy as the per-doc minhash signature loop).
+
+    Determinism spec (shared with the independent recursive pure-Python
+    golden, fixtures/docs_golden.golden_traj_simplify): distance to the
+    INFINITE endpoint line, squared comparisons cross^2 > eps^2*seg2 (no
+    sqrt anywhere), split at the FIRST index of the maximum — both
+    implementations run the identical IEEE expression tree, so the kept
+    set is bit-deterministic, and the driver hash-checks engine == golden
+    via the materialized parquet oracle."""
+    from core_ray.stages.agg import map_groups_partitioned
+
+    _ensure_docs_golden(sf_dir)
+    eps2 = _DP_EPS * _DP_EPS
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def _dp_keep(lat: np.ndarray, lon: np.ndarray) -> np.ndarray:
+        n = len(lat)
+        keep = np.zeros(n, dtype=bool)
+        keep[0] = keep[-1] = True
+        if n <= 2:
+            return keep
+        stack = [(0, n - 1)]
+        while stack:
+            i, j = stack.pop()
+            if j <= i + 1:
+                continue
+            ax, ay = lon[i], lat[i]
+            bx, by = lon[j], lat[j]
+            dx = bx - ax
+            dy = by - ay
+            seg2 = dx * dx + dy * dy
+            px = lon[i + 1 : j]
+            py = lat[i + 1 : j]
+            if seg2 == 0.0:
+                d = (px - ax) * (px - ax) + (py - ay) * (py - ay)
+                thr = eps2
+            else:
+                c = dx * (py - ay) - dy * (px - ax)
+                d = c * c
+                thr = eps2 * seg2
+            m = int(np.argmax(d))  # first index of the maximum
+            if d[m] > thr:
+                k = i + 1 + m
+                keep[k] = True
+                stack.append((i, k))
+                stack.append((k, j))
+        return keep
+
+    def per_part(g: pa.Table) -> pa.Table:
+        cols = {
+            "user_id": pa.array([], pa.int64()),
+            "event_id": pa.array([], pa.int64()),
+        }
+        if g.num_rows == 0:
+            return pa.table(cols)
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, us, uid))
+        uid, eid = uid[order], eid[order]
+        n = len(uid)
+        first = np.r_[True, uid[1:] != uid[:-1]]
+        ustart = np.nonzero(first)[0]
+        ulen = np.diff(np.append(ustart, n))
+        seq = np.arange(n) - np.repeat(ustart, ulen)
+        city = (uid * 7 + seq // 20) % 12
+        lat = (
+            ((city * 11003) % 120000) / 1000.0 - 60.0
+            + ((uid * 7919) % 2001) / 1000.0 - 1.0
+            + ((eid * 13) % 1001) / 1000.0 - 0.5
+        )
+        lon = (
+            ((city * 104729) % 340000) / 1000.0 - 170.0
+            + ((uid * 104729) % 2001) / 1000.0 - 1.0
+            + ((eid * 29) % 1001) / 1000.0 - 0.5
+        )
+        keep = np.zeros(n, dtype=bool)
+        for s, l in zip(ustart, ulen):
+            keep[s : s + l] = _dp_keep(lat[s : s + l], lon[s : s + l])
+        return pa.table(
+            {
+                "user_id": pa.array(uid[keep], pa.int64()),
+                "event_id": pa.array(eid[keep], pa.int64()),
+            }
+        )
+
+    return map_groups_partitioned(ds, "user_id", per_part)
+
+
 # CCW triangles at .0005 offsets (same off-lattice trick as GEO_RECTS): the
 # ray-casting kernel and the SQL half-plane signs agree everywhere except ON
 # an edge, which the offset keeps the derived 10^-3 lattice away from.
@@ -3343,7 +3639,8 @@ def _ensure_docs_golden(sf_dir: str) -> None:
         return
     root = _docs_golden_dir()
     marker = os.path.join(root, ".complete")
-    if os.path.exists(marker):
+    # the traj file check migrates golden dirs written before it existed
+    if os.path.exists(marker) and os.path.exists(f"{root}/traj_simplify.parquet"):
         return
     import pyarrow.parquet as pq
 
@@ -3365,6 +3662,16 @@ def _ensure_docs_golden(sf_dir: str) -> None:
     pq.write_table(dg.golden_ann_ivf(emb), f"{root}/ann_ivf.parquet")
     pq.write_table(dg.golden_kmeans(emb), f"{root}/kmeans.parquet")
     pq.write_table(dg.golden_tile_hulls(ids), f"{root}/tile_hulls.parquet")
+    ev = pq.read_table(_p(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+    pq.write_table(
+        dg.golden_traj_simplify(
+            ev["event_id"].to_pylist(),
+            ev["user_id"].to_pylist(),
+            pc.cast(ev["ts"], pa.int64()).to_pylist(),
+            eps=_DP_EPS,
+        ),
+        f"{root}/traj_simplify.parquet",
+    )
     with open(marker, "w") as f:
         f.write("ok")
 
@@ -3372,6 +3679,7 @@ def _ensure_docs_golden(sf_dir: str) -> None:
 _DGD = _docs_golden_dir()
 DOC_FINGERPRINT_SQL = f"SELECT * FROM read_parquet('{_DGD}/fingerprint.parquet')"
 DOC_MINHASH_PAIRS_SQL = f"SELECT * FROM read_parquet('{_DGD}/minhash_pairs.parquet')"
+GEO_TRAJ_SIMPLIFY_SQL = f"SELECT * FROM read_parquet('{_DGD}/traj_simplify.parquet')"
 DOC_DUP_CLUSTERS_SQL = f"SELECT * FROM read_parquet('{_DGD}/dup_clusters.parquet')"
 DOC_DEDUP_KEEP_SQL = f"""
 SELECT doc_id FROM documents
@@ -10065,6 +10373,9 @@ QUERIES = {
     "events_contacts": events_contacts,
     "events_stay_points": events_stay_points,
     "doc_shingle_containment": doc_shingle_containment,
+    "geo_colocation": geo_colocation,
+    "geo_bearing_rose": geo_bearing_rose,
+    "geo_traj_simplify": geo_traj_simplify,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -10204,6 +10515,9 @@ ORACLE_SQL = {
     "events_contacts": EVENTS_CONTACTS_SQL,
     "events_stay_points": EVENTS_STAY_POINTS_SQL,
     "doc_shingle_containment": DOC_SHINGLE_CONTAINMENT_SQL,
+    "geo_colocation": GEO_COLOCATION_SQL,
+    "geo_bearing_rose": GEO_BEARING_ROSE_SQL,
+    "geo_traj_simplify": GEO_TRAJ_SIMPLIFY_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
