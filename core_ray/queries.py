@@ -2603,6 +2603,232 @@ FROM bearing GROUP BY 1, 2
 """
 
 
+def events_od_matrix(sf_dir: str):
+    """ORIGIN-DESTINATION MATRIX: counts of per-user travel legs between
+    the 12 model cities (from_city -> to_city whenever consecutive events
+    change city) — the flow-aggregation view transport analytics runs over
+    trajectories. One hash shuffle by user; each partition reduces its legs
+    to the bounded 12x12 partial (same combiner-first shape as
+    events_transitions), then a tiny final groupby sums. All-integer, no
+    float anywhere."""
+    from ray.data.aggregate import Sum
+
+    from core_ray.stages.agg import map_groups_partitioned
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def per_part(g: pa.Table) -> pa.Table:
+        cols = {
+            "from_city": pa.array([], pa.int64()),
+            "to_city": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        }
+        if g.num_rows == 0:
+            return pa.table(cols)
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, us, uid))
+        uid = uid[order]
+        n = len(uid)
+        first = np.r_[True, uid[1:] != uid[:-1]]
+        ustart = np.nonzero(first)[0]
+        seq = np.arange(n) - np.repeat(ustart, np.diff(np.append(ustart, n)))
+        city = (uid * 7 + seq // 20) % 12
+        leg = np.zeros(n, dtype=bool)
+        leg[1:] = (uid[1:] == uid[:-1]) & (city[1:] != city[:-1])
+        i = np.nonzero(leg)[0]
+        if len(i) == 0:
+            return pa.table(cols)
+        key = city[i - 1] * 12 + city[i]
+        u, c = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "from_city": pa.array(u // 12, pa.int64()),
+                "to_city": pa.array(u % 12, pa.int64()),
+                "n": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        map_groups_partitioned(ds, "user_id", per_part)
+        .groupby(["from_city", "to_city"])
+        .aggregate(Sum("n", alias_name="n_trips"))
+    )
+
+
+EVENTS_OD_MATRIX_SQL = """
+WITH seqd AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) - 1 AS seq
+  FROM events),
+cities AS (
+  SELECT user_id, us, event_id, (user_id * 7 + seq // 20) % 12 AS city
+  FROM seqd),
+legs AS (
+  SELECT user_id, city,
+         LAG(city) OVER (PARTITION BY user_id ORDER BY us, event_id) AS pcity
+  FROM cities)
+SELECT CAST(pcity AS BIGINT) AS from_city, CAST(city AS BIGINT) AS to_city,
+       CAST(COUNT(*) AS BIGINT) AS n_trips
+FROM legs WHERE pcity IS NOT NULL AND pcity != city
+GROUP BY 1, 2
+"""
+
+
+def doc_unigram_surprisal(sf_dir: str, broadcast_max: int = 2_000_000):
+    """UNIGRAM LM SURPRISAL scoring (the CCNet/fineweb-style perplexity
+    proxy): per document, the token count and the total / mean -log2
+    unigram probability under the corpus's own unigram model. Pass 1 is
+    the combiner-first exact vocab count (same shape as doc_vocab_top20);
+    pass 2 is ADAPTIVE like doc_ngram_novelty: a vocab that fits
+    ``broadcast_max`` rides the closure and every document scores inside
+    one map_batches (searchsorted lookups, bincount reduce — no join
+    exists); above the guard, per-doc DISTINCT-word rows hash-join the
+    counts (stages/join.py, string keys) and a groupby finishes — the
+    vocab side is O(corpus) at web scale and is never broadcast then.
+
+    Float parity: per-TOKEN surprisal rounds to integer micro-bits (log2
+    is ULP-divergent across libms), sums are order-independent BIGINT
+    arithmetic, and the mean is one exact int/int division on both
+    sides."""
+    from ray.data.aggregate import Sum
+
+    from core_ray.stages.agg import map_groups_partitioned
+    from core_ray.stages.join import hash_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def wc_partial(b: pa.Table) -> pa.Table:
+        words = np.asarray(
+            [w for t in b["text"].to_pylist() for w in t.split(" ")]
+        )
+        u, c = np.unique(words, return_counts=True)
+        return pa.table(
+            {"w": pa.array(u.tolist(), pa.string()),
+             "c": pa.array(c.astype(np.int64), pa.int64())}
+        )
+
+    counts = (
+        ds.map_batches(wc_partial, batch_format="pyarrow", batch_size=2048)
+        .groupby("w")
+        .aggregate(Sum("c", alias_name="c"))
+        .materialize()
+    )
+    total = counts.aggregate(Sum("c", alias_name="t"))["t"]
+    n_vocab = counts.count()
+    tf = float(total)
+
+    def _surprisal_micro(cnt: np.ndarray) -> np.ndarray:
+        return sql_round_np(
+            -np.log2(cnt.astype(np.float64) / tf) * 1000000.0, 0
+        ).astype(np.int64)
+
+    if n_vocab <= broadcast_max:
+        tab = _collect_table(counts)
+        vocab = np.asarray(tab["w"].to_pylist())
+        vcnt = tab["c"].to_numpy(zero_copy_only=False)
+        o = np.argsort(vocab)
+        vocab, vcnt = vocab[o], vcnt[o]
+        r_micro = _surprisal_micro(vcnt)
+
+        def score(b: pa.Table) -> pa.Table:
+            texts = b["text"].to_pylist()
+            per = [t.split(" ") for t in texts]
+            lens = np.fromiter((len(p) for p in per), np.int64, len(per))
+            flat = np.asarray([w for p in per for w in p])
+            row = np.repeat(np.arange(len(texts)), lens)
+            idx = np.searchsorted(vocab, flat)
+            s = np.bincount(row, weights=r_micro[idx], minlength=len(texts))
+            return pa.table(
+                {
+                    "doc_id": b["doc_id"],
+                    "n_tokens": pa.array(lens, pa.int64()),
+                    "sum_micro": pa.array(s.astype(np.int64), pa.int64()),
+                    "mean_sur": pa.array(
+                        s / lens.astype(np.float64), pa.float64()
+                    ),
+                }
+            )
+
+        return ds.map_batches(score, batch_format="pyarrow", batch_size=2048)
+
+    # distributed path: per-doc distinct words with occurrence counts join
+    # the global counts; a partitioned groupby finishes
+    def doc_words(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        texts = b["text"].to_pylist()
+        per = [t.split(" ") for t in texts]
+        lens = np.fromiter((len(p) for p in per), np.int64, len(per))
+        flat = np.asarray([w for p in per for w in p])
+        row = np.repeat(np.arange(len(texts)), lens)
+        key = np.char.add(np.char.add(flat, "\x00"), row.astype("U20"))
+        u, first, occ = np.unique(key, return_index=True, return_counts=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[row[first]], pa.int64()),
+                "w": pa.array(flat[first].tolist(), pa.string()),
+                "occ": pa.array(occ.astype(np.int64), pa.int64()),
+            }
+        )
+
+    dw = ds.map_batches(doc_words, batch_format="pyarrow", batch_size=2048)
+    j = hash_join(dw, counts, on="w")
+
+    def contrib(b: pa.Table) -> pa.Table:
+        r = _surprisal_micro(b["c"].to_numpy(zero_copy_only=False))
+        occ = b["occ"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_tokens": pa.array(occ, pa.int64()),
+                "sum_micro": pa.array(occ * r, pa.int64()),
+            }
+        )
+
+    def finish(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        o = np.argsort(ids, kind="stable")
+        ids = ids[o]
+        nt = g["n_tokens"].to_numpy(zero_copy_only=False)[o]
+        sm = g["sum_micro"].to_numpy(zero_copy_only=False)[o]
+        starts = np.nonzero(np.r_[True, ids[1:] != ids[:-1]])[0]
+        n = np.add.reduceat(nt, starts)
+        s = np.add.reduceat(sm, starts)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[starts], pa.int64()),
+                "n_tokens": pa.array(n, pa.int64()),
+                "sum_micro": pa.array(s, pa.int64()),
+                "mean_sur": pa.array(
+                    s.astype(np.float64) / n.astype(np.float64), pa.float64()
+                ),
+            }
+        )
+
+    return map_groups_partitioned(
+        j.map_batches(contrib, batch_format="pyarrow"), "doc_id", finish
+    )
+
+
+DOC_UNIGRAM_SURPRISAL_SQL = """
+WITH ws AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents),
+cnt AS (SELECT w, COUNT(*) AS c FROM ws GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM ws),
+tok AS (
+  SELECT ws.doc_id,
+         CAST(ROUND(-LOG2(CAST(c.c AS DOUBLE) / tot.t) * 1000000.0, 0)
+              AS BIGINT) AS r
+  FROM ws JOIN cnt c USING (w) CROSS JOIN tot)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(r) AS BIGINT) AS sum_micro,
+       CAST(SUM(r) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_sur
+FROM tok GROUP BY 1
+"""
+
+
 _DP_EPS = 0.8  # Douglas-Peucker tolerance in degrees
 
 
@@ -10376,6 +10602,8 @@ QUERIES = {
     "geo_colocation": geo_colocation,
     "geo_bearing_rose": geo_bearing_rose,
     "geo_traj_simplify": geo_traj_simplify,
+    "events_od_matrix": events_od_matrix,
+    "doc_unigram_surprisal": doc_unigram_surprisal,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -10518,6 +10746,8 @@ ORACLE_SQL = {
     "geo_colocation": GEO_COLOCATION_SQL,
     "geo_bearing_rose": GEO_BEARING_ROSE_SQL,
     "geo_traj_simplify": GEO_TRAJ_SIMPLIFY_SQL,
+    "events_od_matrix": EVENTS_OD_MATRIX_SQL,
+    "doc_unigram_surprisal": DOC_UNIGRAM_SURPRISAL_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,

@@ -188,3 +188,24 @@ def test_silhouette_multichunk_equivalent(ray_session):
     many = canon(collect_table(emb_silhouette(sf, chunk_rows=64)))
     assert one.num_rows == many.num_rows > 0
     assert canon(one).equals(canon(many))
+
+
+def test_unigram_surprisal_paths_equivalent(ray_session):
+    """broadcast_max=0 forces the distributed hash-join scoring path; it
+    must be value-identical to the broadcast path (the adaptive-guard
+    contract every broadcast in the repo carries)."""
+    import pyarrow.compute as pc
+
+    from core_ray.collect import collect_table
+    from core_ray.queries import doc_unigram_surprisal
+
+    sf = "/root/testdata/sf0.001"
+
+    def canon(t):
+        t = t.select(["doc_id", "n_tokens", "sum_micro", "mean_sur"])
+        return t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+
+    bc = canon(collect_table(doc_unigram_surprisal(sf)))
+    dj = canon(collect_table(doc_unigram_surprisal(sf, broadcast_max=0)))
+    assert bc.num_rows == dj.num_rows > 0
+    assert bc.equals(dj)
