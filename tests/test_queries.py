@@ -25,6 +25,7 @@ _GOLDEN_PINNED = (
     "emb_pagerank",
     "emb_kmeans",
     "geo_convex_hull",
+    "geo_traj_simplify",
 )
 
 ORACLE_NAMES = sorted(ORACLE_SQL)
