@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "geo_traj_simplify",
     "events_od_matrix",
     "doc_unigram_surprisal",
+    "geo_moran_i",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

@@ -2603,6 +2603,162 @@ FROM bearing GROUP BY 1, 2
 """
 
 
+_MORAN_NLON = 360  # 1-deg grid, lon cells 0..359 (no wrap: rook weights)
+_MORAN_NLAT = 140  # lat cells 0..139
+
+
+def geo_moran_i(sf_dir: str):
+    """MORAN'S I spatial autocorrelation of document density over the
+    1-degree raster with rook (4-neighbor) weights — THE classic global
+    spatial statistic. Everything reduces to FOUR integer aggregates over
+    occupied cells only, because deviations scale to integers:
+    z_i*N = x_i*N - T (N cells, T total docs), so
+
+      num*N^2 = N^2*S_adj(x_i x_j) - N*T*S(deg_i x_i) + W*T^2
+      den*N^2 = N^2*S(x_i^2)       - N*T^2
+
+    where W and deg_i are closed-form grid constants — the zero cells'
+    contribution is analytic, never materialized. Shape: one combiner
+    groupby builds cell counts; S_adj comes from ONE hash join of each
+    cell against its right/down neighbor keys (each unordered adjacent
+    pair counted exactly once); the final I = (N/W) * num/den is a fixed
+    chain of exact int->double ops, bit-equal to the SQL. Integer sums
+    are order-independent — no float accumulates anywhere. Overflow
+    bound: |x_i*N - T| <= T*N ~ 2^42 at sf1000, products fit int64
+    through ~10^5 docs/cell on this grid (documented contract)."""
+    from ray.data.aggregate import Sum
+
+    from core_ray.stages.join import hash_join
+
+    nlon, nlat = _MORAN_NLON, _MORAN_NLAT
+    n_cells = nlon * nlat
+    w_pairs = nlat * (nlon - 1) + (nlat - 1) * nlon
+
+    def cell_partial(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy(zero_copy_only=False)
+        lat, lon = _derive_coords(doc_id)
+        gx = np.floor(lon).astype(np.int64) + 180
+        gy = np.floor(lat).astype(np.int64) + 70
+        key = gy * nlon + gx
+        u, c = np.unique(key, return_counts=True)
+        return pa.table(
+            {"cell": pa.array(u, pa.int64()),
+             "x": pa.array(c.astype(np.int64), pa.int64())}
+        )
+
+    cells = (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(cell_partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("cell")
+        .aggregate(Sum("x", alias_name="x"))
+        .materialize()
+    )
+
+    def scalars(b: pa.Table) -> pa.Table:
+        cell = b["cell"].to_numpy(zero_copy_only=False)
+        x = b["x"].to_numpy(zero_copy_only=False)
+        gx = cell % nlon
+        gy = cell // nlon
+        deg = (
+            (gx > 0).astype(np.int64) + (gx < nlon - 1)
+            + (gy > 0) + (gy < nlat - 1)
+        )
+        return pa.table(
+            {
+                "t": pa.array([int(x.sum())], pa.int64()),
+                "sum_sq": pa.array([int((x * x).sum())], pa.int64()),
+                "sum_deg_x": pa.array([int((deg * x).sum())], pa.int64()),
+            }
+        )
+
+    sc = cells.map_batches(scalars, batch_format="pyarrow").sum(
+        ["t", "sum_sq", "sum_deg_x"]
+    )
+    t, sum_sq, sum_deg_x = sc["sum(t)"], sc["sum(sum_sq)"], sc["sum(sum_deg_x)"]
+
+    # S_adj(x_i x_j): join each cell against its right and down neighbors
+    def probes(b: pa.Table) -> pa.Table:
+        cell = b["cell"].to_numpy(zero_copy_only=False)
+        x = b["x"].to_numpy(zero_copy_only=False)
+        gx = cell % nlon
+        gy = cell // nlon
+        right = np.where(gx < nlon - 1, cell + 1, -1)
+        down = np.where(gy < nlat - 1, cell + nlon, -1)
+        nb = np.concatenate([right, down])
+        xx = np.concatenate([x, x])
+        keep = nb >= 0
+        return pa.table(
+            {"cell": pa.array(nb[keep], pa.int64()),
+             "x_src": pa.array(xx[keep], pa.int64())}
+        )
+
+    joined = hash_join(
+        cells.map_batches(probes, batch_format="pyarrow"), cells, on="cell"
+    )
+
+    def prod(b: pa.Table) -> pa.Table:
+        p = b["x_src"].to_numpy(zero_copy_only=False) * b["x"].to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table({"p": pa.array([int(p.sum())], pa.int64())})
+
+    sum_adj = int(joined.map_batches(prod, batch_format="pyarrow").sum("p") or 0)
+    t, sum_sq, sum_deg_x = int(t), int(sum_sq), int(sum_deg_x)
+
+    n = n_cells
+    num = n * n * sum_adj - n * t * sum_deg_x + w_pairs * t * t
+    den = n * n * sum_sq - n * t * t
+    moran = (float(n) / float(w_pairs)) * (float(num) / float(den))
+    return pa.table(
+        {
+            "n_cells": pa.array([n], pa.int64()),
+            "w_pairs": pa.array([w_pairs], pa.int64()),
+            "t_docs": pa.array([t], pa.int64()),
+            "sum_sq": pa.array([sum_sq], pa.int64()),
+            "sum_adj_xx": pa.array([sum_adj], pa.int64()),
+            "sum_deg_x": pa.array([sum_deg_x], pa.int64()),
+            "moran_i": pa.array([moran], pa.float64()),
+        }
+    )
+
+
+GEO_MORAN_I_SQL = f"""
+WITH pts AS (
+  SELECT CAST(FLOOR({GEO_LON_SQL}) AS BIGINT) + 180 AS gx,
+         CAST(FLOOR({GEO_LAT_SQL}) AS BIGINT) + 70 AS gy
+  FROM documents),
+cells AS (
+  SELECT gy * {_MORAN_NLON} + gx AS cell, gx, gy, COUNT(*) AS x
+  FROM pts GROUP BY 1, 2, 3),
+adj AS (
+  SELECT CAST(COALESCE(SUM(a.x * b.x), 0) AS BIGINT) AS sum_adj
+  FROM cells a JOIN cells b
+    ON b.cell = a.cell + 1 AND a.gx < {_MORAN_NLON - 1}
+    OR b.cell = a.cell + {_MORAN_NLON} AND a.gy < {_MORAN_NLAT - 1}),
+sc AS (
+  SELECT CAST(SUM(x) AS BIGINT) AS t,
+         CAST(SUM(x * x) AS BIGINT) AS sum_sq,
+         CAST(SUM(((CASE WHEN gx > 0 THEN 1 ELSE 0 END)
+                   + (CASE WHEN gx < {_MORAN_NLON - 1} THEN 1 ELSE 0 END)
+                   + (CASE WHEN gy > 0 THEN 1 ELSE 0 END)
+                   + (CASE WHEN gy < {_MORAN_NLAT - 1} THEN 1 ELSE 0 END)) * x)
+              AS BIGINT) AS sum_deg_x
+  FROM cells),
+k AS (
+  SELECT CAST({_MORAN_NLON * _MORAN_NLAT} AS BIGINT) AS n,
+         CAST({_MORAN_NLAT * (_MORAN_NLON - 1) + (_MORAN_NLAT - 1) * _MORAN_NLON}
+              AS BIGINT) AS w)
+SELECT k.n AS n_cells, k.w AS w_pairs, sc.t AS t_docs, sc.sum_sq,
+       adj.sum_adj AS sum_adj_xx, sc.sum_deg_x,
+       (CAST(k.n AS DOUBLE) / CAST(k.w AS DOUBLE))
+         * (CAST(k.n * k.n * adj.sum_adj - k.n * sc.t * sc.sum_deg_x
+                 + k.w * sc.t * sc.t AS DOUBLE)
+            / CAST(k.n * k.n * sc.sum_sq - k.n * sc.t * sc.t AS DOUBLE))
+         AS moran_i
+FROM k, sc, adj
+"""
+
+
 def events_od_matrix(sf_dir: str):
     """ORIGIN-DESTINATION MATRIX: counts of per-user travel legs between
     the 12 model cities (from_city -> to_city whenever consecutive events
@@ -10604,6 +10760,7 @@ QUERIES = {
     "geo_traj_simplify": geo_traj_simplify,
     "events_od_matrix": events_od_matrix,
     "doc_unigram_surprisal": doc_unigram_surprisal,
+    "geo_moran_i": geo_moran_i,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -10748,6 +10905,7 @@ ORACLE_SQL = {
     "geo_traj_simplify": GEO_TRAJ_SIMPLIFY_SQL,
     "events_od_matrix": EVENTS_OD_MATRIX_SQL,
     "doc_unigram_surprisal": DOC_UNIGRAM_SURPRISAL_SQL,
+    "geo_moran_i": GEO_MORAN_I_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
