@@ -2040,8 +2040,7 @@ def events_contacts(sf_dir: str):
     stages/stjoin.py, brute-force-tested in tests/test_stjoin.py. Exact
     parity throughout: squared-degree spatial threshold (multiply/subtract
     only) and int64 microsecond window; no transcendental in sight."""
-    from ray.data.aggregate import Sum
-
+    from core_ray.stages.agg import count_by_u64
     from core_ray.stages.stjoin import spacetime_pairs
 
     def coords(b: pa.Table) -> pa.Table:
@@ -2065,21 +2064,31 @@ def events_contacts(sf_dir: str):
     pairs = spacetime_pairs(pts, _CONTACT_RADIUS_DEG, _CONTACT_WINDOW_US)
 
     def to_users(b: pa.Table) -> pa.Table:
+        # Pack the unordered user pair into ONE uint64 key (u1<<32 | u2) so
+        # the count goes through the combiner-first count_by_u64 path: Ray's
+        # native two-column groupby().aggregate(Sum) measured 96 s of
+        # AggregateMap remote time on the same 2.9 M pair rows — the packed
+        # single-key reduceat pipeline does the identical count in <1 s.
         ua = b["uid_a"].to_numpy(zero_copy_only=False)
         ub = b["uid_b"].to_numpy(zero_copy_only=False)
+        u1 = np.minimum(ua, ub).astype(np.uint64)
+        u2 = np.maximum(ua, ub).astype(np.uint64)
+        if len(u2) and int(u2.max()) >= 1 << 32:
+            raise ValueError("user_id >= 2^32: widen the pair packing")
+        return pa.table({"key": pa.array((u1 << np.uint64(32)) | u2, pa.uint64())})
+
+    def unpack(b: pa.Table) -> pa.Table:
+        k = b["key"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "u1": pa.array(np.minimum(ua, ub), pa.int64()),
-                "u2": pa.array(np.maximum(ua, ub), pa.int64()),
-                "one": pa.array(np.ones(len(ua), np.int64), pa.int64()),
+                "u1": pa.array((k >> np.uint64(32)).astype(np.int64), pa.int64()),
+                "u2": pa.array((k & np.uint64(0xFFFFFFFF)).astype(np.int64), pa.int64()),
+                "n_contacts": b["cnt"],
             }
         )
 
-    return (
-        pairs.map_batches(to_users, batch_format="pyarrow")
-        .groupby(["u1", "u2"])
-        .aggregate(Sum("one", alias_name="n_contacts"))
-    )
+    counted = count_by_u64(pairs.map_batches(to_users, batch_format="pyarrow"), "key")
+    return counted.map_batches(unpack, batch_format="pyarrow")
 
 
 EVENTS_CONTACTS_SQL = f"""

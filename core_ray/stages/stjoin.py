@@ -104,18 +104,25 @@ def contacts_in_partition(
     seg_id = np.cumsum(new) - 1
     starts = np.nonzero(new)[0]
     seg_len = np.diff(np.append(starts, n)).astype(np.int64)
-    chunk_of_seg = np.cumsum(seg_len * seg_len) // chunk_pairs
+    # Enumerate candidate pairs with the LEFT side restricted to home rows
+    # up front (a masked-after-the-fact home[left] filter materializes 27x
+    # the candidates for identical output — measured 21 s -> <1 s serial on
+    # the sf0.1 contact corpus, 320 M -> 12 M candidate rows).
+    hidx = np.nonzero(home)[0]
+    if len(hidx) == 0:
+        return empty
+    Lh = seg_len[seg_id[hidx]]  # full cell occupancy per home row
+    chunk_of_home = np.cumsum(Lh) // chunk_pairs
     oa, ob, ua, ub = [], [], [], []
-    for c in np.unique(chunk_of_seg):
-        segs = np.nonzero(chunk_of_seg == c)[0]
-        lo = starts[segs[0]]
-        hi = starts[segs[-1]] + seg_len[segs[-1]]
-        L = seg_len[seg_id[lo:hi]]
-        left = np.repeat(np.arange(lo, hi), L)
+    for c in np.unique(chunk_of_home):
+        sel = chunk_of_home == c
+        h = hidx[sel]
+        L = Lh[sel]
+        left = np.repeat(h, L)
         row_pair_start = np.cumsum(L) - L
         offs = np.arange(int(L.sum())) - np.repeat(row_pair_start, L)
-        right = np.repeat(starts[seg_id[lo:hi]], L) + offs
-        m = home[left] & (ids[right] > ids[left]) & (uid[left] != uid[right])
+        right = np.repeat(starts[seg_id[h]], L) + offs
+        m = (ids[right] > ids[left]) & (uid[left] != uid[right])
         i, j = left[m], right[m]
         dla = lat[i] - lat[j]
         dlo = lon[i] - lon[j]
