@@ -2230,6 +2230,18 @@ _SHINGLE_MAXDF = 50  # stop-shingle cutoff: ignore grams in > 50 docs
 _CONT_MIN = 0.5
 
 
+def _sum_by_key(keys: np.ndarray, vals: np.ndarray):
+    """(sorted unique keys, per-key int64 sums) — the local reduceat kernel
+    the partition-level aggregations below share."""
+    if len(keys) == 0:
+        return keys[:0], np.empty(0, np.int64)
+    order = np.argsort(keys, kind="stable")
+    ks, vs = keys[order], vals[order]
+    new = np.r_[True, ks[1:] != ks[:-1]]
+    starts = np.nonzero(new)[0]
+    return ks[starts], np.add.reduceat(vs.astype(np.int64), starts)
+
+
 def doc_shingle_containment(sf_dir: str):
     """ASYMMETRIC shingle containment (quote / subset detection — what
     Jaccard-symmetric near-dup misses when a short doc is wholly quoted
@@ -2242,15 +2254,17 @@ def doc_shingle_containment(sf_dir: str):
     Shape: one pass builds per-doc DISTINCT shingles (docs are row-local,
     so batch-local dedup is global); rows hash-partition BY GRAM once;
     each partition emits pre-aggregated pair partials AND per-doc size
-    partials (sentinel doc_b = -1) from the same pass; two tiny groupbys
-    and two hash joins (stages/join.py) finish — the sizes side is
-    corpus-sized at scale, so it is JOINED, never broadcast. Containment
-    divisions are exact-int ratios — correctly-rounded IEEE identical to
-    the SQL, no rounding needed."""
-    from ray.data.aggregate import Sum
-
+    partials (sentinel doc_b = -1) from the same pass; then TWO chained
+    doc-keyed shuffles finish — shuffle 1 co-locates everything by doc_a
+    (sums sizes + pair partials, attaches sz_a), shuffle 2 re-keys by
+    doc_b (attaches sz_b, filters) — the sizes side is corpus-sized at
+    scale, so it rides the same shuffles, never a broadcast. (This tail
+    replaced two Ray two-column aggregates + two hash joins: same rows,
+    22 s -> ~7 s at sf0.1 — Ray's multi-column groupby aggregate costs
+    ~30 us/row of AggregateMap alone.) Containment divisions are
+    exact-int ratios — correctly-rounded IEEE identical to the SQL, no
+    rounding needed."""
     from core_ray.stages.agg import hash_strings, map_groups_partitioned
-    from core_ray.stages.join import hash_join
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
@@ -2278,7 +2292,9 @@ def doc_shingle_containment(sf_dir: str):
             }
         )
 
-    gram_ds = ds.map_batches(doc_grams, batch_format="pyarrow", batch_size=2048)
+    # batch_size 512 (not 2048): the gram build is the one Python-split
+    # step; smaller bundles let ~10 tasks share it instead of 1-3.
+    gram_ds = ds.map_batches(doc_grams, batch_format="pyarrow", batch_size=512)
 
     def per_part(g: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -2334,55 +2350,75 @@ def doc_shingle_containment(sf_dir: str):
             }
         )
 
-    mixed = map_groups_partitioned(gram_ds, "gh", per_part).materialize()
-    sizes = (
-        mixed.filter(expr="doc_b < 0")
-        .groupby("doc_a")
-        .aggregate(Sum("n", alias_name="sz"))
-    )
-    pairs = (
-        mixed.filter(expr="doc_b >= 0")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Sum("n", alias_name="n_shared"))
-    )
+    def key_a(b: pa.Table) -> pa.Table:
+        k = b["doc_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return b.append_column("k", pa.array(k, pa.uint64()))
 
-    def _ren(col_from, col_to):
-        def f(b: pa.Table) -> pa.Table:
-            return b.rename_columns(
-                [col_to if c == col_from else c for c in b.column_names]
-            )
+    def stage_a(g: pa.Table) -> pa.Table:
+        """All of a doc's size partials AND its doc_a-side pair partials
+        are co-located here: sum both, attach sz_a, and re-emit the size
+        totals (doc_b = -1 sentinel) for the doc_b-keyed shuffle."""
+        da = g["doc_a"].to_numpy(zero_copy_only=False)
+        db = g["doc_b"].to_numpy(zero_copy_only=False)
+        nn = g["n"].to_numpy(zero_copy_only=False)
+        s = db < 0
+        su, ssum = _sum_by_key(da[s], nn[s])
+        pk = (da[~s].astype(np.uint64) << np.uint64(32)) | db[~s].astype(np.uint64)
+        pu, psum = _sum_by_key(pk, nn[~s])
+        pa_ = (pu >> np.uint64(32)).astype(np.int64)
+        pb_ = (pu & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        sz_a = ssum[np.searchsorted(su, pa_)]
+        return pa.table(
+            {
+                "doc_a": pa.array(np.concatenate([su.astype(np.int64), pa_]), pa.int64()),
+                "doc_b": pa.array(
+                    np.concatenate([np.full(len(su), -1, np.int64), pb_]), pa.int64()
+                ),
+                "n_shared": pa.array(np.concatenate([ssum, psum]), pa.int64()),
+                "sz_a": pa.array(
+                    np.concatenate([np.zeros(len(su), np.int64), sz_a]), pa.int64()
+                ),
+            }
+        )
 
-        return f
+    def key_b(b: pa.Table) -> pa.Table:
+        da = b["doc_a"].to_numpy(zero_copy_only=False)
+        db = b["doc_b"].to_numpy(zero_copy_only=False)
+        k = np.where(db < 0, da, db).astype(np.uint64)
+        return b.append_column("k", pa.array(k, pa.uint64()))
 
-    sz_a = sizes.map_batches(_ren("sz", "sz_a"), batch_format="pyarrow")
-    j1 = hash_join(pairs, sz_a, on="doc_a")
-    sz_b = sizes.map_batches(_ren("sz", "sz_b"), batch_format="pyarrow").map_batches(
-        _ren("doc_a", "doc_b"), batch_format="pyarrow"
-    )
-    j2 = hash_join(j1, sz_b, on="doc_b")
-
-    def finish(b: pa.Table) -> pa.Table:
-        ns = b["n_shared"].to_numpy(zero_copy_only=False).astype(np.float64)
-        ca = ns / b["sz_a"].to_numpy(zero_copy_only=False).astype(np.float64)
-        cb = ns / b["sz_b"].to_numpy(zero_copy_only=False).astype(np.float64)
+    def stage_b(g: pa.Table) -> pa.Table:
+        da = g["doc_a"].to_numpy(zero_copy_only=False)
+        db = g["doc_b"].to_numpy(zero_copy_only=False)
+        ns = g["n_shared"].to_numpy(zero_copy_only=False)
+        sza = g["sz_a"].to_numpy(zero_copy_only=False)
+        s = db < 0
+        su, ssum = da[s], ns[s]  # already per-doc totals (one row per doc)
+        order = np.argsort(su, kind="stable")
+        su, ssum = su[order], ssum[order]
+        pa_, pb_, pn, psz = da[~s], db[~s], ns[~s], sza[~s]
+        sz_b = ssum[np.searchsorted(su, pb_)]
+        nsf = pn.astype(np.float64)
+        ca = nsf / psz.astype(np.float64)
+        cb = nsf / sz_b.astype(np.float64)
         keep = np.maximum(ca, cb) >= _CONT_MIN
         return pa.table(
             {
-                "doc_a": pa.array(
-                    b["doc_a"].to_numpy(zero_copy_only=False)[keep], pa.int64()
-                ),
-                "doc_b": pa.array(
-                    b["doc_b"].to_numpy(zero_copy_only=False)[keep], pa.int64()
-                ),
-                "n_shared": pa.array(
-                    b["n_shared"].to_numpy(zero_copy_only=False)[keep], pa.int64()
-                ),
+                "doc_a": pa.array(pa_[keep], pa.int64()),
+                "doc_b": pa.array(pb_[keep], pa.int64()),
+                "n_shared": pa.array(pn[keep], pa.int64()),
                 "cont_a": pa.array(ca[keep], pa.float64()),
                 "cont_b": pa.array(cb[keep], pa.float64()),
             }
         )
 
-    return j2.map_batches(finish, batch_format="pyarrow")
+    mixed = map_groups_partitioned(gram_ds, "gh", per_part)
+    byl = map_groups_partitioned(
+        mixed.map_batches(key_a, batch_format="pyarrow"), "k", stage_a
+    )
+    return map_groups_partitioned(
+        byl.map_batches(key_b, batch_format="pyarrow"), "k", stage_b
+    )
 
 
 _G8 = (
@@ -2420,63 +2456,102 @@ def geo_colocation(sf_dir: str, radius: float = _GEO_PAIR_RADIUS_DEG):
     """CO-LOCATION PATTERN MINING: which language pairs cluster together in
     space? Counts distance-band document pairs per unordered (lang, lang)
     combination and normalizes by the category-size product — the
-    participation-style signal spatial-association mining uses. Shape: the
-    one-shuffle band join (stages/distband.py) emits id pairs; langs attach
-    via TWO hash joins (the doc->lang side is corpus-sized at scale, never
-    broadcast); the per-lang totals are bounded by language cardinality, so
-    THAT side rides the closure. ratio = n_pairs / (n1 * n2) is a fixed
-    chain of exact int->double casts, one multiply, one divide — mirrored
-    bit-exactly in SQL (int64 counts stay below 2^53 here; beyond that the
-    documented form is log-space)."""
+    participation-style signal spatial-association mining uses. Shape:
+    ``lang`` rides the 9x home+ghost replication (one short string column —
+    far cheaper than the two corpus-sized lang-attach shuffles the hash-join
+    formulation costs), and the partition kernel reduces straight to
+    (l1, l2, n) partials, so PAIRS NEVER MATERIALIZE outside a task; the
+    final groupby runs over <= lang^2 x n_parts partial rows. Per-lang
+    totals are bounded by language cardinality, so that side is a driver
+    lookup. ratio = n_pairs / (n1 * n2) is a fixed chain of exact
+    int->double casts, one multiply, one divide — mirrored bit-exactly in
+    SQL (int64 counts stay below 2^53 here; beyond that the documented
+    form is log-space)."""
     from ray.data.aggregate import Sum
 
-    from core_ray.stages.distband import distance_pairs
-    from core_ray.stages.join import hash_join
+    from core_ray.stages.agg import map_groups_partitioned
+    from core_ray.stages.distband import replicate_to_cells
 
-    def coords(b: pa.Table) -> pa.Table:
+    r2 = radius * radius
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def rep(b: pa.Table) -> pa.Table:
         doc_id = b["doc_id"].to_numpy(zero_copy_only=False)
         lat, lon = _derive_coords(doc_id)
-        return pa.table(
-            {
-                "doc_id": b["doc_id"],
-                "lat": pa.array(lat, pa.float64()),
-                "lon": pa.array(lon, pa.float64()),
-            }
-        )
+        t = replicate_to_cells(doc_id.astype(np.int64), lat, lon, radius)
+        idx = np.repeat(np.arange(len(doc_id), dtype=np.int64), 9)
+        return t.append_column("lang", pc.take(b["lang"], pa.array(idx)))
 
-    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
-    pts = _read(sf_dir, "documents", ["doc_id"]).map_batches(
-        coords, batch_format="pyarrow", batch_size=65536
+    _empty = pa.table(
+        {
+            "l1": pa.array([], pa.string()),
+            "l2": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }
     )
-    pairs = distance_pairs(pts, radius).drop_columns(["sq_dist"])
 
-    def _ren(m):
-        def f(b: pa.Table) -> pa.Table:
-            return b.rename_columns([m.get(c, c) for c in b.column_names])
-
-        return f
-
-    la = docs.map_batches(_ren({"doc_id": "doc_a", "lang": "lang_a"}),
-                          batch_format="pyarrow")
-    lb = docs.map_batches(_ren({"doc_id": "doc_b", "lang": "lang_b"}),
-                          batch_format="pyarrow")
-    j = hash_join(hash_join(pairs, la, on="doc_a"), lb, on="doc_b")
-
-    def to_langpair(b: pa.Table) -> pa.Table:
-        a = np.asarray(b["lang_a"].to_pylist())
-        c = np.asarray(b["lang_b"].to_pylist())
+    def part(g: pa.Table) -> pa.Table:
+        key = g["ck"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = len(key)
+        if n == 0:
+            return _empty
+        order = np.argsort(key, kind="stable")
+        key = key[order]
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)[order]
+        lat = g["lat"].to_numpy(zero_copy_only=False)[order]
+        lon = g["lon"].to_numpy(zero_copy_only=False)[order]
+        home = g["home"].to_numpy(zero_copy_only=False)[order]
+        lang = np.asarray(g["lang"].to_pylist())[order]
+        new = np.ones(n, dtype=bool)
+        new[1:] = key[1:] != key[:-1]
+        seg_id = np.cumsum(new) - 1
+        starts = np.nonzero(new)[0]
+        seg_len = np.diff(np.append(starts, n)).astype(np.int64)
+        hidx = np.nonzero(home)[0]
+        if len(hidx) == 0:
+            return _empty
+        Lh = seg_len[seg_id[hidx]]
+        chunk_of_home = np.cumsum(Lh) // (8 << 20)
+        l1s, l2s, cnts = [], [], []
+        for c in np.unique(chunk_of_home):
+            sel = chunk_of_home == c
+            h = hidx[sel]
+            L = Lh[sel]
+            left = np.repeat(h, L)
+            rps = np.cumsum(L) - L
+            offs = np.arange(int(L.sum())) - np.repeat(rps, L)
+            right = np.repeat(starts[seg_id[h]], L) + offs
+            m = ids[right] > ids[left]
+            i, j = left[m], right[m]
+            dla = lat[i] - lat[j]
+            dlo = lon[i] - lon[j]
+            keep = dla * dla + dlo * dlo <= r2
+            a, bl = lang[i][keep], lang[j][keep]
+            lo = np.where(a <= bl, a, bl)
+            hi2 = np.where(a <= bl, bl, a)
+            u, cnt = np.unique(np.char.add(np.char.add(lo, "|"), hi2),
+                               return_counts=True)
+            if len(u) == 0:
+                continue
+            parts = np.char.partition(u, "|")
+            l1s.append(parts[:, 0])
+            l2s.append(parts[:, 2])
+            cnts.append(cnt.astype(np.int64))
+        if not l1s:
+            return _empty
         return pa.table(
             {
-                "l1": pa.array(np.where(a <= c, a, c).tolist(), pa.string()),
-                "l2": pa.array(np.where(a <= c, c, a).tolist(), pa.string()),
-                "one": pa.array(np.ones(len(a), np.int64), pa.int64()),
+                "l1": pa.array(np.concatenate(l1s), pa.string()),
+                "l2": pa.array(np.concatenate(l2s), pa.string()),
+                "n": pa.array(np.concatenate(cnts), pa.int64()),
             }
         )
 
+    rep_ds = docs.map_batches(rep, batch_format="pyarrow", batch_size=65536)
     counted = (
-        j.map_batches(to_langpair, batch_format="pyarrow")
+        map_groups_partitioned(rep_ds, "ck", part)
         .groupby(["l1", "l2"])
-        .aggregate(Sum("one", alias_name="n_pairs"))
+        .aggregate(Sum("n", alias_name="n_pairs"))
     )
 
     def lang_partial(b: pa.Table) -> pa.Table:

@@ -139,19 +139,31 @@ def pairs_in_partition(g: pa.Table, r2: float, chunk_pairs: int = 8 << 20,
     seg_id = np.cumsum(new) - 1
     starts = np.nonzero(new)[0]
     seg_len = np.diff(np.append(starts, n)).astype(np.int64)
-    per_seg_pairs = seg_len * seg_len
-    chunk_of_seg = np.cumsum(per_seg_pairs) // chunk_pairs
+    # Candidate LEFT side is restricted to home rows up front: masking
+    # home[left] after a full L^2 expansion materializes 9x the candidate
+    # rows for identical output (same fix as stages/stjoin.py, where the
+    # 27x variant measured 21 s -> <1 s serial).
+    hidx = np.nonzero(home)[0]
+    if len(hidx) == 0:
+        return pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                out_col: pa.array([], pa.float64()),
+            }
+        )
+    Lh = seg_len[seg_id[hidx]]  # full cell occupancy per home row
+    chunk_of_home = np.cumsum(Lh) // chunk_pairs
     out_a, out_b, out_d = [], [], []
-    for c in np.unique(chunk_of_seg):
-        segs = np.nonzero(chunk_of_seg == c)[0]
-        lo = starts[segs[0]]
-        hi = starts[segs[-1]] + seg_len[segs[-1]]
-        L = seg_len[seg_id[lo:hi]]  # per-row segment length
-        left = np.repeat(np.arange(lo, hi), L)
+    for c in np.unique(chunk_of_home):
+        sel = chunk_of_home == c
+        h = hidx[sel]
+        L = Lh[sel]
+        left = np.repeat(h, L)
         row_pair_start = np.cumsum(L) - L
         offs = np.arange(int(L.sum())) - np.repeat(row_pair_start, L)
-        right = np.repeat(starts[seg_id[lo:hi]], L) + offs
-        m = home[left] & (ids[right] > ids[left])
+        right = np.repeat(starts[seg_id[h]], L) + offs
+        m = ids[right] > ids[left]
         la, lb = left[m], right[m]
         if metric_fn is None:
             dla = lat[la] - lat[lb]
