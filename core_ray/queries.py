@@ -2843,6 +2843,173 @@ FROM k, sc, adj
 """
 
 
+def geo_getis_gi(sf_dir: str):
+    """GETIS-ORD Gi* HOT-SPOT z-scores over the 1-degree raster with
+    binary rook+self weights — Moran's I's local sibling, THE standard
+    hot-spot-detection statistic. Same integer-exact strategy as
+    geo_moran_i: with w_i = deg_i + 1 and mean T/N, the numerator scales
+    to the integer N*(x_i + nbr_sum_i) - T*w_i, and the denominator's two
+    square roots take INTEGER arguments (A = N*sum_sq - T^2 and
+    N*w - w^2), so the whole z is a fixed chain of correctly-rounded
+    double ops — bit-equal to the SQL mirror, no rounding needed.
+
+    Shape: one combiner groupby builds occupied-cell counts; neighbor
+    sums come from a second combiner groupby over (cell, x, 0) union
+    4-direction (neighbor_cell, 0, x) contribution rows — no join, no
+    neighbor materialization beyond occupied cells x 5; zero cells with
+    no occupied neighbor never exist as rows (their Gi* is an analytic
+    per-degree constant, excluded by contract). Output: top 20 hottest
+    cells by z (tie-break cell id — total order, both sides bit-equal).
+    Overflow contract: T^2 < 2^63 (same ~10^5 docs/cell bound as
+    geo_moran_i, documented there)."""
+    from ray.data.aggregate import Sum
+
+    nlon, nlat = _MORAN_NLON, _MORAN_NLAT
+    n_cells = nlon * nlat
+
+    def cell_partial(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy(zero_copy_only=False)
+        lat, lon = _derive_coords(doc_id)
+        gx = np.floor(lon).astype(np.int64) + 180
+        gy = np.floor(lat).astype(np.int64) + 70
+        key = gy * nlon + gx
+        u, c = np.unique(key, return_counts=True)
+        return pa.table(
+            {"cell": pa.array(u, pa.int64()),
+             "x": pa.array(c.astype(np.int64), pa.int64())}
+        )
+
+    cells = (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(cell_partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("cell")
+        .aggregate(Sum("x", alias_name="x"))
+        .materialize()
+    )
+
+    def scalars(b: pa.Table) -> pa.Table:
+        x = b["x"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "t": pa.array([int(x.sum())], pa.int64()),
+                "sum_sq": pa.array([int((x * x).sum())], pa.int64()),
+            }
+        )
+
+    sc = cells.map_batches(scalars, batch_format="pyarrow").sum(["t", "sum_sq"])
+    t, sum_sq = int(sc["sum(t)"]), int(sc["sum(sum_sq)"])
+    a_const = n_cells * sum_sq - t * t
+
+    def contribs(b: pa.Table) -> pa.Table:
+        cell = b["cell"].to_numpy(zero_copy_only=False)
+        x = b["x"].to_numpy(zero_copy_only=False)
+        gx = cell % nlon
+        gy = cell // nlon
+        outc, outx, outn = [cell], [x], [np.zeros(len(x), np.int64)]
+        for delta, ok in (
+            (1, gx < nlon - 1),
+            (-1, gx > 0),
+            (nlon, gy < nlat - 1),
+            (-nlon, gy > 0),
+        ):
+            outc.append(cell[ok] + delta)
+            outx.append(np.zeros(int(ok.sum()), np.int64))
+            outn.append(x[ok])
+        return pa.table(
+            {
+                "cell": pa.array(np.concatenate(outc), pa.int64()),
+                "x": pa.array(np.concatenate(outx), pa.int64()),
+                "nbx": pa.array(np.concatenate(outn), pa.int64()),
+            }
+        )
+
+    agg = (
+        cells.map_batches(contribs, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("x", alias_name="x"), Sum("nbx", alias_name="nbr_sum"))
+    )
+
+    def zscore(b: pa.Table) -> pa.Table:
+        cell = b["cell"].to_numpy(zero_copy_only=False)
+        x = b["x"].to_numpy(zero_copy_only=False)
+        nb = b["nbr_sum"].to_numpy(zero_copy_only=False)
+        gx = cell % nlon
+        gy = cell // nlon
+        deg = (
+            (gx > 0).astype(np.int64) + (gx < nlon - 1)
+            + (gy > 0) + (gy < nlat - 1)
+        )
+        w = deg + 1
+        num = n_cells * (x + nb) - t * w
+        z = num.astype(np.float64) / (
+            np.sqrt(float(a_const))
+            * np.sqrt((n_cells * w - w * w).astype(np.float64) / float(n_cells - 1))
+        )
+        return pa.table(
+            {
+                "cell": pa.array(cell, pa.int64()),
+                "gx": pa.array(gx, pa.int64()),
+                "gy": pa.array(gy, pa.int64()),
+                "x": pa.array(x, pa.int64()),
+                "nbr_sum": pa.array(nb, pa.int64()),
+                "z": pa.array(z, pa.float64()),
+            }
+        )
+
+    return (
+        agg.map_batches(zscore, batch_format="pyarrow")
+        .sort(["z", "cell"], descending=[True, False])
+        .limit(20)
+        .drop_columns(["cell"])
+    )
+
+
+GEO_GETIS_GI_SQL = f"""
+WITH pts AS (
+  SELECT CAST(FLOOR({GEO_LON_SQL}) AS BIGINT) + 180 AS gx,
+         CAST(FLOOR({GEO_LAT_SQL}) AS BIGINT) + 70 AS gy
+  FROM documents),
+cells AS (
+  SELECT gy * {_MORAN_NLON} + gx AS cell, gx, gy, COUNT(*) AS x
+  FROM pts GROUP BY 1, 2, 3),
+sc AS (
+  SELECT CAST(SUM(x) AS BIGINT) AS t, CAST(SUM(x * x) AS BIGINT) AS sum_sq
+  FROM cells),
+contrib AS (
+  SELECT cell, x, CAST(0 AS BIGINT) AS nbx FROM cells
+  UNION ALL
+  SELECT cell + 1, CAST(0 AS BIGINT), x FROM cells WHERE gx < {_MORAN_NLON - 1}
+  UNION ALL
+  SELECT cell - 1, CAST(0 AS BIGINT), x FROM cells WHERE gx > 0
+  UNION ALL
+  SELECT cell + {_MORAN_NLON}, CAST(0 AS BIGINT), x
+  FROM cells WHERE gy < {_MORAN_NLAT - 1}
+  UNION ALL
+  SELECT cell - {_MORAN_NLON}, CAST(0 AS BIGINT), x FROM cells WHERE gy > 0),
+agg AS (
+  SELECT cell, CAST(SUM(x) AS BIGINT) AS x, CAST(SUM(nbx) AS BIGINT) AS nbr_sum
+  FROM contrib GROUP BY 1),
+k AS (SELECT CAST({_MORAN_NLON * _MORAN_NLAT} AS BIGINT) AS n),
+g AS (
+  SELECT a.cell, a.cell % {_MORAN_NLON} AS gx, a.cell // {_MORAN_NLON} AS gy,
+         a.x, a.nbr_sum,
+         ((CASE WHEN a.cell % {_MORAN_NLON} > 0 THEN 1 ELSE 0 END)
+          + (CASE WHEN a.cell % {_MORAN_NLON} < {_MORAN_NLON - 1} THEN 1 ELSE 0 END)
+          + (CASE WHEN a.cell // {_MORAN_NLON} > 0 THEN 1 ELSE 0 END)
+          + (CASE WHEN a.cell // {_MORAN_NLON} < {_MORAN_NLAT - 1} THEN 1 ELSE 0 END)
+          + 1) AS w
+  FROM agg a)
+SELECT gx, gy, x, nbr_sum,
+       CAST(k.n * (g.x + g.nbr_sum) - sc.t * g.w AS DOUBLE)
+         / (SQRT(CAST(k.n * sc.sum_sq - sc.t * sc.t AS DOUBLE))
+            * SQRT(CAST(k.n * g.w - g.w * g.w AS DOUBLE)
+                   / CAST(k.n - 1 AS DOUBLE))) AS z
+FROM g, k, sc
+ORDER BY z DESC, g.cell
+LIMIT 20
+"""
+
+
 def events_od_matrix(sf_dir: str):
     """ORIGIN-DESTINATION MATRIX: counts of per-user travel legs between
     the 12 model cities (from_city -> to_city whenever consecutive events
@@ -10845,6 +11012,7 @@ QUERIES = {
     "events_od_matrix": events_od_matrix,
     "doc_unigram_surprisal": doc_unigram_surprisal,
     "geo_moran_i": geo_moran_i,
+    "geo_getis_gi": geo_getis_gi,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -10990,6 +11158,7 @@ ORACLE_SQL = {
     "events_od_matrix": EVENTS_OD_MATRIX_SQL,
     "doc_unigram_surprisal": DOC_UNIGRAM_SURPRISAL_SQL,
     "geo_moran_i": GEO_MORAN_I_SQL,
+    "geo_getis_gi": GEO_GETIS_GI_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
