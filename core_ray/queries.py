@@ -3010,6 +3010,120 @@ LIMIT 20
 """
 
 
+_KNN_CLS_MOD = 199  # probe set = docs with doc_id % 199 == 0
+_KNN_CLS_K = 5
+
+
+def geo_knn_classify(sf_dir: str):
+    """kNN MAJORITY-VOTE CLASSIFICATION in coordinate space: each probe
+    document (doc_id % {mod} == 0 — standing in for a small labeled query
+    set) is assigned the majority ``lang`` among its 5 nearest OTHER
+    documents. The spatial twin of emb_topk's broadcast-probe plan: the
+    probe matrix is ray.put-broadcast (probes << corpus by contract — the
+    same bound doc_contamination documents), every batch computes a
+    vectorized (P x B) squared-degree distance block and emits per-probe
+    LOCAL top-k partials, and one probe-keyed partition pass merges
+    partials, takes the global top-k and votes. No shuffle touches the
+    corpus; the only exchange is k x n_batches partial rows per probe.
+
+    Exact parity: distances are the same dla*dla + dlo*dlo chain both
+    sides; the top-k order is (dist, doc_id) — total, so float ties are
+    broken identically — and the vote tie-break is lexicographic lang."""
+    from core_ray.stages.agg import map_groups_partitioned
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def _probe_filter(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % _KNN_CLS_MOD == 0))
+
+    probe_tbl = pa.concat_tables(
+        list(
+            docs.map_batches(_probe_filter, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")
+        )
+    )
+    p_ids = probe_tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    p_lat, p_lon = _derive_coords(p_ids)
+
+    def topk_partial(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lang = np.asarray(b["lang"].to_pylist())
+        lat, lon = _derive_coords(ids)
+        dla = p_lat[:, None] - lat[None, :]
+        dlo = p_lon[:, None] - lon[None, :]
+        d = dla * dla + dlo * dlo  # (P, B)
+        d[ids[None, :] == p_ids[:, None]] = np.inf  # exclude self
+        k = min(_KNN_CLS_K, d.shape[1])
+        part = np.argpartition(d, k - 1, axis=1)[:, :k]
+        pid_out = np.repeat(p_ids, k)
+        col = part.ravel()
+        return pa.table(
+            {
+                "pid": pa.array(pid_out, pa.int64()),
+                "doc_id": pa.array(ids[col], pa.int64()),
+                "lang": pa.array(lang[col].tolist(), pa.string()),
+                "dist": pa.array(d[np.repeat(np.arange(len(p_ids)), k), col],
+                                 pa.float64()),
+                "k": pa.array(pid_out.astype(np.uint64), pa.uint64()),
+            }
+        )
+
+    def vote(g: pa.Table) -> pa.Table:
+        pid = g["pid"].to_numpy(zero_copy_only=False)
+        did = g["doc_id"].to_numpy(zero_copy_only=False)
+        dist = g["dist"].to_numpy(zero_copy_only=False)
+        lang = np.asarray(g["lang"].to_pylist())
+        order = np.lexsort((did, dist, pid))
+        pid, did, dist, lang = pid[order], did[order], dist[order], lang[order]
+        new = np.r_[True, pid[1:] != pid[:-1]]
+        starts = np.nonzero(new)[0]
+        out_p, out_l, out_n = [], [], []
+        ends = np.append(starts[1:], len(pid))
+        for s, e in zip(starts, ends):
+            kk = min(_KNN_CLS_K, e - s)
+            u, c = np.unique(lang[s:s + kk], return_counts=True)
+            w = int(np.argmax(c))  # np.unique sorts langs: first max = lex tie-break
+            out_p.append(int(pid[s]))
+            out_l.append(str(u[w]))
+            out_n.append(int(c[w]))
+        return pa.table(
+            {
+                "pid": pa.array(out_p, pa.int64()),
+                "pred_lang": pa.array(out_l, pa.string()),
+                "n_votes": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    partials = docs.map_batches(topk_partial, batch_format="pyarrow",
+                                batch_size=65536)
+    return map_groups_partitioned(partials, "k", vote)
+
+
+GEO_KNN_CLASSIFY_SQL = f"""
+WITH pts AS (
+  SELECT doc_id, lang, {GEO_LAT_SQL} AS lat, {GEO_LON_SQL} AS lon
+  FROM documents),
+probes AS (SELECT doc_id AS pid, lat, lon FROM pts
+           WHERE doc_id % {_KNN_CLS_MOD} = 0),
+cand AS (
+  SELECT p.pid, d.doc_id, d.lang,
+         (p.lat - d.lat) * (p.lat - d.lat)
+           + (p.lon - d.lon) * (p.lon - d.lon) AS dist,
+         ROW_NUMBER() OVER (PARTITION BY p.pid
+                            ORDER BY (p.lat - d.lat) * (p.lat - d.lat)
+                                     + (p.lon - d.lon) * (p.lon - d.lon),
+                                     d.doc_id) AS rn
+  FROM probes p JOIN pts d ON d.doc_id != p.pid),
+votes AS (
+  SELECT pid, lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM cand WHERE rn <= {_KNN_CLS_K} GROUP BY 1, 2)
+SELECT pid, lang AS pred_lang, n AS n_votes
+FROM votes
+QUALIFY ROW_NUMBER() OVER (PARTITION BY pid ORDER BY n DESC, lang) = 1
+"""
+
+
 def events_od_matrix(sf_dir: str):
     """ORIGIN-DESTINATION MATRIX: counts of per-user travel legs between
     the 12 model cities (from_city -> to_city whenever consecutive events
@@ -11013,6 +11127,7 @@ QUERIES = {
     "doc_unigram_surprisal": doc_unigram_surprisal,
     "geo_moran_i": geo_moran_i,
     "geo_getis_gi": geo_getis_gi,
+    "geo_knn_classify": geo_knn_classify,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -11159,6 +11274,7 @@ ORACLE_SQL = {
     "doc_unigram_surprisal": DOC_UNIGRAM_SURPRISAL_SQL,
     "geo_moran_i": GEO_MORAN_I_SQL,
     "geo_getis_gi": GEO_GETIS_GI_SQL,
+    "geo_knn_classify": GEO_KNN_CLASSIFY_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
