@@ -108,6 +108,8 @@ BENCH_QUERIES = [
     "events_od_matrix",
     "doc_unigram_surprisal",
     "geo_moran_i",
+    "geo_getis_gi",
+    "geo_knn_classify",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost
