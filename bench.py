@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "geo_moran_i",
     "geo_getis_gi",
     "geo_knn_classify",
+    "geo_morton_parts",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

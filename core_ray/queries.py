@@ -3010,6 +3010,133 @@ LIMIT 20
 """
 
 
+_MORTON_PARTS = 64
+
+
+def geo_morton_parts(sf_dir: str):
+    """Z-ORDER (Morton) EQUI-DEPTH RANGE PARTITIONING — the space-filling-
+    curve primitive distributed spatial stores use to pick ONE balanced,
+    locality-preserving partitioning key. Each document gets a 32-bit
+    Morton key (16-bit lat/lon quantization, bit-interleaved); the key
+    space is split into {P} ranges of near-equal DOC COUNT (not width —
+    equi-width ranges skew with the data, the whole point), and the plan
+    reports each range's population and key bounds.
+
+    Scale shape: the split points come from a distributed value->count
+    histogram (count_by_u64 — distinct keys, not rows, reach the driver;
+    the doc_quality_buckets contract), the <=P boundary keys broadcast
+    into a stateless searchsorted assignment, and per-batch partials feed
+    one tiny groupby. Deterministic tie contract: all docs sharing a key
+    share a part — part(v) = floor(P * |{{docs with key < v}}| / N), which
+    the SQL mirrors with a window prefix sum; quantization floats are the
+    identical expression chain both sides, and everything after is
+    integer."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from core_ray.stages.agg import count_by_u64
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def mkeys(b: pa.Table) -> np.ndarray:
+        doc_id = b["doc_id"].to_numpy(zero_copy_only=False)
+        lat, lon = _derive_coords(doc_id)
+        qx = np.minimum(
+            np.maximum(np.floor((lon + 180.0) * 65536.0 / 360.0), 0.0), 65535.0
+        ).astype(np.int64)
+        qy = np.minimum(
+            np.maximum(np.floor((lat + 90.0) * 65536.0 / 180.0), 0.0), 65535.0
+        ).astype(np.int64)
+        mk = np.zeros(len(qx), np.int64)
+        for bit in range(16):
+            mk |= ((qx >> bit) & 1) << (2 * bit)
+            mk |= ((qy >> bit) & 1) << (2 * bit + 1)
+        return mk
+
+    hist = count_by_u64(
+        ds.map_batches(
+            lambda b: pa.table({"key": pa.array(mkeys(b).astype(np.uint64),
+                                                pa.uint64())}),
+            batch_format="pyarrow",
+            batch_size=65536,
+        ),
+        "key",
+    )
+    h = _collect_table(hist)
+    vals = h["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cnts = h["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(vals)
+    vals, cnts = vals[order], cnts[order]
+    n_total = int(cnts.sum())
+    prefix = np.cumsum(cnts) - cnts  # docs with key < v
+    part_of_val = (prefix * _MORTON_PARTS) // n_total
+    new_part = np.r_[True, part_of_val[1:] != part_of_val[:-1]]
+    bounds = vals[new_part]  # first key of each PRESENT part, ascending
+    part_ids = part_of_val[new_part]
+
+    def partials(b: pa.Table) -> pa.Table:
+        mk = mkeys(b)
+        part = part_ids[np.searchsorted(bounds, mk, side="right") - 1]
+        order = np.lexsort((mk, part))  # part-major, key-minor
+        ps, ms = part[order], mk[order]
+        new = np.r_[True, ps[1:] != ps[:-1]]
+        starts = np.nonzero(new)[0]
+        ends = np.append(starts[1:], len(ps))
+        return pa.table(
+            {
+                "part_id": pa.array(ps[starts], pa.int64()),
+                "n": pa.array(ends - starts, pa.int64()),
+                "lo": pa.array(ms[starts], pa.int64()),
+                "hi": pa.array(ms[ends - 1], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow", batch_size=65536)
+        .groupby("part_id")
+        .aggregate(
+            Sum("n", alias_name="n_docs"),
+            Min("lo", alias_name="lo_key"),
+            Max("hi", alias_name="hi_key"),
+        )
+    )
+
+
+def _morton_interleave_sql(qx: str, qy: str) -> str:
+    return " + ".join(
+        f"(({qx} // {1 << b}) % 2) * {1 << (2 * b)}"
+        f" + (({qy} // {1 << b}) % 2) * {1 << (2 * b + 1)}"
+        for b in range(16)
+    )
+
+
+GEO_MORTON_PARTS_SQL = f"""
+WITH pts AS (
+  SELECT doc_id, {GEO_LAT_SQL} AS lat, {GEO_LON_SQL} AS lon FROM documents),
+q AS (
+  SELECT doc_id,
+         CAST(GREATEST(LEAST(FLOOR((lon + 180.0) * 65536.0 / 360.0),
+                             65535.0), 0.0) AS BIGINT) AS qx,
+         CAST(GREATEST(LEAST(FLOOR((lat + 90.0) * 65536.0 / 180.0),
+                             65535.0), 0.0) AS BIGINT) AS qy
+  FROM pts),
+m AS (SELECT doc_id, {_morton_interleave_sql('qx', 'qy')} AS mkey FROM q),
+counts AS (SELECT mkey, COUNT(*) AS c FROM m GROUP BY 1),
+pre AS (
+  SELECT mkey,
+         COALESCE(SUM(c) OVER (ORDER BY mkey
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS pfx
+  FROM counts),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM m),
+parts AS (
+  SELECT m.mkey, CAST((pre.pfx * {_MORTON_PARTS}) // tot.n AS BIGINT) AS part_id
+  FROM m JOIN pre USING (mkey), tot)
+SELECT part_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(mkey) AS BIGINT) AS lo_key, CAST(MAX(mkey) AS BIGINT) AS hi_key
+FROM parts GROUP BY 1
+"""
+
+
 _KNN_CLS_MOD = 199  # probe set = docs with doc_id % 199 == 0
 _KNN_CLS_K = 5
 
@@ -11128,6 +11255,7 @@ QUERIES = {
     "geo_moran_i": geo_moran_i,
     "geo_getis_gi": geo_getis_gi,
     "geo_knn_classify": geo_knn_classify,
+    "geo_morton_parts": geo_morton_parts,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -11275,6 +11403,7 @@ ORACLE_SQL = {
     "geo_moran_i": GEO_MORAN_I_SQL,
     "geo_getis_gi": GEO_GETIS_GI_SQL,
     "geo_knn_classify": GEO_KNN_CLASSIFY_SQL,
+    "geo_morton_parts": GEO_MORTON_PARTS_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
