@@ -3251,6 +3251,133 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY pid ORDER BY n DESC, lang) = 1
 """
 
 
+_IDW_MOD = 41  # probe set = docs with doc_id % 41 == 0
+_IDW_K = 8
+_IDW_Q = 10000.0  # squared-degree distance quantizer (exact in float64)
+# Integer weight scale. Worldwide d2 caps at 140^2+360^2 = 149,200 deg^2, so
+# floor(d2*Q) < 1.5e9 and SCALE//(1+d2q) never underflows to 0; per-probe
+# integer sums stay far inside int64 (8 * 1e12 * max_chars).
+_IDW_SCALE = 10**12
+
+
+def geo_idw_interp(sf_dir: str):
+    """INVERSE-DISTANCE-WEIGHTED INTERPOLATION: estimate a surface value
+    (``n_chars``) at each probe site (doc_id % {mod} == 0) from its 8
+    nearest other documents — the classic geostatistics gridding operator
+    (Shepard 1968). Same broadcast-probe plan as geo_knn_classify: probe
+    matrix ray.put-small by contract, per-batch (P x B) vectorized distance
+    blocks emit per-probe local top-k partials, one probe-keyed partition
+    pass merges and reduces. No corpus shuffle.
+
+    Exact parity with SQL via the integer-numerator discipline (the
+    geo_getis_gi/doc_unigram_surprisal trick): the weight is quantized to
+    an INTEGER w = SCALE // (1 + floor(d2 * Q)) — d2 is the identical
+    dla*dla + dlo*dlo double chain on both sides, so floor(d2*Q) is the
+    same int64 — and the estimate is ONE double division of two exact
+    integer sums (order-free), never an order-sensitive float sum."""
+    from core_ray.stages.agg import map_groups_partitioned
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def _probe_filter(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % _IDW_MOD == 0))
+
+    probe_tbl = pa.concat_tables(
+        list(
+            docs.map_batches(_probe_filter, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")
+        )
+    )
+    p_ids = probe_tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    p_lat, p_lon = _derive_coords(p_ids)
+
+    def topk_partial(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        chars = pc.cast(b["n_chars"], pa.int64()).to_numpy(zero_copy_only=False)
+        lat, lon = _derive_coords(ids)
+        dla = p_lat[:, None] - lat[None, :]
+        dlo = p_lon[:, None] - lon[None, :]
+        d = dla * dla + dlo * dlo  # (P, B)
+        d[ids[None, :] == p_ids[:, None]] = np.inf  # exclude self
+        k = min(_IDW_K, d.shape[1])
+        part = np.argpartition(d, k - 1, axis=1)[:, :k]
+        pid_out = np.repeat(p_ids, k)
+        col = part.ravel()
+        return pa.table(
+            {
+                "pid": pa.array(pid_out, pa.int64()),
+                "doc_id": pa.array(ids[col], pa.int64()),
+                "chars": pa.array(chars[col], pa.int64()),
+                "dist": pa.array(d[np.repeat(np.arange(len(p_ids)), k), col],
+                                 pa.float64()),
+                "k": pa.array(pid_out.astype(np.uint64), pa.uint64()),
+            }
+        )
+
+    def reduce_idw(g: pa.Table) -> pa.Table:
+        pid = g["pid"].to_numpy(zero_copy_only=False)
+        did = g["doc_id"].to_numpy(zero_copy_only=False)
+        dist = g["dist"].to_numpy(zero_copy_only=False)
+        chars = g["chars"].to_numpy(zero_copy_only=False)
+        fin = np.isfinite(dist)  # inf partials only exist in tiny batches
+        pid, did, dist, chars = pid[fin], did[fin], dist[fin], chars[fin]
+        order = np.lexsort((did, dist, pid))  # total (pid, dist, doc_id)
+        pid, dist, chars = pid[order], dist[order], chars[order]
+        new = np.r_[True, pid[1:] != pid[:-1]]
+        starts = np.nonzero(new)[0]
+        ends = np.append(starts[1:], len(pid))
+        out_p, out_e, out_w = [], [], []
+        for s, e in zip(starts, ends):
+            kk = min(_IDW_K, e - s)
+            d2q = np.floor(dist[s:s + kk] * _IDW_Q).astype(np.int64)
+            w = _IDW_SCALE // (1 + d2q)
+            sw = int(w.sum())
+            swv = int((w * chars[s:s + kk]).sum())
+            out_p.append(int(pid[s]))
+            out_e.append(float(np.float64(swv) / np.float64(sw)))
+            out_w.append(sw)
+        return pa.table(
+            {
+                "pid": pa.array(out_p, pa.int64()),
+                "idw_chars": pa.array(out_e, pa.float64()),
+                "sum_w": pa.array(out_w, pa.int64()),
+            }
+        )
+
+    partials = docs.map_batches(topk_partial, batch_format="pyarrow",
+                                batch_size=65536)
+    return map_groups_partitioned(partials, "k", reduce_idw)
+
+
+GEO_IDW_INTERP_SQL = f"""
+WITH pts AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS chars,
+         {GEO_LAT_SQL} AS lat, {GEO_LON_SQL} AS lon
+  FROM documents),
+probes AS (SELECT doc_id AS pid, lat, lon FROM pts
+           WHERE doc_id % {_IDW_MOD} = 0),
+cand AS (
+  SELECT p.pid, d.doc_id, d.chars,
+         (p.lat - d.lat) * (p.lat - d.lat)
+           + (p.lon - d.lon) * (p.lon - d.lon) AS dist,
+         ROW_NUMBER() OVER (PARTITION BY p.pid
+                            ORDER BY (p.lat - d.lat) * (p.lat - d.lat)
+                                     + (p.lon - d.lon) * (p.lon - d.lon),
+                                     d.doc_id) AS rn
+  FROM probes p JOIN pts d ON d.doc_id != p.pid),
+w AS (
+  SELECT pid, chars,
+         {_IDW_SCALE} // (1 + CAST(FLOOR(dist * {_IDW_Q}) AS BIGINT)) AS w
+  FROM cand WHERE rn <= {_IDW_K})
+SELECT pid,
+       CAST(CAST(SUM(w * chars) AS BIGINT) AS DOUBLE)
+         / CAST(CAST(SUM(w) AS BIGINT) AS DOUBLE) AS idw_chars,
+       CAST(SUM(w) AS BIGINT) AS sum_w
+FROM w GROUP BY 1
+"""
+
+
 def events_od_matrix(sf_dir: str):
     """ORIGIN-DESTINATION MATRIX: counts of per-user travel legs between
     the 12 model cities (from_city -> to_city whenever consecutive events
@@ -11256,6 +11383,7 @@ QUERIES = {
     "geo_getis_gi": geo_getis_gi,
     "geo_knn_classify": geo_knn_classify,
     "geo_morton_parts": geo_morton_parts,
+    "geo_idw_interp": geo_idw_interp,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -11404,6 +11532,7 @@ ORACLE_SQL = {
     "geo_getis_gi": GEO_GETIS_GI_SQL,
     "geo_knn_classify": GEO_KNN_CLASSIFY_SQL,
     "geo_morton_parts": GEO_MORTON_PARTS_SQL,
+    "geo_idw_interp": GEO_IDW_INTERP_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
