@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "geo_knn_classify",
     "geo_morton_parts",
     "geo_idw_interp",
+    "geo_semivariogram",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

@@ -3378,6 +3378,158 @@ FROM w GROUP BY 1
 """
 
 
+_VARIO_LAG_DEG = 0.5  # lag-bin width (deg)
+_VARIO_RADIUS_DEG = 10.0  # wider band than the 5-deg pair query: the test
+# corpus's derived-coordinate lattice concentrates pair distances near
+# ~0.9/6.6/7.8 deg, so 10 deg exercises multiple lag bins
+
+
+def geo_semivariogram(sf_dir: str, radius: float = _VARIO_RADIUS_DEG):
+    """EMPIRICAL SEMIVARIOGRAM (Matheron): gamma(h) = sum((v_a - v_b)^2)
+    / (2 * N(h)) over document pairs within the distance band, binned by
+    lag floor(sqrt(d2)/width) — the spatial-continuity curve kriging and
+    IDW parameter fitting start from; the natural companion to
+    geo_idw_interp. Shape is geo_colocation's: the value column (n_chars)
+    RIDES the 9x home+ghost replication, one hash shuffle, and the
+    partition kernel reduces home-left candidate pairs straight to
+    (lag_bin, n, sum_sqdiff) integer partials — pairs never materialize
+    outside a task, and the final groupby sums <= 11 bins x n_parts rows.
+    Exactness: diffs are int64 so per-bin sums are exact order-free
+    integers (np.add.at, not float bincount weights); gamma is ONE double
+    division of two exact integers, mirrored bit-identically in SQL; the
+    lag index floor(sqrt(d2)/width) uses the same correctly-rounded
+    IEEE sqrt chain both sides."""
+    from ray.data.aggregate import Sum
+
+    from core_ray.stages.agg import map_groups_partitioned
+    from core_ray.stages.distband import replicate_to_cells
+
+    r2 = radius * radius
+    n_bins = int(np.floor(radius / _VARIO_LAG_DEG)) + 1
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def rep(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy(zero_copy_only=False)
+        lat, lon = _derive_coords(doc_id)
+        t = replicate_to_cells(doc_id.astype(np.int64), lat, lon, radius)
+        chars = pc.cast(b["n_chars"], pa.int64())
+        idx = np.repeat(np.arange(len(doc_id), dtype=np.int64), 9)
+        return t.append_column("chars", pc.take(chars, pa.array(idx)))
+
+    _empty = pa.table(
+        {
+            "lag_bin": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            "ssq": pa.array([], pa.int64()),
+        }
+    )
+
+    def part(g: pa.Table) -> pa.Table:
+        key = g["ck"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = len(key)
+        if n == 0:
+            return _empty
+        order = np.argsort(key, kind="stable")
+        key = key[order]
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)[order]
+        lat = g["lat"].to_numpy(zero_copy_only=False)[order]
+        lon = g["lon"].to_numpy(zero_copy_only=False)[order]
+        home = g["home"].to_numpy(zero_copy_only=False)[order]
+        chars = g["chars"].to_numpy(zero_copy_only=False)[order]
+        new = np.ones(n, dtype=bool)
+        new[1:] = key[1:] != key[:-1]
+        seg_id = np.cumsum(new) - 1
+        starts = np.nonzero(new)[0]
+        seg_len = np.diff(np.append(starts, n)).astype(np.int64)
+        hidx = np.nonzero(home)[0]
+        if len(hidx) == 0:
+            return _empty
+        cnt_acc = np.zeros(n_bins, np.int64)
+        ssq_acc = np.zeros(n_bins, np.int64)
+        Lh = seg_len[seg_id[hidx]]
+        chunk_of_home = np.cumsum(Lh) // (8 << 20)
+        for c in np.unique(chunk_of_home):
+            sel = chunk_of_home == c
+            h = hidx[sel]
+            L = Lh[sel]
+            left = np.repeat(h, L)
+            rps = np.cumsum(L) - L
+            offs = np.arange(int(L.sum())) - np.repeat(rps, L)
+            right = np.repeat(starts[seg_id[h]], L) + offs
+            m = ids[right] > ids[left]
+            i, j = left[m], right[m]
+            dla = lat[i] - lat[j]
+            dlo = lon[i] - lon[j]
+            d2 = dla * dla + dlo * dlo
+            keep = d2 <= r2
+            i, j, d2 = i[keep], j[keep], d2[keep]
+            lag = np.floor(np.sqrt(d2) / _VARIO_LAG_DEG).astype(np.int64)
+            diff = chars[i] - chars[j]
+            np.add.at(cnt_acc, lag, 1)
+            np.add.at(ssq_acc, lag, diff * diff)
+        present = np.nonzero(cnt_acc)[0]
+        if len(present) == 0:
+            return _empty
+        return pa.table(
+            {
+                "lag_bin": pa.array(present, pa.int64()),
+                "n": pa.array(cnt_acc[present], pa.int64()),
+                "ssq": pa.array(ssq_acc[present], pa.int64()),
+            }
+        )
+
+    rep_ds = docs.map_batches(rep, batch_format="pyarrow", batch_size=65536)
+    binned = (
+        map_groups_partitioned(rep_ds, "ck", part)
+        .groupby("lag_bin")
+        .aggregate(Sum("n", alias_name="n_pairs"),
+                   Sum("ssq", alias_name="sum_sqdiff"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        npair = b["n_pairs"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ssq = b["sum_sqdiff"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gamma = ssq.astype(np.float64) / (2 * npair).astype(np.float64)
+        return pa.table(
+            {
+                "lag_bin": pc.cast(b["lag_bin"], pa.int64()),
+                "n_pairs": pa.array(npair, pa.int64()),
+                "sum_sqdiff": pa.array(ssq, pa.int64()),
+                "gamma": pa.array(gamma, pa.float64()),
+            }
+        )
+
+    t = pa.concat_tables(
+        list(
+            binned.map_batches(finish, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")
+        )
+    )  # <= 11 rows by construction
+    return t.sort_by("lag_bin")
+
+
+GEO_SEMIVARIOGRAM_SQL = f"""
+WITH pts AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS chars,
+         {GEO_LAT_SQL} AS lat, {GEO_LON_SQL} AS lon
+  FROM documents),
+pairs AS (
+  SELECT CAST(FLOOR(SQRT((a.lat - b.lat) * (a.lat - b.lat)
+                          + (a.lon - b.lon) * (a.lon - b.lon))
+                    / {_VARIO_LAG_DEG}) AS BIGINT) AS lag_bin,
+         (a.chars - b.chars) * (a.chars - b.chars) AS sqdiff
+  FROM pts a JOIN pts b ON a.doc_id < b.doc_id
+  WHERE (a.lat - b.lat) * (a.lat - b.lat)
+          + (a.lon - b.lon) * (a.lon - b.lon)
+        <= {_VARIO_RADIUS_DEG * _VARIO_RADIUS_DEG})
+SELECT lag_bin, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(sqdiff) AS BIGINT) AS sum_sqdiff,
+       CAST(CAST(SUM(sqdiff) AS BIGINT) AS DOUBLE)
+         / CAST(2 * COUNT(*) AS DOUBLE) AS gamma
+FROM pairs GROUP BY 1 ORDER BY 1
+"""
+
+
 def events_od_matrix(sf_dir: str):
     """ORIGIN-DESTINATION MATRIX: counts of per-user travel legs between
     the 12 model cities (from_city -> to_city whenever consecutive events
@@ -11384,6 +11536,7 @@ QUERIES = {
     "geo_knn_classify": geo_knn_classify,
     "geo_morton_parts": geo_morton_parts,
     "geo_idw_interp": geo_idw_interp,
+    "geo_semivariogram": geo_semivariogram,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -11533,6 +11686,7 @@ ORACLE_SQL = {
     "geo_knn_classify": GEO_KNN_CLASSIFY_SQL,
     "geo_morton_parts": GEO_MORTON_PARTS_SQL,
     "geo_idw_interp": GEO_IDW_INTERP_SQL,
+    "geo_semivariogram": GEO_SEMIVARIOGRAM_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
