@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "geo_morton_parts",
     "geo_idw_interp",
     "geo_semivariogram",
+    "geo_stratified_sample",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

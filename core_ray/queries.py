@@ -3530,6 +3530,82 @@ FROM pairs GROUP BY 1 ORDER BY 1
 """
 
 
+_STRAT_K = 3  # cap per 30-deg cell
+_STRAT_CELL_DEG = 30.0  # coarse enough that dense cells exceed the cap on
+# the test lattice (1-deg cells hold <=3 docs there — nothing would bite)
+_STRAT_MULT = 2654435761  # Knuth multiplicative hash (fits int64 here;
+# at 10^12-doc scale use a 128-bit modmul — documented contract)
+
+
+def geo_stratified_sample(sf_dir: str, per: int = _STRAT_K):
+    """STRATIFIED SPATIAL SAMPLING: keep at most K documents per 1-degree
+    cell, chosen by a deterministic per-doc hash — the geographic
+    rebalancing step a training-data pipeline runs to debias mega-city
+    skew (cap the dense cells, keep the sparse ones whole) while staying
+    reproducible across runs. Same two-level shape as doc_top2_per_lang:
+    the per-batch combiner prunes to K rows per cell BEFORE the shuffle
+    (so the groupby moves at most K x cells x batches rows, never the
+    corpus), then a per-cell top-K under the total (h, doc_id) order.
+    The cell key is packed into ONE int64 for the shuffle (the
+    multi-column-groupby lesson in BASELINE.md)."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lat, lon = _derive_coords(doc_id)
+        gx = np.floor(lon / _STRAT_CELL_DEG).astype(np.int64)
+        gy = np.floor(lat / _STRAT_CELL_DEG).astype(np.int64)
+        h = (doc_id * _STRAT_MULT) % 4294967296
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_id, pa.int64()),
+                "gx": pa.array(gx, pa.int64()),
+                "gy": pa.array(gy, pa.int64()),
+                "h": pa.array(h, pa.int64()),
+                "gk": pa.array((gx + 8) * 1024 + (gy + 4), pa.int64()),
+            }
+        )
+
+    def prune(b: pa.Table) -> pa.Table:
+        t = keyed(b)
+        gk = t["gk"].to_numpy(zero_copy_only=False)
+        h = t["h"].to_numpy(zero_copy_only=False)
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, h, gk))
+        gs = gk[order]
+        new = np.ones(len(gs), dtype=bool)
+        new[1:] = gs[1:] != gs[:-1]
+        grp_start = np.maximum.accumulate(
+            np.where(new, np.arange(len(gs)), 0))
+        keep = (np.arange(len(gs)) - grp_start) < per
+        return t.take(pa.array(order[keep]))
+
+    def top_per_cell(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            g, sort_keys=[("h", "ascending"), ("doc_id", "ascending")]
+        )
+        return g.take(order[:per]).drop_columns(["gk"])
+
+    return (
+        ds.map_batches(prune, batch_format="pyarrow", batch_size=65536)
+        .groupby("gk")
+        .map_groups(top_per_cell, batch_format="pyarrow")
+    )
+
+
+GEO_STRATIFIED_SAMPLE_SQL = f"""
+WITH pts AS (
+  SELECT doc_id,
+         CAST(FLOOR(({GEO_LON_SQL}) / {_STRAT_CELL_DEG}) AS BIGINT) AS gx,
+         CAST(FLOOR(({GEO_LAT_SQL}) / {_STRAT_CELL_DEG}) AS BIGINT) AS gy,
+         (doc_id * {_STRAT_MULT}) % 4294967296 AS h
+  FROM documents)
+SELECT doc_id, gx, gy, h FROM pts
+QUALIFY ROW_NUMBER() OVER (PARTITION BY gx, gy ORDER BY h, doc_id)
+        <= {_STRAT_K}
+"""
+
+
 def events_od_matrix(sf_dir: str):
     """ORIGIN-DESTINATION MATRIX: counts of per-user travel legs between
     the 12 model cities (from_city -> to_city whenever consecutive events
@@ -11537,6 +11613,7 @@ QUERIES = {
     "geo_morton_parts": geo_morton_parts,
     "geo_idw_interp": geo_idw_interp,
     "geo_semivariogram": geo_semivariogram,
+    "geo_stratified_sample": geo_stratified_sample,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -11687,6 +11764,7 @@ ORACLE_SQL = {
     "geo_morton_parts": GEO_MORTON_PARTS_SQL,
     "geo_idw_interp": GEO_IDW_INTERP_SQL,
     "geo_semivariogram": GEO_SEMIVARIOGRAM_SQL,
+    "geo_stratified_sample": GEO_STRATIFIED_SAMPLE_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
