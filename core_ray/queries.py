@@ -3606,6 +3606,107 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY gx, gy ORDER BY h, doc_id)
 """
 
 
+_NF_Q = 1000.0  # micro-distance quantizer for the exact integer sum
+
+
+def geo_nearest_facility(sf_dir: str):
+    """NEAREST-FACILITY ASSIGNMENT (allocation): every document is assigned
+    to the closest of the 12 model city centers — the reverse-geocode /
+    service-area allocation primitive (nearest warehouse, nearest POI).
+    The facility table is tiny by definition, so it is a broadcast
+    constant: each batch computes a vectorized (B x 12) squared-degree
+    distance block, argmin with the (dist, fac_id) total order (np.argmin
+    first-minimum == lowest fac_id == the SQL window order), and reduces
+    straight to per-facility (n, sum_micro) integer partials via bincount
+    — no shuffle moves rows, the final groupby sums 12 x n_batches partial
+    rows. mean_d2 is ONE double division of two exact integers (micro
+    quantizer floor(d2*Q); int64 partials bound the contract — at extreme
+    corpus scale the partials stay bounded per task and the final 12-row
+    merge would move to a widened accumulator)."""
+    from ray.data.aggregate import Sum
+
+    k = np.arange(12, dtype=np.int64)
+    f_lat = ((k * 11003) % 120000) / 1000.0 - 60.0
+    f_lon = ((k * 104729) % 340000) / 1000.0 - 170.0
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lat, lon = _derive_coords(doc_id)
+        dla = lat[:, None] - f_lat[None, :]
+        dlo = lon[:, None] - f_lon[None, :]
+        d2 = dla * dla + dlo * dlo  # (B, 12)
+        fac = np.argmin(d2, axis=1)
+        best = d2[np.arange(len(fac)), fac]
+        micro = np.floor(best * _NF_Q).astype(np.int64)
+        n = np.bincount(fac, minlength=12).astype(np.int64)
+        sm = np.zeros(12, np.int64)
+        np.add.at(sm, fac, micro)
+        present = np.nonzero(n)[0]
+        return pa.table(
+            {
+                "fac_id": pa.array(present, pa.int64()),
+                "n": pa.array(n[present], pa.int64()),
+                "sm": pa.array(sm[present], pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("fac_id")
+        .aggregate(Sum("n", alias_name="n_docs"),
+                   Sum("sm", alias_name="sum_micro"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["n_docs"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sm = b["sum_micro"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "fac_id": pc.cast(b["fac_id"], pa.int64()),
+                "n_docs": pa.array(n, pa.int64()),
+                "sum_micro": pa.array(sm, pa.int64()),
+                "mean_micro": pa.array(
+                    sm.astype(np.float64) / n.astype(np.float64), pa.float64()
+                ),
+            }
+        )
+
+    t = pa.concat_tables(
+        list(
+            agg.map_batches(finish, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")
+        )
+    )  # <= 12 rows by construction
+    return t.sort_by("fac_id")
+
+
+GEO_NEAREST_FACILITY_SQL = f"""
+WITH pts AS (
+  SELECT doc_id, {GEO_LAT_SQL} AS lat, {GEO_LON_SQL} AS lon FROM documents),
+facs AS (
+  SELECT k AS fac_id,
+         ((k * 11003) % 120000) / 1000.0 - 60.0 AS flat,
+         ((k * 104729) % 340000) / 1000.0 - 170.0 AS flon
+  FROM range(12) t(k)),
+assign AS (
+  SELECT p.doc_id, f.fac_id,
+         (p.lat - f.flat) * (p.lat - f.flat)
+           + (p.lon - f.flon) * (p.lon - f.flon) AS d2,
+         ROW_NUMBER() OVER (PARTITION BY p.doc_id
+                            ORDER BY (p.lat - f.flat) * (p.lat - f.flat)
+                                     + (p.lon - f.flon) * (p.lon - f.flon),
+                                     f.fac_id) AS rn
+  FROM pts p CROSS JOIN facs f)
+SELECT fac_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(FLOOR(d2 * {_NF_Q}) AS BIGINT)) AS BIGINT) AS sum_micro,
+       CAST(CAST(SUM(CAST(FLOOR(d2 * {_NF_Q}) AS BIGINT)) AS BIGINT) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS mean_micro
+FROM assign WHERE rn = 1 GROUP BY 1 ORDER BY 1
+"""
+
+
 def events_od_matrix(sf_dir: str):
     """ORIGIN-DESTINATION MATRIX: counts of per-user travel legs between
     the 12 model cities (from_city -> to_city whenever consecutive events
@@ -11614,6 +11715,7 @@ QUERIES = {
     "geo_idw_interp": geo_idw_interp,
     "geo_semivariogram": geo_semivariogram,
     "geo_stratified_sample": geo_stratified_sample,
+    "geo_nearest_facility": geo_nearest_facility,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -11765,6 +11867,7 @@ ORACLE_SQL = {
     "geo_idw_interp": GEO_IDW_INTERP_SQL,
     "geo_semivariogram": GEO_SEMIVARIOGRAM_SQL,
     "geo_stratified_sample": GEO_STRATIFIED_SAMPLE_SQL,
+    "geo_nearest_facility": GEO_NEAREST_FACILITY_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
