@@ -3530,14 +3530,14 @@ FROM pairs GROUP BY 1 ORDER BY 1
 """
 
 
-_STRAT_K = 3  # cap per 30-deg cell
-_STRAT_CELL_DEG = 30.0  # coarse enough that dense cells exceed the cap on
+_SSAMP_K = 3  # cap per 30-deg cell
+_SSAMP_CELL_DEG = 30.0  # coarse enough that dense cells exceed the cap on
 # the test lattice (1-deg cells hold <=3 docs there — nothing would bite)
-_STRAT_MULT = 2654435761  # Knuth multiplicative hash (fits int64 here;
+_SSAMP_MULT = 2654435761  # Knuth multiplicative hash (fits int64 here;
 # at 10^12-doc scale use a 128-bit modmul — documented contract)
 
 
-def geo_stratified_sample(sf_dir: str, per: int = _STRAT_K):
+def geo_stratified_sample(sf_dir: str, per: int = _SSAMP_K):
     """STRATIFIED SPATIAL SAMPLING: keep at most K documents per 1-degree
     cell, chosen by a deterministic per-doc hash — the geographic
     rebalancing step a training-data pipeline runs to debias mega-city
@@ -3553,9 +3553,9 @@ def geo_stratified_sample(sf_dir: str, per: int = _STRAT_K):
     def keyed(b: pa.Table) -> pa.Table:
         doc_id = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         lat, lon = _derive_coords(doc_id)
-        gx = np.floor(lon / _STRAT_CELL_DEG).astype(np.int64)
-        gy = np.floor(lat / _STRAT_CELL_DEG).astype(np.int64)
-        h = (doc_id * _STRAT_MULT) % 4294967296
+        gx = np.floor(lon / _SSAMP_CELL_DEG).astype(np.int64)
+        gy = np.floor(lat / _SSAMP_CELL_DEG).astype(np.int64)
+        h = (doc_id * _SSAMP_MULT) % 4294967296
         return pa.table(
             {
                 "doc_id": pa.array(doc_id, pa.int64()),
@@ -3596,13 +3596,13 @@ def geo_stratified_sample(sf_dir: str, per: int = _STRAT_K):
 GEO_STRATIFIED_SAMPLE_SQL = f"""
 WITH pts AS (
   SELECT doc_id,
-         CAST(FLOOR(({GEO_LON_SQL}) / {_STRAT_CELL_DEG}) AS BIGINT) AS gx,
-         CAST(FLOOR(({GEO_LAT_SQL}) / {_STRAT_CELL_DEG}) AS BIGINT) AS gy,
-         (doc_id * {_STRAT_MULT}) % 4294967296 AS h
+         CAST(FLOOR(({GEO_LON_SQL}) / {_SSAMP_CELL_DEG}) AS BIGINT) AS gx,
+         CAST(FLOOR(({GEO_LAT_SQL}) / {_SSAMP_CELL_DEG}) AS BIGINT) AS gy,
+         (doc_id * {_SSAMP_MULT}) % 4294967296 AS h
   FROM documents)
 SELECT doc_id, gx, gy, h FROM pts
 QUALIFY ROW_NUMBER() OVER (PARTITION BY gx, gy ORDER BY h, doc_id)
-        <= {_STRAT_K}
+        <= {_SSAMP_K}
 """
 
 
