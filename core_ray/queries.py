@@ -1594,6 +1594,88 @@ def geo_traj_stats(sf_dir: str):
     return map_groups_partitioned(ds, "user_id", per_part)
 
 
+_SPEED_KMH = 900  # faster than a commercial jet -> GPS spike
+
+
+def events_speed_outliers(sf_dir: str):
+    """TRAJECTORY SPEED-SPIKE FILTER (GPS noise removal): flag legs whose
+    implied speed exceeds {S} km/h — the cleaning pass every telemetry
+    pipeline runs before map-matching or stay-point detection. Same
+    one-shuffle plan as geo_traj_stats (hash-partition by user, per-leg
+    work inside the partition pass). The speed test never divides: it is
+    the INTEGER cross-multiply leg_km * 3.6e9 > S * dt_us (so dt == 0 with
+    movement flags correctly and parity with SQL is exact); leg_km is the
+    FLOOR-quantized haversine shared with geo_traj_stats (numpy and DuckDB
+    libm differ by ULPs — the quantizer is the documented contract)."""
+    from core_ray.stages.agg import map_groups_partitioned
+    from core_ray.stages.distband import haversine_km
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    _empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "event_id": pa.array([], pa.int64()),
+            "leg_km": pa.array([], pa.int64()),
+            "dt_us": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _empty
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, us, uid))
+        uid, us, eid = uid[order], us[order], eid[order]
+        lat, lon = _derive_coords(eid)
+        leg = np.zeros(len(uid), dtype=bool)
+        leg[1:] = uid[1:] == uid[:-1]
+        i = np.nonzero(leg)[0]
+        if len(i) == 0:
+            return _empty
+        km = np.floor(
+            haversine_km(lat[i - 1], lon[i - 1], lat[i], lon[i])
+        ).astype(np.int64)
+        dt = us[i] - us[i - 1]
+        hot = km * 3_600_000_000 > _SPEED_KMH * dt
+        i = i[hot]
+        return pa.table(
+            {
+                "user_id": pa.array(uid[i], pa.int64()),
+                "event_id": pa.array(eid[i], pa.int64()),
+                "leg_km": pa.array(km[hot], pa.int64()),
+                "dt_us": pa.array(dt[hot], pa.int64()),
+            }
+        )
+
+    return map_groups_partitioned(ds, "user_id", per_part)
+
+
+EVENTS_SPEED_OUTLIERS_SQL = f"""
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         {GEO_LAT_SQL.replace('doc_id', 'event_id')} AS lat,
+         {GEO_LON_SQL.replace('doc_id', 'event_id')} AS lon FROM events),
+legs AS (
+  SELECT user_id, event_id,
+         LAG(lat) OVER w AS plat, LAG(lon) OVER w AS plon, lat, lon,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS dt_us
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+km AS (
+  SELECT user_id, event_id, dt_us, CAST(FLOOR(
+    2.0 * 6371.0088 * ASIN(SQRT(
+      SIN(RADIANS(lat - plat) / 2.0) * SIN(RADIANS(lat - plat) / 2.0)
+      + COS(RADIANS(plat)) * COS(RADIANS(lat))
+        * SIN(RADIANS(lon - plon) / 2.0) * SIN(RADIANS(lon - plon) / 2.0)
+    ))) AS BIGINT) AS leg_km
+  FROM legs WHERE plat IS NOT NULL)
+SELECT user_id, event_id, leg_km, dt_us
+FROM km WHERE leg_km * 3600000000 > {_SPEED_KMH} * dt_us
+"""
+
+
 GEO_TRAJ_STATS_SQL = f"""
 WITH pts AS (
   SELECT user_id, ts, event_id,
@@ -11716,6 +11798,7 @@ QUERIES = {
     "geo_semivariogram": geo_semivariogram,
     "geo_stratified_sample": geo_stratified_sample,
     "geo_nearest_facility": geo_nearest_facility,
+    "events_speed_outliers": events_speed_outliers,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -11868,6 +11951,7 @@ ORACLE_SQL = {
     "geo_semivariogram": GEO_SEMIVARIOGRAM_SQL,
     "geo_stratified_sample": GEO_STRATIFIED_SAMPLE_SQL,
     "geo_nearest_facility": GEO_NEAREST_FACILITY_SQL,
+    "events_speed_outliers": EVENTS_SPEED_OUTLIERS_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
