@@ -3789,6 +3789,103 @@ FROM assign WHERE rn = 1 GROUP BY 1 ORDER BY 1
 """
 
 
+_MM_SEGS = 40  # model road-segment count (broadcast side)
+
+
+def _mm_segments():
+    """Deterministic model road network: 40 segments with integer-formula
+    endpoints (the k≡20 / k≡17 (mod 21) degenerate-length solutions are
+    disjoint, so every segment has positive length)."""
+    k = np.arange(_MM_SEGS, dtype=np.int64)
+    alat = ((k * 9176 + 13) % 120000) / 1000.0 - 60.0
+    alon = ((k * 30211 + 7) % 340000) / 1000.0 - 170.0
+    dlat = ((k * 53) % 21).astype(np.float64) - 10.0
+    dlon = ((k * 71) % 21).astype(np.float64) - 10.0
+    return alat, alon, dlat, dlon
+
+
+def geo_map_match(sf_dir: str):
+    """MAP-MATCHING SNAP (nearest-road-segment assignment): every document
+    point snaps to the closest of a small broadcast road-segment set via
+    the clamped-projection point-to-segment distance — the primitive under
+    GPS map-matching and address-to-street conciliation; the EXTENDED-object
+    sibling of geo_nearest_facility's point sites. Map-only plan: each batch
+    computes a vectorized (B x 40) distance block (t = clip(dot/len2, 0, 1),
+    residual d2), argmin under the (d2, seg_id) total order (np.argmin
+    first-minimum == lowest seg_id == the SQL window order) — NO shuffle at
+    any corpus scale, the segment table is a broadcast constant. Unlike the
+    haversine family there is no libm transcendental anywhere: the whole
+    distance chain is +,-,*,/ mirrored term-by-term in the oracle, so
+    d2/t are BIT-equal and the integer quantizers (t_milli, d2_micro) are
+    exact, not defensive."""
+    alat, alon, sdlat, sdlon = _mm_segments()
+    len2 = sdlat * sdlat + sdlon * sdlon  # (40,)
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def snap(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lat, lon = _derive_coords(doc_id)
+        dla = lat[:, None] - alat[None, :]  # (B, 40)
+        dlo = lon[:, None] - alon[None, :]
+        t = (dla * sdlat[None, :] + dlo * sdlon[None, :]) / len2[None, :]
+        t = np.minimum(np.maximum(t, 0.0), 1.0)
+        rx = dla - t * sdlat[None, :]
+        ry = dlo - t * sdlon[None, :]
+        d2 = rx * rx + ry * ry
+        seg = np.argmin(d2, axis=1)
+        r = np.arange(len(seg))
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_id, pa.int64()),
+                "seg_id": pa.array(seg.astype(np.int64), pa.int64()),
+                "t_milli": pa.array(
+                    np.floor(t[r, seg] * 1000.0).astype(np.int64), pa.int64()
+                ),
+                "d2_micro": pa.array(
+                    np.floor(d2[r, seg] * 1000000.0).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return ds.map_batches(snap, batch_format="pyarrow", batch_size=65536)
+
+
+GEO_MAP_MATCH_SQL = f"""
+WITH pts AS (
+  SELECT doc_id, {GEO_LAT_SQL} AS lat, {GEO_LON_SQL} AS lon FROM documents),
+segs AS (
+  SELECT k AS seg_id,
+         ((k * 9176 + 13) % 120000) / 1000.0 - 60.0 AS alat,
+         ((k * 30211 + 7) % 340000) / 1000.0 - 170.0 AS alon,
+         CAST((k * 53) % 21 AS DOUBLE) - 10.0 AS dlat,
+         CAST((k * 71) % 21 AS DOUBLE) - 10.0 AS dlon
+  FROM range({_MM_SEGS}) t(k)),
+proj AS (
+  SELECT p.doc_id, s.seg_id,
+         LEAST(GREATEST(
+           ((p.lat - s.alat) * s.dlat + (p.lon - s.alon) * s.dlon)
+             / (s.dlat * s.dlat + s.dlon * s.dlon), 0.0), 1.0) AS t,
+         p.lat - s.alat AS dla, p.lon - s.alon AS dlo,
+         s.dlat AS sdlat, s.dlon AS sdlon
+  FROM pts p CROSS JOIN segs s),
+dist AS (
+  SELECT doc_id, seg_id, t,
+         (dla - t * sdlat) * (dla - t * sdlat)
+           + (dlo - t * sdlon) * (dlo - t * sdlon) AS d2
+  FROM proj),
+best AS (
+  SELECT doc_id, seg_id, t, d2,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY d2, seg_id) AS rn
+  FROM dist)
+SELECT doc_id, seg_id,
+       CAST(FLOOR(t * 1000.0) AS BIGINT) AS t_milli,
+       CAST(FLOOR(d2 * 1000000.0) AS BIGINT) AS d2_micro
+FROM best WHERE rn = 1
+"""
+
+
 def events_od_matrix(sf_dir: str):
     """ORIGIN-DESTINATION MATRIX: counts of per-user travel legs between
     the 12 model cities (from_city -> to_city whenever consecutive events
@@ -11799,6 +11896,7 @@ QUERIES = {
     "geo_stratified_sample": geo_stratified_sample,
     "geo_nearest_facility": geo_nearest_facility,
     "events_speed_outliers": events_speed_outliers,
+    "geo_map_match": geo_map_match,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -11952,6 +12050,7 @@ ORACLE_SQL = {
     "geo_stratified_sample": GEO_STRATIFIED_SAMPLE_SQL,
     "geo_nearest_facility": GEO_NEAREST_FACILITY_SQL,
     "events_speed_outliers": EVENTS_SPEED_OUTLIERS_SQL,
+    "geo_map_match": GEO_MAP_MATCH_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
