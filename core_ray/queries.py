@@ -3886,6 +3886,113 @@ FROM best WHERE rn = 1
 """
 
 
+_TOPONYMS = ("spark", "window", "stream", "vector")  # ambiguous model names
+
+
+def _toponym_candidates():
+    """3 candidate gazetteer entries per ambiguous name (integer-formula
+    coords); global cand_id = name_idx * 3 + j."""
+    i = np.repeat(np.arange(len(_TOPONYMS), dtype=np.int64), 3)
+    j = np.tile(np.arange(3, dtype=np.int64), len(_TOPONYMS))
+    clat = ((i * 37 + j * 7919 + 11) % 140000) / 1000.0 - 70.0
+    clon = ((i * 59 + j * 104729 + 23) % 360000) / 1000.0 - 180.0
+    return i, i * 3 + j, clat, clon
+
+
+def doc_toponym_resolve(sf_dir: str):
+    """TOPONYM DISAMBIGUATION (geoparsing): each document mentioning an
+    ambiguous place name resolves it to ONE gazetteer candidate — the
+    candidate closest to the document's own derived location (proximity
+    prior; ties by cand_id) — the mention->place step of every
+    text-to-map pipeline (news geolocation, local-intent search). The
+    gazetteer is a broadcast constant (ambiguous names ≪ corpus by
+    definition): per batch, one RE2 word-boundary match per name
+    (pc.match_substring_regex — DuckDB's regexp_matches is RE2-compatible
+    on this pattern class, so match sets agree exactly) and a vectorized
+    3-candidate argmin for the matching rows; map-only, NO shuffle. The
+    distance chain is pure +,-,* arithmetic mirrored term-by-term in the
+    oracle, so d2 is bit-equal and the micro quantizer is exact."""
+    name_idx, cand_id, clat, clon = _toponym_candidates()
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def resolve(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lat, lon = _derive_coords(doc_id)
+        out_doc, out_name, out_cand, out_d2 = [], [], [], []
+        for ni, name in enumerate(_TOPONYMS):
+            m = pc.match_substring_regex(
+                b["text"], rf"\b{name}\b"
+            ).to_numpy(zero_copy_only=False)
+            hit = np.nonzero(m)[0]
+            if len(hit) == 0:
+                continue
+            sel = name_idx == ni  # the 3 candidates of this name
+            dla = lat[hit][:, None] - clat[None, sel]
+            dlo = lon[hit][:, None] - clon[None, sel]
+            d2 = dla * dla + dlo * dlo  # (H, 3)
+            jbest = np.argmin(d2, axis=1)
+            r = np.arange(len(hit))
+            out_doc.append(doc_id[hit])
+            out_name.append(np.full(len(hit), ni, np.int64))
+            out_cand.append(cand_id[sel][jbest])
+            out_d2.append(
+                np.floor(d2[r, jbest] * 1000000.0).astype(np.int64)
+            )
+        if not out_doc:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "name": pa.array([], pa.string()),
+                    "cand_id": pa.array([], pa.int64()),
+                    "d2_micro": pa.array([], pa.int64()),
+                }
+            )
+        names = np.array(_TOPONYMS)[np.concatenate(out_name)]
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_doc), pa.int64()),
+                "name": pa.array(names, pa.string()),
+                "cand_id": pa.array(np.concatenate(out_cand), pa.int64()),
+                "d2_micro": pa.array(np.concatenate(out_d2), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(resolve, batch_format="pyarrow", batch_size=65536)
+
+
+_TOPONYM_NAMES_SQL = ", ".join(
+    f"({i}, '{n}')" for i, n in enumerate(_TOPONYMS)
+)
+
+DOC_TOPONYM_RESOLVE_SQL = f"""
+WITH names(name_idx, name) AS (VALUES {_TOPONYM_NAMES_SQL}),
+cands AS (
+  SELECT n.name_idx, n.name, n.name_idx * 3 + j AS cand_id,
+         ((n.name_idx * 37 + j * 7919 + 11) % 140000) / 1000.0 - 70.0 AS clat,
+         ((n.name_idx * 59 + j * 104729 + 23) % 360000) / 1000.0 - 180.0 AS clon
+  FROM names n CROSS JOIN range(3) t(j)),
+mentions AS (
+  SELECT d.doc_id, n.name_idx, n.name,
+         {GEO_LAT_SQL.replace('doc_id', 'd.doc_id')} AS lat,
+         {GEO_LON_SQL.replace('doc_id', 'd.doc_id')} AS lon
+  FROM documents d CROSS JOIN names n
+  WHERE regexp_matches(d.text, '\\b' || n.name || '\\b')),
+scored AS (
+  SELECT m.doc_id, m.name, c.cand_id,
+         (m.lat - c.clat) * (m.lat - c.clat)
+           + (m.lon - c.clon) * (m.lon - c.clon) AS d2,
+         ROW_NUMBER() OVER (PARTITION BY m.doc_id, m.name_idx
+                            ORDER BY (m.lat - c.clat) * (m.lat - c.clat)
+                                     + (m.lon - c.clon) * (m.lon - c.clon),
+                                     c.cand_id) AS rn
+  FROM mentions m JOIN cands c ON c.name_idx = m.name_idx)
+SELECT doc_id, name, cand_id,
+       CAST(FLOOR(d2 * 1000000.0) AS BIGINT) AS d2_micro
+FROM scored WHERE rn = 1
+"""
+
+
 def events_od_matrix(sf_dir: str):
     """ORIGIN-DESTINATION MATRIX: counts of per-user travel legs between
     the 12 model cities (from_city -> to_city whenever consecutive events
@@ -11897,6 +12004,7 @@ QUERIES = {
     "geo_nearest_facility": geo_nearest_facility,
     "events_speed_outliers": events_speed_outliers,
     "geo_map_match": geo_map_match,
+    "doc_toponym_resolve": doc_toponym_resolve,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -12051,6 +12159,7 @@ ORACLE_SQL = {
     "geo_nearest_facility": GEO_NEAREST_FACILITY_SQL,
     "events_speed_outliers": EVENTS_SPEED_OUTLIERS_SQL,
     "geo_map_match": GEO_MAP_MATCH_SQL,
+    "doc_toponym_resolve": DOC_TOPONYM_RESOLVE_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
