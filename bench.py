@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "events_speed_outliers",
     "geo_map_match",
     "doc_toponym_resolve",
+    "geo_quadtree",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

@@ -3993,6 +3993,121 @@ FROM scored WHERE rn = 1
 """
 
 
+_QT_LMAX = 8  # quadtree max depth (2^8 x 2^8 finest grid)
+_QT_T = 64  # split threshold: a cell splits iff its count exceeds this
+
+
+def geo_quadtree(sf_dir: str):
+    """ADAPTIVE QUADTREE AGGREGATION: the classic adaptive spatial-index
+    build — the world splits into 4 recursively wherever a cell holds more
+    than T documents (dense metros descend to fine cells, oceans stay one
+    coarse cell), capped at depth {LMAX}. Output = occupied LEAF cells with
+    counts (a leaf is reachable through an all-split ancestor chain and
+    itself doesn't split; equivalently each point's leaf level is its
+    SMALLEST level whose cell count <= T, capped). Scale design: the whole
+    pyramid is bounded by GEOMETRY, not the corpus (sum 4^L, L<=8 = ~87k
+    cells), so the plan is ONE distributed count pass at the finest level
+    (integer milli-degree cell math, packed-u64 count_by_u64 combiner —
+    rows never shuffle, distinct cells do) + a driver-side dense numpy
+    pyramid fold (reshape block-sums up, reachability masks down) — the
+    adaptive sibling of stages/tiles.py's fixed-depth rollup, same
+    bounded-driver contract as doc_quality_buckets' histogram. All-integer
+    arithmetic end-to-end: no float enters the cell index, so the oracle
+    mirrors exactly with BIGINT division."""
+    from core_ray.stages.agg import count_by_u64
+
+    side = 1 << _QT_LMAX
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def finest(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mlat = (doc_id * 7919) % 140000
+        mlon = (doc_id * 104729) % 360000
+        qx = (mlon * side) // 360000
+        qy = (mlat * side) // 140000
+        return pa.table(
+            {"key": pa.array((qx * side + qy).astype(np.uint64), pa.uint64())}
+        )
+
+    cells = _collect_table(
+        count_by_u64(ds.map_batches(finest, batch_format="pyarrow",
+                                    batch_size=131072))
+    )  # <= side^2 rows by construction (geometry-bounded)
+
+    key = cells["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cnt = cells["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    grid = np.zeros((side, side), np.int64)  # [qx, qy]
+    grid[key // side, key % side] = cnt
+
+    # bottom-up counts: counts[L] is a (2^L, 2^L) array
+    counts = [None] * (_QT_LMAX + 1)
+    counts[_QT_LMAX] = grid
+    for L in range(_QT_LMAX, 0, -1):
+        h = 1 << (L - 1)
+        counts[L - 1] = (
+            counts[L].reshape(h, 2, h, 2).sum(axis=(1, 3))
+        )
+
+    # top-down reachability + leaf selection
+    out_lvl, out_qx, out_qy, out_n = [], [], [], []
+    reach = np.ones((1, 1), bool)
+    for L in range(_QT_LMAX + 1):
+        c = counts[L]
+        leaf = reach & (c > 0) & ((c <= _QT_T) | (L == _QT_LMAX))
+        qx, qy = np.nonzero(leaf)
+        out_lvl.append(np.full(len(qx), L, np.int64))
+        out_qx.append(qx.astype(np.int64))
+        out_qy.append(qy.astype(np.int64))
+        out_n.append(c[qx, qy])
+        if L < _QT_LMAX:
+            reach = np.repeat(
+                np.repeat(reach & (c > _QT_T), 2, axis=0), 2, axis=1
+            )
+
+    return pa.table(
+        {
+            "level": pa.array(np.concatenate(out_lvl), pa.int64()),
+            "qx": pa.array(np.concatenate(out_qx), pa.int64()),
+            "qy": pa.array(np.concatenate(out_qy), pa.int64()),
+            "n_docs": pa.array(np.concatenate(out_n), pa.int64()),
+        }
+    ).sort_by([("level", "ascending"), ("qx", "ascending"),
+               ("qy", "ascending")])
+
+
+def _qt_sql() -> str:
+    parts = [
+        "WITH pts AS (SELECT (doc_id * 7919) % 140000 AS mlat,"
+        " (doc_id * 104729) % 360000 AS mlon FROM documents)"
+    ]
+    for L in range(_QT_LMAX + 1):
+        m = 1 << L
+        parts.append(
+            f", c{L} AS (SELECT (mlon * {m}) // 360000 AS qx,"
+            f" (mlat * {m}) // 140000 AS qy, COUNT(*) AS n"
+            " FROM pts GROUP BY 1, 2)"
+        )
+    parts.append(", r0 AS (SELECT * FROM c0)")
+    for L in range(1, _QT_LMAX + 1):
+        parts.append(
+            f", r{L} AS (SELECT c.* FROM c{L} c JOIN r{L-1} p"
+            f" ON p.qx = c.qx // 2 AND p.qy = c.qy // 2"
+            f" AND p.n > {_QT_T})"
+        )
+    selects = []
+    for L in range(_QT_LMAX + 1):
+        cond = f"WHERE n <= {_QT_T}" if L < _QT_LMAX else ""
+        selects.append(
+            f"SELECT CAST({L} AS BIGINT) AS level, CAST(qx AS BIGINT) AS qx,"
+            f" CAST(qy AS BIGINT) AS qy, CAST(n AS BIGINT) AS n_docs"
+            f" FROM r{L} {cond}"
+        )
+    return "".join(parts) + " " + " UNION ALL ".join(selects)
+
+
+GEO_QUADTREE_SQL = _qt_sql()
+
+
 def events_od_matrix(sf_dir: str):
     """ORIGIN-DESTINATION MATRIX: counts of per-user travel legs between
     the 12 model cities (from_city -> to_city whenever consecutive events
@@ -12005,6 +12120,7 @@ QUERIES = {
     "events_speed_outliers": events_speed_outliers,
     "geo_map_match": geo_map_match,
     "doc_toponym_resolve": doc_toponym_resolve,
+    "geo_quadtree": geo_quadtree,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -12160,6 +12276,7 @@ ORACLE_SQL = {
     "events_speed_outliers": EVENTS_SPEED_OUTLIERS_SQL,
     "geo_map_match": GEO_MAP_MATCH_SQL,
     "doc_toponym_resolve": DOC_TOPONYM_RESOLVE_SQL,
+    "geo_quadtree": GEO_QUADTREE_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,

@@ -1,0 +1,124 @@
+"""Brute-force property tests for the r4e operators (map-matching snap,
+toponym disambiguation, adaptive quadtree).
+
+Same discipline as test_geo_stats_ops.py: the DuckDB oracle runs over the
+driver corpus's regular doc_id lattice; here the operators run over a
+synthetic documents table with RANDOM doc_ids (seeded) so the derived
+coordinates scatter arbitrarily, and every result is checked against an
+independent loop/dict pure-Python re-derivation sharing only the published
+parameters."""
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from core_ray.queries import (
+    _MM_SEGS,
+    _QT_LMAX,
+    _QT_T,
+    _TOPONYMS,
+    _mm_segments,
+    _toponym_candidates,
+    doc_toponym_resolve,
+    geo_map_match,
+    geo_quadtree,
+)
+
+N_DOCS = 300
+_WORDS = ["table", "row", "scan", "spark", "window", "stream", "vector",
+          "sparkle", "windows", "agg"]
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    rng = np.random.default_rng(20260819)
+    doc_id = np.sort(rng.choice(2_000_000, size=N_DOCS, replace=False)).astype(
+        np.int64
+    )
+    texts = [
+        " ".join(rng.choice(_WORDS, size=rng.integers(5, 30)))
+        for _ in range(N_DOCS)
+    ]
+    d = tmp_path_factory.mktemp("r4e_corpus")
+    pq.write_table(
+        pa.table({"doc_id": doc_id, "text": pa.array(texts)}),
+        d / "documents.parquet",
+    )
+    lat = ((doc_id * 7919) % 140000) / 1000.0 - 70.0
+    lon = ((doc_id * 104729) % 360000) / 1000.0 - 180.0
+    return str(d), doc_id, texts, lat, lon
+
+
+def test_map_match_matches_bruteforce(ray_session, corpus):
+    sf, doc_id, _, lat, lon = corpus
+    got = {r["doc_id"]: r for r in geo_map_match(sf).take_all()}
+    alat, alon, dlat, dlon = _mm_segments()
+    assert len(got) == N_DOCS
+    for i in range(N_DOCS):
+        best = None
+        for k in range(_MM_SEGS):
+            len2 = dlat[k] * dlat[k] + dlon[k] * dlon[k]
+            dla, dlo = lat[i] - alat[k], lon[i] - alon[k]
+            t = (dla * dlat[k] + dlo * dlon[k]) / len2
+            t = min(max(t, 0.0), 1.0)
+            rx, ry = dla - t * dlat[k], dlo - t * dlon[k]
+            d2 = rx * rx + ry * ry
+            if best is None or (d2, k) < best[:2]:
+                best = (d2, k, t)
+        row = got[int(doc_id[i])]
+        assert row["seg_id"] == best[1]
+        assert row["t_milli"] == int(np.floor(best[2] * 1000.0))
+        assert row["d2_micro"] == int(np.floor(best[0] * 1000000.0))
+
+
+def test_toponym_matches_bruteforce(ray_session, corpus):
+    sf, doc_id, texts, lat, lon = corpus
+    got = {(r["doc_id"], r["name"]): r
+           for r in doc_toponym_resolve(sf).take_all()}
+    name_idx, cand_id, clat, clon = _toponym_candidates()
+    exp = {}
+    for i in range(N_DOCS):
+        for ni, name in enumerate(_TOPONYMS):
+            if not re.search(rf"\b{name}\b", texts[i]):
+                continue
+            best = None
+            for j in np.nonzero(name_idx == ni)[0]:
+                d2 = (lat[i] - clat[j]) ** 2 + (lon[i] - clon[j]) ** 2
+                if best is None or (d2, int(cand_id[j])) < best[:2]:
+                    best = (d2, int(cand_id[j]))
+            exp[(int(doc_id[i]), name)] = best
+    assert set(got) == set(exp)
+    assert len(exp) > N_DOCS  # the vocab guarantees plenty of mentions
+    for k, (d2, cid) in exp.items():
+        assert got[k]["cand_id"] == cid
+        assert got[k]["d2_micro"] == int(np.floor(d2 * 1000000.0))
+
+
+def test_quadtree_matches_bruteforce(ray_session, corpus):
+    sf, doc_id, _, _, _ = corpus
+    got = geo_quadtree(sf)
+    # leaf level per point = smallest L whose cell count <= T, capped
+    mlat = (doc_id * 7919) % 140000
+    mlon = (doc_id * 104729) % 360000
+    counts = [dict() for _ in range(_QT_LMAX + 1)]
+    for L in range(_QT_LMAX + 1):
+        m = 1 << L
+        for i in range(N_DOCS):
+            c = (int(mlon[i] * m) // 360000, int(mlat[i] * m) // 140000)
+            counts[L][c] = counts[L].get(c, 0) + 1
+    exp = {}
+    for i in range(N_DOCS):
+        for L in range(_QT_LMAX + 1):
+            m = 1 << L
+            c = (int(mlon[i] * m) // 360000, int(mlat[i] * m) // 140000)
+            if counts[L][c] <= _QT_T or L == _QT_LMAX:
+                exp[(L, c[0], c[1])] = exp.get((L, c[0], c[1]), 0) + 1
+                break
+    rows = {(r["level"], r["qx"], r["qy"]): r["n_docs"]
+            for r in got.to_pylist()}
+    assert rows == exp
+    assert sum(rows.values()) == N_DOCS  # leaves partition the corpus
+    assert len({r for r in rows if r[0] > 0}) > 0  # the root really split
