@@ -4108,6 +4108,206 @@ def _qt_sql() -> str:
 GEO_QUADTREE_SQL = _qt_sql()
 
 
+_BFS_CELL_MILLI = 5000  # 5-degree BFS grid cells
+_BFS_SEED_MOD = 97  # tiles holding a doc_id % 97 == 0 document are sources
+_BFS_MAX_HOPS = 24
+
+
+_BFS_LOCAL_MAX = 4_000_000  # below this many graph nodes, solve on the driver
+
+
+def geo_grid_bfs(sf_dir: str, force_distributed: bool = False):
+    """MULTI-SOURCE BFS HOP DISTANCE over the occupied-tile graph (the
+    "distance to nearest hub" / service-reach primitive, and the frontier
+    -iteration dataflow sibling of CC's pointer jumping and PageRank's
+    synchronous rounds): source tiles are the 5-deg cells holding at least
+    one seed document (doc_id % 97 == 0); distance propagates through
+    4-connected OCCUPIED cells, one hop per round, capped at 24 rounds;
+    unreached cells are omitted.
+
+    Scale shape (the cc.py dual-path contract): one distributed corpus
+    count pass (all-integer cell math, packed-u64 count_by_u64) builds the
+    occupied/seed sets — the only corpus-scale work. The tile GRAPH is
+    bounded by geometry (this grid: 72 x 28), so below _BFS_LOCAL_MAX
+    nodes the BFS itself solves on the driver in one vectorized
+    dense-mask frontier sweep (the log-round distributed loop would be
+    pure chained-execution latency, exactly the local_edges_threshold
+    lesson); above the guard — finer cells, bigger worlds, arbitrary
+    node graphs — the same semantics run as DISTRIBUTED frontier rounds:
+    only round-r discoveries emit their 4 neighbor probes (flat-map +
+    occupied clip), merged into the distance Dataset by agg.min_by_u64,
+    one row-count of driver traffic per round. Both paths are
+    equivalence-tested (tests/test_r4e_ops.py, forced guard)."""
+    from core_ray.stages.agg import count_by_u64
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def cells(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mlat = (doc_id * 7919) % 140000
+        mlon = (doc_id * 104729) % 360000
+        gx = mlon // _BFS_CELL_MILLI
+        gy = mlat // _BFS_CELL_MILLI
+        key = (gx * 1024 + gy).astype(np.uint64)
+        seed = doc_id % _BFS_SEED_MOD == 0
+        # seed flag folds into the key's high bit so ONE count pass carries
+        # both sets (max over the bit per cell = "has a seed doc")
+        return pa.table(
+            {
+                "key": pa.array(
+                    key | (seed.astype(np.uint64) << np.uint64(63)),
+                    pa.uint64(),
+                )
+            }
+        )
+
+    occ_t = _collect_table(
+        count_by_u64(
+            ds.map_batches(cells, batch_format="pyarrow", batch_size=131072),
+            "key",
+        )
+    )  # <= 2 x (72*28) rows by construction (geometry-bounded)
+    raw = occ_t["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    node = (raw & np.uint64((1 << 63) - 1)).astype(np.int64)
+    is_seed = (raw >> np.uint64(63)).astype(bool)
+    nodes = np.unique(node)
+    seeds = np.unique(node[is_seed])
+
+    empty = pa.table(
+        {
+            "gx": pa.array([], pa.int64()),
+            "gy": pa.array([], pa.int64()),
+            "hops": pa.array([], pa.int64()),
+        }
+    )
+    if len(seeds) == 0:
+        return empty
+
+    if len(nodes) <= _BFS_LOCAL_MAX and not force_distributed:
+        # driver fast path: dense boolean-mask frontier sweep
+        w = 360000 // _BFS_CELL_MILLI
+        h = 140000 // _BFS_CELL_MILLI
+        occ_m = np.zeros((w, h), bool)
+        occ_m[nodes // 1024, nodes % 1024] = True
+        dist = np.full((w, h), -1, np.int64)
+        frontier = np.zeros((w, h), bool)
+        frontier[seeds // 1024, seeds % 1024] = True
+        dist[frontier] = 0
+        for r in range(1, _BFS_MAX_HOPS + 1):
+            grow = np.zeros((w, h), bool)
+            grow[1:, :] |= frontier[:-1, :]
+            grow[:-1, :] |= frontier[1:, :]
+            grow[:, 1:] |= frontier[:, :-1]
+            grow[:, :-1] |= frontier[:, 1:]
+            frontier = grow & occ_m & (dist < 0)
+            if not frontier.any():
+                break
+            dist[frontier] = r
+        gx, gy = np.nonzero(dist >= 0)
+        return pa.table(
+            {
+                "gx": pa.array(gx.astype(np.int64), pa.int64()),
+                "gy": pa.array(gy.astype(np.int64), pa.int64()),
+                "hops": pa.array(dist[gx, gy], pa.int64()),
+            }
+        )
+
+    return _grid_bfs_distributed(nodes, seeds)
+
+
+def _grid_bfs_distributed(nodes: np.ndarray, seeds: np.ndarray):
+    """Distributed frontier rounds over an occupied-node graph: dist and
+    frontier live as Datasets; per round the frontier flat-maps its 4
+    neighbor probes (clipped to occupied via a broadcast sorted key array
+    — filter_semi's distributed regime is the swap-in above its guard) and
+    agg.min_by_u64 merges them; the driver moves one row-count per round
+    (the node set grows monotonically, so stagnation == fixpoint)."""
+    import ray
+
+    from core_ray.stages.agg import min_by_u64
+
+    occ_sorted = np.sort(nodes)
+    occ_ref = ray.put(occ_sorted)
+
+    dist = ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(seeds.astype(np.uint64), pa.uint64()),
+                "d": pa.array(np.zeros(len(seeds), np.uint64), pa.uint64()),
+            }
+        )
+    ).materialize()
+    frontier = dist
+    n_found = dist.count()
+
+    def probe(b: pa.Table) -> pa.Table:
+        occ_arr = ray.get(occ_ref)
+        nd_ = b["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d_ = b["d"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        gx, gy = nd_ // 1024, nd_ % 1024
+        nx = np.concatenate([gx + 1, gx - 1, gx, gx])
+        ny = np.concatenate([gy, gy, gy + 1, gy - 1])
+        ndist = np.tile(d_ + np.uint64(1), 4)
+        ok = (
+            (nx >= 0) & (nx * _BFS_CELL_MILLI < 360000)
+            & (ny >= 0) & (ny * _BFS_CELL_MILLI < 140000)
+        )
+        cand = (nx[ok] * 1024 + ny[ok]).astype(np.int64)
+        ndist = ndist[ok]
+        pos = np.searchsorted(occ_arr, cand)
+        hit = (pos < len(occ_arr)) & (occ_arr[np.minimum(pos, len(occ_arr) - 1)] == cand)
+        return pa.table(
+            {
+                "node": pa.array(cand[hit].astype(np.uint64), pa.uint64()),
+                "d": pa.array(ndist[hit], pa.uint64()),
+            }
+        )
+
+    for r in range(1, _BFS_MAX_HOPS + 1):
+        nbrs = frontier.map_batches(probe, batch_format="pyarrow")
+        dist = min_by_u64(dist.union(nbrs), "node", "d").materialize()
+        cur = dist.count()
+        if cur == n_found:
+            break
+        frontier = dist.filter(expr=f"d == {r}")
+        n_found = cur
+
+    def unpack(b: pa.Table) -> pa.Table:
+        nd_ = b["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d_ = b["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "gx": pa.array(nd_ // 1024, pa.int64()),
+                "gy": pa.array(nd_ % 1024, pa.int64()),
+                "hops": pa.array(d_, pa.int64()),
+            }
+        )
+
+    return dist.map_batches(unpack, batch_format="pyarrow")
+
+
+GEO_GRID_BFS_SQL = f"""
+WITH RECURSIVE pts AS (
+  SELECT doc_id, (doc_id * 7919) % 140000 AS mlat,
+         (doc_id * 104729) % 360000 AS mlon FROM documents),
+occ AS (
+  SELECT mlon // {_BFS_CELL_MILLI} AS gx, mlat // {_BFS_CELL_MILLI} AS gy,
+         MAX(CASE WHEN doc_id % {_BFS_SEED_MOD} = 0 THEN 1 ELSE 0 END) AS is_src
+  FROM pts GROUP BY 1, 2),
+bfs(gx, gy, d) AS (
+  SELECT gx, gy, CAST(0 AS BIGINT) FROM occ WHERE is_src = 1
+  UNION
+  SELECT o.gx, o.gy, b.d + 1
+  FROM bfs b JOIN occ o
+    ON (o.gx = b.gx + 1 AND o.gy = b.gy) OR (o.gx = b.gx - 1 AND o.gy = b.gy)
+    OR (o.gx = b.gx AND o.gy = b.gy + 1) OR (o.gx = b.gx AND o.gy = b.gy - 1)
+  WHERE b.d < {_BFS_MAX_HOPS})
+SELECT CAST(gx AS BIGINT) AS gx, CAST(gy AS BIGINT) AS gy,
+       CAST(MIN(d) AS BIGINT) AS hops
+FROM bfs GROUP BY 1, 2
+"""
+
+
 def events_od_matrix(sf_dir: str):
     """ORIGIN-DESTINATION MATRIX: counts of per-user travel legs between
     the 12 model cities (from_city -> to_city whenever consecutive events
@@ -12121,6 +12321,7 @@ QUERIES = {
     "geo_map_match": geo_map_match,
     "doc_toponym_resolve": doc_toponym_resolve,
     "geo_quadtree": geo_quadtree,
+    "geo_grid_bfs": geo_grid_bfs,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -12277,6 +12478,7 @@ ORACLE_SQL = {
     "geo_map_match": GEO_MAP_MATCH_SQL,
     "doc_toponym_resolve": DOC_TOPONYM_RESOLVE_SQL,
     "geo_quadtree": GEO_QUADTREE_SQL,
+    "geo_grid_bfs": GEO_GRID_BFS_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,

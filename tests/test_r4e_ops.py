@@ -16,6 +16,8 @@ import pyarrow.parquet as pq
 import pytest
 
 from core_ray.queries import (
+    _BFS_CELL_MILLI,
+    _BFS_SEED_MOD,
     _MM_SEGS,
     _QT_LMAX,
     _QT_T,
@@ -23,6 +25,7 @@ from core_ray.queries import (
     _mm_segments,
     _toponym_candidates,
     doc_toponym_resolve,
+    geo_grid_bfs,
     geo_map_match,
     geo_quadtree,
 )
@@ -122,3 +125,35 @@ def test_quadtree_matches_bruteforce(ray_session, corpus):
     assert rows == exp
     assert sum(rows.values()) == N_DOCS  # leaves partition the corpus
     assert len({r for r in rows if r[0] > 0}) > 0  # the root really split
+
+
+def test_grid_bfs_paths_agree_and_match_bruteforce(ray_session, corpus):
+    sf, doc_id, _, _, _ = corpus
+    local = {(r["gx"], r["gy"]): r["hops"]
+             for r in geo_grid_bfs(sf).to_pylist()}
+    distributed = {(r["gx"], r["gy"]): r["hops"]
+                   for r in geo_grid_bfs(sf, force_distributed=True).take_all()}
+    assert local == distributed  # forced-guard path equivalence
+    # independent dict/set BFS
+    mlat = (doc_id * 7919) % 140000
+    mlon = (doc_id * 104729) % 360000
+    occ = {(int(x // _BFS_CELL_MILLI), int(y // _BFS_CELL_MILLI))
+           for x, y in zip(mlon, mlat)}
+    seeds = {(int(x // _BFS_CELL_MILLI), int(y // _BFS_CELL_MILLI))
+             for x, y, i in zip(mlon, mlat, doc_id)
+             if i % _BFS_SEED_MOD == 0}
+    assert seeds  # the fixture must produce at least one source
+    exp = {c: 0 for c in seeds}
+    frontier = set(seeds)
+    for r in range(1, 25):
+        nxt = set()
+        for gx, gy in frontier:
+            for c in ((gx + 1, gy), (gx - 1, gy), (gx, gy + 1), (gx, gy - 1)):
+                if c in occ and c not in exp:
+                    nxt.add(c)
+        if not nxt:
+            break
+        for c in nxt:
+            exp[c] = r
+        frontier = nxt
+    assert local == exp
