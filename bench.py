@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "doc_toponym_resolve",
     "geo_quadtree",
     "geo_grid_bfs",
+    "events_corridors",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

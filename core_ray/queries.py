@@ -4113,6 +4113,123 @@ _BFS_SEED_MOD = 97  # tiles holding a doc_id % 97 == 0 document are sources
 _BFS_MAX_HOPS = 24
 
 
+_COR_CELL_MILLI = 10000  # 10-degree corridor raster cells
+
+
+def events_corridors(sf_dir: str):
+    """MOVEMENT-CORRIDOR RASTERIZATION (flow map): every consecutive-event
+    travel leg is sampled onto the 10-deg grid — s+1 parametric samples
+    where s = the leg's Chebyshev cell span (so samples advance ~one cell
+    per step along the dominant axis) — and traversals are counted per
+    cell: the "most-traveled corridors" heatmap under every flow-map /
+    route-demand product. Plan: ONE hash shuffle by user (legs need
+    consecutive pairing), the partition kernel builds all samples
+    vectorized (repeat + offset-arange interpolation, ALL-integer:
+    xi = (x0*(s-i) + x1*i) // s on positive milli-degree operands, so
+    numpy floor-div == SQL // exactly) and pre-reduces to (cell, n)
+    partials via np.unique; one packed-u64 sum_by_u64 finishes. Work
+    scales with legs x cell span, never the grid."""
+    from core_ray.stages.agg import map_groups_partitioned, sum_by_u64
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def per_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"key": pa.array([], pa.uint64()),
+                             "n": pa.array([], pa.int64())})
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, us, uid))
+        uid, eid = uid[order], eid[order]
+        mlat = (eid * 7919) % 140000
+        mlon = (eid * 104729) % 360000
+        leg = np.zeros(len(uid), dtype=bool)
+        leg[1:] = uid[1:] == uid[:-1]
+        i = np.nonzero(leg)[0]
+        if len(i) == 0:
+            return pa.table({"key": pa.array([], pa.uint64()),
+                             "n": pa.array([], pa.int64())})
+        x0, y0 = mlon[i - 1], mlat[i - 1]
+        x1, y1 = mlon[i], mlat[i]
+        s = np.maximum(
+            np.abs(x1 // _COR_CELL_MILLI - x0 // _COR_CELL_MILLI),
+            np.abs(y1 // _COR_CELL_MILLI - y0 // _COR_CELL_MILLI),
+        )
+        cnt = s + 1
+        off = np.concatenate([[0], np.cumsum(cnt)])
+        total = off[-1]
+        li = np.repeat(np.arange(len(s)), cnt)  # leg index per sample
+        step = np.arange(total) - off[li]  # i within leg, 0..s
+        sl = s[li]
+        pos = sl > 0
+        xi = np.where(
+            pos,
+            (x0[li] * (sl - step) + x1[li] * step) // np.maximum(sl, 1),
+            x0[li],
+        )
+        yi = np.where(
+            pos,
+            (y0[li] * (sl - step) + y1[li] * step) // np.maximum(sl, 1),
+            y0[li],
+        )
+        key = (
+            (xi // _COR_CELL_MILLI) * 1024 + yi // _COR_CELL_MILLI
+        ).astype(np.uint64)
+        u, c = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "key": pa.array(u, pa.uint64()),
+                "n": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    flows = sum_by_u64(
+        map_groups_partitioned(ds, "user_id", per_part), "key", "n"
+    )
+
+    def unpack(b: pa.Table) -> pa.Table:
+        key = b["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "gx": pa.array(key // 1024, pa.int64()),
+                "gy": pa.array(key % 1024, pa.int64()),
+                "traversals": pa.array(
+                    b["cnt"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return flows.map_batches(unpack, batch_format="pyarrow")
+
+
+EVENTS_CORRIDORS_SQL = f"""
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         (event_id * 7919) % 140000 AS mlat,
+         (event_id * 104729) % 360000 AS mlon FROM events),
+legs AS (
+  SELECT user_id,
+         LAG(mlon) OVER w AS x0, LAG(mlat) OVER w AS y0,
+         mlon AS x1, mlat AS y1
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+steps AS (
+  SELECT x0, y0, x1, y1,
+         GREATEST(ABS(x1 // {_COR_CELL_MILLI} - x0 // {_COR_CELL_MILLI}),
+                  ABS(y1 // {_COR_CELL_MILLI} - y0 // {_COR_CELL_MILLI})) AS s
+  FROM legs WHERE x0 IS NOT NULL),
+samples AS (
+  SELECT CASE WHEN s = 0 THEN x0 // {_COR_CELL_MILLI}
+              ELSE ((x0 * (s - i) + x1 * i) // s) // {_COR_CELL_MILLI} END AS gx,
+         CASE WHEN s = 0 THEN y0 // {_COR_CELL_MILLI}
+              ELSE ((y0 * (s - i) + y1 * i) // s) // {_COR_CELL_MILLI} END AS gy
+  FROM steps, LATERAL (SELECT UNNEST(generate_series(0, s)) AS i) t)
+SELECT gx, gy, CAST(COUNT(*) AS BIGINT) AS traversals
+FROM samples GROUP BY 1, 2
+"""
+
+
 _BFS_LOCAL_MAX = 4_000_000  # below this many graph nodes, solve on the driver
 
 
@@ -12322,6 +12439,7 @@ QUERIES = {
     "doc_toponym_resolve": doc_toponym_resolve,
     "geo_quadtree": geo_quadtree,
     "geo_grid_bfs": geo_grid_bfs,
+    "events_corridors": events_corridors,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -12479,6 +12597,7 @@ ORACLE_SQL = {
     "doc_toponym_resolve": DOC_TOPONYM_RESOLVE_SQL,
     "geo_quadtree": GEO_QUADTREE_SQL,
     "geo_grid_bfs": GEO_GRID_BFS_SQL,
+    "events_corridors": EVENTS_CORRIDORS_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
