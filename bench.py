@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "geo_quadtree",
     "geo_grid_bfs",
     "events_corridors",
+    "doc_source_geo_entropy",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

@@ -4113,6 +4113,115 @@ _BFS_SEED_MOD = 97  # tiles holding a doc_id % 97 == 0 document are sources
 _BFS_MAX_HOPS = 24
 
 
+_GE_CELL_MILLI = 10000  # 10-degree geographic-entropy cells
+
+
+def doc_source_geo_entropy(sf_dir: str):
+    """PER-SOURCE GEOGRAPHIC DISPERSION (Shannon entropy of each crawl
+    source's document locations over the 10-deg grid): the "is this feed
+    local or global" score a crawl planner uses to route geo-sensitive
+    pipelines — entropy 0 = single-cell local site, high = world-spanning
+    feed. Two passes: (1) the distinct source list (bounded — sources are
+    crawl feeds, not documents) via per-batch-distinct combiner + one tiny
+    string groupby; (2) sources broadcast as a sorted array, every batch
+    packs (source_idx, cell) into ONE u64 (the multi-column-groupby
+    lesson) for count_by_u64 — the result is bounded by sources x 504
+    cells at any corpus scale, so the entropy fold runs on the driver.
+    Float parity: per-cell c*log2(c) rounds to integer micro-bits
+    (sql_round_np == DuckDB ROUND), sums are exact BIGINT, and entropy is
+    one fixed double chain shared with the oracle."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from core_ray.stages.agg import count_by_u64
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def src_partial(b: pa.Table) -> pa.Table:
+        u = np.unique(np.asarray(b["source"].to_pylist()))
+        return pa.table({"source": pa.array(u.tolist(), pa.string()),
+                         "one": pa.array(np.ones(len(u), np.int64))})
+
+    src_t = _collect_table(
+        ds.select_columns(["source"])
+        .map_batches(src_partial, batch_format="pyarrow", batch_size=131072)
+        .groupby("source")
+        .aggregate(Sum("one", alias_name="n"))
+    )
+    sources = np.sort(np.asarray(src_t["source"].to_pylist()))
+    src_ref = ray.put(sources)
+
+    def pack(b: pa.Table) -> pa.Table:
+        srcs = ray.get(src_ref)
+        doc_id = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(srcs, np.asarray(b["source"].to_pylist()))
+        gx = ((doc_id * 104729) % 360000) // _GE_CELL_MILLI
+        gy = ((doc_id * 7919) % 140000) // _GE_CELL_MILLI
+        key = (idx.astype(np.uint64) << np.uint64(16)) | (
+            (gx * 1024 + gy).astype(np.uint64)
+        )
+        return pa.table({"key": pa.array(key, pa.uint64())})
+
+    cc_t = _collect_table(
+        count_by_u64(
+            ds.map_batches(pack, batch_format="pyarrow", batch_size=131072),
+            "key",
+        )
+    )  # <= sources x 504 rows by construction
+    key = cc_t["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    c = cc_t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sidx = (key >> np.uint64(16)).astype(np.int64)
+    micro = sql_round_np(
+        c.astype(np.float64) * np.log2(c.astype(np.float64)) * 1000000.0, 0
+    ).astype(np.int64)
+
+    n_src = len(sources)
+    n_docs = np.zeros(n_src, np.int64)
+    n_cells = np.zeros(n_src, np.int64)
+    sum_micro = np.zeros(n_src, np.int64)
+    np.add.at(n_docs, sidx, c)
+    np.add.at(n_cells, sidx, 1)
+    np.add.at(sum_micro, sidx, micro)
+    lg = sql_round_np(
+        np.log2(n_docs.astype(np.float64)) * 1000000.0, 0
+    ).astype(np.int64)
+    entropy = lg.astype(np.float64) / 1000000.0 - sum_micro.astype(
+        np.float64
+    ) / (1000000.0 * n_docs.astype(np.float64))
+    return pa.table(
+        {
+            "source": pa.array(sources.tolist(), pa.string()),
+            "n_docs": pa.array(n_docs, pa.int64()),
+            "n_cells": pa.array(n_cells, pa.int64()),
+            "sum_micro": pa.array(sum_micro, pa.int64()),
+            "entropy": pa.array(entropy, pa.float64()),
+        }
+    )
+
+
+DOC_SOURCE_GEO_ENTROPY_SQL = f"""
+WITH pts AS (
+  SELECT source,
+         ((doc_id * 104729) % 360000) // {_GE_CELL_MILLI} AS gx,
+         ((doc_id * 7919) % 140000) // {_GE_CELL_MILLI} AS gy
+  FROM documents),
+cc AS (SELECT source, gx, gy, COUNT(*) AS c FROM pts GROUP BY 1, 2, 3),
+per AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_cells,
+         CAST(SUM(CAST(ROUND(CAST(c AS DOUBLE) * LOG2(CAST(c AS DOUBLE))
+                             * 1000000.0, 0) AS BIGINT)) AS BIGINT)
+           AS sum_micro
+  FROM cc GROUP BY 1)
+SELECT source, n_docs, n_cells, sum_micro,
+       CAST(CAST(ROUND(LOG2(CAST(n_docs AS DOUBLE)) * 1000000.0, 0)
+                 AS BIGINT) AS DOUBLE) / 1000000.0
+         - CAST(sum_micro AS DOUBLE)
+           / (1000000.0 * CAST(n_docs AS DOUBLE)) AS entropy
+FROM per
+"""
+
+
 _COR_CELL_MILLI = 10000  # 10-degree corridor raster cells
 
 
@@ -12440,6 +12549,7 @@ QUERIES = {
     "geo_quadtree": geo_quadtree,
     "geo_grid_bfs": geo_grid_bfs,
     "events_corridors": events_corridors,
+    "doc_source_geo_entropy": doc_source_geo_entropy,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -12598,6 +12708,7 @@ ORACLE_SQL = {
     "geo_quadtree": GEO_QUADTREE_SQL,
     "geo_grid_bfs": GEO_GRID_BFS_SQL,
     "events_corridors": EVENTS_CORRIDORS_SQL,
+    "doc_source_geo_entropy": DOC_SOURCE_GEO_ENTROPY_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
