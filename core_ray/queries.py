@@ -4222,6 +4222,114 @@ FROM per
 """
 
 
+_TT_CELL_MILLI = 10000  # 10-degree trend cells
+_TT_DAY_US = 86400000000
+
+
+def events_tile_trend(sf_dir: str):
+    """PER-CELL ACTIVITY TREND (least-squares slope of daily event counts
+    per 10-deg cell): the growth/decline detector behind "where is
+    activity rising" dashboards and crawl re-visit scheduling. Exactness
+    contract: day indexes re-base against the GLOBAL min day (one tiny
+    pruned-column aggregate; keeps every moment within int64), the
+    (cell, rel_day) daily counts come from ONE packed-u64 count_by_u64
+    pass (bounded by cells x time horizon, never the corpus), and the
+    driver fold reduces each cell to the four integer moments
+    (n, sx, sy, sxy, sxx) — slope = (n*sxy - sx*sy) / (n*sxx - sx*sx) is
+    ONE double division of two exact integers, emitted with its exact
+    numerator/denominator so the driver hash checks the integer algebra,
+    not float luck. Cells seen on a single day are excluded (slope
+    undefined)."""
+    from ray.data.aggregate import Min
+
+    from core_ray.stages.agg import count_by_u64
+
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def day_of(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"day": pa.array(us // _TT_DAY_US, pa.int64())})
+
+    d0 = int(
+        ds.map_batches(day_of, batch_format="pyarrow", batch_size=131072)
+        .aggregate(Min("day"))["min(day)"]
+    )
+
+    def pack(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        gx = ((eid * 104729) % 360000) // _TT_CELL_MILLI
+        gy = ((eid * 7919) % 140000) // _TT_CELL_MILLI
+        x = us // _TT_DAY_US - d0
+        key = ((gx * 1024 + gy).astype(np.uint64) << np.uint64(24)) | x.astype(
+            np.uint64
+        )
+        return pa.table({"key": pa.array(key, pa.uint64())})
+
+    cd = _collect_table(
+        count_by_u64(
+            ds.map_batches(pack, batch_format="pyarrow", batch_size=131072),
+            "key",
+        )
+    )  # <= cells x horizon days rows by construction
+    key = cd["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    y = cd["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cell = (key >> np.uint64(24)).astype(np.int64)
+    x = (key & np.uint64((1 << 24) - 1)).astype(np.int64)
+
+    order = np.argsort(cell, kind="stable")
+    cell, x, y = cell[order], x[order], y[order]
+    starts = np.nonzero(np.r_[True, cell[1:] != cell[:-1]])[0]
+    n = np.diff(np.r_[starts, len(cell)])
+    sx = np.add.reduceat(x, starts)
+    sy = np.add.reduceat(y, starts)
+    sxy = np.add.reduceat(x * y, starts)
+    sxx = np.add.reduceat(x * x, starts)
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    keep = n >= 2  # >= 2 distinct days => den > 0
+    ucell = cell[starts]
+    return pa.table(
+        {
+            "gx": pa.array(ucell[keep] // 1024, pa.int64()),
+            "gy": pa.array(ucell[keep] % 1024, pa.int64()),
+            "n_days": pa.array(n[keep], pa.int64()),
+            "total": pa.array(sy[keep], pa.int64()),
+            "slope_num": pa.array(num[keep], pa.int64()),
+            "slope_den": pa.array(den[keep], pa.int64()),
+            "slope": pa.array(
+                num[keep].astype(np.float64) / den[keep].astype(np.float64),
+                pa.float64(),
+            ),
+        }
+    )
+
+
+EVENTS_TILE_TREND_SQL = f"""
+WITH base AS (
+  SELECT MIN(epoch_us(ts) // {_TT_DAY_US}) AS d0 FROM events),
+pts AS (
+  SELECT ((event_id * 104729) % 360000) // {_TT_CELL_MILLI} AS gx,
+         ((event_id * 7919) % 140000) // {_TT_CELL_MILLI} AS gy,
+         epoch_us(ts) // {_TT_DAY_US} - base.d0 AS x
+  FROM events, base),
+cd AS (SELECT gx, gy, x, CAST(COUNT(*) AS BIGINT) AS y
+       FROM pts GROUP BY 1, 2, 3),
+per AS (
+  SELECT gx, gy, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM cd GROUP BY 1, 2)
+SELECT gx, gy, n AS n_days, sy AS total,
+       n * sxy - sx * sy AS slope_num,
+       n * sxx - sx * sx AS slope_den,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+FROM per WHERE n >= 2
+"""
+
+
 _COR_CELL_MILLI = 10000  # 10-degree corridor raster cells
 
 
@@ -12550,6 +12658,7 @@ QUERIES = {
     "geo_grid_bfs": geo_grid_bfs,
     "events_corridors": events_corridors,
     "doc_source_geo_entropy": doc_source_geo_entropy,
+    "events_tile_trend": events_tile_trend,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -12709,6 +12818,7 @@ ORACLE_SQL = {
     "geo_grid_bfs": GEO_GRID_BFS_SQL,
     "events_corridors": EVENTS_CORRIDORS_SQL,
     "doc_source_geo_entropy": DOC_SOURCE_GEO_ENTROPY_SQL,
+    "events_tile_trend": EVENTS_TILE_TREND_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
