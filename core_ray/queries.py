@@ -4330,6 +4330,169 @@ FROM per WHERE n >= 2
 """
 
 
+_BI_RADIUS = 2.0  # bipartite band radius in degrees
+
+
+def geo_doc_event_band(sf_dir: str):
+    """BIPARTITE DISTANCE-BAND JOIN (documents x events within a radius):
+    all (doc, event) pairs closer than 2 deg — the cross-TABLE spatial
+    join under "which telemetry happened near which content" analyses
+    (distband.py's self-join and stjoin.py's same-table contact join can't
+    express two heterogeneous sides). ASYMMETRIC home+ghost plan: the doc
+    side emits ONE home replica, the event side replicates to its 3x3
+    neighborhood, so every qualifying pair co-locates in exactly the doc's
+    home cell and is emitted exactly once — 1x + 9x replication instead of
+    the self-join's 9x on everything, ONE hash shuffle total. The
+    partition kernel sorts by (cell, side), pairs each cell's doc rows
+    against its event rows with repeat/offset-arange expansion (chunked
+    against dense cells), and filters on the exact mirrored sq_dist
+    chain."""
+    import ray
+
+    from core_ray.stages.agg import map_groups_partitioned
+
+    r = _BI_RADIUS
+    r2 = r * r
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    evs = _read(sf_dir, "events", ["event_id"])
+
+    def doc_rep(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lat, lon = _derive_coords(doc_id)
+        cx = np.floor(lat / r).astype(np.int64) + (1 << 20)
+        cy = np.floor(lon / r).astype(np.int64) + (1 << 20)
+        return pa.table(
+            {
+                "ck": pa.array(
+                    (cx.astype(np.uint64) << np.uint64(21))
+                    | cy.astype(np.uint64),
+                    pa.uint64(),
+                ),
+                "side": pa.array(np.zeros(len(doc_id), np.int8), pa.int8()),
+                "id": pa.array(doc_id, pa.int64()),
+                "lat": pa.array(lat, pa.float64()),
+                "lon": pa.array(lon, pa.float64()),
+            }
+        )
+
+    def ev_rep(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lat, lon = _derive_coords(eid)
+        cx = np.floor(lat / r).astype(np.int64)
+        cy = np.floor(lon / r).astype(np.int64)
+        n = len(eid)
+        dx = np.array([0, -1, -1, -1, 0, 0, 1, 1, 1], dtype=np.int64)
+        dy = np.array([0, -1, 0, 1, -1, 1, -1, 0, 1], dtype=np.int64)
+        rcx = (np.repeat(cx, 9) + np.tile(dx, n) + (1 << 20)).astype(np.uint64)
+        rcy = (np.repeat(cy, 9) + np.tile(dy, n) + (1 << 20)).astype(np.uint64)
+        return pa.table(
+            {
+                "ck": pa.array(
+                    (rcx << np.uint64(21)) | rcy, pa.uint64()
+                ),
+                "side": pa.array(np.ones(9 * n, np.int8), pa.int8()),
+                "id": pa.array(np.repeat(eid, 9), pa.int64()),
+                "lat": pa.array(np.repeat(lat, 9), pa.float64()),
+                "lon": pa.array(np.repeat(lon, 9), pa.float64()),
+            }
+        )
+
+    rep = docs.map_batches(doc_rep, batch_format="pyarrow",
+                           batch_size=65536).union(
+        evs.map_batches(ev_rep, batch_format="pyarrow", batch_size=65536)
+    )
+
+    _empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "event_id": pa.array([], pa.int64()),
+            "sq_dist": pa.array([], pa.float64()),
+        }
+    )
+
+    def per_part(g: pa.Table, chunk_pairs: int = 8 << 20) -> pa.Table:
+        if g.num_rows == 0:
+            return _empty
+        key = g["ck"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        side = g["side"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, key))
+        key, side = key[order], side[order]
+        ids = g["id"].to_numpy(zero_copy_only=False)[order]
+        lat = g["lat"].to_numpy(zero_copy_only=False)[order]
+        lon = g["lon"].to_numpy(zero_copy_only=False)[order]
+        n = len(key)
+        new = np.ones(n, dtype=bool)
+        new[1:] = key[1:] != key[:-1]
+        seg_id = np.cumsum(new) - 1
+        starts = np.nonzero(new)[0]
+        seg_end = np.append(starts[1:], n)
+        # docs come first within a segment (side sorts 0 before 1)
+        didx = np.nonzero(side == 0)[0]
+        if len(didx) == 0:
+            return _empty
+        dseg = seg_id[didx]
+        # events of segment s occupy [starts[s] + doc_cnt[s], seg_end[s])
+        doc_cnt = np.zeros(len(starts), np.int64)
+        np.add.at(doc_cnt, dseg, 1)
+        ev_lo = starts + doc_cnt  # first event row per segment
+        ne = (seg_end - ev_lo)[dseg]  # events per doc row
+        out = []
+        cum = np.cumsum(ne)
+        chunk = cum // chunk_pairs
+        for c in np.unique(chunk):
+            m = chunk == c
+            di = didx[m]
+            k = ne[m]
+            if k.sum() == 0:
+                continue
+            left = np.repeat(di, k)
+            off = np.concatenate([[0], np.cumsum(k)])[:-1]
+            right = (
+                np.arange(k.sum()) - np.repeat(off, k)
+                + np.repeat(ev_lo[dseg[m]], k)
+            )
+            dla = lat[left] - lat[right]
+            dlo = lon[left] - lon[right]
+            d2 = dla * dla + dlo * dlo
+            ok = d2 <= r2
+            if ok.any():
+                out.append(
+                    pa.table(
+                        {
+                            "doc_id": pa.array(
+                                ids[left][ok].astype(np.int64), pa.int64()
+                            ),
+                            "event_id": pa.array(
+                                ids[right][ok].astype(np.int64), pa.int64()
+                            ),
+                            "sq_dist": pa.array(d2[ok], pa.float64()),
+                        }
+                    )
+                )
+        return pa.concat_tables(out) if out else _empty
+
+    return map_groups_partitioned(rep, "ck", per_part)
+
+
+GEO_DOC_EVENT_BAND_SQL = f"""
+WITH d AS (
+  SELECT doc_id, {GEO_LAT_SQL} AS lat, {GEO_LON_SQL} AS lon FROM documents),
+e AS (
+  SELECT event_id,
+         {GEO_LAT_SQL.replace('doc_id', 'event_id')} AS lat,
+         {GEO_LON_SQL.replace('doc_id', 'event_id')} AS lon FROM events)
+SELECT d.doc_id, e.event_id,
+       (d.lat - e.lat) * (d.lat - e.lat)
+         + (d.lon - e.lon) * (d.lon - e.lon) AS sq_dist
+FROM d JOIN e
+  ON e.lat BETWEEN d.lat - {_BI_RADIUS} AND d.lat + {_BI_RADIUS}
+ AND e.lon BETWEEN d.lon - {_BI_RADIUS} AND d.lon + {_BI_RADIUS}
+WHERE (d.lat - e.lat) * (d.lat - e.lat)
+        + (d.lon - e.lon) * (d.lon - e.lon) <= {_BI_RADIUS * _BI_RADIUS}
+"""
+
+
 _COR_CELL_MILLI = 10000  # 10-degree corridor raster cells
 
 
@@ -12659,6 +12822,7 @@ QUERIES = {
     "events_corridors": events_corridors,
     "doc_source_geo_entropy": doc_source_geo_entropy,
     "events_tile_trend": events_tile_trend,
+    "geo_doc_event_band": geo_doc_event_band,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -12819,6 +12983,7 @@ ORACLE_SQL = {
     "events_corridors": EVENTS_CORRIDORS_SQL,
     "doc_source_geo_entropy": DOC_SOURCE_GEO_ENTROPY_SQL,
     "events_tile_trend": EVENTS_TILE_TREND_SQL,
+    "geo_doc_event_band": GEO_DOC_EVENT_BAND_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,

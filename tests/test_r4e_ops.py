@@ -24,7 +24,9 @@ from core_ray.queries import (
     _TOPONYMS,
     _mm_segments,
     _toponym_candidates,
+    _BI_RADIUS,
     doc_toponym_resolve,
+    geo_doc_event_band,
     geo_grid_bfs,
     geo_map_match,
     geo_quadtree,
@@ -49,6 +51,12 @@ def corpus(tmp_path_factory):
     pq.write_table(
         pa.table({"doc_id": doc_id, "text": pa.array(texts)}),
         d / "documents.parquet",
+    )
+    event_id = np.sort(
+        rng.choice(2_000_000, size=2 * N_DOCS, replace=False)
+    ).astype(np.int64)
+    pq.write_table(
+        pa.table({"event_id": event_id}), d / "events.parquet"
     )
     lat = ((doc_id * 7919) % 140000) / 1000.0 - 70.0
     lon = ((doc_id * 104729) % 360000) / 1000.0 - 180.0
@@ -157,3 +165,22 @@ def test_grid_bfs_paths_agree_and_match_bruteforce(ray_session, corpus):
             exp[c] = r
         frontier = nxt
     assert local == exp
+
+
+def test_doc_event_band_matches_bruteforce(ray_session, corpus):
+    sf, doc_id, _, lat, lon = corpus
+    event_id = pq.read_table(f"{sf}/events.parquet")["event_id"].to_numpy()
+    elat = ((event_id * 7919) % 140000) / 1000.0 - 70.0
+    elon = ((event_id * 104729) % 360000) / 1000.0 - 180.0
+    got = {(r["doc_id"], r["event_id"]): r["sq_dist"]
+           for r in geo_doc_event_band(sf).take_all()}
+    r2 = _BI_RADIUS * _BI_RADIUS
+    exp = {}
+    for i in range(len(doc_id)):
+        dla = lat[i] - elat
+        dlo = lon[i] - elon
+        d2 = dla * dla + dlo * dlo
+        for j in np.nonzero(d2 <= r2)[0]:
+            exp[(int(doc_id[i]), int(event_id[j]))] = d2[j]
+    assert len(got) == len(exp) > 0
+    assert got == exp
