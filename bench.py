@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "doc_source_geo_entropy",
     "events_tile_trend",
     "geo_doc_event_band",
+    "events_gyration",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

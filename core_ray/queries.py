@@ -4493,6 +4493,109 @@ WHERE (d.lat - e.lat) * (d.lat - e.lat)
 """
 
 
+def events_gyration(sf_dir: str):
+    """PER-USER RADIUS OF GYRATION (the canonical human-mobility dispersion
+    metric — Gonzalez et al.'s Nature 2008 measure: RMS distance of a
+    user's points from their own centroid; commuters score low, travelers
+    high). Exactness via the moment identity sum((p-c)^2) =
+    sum(p^2) - n*c^2, so rog^2 = (n*(Sxx+Syy) - Sx^2 - Sy^2) / n^2 over
+    INTEGER milli-degree moments — per-batch combiner reduces each batch
+    to per-user (n, Sx, Sy, Sxx, Syy) partials (np.unique + reduceat),
+    ONE user-keyed shuffle sums them, and rog is one correctly-rounded
+    SQRT of one exact int/int division (emitted with its integer
+    numerator/denominator so the hash checks the algebra). int64 bound:
+    Sx^2 <= (n * 360000)^2 — safe to ~25M events per user; beyond that the
+    moments widen to two-limb accumulators (documented hatch)."""
+    from core_ray.stages.agg import map_groups_partitioned
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = (eid * 104729) % 360000
+        y = (eid * 7919) % 140000
+        order = np.argsort(uid, kind="stable")
+        uid, x, y = uid[order], x[order], y[order]
+        starts = np.nonzero(np.r_[True, uid[1:] != uid[:-1]])[0]
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts], pa.int64()),
+                "n": pa.array(
+                    np.diff(np.r_[starts, len(uid)]).astype(np.int64),
+                    pa.int64(),
+                ),
+                "sx": pa.array(np.add.reduceat(x, starts), pa.int64()),
+                "sy": pa.array(np.add.reduceat(y, starts), pa.int64()),
+                "sxx": pa.array(np.add.reduceat(x * x, starts), pa.int64()),
+                "syy": pa.array(np.add.reduceat(y * y, starts), pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=131072)
+
+    def reduce_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "rog_num": pa.array([], pa.int64()),
+                    "rog_den": pa.array([], pa.int64()),
+                    "rog_deg": pa.array([], pa.float64()),
+                }
+            )
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(uid, kind="stable")
+        uid = uid[order]
+        starts = np.nonzero(np.r_[True, uid[1:] != uid[:-1]])[0]
+        cols = {
+            c: np.add.reduceat(
+                g[c].to_numpy(zero_copy_only=False).astype(np.int64)[order],
+                starts,
+            )
+            for c in ("n", "sx", "sy", "sxx", "syy")
+        }
+        n = cols["n"]
+        num = n * (cols["sxx"] + cols["syy"]) - cols["sx"] ** 2 - cols["sy"] ** 2
+        den = n * n
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts], pa.int64()),
+                "n_events": pa.array(n, pa.int64()),
+                "rog_num": pa.array(num, pa.int64()),
+                "rog_den": pa.array(den, pa.int64()),
+                "rog_deg": pa.array(
+                    np.sqrt(num.astype(np.float64) / den.astype(np.float64))
+                    / 1000.0,
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return map_groups_partitioned(partials, "user_id", reduce_part)
+
+
+EVENTS_GYRATION_SQL = """
+WITH pts AS (
+  SELECT user_id, (event_id * 104729) % 360000 AS x,
+         (event_id * 7919) % 140000 AS y FROM events),
+per AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM pts GROUP BY 1)
+SELECT user_id, n AS n_events,
+       n * (sxx + syy) - sx * sx - sy * sy AS rog_num,
+       n * n AS rog_den,
+       SQRT(CAST(n * (sxx + syy) - sx * sx - sy * sy AS DOUBLE)
+            / CAST(n * n AS DOUBLE)) / 1000.0 AS rog_deg
+FROM per
+"""
+
+
 _COR_CELL_MILLI = 10000  # 10-degree corridor raster cells
 
 
@@ -12823,6 +12926,7 @@ QUERIES = {
     "doc_source_geo_entropy": doc_source_geo_entropy,
     "events_tile_trend": events_tile_trend,
     "geo_doc_event_band": geo_doc_event_band,
+    "events_gyration": events_gyration,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -12984,6 +13088,7 @@ ORACLE_SQL = {
     "doc_source_geo_entropy": DOC_SOURCE_GEO_ENTROPY_SQL,
     "events_tile_trend": EVENTS_TILE_TREND_SQL,
     "geo_doc_event_band": GEO_DOC_EVENT_BAND_SQL,
+    "events_gyration": EVENTS_GYRATION_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
