@@ -4596,6 +4596,121 @@ FROM per
 """
 
 
+def doc_lang_dissimilarity(sf_dir: str):
+    """SPATIAL SEGREGATION (Duncan-Duncan dissimilarity index D) for every
+    language pair over the 10-deg grid — the demography-standard "how
+    differently are two groups distributed" score (0 = identical spatial
+    mix, 1 = full separation), here measuring whether two languages'
+    documents occupy different regions. Exactness: the textbook
+    D = 0.5 * sum|c_a/A - c_b/B| is all float traps; cross-multiplying
+    gives per-cell INTEGER terms |c_a*B - c_b*A| and
+    D = sum / (2*A*B) — ONE double division of two exact integers. Plan:
+    distinct langs (bounded) -> broadcast sorted -> (lang_idx, cell)
+    packed u64 count pass (bounded result: langs x 504) -> driver dense
+    fold over all pairs. int64 bound: c*total <= N^2 — safe to ~3e9 docs
+    per language; the driver fold widens to Python ints beyond
+    (documented hatch)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from core_ray.stages.agg import count_by_u64
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def lang_partial(b: pa.Table) -> pa.Table:
+        u = np.unique(np.asarray(b["lang"].to_pylist()))
+        return pa.table({"lang": pa.array(u.tolist(), pa.string()),
+                         "one": pa.array(np.ones(len(u), np.int64))})
+
+    lang_t = _collect_table(
+        ds.select_columns(["lang"])
+        .map_batches(lang_partial, batch_format="pyarrow", batch_size=131072)
+        .groupby("lang")
+        .aggregate(Sum("one", alias_name="n"))
+    )
+    langs = np.sort(np.asarray(lang_t["lang"].to_pylist()))
+    lang_ref = ray.put(langs)
+
+    def pack(b: pa.Table) -> pa.Table:
+        ls = ray.get(lang_ref)
+        doc_id = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(ls, np.asarray(b["lang"].to_pylist()))
+        gx = ((doc_id * 104729) % 360000) // _GE_CELL_MILLI
+        gy = ((doc_id * 7919) % 140000) // _GE_CELL_MILLI
+        key = (idx.astype(np.uint64) << np.uint64(16)) | (
+            (gx * 1024 + gy).astype(np.uint64)
+        )
+        return pa.table({"key": pa.array(key, pa.uint64())})
+
+    cc_t = _collect_table(
+        count_by_u64(
+            ds.map_batches(pack, batch_format="pyarrow", batch_size=131072),
+            "key",
+        )
+    )  # <= langs x 504 rows by construction
+    key = cc_t["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    c = cc_t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lidx = (key >> np.uint64(16)).astype(np.int64)
+    cell = (key & np.uint64((1 << 16) - 1)).astype(np.int64)
+    cells = np.unique(cell)
+    dense = np.zeros((len(langs), len(cells)), np.int64)
+    dense[lidx, np.searchsorted(cells, cell)] = c
+    totals = dense.sum(axis=1)
+
+    la, lb, num, den = [], [], [], []
+    for a in range(len(langs)):
+        for b_ in range(a + 1, len(langs)):
+            t = np.abs(
+                dense[a] * totals[b_] - dense[b_] * totals[a]
+            ).sum()
+            la.append(langs[a])
+            lb.append(langs[b_])
+            num.append(int(t))
+            den.append(int(2 * totals[a] * totals[b_]))
+    num_a = np.asarray(num, np.int64)
+    den_a = np.asarray(den, np.int64)
+    return pa.table(
+        {
+            "lang_a": pa.array(la, pa.string()),
+            "lang_b": pa.array(lb, pa.string()),
+            "num": pa.array(num_a, pa.int64()),
+            "den": pa.array(den_a, pa.int64()),
+            "dissimilarity": pa.array(
+                num_a.astype(np.float64) / den_a.astype(np.float64),
+                pa.float64(),
+            ),
+        }
+    )
+
+
+DOC_LANG_DISSIMILARITY_SQL = f"""
+WITH pts AS (
+  SELECT lang,
+         ((doc_id * 104729) % 360000) // {_GE_CELL_MILLI} AS gx,
+         ((doc_id * 7919) % 140000) // {_GE_CELL_MILLI} AS gy
+  FROM documents),
+cc AS (SELECT lang, gx, gy, CAST(COUNT(*) AS BIGINT) AS c
+       FROM pts GROUP BY 1, 2, 3),
+tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS t FROM cc GROUP BY 1),
+pairs AS (
+  SELECT a.lang AS la, b.lang AS lb, a.t AS ta, b.t AS tb
+  FROM tot a JOIN tot b ON a.lang < b.lang),
+cells AS (SELECT DISTINCT gx, gy FROM cc),
+terms AS (
+  SELECT p.la, p.lb, p.ta, p.tb,
+         ABS(COALESCE(a.c, 0) * p.tb - COALESCE(b.c, 0) * p.ta) AS term
+  FROM pairs p CROSS JOIN cells ce
+  LEFT JOIN cc a ON a.lang = p.la AND a.gx = ce.gx AND a.gy = ce.gy
+  LEFT JOIN cc b ON b.lang = p.lb AND b.gx = ce.gx AND b.gy = ce.gy)
+SELECT la AS lang_a, lb AS lang_b,
+       CAST(SUM(term) AS BIGINT) AS num,
+       2 * ta * tb AS den,
+       CAST(CAST(SUM(term) AS BIGINT) AS DOUBLE)
+         / CAST(2 * ta * tb AS DOUBLE) AS dissimilarity
+FROM terms GROUP BY la, lb, ta, tb
+"""
+
+
 _COR_CELL_MILLI = 10000  # 10-degree corridor raster cells
 
 
@@ -12927,6 +13042,7 @@ QUERIES = {
     "events_tile_trend": events_tile_trend,
     "geo_doc_event_band": geo_doc_event_band,
     "events_gyration": events_gyration,
+    "doc_lang_dissimilarity": doc_lang_dissimilarity,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -13089,6 +13205,7 @@ ORACLE_SQL = {
     "events_tile_trend": EVENTS_TILE_TREND_SQL,
     "geo_doc_event_band": GEO_DOC_EVENT_BAND_SQL,
     "events_gyration": EVENTS_GYRATION_SQL,
+    "doc_lang_dissimilarity": DOC_LANG_DISSIMILARITY_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
