@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "geo_doc_event_band",
     "events_gyration",
     "doc_lang_dissimilarity",
+    "events_user_entropy",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

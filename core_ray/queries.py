@@ -4711,6 +4711,97 @@ FROM terms GROUP BY la, lb, ta, tb
 """
 
 
+def events_user_entropy(sf_dir: str):
+    """PER-USER LOCATION ENTROPY (the mobility-predictability measure of
+    Song et al.: Shannon entropy of each user's visit distribution over
+    10-deg cells — low = routine commuter, high = unpredictable roamer).
+    The per-USER sibling of doc_source_geo_entropy with one crucial scale
+    difference: users are UNBOUNDED (corpus-scale key), so the entropy
+    fold runs DISTRIBUTED inside the partition kernel, never on the
+    driver — one user-keyed hash shuffle, per-partition double reduceat
+    ((user, cell) counts, then per-user moments). Float parity: per-cell
+    c*log2(c) rounds to integer micro-bits (sql_round_np == DuckDB
+    ROUND), sums are exact BIGINT, entropy is one fixed double chain."""
+    from core_ray.stages.agg import map_groups_partitioned
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    _empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+            "n_cells": pa.array([], pa.int64()),
+            "sum_micro": pa.array([], pa.int64()),
+            "entropy": pa.array([], pa.float64()),
+        }
+    )
+
+    def per_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _empty
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gx = ((eid * 104729) % 360000) // _GE_CELL_MILLI
+        gy = ((eid * 7919) % 140000) // _GE_CELL_MILLI
+        cell = gx * 1024 + gy
+        order = np.lexsort((cell, uid))
+        uid, cell = uid[order], cell[order]
+        # (user, cell) counts
+        newc = np.r_[True, (uid[1:] != uid[:-1]) | (cell[1:] != cell[:-1])]
+        cstarts = np.nonzero(newc)[0]
+        c = np.diff(np.r_[cstarts, len(uid)]).astype(np.int64)
+        cuid = uid[cstarts]
+        micro = sql_round_np(
+            c.astype(np.float64) * np.log2(c.astype(np.float64)) * 1000000.0,
+            0,
+        ).astype(np.int64)
+        # per-user moments over the (user, cell) rows
+        ustarts = np.nonzero(np.r_[True, cuid[1:] != cuid[:-1]])[0]
+        n_cells = np.diff(np.r_[ustarts, len(cuid)]).astype(np.int64)
+        n = np.add.reduceat(c, ustarts)
+        sm = np.add.reduceat(micro, ustarts)
+        lg = sql_round_np(
+            np.log2(n.astype(np.float64)) * 1000000.0, 0
+        ).astype(np.int64)
+        entropy = lg.astype(np.float64) / 1000000.0 - sm.astype(
+            np.float64
+        ) / (1000000.0 * n.astype(np.float64))
+        return pa.table(
+            {
+                "user_id": pa.array(cuid[ustarts], pa.int64()),
+                "n_events": pa.array(n, pa.int64()),
+                "n_cells": pa.array(n_cells, pa.int64()),
+                "sum_micro": pa.array(sm, pa.int64()),
+                "entropy": pa.array(entropy, pa.float64()),
+            }
+        )
+
+    return map_groups_partitioned(ds, "user_id", per_part)
+
+
+EVENTS_USER_ENTROPY_SQL = f"""
+WITH pts AS (
+  SELECT user_id,
+         ((event_id * 104729) % 360000) // {_GE_CELL_MILLI} AS gx,
+         ((event_id * 7919) % 140000) // {_GE_CELL_MILLI} AS gy
+  FROM events),
+cc AS (SELECT user_id, gx, gy, COUNT(*) AS c FROM pts GROUP BY 1, 2, 3),
+per AS (
+  SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
+         CAST(COUNT(*) AS BIGINT) AS n_cells,
+         CAST(SUM(CAST(ROUND(CAST(c AS DOUBLE) * LOG2(CAST(c AS DOUBLE))
+                             * 1000000.0, 0) AS BIGINT)) AS BIGINT)
+           AS sum_micro
+  FROM cc GROUP BY 1)
+SELECT user_id, n_events, n_cells, sum_micro,
+       CAST(CAST(ROUND(LOG2(CAST(n_events AS DOUBLE)) * 1000000.0, 0)
+                 AS BIGINT) AS DOUBLE) / 1000000.0
+         - CAST(sum_micro AS DOUBLE)
+           / (1000000.0 * CAST(n_events AS DOUBLE)) AS entropy
+FROM per
+"""
+
+
 _COR_CELL_MILLI = 10000  # 10-degree corridor raster cells
 
 
@@ -13043,6 +13134,7 @@ QUERIES = {
     "geo_doc_event_band": geo_doc_event_band,
     "events_gyration": events_gyration,
     "doc_lang_dissimilarity": doc_lang_dissimilarity,
+    "events_user_entropy": events_user_entropy,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -13206,6 +13298,7 @@ ORACLE_SQL = {
     "geo_doc_event_band": GEO_DOC_EVENT_BAND_SQL,
     "events_gyration": EVENTS_GYRATION_SQL,
     "doc_lang_dissimilarity": DOC_LANG_DISSIMILARITY_SQL,
+    "events_user_entropy": EVENTS_USER_ENTROPY_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
