@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "events_gyration",
     "doc_lang_dissimilarity",
     "events_user_entropy",
+    "doc_geo_tfidf",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

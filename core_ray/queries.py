@@ -4802,6 +4802,193 @@ FROM per
 """
 
 
+_GT_CELL_MILLI = 30000  # 30-degree tf-idf regions
+_GT_MIN_SUP = 3  # a token needs >= this many regional occurrences
+_GT_K = 5  # distinctive tokens reported per region
+
+
+def doc_geo_tfidf(sf_dir: str):
+    """REGIONALLY DISTINCTIVE VOCABULARY (geo tf-idf / lift): for every
+    30-deg region, the top-{K} tokens most over-represented there vs the
+    whole corpus — lift(w,r) = (c_rw/c_r)/(c_w/N) — the "what does this
+    region talk about" operator behind local-intent search and dialect
+    mapping. Plan (the doc_vocab_top20 shape, regionalized): per-batch
+    (token, region) count combiner, hash-partition by TOKEN so each
+    partition's (token, region) sums AND per-token global c_w are exact
+    locally; region totals + N come from a separate cheap integer pass
+    (bounded: 60 regions) and ride the closure. Per-partition top-{K}
+    per region prune (safe: global top-k per region ⊆ union of local
+    top-ks), bounded driver merge. Float parity: lift is ONE fixed
+    double chain ((c_rw*N)/(c_r*c_w), casts mirrored), ordered with the
+    token tie-break on both sides."""
+    from core_ray.stages.agg import _GOLD, _n_parts, hash_strings, sum_by_u64
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_parts = _n_parts()
+
+    def region_of(doc_id: np.ndarray) -> np.ndarray:
+        gx = ((doc_id * 104729) % 360000) // _GT_CELL_MILLI
+        gy = ((doc_id * 7919) % 140000) // _GT_CELL_MILLI
+        return gx * 16 + gy
+
+    # pass 1: region token totals (bounded) + N
+    def rt_partial(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ntok = np.asarray(
+            [len(t.split(" ")) for t in b["text"].to_pylist()], np.int64
+        )
+        reg = region_of(doc_id)
+        u = np.unique(reg)
+        sums = np.zeros(len(u), np.int64)
+        np.add.at(sums, np.searchsorted(u, reg), ntok)
+        return pa.table(
+            {"key": pa.array(u.astype(np.uint64), pa.uint64()),
+             "n": pa.array(sums, pa.int64())}
+        )
+
+    rt = _collect_table(
+        sum_by_u64(
+            ds.map_batches(rt_partial, batch_format="pyarrow",
+                           batch_size=65536),
+            "key", "n",
+        )
+    )
+    c_r = np.zeros(16 * 16, np.int64)
+    c_r[rt["key"].to_numpy(zero_copy_only=False).astype(np.int64)] = (
+        rt["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    n_total = float(c_r.sum())
+
+    # pass 2: (token, region) counts, partitioned by token
+    def count_partial(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = b["text"].to_pylist()
+        toks = np.asarray([w for t in texts for w in t.split(" ")])
+        if len(toks) == 0:
+            return pa.table(
+                {"token": pa.array([], pa.string()),
+                 "region": pa.array([], pa.int64()),
+                 "c": pa.array([], pa.int64()),
+                 "__part": pa.array([], pa.int32())}
+            )
+        reg = np.repeat(
+            region_of(doc_id),
+            np.asarray([len(t.split(" ")) for t in texts], np.int64),
+        )
+        vocab, inv = np.unique(toks, return_inverse=True)
+        key = inv.astype(np.int64) * 256 + reg
+        u, cnt = np.unique(key, return_counts=True)
+        ut = vocab[u // 256]
+        h = hash_strings(pa.array(ut, pa.string()))
+        return pa.table(
+            {
+                "token": pa.array(ut, pa.string()),
+                "region": pa.array(u % 256, pa.int64()),
+                "c": pa.array(cnt.astype(np.int64), pa.int64()),
+                "__part": pa.array(
+                    ((h * _GOLD) % np.uint64(n_parts)).astype(np.int32),
+                    pa.int32(),
+                ),
+            }
+        )
+
+    def reduce_part(g: pa.Table) -> pa.Table:
+        toks = np.asarray(g["token"].to_pylist())
+        reg = g["region"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = g["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((reg, toks))
+        toks, reg, c = toks[order], reg[order], c[order]
+        new = np.r_[True, (toks[1:] != toks[:-1]) | (reg[1:] != reg[:-1])]
+        starts = np.nonzero(new)[0]
+        c_rw = np.add.reduceat(c, starts)
+        toks, reg = toks[starts], reg[starts]
+        # per-token global counts (this partition owns its tokens fully)
+        tnew = np.r_[True, toks[1:] != toks[:-1]]
+        tid = np.cumsum(tnew) - 1
+        c_w = np.zeros(tid[-1] + 1, np.int64)
+        np.add.at(c_w, tid, c_rw)
+        c_w = c_w[tid]
+        keep = c_rw >= _GT_MIN_SUP
+        toks, reg, c_rw, c_w = toks[keep], reg[keep], c_rw[keep], c_w[keep]
+        if len(toks) == 0:
+            return pa.table(
+                {"token": pa.array([], pa.string()),
+                 "region": pa.array([], pa.int64()),
+                 "n_rw": pa.array([], pa.int64()),
+                 "n_w": pa.array([], pa.int64()),
+                 "lift": pa.array([], pa.float64())}
+            )
+        lift = (c_rw.astype(np.float64) * n_total) / (
+            c_r[reg].astype(np.float64) * c_w.astype(np.float64)
+        )
+        order = np.lexsort((toks, -lift, reg))
+        rank = np.arange(len(order)) - np.searchsorted(
+            reg[order], reg[order]
+        )  # position within region run
+        top = order[rank < _GT_K]
+        return pa.table(
+            {
+                "token": pa.array(toks[top], pa.string()),
+                "region": pa.array(reg[top], pa.int64()),
+                "n_rw": pa.array(c_rw[top], pa.int64()),
+                "n_w": pa.array(c_w[top], pa.int64()),
+                "lift": pa.array(lift[top], pa.float64()),
+            }
+        )
+
+    pruned = _collect_table(
+        ds.map_batches(count_partial, batch_format="pyarrow",
+                       batch_size=65536)
+        .groupby("__part")
+        .map_groups(reduce_part, batch_format="pyarrow")
+    )  # <= n_parts x regions x K rows by construction
+    toks = np.asarray(pruned["token"].to_pylist())
+    reg = pruned["region"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_rw = pruned["n_rw"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_w = pruned["n_w"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lift = pruned["lift"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((toks, -lift, reg))
+    pos = np.arange(len(order)) - np.searchsorted(reg[order], reg[order])
+    top = order[pos < _GT_K]
+    return pa.table(
+        {
+            "gx": pa.array(reg[top] // 16, pa.int64()),
+            "gy": pa.array(reg[top] % 16, pa.int64()),
+            "token": pa.array(toks[top], pa.string()),
+            "n_rw": pa.array(n_rw[top], pa.int64()),
+            "n_w": pa.array(n_w[top], pa.int64()),
+            "lift": pa.array(lift[top], pa.float64()),
+        }
+    )
+
+
+DOC_GEO_TFIDF_SQL = f"""
+WITH toks AS (
+  SELECT ((doc_id * 104729) % 360000) // {_GT_CELL_MILLI} AS gx,
+         ((doc_id * 7919) % 140000) // {_GT_CELL_MILLI} AS gy,
+         UNNEST(string_split(text, ' ')) AS w
+  FROM documents),
+rw AS (SELECT gx, gy, w, CAST(COUNT(*) AS BIGINT) AS c
+       FROM toks GROUP BY 1, 2, 3),
+wt AS (SELECT w, CAST(SUM(c) AS BIGINT) AS cw FROM rw GROUP BY 1),
+rt AS (SELECT gx, gy, CAST(SUM(c) AS BIGINT) AS cr FROM rw GROUP BY 1, 2),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM rw),
+scored AS (
+  SELECT rw.gx, rw.gy, rw.w, rw.c, wt.cw,
+         (CAST(rw.c AS DOUBLE) * CAST(tot.n AS DOUBLE))
+           / (CAST(rt.cr AS DOUBLE) * CAST(wt.cw AS DOUBLE)) AS lift
+  FROM rw JOIN wt USING (w)
+  JOIN rt ON rt.gx = rw.gx AND rt.gy = rw.gy CROSS JOIN tot
+  WHERE rw.c >= {_GT_MIN_SUP}),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY gx, gy
+                               ORDER BY lift DESC, w) AS rn
+  FROM scored)
+SELECT gx, gy, w AS token, c AS n_rw, cw AS n_w, lift
+FROM ranked WHERE rn <= {_GT_K}
+"""
+
+
 _COR_CELL_MILLI = 10000  # 10-degree corridor raster cells
 
 
@@ -13135,6 +13322,7 @@ QUERIES = {
     "events_gyration": events_gyration,
     "doc_lang_dissimilarity": doc_lang_dissimilarity,
     "events_user_entropy": events_user_entropy,
+    "doc_geo_tfidf": doc_geo_tfidf,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -13299,6 +13487,7 @@ ORACLE_SQL = {
     "events_gyration": EVENTS_GYRATION_SQL,
     "doc_lang_dissimilarity": DOC_LANG_DISSIMILARITY_SQL,
     "events_user_entropy": EVENTS_USER_ENTROPY_SQL,
+    "doc_geo_tfidf": DOC_GEO_TFIDF_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
