@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "doc_lang_dissimilarity",
     "events_user_entropy",
     "doc_geo_tfidf",
+    "events_jump_lengths",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

@@ -4989,6 +4989,110 @@ FROM ranked WHERE rn <= {_GT_K}
 """
 
 
+def events_jump_lengths(sf_dir: str):
+    """JUMP-LENGTH DISTRIBUTION (the displacement histogram of human
+    mobility — the truncated-power-law curve of Brockmann/Gonzalez: how
+    far do consecutive events move?): per travel leg, the great-circle km
+    (geo_traj_stats' FLOOR-quantized haversine contract) dropped into
+    log2 bins, counted corpus-wide. Binning is PURE INTEGER — bin =
+    bit_length(km) (np.frexp exponent, no libm log2 anywhere; the SQL
+    mirror is LENGTH(BIN(km))) — so there is no boundary-ULP caveat at
+    the power-of-two edges. One user-keyed shuffle; the partition kernel
+    reduces its legs straight to (bin, n, sum_km) partials (<= ~16 bins),
+    and the bounded driver fold sums partitions."""
+    from core_ray.stages.agg import map_groups_partitioned
+    from core_ray.stages.distband import haversine_km
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    _empty = pa.table(
+        {
+            "bin": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            "s": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _empty
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, us, uid))
+        uid, eid = uid[order], eid[order]
+        lat, lon = _derive_coords(eid)
+        leg = np.zeros(len(uid), dtype=bool)
+        leg[1:] = uid[1:] == uid[:-1]
+        i = np.nonzero(leg)[0]
+        if len(i) == 0:
+            return _empty
+        km = np.floor(
+            haversine_km(lat[i - 1], lon[i - 1], lat[i], lon[i])
+        ).astype(np.int64)
+        b = np.where(km > 0, np.frexp(km.astype(np.float64))[1], 0).astype(
+            np.int64
+        )
+        u = np.unique(b)
+        n = np.zeros(len(u), np.int64)
+        s = np.zeros(len(u), np.int64)
+        pos = np.searchsorted(u, b)
+        np.add.at(n, pos, 1)
+        np.add.at(s, pos, km)
+        return pa.table(
+            {
+                "bin": pa.array(u, pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "s": pa.array(s, pa.int64()),
+            }
+        )
+
+    t = _collect_table(
+        map_groups_partitioned(ds, "user_id", per_part)
+    )  # <= partitions x ~16 bins by construction
+    b = t["bin"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    s = t["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+    u = np.unique(b)
+    pos = np.searchsorted(u, b)
+    nn = np.zeros(len(u), np.int64)
+    ss = np.zeros(len(u), np.int64)
+    np.add.at(nn, pos, n)
+    np.add.at(ss, pos, s)
+    return pa.table(
+        {
+            "bin": pa.array(u, pa.int64()),
+            "n_legs": pa.array(nn, pa.int64()),
+            "sum_km": pa.array(ss, pa.int64()),
+        }
+    )
+
+
+EVENTS_JUMP_LENGTHS_SQL = f"""
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         {GEO_LAT_SQL.replace('doc_id', 'event_id')} AS lat,
+         {GEO_LON_SQL.replace('doc_id', 'event_id')} AS lon FROM events),
+legs AS (
+  SELECT user_id,
+         LAG(lat) OVER w AS plat, LAG(lon) OVER w AS plon, lat, lon
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+km AS (
+  SELECT CAST(FLOOR(
+    2.0 * 6371.0088 * ASIN(SQRT(
+      SIN(RADIANS(lat - plat) / 2.0) * SIN(RADIANS(lat - plat) / 2.0)
+      + COS(RADIANS(plat)) * COS(RADIANS(lat))
+        * SIN(RADIANS(lon - plon) / 2.0) * SIN(RADIANS(lon - plon) / 2.0)
+    ))) AS BIGINT) AS k
+  FROM legs WHERE plat IS NOT NULL)
+SELECT CASE WHEN k = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(LENGTH(BIN(k)) AS BIGINT) END AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_legs,
+       CAST(SUM(k) AS BIGINT) AS sum_km
+FROM km GROUP BY 1
+"""
+
+
 _COR_CELL_MILLI = 10000  # 10-degree corridor raster cells
 
 
@@ -13323,6 +13427,7 @@ QUERIES = {
     "doc_lang_dissimilarity": doc_lang_dissimilarity,
     "events_user_entropy": events_user_entropy,
     "doc_geo_tfidf": doc_geo_tfidf,
+    "events_jump_lengths": events_jump_lengths,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -13488,6 +13593,7 @@ ORACLE_SQL = {
     "doc_lang_dissimilarity": DOC_LANG_DISSIMILARITY_SQL,
     "events_user_entropy": EVENTS_USER_ENTROPY_SQL,
     "doc_geo_tfidf": DOC_GEO_TFIDF_SQL,
+    "events_jump_lengths": EVENTS_JUMP_LENGTHS_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
