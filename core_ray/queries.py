@@ -6721,6 +6721,90 @@ EMB_KMEANS_SQL = f"SELECT * FROM read_parquet('{_DGD}/kmeans.parquet')"
 GEO_CONVEX_HULL_SQL = f"SELECT * FROM read_parquet('{_DGD}/tile_hulls.parquet')"
 
 
+def doc_dup_geo_spread(sf_dir: str):
+    """CONTENT-SYNDICATION GEOGRAPHY: per near-dup cluster, the geographic
+    spread (radius of gyration) of its member documents — does duplicated
+    content stay local (one outlet's reposts) or span the world (wire-
+    service syndication)? A pipeline COMPOSITION: minhash pairs ->
+    connected components (doc_dup_clusters' exact chain) -> per-cluster
+    integer-moment rog (events_gyration's identity, keyed by cluster).
+    Clusters are an unbounded key, so the moment fold runs distributed
+    (one comp-keyed shuffle over the PAIRED docs only — ≪ corpus by the
+    dedup contract); rog is one correctly-rounded SQRT of one exact
+    int/int division, integer num/den emitted."""
+    from core_ray.stages.agg import map_groups_partitioned
+    from core_ray.stages.cc import connected_components
+    from core_ray.text.dedup import minhash_near_dups
+
+    _ensure_docs_golden(sf_dir)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_near_dups(ds, threshold=0.5)
+    clusters = connected_components(pairs, src="id_a", dst="id_b")
+
+    _empty = pa.table(
+        {
+            "cluster_id": pa.array([], pa.int64()),
+            "n_docs": pa.array([], pa.int64()),
+            "rog_num": pa.array([], pa.int64()),
+            "rog_den": pa.array([], pa.int64()),
+            "rog_deg": pa.array([], pa.float64()),
+        }
+    )
+
+    def per_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _empty
+        comp = g["comp"].to_numpy(zero_copy_only=False).astype(np.int64)
+        node = g["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(comp, kind="stable")
+        comp, node = comp[order], node[order]
+        x = (node * 104729) % 360000
+        y = (node * 7919) % 140000
+        starts = np.nonzero(np.r_[True, comp[1:] != comp[:-1]])[0]
+        n = np.diff(np.r_[starts, len(comp)]).astype(np.int64)
+        sx = np.add.reduceat(x, starts)
+        sy = np.add.reduceat(y, starts)
+        sxx = np.add.reduceat(x * x, starts)
+        syy = np.add.reduceat(y * y, starts)
+        num = n * (sxx + syy) - sx * sx - sy * sy
+        den = n * n
+        return pa.table(
+            {
+                "cluster_id": pa.array(comp[starts], pa.int64()),
+                "n_docs": pa.array(n, pa.int64()),
+                "rog_num": pa.array(num, pa.int64()),
+                "rog_den": pa.array(den, pa.int64()),
+                "rog_deg": pa.array(
+                    np.sqrt(num.astype(np.float64) / den.astype(np.float64))
+                    / 1000.0,
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return map_groups_partitioned(clusters, "comp", per_part)
+
+
+DOC_DUP_GEO_SPREAD_SQL = f"""
+WITH m AS (
+  SELECT comp, (node * 104729) % 360000 AS x, (node * 7919) % 140000 AS y
+  FROM read_parquet('{_DGD}/dup_clusters.parquet')),
+per AS (
+  SELECT comp, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM m GROUP BY 1)
+SELECT comp AS cluster_id, n AS n_docs,
+       n * (sxx + syy) - sx * sx - sy * sy AS rog_num,
+       n * n AS rog_den,
+       SQRT(CAST(n * (sxx + syy) - sx * sx - sy * sy AS DOUBLE)
+            / CAST(n * n AS DOUBLE)) / 1000.0 AS rog_deg
+FROM per
+"""
+
+
+
 # ---------------------------------------------------------------- multimodal
 # stub: opaque binary column + typed metadata through a real actor-pool stage
 # (decode itself is a deterministic fake — no image libs in this env; the
@@ -13312,6 +13396,7 @@ QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "doc_minhash_pairs": doc_minhash_pairs,
     "doc_dup_clusters": doc_dup_clusters,
+    "doc_dup_geo_spread": doc_dup_geo_spread,
     "doc_dedup_keep": doc_dedup_keep,
     "doc_simhash_pairs": doc_simhash_pairs,
     "emb_topk": emb_topk,
@@ -13523,6 +13608,7 @@ ORACLE_SQL = {
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "doc_minhash_pairs": DOC_MINHASH_PAIRS_SQL,
     "doc_dup_clusters": DOC_DUP_CLUSTERS_SQL,
+    "doc_dup_geo_spread": DOC_DUP_GEO_SPREAD_SQL,
     "doc_dedup_keep": DOC_DEDUP_KEEP_SQL,
     "doc_simhash_pairs": DOC_SIMHASH_PAIRS_SQL,
     "emb_ann_lsh": EMB_ANN_LSH_SQL,
