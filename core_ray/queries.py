@@ -5093,6 +5093,108 @@ FROM km GROUP BY 1
 """
 
 
+def events_msd(sf_dir: str):
+    """MEAN SQUARED DISPLACEMENT vs elapsed time (the diffusion curve of
+    mobility science — subdiffusive MSD saturation is THE signature of
+    human returners vs Levy walkers): for every event, the squared
+    displacement from its user's FIRST event, bucketed by elapsed hours
+    and averaged corpus-wide. ALL-INTEGER: displacement in milli-degrees
+    so d2 = dx^2 + dy^2 is exact int64, hour lag is integer division —
+    msd is one double division of two exact sums per lag. One user-keyed
+    shuffle; the partition kernel finds each user's anchor (min (ts,
+    event_id) — already the partition sort order), reduces to (lag, n,
+    sum_d2) partials (bounded by the time horizon), bounded driver
+    fold."""
+    from core_ray.stages.agg import map_groups_partitioned
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    _empty = pa.table(
+        {
+            "lag": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            "s": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _empty
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, us, uid))
+        uid, us, eid = uid[order], us[order], eid[order]
+        x = (eid * 104729) % 360000
+        y = (eid * 7919) % 140000
+        starts = np.nonzero(np.r_[True, uid[1:] != uid[:-1]])[0]
+        runlen = np.diff(np.r_[starts, len(uid)])
+        first = np.repeat(starts, runlen)
+        dx = x - x[first]
+        dy = y - y[first]
+        d2 = dx * dx + dy * dy
+        lag = (us - us[first]) // 3600000000
+        u = np.unique(lag)
+        pos = np.searchsorted(u, lag)
+        n = np.zeros(len(u), np.int64)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(n, pos, 1)
+        np.add.at(s, pos, d2)
+        return pa.table(
+            {
+                "lag": pa.array(u, pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "s": pa.array(s, pa.int64()),
+            }
+        )
+
+    t = _collect_table(
+        map_groups_partitioned(ds, "user_id", per_part)
+    )  # <= partitions x horizon-hours rows by construction
+    lag = t["lag"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    s = t["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+    u = np.unique(lag)
+    pos = np.searchsorted(u, lag)
+    nn = np.zeros(len(u), np.int64)
+    ss = np.zeros(len(u), np.int64)
+    np.add.at(nn, pos, n)
+    np.add.at(ss, pos, s)
+    return pa.table(
+        {
+            "lag_h": pa.array(u, pa.int64()),
+            "n_events": pa.array(nn, pa.int64()),
+            "sum_d2": pa.array(ss, pa.int64()),
+            "msd": pa.array(
+                ss.astype(np.float64) / nn.astype(np.float64), pa.float64()
+            ),
+        }
+    )
+
+
+EVENTS_MSD_SQL = """
+WITH pts AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id,
+         (event_id * 104729) % 360000 AS x,
+         (event_id * 7919) % 140000 AS y
+  FROM events),
+anch AS (
+  SELECT user_id, x, y, us,
+         FIRST_VALUE(x) OVER w AS x0, FIRST_VALUE(y) OVER w AS y0,
+         FIRST_VALUE(us) OVER w AS us0
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+d AS (
+  SELECT (us - us0) // 3600000000 AS lag_h,
+         (x - x0) * (x - x0) + (y - y0) * (y - y0) AS d2
+  FROM anch)
+SELECT lag_h, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(d2) AS BIGINT) AS sum_d2,
+       CAST(CAST(SUM(d2) AS BIGINT) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS msd
+FROM d GROUP BY 1
+"""
+
+
 _COR_CELL_MILLI = 10000  # 10-degree corridor raster cells
 
 
@@ -13513,6 +13615,7 @@ QUERIES = {
     "events_user_entropy": events_user_entropy,
     "doc_geo_tfidf": doc_geo_tfidf,
     "events_jump_lengths": events_jump_lengths,
+    "events_msd": events_msd,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -13680,6 +13783,7 @@ ORACLE_SQL = {
     "events_user_entropy": EVENTS_USER_ENTROPY_SQL,
     "doc_geo_tfidf": DOC_GEO_TFIDF_SQL,
     "events_jump_lengths": EVENTS_JUMP_LENGTHS_SQL,
+    "events_msd": EVENTS_MSD_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
