@@ -5195,6 +5195,80 @@ FROM d GROUP BY 1
 """
 
 
+def events_return_times(sf_dir: str):
+    """RETURN-TIME DISTRIBUTION (the third canonical mobility statistic
+    beside jump lengths and MSD — the peaked return-time spectrum is how
+    Song et al. quantify human periodicity): for every revisit of a
+    10-deg cell by the same user, the hours since that user's PREVIOUS
+    visit to that same cell, counted into an hour histogram. ALL-INTEGER
+    (epoch-microsecond difference, integer-division hours). One
+    user-keyed shuffle; the partition kernel sorts (user, cell, ts,
+    event_id), takes consecutive same-(user,cell) deltas, reduces to
+    (lag_h, n) partials; horizon-bounded driver fold."""
+    from core_ray.stages.agg import map_groups_partitioned
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    _empty = pa.table(
+        {"lag": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+    )
+
+    def per_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _empty
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gx = ((eid * 104729) % 360000) // _GE_CELL_MILLI
+        gy = ((eid * 7919) % 140000) // _GE_CELL_MILLI
+        cell = gx * 1024 + gy
+        order = np.lexsort((eid, us, cell, uid))
+        uid, us, cell = uid[order], us[order], cell[order]
+        same = np.zeros(len(uid), dtype=bool)
+        same[1:] = (uid[1:] == uid[:-1]) & (cell[1:] == cell[:-1])
+        i = np.nonzero(same)[0]
+        if len(i) == 0:
+            return _empty
+        lag = (us[i] - us[i - 1]) // 3600000000
+        u, c = np.unique(lag, return_counts=True)
+        return pa.table(
+            {
+                "lag": pa.array(u, pa.int64()),
+                "n": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    t = _collect_table(
+        map_groups_partitioned(ds, "user_id", per_part)
+    )  # <= partitions x horizon-hours rows by construction
+    lag = t["lag"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    u = np.unique(lag)
+    nn = np.zeros(len(u), np.int64)
+    np.add.at(nn, np.searchsorted(u, lag), n)
+    return pa.table(
+        {
+            "lag_h": pa.array(u, pa.int64()),
+            "n_returns": pa.array(nn, pa.int64()),
+        }
+    )
+
+
+EVENTS_RETURN_TIMES_SQL = f"""
+WITH pts AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id,
+         ((event_id * 104729) % 360000) // {_GE_CELL_MILLI} AS gx,
+         ((event_id * 7919) % 140000) // {_GE_CELL_MILLI} AS gy
+  FROM events),
+lagged AS (
+  SELECT us - LAG(us) OVER (PARTITION BY user_id, gx, gy
+                            ORDER BY us, event_id) AS dt
+  FROM pts)
+SELECT dt // 3600000000 AS lag_h, CAST(COUNT(*) AS BIGINT) AS n_returns
+FROM lagged WHERE dt IS NOT NULL GROUP BY 1
+"""
+
+
 _COR_CELL_MILLI = 10000  # 10-degree corridor raster cells
 
 
@@ -13616,6 +13690,7 @@ QUERIES = {
     "doc_geo_tfidf": doc_geo_tfidf,
     "events_jump_lengths": events_jump_lengths,
     "events_msd": events_msd,
+    "events_return_times": events_return_times,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -13784,6 +13859,7 @@ ORACLE_SQL = {
     "doc_geo_tfidf": DOC_GEO_TFIDF_SQL,
     "events_jump_lengths": EVENTS_JUMP_LENGTHS_SQL,
     "events_msd": EVENTS_MSD_SQL,
+    "events_return_times": EVENTS_RETURN_TIMES_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
