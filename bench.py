@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "doc_dup_geo_spread",
     "events_msd",
     "events_return_times",
+    "geo_cell_turnover",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

@@ -5269,6 +5269,91 @@ FROM lagged WHERE dt IS NOT NULL GROUP BY 1
 """
 
 
+def geo_cell_turnover(sf_dir: str):
+    """SPATIAL-FOOTPRINT TURNOVER: day-over-day Jaccard similarity of the
+    set of ACTIVE 10-deg cells (cells with >= 1 event) — "how much does
+    the active map move between consecutive days", the drift monitor a
+    crawl/telemetry operator watches for coverage regressions. ONE
+    distributed pass reduces the corpus to distinct (day, cell) pairs
+    (packed-u64 count_by_u64 — bounded by horizon x 504 at any corpus
+    scale), then the driver folds consecutive-day set algebra exactly:
+    jaccard = |A∩B| / |A∪B|, one double division of two exact integer
+    cardinalities."""
+    from core_ray.stages.agg import count_by_u64
+
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def pack(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        gx = ((eid * 104729) % 360000) // _GE_CELL_MILLI
+        gy = ((eid * 7919) % 140000) // _GE_CELL_MILLI
+        day = us // _TT_DAY_US
+        key = (day.astype(np.uint64) << np.uint64(20)) | (
+            (gx * 1024 + gy).astype(np.uint64)
+        )
+        return pa.table({"key": pa.array(key, pa.uint64())})
+
+    t = _collect_table(
+        count_by_u64(
+            ds.map_batches(pack, batch_format="pyarrow", batch_size=131072),
+            "key",
+        )
+    )  # <= horizon-days x 504 rows by construction
+    key = t["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    day = (key >> np.uint64(20)).astype(np.int64)
+    cell = (key & np.uint64((1 << 20) - 1)).astype(np.int64)
+    days = np.unique(day)
+    sets = {int(d): set(cell[day == d].tolist()) for d in days}
+    rows = []
+    for d in days:
+        if int(d) + 1 not in sets:
+            continue
+        a, b = sets[int(d)], sets[int(d) + 1]
+        inter, union = len(a & b), len(a | b)
+        rows.append((int(d), inter, union))
+    return pa.table(
+        {
+            "day": pa.array([r[0] for r in rows], pa.int64()),
+            "n_common": pa.array([r[1] for r in rows], pa.int64()),
+            "n_union": pa.array([r[2] for r in rows], pa.int64()),
+            "jaccard": pa.array(
+                [float(np.float64(r[1]) / np.float64(r[2])) for r in rows],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+GEO_CELL_TURNOVER_SQL = f"""
+WITH dc AS (
+  SELECT DISTINCT epoch_us(ts) // {_TT_DAY_US} AS day,
+         ((event_id * 104729) % 360000) // {_GE_CELL_MILLI} AS gx,
+         ((event_id * 7919) % 140000) // {_GE_CELL_MILLI} AS gy
+  FROM events),
+days AS (SELECT DISTINCT day FROM dc),
+pairs AS (
+  SELECT d.day FROM days d JOIN days e ON e.day = d.day + 1),
+inter AS (
+  SELECT p.day, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM pairs p
+  JOIN dc a ON a.day = p.day
+  JOIN dc b ON b.day = p.day + 1 AND b.gx = a.gx AND b.gy = a.gy
+  GROUP BY 1),
+uni AS (
+  SELECT p.day, CAST(COUNT(*) AS BIGINT) AS n_union
+  FROM pairs p JOIN (
+    SELECT day, gx, gy FROM dc
+    UNION
+    SELECT day - 1 AS day, gx, gy FROM dc) u ON u.day = p.day
+  GROUP BY 1)
+SELECT u.day, COALESCE(i.n_common, 0) AS n_common, u.n_union,
+       CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+         / CAST(u.n_union AS DOUBLE) AS jaccard
+FROM uni u LEFT JOIN inter i ON i.day = u.day
+"""
+
+
 _COR_CELL_MILLI = 10000  # 10-degree corridor raster cells
 
 
@@ -13691,6 +13776,7 @@ QUERIES = {
     "events_jump_lengths": events_jump_lengths,
     "events_msd": events_msd,
     "events_return_times": events_return_times,
+    "geo_cell_turnover": geo_cell_turnover,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -13860,6 +13946,7 @@ ORACLE_SQL = {
     "events_jump_lengths": EVENTS_JUMP_LENGTHS_SQL,
     "events_msd": EVENTS_MSD_SQL,
     "events_return_times": EVENTS_RETURN_TIMES_SQL,
+    "geo_cell_turnover": GEO_CELL_TURNOVER_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
