@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "events_msd",
     "events_return_times",
     "geo_cell_turnover",
+    "events_flow_imbalance",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

@@ -5354,6 +5354,99 @@ FROM uni u LEFT JOIN inter i ON i.day = u.day
 """
 
 
+def events_flow_imbalance(sf_dir: str):
+    """PER-CELL FLOW IMBALANCE (net in-migration proxy): for every travel
+    leg, the origin cell scores one departure and the destination cell one
+    arrival; a cell's imbalance = arrivals - departures — the directional
+    statistic a flow map's corridor counts (events_corridors) deliberately
+    ignore. Same one-shuffle user-partition plan; the kernel reduces its
+    legs straight to (cell, out, in) integer partials over the BOUNDED
+    10-deg grid, one packed-u64 sum pass finishes (arrivals and
+    departures fold into one key stream with a direction bit)."""
+    from core_ray.stages.agg import map_groups_partitioned, sum_by_u64
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    _empty = pa.table(
+        {"key": pa.array([], pa.uint64()), "n": pa.array([], pa.int64())}
+    )
+
+    def per_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _empty
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, us, uid))
+        uid, eid = uid[order], eid[order]
+        gx = ((eid * 104729) % 360000) // _GE_CELL_MILLI
+        gy = ((eid * 7919) % 140000) // _GE_CELL_MILLI
+        cell = gx * 1024 + gy
+        leg = np.zeros(len(uid), dtype=bool)
+        leg[1:] = uid[1:] == uid[:-1]
+        i = np.nonzero(leg)[0]
+        if len(i) == 0:
+            return _empty
+        # direction bit 2^20: 0 = departure (origin), 1 = arrival (dest)
+        keys = np.concatenate(
+            [cell[i - 1], cell[i] + (1 << 20)]
+        ).astype(np.uint64)
+        u, c = np.unique(keys, return_counts=True)
+        return pa.table(
+            {
+                "key": pa.array(u, pa.uint64()),
+                "n": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    t = _collect_table(
+        sum_by_u64(
+            map_groups_partitioned(ds, "user_id", per_part), "key", "n"
+        )
+    )  # <= 2 x 504 rows by construction
+    key = t["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cell = key & ((1 << 20) - 1)
+    is_in = key >> 20
+    cells = np.unique(cell)
+    outs = np.zeros(len(cells), np.int64)
+    ins = np.zeros(len(cells), np.int64)
+    pos = np.searchsorted(cells, cell)
+    np.add.at(outs, pos[is_in == 0], n[is_in == 0])
+    np.add.at(ins, pos[is_in == 1], n[is_in == 1])
+    return pa.table(
+        {
+            "gx": pa.array(cells // 1024, pa.int64()),
+            "gy": pa.array(cells % 1024, pa.int64()),
+            "departures": pa.array(outs, pa.int64()),
+            "arrivals": pa.array(ins, pa.int64()),
+            "imbalance": pa.array(ins - outs, pa.int64()),
+        }
+    )
+
+
+EVENTS_FLOW_IMBALANCE_SQL = f"""
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         ((event_id * 104729) % 360000) // {_GE_CELL_MILLI} AS gx,
+         ((event_id * 7919) % 140000) // {_GE_CELL_MILLI} AS gy
+  FROM events),
+legs AS (
+  SELECT user_id, gx, gy,
+         LAG(gx) OVER w AS pgx, LAG(gy) OVER w AS pgy
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+flows AS (
+  SELECT pgx AS gx, pgy AS gy, 1 AS dep, 0 AS arr FROM legs
+  WHERE pgx IS NOT NULL
+  UNION ALL
+  SELECT gx, gy, 0, 1 FROM legs WHERE pgx IS NOT NULL)
+SELECT gx, gy, CAST(SUM(dep) AS BIGINT) AS departures,
+       CAST(SUM(arr) AS BIGINT) AS arrivals,
+       CAST(SUM(arr) AS BIGINT) - CAST(SUM(dep) AS BIGINT) AS imbalance
+FROM flows GROUP BY 1, 2
+"""
+
+
 _COR_CELL_MILLI = 10000  # 10-degree corridor raster cells
 
 
@@ -13777,6 +13870,7 @@ QUERIES = {
     "events_msd": events_msd,
     "events_return_times": events_return_times,
     "geo_cell_turnover": geo_cell_turnover,
+    "events_flow_imbalance": events_flow_imbalance,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -13947,6 +14041,7 @@ ORACLE_SQL = {
     "events_msd": EVENTS_MSD_SQL,
     "events_return_times": EVENTS_RETURN_TIMES_SQL,
     "geo_cell_turnover": GEO_CELL_TURNOVER_SQL,
+    "events_flow_imbalance": EVENTS_FLOW_IMBALANCE_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
