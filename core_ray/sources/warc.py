@@ -28,8 +28,23 @@ _GZ_MAGIC = b"\x1f\x8b"
 
 def parse_warc(blob: bytes) -> list[tuple[str, str, bytes]]:
     """Parse one WARC file's bytes -> [(url, iso_ts, payload)] for every
-    ``response`` record. Tolerant of trailing garbage / truncated tails
-    (stops at the first malformed header block)."""
+    ``response`` record (HTTP headers stripped). Tolerant of trailing
+    garbage / truncated tails (stops at the first malformed header
+    block)."""
+    return _parse_records(blob, want_type="response", strip_http=True)
+
+
+def parse_wet(blob: bytes) -> list[tuple[str, str, bytes]]:
+    """Parse one WET file's bytes -> [(url, iso_ts, text_payload)] for
+    every ``conversion`` record — the Common Crawl *extracted-text*
+    sibling of the WARC response layout (same ISO 28500 container, the
+    payload is already plain UTF-8 text with no HTTP header block)."""
+    return _parse_records(blob, want_type="conversion", strip_http=False)
+
+
+def _parse_records(
+    blob: bytes, want_type: str, strip_http: bool
+) -> list[tuple[str, str, bytes]]:
     if blob[:2] == _GZ_MAGIC:
         import gzip
 
@@ -59,9 +74,9 @@ def parse_warc(blob: bytes) -> list[tuple[str, str, bytes]]:
             break
         body = blob[head_end + 4 : head_end + 4 + clen]
         i = head_end + 4 + clen
-        if fields.get("warc-type") == "response":
+        if fields.get("warc-type") == want_type:
             payload = body
-            if payload[:5] == b"HTTP/":  # strip the HTTP response headers
+            if strip_http and payload[:5] == b"HTTP/":  # strip HTTP headers
                 he = payload.find(b"\r\n\r\n")
                 if he >= 0:
                     payload = payload[he + 4 :]
@@ -122,6 +137,92 @@ def ingest_warc(
 
     pages = ds.map_batches(to_pages, batch_format="pyarrow", batch_size=16)
     return write_pages_parquet(pages, out_dir)
+
+
+def ingest_wet(
+    src: str,
+    out_dir: str,
+    default_lang: str = "en",
+    overwrite: bool = False,
+) -> int:
+    """Read every *.wet / *.wet.gz (or *.warc.wet.gz — matched by the gz/wet
+    extensions) under ``src`` into pages-schema parquet. WET payloads are
+    ALREADY-extracted text, so the connector normalizes them through the
+    exact INVERSE of the extract spec (stages/extract.py: text =
+    "\\n".join(unescape(p) for <p> bodies)): each text line becomes one
+    html-escaped ``<p>`` block. The flagship's extract stage then
+    reproduces the WET text BYTE-IDENTICALLY (roundtrip unit in
+    tests/test_warc.py), which keeps one canonical page shape — and one
+    lineage/byte-identity contract — across both container formats.
+    File-level parallelism, same as ingest_warc."""
+    import html as _html
+
+    import ray.data
+
+    from core_ray.sources.ingest import prep_out_dir, write_pages_parquet
+
+    prep_out_dir(out_dir, overwrite)
+    ds = ray.data.read_binary_files(src, file_extensions=["wet", "gz"])
+
+    def _parse_date(ts: str) -> np.datetime64:
+        s = ts.rstrip("Z")
+        for cand in (s, s.replace("+00:00", ""), "1970-01-01"):
+            try:
+                return np.datetime64(cand or "1970-01-01", "us")
+            except ValueError:
+                continue
+        return np.datetime64("1970-01-01", "us")
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        urls, tss, payloads = [], [], []
+        for blob in batch["bytes"].to_pylist():
+            for url, ts, text in parse_wet(blob):
+                urls.append(url)
+                tss.append(_parse_date(ts))
+                payloads.append(
+                    "".join(
+                        f"<p>{_html.escape(line)}</p>"
+                        for line in text.decode("utf-8", "replace").split("\n")
+                    ).encode("utf-8")
+                )
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(tss, pa.timestamp("us")),
+                "html": pa.array(payloads, pa.binary()),
+                "lang": pa.array([default_lang] * len(urls), pa.string()),
+            }
+        )
+
+    pages = ds.map_batches(to_pages, batch_format="pyarrow", batch_size=16)
+    return write_pages_parquet(pages, out_dir)
+
+
+@register_source("wet")
+class WetSource(Source):
+    """Common Crawl WET (extracted-text) connector: conversion records ->
+    canonical pages parquet via the inverse-extract normalization."""
+
+    def __init__(self, src: str, out_dir: str | None = None, **ingest_kwargs):
+        import tempfile
+
+        self._own_tmp = out_dir is None
+        self.out_dir = out_dir or tempfile.mkdtemp(prefix="core_ray_src_wet_")
+        self.src = src
+        self.n_pages = ingest_wet(src, self.out_dir, overwrite=True, **ingest_kwargs)
+
+    def pages(self) -> list[str]:
+        return sorted(_glob.glob(os.path.join(self.out_dir, "*.parquet")))
+
+    def describe(self) -> dict:
+        return {"type": "wet", "src": self.src, "out_dir": self.out_dir,
+                "n_pages": self.n_pages}
+
+    def close(self) -> None:
+        if self._own_tmp:
+            import shutil
+
+            shutil.rmtree(self.out_dir, ignore_errors=True)
 
 
 @register_source("warc")

@@ -98,3 +98,53 @@ def test_warc_ingest_tolerates_offset_and_bad_dates(ray_session, tmp_path):
     ts = sorted(str(x) for x in t["warc_ts"].to_pylist())
     assert ts[0].startswith("1970-01-01")      # fallback for the bad date
     assert ts[1].startswith("2025-03-01 10")   # offset form parsed
+
+
+def _wet_bytes() -> bytes:
+    txt1 = "First line & second <tag> line\nparagraph two".encode()
+    txt2 = "plain text only".encode()
+    return (
+        _record("warcinfo", "", "2025-03-01T00:00:00Z", b"format: WET\r\n")
+        + _record("conversion", "https://a.example.com/1",
+                  "2025-03-01T10:00:00Z", txt1)
+        + _record("conversion", "https://b.example.com/2",
+                  "2025-03-02T11:30:00Z", txt2)
+        + _record("response", "https://c.example.com/3",
+                  "2025-03-02T11:30:00Z", b"HTTP/1.1 200 OK\r\n\r\nhtml")
+    )
+
+
+def test_parse_wet_conversion_records_only():
+    from core_ray.sources.warc import parse_wet
+
+    recs = parse_wet(_wet_bytes())
+    assert [(u, t) for u, t, _ in recs] == [
+        ("https://a.example.com/1", "2025-03-01T10:00:00Z"),
+        ("https://b.example.com/2", "2025-03-02T11:30:00Z"),
+    ]
+    # payload is raw text, NOT HTTP-stripped, and response records are skipped
+    assert recs[0][2] == "First line & second <tag> line\nparagraph two".encode()
+    assert parse_warc(_wet_bytes())[0][2] == b"html"  # warc view still works
+
+
+def test_wet_ingest_extract_roundtrip(ray_session, tmp_path):
+    """The WET inverse-extract normalization must roundtrip byte-identically
+    through the flagship extract stage (the connector's core contract)."""
+    import gzip as _gzip
+
+    from core_ray.sources import open_source
+    from core_ray.stages.extract import ExtractText
+
+    (tmp_path / "a.wet").write_bytes(_wet_bytes())
+    (tmp_path / "b.wet.gz").write_bytes(_gzip.compress(_wet_bytes()))
+    out = tmp_path / "pages"
+    with open_source("wet", str(tmp_path), out_dir=str(out)) as src:
+        assert src.n_pages == 4  # 2 conversion records per file
+        t = pq.read_table(src.pages()[0])
+        assert set(t.column_names) == {"url", "warc_ts", "html", "lang"}
+        got = ExtractText()(t)
+        texts = dict(zip(got["url"].to_pylist(), got["text"].to_pylist()))
+        assert texts["https://a.example.com/1"] == (
+            "First line & second <tag> line\nparagraph two"
+        )
+        assert texts["https://b.example.com/2"] == "plain text only"
