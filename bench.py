@@ -134,6 +134,8 @@ BENCH_QUERIES = [
     "events_return_times",
     "geo_cell_turnover",
     "events_flow_imbalance",
+    "geo_huff_share",
+    "events_burstiness",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

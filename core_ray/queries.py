@@ -5447,6 +5447,186 @@ FROM flows GROUP BY 1, 2
 """
 
 
+_HUFF_SCALE = 10**9  # integer weight scale (IDW's quantizer, reused)
+_HUFF_Q = 1000.0
+
+
+def geo_huff_share(sf_dir: str):
+    """HUFF GRAVITY-MODEL CATCHMENT (retail/service-area demand): each
+    document's unit of demand splits across the 12 facility sites with
+    probability ∝ 1/d² (the Huff model with attractiveness 1, exponent 2);
+    per-facility expected demand is the sum of shares. FULLY INTEGER: the
+    inverse-distance weight is geo_idw_interp's quantizer
+    (SCALE // (1 + floor(d2*Q))), and the per-doc share quantizes to
+    micro-units by INTEGER division share_j = (w_j * 1e6) // sum_w — so
+    shares are exact int64, order-free, and the per-facility totals are
+    exact integer sums (the leftover micro-units from floor division are
+    emitted as a corpus-wide remainder so mass is accounted). Map-only +
+    one 12-row groupby — the distributional sibling of
+    geo_nearest_facility's winner-takes-all assignment."""
+    from ray.data.aggregate import Sum
+
+    k = np.arange(12, dtype=np.int64)
+    f_lat = ((k * 11003) % 120000) / 1000.0 - 60.0
+    f_lon = ((k * 104729) % 340000) / 1000.0 - 170.0
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lat, lon = _derive_coords(doc_id)
+        dla = lat[:, None] - f_lat[None, :]
+        dlo = lon[:, None] - f_lon[None, :]
+        d2 = dla * dla + dlo * dlo  # (B, 12)
+        w = _HUFF_SCALE // (1 + np.floor(d2 * _HUFF_Q).astype(np.int64))
+        sw = w.sum(axis=1)  # (B,)
+        share = (w * 1000000) // sw[:, None]  # exact integer micro-shares
+        rem = 1000000 - share.sum(axis=1)  # floor-division leftovers
+        tot = share.sum(axis=0)  # (12,)
+        return pa.table(
+            {
+                "fac_id": pa.array(
+                    np.concatenate([k, [-1]]), pa.int64()
+                ),
+                "micro": pa.array(
+                    np.concatenate([tot, [int(rem.sum())]]), pa.int64()
+                ),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("fac_id")
+        .aggregate(Sum("micro", alias_name="demand_micro"))
+    )
+    t = _collect_table(agg)  # <= 13 rows by construction
+    t = pa.table(
+        {
+            "fac_id": pc.cast(t["fac_id"], pa.int64()),
+            "demand_micro": pc.cast(t["demand_micro"], pa.int64()),
+        }
+    )
+    return t.sort_by("fac_id")
+
+
+GEO_HUFF_SHARE_SQL = f"""
+WITH pts AS (
+  SELECT doc_id, {GEO_LAT_SQL} AS lat, {GEO_LON_SQL} AS lon FROM documents),
+facs AS (
+  SELECT k AS fac_id,
+         ((k * 11003) % 120000) / 1000.0 - 60.0 AS flat,
+         ((k * 104729) % 340000) / 1000.0 - 170.0 AS flon
+  FROM range(12) t(k)),
+w AS (
+  SELECT p.doc_id, f.fac_id,
+         {_HUFF_SCALE} // (1 + CAST(FLOOR(
+           ((p.lat - f.flat) * (p.lat - f.flat)
+            + (p.lon - f.flon) * (p.lon - f.flon)) * {_HUFF_Q})
+           AS BIGINT)) AS wj
+  FROM pts p CROSS JOIN facs f),
+sw AS (SELECT doc_id, CAST(SUM(wj) AS BIGINT) AS s FROM w GROUP BY 1),
+shares AS (
+  SELECT w.fac_id, (w.wj * 1000000) // sw.s AS m
+  FROM w JOIN sw USING (doc_id)),
+fac_tot AS (
+  SELECT fac_id, CAST(SUM(m) AS BIGINT) AS demand_micro
+  FROM shares GROUP BY 1),
+rem AS (
+  SELECT CAST(-1 AS BIGINT) AS fac_id,
+         CAST(1000000 * (SELECT COUNT(*) FROM pts)
+              - (SELECT SUM(demand_micro) FROM fac_tot) AS BIGINT)
+           AS demand_micro)
+SELECT * FROM rem
+UNION ALL
+SELECT fac_id, demand_micro FROM fac_tot
+ORDER BY fac_id
+"""
+
+
+def events_burstiness(sf_dir: str):
+    """PER-USER BURSTINESS (Goh-Barabasi B = (sigma - mu)/(sigma + mu) of
+    inter-event times: -1 = metronome, 0 = Poisson, ->1 = extreme bursts
+    — the temporal-signature classifier of human activity): gaps quantize
+    to integer SECONDS (keeps ss = sum of squared gaps inside int64 to
+    ~10^4 gaps x 30-day spans), population sigma comes from the moment
+    identity n*ss - s^2, and B collapses to ONE fixed double chain of two
+    exact integers: (sqrt(n*ss - s^2) - s) / (sqrt(n*ss - s^2) + s) —
+    the n divisors cancel. One user-keyed shuffle; users with < 2 gaps
+    are excluded (B undefined)."""
+    from core_ray.stages.agg import map_groups_partitioned
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    _empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "n_gaps": pa.array([], pa.int64()),
+            "sum_s": pa.array([], pa.int64()),
+            "sum_ss": pa.array([], pa.int64()),
+            "burstiness": pa.array([], pa.float64()),
+        }
+    )
+
+    def per_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _empty
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, us, uid))
+        uid, us = uid[order], us[order]
+        leg = np.zeros(len(uid), dtype=bool)
+        leg[1:] = uid[1:] == uid[:-1]
+        i = np.nonzero(leg)[0]
+        if len(i) == 0:
+            return _empty
+        gap = (us[i] - us[i - 1]) // 1000000  # integer seconds
+        gu = uid[i]
+        starts = np.nonzero(np.r_[True, gu[1:] != gu[:-1]])[0]
+        n = np.diff(np.r_[starts, len(gu)]).astype(np.int64)
+        s = np.add.reduceat(gap, starts)
+        ss = np.add.reduceat(gap * gap, starts)
+        keep = n >= 2
+        n, s, ss = n[keep], s[keep], ss[keep]
+        root = np.sqrt((n * ss - s * s).astype(np.float64))
+        return pa.table(
+            {
+                "user_id": pa.array(gu[starts][keep], pa.int64()),
+                "n_gaps": pa.array(n, pa.int64()),
+                "sum_s": pa.array(s, pa.int64()),
+                "sum_ss": pa.array(ss, pa.int64()),
+                "burstiness": pa.array(
+                    (root - s.astype(np.float64))
+                    / (root + s.astype(np.float64)),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return map_groups_partitioned(ds, "user_id", per_part)
+
+
+EVENTS_BURSTINESS_SQL = """
+WITH pts AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+gaps AS (
+  SELECT user_id,
+         (us - LAG(us) OVER (PARTITION BY user_id
+                             ORDER BY us, event_id)) // 1000000 AS gap
+  FROM pts),
+per AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(gap) AS BIGINT) AS s,
+         CAST(SUM(gap * gap) AS BIGINT) AS ss
+  FROM gaps WHERE gap IS NOT NULL GROUP BY 1)
+SELECT user_id, n AS n_gaps, s AS sum_s, ss AS sum_ss,
+       (SQRT(CAST(n * ss - s * s AS DOUBLE)) - CAST(s AS DOUBLE))
+         / (SQRT(CAST(n * ss - s * s AS DOUBLE)) + CAST(s AS DOUBLE))
+         AS burstiness
+FROM per WHERE n >= 2
+"""
+
+
 _COR_CELL_MILLI = 10000  # 10-degree corridor raster cells
 
 
@@ -13871,6 +14051,8 @@ QUERIES = {
     "events_return_times": events_return_times,
     "geo_cell_turnover": geo_cell_turnover,
     "events_flow_imbalance": events_flow_imbalance,
+    "geo_huff_share": geo_huff_share,
+    "events_burstiness": events_burstiness,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -14042,6 +14224,8 @@ ORACLE_SQL = {
     "events_return_times": EVENTS_RETURN_TIMES_SQL,
     "geo_cell_turnover": GEO_CELL_TURNOVER_SQL,
     "events_flow_imbalance": EVENTS_FLOW_IMBALANCE_SQL,
+    "geo_huff_share": GEO_HUFF_SHARE_SQL,
+    "events_burstiness": EVENTS_BURSTINESS_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
