@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "events_flow_imbalance",
     "geo_huff_share",
     "events_burstiness",
+    "events_nearest_doc",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

@@ -5627,6 +5627,189 @@ FROM per WHERE n >= 2
 """
 
 
+def events_nearest_doc(sf_dir: str):
+    """LARGE-LARGE BIPARTITE NEAREST-NEIGHBOR ASSIGNMENT: every event gets
+    its single closest document within 2 deg (or no row) — the "attach
+    the nearest content item to each telemetry point" enrichment join,
+    with BOTH sides corpus-scale (geo_nearest_facility's broadcast trick
+    is unavailable; geo_doc_event_band's all-pairs output would be wasted
+    work). Plan: the band join's asymmetric replication INVERTED (events
+    emit one home replica, docs ghost 3x3 so every in-range doc reaches
+    the event's home cell), per-cell per-event local argmin, then ONE
+    global agg.min_by_u64 reduce keyed by event over the value pack
+    (d2_micro << 40 | doc_id) — the u64 minimum IS the lexicographic
+    (quantized-distance, doc_id) argmin, the q2_min_cost_supplier packing
+    lesson. The assignment contract is on the QUANTIZED distance
+    (floor(d2*1e6), ties by doc_id), mirrored exactly in SQL — no float
+    ordering anywhere."""
+    from core_ray.stages.agg import map_groups_partitioned, min_by_u64
+
+    r = _BI_RADIUS
+    r2 = r * r
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    evs = _read(sf_dir, "events", ["event_id"])
+
+    def ev_home(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lat, lon = _derive_coords(eid)
+        cx = np.floor(lat / r).astype(np.int64) + (1 << 20)
+        cy = np.floor(lon / r).astype(np.int64) + (1 << 20)
+        return pa.table(
+            {
+                "ck": pa.array(
+                    (cx.astype(np.uint64) << np.uint64(21))
+                    | cy.astype(np.uint64),
+                    pa.uint64(),
+                ),
+                "side": pa.array(np.zeros(len(eid), np.int8), pa.int8()),
+                "id": pa.array(eid, pa.int64()),
+                "lat": pa.array(lat, pa.float64()),
+                "lon": pa.array(lon, pa.float64()),
+            }
+        )
+
+    def doc_rep9(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lat, lon = _derive_coords(did)
+        cx = np.floor(lat / r).astype(np.int64)
+        cy = np.floor(lon / r).astype(np.int64)
+        n = len(did)
+        dx = np.array([0, -1, -1, -1, 0, 0, 1, 1, 1], dtype=np.int64)
+        dy = np.array([0, -1, 0, 1, -1, 1, -1, 0, 1], dtype=np.int64)
+        rcx = (np.repeat(cx, 9) + np.tile(dx, n) + (1 << 20)).astype(np.uint64)
+        rcy = (np.repeat(cy, 9) + np.tile(dy, n) + (1 << 20)).astype(np.uint64)
+        return pa.table(
+            {
+                "ck": pa.array((rcx << np.uint64(21)) | rcy, pa.uint64()),
+                "side": pa.array(np.ones(9 * n, np.int8), pa.int8()),
+                "id": pa.array(np.repeat(did, 9), pa.int64()),
+                "lat": pa.array(np.repeat(lat, 9), pa.float64()),
+                "lon": pa.array(np.repeat(lon, 9), pa.float64()),
+            }
+        )
+
+    rep = evs.map_batches(ev_home, batch_format="pyarrow",
+                          batch_size=65536).union(
+        docs.map_batches(doc_rep9, batch_format="pyarrow", batch_size=65536)
+    )
+
+    _empty = pa.table(
+        {"ev": pa.array([], pa.uint64()), "pack": pa.array([], pa.uint64())}
+    )
+
+    def per_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _empty
+        key = g["ck"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        side = g["side"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, key))
+        key, side = key[order], side[order]
+        ids = g["id"].to_numpy(zero_copy_only=False)[order]
+        lat = g["lat"].to_numpy(zero_copy_only=False)[order]
+        lon = g["lon"].to_numpy(zero_copy_only=False)[order]
+        n = len(key)
+        new = np.ones(n, dtype=bool)
+        new[1:] = key[1:] != key[:-1]
+        seg_id = np.cumsum(new) - 1
+        starts = np.nonzero(new)[0]
+        seg_end = np.append(starts[1:], n)
+        eidx = np.nonzero(side == 0)[0]  # events come first in a segment
+        if len(eidx) == 0:
+            return _empty
+        eseg = seg_id[eidx]
+        ev_cnt = np.zeros(len(starts), np.int64)
+        np.add.at(ev_cnt, eseg, 1)
+        doc_lo = starts + ev_cnt
+        nd = (seg_end - doc_lo)[eseg]
+        out_ev, out_pack = [], []
+        cum = np.cumsum(nd)
+        chunk = cum // (8 << 20)
+        for c in np.unique(chunk):
+            m = chunk == c
+            ei = eidx[m]
+            k = nd[m]
+            if k.sum() == 0:
+                continue
+            left = np.repeat(np.arange(len(ei)), k)
+            off = np.concatenate([[0], np.cumsum(k)])[:-1]
+            right = (
+                np.arange(k.sum()) - np.repeat(off, k)
+                + np.repeat(doc_lo[eseg[m]], k)
+            )
+            dla = lat[ei][left] - lat[right]
+            dlo = lon[ei][left] - lon[right]
+            d2 = dla * dla + dlo * dlo
+            ok = d2 <= r2
+            if not ok.any():
+                continue
+            left, right, d2 = left[ok], right[ok], d2[ok]
+            pack = (
+                np.floor(d2 * 1000000.0).astype(np.uint64) << np.uint64(40)
+            ) | ids[right].astype(np.uint64)
+            # local argmin per event row (min pack per left)
+            o = np.lexsort((pack, left))
+            lf, pk = left[o], pack[o]
+            first = np.r_[True, lf[1:] != lf[:-1]]
+            out_ev.append(ids[ei][lf[first]].astype(np.uint64))
+            out_pack.append(pk[first])
+        if not out_ev:
+            return _empty
+        return pa.table(
+            {
+                "ev": pa.array(np.concatenate(out_ev), pa.uint64()),
+                "pack": pa.array(np.concatenate(out_pack), pa.uint64()),
+            }
+        )
+
+    local = map_groups_partitioned(rep, "ck", per_part)
+    best = min_by_u64(local, "ev", "pack")
+
+    def unpack(b: pa.Table) -> pa.Table:
+        ev = b["ev"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = b["pack"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table(
+            {
+                "event_id": pa.array(ev, pa.int64()),
+                "doc_id": pa.array(
+                    (pk & np.uint64((1 << 40) - 1)).astype(np.int64),
+                    pa.int64(),
+                ),
+                "d2_micro": pa.array(
+                    (pk >> np.uint64(40)).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return best.map_batches(unpack, batch_format="pyarrow")
+
+
+EVENTS_NEAREST_DOC_SQL = f"""
+WITH d AS (
+  SELECT doc_id, {GEO_LAT_SQL} AS lat, {GEO_LON_SQL} AS lon FROM documents),
+e AS (
+  SELECT event_id,
+         {GEO_LAT_SQL.replace('doc_id', 'event_id')} AS lat,
+         {GEO_LON_SQL.replace('doc_id', 'event_id')} AS lon FROM events),
+cand AS (
+  SELECT e.event_id, d.doc_id,
+         CAST(FLOOR(((e.lat - d.lat) * (e.lat - d.lat)
+                     + (e.lon - d.lon) * (e.lon - d.lon)) * 1000000.0)
+              AS BIGINT) AS d2_micro
+  FROM e JOIN d
+    ON d.lat BETWEEN e.lat - {_BI_RADIUS} AND e.lat + {_BI_RADIUS}
+   AND d.lon BETWEEN e.lon - {_BI_RADIUS} AND e.lon + {_BI_RADIUS}
+  WHERE (e.lat - d.lat) * (e.lat - d.lat)
+          + (e.lon - d.lon) * (e.lon - d.lon) <= {_BI_RADIUS * _BI_RADIUS}),
+best AS (
+  SELECT event_id, doc_id, d2_micro,
+         ROW_NUMBER() OVER (PARTITION BY event_id
+                            ORDER BY d2_micro, doc_id) AS rn
+  FROM cand)
+SELECT event_id, doc_id, d2_micro FROM best WHERE rn = 1
+"""
+
+
 _COR_CELL_MILLI = 10000  # 10-degree corridor raster cells
 
 
@@ -14053,6 +14236,7 @@ QUERIES = {
     "events_flow_imbalance": events_flow_imbalance,
     "geo_huff_share": geo_huff_share,
     "events_burstiness": events_burstiness,
+    "events_nearest_doc": events_nearest_doc,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -14226,6 +14410,7 @@ ORACLE_SQL = {
     "events_flow_imbalance": EVENTS_FLOW_IMBALANCE_SQL,
     "geo_huff_share": GEO_HUFF_SHARE_SQL,
     "events_burstiness": EVENTS_BURSTINESS_SQL,
+    "events_nearest_doc": EVENTS_NEAREST_DOC_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
