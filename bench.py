@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "geo_huff_share",
     "events_burstiness",
     "events_nearest_doc",
+    "geo_isochrone",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

@@ -5810,6 +5810,229 @@ SELECT event_id, doc_id, d2_micro FROM best WHERE rn = 1
 """
 
 
+_ISO_CAP = 18  # isochrone cost cap (also the exact Bellman-Ford round bound)
+
+
+def geo_isochrone(sf_dir: str, force_distributed: bool = False):
+    """WEIGHTED ISOCHRONE (congestion-weighted shortest-path cost field —
+    the travel-time-contour primitive under delivery-radius and
+    service-reach products; the WEIGHTED sibling of geo_grid_bfs's unit
+    hops): entering a 5-deg cell costs 1 + (doc_count % 5) (an integer
+    "congestion" toll derived from the corpus itself), seeds are the
+    doc_id % 97 cells at cost 0, and every occupied cell reports its
+    minimum total entry cost if <= 18. Exactness: integer weights mean
+    Bellman-Ford CONVERGES for the reported set within CAP rounds (a
+    path's cost >= its edge count, so cost <= 18 implies <= 18 hops) —
+    the oracle is a programmatically generated chain of 18 min-relax
+    CTEs, no recursion-termination hazard. Same dual-path contract as
+    geo_grid_bfs: one distributed count pass (cells + weights + seed bit
+    in one packed stream), driver dense-mask relaxation below the node
+    guard, distributed frontier rounds (probes carry cost + broadcast
+    neighbor tolls, agg.min_by_u64 merges) above it; both paths
+    equivalence-tested."""
+    from core_ray.stages.agg import count_by_u64
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def cells(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mlat = (doc_id * 7919) % 140000
+        mlon = (doc_id * 104729) % 360000
+        gx = mlon // _BFS_CELL_MILLI
+        gy = mlat // _BFS_CELL_MILLI
+        key = (gx * 1024 + gy).astype(np.uint64)
+        seed = doc_id % _BFS_SEED_MOD == 0
+        return pa.table(
+            {
+                "key": pa.array(
+                    key | (seed.astype(np.uint64) << np.uint64(63)),
+                    pa.uint64(),
+                )
+            }
+        )
+
+    occ_t = _collect_table(
+        count_by_u64(
+            ds.map_batches(cells, batch_format="pyarrow", batch_size=131072),
+            "key",
+        )
+    )  # <= 2 x grid cells by construction (geometry-bounded)
+    raw = occ_t["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    cnt = occ_t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    node = (raw & np.uint64((1 << 63) - 1)).astype(np.int64)
+    is_seed = (raw >> np.uint64(63)).astype(bool)
+    nodes = np.unique(node)
+    counts = np.zeros(len(nodes), np.int64)
+    np.add.at(counts, np.searchsorted(nodes, node), cnt)
+    weights = 1 + counts % 5
+    seeds = np.unique(node[is_seed])
+
+    empty = pa.table(
+        {
+            "gx": pa.array([], pa.int64()),
+            "gy": pa.array([], pa.int64()),
+            "cost": pa.array([], pa.int64()),
+        }
+    )
+    if len(seeds) == 0:
+        return empty
+
+    if len(nodes) <= _BFS_LOCAL_MAX and not force_distributed:
+        w = 360000 // _BFS_CELL_MILLI
+        h = 140000 // _BFS_CELL_MILLI
+        toll = np.full((w, h), np.iinfo(np.int64).max // 4, np.int64)
+        toll[nodes // 1024, nodes % 1024] = weights
+        big = np.iinfo(np.int64).max // 4
+        dist = np.full((w, h), big, np.int64)
+        dist[seeds // 1024, seeds % 1024] = 0
+        for _ in range(_ISO_CAP):
+            cand = np.full((w, h), big, np.int64)
+            cand[1:, :] = np.minimum(cand[1:, :], dist[:-1, :])
+            cand[:-1, :] = np.minimum(cand[:-1, :], dist[1:, :])
+            cand[:, 1:] = np.minimum(cand[:, 1:], dist[:, :-1])
+            cand[:, :-1] = np.minimum(cand[:, :-1], dist[:, 1:])
+            new = np.minimum(dist, cand + toll)
+            if np.array_equal(new, dist):
+                break
+            dist = new
+        ok = dist <= _ISO_CAP
+        gx, gy = np.nonzero(ok)
+        return pa.table(
+            {
+                "gx": pa.array(gx.astype(np.int64), pa.int64()),
+                "gy": pa.array(gy.astype(np.int64), pa.int64()),
+                "cost": pa.array(dist[gx, gy], pa.int64()),
+            }
+        )
+
+    return _grid_sssp_distributed(nodes, weights, seeds)
+
+
+def _grid_sssp_distributed(nodes: np.ndarray, weights: np.ndarray,
+                           seeds: np.ndarray):
+    """Distributed weighted relaxation rounds: dist lives as a Dataset;
+    per round the improved frontier flat-maps 4 neighbor probes carrying
+    cost + the neighbor's toll (tolls broadcast — geometry-bounded here;
+    an unbounded graph would deliver them via a distributed join, the
+    documented swap), agg.min_by_u64 merges, and the driver moves one
+    order-independent checksum per round (costs only decrease, so an
+    unchanged checksum is a fixpoint proof)."""
+    import ray
+
+    from core_ray.stages.agg import min_by_u64
+
+    order = np.argsort(nodes)
+    occ_sorted = nodes[order]
+    toll_sorted = weights[order]
+    occ_ref = ray.put((occ_sorted, toll_sorted))
+
+    dist = ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(seeds.astype(np.uint64), pa.uint64()),
+                "d": pa.array(np.zeros(len(seeds), np.uint64), pa.uint64()),
+            }
+        )
+    ).materialize()
+    frontier = dist
+
+    def probe(b: pa.Table) -> pa.Table:
+        occ_arr, tolls = ray.get(occ_ref)
+        nd_ = b["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d_ = b["d"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        gx, gy = nd_ // 1024, nd_ % 1024
+        nx = np.concatenate([gx + 1, gx - 1, gx, gx])
+        ny = np.concatenate([gy, gy, gy + 1, gy - 1])
+        base = np.tile(d_, 4)
+        ok = (
+            (nx >= 0) & (nx * _BFS_CELL_MILLI < 360000)
+            & (ny >= 0) & (ny * _BFS_CELL_MILLI < 140000)
+        )
+        cand = (nx[ok] * 1024 + ny[ok]).astype(np.int64)
+        base = base[ok]
+        pos = np.searchsorted(occ_arr, cand)
+        hit = (pos < len(occ_arr)) & (
+            occ_arr[np.minimum(pos, len(occ_arr) - 1)] == cand
+        )
+        cost = base[hit] + tolls[pos[hit]].astype(np.uint64)
+        keep = cost <= np.uint64(_ISO_CAP)
+        return pa.table(
+            {
+                "node": pa.array(
+                    cand[hit][keep].astype(np.uint64), pa.uint64()
+                ),
+                "d": pa.array(cost[keep], pa.uint64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    prev_rows = dist.count()
+    prev_sum = None
+    for _ in range(_ISO_CAP):
+        nbrs = frontier.map_batches(probe, batch_format="pyarrow")
+        new_dist = min_by_u64(dist.union(nbrs), "node", "d").materialize()
+        cur_rows = new_dist.count()
+        cur_sum = new_dist.aggregate(Sum("d"))["sum(d)"]
+        if cur_rows == prev_rows and cur_sum == prev_sum:
+            dist = new_dist
+            break
+        dist = new_dist
+        prev_rows, prev_sum = cur_rows, cur_sum
+        # full re-probe each round: correct and bounded by CAP rounds
+        # (a changed-rows-only frontier is the latency optimization)
+        frontier = dist
+
+    def unpack(b: pa.Table) -> pa.Table:
+        nd_ = b["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d_ = b["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "gx": pa.array(nd_ // 1024, pa.int64()),
+                "gy": pa.array(nd_ % 1024, pa.int64()),
+                "cost": pa.array(d_, pa.int64()),
+            }
+        )
+
+    return dist.map_batches(unpack, batch_format="pyarrow")
+
+
+def _iso_sql() -> str:
+    parts = [
+        "WITH pts AS (SELECT doc_id, (doc_id * 7919) % 140000 AS mlat,"
+        " (doc_id * 104729) % 360000 AS mlon FROM documents)",
+        f", occ AS (SELECT mlon // {_BFS_CELL_MILLI} AS gx,"
+        f" mlat // {_BFS_CELL_MILLI} AS gy,"
+        " 1 + COUNT(*) % 5 AS w,"
+        f" MAX(CASE WHEN doc_id % {_BFS_SEED_MOD} = 0 THEN 1 ELSE 0 END)"
+        " AS is_src FROM pts GROUP BY 1, 2)",
+        ", r0 AS (SELECT gx, gy, CAST(0 AS BIGINT) AS c FROM occ"
+        " WHERE is_src = 1)",
+    ]
+    # MATERIALIZED is load-bearing: each r_k references r_{k-1} twice, and
+    # DuckDB inlines plain CTEs — 2^18 scans without it
+    for k in range(1, _ISO_CAP + 1):
+        parts.append(
+            f", r{k} AS MATERIALIZED (SELECT gx, gy, MIN(c) AS c FROM ("
+            f"SELECT gx, gy, c FROM r{k-1}"
+            " UNION ALL "
+            f"SELECT o.gx, o.gy, b.c + o.w AS c FROM r{k-1} b JOIN occ o"
+            " ON (o.gx = b.gx + 1 AND o.gy = b.gy)"
+            " OR (o.gx = b.gx - 1 AND o.gy = b.gy)"
+            " OR (o.gx = b.gx AND o.gy = b.gy + 1)"
+            " OR (o.gx = b.gx AND o.gy = b.gy - 1)"
+            ") GROUP BY 1, 2)"
+        )
+    parts.append(
+        f" SELECT CAST(gx AS BIGINT) AS gx, CAST(gy AS BIGINT) AS gy,"
+        f" CAST(c AS BIGINT) AS cost FROM r{_ISO_CAP} WHERE c <= {_ISO_CAP}"
+    )
+    return "".join(parts)
+
+
+GEO_ISOCHRONE_SQL = _iso_sql()
+
+
 _COR_CELL_MILLI = 10000  # 10-degree corridor raster cells
 
 
@@ -14237,6 +14460,7 @@ QUERIES = {
     "geo_huff_share": geo_huff_share,
     "events_burstiness": events_burstiness,
     "events_nearest_doc": events_nearest_doc,
+    "geo_isochrone": geo_isochrone,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -14411,6 +14635,7 @@ ORACLE_SQL = {
     "geo_huff_share": GEO_HUFF_SHARE_SQL,
     "events_burstiness": EVENTS_BURSTINESS_SQL,
     "events_nearest_doc": EVENTS_NEAREST_DOC_SQL,
+    "geo_isochrone": GEO_ISOCHRONE_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,

@@ -25,7 +25,9 @@ from core_ray.queries import (
     _mm_segments,
     _toponym_candidates,
     _BI_RADIUS,
+    _ISO_CAP,
     doc_toponym_resolve,
+    geo_isochrone,
     geo_doc_event_band,
     geo_grid_bfs,
     geo_map_match,
@@ -164,6 +166,40 @@ def test_grid_bfs_paths_agree_and_match_bruteforce(ray_session, corpus):
         for c in nxt:
             exp[c] = r
         frontier = nxt
+    assert local == exp
+
+
+def test_isochrone_paths_agree_and_match_bruteforce(ray_session, corpus):
+    sf, doc_id, _, _, _ = corpus
+    local = {(r["gx"], r["gy"]): r["cost"]
+             for r in geo_isochrone(sf).to_pylist()}
+    distributed = {(r["gx"], r["gy"]): r["cost"]
+                   for r in geo_isochrone(sf, force_distributed=True)
+                   .take_all()}
+    assert local == distributed  # forced-guard path equivalence
+    # independent dict Bellman-Ford
+    mlat = (doc_id * 7919) % 140000
+    mlon = (doc_id * 104729) % 360000
+    cells = {}
+    seeds = set()
+    for x, y, i in zip(mlon, mlat, doc_id):
+        c = (int(x // _BFS_CELL_MILLI), int(y // _BFS_CELL_MILLI))
+        cells[c] = cells.get(c, 0) + 1
+        if i % _BFS_SEED_MOD == 0:
+            seeds.add(c)
+    toll = {c: 1 + n % 5 for c, n in cells.items()}
+    assert seeds
+    dist = {c: 0 for c in seeds}
+    for _ in range(_ISO_CAP):
+        changed = False
+        for (gx, gy), d in list(dist.items()):
+            for c in ((gx + 1, gy), (gx - 1, gy), (gx, gy + 1), (gx, gy - 1)):
+                if c in toll and dist.get(c, 10**9) > d + toll[c]:
+                    dist[c] = d + toll[c]
+                    changed = True
+        if not changed:
+            break
+    exp = {c: d for c, d in dist.items() if d <= _ISO_CAP}
     assert local == exp
 
 
