@@ -6033,6 +6033,188 @@ def _iso_sql() -> str:
 GEO_ISOCHRONE_SQL = _iso_sql()
 
 
+_ZIPF_K = 100  # ranks used for the Zipf regression
+
+
+def doc_zipf_fit(sf_dir: str):
+    """CORPUS ZIPF-LAW FIT: the least-squares slope of log2(frequency) on
+    log2(rank) over the top-100 vocabulary — the corpus-health statistic
+    (natural text ≈ -1; a slope collapsing toward 0 flags boilerplate or
+    generator loops, a classic crawl-quality tripwire). Plan: the
+    doc_vocab_top20 combiner/prune machinery collects the exact global
+    top-{K} (token tie-break), then the driver fits on the BOUNDED table:
+    both logs quantize to integer micro-bits (sql_round_np == DuckDB
+    ROUND), the regression moments are exact integer sums, and the slope
+    is ONE double division of two exact integers (the events_tile_trend
+    algebra on quantized-log coordinates)."""
+    top = doc_vocab_top20(sf_dir, k=_ZIPF_K)
+    t = _collect_table(top) if not isinstance(top, pa.Table) else top
+    toks = np.asarray(t["token"].to_pylist())
+    n_arr = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((toks, -n_arr))  # defensive (n desc, token asc) rank
+    n_arr = n_arr[order]
+    k = len(n_arr)
+    rank = np.arange(1, k + 1, dtype=np.int64)
+    x = sql_round_np(np.log2(rank.astype(np.float64)) * 1000000.0, 0).astype(
+        np.int64
+    )
+    y = sql_round_np(np.log2(n_arr.astype(np.float64)) * 1000000.0, 0).astype(
+        np.int64
+    )
+    sx, sy = int(x.sum()), int(y.sum())
+    sxy = int((x * y).sum())
+    sxx = int((x * x).sum())
+    num = k * sxy - sx * sy
+    den = k * sxx - sx * sx
+    return pa.table(
+        {
+            "n_ranks": pa.array([k], pa.int64()),
+            "slope_num": pa.array([num], pa.int64()),
+            "slope_den": pa.array([den], pa.int64()),
+            "zipf_slope": pa.array(
+                [float(np.float64(num) / np.float64(den))], pa.float64()
+            ),
+        }
+    )
+
+
+DOC_ZIPF_FIT_SQL = f"""
+WITH toks AS (
+  SELECT UNNEST(string_split(text, ' ')) AS w FROM documents),
+cnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY 1),
+top AS (
+  SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, w) AS rank
+  FROM cnt ORDER BY n DESC, w LIMIT {_ZIPF_K}),
+q AS (
+  SELECT CAST(ROUND(LOG2(CAST(rank AS DOUBLE)) * 1000000.0, 0) AS BIGINT)
+           AS x,
+         CAST(ROUND(LOG2(CAST(n AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS y
+  FROM top),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM q)
+SELECT k AS n_ranks, k * sxy - sx * sy AS slope_num,
+       k * sxx - sx * sx AS slope_den,
+       CAST(k * sxy - sx * sy AS DOUBLE)
+         / CAST(k * sxx - sx * sx AS DOUBLE) AS zipf_slope
+FROM m
+"""
+
+
+def events_sinuosity(sf_dir: str):
+    """PER-USER PATH SINUOSITY (tortuosity: traveled length / net
+    displacement — 1 = beeline, large = wandering; the trajectory-shape
+    classifier beside rog and burstiness): total = sum of per-leg
+    FLOOR-quantized haversine km (geo_traj_stats' contract), net = the
+    FLOOR km between the user's FIRST and LAST events under the total
+    (ts, event_id) order. All-integer inputs; the ratio is one double
+    division. One user-keyed shuffle; users with zero net displacement
+    (or < 2 events) report net_km = 0 and a NULL ratio (mirrored with
+    NULLIF)."""
+    from core_ray.stages.agg import map_groups_partitioned
+    from core_ray.stages.distband import haversine_km
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    _empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "total_km": pa.array([], pa.int64()),
+            "net_km": pa.array([], pa.int64()),
+            "sinuosity": pa.array([], pa.float64()),
+        }
+    )
+
+    def per_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _empty
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, us, uid))
+        uid, eid = uid[order], eid[order]
+        lat, lon = _derive_coords(eid)
+        leg = np.zeros(len(uid), dtype=bool)
+        leg[1:] = uid[1:] == uid[:-1]
+        i = np.nonzero(leg)[0]
+        starts = np.nonzero(np.r_[True, uid[1:] != uid[:-1]])[0]
+        ends = np.r_[starts[1:], len(uid)] - 1
+        keep = ends > starts  # >= 2 events
+        starts, ends = starts[keep], ends[keep]
+        if len(starts) == 0:
+            return _empty
+        km = np.zeros(len(uid), np.int64)
+        if len(i):
+            km[i] = np.floor(
+                haversine_km(lat[i - 1], lon[i - 1], lat[i], lon[i])
+            ).astype(np.int64)
+        ck = np.cumsum(km)
+        total = ck[ends] - ck[starts]
+        net = np.floor(
+            haversine_km(lat[starts], lon[starts], lat[ends], lon[ends])
+        ).astype(np.int64)
+        sin = np.where(
+            net > 0,
+            total.astype(np.float64) / net.astype(np.float64),
+            np.nan,
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts], pa.int64()),
+                "total_km": pa.array(total, pa.int64()),
+                "net_km": pa.array(net, pa.int64()),
+                "sinuosity": pa.array(
+                    np.where(np.isnan(sin), None, sin), pa.float64(),
+                    from_pandas=True,
+                ),
+            }
+        )
+
+    return map_groups_partitioned(ds, "user_id", per_part)
+
+
+_HAV_KM_SQL = """CAST(FLOOR(
+    2.0 * 6371.0088 * ASIN(SQRT(
+      SIN(RADIANS({lat2} - {lat1}) / 2.0) * SIN(RADIANS({lat2} - {lat1}) / 2.0)
+      + COS(RADIANS({lat1})) * COS(RADIANS({lat2}))
+        * SIN(RADIANS({lon2} - {lon1}) / 2.0)
+        * SIN(RADIANS({lon2} - {lon1}) / 2.0)
+    ))) AS BIGINT)"""
+
+EVENTS_SINUOSITY_SQL = f"""
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         {GEO_LAT_SQL.replace('doc_id', 'event_id')} AS lat,
+         {GEO_LON_SQL.replace('doc_id', 'event_id')} AS lon FROM events),
+legs AS (
+  SELECT user_id,
+         LAG(lat) OVER w AS plat, LAG(lon) OVER w AS plon, lat, lon,
+         FIRST_VALUE(lat) OVER w AS flat, FIRST_VALUE(lon) OVER w AS flon,
+         LAST_VALUE(lat) OVER (PARTITION BY user_id
+           ORDER BY epoch_us(ts), event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS llat,
+         LAST_VALUE(lon) OVER (PARTITION BY user_id
+           ORDER BY epoch_us(ts), event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS llon,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+per AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN plat IS NULL THEN 0 ELSE
+           {_HAV_KM_SQL.format(lat1='plat', lon1='plon', lat2='lat', lon2='lon')}
+         END) AS BIGINT) AS total_km,
+         MAX({_HAV_KM_SQL.format(lat1='flat', lon1='flon', lat2='llat', lon2='llon')})
+           AS net_km
+  FROM legs WHERE n >= 2 GROUP BY user_id)
+SELECT user_id, total_km, net_km,
+       CAST(total_km AS DOUBLE) / CAST(NULLIF(net_km, 0) AS DOUBLE)
+         AS sinuosity
+FROM per
+"""
+
+
 _COR_CELL_MILLI = 10000  # 10-degree corridor raster cells
 
 
@@ -14461,6 +14643,8 @@ QUERIES = {
     "events_burstiness": events_burstiness,
     "events_nearest_doc": events_nearest_doc,
     "geo_isochrone": geo_isochrone,
+    "doc_zipf_fit": doc_zipf_fit,
+    "events_sinuosity": events_sinuosity,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -14636,6 +14820,8 @@ ORACLE_SQL = {
     "events_burstiness": EVENTS_BURSTINESS_SQL,
     "events_nearest_doc": EVENTS_NEAREST_DOC_SQL,
     "geo_isochrone": GEO_ISOCHRONE_SQL,
+    "doc_zipf_fit": DOC_ZIPF_FIT_SQL,
+    "events_sinuosity": EVENTS_SINUOSITY_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
