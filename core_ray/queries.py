@@ -6215,6 +6215,111 @@ FROM per
 """
 
 
+def geo_lang_boundaries(sf_dir: str):
+    """LINGUISTIC FRONTIER DETECTION: adjacent 10-deg cell pairs whose
+    DOMINANT document language differs — the dialect/language boundary
+    map a localization or crawl-routing team reads off the corpus.
+    Dominance = most documents, ties by lexicographically smallest lang
+    (the deterministic argmax contract). One packed (lang_idx, cell)
+    count pass (bounded: langs x 504 at any corpus scale), driver fold:
+    dominant per cell via lexsort-first, then right/down neighbor
+    comparison (each boundary edge emitted ONCE, at its left/upper
+    cell — the raster-adjacency single-emission rule shared with
+    geo_moran_i's neighbor join)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from core_ray.stages.agg import count_by_u64
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def lang_partial(b: pa.Table) -> pa.Table:
+        u = np.unique(np.asarray(b["lang"].to_pylist()))
+        return pa.table({"lang": pa.array(u.tolist(), pa.string()),
+                         "one": pa.array(np.ones(len(u), np.int64))})
+
+    lang_t = _collect_table(
+        ds.select_columns(["lang"])
+        .map_batches(lang_partial, batch_format="pyarrow", batch_size=131072)
+        .groupby("lang")
+        .aggregate(Sum("one", alias_name="n"))
+    )
+    langs = np.sort(np.asarray(lang_t["lang"].to_pylist()))
+    lang_ref = ray.put(langs)
+
+    def pack(b: pa.Table) -> pa.Table:
+        ls = ray.get(lang_ref)
+        doc_id = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(ls, np.asarray(b["lang"].to_pylist()))
+        gx = ((doc_id * 104729) % 360000) // _GE_CELL_MILLI
+        gy = ((doc_id * 7919) % 140000) // _GE_CELL_MILLI
+        key = (idx.astype(np.uint64) << np.uint64(16)) | (
+            (gx * 1024 + gy).astype(np.uint64)
+        )
+        return pa.table({"key": pa.array(key, pa.uint64())})
+
+    cc_t = _collect_table(
+        count_by_u64(
+            ds.map_batches(pack, batch_format="pyarrow", batch_size=131072),
+            "key",
+        )
+    )  # <= langs x 504 rows by construction
+    key = cc_t["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    c = cc_t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lidx = (key >> np.uint64(16)).astype(np.int64)
+    cell = (key & np.uint64((1 << 16) - 1)).astype(np.int64)
+    # dominant per cell under (count desc, lang asc)
+    order = np.lexsort((lidx, -c, cell))
+    cs, ls_ = cell[order], lidx[order]
+    first = np.r_[True, cs[1:] != cs[:-1]]
+    dom = dict(zip(cs[first].tolist(), ls_[first].tolist()))
+
+    rows = []
+    for cl, la in dom.items():
+        gx, gy = cl // 1024, cl % 1024
+        for nb in (cl + 1024, cl + 1):  # right (gx+1), down (gy+1)
+            if nb == cl + 1 and gy + 1 >= 14:
+                continue
+            if nb == cl + 1024 and gx + 1 >= 36:
+                continue
+            lb = dom.get(nb)
+            if lb is not None and lb != la:
+                rows.append((gx, gy, nb // 1024, nb % 1024, la, lb))
+    rows.sort()
+    return pa.table(
+        {
+            "gx": pa.array([r[0] for r in rows], pa.int64()),
+            "gy": pa.array([r[1] for r in rows], pa.int64()),
+            "nbr_gx": pa.array([r[2] for r in rows], pa.int64()),
+            "nbr_gy": pa.array([r[3] for r in rows], pa.int64()),
+            "lang_a": pa.array([str(langs[r[4]]) for r in rows], pa.string()),
+            "lang_b": pa.array([str(langs[r[5]]) for r in rows], pa.string()),
+        }
+    )
+
+
+GEO_LANG_BOUNDARIES_SQL = f"""
+WITH pts AS (
+  SELECT lang,
+         ((doc_id * 104729) % 360000) // {_GE_CELL_MILLI} AS gx,
+         ((doc_id * 7919) % 140000) // {_GE_CELL_MILLI} AS gy
+  FROM documents),
+cc AS (SELECT gx, gy, lang, COUNT(*) AS c FROM pts GROUP BY 1, 2, 3),
+dom AS (
+  SELECT gx, gy, lang FROM (
+    SELECT gx, gy, lang,
+           ROW_NUMBER() OVER (PARTITION BY gx, gy
+                              ORDER BY c DESC, lang) AS rn
+    FROM cc) WHERE rn = 1)
+SELECT a.gx, a.gy, b.gx AS nbr_gx, b.gy AS nbr_gy,
+       a.lang AS lang_a, b.lang AS lang_b
+FROM dom a JOIN dom b
+  ON ((b.gx = a.gx + 1 AND b.gy = a.gy)
+      OR (b.gx = a.gx AND b.gy = a.gy + 1))
+WHERE a.lang <> b.lang
+"""
+
+
 _COR_CELL_MILLI = 10000  # 10-degree corridor raster cells
 
 
@@ -14645,6 +14750,7 @@ QUERIES = {
     "geo_isochrone": geo_isochrone,
     "doc_zipf_fit": doc_zipf_fit,
     "events_sinuosity": events_sinuosity,
+    "geo_lang_boundaries": geo_lang_boundaries,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -14822,6 +14928,7 @@ ORACLE_SQL = {
     "geo_isochrone": GEO_ISOCHRONE_SQL,
     "doc_zipf_fit": DOC_ZIPF_FIT_SQL,
     "events_sinuosity": EVENTS_SINUOSITY_SQL,
+    "geo_lang_boundaries": GEO_LANG_BOUNDARIES_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
