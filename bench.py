@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "doc_zipf_fit",
     "events_sinuosity",
     "geo_lang_boundaries",
+    "doc_dup_source_matrix",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

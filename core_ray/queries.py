@@ -7948,6 +7948,84 @@ EMB_KMEANS_SQL = f"SELECT * FROM read_parquet('{_DGD}/kmeans.parquet')"
 GEO_CONVEX_HULL_SQL = f"SELECT * FROM read_parquet('{_DGD}/tile_hulls.parquet')"
 
 
+def doc_dup_source_matrix(sf_dir: str):
+    """SYNDICATION FLOW MATRIX ("who copies whom"): for every near-dup
+    cluster, the distinct unordered pairs of SOURCES represented among
+    its members, counted over all clusters — the feed-level duplication
+    map a crawl operator uses to prune mirrored feeds. Composition:
+    minhash pairs -> CC clusters (doc_dup_geo_spread's chain), then the
+    member -> source attach is a SEMI-FILTERED corpus pass (only cluster
+    members' (doc_id, source) rows survive — bounded by PAIRED docs, the
+    dedup contract) and the pair fold runs on that bounded table.
+    Deterministic pair order (source_a < source_b); each pair counted
+    once per cluster (distinct, not per member pair)."""
+    from core_ray.stages.cc import connected_components
+    from core_ray.stages.join import filter_semi
+    from core_ray.text.dedup import minhash_near_dups
+
+    _ensure_docs_golden(sf_dir)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_near_dups(ds, threshold=0.5)
+    clusters = connected_components(pairs, src="id_a", dst="id_b")
+    cl_t = _collect_table(clusters)  # bounded by paired docs
+    node = cl_t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+    comp = cl_t["comp"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    members = filter_semi(
+        _read(sf_dir, "documents", ["doc_id", "source"]).map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                    "source": b["source"],
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        clusters.map_batches(
+            lambda b: pa.table({"doc_id": pc.cast(b["node"], pa.int64())}),
+            batch_format="pyarrow",
+        ),
+        "doc_id",
+    )
+    m_t = _collect_table(members)  # bounded by paired docs
+    mdoc = m_t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    msrc = np.asarray(m_t["source"].to_pylist())
+    src_of = dict(zip(mdoc.tolist(), msrc.tolist()))
+
+    per_comp: dict[int, set] = {}
+    for nd, cp in zip(node.tolist(), comp.tolist()):
+        per_comp.setdefault(cp, set()).add(src_of[nd])
+    counts: dict[tuple, int] = {}
+    for srcs in per_comp.values():
+        ss = sorted(srcs)
+        for i in range(len(ss)):
+            for j in range(i + 1, len(ss)):
+                counts[(ss[i], ss[j])] = counts.get((ss[i], ss[j]), 0) + 1
+    keys = sorted(counts)
+    return pa.table(
+        {
+            "source_a": pa.array([k[0] for k in keys], pa.string()),
+            "source_b": pa.array([k[1] for k in keys], pa.string()),
+            "n_clusters": pa.array(
+                [counts[k] for k in keys], pa.int64()
+            ),
+        }
+    )
+
+
+DOC_DUP_SOURCE_MATRIX_SQL = f"""
+WITH m AS (
+  SELECT c.comp, d.source
+  FROM read_parquet('{_DGD}/dup_clusters.parquet') c
+  JOIN documents d ON d.doc_id = c.node),
+pairs AS (
+  SELECT DISTINCT a.comp, a.source AS source_a, b.source AS source_b
+  FROM m a JOIN m b ON a.comp = b.comp AND a.source < b.source)
+SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM pairs GROUP BY 1, 2
+"""
+
+
 def doc_dup_geo_spread(sf_dir: str):
     """CONTENT-SYNDICATION GEOGRAPHY: per near-dup cluster, the geographic
     spread (radius of gyration) of its member documents — does duplicated
@@ -14624,6 +14702,7 @@ QUERIES = {
     "doc_minhash_pairs": doc_minhash_pairs,
     "doc_dup_clusters": doc_dup_clusters,
     "doc_dup_geo_spread": doc_dup_geo_spread,
+    "doc_dup_source_matrix": doc_dup_source_matrix,
     "doc_dedup_keep": doc_dedup_keep,
     "doc_simhash_pairs": doc_simhash_pairs,
     "emb_topk": emb_topk,
@@ -14847,6 +14926,7 @@ ORACLE_SQL = {
     "doc_minhash_pairs": DOC_MINHASH_PAIRS_SQL,
     "doc_dup_clusters": DOC_DUP_CLUSTERS_SQL,
     "doc_dup_geo_spread": DOC_DUP_GEO_SPREAD_SQL,
+    "doc_dup_source_matrix": DOC_DUP_SOURCE_MATRIX_SQL,
     "doc_dedup_keep": DOC_DEDUP_KEEP_SQL,
     "doc_simhash_pairs": DOC_SIMHASH_PAIRS_SQL,
     "emb_ann_lsh": EMB_ANN_LSH_SQL,
