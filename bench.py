@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "events_sinuosity",
     "geo_lang_boundaries",
     "doc_dup_source_matrix",
+    "events_cell_gini",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

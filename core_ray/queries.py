@@ -6320,6 +6320,107 @@ WHERE a.lang <> b.lang
 """
 
 
+def events_cell_gini(sf_dir: str):
+    """SPATIAL CONCENTRATION (Gini coefficient of per-cell event counts,
+    one row per event type): 0 = activity spread evenly over its occupied
+    cells, ->1 = concentrated in a few hot cells — the inequality lens on
+    the tile histogram (market-concentration / crawl-hotspot metric).
+    Exactness: with counts sorted ascending, G = 2*sum(i*c_i)/(n*S) -
+    (n+1)/n, and sum(i*c_i) is INVARIANT under permutations of equal
+    counts — so the rank order is deterministic without a tie-break and
+    both moments are exact integers; G = one fixed double chain. Event
+    types are bounded, cells are geometry-bounded: one distributed
+    (type, cell) count pass, driver fold."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from core_ray.stages.agg import count_by_u64
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+
+    def type_partial(b: pa.Table) -> pa.Table:
+        u = np.unique(np.asarray(b["event_type"].to_pylist()))
+        return pa.table({"event_type": pa.array(u.tolist(), pa.string()),
+                         "one": pa.array(np.ones(len(u), np.int64))})
+
+    ty_t = _collect_table(
+        ds.select_columns(["event_type"])
+        .map_batches(type_partial, batch_format="pyarrow", batch_size=131072)
+        .groupby("event_type")
+        .aggregate(Sum("one", alias_name="n"))
+    )
+    types = np.sort(np.asarray(ty_t["event_type"].to_pylist()))
+    ty_ref = ray.put(types)
+
+    def pack(b: pa.Table) -> pa.Table:
+        ts = ray.get(ty_ref)
+        eid = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(ts, np.asarray(b["event_type"].to_pylist()))
+        gx = ((eid * 104729) % 360000) // _GE_CELL_MILLI
+        gy = ((eid * 7919) % 140000) // _GE_CELL_MILLI
+        key = (idx.astype(np.uint64) << np.uint64(16)) | (
+            (gx * 1024 + gy).astype(np.uint64)
+        )
+        return pa.table({"key": pa.array(key, pa.uint64())})
+
+    cc_t = _collect_table(
+        count_by_u64(
+            ds.map_batches(pack, batch_format="pyarrow", batch_size=131072),
+            "key",
+        )
+    )  # <= types x 504 rows by construction
+    key = cc_t["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    c = cc_t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    tidx = (key >> np.uint64(16)).astype(np.int64)
+
+    rows = []
+    for t in range(len(types)):
+        cs = np.sort(c[tidx == t])
+        n = len(cs)
+        if n == 0:
+            continue
+        s = int(cs.sum())
+        wsum = int((np.arange(1, n + 1, dtype=np.int64) * cs).sum())
+        gini = float(
+            np.float64(2 * wsum) / np.float64(n * s)
+            - np.float64(n + 1) / np.float64(n)
+        )
+        rows.append((str(types[t]), n, s, 2 * wsum, gini))
+    return pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "n_cells": pa.array([r[1] for r in rows], pa.int64()),
+            "n_events": pa.array([r[2] for r in rows], pa.int64()),
+            "wsum2": pa.array([r[3] for r in rows], pa.int64()),
+            "gini": pa.array([r[4] for r in rows], pa.float64()),
+        }
+    )
+
+
+EVENTS_CELL_GINI_SQL = f"""
+WITH pts AS (
+  SELECT event_type,
+         ((event_id * 104729) % 360000) // {_GE_CELL_MILLI} AS gx,
+         ((event_id * 7919) % 140000) // {_GE_CELL_MILLI} AS gy
+  FROM events),
+cc AS (SELECT event_type, gx, gy, CAST(COUNT(*) AS BIGINT) AS c
+       FROM pts GROUP BY 1, 2, 3),
+ranked AS (
+  SELECT event_type, c,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c) AS i
+  FROM cc),
+per AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS s,
+         CAST(2 * SUM(i * c) AS BIGINT) AS wsum2
+  FROM ranked GROUP BY 1)
+SELECT event_type, n AS n_cells, s AS n_events, wsum2,
+       CAST(wsum2 AS DOUBLE) / CAST(n * s AS DOUBLE)
+         - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE) AS gini
+FROM per
+"""
+
+
 _COR_CELL_MILLI = 10000  # 10-degree corridor raster cells
 
 
@@ -14830,6 +14931,7 @@ QUERIES = {
     "doc_zipf_fit": doc_zipf_fit,
     "events_sinuosity": events_sinuosity,
     "geo_lang_boundaries": geo_lang_boundaries,
+    "events_cell_gini": events_cell_gini,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -15009,6 +15111,7 @@ ORACLE_SQL = {
     "doc_zipf_fit": DOC_ZIPF_FIT_SQL,
     "events_sinuosity": EVENTS_SINUOSITY_SQL,
     "geo_lang_boundaries": GEO_LANG_BOUNDARIES_SQL,
+    "events_cell_gini": EVENTS_CELL_GINI_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
