@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "geo_lang_boundaries",
     "doc_dup_source_matrix",
     "events_cell_gini",
+    "geo_theil_decomp",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

@@ -6421,6 +6421,133 @@ FROM per
 """
 
 
+def geo_theil_decomp(sf_dir: str):
+    """THEIL INEQUALITY DECOMPOSITION (in bits): how unequal are per-cell
+    event counts, and how much of that inequality is BETWEEN 30-deg
+    regions vs WITHIN them — the additive-decomposition property that
+    makes Theil (not Gini) the regional-analysis standard. Per region g:
+    T_g = sum(c*log2 c)/S_g/1e6_q - log2(S_g/n_g); between-component
+    T_b = sum_g (S_g/S) * (log2(S_g/n_g) - log2(S/n)). Exactness: integer
+    (region, cell) counts from ONE packed count pass (bounded), per-cell
+    c*log2(c) quantized to micro-bits (the entropy contract), and every
+    log2-of-ratio argument is the SAME correctly-rounded double division
+    on both sides before the micro-bit ROUND. Output: one row per region
+    + a (-1, -1) summary row carrying T_between."""
+    from core_ray.stages.agg import count_by_u64
+
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    def pack(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mlon = (eid * 104729) % 360000
+        mlat = (eid * 7919) % 140000
+        gx = mlon // _GE_CELL_MILLI
+        gy = mlat // _GE_CELL_MILLI
+        key = (gx * 1024 + gy).astype(np.uint64)
+        return pa.table({"key": pa.array(key, pa.uint64())})
+
+    cc_t = _collect_table(
+        count_by_u64(
+            ds.map_batches(pack, batch_format="pyarrow", batch_size=131072),
+            "key",
+        )
+    )  # <= 504 rows by construction
+    key = cc_t["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+    c = cc_t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    gx, gy = key // 1024, key % 1024
+    # 30-deg region of a 10-deg cell
+    rx, ry = gx // 3, gy // 3
+    reg = rx * 16 + ry
+    micro = sql_round_np(
+        c.astype(np.float64) * np.log2(c.astype(np.float64)) * 1000000.0, 0
+    ).astype(np.int64)
+
+    regs = np.unique(reg)
+    pos = np.searchsorted(regs, reg)
+    n_g = np.zeros(len(regs), np.int64)
+    s_g = np.zeros(len(regs), np.int64)
+    m_g = np.zeros(len(regs), np.int64)
+    np.add.at(n_g, pos, 1)
+    np.add.at(s_g, pos, c)
+    np.add.at(m_g, pos, micro)
+    S, n = int(s_g.sum()), int(n_g.sum())
+
+    def _lg_ratio_micro(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        return sql_round_np(
+            np.log2(a.astype(np.float64) / b.astype(np.float64)) * 1000000.0,
+            0,
+        ).astype(np.int64)
+
+    lg_g = _lg_ratio_micro(s_g, n_g)
+    lg_all = int(_lg_ratio_micro(np.array([S]), np.array([n]))[0])
+    theil_within = m_g.astype(np.float64) / (
+        1000000.0 * s_g.astype(np.float64)
+    ) - lg_g.astype(np.float64) / 1000000.0
+    # integer numerator: SUM of doubles is order-nondeterministic across
+    # engines (the BM25 lesson); s_g * lg-diff stays exact int64 to
+    # ~1e11 events per region
+    t_between = float(
+        np.float64(int((s_g * (lg_g - lg_all)).sum()))
+        / (1000000.0 * np.float64(S))
+    )
+    return pa.table(
+        {
+            "rx": pa.array(
+                np.concatenate([regs // 16, [-1]]), pa.int64()
+            ),
+            "ry": pa.array(
+                np.concatenate([regs % 16, [-1]]), pa.int64()
+            ),
+            "n_cells": pa.array(np.concatenate([n_g, [n]]), pa.int64()),
+            "n_events": pa.array(np.concatenate([s_g, [S]]), pa.int64()),
+            "sum_micro": pa.array(np.concatenate([m_g, [0]]), pa.int64()),
+            "theil": pa.array(
+                np.concatenate([theil_within, [t_between]]), pa.float64()
+            ),
+        }
+    )
+
+
+GEO_THEIL_DECOMP_SQL = f"""
+WITH pts AS (
+  SELECT ((event_id * 104729) % 360000) // {_GE_CELL_MILLI} AS gx,
+         ((event_id * 7919) % 140000) // {_GE_CELL_MILLI} AS gy
+  FROM events),
+cc AS (SELECT gx, gy, CAST(COUNT(*) AS BIGINT) AS c FROM pts GROUP BY 1, 2),
+q AS (
+  SELECT gx // 3 AS rx, gy // 3 AS ry, c,
+         CAST(ROUND(CAST(c AS DOUBLE) * LOG2(CAST(c AS DOUBLE))
+                    * 1000000.0, 0) AS BIGINT) AS r
+  FROM cc),
+per AS (
+  SELECT rx, ry, CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(c) AS BIGINT) AS s_g, CAST(SUM(r) AS BIGINT) AS m_g
+  FROM q GROUP BY 1, 2),
+tot AS (
+  SELECT CAST(SUM(n_g) AS BIGINT) AS n, CAST(SUM(s_g) AS BIGINT) AS s
+  FROM per),
+lg AS (
+  SELECT p.*, CAST(ROUND(LOG2(CAST(p.s_g AS DOUBLE)
+                              / CAST(p.n_g AS DOUBLE))
+                         * 1000000.0, 0) AS BIGINT) AS lg_g,
+         CAST(ROUND(LOG2(CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE))
+                    * 1000000.0, 0) AS BIGINT) AS lg_all,
+         t.s AS s_tot, t.n AS n_tot
+  FROM per p CROSS JOIN tot t)
+SELECT CAST(rx AS BIGINT) AS rx, CAST(ry AS BIGINT) AS ry,
+       n_g AS n_cells, s_g AS n_events, m_g AS sum_micro,
+       CAST(m_g AS DOUBLE) / (1000000.0 * CAST(s_g AS DOUBLE))
+         - CAST(lg_g AS DOUBLE) / 1000000.0 AS theil
+FROM lg
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+       MAX(n_tot), MAX(s_tot), CAST(0 AS BIGINT),
+       CAST(CAST(SUM(s_g * (lg_g - lg_all)) AS BIGINT) AS DOUBLE)
+         / (1000000.0 * CAST(MAX(s_tot) AS DOUBLE))
+FROM lg
+"""
+
+
 _COR_CELL_MILLI = 10000  # 10-degree corridor raster cells
 
 
@@ -14932,6 +15059,7 @@ QUERIES = {
     "events_sinuosity": events_sinuosity,
     "geo_lang_boundaries": geo_lang_boundaries,
     "events_cell_gini": events_cell_gini,
+    "geo_theil_decomp": geo_theil_decomp,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -15112,6 +15240,7 @@ ORACLE_SQL = {
     "events_sinuosity": EVENTS_SINUOSITY_SQL,
     "geo_lang_boundaries": GEO_LANG_BOUNDARIES_SQL,
     "events_cell_gini": EVENTS_CELL_GINI_SQL,
+    "geo_theil_decomp": GEO_THEIL_DECOMP_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
