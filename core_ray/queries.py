@@ -6548,6 +6548,165 @@ FROM lg
 """
 
 
+_PPZ_N = 200  # partitioned-PIP model zone count
+
+
+def _ppz_zones():
+    """Deterministic model zone rectangles (the many-polygon side)."""
+    k = np.arange(_PPZ_N, dtype=np.int64)
+    lat0 = ((k * 9973) % 120000) / 1000.0 - 60.0
+    lon0 = ((k * 31337) % 340000) / 1000.0 - 170.0
+    lat1 = lat0 + (2 + (k % 7)).astype(np.float64)
+    lon1 = lon0 + (3 + (k % 11)).astype(np.float64)
+    return lat0, lat1, lon0, lon1
+
+
+def geo_pip_partitioned(sf_dir: str):
+    """TILE-PARTITIONED CONTAINMENT JOIN (the NO-BROADCAST scale path of
+    the flagship's STRtree point-in-polygon): when the polygon side is
+    itself corpus-scale (cadastral parcels, geofence fleets), the
+    broadcast J1 plan dies — instead both sides PARTITION BY TILE: each
+    point lands in its one home 10-deg tile, each zone rectangle
+    replicates to every tile its bbox intersects (geo_rect_cover's
+    vectorized repeat/offset explode), and the containment test runs
+    per tile — every (point, zone) pair meets in exactly the point's
+    home tile, so emission is exactly-once with NO dedup pass. One hash
+    shuffle total; all-pairs output (a doc inside k overlapping zones
+    emits k rows — the PIP counting policy). The 200-zone model table
+    here stands in for the unbounded side; nothing in the plan reads
+    its size."""
+    from core_ray.stages.agg import map_groups_partitioned
+
+    zlat0, zlat1, zlon0, zlon1 = _ppz_zones()
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def pt_home(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lat, lon = _derive_coords(doc_id)
+        tx = np.floor((lon + 180.0) / 10.0).astype(np.int64)
+        ty = np.floor((lat + 70.0) / 10.0).astype(np.int64)
+        return pa.table(
+            {
+                "ck": pa.array((tx * 64 + ty).astype(np.uint64), pa.uint64()),
+                "side": pa.array(np.zeros(len(doc_id), np.int8), pa.int8()),
+                "id": pa.array(doc_id, pa.int64()),
+                "a": pa.array(lat, pa.float64()),
+                "b": pa.array(lon, pa.float64()),
+                "c": pa.array(np.zeros(len(doc_id)), pa.float64()),
+                "d": pa.array(np.zeros(len(doc_id)), pa.float64()),
+            }
+        )
+
+    def zone_rep() -> pa.Table:
+        tx0 = np.maximum(0, np.floor((zlon0 + 180.0) / 10.0)).astype(np.int64)
+        tx1 = np.minimum(35, np.floor((zlon1 + 180.0) / 10.0)).astype(np.int64)
+        ty0 = np.maximum(0, np.floor((zlat0 + 70.0) / 10.0)).astype(np.int64)
+        ty1 = np.minimum(13, np.floor((zlat1 + 70.0) / 10.0)).astype(np.int64)
+        nx = tx1 - tx0 + 1
+        ny = ty1 - ty0 + 1
+        per = nx * ny
+        zi = np.repeat(np.arange(_PPZ_N), per)
+        off = np.arange(int(per.sum())) - np.repeat(
+            np.concatenate([[0], np.cumsum(per)])[:-1], per
+        )
+        tx = tx0[zi] + off // ny[zi]
+        ty = ty0[zi] + off % ny[zi]
+        return pa.table(
+            {
+                "ck": pa.array((tx * 64 + ty).astype(np.uint64), pa.uint64()),
+                "side": pa.array(np.ones(len(zi), np.int8), pa.int8()),
+                "id": pa.array(zi, pa.int64()),
+                "a": pa.array(zlat0[zi], pa.float64()),
+                "b": pa.array(zlat1[zi], pa.float64()),
+                "c": pa.array(zlon0[zi], pa.float64()),
+                "d": pa.array(zlon1[zi], pa.float64()),
+            }
+        )
+
+    import ray
+
+    rep = docs.map_batches(pt_home, batch_format="pyarrow",
+                           batch_size=65536).union(
+        ray.data.from_arrow(zone_rep())
+    )
+
+    _empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "zone_id": pa.array([], pa.int64())}
+    )
+
+    def per_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _empty
+        key = g["ck"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        side = g["side"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, key))
+        key, side = key[order], side[order]
+        ids = g["id"].to_numpy(zero_copy_only=False)[order]
+        a = g["a"].to_numpy(zero_copy_only=False)[order]
+        b = g["b"].to_numpy(zero_copy_only=False)[order]
+        c = g["c"].to_numpy(zero_copy_only=False)[order]
+        d = g["d"].to_numpy(zero_copy_only=False)[order]
+        n = len(key)
+        new = np.ones(n, dtype=bool)
+        new[1:] = key[1:] != key[:-1]
+        seg_id = np.cumsum(new) - 1
+        starts = np.nonzero(new)[0]
+        seg_end = np.append(starts[1:], n)
+        pidx = np.nonzero(side == 0)[0]
+        if len(pidx) == 0:
+            return _empty
+        pseg = seg_id[pidx]
+        p_cnt = np.zeros(len(starts), np.int64)
+        np.add.at(p_cnt, pseg, 1)
+        z_lo = starts + p_cnt
+        nz = (seg_end - z_lo)[pseg]
+        left = np.repeat(np.arange(len(pidx)), nz)
+        off = np.concatenate([[0], np.cumsum(nz)])[:-1]
+        right = (
+            np.arange(int(nz.sum())) - np.repeat(off, nz)
+            + np.repeat(z_lo[pseg], nz)
+        )
+        plat = a[pidx][left]
+        plon = b[pidx][left]
+        ok = (
+            (plat >= a[right]) & (plat <= b[right])
+            & (plon >= c[right]) & (plon <= d[right])
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    ids[pidx][left][ok].astype(np.int64), pa.int64()
+                ),
+                "zone_id": pa.array(
+                    ids[right][ok].astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return map_groups_partitioned(rep, "ck", per_part)
+
+
+GEO_PIP_PARTITIONED_SQL = f"""
+WITH pts AS (
+  SELECT doc_id, {GEO_LAT_SQL} AS lat, {GEO_LON_SQL} AS lon FROM documents),
+zones AS (
+  SELECT k AS zone_id,
+         ((k * 9973) % 120000) / 1000.0 - 60.0 AS lat0,
+         ((k * 9973) % 120000) / 1000.0 - 60.0
+           + CAST(2 + (k % 7) AS DOUBLE) AS lat1,
+         ((k * 31337) % 340000) / 1000.0 - 170.0 AS lon0,
+         ((k * 31337) % 340000) / 1000.0 - 170.0
+           + CAST(3 + (k % 11) AS DOUBLE) AS lon1
+  FROM range({_PPZ_N}) t(k))
+SELECT p.doc_id, z.zone_id
+FROM pts p JOIN zones z
+  ON p.lat >= z.lat0 AND p.lat <= z.lat1
+ AND p.lon >= z.lon0 AND p.lon <= z.lon1
+"""
+
+
 _COR_CELL_MILLI = 10000  # 10-degree corridor raster cells
 
 
@@ -15060,6 +15219,7 @@ QUERIES = {
     "geo_lang_boundaries": geo_lang_boundaries,
     "events_cell_gini": events_cell_gini,
     "geo_theil_decomp": geo_theil_decomp,
+    "geo_pip_partitioned": geo_pip_partitioned,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -15241,6 +15401,7 @@ ORACLE_SQL = {
     "geo_lang_boundaries": GEO_LANG_BOUNDARIES_SQL,
     "events_cell_gini": EVENTS_CELL_GINI_SQL,
     "geo_theil_decomp": GEO_THEIL_DECOMP_SQL,
+    "geo_pip_partitioned": GEO_PIP_PARTITIONED_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,

@@ -26,6 +26,8 @@ from core_ray.queries import (
     _toponym_candidates,
     _BI_RADIUS,
     _ISO_CAP,
+    _ppz_zones,
+    geo_pip_partitioned,
     doc_toponym_resolve,
     geo_isochrone,
     geo_doc_event_band,
@@ -201,6 +203,23 @@ def test_isochrone_paths_agree_and_match_bruteforce(ray_session, corpus):
             break
     exp = {c: d for c, d in dist.items() if d <= _ISO_CAP}
     assert local == exp
+
+
+def test_pip_partitioned_matches_bruteforce(ray_session, corpus):
+    sf, doc_id, _, lat, lon = corpus
+    got = {(r["doc_id"], r["zone_id"])
+           for r in geo_pip_partitioned(sf).take_all()}
+    zlat0, zlat1, zlon0, zlon1 = _ppz_zones()
+    exp = set()
+    for i in range(len(doc_id)):
+        hit = np.nonzero(
+            (lat[i] >= zlat0) & (lat[i] <= zlat1)
+            & (lon[i] >= zlon0) & (lon[i] <= zlon1)
+        )[0]
+        for z in hit:
+            exp.add((int(doc_id[i]), int(z)))
+    assert len(got) == len(exp) > 0
+    assert got == exp
 
 
 def test_doc_event_band_matches_bruteforce(ray_session, corpus):
