@@ -8400,6 +8400,69 @@ def doc_dup_source_matrix(sf_dir: str):
     )
 
 
+def doc_cross_lingual_dup(sf_dir: str):
+    """CROSS-LINGUAL DUPLICATE DETECTION (translation-mirror discovery):
+    near-dup pairs whose two documents carry DIFFERENT language labels —
+    the candidate set a translation-pair miner or a "same story, other
+    language" deduper starts from (for multilingual training data these
+    pairs are curriculum gold, not waste). Composition: minhash pairs
+    (bounded by the dedup contract) -> member langs via a SEMI-FILTERED
+    corpus pass (only paired docs' (doc_id, lang) rows survive) -> the
+    lang-mismatch filter on the bounded pair table. Deterministic
+    (id_a < id_b from the pair generator)."""
+    from core_ray.stages.join import filter_semi
+    from core_ray.text.dedup import minhash_near_dups
+
+    _ensure_docs_golden(sf_dir)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs_t = _collect_table(
+        minhash_near_dups(ds, threshold=0.5)
+    )  # bounded by paired docs
+    ia = pairs_t["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ib = pairs_t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    import ray
+
+    ids = np.unique(np.concatenate([ia, ib]))
+    members = filter_semi(
+        _read(sf_dir, "documents", ["doc_id", "lang"]),
+        ray.data.from_arrow(
+            pa.table({"doc_id": pa.array(ids, pa.int64())})
+        ),
+        "doc_id",
+    )
+    m_t = _collect_table(members)  # bounded by paired docs
+    lang_of = dict(
+        zip(
+            m_t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            .tolist(),
+            m_t["lang"].to_pylist(),
+        )
+    )
+    la = np.asarray([lang_of[i] for i in ia.tolist()])
+    lb = np.asarray([lang_of[i] for i in ib.tolist()])
+    keep = la != lb
+    order = np.lexsort((ib[keep], ia[keep]))
+    return pa.table(
+        {
+            "doc_a": pa.array(ia[keep][order], pa.int64()),
+            "doc_b": pa.array(ib[keep][order], pa.int64()),
+            "lang_a": pa.array(la[keep][order].tolist(), pa.string()),
+            "lang_b": pa.array(lb[keep][order].tolist(), pa.string()),
+        }
+    )
+
+
+DOC_CROSS_LINGUAL_DUP_SQL = f"""
+SELECT p.id_a AS doc_a, p.id_b AS doc_b,
+       a.lang AS lang_a, b.lang AS lang_b
+FROM read_parquet('{_DGD}/minhash_pairs.parquet') p
+JOIN documents a ON a.doc_id = p.id_a
+JOIN documents b ON b.doc_id = p.id_b
+WHERE a.lang <> b.lang
+"""
+
+
 DOC_DUP_SOURCE_MATRIX_SQL = f"""
 WITH m AS (
   SELECT c.comp, d.source
@@ -15090,6 +15153,7 @@ QUERIES = {
     "doc_dup_clusters": doc_dup_clusters,
     "doc_dup_geo_spread": doc_dup_geo_spread,
     "doc_dup_source_matrix": doc_dup_source_matrix,
+    "doc_cross_lingual_dup": doc_cross_lingual_dup,
     "doc_dedup_keep": doc_dedup_keep,
     "doc_simhash_pairs": doc_simhash_pairs,
     "emb_topk": emb_topk,
@@ -15317,6 +15381,7 @@ ORACLE_SQL = {
     "doc_dup_clusters": DOC_DUP_CLUSTERS_SQL,
     "doc_dup_geo_spread": DOC_DUP_GEO_SPREAD_SQL,
     "doc_dup_source_matrix": DOC_DUP_SOURCE_MATRIX_SQL,
+    "doc_cross_lingual_dup": DOC_CROSS_LINGUAL_DUP_SQL,
     "doc_dedup_keep": DOC_DEDUP_KEEP_SQL,
     "doc_simhash_pairs": DOC_SIMHASH_PAIRS_SQL,
     "emb_ann_lsh": EMB_ANN_LSH_SQL,
