@@ -6707,6 +6707,106 @@ FROM pts p JOIN zones z
 """
 
 
+def events_visit_ranks(sf_dir: str):
+    """VISITATION-FREQUENCY CURVE (Gonzalez et al.'s f_k ∝ k^-1.2 law:
+    how often do people visit their k-th favorite place): every user
+    ranks their 10-deg cells by visit count (ties by lowest cell — the
+    deterministic argmax contract), and visits aggregate per rank across
+    all users. One user-keyed shuffle; the partition kernel double-
+    reduceats ((user, cell) counts, then per-user rank under a lexsort)
+    and emits bounded (rank, n_users, total_visits) partials; driver
+    fold is bounded by the max cells-per-user, never the corpus."""
+    from core_ray.stages.agg import map_groups_partitioned
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    _empty = pa.table(
+        {
+            "rank": pa.array([], pa.int64()),
+            "u": pa.array([], pa.int64()),
+            "v": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _empty
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gx = ((eid * 104729) % 360000) // _GE_CELL_MILLI
+        gy = ((eid * 7919) % 140000) // _GE_CELL_MILLI
+        cell = gx * 1024 + gy
+        order = np.lexsort((cell, uid))
+        uid, cell = uid[order], cell[order]
+        newc = np.r_[True, (uid[1:] != uid[:-1]) | (cell[1:] != cell[:-1])]
+        cstarts = np.nonzero(newc)[0]
+        c = np.diff(np.r_[cstarts, len(uid)]).astype(np.int64)
+        cuid = uid[cstarts]
+        ccell = cell[cstarts]
+        # rank within user by (count desc, cell asc)
+        ro = np.lexsort((ccell, -c, cuid))
+        ru = cuid[ro]
+        ustarts = np.searchsorted(ru, ru)  # first index of each user run
+        rank = np.arange(len(ru)) - ustarts + 1
+        rc = c[ro]
+        u, pos = np.unique(rank, return_inverse=True)
+        nu = np.zeros(len(u), np.int64)
+        nv = np.zeros(len(u), np.int64)
+        np.add.at(nu, pos, 1)
+        np.add.at(nv, pos, rc)
+        return pa.table(
+            {
+                "rank": pa.array(u, pa.int64()),
+                "u": pa.array(nu, pa.int64()),
+                "v": pa.array(nv, pa.int64()),
+            }
+        )
+
+    t = _collect_table(
+        map_groups_partitioned(ds, "user_id", per_part)
+    )  # <= partitions x max-cells-per-user rows by construction
+    r = t["rank"].to_numpy(zero_copy_only=False).astype(np.int64)
+    u_ = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+    v_ = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ranks = np.unique(r)
+    pos = np.searchsorted(ranks, r)
+    nu = np.zeros(len(ranks), np.int64)
+    nv = np.zeros(len(ranks), np.int64)
+    np.add.at(nu, pos, u_)
+    np.add.at(nv, pos, v_)
+    return pa.table(
+        {
+            "rank": pa.array(ranks, pa.int64()),
+            "n_users": pa.array(nu, pa.int64()),
+            "total_visits": pa.array(nv, pa.int64()),
+            "mean_visits": pa.array(
+                nv.astype(np.float64) / nu.astype(np.float64), pa.float64()
+            ),
+        }
+    )
+
+
+EVENTS_VISIT_RANKS_SQL = f"""
+WITH pts AS (
+  SELECT user_id,
+         ((event_id * 104729) % 360000) // {_GE_CELL_MILLI} AS gx,
+         ((event_id * 7919) % 140000) // {_GE_CELL_MILLI} AS gy
+  FROM events),
+cc AS (SELECT user_id, gx * 1024 + gy AS cell, CAST(COUNT(*) AS BIGINT) AS c
+       FROM pts GROUP BY 1, 2),
+ranked AS (
+  SELECT user_id, c,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY c DESC, cell) AS rank
+  FROM cc)
+SELECT rank, CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(c) AS BIGINT) AS total_visits,
+       CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS mean_visits
+FROM ranked GROUP BY 1
+"""
+
+
 _COR_CELL_MILLI = 10000  # 10-degree corridor raster cells
 
 
@@ -15284,6 +15384,7 @@ QUERIES = {
     "events_cell_gini": events_cell_gini,
     "geo_theil_decomp": geo_theil_decomp,
     "geo_pip_partitioned": geo_pip_partitioned,
+    "events_visit_ranks": events_visit_ranks,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -15467,6 +15568,7 @@ ORACLE_SQL = {
     "events_cell_gini": EVENTS_CELL_GINI_SQL,
     "geo_theil_decomp": GEO_THEIL_DECOMP_SQL,
     "geo_pip_partitioned": GEO_PIP_PARTITIONED_SQL,
+    "events_visit_ranks": EVENTS_VISIT_RANKS_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,

@@ -16,7 +16,8 @@ _GOLDEN_PINNED = (
     "pages_",
     "doc_fingerprint",
     "doc_minhash_pairs",
-    "doc_dup_clusters",
+    "doc_dup_",  # clusters + geo_spread + source_matrix (all golden-joined)
+    "doc_cross_lingual_dup",
     "doc_dedup_keep",
     "doc_curated",
     "doc_simhash_pairs",
