@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "geo_pip_partitioned",
     "doc_cross_lingual_dup",
     "events_visit_ranks",
+    "geo_region_mad",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

@@ -6807,6 +6807,98 @@ FROM ranked GROUP BY 1
 """
 
 
+def geo_region_mad(sf_dir: str):
+    """ROBUST REGIONAL STATISTICS (median + MAD of document length per
+    30-deg region): the outlier-resistant pair every data-quality monitor
+    prefers over mean/stddev when crawl spam skews a region. Plan: the
+    doc_quality_buckets contract regionalized — ONE packed (region,
+    n_chars) count pass (DISTINCT VALUES, not rows, reach the driver;
+    bounded by regions x distinct lengths), then exact median/MAD from
+    the value->count histograms. Float parity: every median is either an
+    exact integer or the exact mean of two integers (and MAD's deviation
+    values are exact integers-or-halves in double), so interpolation is
+    bit-exact against DuckDB MEDIAN — all doubles, no DECIMAL (the
+    MEDIAN-of-DECIMAL type trap is mirrored away with explicit DOUBLE
+    casts)."""
+    from core_ray.stages.agg import count_by_u64
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def pack(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nch = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gx = ((doc_id * 104729) % 360000) // _GT_CELL_MILLI
+        gy = ((doc_id * 7919) % 140000) // _GT_CELL_MILLI
+        key = ((gx * 16 + gy).astype(np.uint64) << np.uint64(20)) | nch.astype(
+            np.uint64
+        )
+        return pa.table({"key": pa.array(key, pa.uint64())})
+
+    t = _collect_table(
+        count_by_u64(
+            ds.map_batches(pack, batch_format="pyarrow", batch_size=131072),
+            "key",
+        )
+    )  # <= regions x distinct lengths rows by construction
+    key = t["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    c = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    reg = (key >> np.uint64(20)).astype(np.int64)
+    val = (key & np.uint64((1 << 20) - 1)).astype(np.int64)
+
+    def _hist_median(vals: np.ndarray, cnts: np.ndarray) -> float:
+        o = np.argsort(vals, kind="stable")
+        v, n = vals[o].astype(np.float64), cnts[o]
+        cum = np.cumsum(n)
+        m = int(cum[-1])
+        if m % 2 == 1:
+            return float(v[np.searchsorted(cum, m // 2 + 1)])
+        lo = float(v[np.searchsorted(cum, m // 2)])
+        hi = float(v[np.searchsorted(cum, m // 2 + 1)])
+        return (lo + hi) / 2.0
+
+    regs = np.unique(reg)
+    out_med, out_mad, out_n = [], [], []
+    for r in regs:
+        m_ = reg == r
+        med = _hist_median(val[m_], c[m_])
+        dev = np.abs(val[m_].astype(np.float64) - med)
+        mad = _hist_median(dev, c[m_])
+        out_med.append(med)
+        out_mad.append(mad)
+        out_n.append(int(c[m_].sum()))
+    return pa.table(
+        {
+            "rx": pa.array(regs // 16, pa.int64()),
+            "ry": pa.array(regs % 16, pa.int64()),
+            "n_docs": pa.array(out_n, pa.int64()),
+            "median_chars": pa.array(out_med, pa.float64()),
+            "mad_chars": pa.array(out_mad, pa.float64()),
+        }
+    )
+
+
+GEO_REGION_MAD_SQL = f"""
+WITH pts AS (
+  SELECT ((doc_id * 104729) % 360000) // {_GT_CELL_MILLI} AS rx,
+         ((doc_id * 7919) % 140000) // {_GT_CELL_MILLI} AS ry,
+         n_chars
+  FROM documents),
+med AS (
+  SELECT rx, ry, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(MEDIAN(CAST(n_chars AS DOUBLE)) AS DOUBLE) AS median_chars
+  FROM pts GROUP BY 1, 2),
+mad AS (
+  SELECT p.rx, p.ry,
+         CAST(MEDIAN(ABS(CAST(p.n_chars AS DOUBLE) - m.median_chars))
+              AS DOUBLE) AS mad_chars
+  FROM pts p JOIN med m ON m.rx = p.rx AND m.ry = p.ry
+  GROUP BY 1, 2)
+SELECT CAST(m.rx AS BIGINT) AS rx, CAST(m.ry AS BIGINT) AS ry,
+       m.n_docs, m.median_chars, d.mad_chars
+FROM med m JOIN mad d ON d.rx = m.rx AND d.ry = m.ry
+"""
+
+
 _COR_CELL_MILLI = 10000  # 10-degree corridor raster cells
 
 
@@ -15385,6 +15477,7 @@ QUERIES = {
     "geo_theil_decomp": geo_theil_decomp,
     "geo_pip_partitioned": geo_pip_partitioned,
     "events_visit_ranks": events_visit_ranks,
+    "geo_region_mad": geo_region_mad,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -15569,6 +15662,7 @@ ORACLE_SQL = {
     "geo_theil_decomp": GEO_THEIL_DECOMP_SQL,
     "geo_pip_partitioned": GEO_PIP_PARTITIONED_SQL,
     "events_visit_ranks": EVENTS_VISIT_RANKS_SQL,
+    "geo_region_mad": GEO_REGION_MAD_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
