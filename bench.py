@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "doc_cross_lingual_dup",
     "events_visit_ranks",
     "geo_region_mad",
+    "events_peak_hour",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

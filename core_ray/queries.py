@@ -6899,6 +6899,83 @@ FROM med m JOIN mad d ON d.rx = m.rx AND d.ry = m.ry
 """
 
 
+def events_peak_hour(sf_dir: str):
+    """DIURNAL PHASE MAP (peak activity hour per 10-deg cell): the
+    hour-of-day with the most events in each cell (ties by lowest hour)
+    plus its share of the cell's activity — the longitude-tracking
+    "when is this region awake" map (timezone inference, send-time
+    optimization). ONE packed (cell, hour) count pass (bounded:
+    504 x 24), driver argmax under the deterministic (count desc, hour
+    asc) order; share = one double division of exact integers."""
+    from core_ray.stages.agg import count_by_u64
+
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def pack(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        gx = ((eid * 104729) % 360000) // _GE_CELL_MILLI
+        gy = ((eid * 7919) % 140000) // _GE_CELL_MILLI
+        hour = (us // 3600000000) % 24
+        key = ((gx * 1024 + gy).astype(np.uint64) << np.uint64(5)) | hour.astype(
+            np.uint64
+        )
+        return pa.table({"key": pa.array(key, pa.uint64())})
+
+    t = _collect_table(
+        count_by_u64(
+            ds.map_batches(pack, batch_format="pyarrow", batch_size=131072),
+            "key",
+        )
+    )  # <= 504 x 24 rows by construction
+    key = t["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    c = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cell = (key >> np.uint64(5)).astype(np.int64)
+    hour = (key & np.uint64(31)).astype(np.int64)
+    order = np.lexsort((hour, -c, cell))
+    cs, hs, ns = cell[order], hour[order], c[order]
+    first = np.r_[True, cs[1:] != cs[:-1]]
+    tot = np.zeros(len(np.unique(cell)), np.int64)
+    np.add.at(tot, np.searchsorted(np.unique(cell), cell), c)
+    ucell = cs[first]
+    return pa.table(
+        {
+            "gx": pa.array(ucell // 1024, pa.int64()),
+            "gy": pa.array(ucell % 1024, pa.int64()),
+            "peak_hour": pa.array(hs[first], pa.int64()),
+            "peak_count": pa.array(ns[first], pa.int64()),
+            "total": pa.array(tot, pa.int64()),
+            "share": pa.array(
+                ns[first].astype(np.float64) / tot.astype(np.float64),
+                pa.float64(),
+            ),
+        }
+    )
+
+
+EVENTS_PEAK_HOUR_SQL = f"""
+WITH pts AS (
+  SELECT ((event_id * 104729) % 360000) // {_GE_CELL_MILLI} AS gx,
+         ((event_id * 7919) % 140000) // {_GE_CELL_MILLI} AS gy,
+         (epoch_us(ts) // 3600000000) % 24 AS hour
+  FROM events),
+cc AS (SELECT gx, gy, hour, CAST(COUNT(*) AS BIGINT) AS c
+       FROM pts GROUP BY 1, 2, 3),
+tot AS (SELECT gx, gy, CAST(SUM(c) AS BIGINT) AS total
+        FROM cc GROUP BY 1, 2),
+best AS (
+  SELECT gx, gy, hour, c,
+         ROW_NUMBER() OVER (PARTITION BY gx, gy
+                            ORDER BY c DESC, hour) AS rn
+  FROM cc)
+SELECT b.gx, b.gy, CAST(b.hour AS BIGINT) AS peak_hour,
+       b.c AS peak_count, t.total,
+       CAST(b.c AS DOUBLE) / CAST(t.total AS DOUBLE) AS share
+FROM best b JOIN tot t ON t.gx = b.gx AND t.gy = b.gy
+WHERE b.rn = 1
+"""
+
+
 _COR_CELL_MILLI = 10000  # 10-degree corridor raster cells
 
 
@@ -15478,6 +15555,7 @@ QUERIES = {
     "geo_pip_partitioned": geo_pip_partitioned,
     "events_visit_ranks": events_visit_ranks,
     "geo_region_mad": geo_region_mad,
+    "events_peak_hour": events_peak_hour,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -15663,6 +15741,7 @@ ORACLE_SQL = {
     "geo_pip_partitioned": GEO_PIP_PARTITIONED_SQL,
     "events_visit_ranks": EVENTS_VISIT_RANKS_SQL,
     "geo_region_mad": GEO_REGION_MAD_SQL,
+    "events_peak_hour": EVENTS_PEAK_HOUR_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
