@@ -6976,6 +6976,185 @@ WHERE b.rn = 1
 """
 
 
+def doc_toponym_cooccur(sf_dir: str):
+    """TOPONYM CO-OCCURRENCE GRAPH (the knowledge-graph edge builder:
+    place names mentioned in the SAME document are related — route
+    descriptions, travel pages, news datelines): for every unordered
+    pair of the model gazetteer names, the number of documents mentioning
+    both. Map-only + one bounded groupby: per batch, one RE2
+    word-boundary match per name builds a (B x 4) presence matrix and a
+    vectorized pair fold reduces straight to the 6 pair counts — rows
+    never shuffle, 6 x n_batches partial rows reach the final sum."""
+    from ray.data.aggregate import Sum
+
+    names = _TOPONYMS
+    pairs = [
+        (i, j) for i in range(len(names)) for j in range(i + 1, len(names))
+    ]
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        present = np.column_stack(
+            [
+                pc.match_substring_regex(b["text"], rf"\b{n}\b").to_numpy(
+                    zero_copy_only=False
+                )
+                for n in names
+            ]
+        )
+        cnt = np.asarray(
+            [int((present[:, i] & present[:, j]).sum()) for i, j in pairs],
+            np.int64,
+        )
+        return pa.table(
+            {
+                "pid": pa.array(np.arange(len(pairs)), pa.int64()),
+                "c": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    agg = _collect_table(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("pid")
+        .aggregate(Sum("c", alias_name="n_docs"))
+    )
+    pid = agg["pid"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = agg["n_docs"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(pid)
+    pid, n = pid[order], n[order]
+    return pa.table(
+        {
+            "name_a": pa.array([names[pairs[p][0]] for p in pid], pa.string()),
+            "name_b": pa.array([names[pairs[p][1]] for p in pid], pa.string()),
+            "n_docs": pa.array(n, pa.int64()),
+        }
+    )
+
+
+_TOPO_PAIR_SQL = " UNION ALL ".join(
+    f"SELECT '{_TOPONYMS[i]}' AS name_a, '{_TOPONYMS[j]}' AS name_b"
+    for i in range(len(_TOPONYMS))
+    for j in range(i + 1, len(_TOPONYMS))
+)
+
+DOC_TOPONYM_COOCCUR_SQL = f"""
+WITH pairs AS ({_TOPO_PAIR_SQL})
+SELECT p.name_a, p.name_b,
+       CAST(COUNT(CASE WHEN regexp_matches(d.text, '\\b' || p.name_a || '\\b')
+                        AND regexp_matches(d.text, '\\b' || p.name_b || '\\b')
+                  THEN 1 END) AS BIGINT) AS n_docs
+FROM pairs p CROSS JOIN documents d
+GROUP BY 1, 2
+"""
+
+
+_CDC_Q = 10.0  # distance quantizer: keeps n * sum(x^2) inside int64
+# (max min-d2 ~7.6e3 deg^2 -> x <= 7.6e4, n*sxx < 2e17 at sf0.1; a corpus
+# past ~1e8 docs widens the moments to two-limb accumulators)
+
+
+def geo_chars_dist_corr(sf_dir: str):
+    """SPATIAL CORRELATION TEST (Pearson r between document length and
+    distance to the nearest facility): "is content thinner far from the
+    hubs?" — the hypothesis-test primitive behind coverage-equity
+    audits. Exactness: the distance quantizes to integer micro-units
+    (floor(d2*Q), the nearest-facility contract), n_chars is already
+    integer, all five moments (n, sx, sy, sxy, sxx, syy) are exact
+    order-free int64 partials from ONE map-only pass (no shuffle —
+    6 scalars per batch reach the tiny groupby), and
+    r = (n*sxy - sx*sy) / (sqrt(n*sxx - sx^2) * sqrt(n*syy - sy^2)) is
+    one fixed chain of two correctly-rounded sqrts over exact
+    integers."""
+    from ray.data.aggregate import Sum
+
+    k = np.arange(12, dtype=np.int64)
+    f_lat = ((k * 11003) % 120000) / 1000.0 - 60.0
+    f_lon = ((k * 104729) % 340000) / 1000.0 - 170.0
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lat, lon = _derive_coords(doc_id)
+        dla = lat[:, None] - f_lat[None, :]
+        dlo = lon[:, None] - f_lon[None, :]
+        d2 = dla * dla + dlo * dlo
+        x = np.floor(d2.min(axis=1) * _CDC_Q).astype(np.int64)
+        return pa.table(
+            {
+                "one": pa.array([1], pa.int64()),
+                "n": pa.array([len(x)], pa.int64()),
+                "sx": pa.array([int(x.sum())], pa.int64()),
+                "sy": pa.array([int(y.sum())], pa.int64()),
+                "sxy": pa.array([int((x * y).sum())], pa.int64()),
+                "sxx": pa.array([int((x * x).sum())], pa.int64()),
+                "syy": pa.array([int((y * y).sum())], pa.int64()),
+            }
+        )
+
+    agg = _collect_table(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("one")
+        .aggregate(
+            Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"), Sum("sxy", alias_name="sxy"),
+            Sum("sxx", alias_name="sxx"), Sum("syy", alias_name="syy"),
+        )
+    )
+    n = int(agg["n"][0].as_py())
+    sx = int(agg["sx"][0].as_py())
+    sy = int(agg["sy"][0].as_py())
+    sxy = int(agg["sxy"][0].as_py())
+    sxx = int(agg["sxx"][0].as_py())
+    syy = int(agg["syy"][0].as_py())
+    num = n * sxy - sx * sy
+    r = float(
+        np.float64(num)
+        / (
+            np.sqrt(np.float64(n * sxx - sx * sx))
+            * np.sqrt(np.float64(n * syy - sy * sy))
+        )
+    )
+    return pa.table(
+        {
+            "n_docs": pa.array([n], pa.int64()),
+            "corr_num": pa.array([num], pa.int64()),
+            "pearson_r": pa.array([r], pa.float64()),
+        }
+    )
+
+
+GEO_CHARS_DIST_CORR_SQL = f"""
+WITH pts AS (
+  SELECT doc_id, n_chars, {GEO_LAT_SQL} AS lat, {GEO_LON_SQL} AS lon
+  FROM documents),
+facs AS (
+  SELECT k AS fac_id,
+         ((k * 11003) % 120000) / 1000.0 - 60.0 AS flat,
+         ((k * 104729) % 340000) / 1000.0 - 170.0 AS flon
+  FROM range(12) t(k)),
+nearest AS (
+  SELECT p.doc_id, p.n_chars AS y,
+         CAST(FLOOR(MIN((p.lat - f.flat) * (p.lat - f.flat)
+                        + (p.lon - f.flon) * (p.lon - f.flon))
+                    * {_CDC_Q}) AS BIGINT) AS x
+  FROM pts p CROSS JOIN facs f GROUP BY 1, 2),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM nearest)
+SELECT n AS n_docs, n * sxy - sx * sy AS corr_num,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+            * SQRT(CAST(n * syy - sy * sy AS DOUBLE))) AS pearson_r
+FROM m
+"""
+
+
 _COR_CELL_MILLI = 10000  # 10-degree corridor raster cells
 
 
@@ -15556,6 +15735,8 @@ QUERIES = {
     "events_visit_ranks": events_visit_ranks,
     "geo_region_mad": geo_region_mad,
     "events_peak_hour": events_peak_hour,
+    "doc_toponym_cooccur": doc_toponym_cooccur,
+    "geo_chars_dist_corr": geo_chars_dist_corr,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -15742,6 +15923,8 @@ ORACLE_SQL = {
     "events_visit_ranks": EVENTS_VISIT_RANKS_SQL,
     "geo_region_mad": GEO_REGION_MAD_SQL,
     "events_peak_hour": EVENTS_PEAK_HOUR_SQL,
+    "doc_toponym_cooccur": DOC_TOPONYM_COOCCUR_SQL,
+    "geo_chars_dist_corr": GEO_CHARS_DIST_CORR_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
