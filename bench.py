@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "events_peak_hour",
     "doc_toponym_cooccur",
     "geo_chars_dist_corr",
+    "events_mann_kendall",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

@@ -7155,6 +7155,133 @@ FROM m
 """
 
 
+def events_mann_kendall(sf_dir: str):
+    """MANN-KENDALL TREND TEST per 10-deg cell (the NONPARAMETRIC trend
+    detector under "emerging hot spot" analysis — robust where the
+    least-squares slope of events_tile_trend is outlier-fragile):
+    S = sum over day pairs of sign(c_j - c_i), with the tie-corrected
+    variance var = (n(n-1)(2n+5) - sum t(t-1)(2t+5)) / 18 and the
+    continuity-corrected z. Exactness: S and 18*var are exact integers
+    from the BOUNDED (cell, day) count table (one packed-u64 pass, the
+    events_tile_trend shape); z = one fixed chain — (S-1)/sqrt(var),
+    (S+1)/sqrt(var) or 0 — of exact integers through one correctly-
+    rounded sqrt. Cells with < 2 days are excluded."""
+    from core_ray.stages.agg import count_by_u64
+    from ray.data.aggregate import Min
+
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def day_of(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"day": pa.array(us // _TT_DAY_US, pa.int64())})
+
+    d0 = int(
+        ds.map_batches(day_of, batch_format="pyarrow", batch_size=131072)
+        .aggregate(Min("day"))["min(day)"]
+    )
+
+    def pack(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        gx = ((eid * 104729) % 360000) // _GE_CELL_MILLI
+        gy = ((eid * 7919) % 140000) // _GE_CELL_MILLI
+        x = us // _TT_DAY_US - d0
+        key = ((gx * 1024 + gy).astype(np.uint64) << np.uint64(24)) | x.astype(
+            np.uint64
+        )
+        return pa.table({"key": pa.array(key, pa.uint64())})
+
+    t = _collect_table(
+        count_by_u64(
+            ds.map_batches(pack, batch_format="pyarrow", batch_size=131072),
+            "key",
+        )
+    )  # <= cells x horizon days rows by construction
+    key = t["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    c = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cell = (key >> np.uint64(24)).astype(np.int64)
+    day = (key & np.uint64((1 << 24) - 1)).astype(np.int64)
+
+    order = np.lexsort((day, cell))
+    cell, day, c = cell[order], day[order], c[order]
+    starts = np.nonzero(np.r_[True, cell[1:] != cell[:-1]])[0]
+    ends = np.r_[starts[1:], len(cell)]
+
+    out = []
+    for s_, e_ in zip(starts, ends):
+        v = c[s_:e_]  # day-ordered counts (days with zero events absent —
+        # the series is over OBSERVED days, documented semantics)
+        n = len(v)
+        if n < 2:
+            continue
+        diff = np.sign(v[None, :] - v[:, None])
+        S = int(np.triu(diff, 1).sum())
+        _, tie_c = np.unique(v, return_counts=True)
+        var18 = int(n * (n - 1) * (2 * n + 5)) - int(
+            (tie_c * (tie_c - 1) * (2 * tie_c + 5)).sum()
+        )
+        if S > 0:
+            z = float(np.float64(S - 1) / np.sqrt(np.float64(var18) / 18.0))
+        elif S < 0:
+            z = float(np.float64(S + 1) / np.sqrt(np.float64(var18) / 18.0))
+        else:
+            z = 0.0
+        out.append((int(cell[s_]) // 1024, int(cell[s_]) % 1024, n, S,
+                    var18, z))
+    return pa.table(
+        {
+            "gx": pa.array([r[0] for r in out], pa.int64()),
+            "gy": pa.array([r[1] for r in out], pa.int64()),
+            "n_days": pa.array([r[2] for r in out], pa.int64()),
+            "s_stat": pa.array([r[3] for r in out], pa.int64()),
+            "var18": pa.array([r[4] for r in out], pa.int64()),
+            "z": pa.array([r[5] for r in out], pa.float64()),
+        }
+    )
+
+
+EVENTS_MANN_KENDALL_SQL = f"""
+WITH base AS (
+  SELECT MIN(epoch_us(ts) // {_TT_DAY_US}) AS d0 FROM events),
+pts AS (
+  SELECT ((event_id * 104729) % 360000) // {_GE_CELL_MILLI} AS gx,
+         ((event_id * 7919) % 140000) // {_GE_CELL_MILLI} AS gy,
+         epoch_us(ts) // {_TT_DAY_US} - base.d0 AS x
+  FROM events, base),
+cd AS (SELECT gx, gy, x, CAST(COUNT(*) AS BIGINT) AS c
+       FROM pts GROUP BY 1, 2, 3),
+s AS (
+  SELECT a.gx, a.gy,
+         CAST(SUM(CASE WHEN b.c > a.c THEN 1
+                       WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+  FROM cd a JOIN cd b ON b.gx = a.gx AND b.gy = a.gy AND b.x > a.x
+  GROUP BY 1, 2),
+nn AS (SELECT gx, gy, CAST(COUNT(*) AS BIGINT) AS n FROM cd GROUP BY 1, 2),
+ties AS (
+  SELECT gx, gy,
+         CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+  FROM (SELECT gx, gy, CAST(COUNT(*) AS BIGINT) AS t
+        FROM cd GROUP BY gx, gy, c)
+  GROUP BY 1, 2),
+m AS (
+  SELECT n.gx, n.gy, n.n, COALESCE(s.s_stat, 0) AS s_stat,
+         n.n * (n.n - 1) * (2 * n.n + 5) - t.tie_term AS var18
+  FROM nn n
+  LEFT JOIN s ON s.gx = n.gx AND s.gy = n.gy
+  JOIN ties t ON t.gx = n.gx AND t.gy = n.gy
+  WHERE n.n >= 2)
+SELECT gx, gy, n AS n_days, s_stat, var18,
+       CASE WHEN s_stat > 0 THEN
+              CAST(s_stat - 1 AS DOUBLE)
+                / SQRT(CAST(var18 AS DOUBLE) / 18.0)
+            WHEN s_stat < 0 THEN
+              CAST(s_stat + 1 AS DOUBLE)
+                / SQRT(CAST(var18 AS DOUBLE) / 18.0)
+            ELSE 0.0 END AS z
+FROM m
+"""
+
+
 _COR_CELL_MILLI = 10000  # 10-degree corridor raster cells
 
 
@@ -15737,6 +15864,7 @@ QUERIES = {
     "events_peak_hour": events_peak_hour,
     "doc_toponym_cooccur": doc_toponym_cooccur,
     "geo_chars_dist_corr": geo_chars_dist_corr,
+    "events_mann_kendall": events_mann_kendall,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -15925,6 +16053,7 @@ ORACLE_SQL = {
     "events_peak_hour": EVENTS_PEAK_HOUR_SQL,
     "doc_toponym_cooccur": DOC_TOPONYM_COOCCUR_SQL,
     "geo_chars_dist_corr": GEO_CHARS_DIST_CORR_SQL,
+    "events_mann_kendall": EVENTS_MANN_KENDALL_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
