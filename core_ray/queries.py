@@ -7282,6 +7282,116 @@ FROM m
 """
 
 
+def events_sen_slope(sf_dir: str):
+    """SEN'S SLOPE per 10-deg cell (the robust trend MAGNITUDE companion
+    to Mann-Kendall's trend test: median of all pairwise day-count
+    slopes — one wild day cannot move it, unlike least squares): from
+    the same bounded (cell, day) count table, every i<j pair yields
+    slope (c_j - c_i)/(x_j - x_i) (ONE double division, identical on
+    both sides), and the median is taken by EXPLICIT rank — lo = the
+    ceil(m/2)-th, hi = the (floor(m/2)+1)-th ordered slope, result
+    (lo + hi) / 2.0 — never DuckDB's MEDIAN, whose interpolation
+    expression could differ in the last ulp on arbitrary doubles (the
+    geo_region_mad integers-and-halves case is safe; this one is not).
+    Cells with < 2 observed days are excluded."""
+    from core_ray.stages.agg import count_by_u64
+    from ray.data.aggregate import Min
+
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def day_of(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"day": pa.array(us // _TT_DAY_US, pa.int64())})
+
+    d0 = int(
+        ds.map_batches(day_of, batch_format="pyarrow", batch_size=131072)
+        .aggregate(Min("day"))["min(day)"]
+    )
+
+    def pack(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        gx = ((eid * 104729) % 360000) // _GE_CELL_MILLI
+        gy = ((eid * 7919) % 140000) // _GE_CELL_MILLI
+        x = us // _TT_DAY_US - d0
+        key = ((gx * 1024 + gy).astype(np.uint64) << np.uint64(24)) | x.astype(
+            np.uint64
+        )
+        return pa.table({"key": pa.array(key, pa.uint64())})
+
+    t = _collect_table(
+        count_by_u64(
+            ds.map_batches(pack, batch_format="pyarrow", batch_size=131072),
+            "key",
+        )
+    )  # <= cells x horizon days rows by construction
+    key = t["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    c = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cell = (key >> np.uint64(24)).astype(np.int64)
+    day = (key & np.uint64((1 << 24) - 1)).astype(np.int64)
+
+    order = np.lexsort((day, cell))
+    cell, day, c = cell[order], day[order], c[order]
+    starts = np.nonzero(np.r_[True, cell[1:] != cell[:-1]])[0]
+    ends = np.r_[starts[1:], len(cell)]
+
+    out = []
+    for s_, e_ in zip(starts, ends):
+        xs = day[s_:e_].astype(np.float64)
+        vs = c[s_:e_].astype(np.float64)
+        n = len(xs)
+        if n < 2:
+            continue
+        iu, ju = np.triu_indices(n, 1)
+        slopes = np.sort((vs[ju] - vs[iu]) / (xs[ju] - xs[iu]))
+        m = len(slopes)
+        lo = slopes[(m + 1) // 2 - 1]
+        hi = slopes[m // 2]
+        out.append(
+            (int(cell[s_]) // 1024, int(cell[s_]) % 1024, n, m,
+             float((lo + hi) / 2.0))
+        )
+    return pa.table(
+        {
+            "gx": pa.array([r[0] for r in out], pa.int64()),
+            "gy": pa.array([r[1] for r in out], pa.int64()),
+            "n_days": pa.array([r[2] for r in out], pa.int64()),
+            "n_pairs": pa.array([r[3] for r in out], pa.int64()),
+            "sen_slope": pa.array([r[4] for r in out], pa.float64()),
+        }
+    )
+
+
+EVENTS_SEN_SLOPE_SQL = f"""
+WITH base AS (
+  SELECT MIN(epoch_us(ts) // {_TT_DAY_US}) AS d0 FROM events),
+pts AS (
+  SELECT ((event_id * 104729) % 360000) // {_GE_CELL_MILLI} AS gx,
+         ((event_id * 7919) % 140000) // {_GE_CELL_MILLI} AS gy,
+         epoch_us(ts) // {_TT_DAY_US} - base.d0 AS x
+  FROM events, base),
+cd AS (SELECT gx, gy, x, CAST(COUNT(*) AS BIGINT) AS c
+       FROM pts GROUP BY 1, 2, 3),
+slopes AS (
+  SELECT a.gx, a.gy,
+         (CAST(b.c AS DOUBLE) - CAST(a.c AS DOUBLE))
+           / (CAST(b.x AS DOUBLE) - CAST(a.x AS DOUBLE)) AS s
+  FROM cd a JOIN cd b ON b.gx = a.gx AND b.gy = a.gy AND b.x > a.x),
+ranked AS (
+  SELECT gx, gy, s,
+         ROW_NUMBER() OVER (PARTITION BY gx, gy ORDER BY s) AS rn,
+         COUNT(*) OVER (PARTITION BY gx, gy) AS m
+  FROM slopes),
+nn AS (SELECT gx, gy, CAST(COUNT(*) AS BIGINT) AS n_days
+       FROM cd GROUP BY 1, 2)
+SELECT r.gx, r.gy, n.n_days, CAST(MAX(r.m) AS BIGINT) AS n_pairs,
+       (MAX(CASE WHEN r.rn = (r.m + 1) // 2 THEN r.s END)
+        + MAX(CASE WHEN r.rn = r.m // 2 + 1 THEN r.s END)) / 2.0 AS sen_slope
+FROM ranked r JOIN nn n ON n.gx = r.gx AND n.gy = r.gy
+GROUP BY r.gx, r.gy, n.n_days
+"""
+
+
 _COR_CELL_MILLI = 10000  # 10-degree corridor raster cells
 
 
@@ -15865,6 +15975,7 @@ QUERIES = {
     "doc_toponym_cooccur": doc_toponym_cooccur,
     "geo_chars_dist_corr": geo_chars_dist_corr,
     "events_mann_kendall": events_mann_kendall,
+    "events_sen_slope": events_sen_slope,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -16054,6 +16165,7 @@ ORACLE_SQL = {
     "doc_toponym_cooccur": DOC_TOPONYM_COOCCUR_SQL,
     "geo_chars_dist_corr": GEO_CHARS_DIST_CORR_SQL,
     "events_mann_kendall": EVENTS_MANN_KENDALL_SQL,
+    "events_sen_slope": EVENTS_SEN_SLOPE_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
