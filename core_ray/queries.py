@@ -7392,6 +7392,100 @@ GROUP BY r.gx, r.gy, n.n_days
 """
 
 
+def geo_join_counts(sf_dir: str):
+    """CLIFF-ORD JOIN-COUNT STATISTICS (the binary spatial-autocorrelation
+    test): cells are colored Black (document count STRICTLY above the
+    global occupied-cell median) or White, and rook-adjacent pairs are
+    counted as BB / BW / WW — clustered hot spots inflate BB, a
+    checkerboard inflates BW. Exactness: all-integer — exact cell counts
+    from one packed pass (geometry-bounded), the median threshold from
+    the value histogram (integer-or-half, exact), pair counts by the
+    right/down single-emission adjacency rule (each edge once, at its
+    left/upper cell — the geo_moran_i convention); only OCCUPIED cells
+    participate (empty cells are outside the lattice, documented
+    semantics)."""
+    from core_ray.stages.agg import count_by_u64
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def pack(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gx = ((doc_id * 104729) % 360000) // _GE_CELL_MILLI
+        gy = ((doc_id * 7919) % 140000) // _GE_CELL_MILLI
+        return pa.table(
+            {"key": pa.array((gx * 1024 + gy).astype(np.uint64), pa.uint64())}
+        )
+
+    t = _collect_table(
+        count_by_u64(
+            ds.map_batches(pack, batch_format="pyarrow", batch_size=131072),
+            "key",
+        )
+    )  # <= 504 rows by construction
+    key = t["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+    c = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cs = np.sort(c)
+    m = len(cs)
+    med = (
+        float(cs[(m - 1) // 2])
+        if m % 2 == 1
+        else (float(cs[m // 2 - 1]) + float(cs[m // 2])) / 2.0
+    )
+    black = dict(zip(key.tolist(), (c.astype(np.float64) > med).tolist()))
+
+    bb = bw = ww = 0
+    for cl, isb in black.items():
+        for nb in (cl + 1024, cl + 1):  # right, down
+            nbv = black.get(nb)
+            if nbv is None:
+                continue
+            if isb and nbv:
+                bb += 1
+            elif isb != nbv:
+                bw += 1
+            else:
+                ww += 1
+    return pa.table(
+        {
+            "n_cells": pa.array([m], pa.int64()),
+            "n_black": pa.array([int(sum(black.values()))], pa.int64()),
+            "bb": pa.array([bb], pa.int64()),
+            "bw": pa.array([bw], pa.int64()),
+            "ww": pa.array([ww], pa.int64()),
+        }
+    )
+
+
+GEO_JOIN_COUNTS_SQL = f"""
+WITH pts AS (
+  SELECT ((doc_id * 104729) % 360000) // {_GE_CELL_MILLI} AS gx,
+         ((doc_id * 7919) % 140000) // {_GE_CELL_MILLI} AS gy
+  FROM documents),
+cc AS (SELECT gx, gy, CAST(COUNT(*) AS BIGINT) AS c FROM pts GROUP BY 1, 2),
+med AS (
+  SELECT (MAX(CASE WHEN rn = (m + 1) // 2 THEN cd END)
+          + MAX(CASE WHEN rn = m // 2 + 1 THEN cd END)) / 2.0 AS v
+  FROM (SELECT CAST(c AS DOUBLE) AS cd,
+               ROW_NUMBER() OVER (ORDER BY c) AS rn,
+               COUNT(*) OVER () AS m
+        FROM cc)),
+col AS (
+  SELECT gx, gy, CAST(cc.c AS DOUBLE) > med.v AS b
+  FROM cc CROSS JOIN med),
+edges AS (
+  SELECT a.b AS ba, n.b AS bn
+  FROM col a JOIN col n
+    ON ((n.gx = a.gx + 1 AND n.gy = a.gy)
+        OR (n.gx = a.gx AND n.gy = a.gy + 1)))
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cc) AS n_cells,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM col WHERE b) AS n_black,
+       CAST(COUNT(CASE WHEN ba AND bn THEN 1 END) AS BIGINT) AS bb,
+       CAST(COUNT(CASE WHEN ba <> bn THEN 1 END) AS BIGINT) AS bw,
+       CAST(COUNT(CASE WHEN NOT ba AND NOT bn THEN 1 END) AS BIGINT) AS ww
+FROM edges
+"""
+
+
 _COR_CELL_MILLI = 10000  # 10-degree corridor raster cells
 
 
@@ -15976,6 +16070,7 @@ QUERIES = {
     "geo_chars_dist_corr": geo_chars_dist_corr,
     "events_mann_kendall": events_mann_kendall,
     "events_sen_slope": events_sen_slope,
+    "geo_join_counts": geo_join_counts,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -16166,6 +16261,7 @@ ORACLE_SQL = {
     "geo_chars_dist_corr": GEO_CHARS_DIST_CORR_SQL,
     "events_mann_kendall": EVENTS_MANN_KENDALL_SQL,
     "events_sen_slope": EVENTS_SEN_SLOPE_SQL,
+    "geo_join_counts": GEO_JOIN_COUNTS_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
