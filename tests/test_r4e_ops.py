@@ -27,6 +27,9 @@ from core_ray.queries import (
     _BI_RADIUS,
     _ISO_CAP,
     _ppz_zones,
+    events_burstiness,
+    events_gyration,
+    events_msd,
     geo_pip_partitioned,
     doc_toponym_resolve,
     geo_isochrone,
@@ -59,8 +62,19 @@ def corpus(tmp_path_factory):
     event_id = np.sort(
         rng.choice(2_000_000, size=2 * N_DOCS, replace=False)
     ).astype(np.int64)
+    user_id = rng.integers(0, 25, size=2 * N_DOCS).astype(np.int64)
+    ts_us = np.sort(
+        rng.integers(0, 30 * 86400_000_000, size=2 * N_DOCS)
+    ).astype("datetime64[us]")
     pq.write_table(
-        pa.table({"event_id": event_id}), d / "events.parquet"
+        pa.table(
+            {
+                "event_id": event_id,
+                "user_id": user_id,
+                "ts": pa.array(ts_us, pa.timestamp("us")),
+            }
+        ),
+        d / "events.parquet",
     )
     lat = ((doc_id * 7919) % 140000) / 1000.0 - 70.0
     lon = ((doc_id * 104729) % 360000) / 1000.0 - 180.0
@@ -203,6 +217,66 @@ def test_isochrone_paths_agree_and_match_bruteforce(ray_session, corpus):
             break
     exp = {c: d for c, d in dist.items() if d <= _ISO_CAP}
     assert local == exp
+
+
+def test_gyration_matches_bruteforce(ray_session, corpus):
+    sf, *_ = corpus
+    events = pq.read_table(f"{sf}/events.parquet")
+    eid = events["event_id"].to_numpy()
+    uid = events["user_id"].to_numpy()
+    got = {r["user_id"]: r for r in events_gyration(sf).take_all()}
+    x = (eid * 104729) % 360000
+    y = (eid * 7919) % 140000
+    for u in np.unique(uid):
+        m = uid == u
+        n = int(m.sum())
+        sx, sy = int(x[m].sum()), int(y[m].sum())
+        sxx, syy = int((x[m] ** 2).sum()), int((y[m] ** 2).sum())
+        num = n * (sxx + syy) - sx * sx - sy * sy
+        row = got[int(u)]
+        assert row["n_events"] == n
+        assert row["rog_num"] == num
+        assert row["rog_den"] == n * n
+        assert row["rog_deg"] == float(
+            np.sqrt(np.float64(num) / np.float64(n * n)) / 1000.0
+        )
+
+
+def test_burstiness_and_msd_match_bruteforce(ray_session, corpus):
+    sf, *_ = corpus
+    events = pq.read_table(f"{sf}/events.parquet")
+    eid = events["event_id"].to_numpy()
+    uid = events["user_id"].to_numpy()
+    us = events["ts"].cast(pa.int64()).to_numpy()
+    # burstiness: integer-second gaps under (ts, event_id) per-user order
+    got_b = {r["user_id"]: r for r in events_burstiness(sf).take_all()}
+    exp_msd_n: dict[int, int] = {}
+    exp_msd_s: dict[int, int] = {}
+    for u in np.unique(uid):
+        m = np.nonzero(uid == u)[0]
+        order = m[np.lexsort((eid[m], us[m]))]
+        gaps = (us[order][1:] - us[order][:-1]) // 1000000
+        if len(gaps) >= 2:
+            n, s, ss = len(gaps), int(gaps.sum()), int((gaps**2).sum())
+            root = np.sqrt(np.float64(n * ss - s * s))
+            row = got_b[int(u)]
+            assert (row["n_gaps"], row["sum_s"], row["sum_ss"]) == (n, s, ss)
+            assert row["burstiness"] == float(
+                (root - np.float64(s)) / (root + np.float64(s))
+            )
+        # msd contributions
+        x = (eid[order] * 104729) % 360000
+        y = (eid[order] * 7919) % 140000
+        d2 = (x - x[0]) ** 2 + (y - y[0]) ** 2
+        lag = (us[order] - us[order][0]) // 3600000000
+        for L, d in zip(lag.tolist(), d2.tolist()):
+            exp_msd_n[L] = exp_msd_n.get(L, 0) + 1
+            exp_msd_s[L] = exp_msd_s.get(L, 0) + int(d)
+    got_m = {r["lag_h"]: r for r in events_msd(sf).to_pylist()}
+    assert set(got_m) == set(exp_msd_n)
+    for L in exp_msd_n:
+        assert got_m[L]["n_events"] == exp_msd_n[L]
+        assert got_m[L]["sum_d2"] == exp_msd_s[L]
 
 
 def test_pip_partitioned_matches_bruteforce(ray_session, corpus):
