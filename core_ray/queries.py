@@ -7486,6 +7486,167 @@ FROM edges
 """
 
 
+_KNOX_R = 0.25  # Knox spatial threshold (degrees)
+_KNOX_TAU = 3600000000  # Knox time window (1 h, microseconds)
+
+
+def events_knox(sf_dir: str):
+    """KNOX SPACE-TIME INTERACTION TEST (the epidemiology/crime-analysis
+    classic: do events cluster in space AND time TOGETHER beyond what
+    their spatial and temporal margins imply?): X = pairs within 0.25 deg
+    AND 1 h over the clustered city/jitter coordinates, N_s / N_t the
+    one-axis margins, and the interaction ratio
+    X * C(n,2) / (N_s * N_t) (> 1 = space-time interaction). Exactness +
+    scale: X reuses the 3D home+ghost contact join (stages/stjoin, uid =
+    event_id so ALL pairs count), N_s the 2D distance-band join — both
+    count-only consumers of streaming pair Datasets; N_t is a 1D
+    home+ghost bucket kernel where same-bucket pairs are within tau BY
+    CONSTRUCTION (bucket width = tau, so only adjacent-bucket pairs need
+    the exact integer-microsecond check); every count is an exact int and
+    the ratio is ONE double division (X*C(n,2) stays in int64 to ~1e9
+    corpus pairs-within — widening documented)."""
+    import ray
+
+    from core_ray.stages.agg import map_groups_partitioned
+    from core_ray.stages.distband import distance_pairs
+    from core_ray.stages.stjoin import spacetime_pairs
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def shape(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uid_ = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        # clustered city/jitter coordinates (events_contacts' model): the
+        # raw multiplicative lattice anti-clusters — it has NO pairs
+        # within any small radius by construction
+        lat, lon = _contact_coords(eid, uid_)
+        return pa.table(
+            {
+                "pid": pa.array(eid, pa.int64()),
+                "uid": pa.array(eid, pa.int64()),
+                "lat": pa.array(lat, pa.float64()),
+                "lon": pa.array(lon, pa.float64()),
+                "us": pa.array(us, pa.int64()),
+            }
+        )
+
+    shaped = ds.map_batches(shape, batch_format="pyarrow",
+                            batch_size=65536).materialize()
+    n = shaped.count()
+    x_cnt = spacetime_pairs(shaped, _KNOX_R, _KNOX_TAU).count()
+    n_s = distance_pairs(
+        shaped.map_batches(
+            lambda b: pa.table(
+                {"doc_id": b["pid"], "lat": b["lat"], "lon": b["lon"]}
+            ),
+            batch_format="pyarrow",
+        ),
+        _KNOX_R,
+    ).count()
+
+    def t_rep(b: pa.Table) -> pa.Table:
+        us = b["us"].to_numpy(zero_copy_only=False)
+        bkt = us // _KNOX_TAU
+        return pa.table(
+            {
+                "tb": pa.array(
+                    np.concatenate([bkt, bkt + 1]).astype(np.uint64),
+                    pa.uint64(),
+                ),
+                "home": pa.array(
+                    np.r_[np.ones(len(us), np.int8),
+                          np.zeros(len(us), np.int8)],
+                    pa.int8(),
+                ),
+                "us": pa.array(np.tile(us, 2), pa.int64()),
+            }
+        )
+
+    def t_count(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"c": pa.array([], pa.int64())})
+        tb = g["tb"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        home = g["home"].to_numpy(zero_copy_only=False)
+        us = g["us"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((us, home, tb))
+        tb, home, us = tb[order], home[order], us[order]
+        total = 0
+        starts = np.nonzero(np.r_[True, tb[1:] != tb[:-1]])[0]
+        ends = np.r_[starts[1:], len(tb)]
+        for s_, e_ in zip(starts, ends):
+            h = us[s_:e_][home[s_:e_] == 1]
+            gst = us[s_:e_][home[s_:e_] == 0]
+            # same-bucket pairs: within tau by construction
+            total += len(h) * (len(h) - 1) // 2
+            if len(h) and len(gst):
+                gs = np.sort(gst)
+                lo = np.searchsorted(gs, h - _KNOX_TAU, side="left")
+                total += int((len(gs) - lo).sum())
+        return pa.table({"c": pa.array([total], pa.int64())})
+
+    t_parts = map_groups_partitioned(
+        shaped.map_batches(t_rep, batch_format="pyarrow", batch_size=65536),
+        "tb",
+        t_count,
+    )
+    n_t = int(
+        sum(
+            int(pc.sum(b["c"]).as_py() or 0)
+            for b in t_parts.iter_batches(batch_format="pyarrow")
+        )
+    )
+
+    c2 = n * (n - 1) // 2
+    ratio = float(
+        np.float64(x_cnt * c2) / (np.float64(n_s) * np.float64(n_t))
+    )
+    return pa.table(
+        {
+            "n_events": pa.array([n], pa.int64()),
+            "x_spacetime": pa.array([x_cnt], pa.int64()),
+            "n_space": pa.array([n_s], pa.int64()),
+            "n_time": pa.array([n_t], pa.int64()),
+            "knox_ratio": pa.array([ratio], pa.float64()),
+        }
+    )
+
+
+EVENTS_KNOX_SQL = f"""
+WITH pts AS (
+  SELECT event_id, epoch_us(ts) AS us,
+         {CONTACT_LAT_SQL} AS lat, {CONTACT_LON_SQL} AS lon FROM events),
+st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS x
+  FROM pts a JOIN pts b
+    ON b.event_id > a.event_id
+   AND b.lat BETWEEN a.lat - {_KNOX_R} AND a.lat + {_KNOX_R}
+   AND b.lon BETWEEN a.lon - {_KNOX_R} AND a.lon + {_KNOX_R}
+  WHERE (a.lat - b.lat) * (a.lat - b.lat)
+          + (a.lon - b.lon) * (a.lon - b.lon) <= {_KNOX_R * _KNOX_R}
+    AND ABS(a.us - b.us) <= {_KNOX_TAU}),
+sp AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_s
+  FROM pts a JOIN pts b
+    ON b.event_id > a.event_id
+   AND b.lat BETWEEN a.lat - {_KNOX_R} AND a.lat + {_KNOX_R}
+   AND b.lon BETWEEN a.lon - {_KNOX_R} AND a.lon + {_KNOX_R}
+  WHERE (a.lat - b.lat) * (a.lat - b.lat)
+          + (a.lon - b.lon) * (a.lon - b.lon) <= {_KNOX_R * _KNOX_R}),
+tm AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_t
+  FROM pts a JOIN pts b
+    ON b.event_id > a.event_id
+   AND b.us BETWEEN a.us - {_KNOX_TAU} AND a.us + {_KNOX_TAU}),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pts)
+SELECT nn.n AS n_events, st.x AS x_spacetime, sp.n_s AS n_space,
+       tm.n_t AS n_time,
+       CAST(st.x * (nn.n * (nn.n - 1) // 2) AS DOUBLE)
+         / (CAST(sp.n_s AS DOUBLE) * CAST(tm.n_t AS DOUBLE)) AS knox_ratio
+FROM nn, st, sp, tm
+"""
+
+
 _COR_CELL_MILLI = 10000  # 10-degree corridor raster cells
 
 
@@ -16071,6 +16232,7 @@ QUERIES = {
     "events_mann_kendall": events_mann_kendall,
     "events_sen_slope": events_sen_slope,
     "geo_join_counts": geo_join_counts,
+    "events_knox": events_knox,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -16262,6 +16424,7 @@ ORACLE_SQL = {
     "events_mann_kendall": EVENTS_MANN_KENDALL_SQL,
     "events_sen_slope": EVENTS_SEN_SLOPE_SQL,
     "geo_join_counts": GEO_JOIN_COUNTS_SQL,
+    "events_knox": EVENTS_KNOX_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
