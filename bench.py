@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "events_sen_slope",
     "geo_join_counts",
     "events_knox",
+    "events_type_region_chisq",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

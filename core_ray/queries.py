@@ -7647,6 +7647,128 @@ FROM nn, st, sp, tm
 """
 
 
+def events_type_region_chisq(sf_dir: str):
+    """CHI-SQUARE INDEPENDENCE TEST (event type x 30-deg region): does
+    behavior differ by geography, the contingency-table first question of
+    every regional product analysis. Counts per (type, region) come from
+    one packed pass (bounded: types x regions); marginals and N are exact
+    integer sums; each cell's contribution (n*o - r*c)^2 / (n*r*c) — the
+    cross-multiplied form of (o - e)^2/e scaled by n — quantizes to
+    integer micro-units (sql_round_np == DuckDB ROUND; numerator exact
+    int64 up to ~3e9 events under these cardinalities), so chi2 is an
+    exact integer sum divided once. Output includes dof for the test
+    lookup."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from core_ray.stages.agg import count_by_u64
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+
+    def type_partial(b: pa.Table) -> pa.Table:
+        u = np.unique(np.asarray(b["event_type"].to_pylist()))
+        return pa.table({"event_type": pa.array(u.tolist(), pa.string()),
+                         "one": pa.array(np.ones(len(u), np.int64))})
+
+    ty_t = _collect_table(
+        ds.select_columns(["event_type"])
+        .map_batches(type_partial, batch_format="pyarrow", batch_size=131072)
+        .groupby("event_type")
+        .aggregate(Sum("one", alias_name="n"))
+    )
+    types = np.sort(np.asarray(ty_t["event_type"].to_pylist()))
+    ty_ref = ray.put(types)
+
+    def pack(b: pa.Table) -> pa.Table:
+        ts = ray.get(ty_ref)
+        eid = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(ts, np.asarray(b["event_type"].to_pylist()))
+        rx = ((eid * 104729) % 360000) // _GT_CELL_MILLI
+        ry = ((eid * 7919) % 140000) // _GT_CELL_MILLI
+        key = (idx.astype(np.uint64) << np.uint64(16)) | (
+            (rx * 16 + ry).astype(np.uint64)
+        )
+        return pa.table({"key": pa.array(key, pa.uint64())})
+
+    t = _collect_table(
+        count_by_u64(
+            ds.map_batches(pack, batch_format="pyarrow", batch_size=131072),
+            "key",
+        )
+    )  # <= types x regions rows by construction
+    key = t["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    o = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ti = (key >> np.uint64(16)).astype(np.int64)
+    reg = (key & np.uint64((1 << 16) - 1)).astype(np.int64)
+    regs = np.unique(reg)
+    rpos = np.searchsorted(regs, reg)
+    r_m = np.zeros(len(types), np.int64)  # per-type marginal
+    c_m = np.zeros(len(regs), np.int64)  # per-region marginal
+    np.add.at(r_m, ti, o)
+    np.add.at(c_m, rpos, o)
+    n = int(o.sum())
+    # every (type, region) combination contributes — including zeros
+    full_r = np.repeat(np.arange(len(types)), len(regs))
+    full_c = np.tile(np.arange(len(regs)), len(types))
+    dense = np.zeros((len(types), len(regs)), np.int64)
+    dense[ti, rpos] = o
+    obs = dense[full_r, full_c]
+    rr = r_m[full_r]
+    cc = c_m[full_c]
+    num = (n * obs - rr * cc).astype(np.float64) ** 2
+    micro = sql_round_np(
+        num / (np.float64(n) * rr.astype(np.float64) * cc.astype(np.float64))
+        * 1000000.0,
+        0,
+    ).astype(np.int64)
+    chisq = float(np.float64(int(micro.sum())) / 1000000.0)
+    dof = (len(types) - 1) * (len(regs) - 1)
+    return pa.table(
+        {
+            "n_events": pa.array([n], pa.int64()),
+            "n_types": pa.array([len(types)], pa.int64()),
+            "n_regions": pa.array([len(regs)], pa.int64()),
+            "dof": pa.array([dof], pa.int64()),
+            "sum_micro": pa.array([int(micro.sum())], pa.int64()),
+            "chisq": pa.array([chisq], pa.float64()),
+        }
+    )
+
+
+EVENTS_TYPE_REGION_CHISQ_SQL = f"""
+WITH pts AS (
+  SELECT event_type,
+         ((event_id * 104729) % 360000) // {_GT_CELL_MILLI} AS rx,
+         ((event_id * 7919) % 140000) // {_GT_CELL_MILLI} AS ry
+  FROM events),
+cc AS (SELECT event_type, rx, ry, CAST(COUNT(*) AS BIGINT) AS o
+       FROM pts GROUP BY 1, 2, 3),
+tm AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r FROM cc GROUP BY 1),
+rm AS (SELECT rx, ry, CAST(SUM(o) AS BIGINT) AS c FROM cc GROUP BY 1, 2),
+nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cc),
+grid AS (
+  SELECT t.event_type, r.rx, r.ry, t.r, r.c, COALESCE(o.o, 0) AS o, nn.n
+  FROM tm t CROSS JOIN rm r CROSS JOIN nn
+  LEFT JOIN cc o ON o.event_type = t.event_type
+               AND o.rx = r.rx AND o.ry = r.ry),
+terms AS (
+  SELECT CAST(ROUND(
+           CAST((n * o - r * c) * (n * o - r * c) AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+             * 1000000.0, 0) AS BIGINT) AS m,
+         n
+  FROM grid)
+SELECT MAX(n) AS n_events,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM tm) AS n_types,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM rm) AS n_regions,
+       ((SELECT COUNT(*) FROM tm) - 1)
+         * ((SELECT COUNT(*) FROM rm) - 1) AS dof,
+       CAST(SUM(m) AS BIGINT) AS sum_micro,
+       CAST(CAST(SUM(m) AS BIGINT) AS DOUBLE) / 1000000.0 AS chisq
+FROM terms
+"""
+
+
 _COR_CELL_MILLI = 10000  # 10-degree corridor raster cells
 
 
@@ -16233,6 +16355,7 @@ QUERIES = {
     "events_sen_slope": events_sen_slope,
     "geo_join_counts": geo_join_counts,
     "events_knox": events_knox,
+    "events_type_region_chisq": events_type_region_chisq,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -16425,6 +16548,7 @@ ORACLE_SQL = {
     "events_sen_slope": EVENTS_SEN_SLOPE_SQL,
     "geo_join_counts": GEO_JOIN_COUNTS_SQL,
     "events_knox": EVENTS_KNOX_SQL,
+    "events_type_region_chisq": EVENTS_TYPE_REGION_CHISQ_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
