@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "geo_join_counts",
     "events_knox",
     "events_type_region_chisq",
+    "doc_length_ks",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

@@ -7769,6 +7769,90 @@ FROM terms
 """
 
 
+def doc_length_ks(sf_dir: str):
+    """KOLMOGOROV-SMIRNOV TWO-SAMPLE TEST (east- vs west-hemisphere
+    document lengths): are the two distributions the same? — the
+    distribution-drift detector behind region-split A/B checks and crawl
+    regression alarms. EXACT: from one packed (hemisphere, n_chars)
+    count pass (distinct values reach the driver — the histogram
+    contract), the KS statistic cross-multiplies to integers:
+    D = max_v |n_w * cum_e(v) - n_e * cum_w(v)| / (n_e * n_w) — the max
+    numerator is an exact int64 scan over the merged value grid, and D
+    is ONE double division."""
+    from core_ray.stages.agg import count_by_u64
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def pack(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nch = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        east = ((doc_id * 104729) % 360000) >= 180000  # lon >= 0
+        key = (east.astype(np.uint64) << np.uint64(20)) | nch.astype(
+            np.uint64
+        )
+        return pa.table({"key": pa.array(key, pa.uint64())})
+
+    t = _collect_table(
+        count_by_u64(
+            ds.map_batches(pack, batch_format="pyarrow", batch_size=131072),
+            "key",
+        )
+    )  # <= 2 x distinct lengths rows by construction
+    key = t["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    c = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    east = (key >> np.uint64(20)).astype(bool)
+    val = (key & np.uint64((1 << 20) - 1)).astype(np.int64)
+    grid = np.unique(val)
+    ce = np.zeros(len(grid), np.int64)
+    cw = np.zeros(len(grid), np.int64)
+    np.add.at(ce, np.searchsorted(grid, val[east]), c[east])
+    np.add.at(cw, np.searchsorted(grid, val[~east]), c[~east])
+    n_e, n_w = int(ce.sum()), int(cw.sum())
+    cum_e = np.cumsum(ce)
+    cum_w = np.cumsum(cw)
+    num = np.abs(n_w * cum_e - n_e * cum_w)
+    d_num = int(num.max())
+    return pa.table(
+        {
+            "n_east": pa.array([n_e], pa.int64()),
+            "n_west": pa.array([n_w], pa.int64()),
+            "d_num": pa.array([d_num], pa.int64()),
+            "ks_d": pa.array(
+                [float(np.float64(d_num) / np.float64(n_e * n_w))],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+DOC_LENGTH_KS_SQL = """
+WITH pts AS (
+  SELECT n_chars,
+         (doc_id * 104729) % 360000 >= 180000 AS east
+  FROM documents),
+cc AS (
+  SELECT n_chars,
+         CAST(COUNT(CASE WHEN east THEN 1 END) AS BIGINT) AS ce,
+         CAST(COUNT(CASE WHEN NOT east THEN 1 END) AS BIGINT) AS cw
+  FROM pts GROUP BY 1),
+cum AS (
+  SELECT SUM(ce) OVER (ORDER BY n_chars) AS cum_e,
+         SUM(cw) OVER (ORDER BY n_chars) AS cum_w
+  FROM cc),
+tot AS (
+  SELECT CAST(SUM(ce) AS BIGINT) AS n_e, CAST(SUM(cw) AS BIGINT) AS n_w
+  FROM cc),
+d AS (
+  SELECT CAST(MAX(ABS(tot.n_w * cum.cum_e - tot.n_e * cum.cum_w)) AS BIGINT)
+           AS d_num
+  FROM cum CROSS JOIN tot)
+SELECT tot.n_e AS n_east, tot.n_w AS n_west, d.d_num,
+       CAST(d.d_num AS DOUBLE)
+         / CAST(tot.n_e * tot.n_w AS DOUBLE) AS ks_d
+FROM tot, d
+"""
+
+
 _COR_CELL_MILLI = 10000  # 10-degree corridor raster cells
 
 
@@ -16356,6 +16440,7 @@ QUERIES = {
     "geo_join_counts": geo_join_counts,
     "events_knox": events_knox,
     "events_type_region_chisq": events_type_region_chisq,
+    "doc_length_ks": doc_length_ks,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -16549,6 +16634,7 @@ ORACLE_SQL = {
     "geo_join_counts": GEO_JOIN_COUNTS_SQL,
     "events_knox": EVENTS_KNOX_SQL,
     "events_type_region_chisq": EVENTS_TYPE_REGION_CHISQ_SQL,
+    "doc_length_ks": DOC_LENGTH_KS_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
