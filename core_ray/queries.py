@@ -7853,6 +7853,176 @@ FROM tot, d
 """
 
 
+_HEAPS_POINTS = 8  # power-of-2 prefix checkpoints for the growth fit
+
+
+def doc_heaps_law(sf_dir: str):
+    """HEAPS' LAW FIT (vocabulary growth V(n) ∝ n^beta — natural text sits
+    near beta ≈ 0.5; beta -> 0 flags a closed template vocabulary, the
+    companion tripwire to doc_zipf_fit): V at power-of-2 document-prefix
+    checkpoints, WITHOUT any ordered scan — the trick is that
+    V(prefix k) = #{words whose FIRST occurrence (min doc_id) < k}, so
+    ONE word-partitioned min pass (the doc_vocab shape with min instead
+    of sum) + a bounded first-occurrence histogram gives every
+    checkpoint at once. beta = the micro-bit-quantized log-log
+    regression slope (the doc_zipf_fit algebra) over the checkpoints."""
+    from core_ray.stages.agg import _GOLD, _n_parts, hash_strings
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_parts = _n_parts()
+
+    def first_partial(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = b["text"].to_pylist()
+        toks = np.asarray([w for t in texts for w in t.split(" ")])
+        if len(toks) == 0:
+            return pa.table(
+                {"token": pa.array([], pa.string()),
+                 "m": pa.array([], pa.int64()),
+                 "__part": pa.array([], pa.int32())}
+            )
+        did = np.repeat(
+            doc_id, np.asarray([len(t.split(" ")) for t in texts], np.int64)
+        )
+        order = np.lexsort((did, toks))
+        ts_, ds_ = toks[order], did[order]
+        firsts = np.r_[True, ts_[1:] != ts_[:-1]]
+        u, m = ts_[firsts], ds_[firsts]
+        h = hash_strings(pa.array(u, pa.string()))
+        return pa.table(
+            {
+                "token": pa.array(u, pa.string()),
+                "m": pa.array(m, pa.int64()),
+                "__part": pa.array(
+                    ((h * _GOLD) % np.uint64(n_parts)).astype(np.int32),
+                    pa.int32(),
+                ),
+            }
+        )
+
+    def reduce_part(g: pa.Table) -> pa.Table:
+        toks = np.asarray(g["token"].to_pylist())
+        m = g["m"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((m, toks))
+        ts_, ms_ = toks[order], m[order]
+        firsts = np.r_[True, ts_[1:] != ts_[:-1]]
+        fm = ms_[firsts]  # global first-occurrence doc per token
+        # bounded histogram: count of first occurrences per checkpoint
+        # bucket (checkpoints are doc_id thresholds 2^k scaled to corpus)
+        return pa.table({"first_doc": pa.array(fm, pa.int64())})
+
+    firsts_ds = (
+        ds.map_batches(first_partial, batch_format="pyarrow",
+                       batch_size=2048)
+        .groupby("__part")
+        .map_groups(reduce_part, batch_format="pyarrow")
+    )
+
+    # bounded reduction: V(k) needs only the histogram of first_doc over
+    # checkpoint boundaries — reduce inside a map pass, never collect words
+    max_doc = int(
+        _collect_table(
+            _read(sf_dir, "documents", ["doc_id"]).map_batches(
+                lambda b: pa.table(
+                    {
+                        "m": pa.array(
+                            [int(b["doc_id"].to_numpy(
+                                zero_copy_only=False).max())],
+                            pa.int64(),
+                        )
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )["m"].to_numpy().max()
+    )
+    bounds = [
+        max_doc * (k + 1) // _HEAPS_POINTS for k in range(_HEAPS_POINTS)
+    ]
+
+    def hist(b: pa.Table) -> pa.Table:
+        fd = b["first_doc"].to_numpy(zero_copy_only=False)
+        counts = np.asarray(
+            [int((fd <= t).sum()) for t in bounds], np.int64
+        )
+        return pa.table(
+            {
+                "ck": pa.array(np.arange(_HEAPS_POINTS), pa.int64()),
+                "v": pa.array(counts, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = _collect_table(
+        firsts_ds.map_batches(hist, batch_format="pyarrow")
+        .groupby("ck")
+        .aggregate(Sum("v", alias_name="v"))
+    )
+    ck = agg["ck"].to_numpy(zero_copy_only=False).astype(np.int64)
+    v = agg["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ck)
+    v = v[order]
+    n_docs_at = np.asarray(bounds, np.int64) + 1  # doc_id <= t inclusive
+
+    x = sql_round_np(
+        np.log2(n_docs_at.astype(np.float64)) * 1000000.0, 0
+    ).astype(np.int64)
+    y = sql_round_np(
+        np.log2(v.astype(np.float64)) * 1000000.0, 0
+    ).astype(np.int64)
+    k = len(x)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxy, sxx = int((x * y).sum()), int((x * x).sum())
+    num = k * sxy - sx * sy
+    den = k * sxx - sx * sx
+    return pa.table(
+        {
+            "checkpoint": pa.array(np.asarray(bounds, np.int64), pa.int64()),
+            "vocab": pa.array(v, pa.int64()),
+            "beta_num": pa.array(np.full(k, num, np.int64), pa.int64()),
+            "beta_den": pa.array(np.full(k, den, np.int64), pa.int64()),
+            "heaps_beta": pa.array(
+                np.full(k, float(np.float64(num) / np.float64(den))),
+                pa.float64(),
+            ),
+        }
+    )
+
+
+DOC_HEAPS_LAW_SQL = f"""
+WITH firsts AS (
+  SELECT UNNEST(string_split(text, ' ')) AS w, doc_id FROM documents),
+fw AS (SELECT w, CAST(MIN(doc_id) AS BIGINT) AS m FROM firsts GROUP BY 1),
+md AS (SELECT CAST(MAX(doc_id) AS BIGINT) AS mx FROM documents),
+cks AS (
+  SELECT k, md.mx * (k + 1) // {_HEAPS_POINTS} AS t
+  FROM range({_HEAPS_POINTS}) r(k) CROSS JOIN md),
+vv AS (
+  SELECT c.k, c.t AS checkpoint,
+         CAST(COUNT(CASE WHEN fw.m <= c.t THEN 1 END) AS BIGINT) AS vocab
+  FROM cks c CROSS JOIN fw GROUP BY 1, 2),
+q AS (
+  SELECT k, checkpoint, vocab,
+         CAST(ROUND(LOG2(CAST(checkpoint + 1 AS DOUBLE)) * 1000000.0, 0)
+              AS BIGINT) AS x,
+         CAST(ROUND(LOG2(CAST(vocab AS DOUBLE)) * 1000000.0, 0)
+              AS BIGINT) AS y
+  FROM vv),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS kk, CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM q)
+SELECT q.checkpoint, q.vocab,
+       m.kk * m.sxy - m.sx * m.sy AS beta_num,
+       m.kk * m.sxx - m.sx * m.sx AS beta_den,
+       CAST(m.kk * m.sxy - m.sx * m.sy AS DOUBLE)
+         / CAST(m.kk * m.sxx - m.sx * m.sx AS DOUBLE) AS heaps_beta
+FROM q CROSS JOIN m
+"""
+
+
 _COR_CELL_MILLI = 10000  # 10-degree corridor raster cells
 
 
@@ -16441,6 +16611,7 @@ QUERIES = {
     "events_knox": events_knox,
     "events_type_region_chisq": events_type_region_chisq,
     "doc_length_ks": doc_length_ks,
+    "doc_heaps_law": doc_heaps_law,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -16635,6 +16806,7 @@ ORACLE_SQL = {
     "events_knox": EVENTS_KNOX_SQL,
     "events_type_region_chisq": EVENTS_TYPE_REGION_CHISQ_SQL,
     "doc_length_ks": DOC_LENGTH_KS_SQL,
+    "doc_heaps_law": DOC_HEAPS_LAW_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
