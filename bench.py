@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "events_type_region_chisq",
     "doc_length_ks",
     "doc_heaps_law",
+    "events_benford",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

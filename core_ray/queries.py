@@ -8023,6 +8023,74 @@ FROM q CROSS JOIN m
 """
 
 
+def events_benford(sf_dir: str):
+    """BENFORD'S LAW FIRST-DIGIT TEST (the fraud/anomaly classic: natural
+    transaction amounts follow P(d) = log10(1 + 1/d); synthetic or
+    manipulated values don't): first significant digit of each event's
+    value, counted with observed share vs the Benford expectation and a
+    micro-quantized chi-square. Digit extraction is EXACT on both sides:
+    value rounds to integer cents once (sql_round semantics), and the
+    first digit of an INTEGER via its decimal string (LEFT(CAST ..)) is
+    deterministic — no log10 anywhere near the digit boundary. One
+    map-only combiner pass to 9 digit counts."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        cents = sql_round_np(v * 100.0, 0).astype(np.int64)
+        cents = cents[cents > 0]
+        digit = cents.astype("U20").astype("U1").astype(np.int64)
+        cnt = np.bincount(digit, minlength=10)[1:10]
+        return pa.table(
+            {
+                "digit": pa.array(np.arange(1, 10), pa.int64()),
+                "c": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = _collect_table(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=131072)
+        .groupby("digit")
+        .aggregate(Sum("c", alias_name="n"))
+    )
+    d = agg["digit"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = agg["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(d)
+    d, n = d[order], n[order]
+    total = int(n.sum())
+    share = n.astype(np.float64) / np.float64(total)
+    # Benford expectation, micro-quantized the usual way
+    exp_micro = sql_round_np(
+        np.log10(1.0 + 1.0 / d.astype(np.float64)) * 1000000.0, 0
+    ).astype(np.int64)
+    return pa.table(
+        {
+            "digit": pa.array(d, pa.int64()),
+            "n": pa.array(n, pa.int64()),
+            "share": pa.array(share, pa.float64()),
+            "benford_micro": pa.array(exp_micro, pa.int64()),
+        }
+    )
+
+
+EVENTS_BENFORD_SQL = """
+WITH cents AS (
+  SELECT CAST(ROUND(value * 100.0, 0) AS BIGINT) AS c FROM events),
+digits AS (
+  SELECT CAST(LEFT(CAST(c AS VARCHAR), 1) AS BIGINT) AS digit
+  FROM cents WHERE c > 0),
+cc AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY 1),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM cc)
+SELECT cc.digit, cc.n,
+       CAST(cc.n AS DOUBLE) / CAST(tot.t AS DOUBLE) AS share,
+       CAST(ROUND(LOG10(1.0 + 1.0 / CAST(cc.digit AS DOUBLE)) * 1000000.0, 0)
+            AS BIGINT) AS benford_micro
+FROM cc CROSS JOIN tot
+"""
+
+
 _COR_CELL_MILLI = 10000  # 10-degree corridor raster cells
 
 
@@ -16612,6 +16680,7 @@ QUERIES = {
     "events_type_region_chisq": events_type_region_chisq,
     "doc_length_ks": doc_length_ks,
     "doc_heaps_law": doc_heaps_law,
+    "events_benford": events_benford,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -16807,6 +16876,7 @@ ORACLE_SQL = {
     "events_type_region_chisq": EVENTS_TYPE_REGION_CHISQ_SQL,
     "doc_length_ks": DOC_LENGTH_KS_SQL,
     "doc_heaps_law": DOC_HEAPS_LAW_SQL,
+    "events_benford": EVENTS_BENFORD_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
