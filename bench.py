@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "doc_length_ks",
     "doc_heaps_law",
     "events_benford",
+    "doc_hemisphere_jsd",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

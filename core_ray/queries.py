@@ -8091,6 +8091,162 @@ FROM cc CROSS JOIN tot
 """
 
 
+def doc_hemisphere_jsd(sf_dir: str):
+    """JENSEN-SHANNON DIVERGENCE between the east- and west-hemisphere
+    vocabulary distributions (the corpus-shift detector: 0 = same
+    language use, log2(2)=1 bit = disjoint vocabularies — the
+    domain-drift gauge run between corpus slices before mixing training
+    data): JSD = sum_w (p/2)log2(p/m) + (q/2)log2(q/m), m=(p+q)/2.
+    Scale-right over an UNBOUNDED vocab: hemisphere totals from one cheap
+    integer pass, then word-partitioned (ce, cw) counts (the vocab shape
+    with two counters) where each partition computes its words' terms
+    LOCALLY and emits one partial micro-sum — nothing O(vocab) reaches
+    the driver. Float parity: each per-word TERM (a fixed double chain of
+    two divisions, one average, up to two log2s) quantizes to integer
+    micro-bits; the global sum is exact int64."""
+    from ray.data.aggregate import Sum
+
+    from core_ray.stages.agg import _GOLD, _n_parts, hash_strings
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_parts = _n_parts()
+
+    def tok_partial(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = b["text"].to_pylist()
+        toks = np.asarray([w for t in texts for w in t.split(" ")])
+        if len(toks) == 0:
+            return pa.table(
+                {"token": pa.array([], pa.string()),
+                 "ce": pa.array([], pa.int64()),
+                 "cw": pa.array([], pa.int64()),
+                 "__part": pa.array([], pa.int32())}
+            )
+        east = np.repeat(
+            ((doc_id * 104729) % 360000) >= 180000,
+            np.asarray([len(t.split(" ")) for t in texts], np.int64),
+        )
+        vocab, inv = np.unique(toks, return_inverse=True)
+        ce = np.bincount(inv[east], minlength=len(vocab)).astype(np.int64)
+        cw = np.bincount(inv[~east], minlength=len(vocab)).astype(np.int64)
+        h = hash_strings(pa.array(vocab, pa.string()))
+        return pa.table(
+            {
+                "token": pa.array(vocab, pa.string()),
+                "ce": pa.array(ce, pa.int64()),
+                "cw": pa.array(cw, pa.int64()),
+                "__part": pa.array(
+                    ((h * _GOLD) % np.uint64(n_parts)).astype(np.int32),
+                    pa.int32(),
+                ),
+            }
+        )
+
+    tokens = ds.map_batches(
+        tok_partial, batch_format="pyarrow", batch_size=2048
+    ).materialize()
+    totals = _collect_table(
+        tokens.groupby("__part")
+        .map_groups(
+            lambda g: pa.table(
+                {
+                    "e": pa.array(
+                        [int(g["ce"].to_numpy(zero_copy_only=False).sum())],
+                        pa.int64(),
+                    ),
+                    "w": pa.array(
+                        [int(g["cw"].to_numpy(zero_copy_only=False).sum())],
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    n_e = float(int(totals["e"].to_numpy().sum()))
+    n_w = float(int(totals["w"].to_numpy().sum()))
+
+    def jsd_part(g: pa.Table) -> pa.Table:
+        toks = np.asarray(g["token"].to_pylist())
+        ce = g["ce"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cw = g["cw"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(toks, kind="stable")
+        ts_, ce, cw = toks[order], ce[order], cw[order]
+        firsts = np.nonzero(np.r_[True, ts_[1:] != ts_[:-1]])[0]
+        sce = np.add.reduceat(ce, firsts)
+        scw = np.add.reduceat(cw, firsts)
+        p = sce.astype(np.float64) / n_e
+        q = scw.astype(np.float64) / n_w
+        m = (p + q) / 2.0
+        term = np.zeros(len(p), np.float64)
+        pe_pos = sce > 0
+        term[pe_pos] += (p[pe_pos] / 2.0) * np.log2(p[pe_pos] / m[pe_pos])
+        qw_pos = scw > 0
+        term[qw_pos] += (q[qw_pos] / 2.0) * np.log2(q[qw_pos] / m[qw_pos])
+        micro = sql_round_np(term * 1000000.0, 0).astype(np.int64)
+        return pa.table(
+            {
+                "nw": pa.array([len(firsts)], pa.int64()),
+                "sm": pa.array([int(micro.sum())], pa.int64()),
+            }
+        )
+
+    parts = _collect_table(
+        tokens.groupby("__part").map_groups(jsd_part, batch_format="pyarrow")
+    )
+    n_words = int(parts["nw"].to_numpy().sum())
+    sm = int(parts["sm"].to_numpy().sum())
+    return pa.table(
+        {
+            "n_words": pa.array([n_words], pa.int64()),
+            "n_east_tokens": pa.array([int(n_e)], pa.int64()),
+            "n_west_tokens": pa.array([int(n_w)], pa.int64()),
+            "sum_micro": pa.array([sm], pa.int64()),
+            "jsd_bits": pa.array(
+                [float(np.float64(sm) / 1000000.0)], pa.float64()
+            ),
+        }
+    )
+
+
+DOC_HEMISPHERE_JSD_SQL = """
+WITH toks AS (
+  SELECT (doc_id * 104729) % 360000 >= 180000 AS east,
+         UNNEST(string_split(text, ' ')) AS w
+  FROM documents),
+cc AS (
+  SELECT w, CAST(COUNT(CASE WHEN east THEN 1 END) AS BIGINT) AS ce,
+         CAST(COUNT(CASE WHEN NOT east THEN 1 END) AS BIGINT) AS cw
+  FROM toks GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(ce) AS BIGINT) AS ne, CAST(SUM(cw) AS BIGINT) AS nw
+  FROM cc),
+terms AS (
+  SELECT CAST(ROUND((
+           CASE WHEN cc.ce > 0 THEN
+             (CAST(cc.ce AS DOUBLE) / CAST(tot.ne AS DOUBLE) / 2.0)
+             * LOG2((CAST(cc.ce AS DOUBLE) / CAST(tot.ne AS DOUBLE))
+                    / ((CAST(cc.ce AS DOUBLE) / CAST(tot.ne AS DOUBLE)
+                        + CAST(cc.cw AS DOUBLE) / CAST(tot.nw AS DOUBLE))
+                       / 2.0))
+           ELSE 0.0 END
+           + CASE WHEN cc.cw > 0 THEN
+             (CAST(cc.cw AS DOUBLE) / CAST(tot.nw AS DOUBLE) / 2.0)
+             * LOG2((CAST(cc.cw AS DOUBLE) / CAST(tot.nw AS DOUBLE))
+                    / ((CAST(cc.ce AS DOUBLE) / CAST(tot.ne AS DOUBLE)
+                        + CAST(cc.cw AS DOUBLE) / CAST(tot.nw AS DOUBLE))
+                       / 2.0))
+           ELSE 0.0 END) * 1000000.0, 0) AS BIGINT) AS m
+  FROM cc CROSS JOIN tot)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cc) AS n_words,
+       (SELECT ne FROM tot) AS n_east_tokens,
+       (SELECT nw FROM tot) AS n_west_tokens,
+       CAST(SUM(m) AS BIGINT) AS sum_micro,
+       CAST(CAST(SUM(m) AS BIGINT) AS DOUBLE) / 1000000.0 AS jsd_bits
+FROM terms
+"""
+
+
 _COR_CELL_MILLI = 10000  # 10-degree corridor raster cells
 
 
@@ -16681,6 +16837,7 @@ QUERIES = {
     "doc_length_ks": doc_length_ks,
     "doc_heaps_law": doc_heaps_law,
     "events_benford": events_benford,
+    "doc_hemisphere_jsd": doc_hemisphere_jsd,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -16877,6 +17034,7 @@ ORACLE_SQL = {
     "doc_length_ks": DOC_LENGTH_KS_SQL,
     "doc_heaps_law": DOC_HEAPS_LAW_SQL,
     "events_benford": EVENTS_BENFORD_SQL,
+    "doc_hemisphere_jsd": DOC_HEMISPHERE_JSD_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
