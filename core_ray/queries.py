@@ -8247,6 +8247,98 @@ FROM terms
 """
 
 
+def geo_lang_simpson(sf_dir: str):
+    """SIMPSON DIVERSITY INDEX per 30-deg region (the ecology-standard
+    "probability two random documents share a language" — 1-D is the
+    diversity; the concentration lens that complements entropy's
+    information lens): lambda = sum c*(c-1) / (n*(n-1)) is EXACTLY
+    rational — per-(region, lang) integer counts from one packed pass
+    (bounded), integer numerator/denominator emitted, ONE double
+    division. No quantizer needed anywhere: the rare all-integer
+    diversity statistic."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from core_ray.stages.agg import count_by_u64
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def lang_partial(b: pa.Table) -> pa.Table:
+        u = np.unique(np.asarray(b["lang"].to_pylist()))
+        return pa.table({"lang": pa.array(u.tolist(), pa.string()),
+                         "one": pa.array(np.ones(len(u), np.int64))})
+
+    lang_t = _collect_table(
+        ds.select_columns(["lang"])
+        .map_batches(lang_partial, batch_format="pyarrow", batch_size=131072)
+        .groupby("lang")
+        .aggregate(Sum("one", alias_name="n"))
+    )
+    langs = np.sort(np.asarray(lang_t["lang"].to_pylist()))
+    lang_ref = ray.put(langs)
+
+    def pack(b: pa.Table) -> pa.Table:
+        ls = ray.get(lang_ref)
+        doc_id = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(ls, np.asarray(b["lang"].to_pylist()))
+        rx = ((doc_id * 104729) % 360000) // _GT_CELL_MILLI
+        ry = ((doc_id * 7919) % 140000) // _GT_CELL_MILLI
+        key = (idx.astype(np.uint64) << np.uint64(16)) | (
+            (rx * 16 + ry).astype(np.uint64)
+        )
+        return pa.table({"key": pa.array(key, pa.uint64())})
+
+    t = _collect_table(
+        count_by_u64(
+            ds.map_batches(pack, batch_format="pyarrow", batch_size=131072),
+            "key",
+        )
+    )  # <= langs x regions rows by construction
+    key = t["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    c = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    reg = (key & np.uint64((1 << 16) - 1)).astype(np.int64)
+    regs = np.unique(reg)
+    pos = np.searchsorted(regs, reg)
+    n_g = np.zeros(len(regs), np.int64)
+    num = np.zeros(len(regs), np.int64)
+    np.add.at(n_g, pos, c)
+    np.add.at(num, pos, c * (c - 1))
+    keep = n_g >= 2
+    regs, n_g, num = regs[keep], n_g[keep], num[keep]
+    den = n_g * (n_g - 1)
+    return pa.table(
+        {
+            "rx": pa.array(regs // 16, pa.int64()),
+            "ry": pa.array(regs % 16, pa.int64()),
+            "n_docs": pa.array(n_g, pa.int64()),
+            "num": pa.array(num, pa.int64()),
+            "den": pa.array(den, pa.int64()),
+            "simpson": pa.array(
+                num.astype(np.float64) / den.astype(np.float64), pa.float64()
+            ),
+        }
+    )
+
+
+GEO_LANG_SIMPSON_SQL = f"""
+WITH pts AS (
+  SELECT lang,
+         ((doc_id * 104729) % 360000) // {_GT_CELL_MILLI} AS rx,
+         ((doc_id * 7919) % 140000) // {_GT_CELL_MILLI} AS ry
+  FROM documents),
+cc AS (SELECT rx, ry, lang, CAST(COUNT(*) AS BIGINT) AS c
+       FROM pts GROUP BY 1, 2, 3),
+per AS (
+  SELECT rx, ry, CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(c * (c - 1)) AS BIGINT) AS num
+  FROM cc GROUP BY 1, 2)
+SELECT CAST(rx AS BIGINT) AS rx, CAST(ry AS BIGINT) AS ry,
+       n AS n_docs, num, n * (n - 1) AS den,
+       CAST(num AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) AS simpson
+FROM per WHERE n >= 2
+"""
+
+
 _COR_CELL_MILLI = 10000  # 10-degree corridor raster cells
 
 
@@ -16838,6 +16930,7 @@ QUERIES = {
     "doc_heaps_law": doc_heaps_law,
     "events_benford": events_benford,
     "doc_hemisphere_jsd": doc_hemisphere_jsd,
+    "geo_lang_simpson": geo_lang_simpson,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -17035,6 +17128,7 @@ ORACLE_SQL = {
     "doc_heaps_law": DOC_HEAPS_LAW_SQL,
     "events_benford": EVENTS_BENFORD_SQL,
     "doc_hemisphere_jsd": DOC_HEMISPHERE_JSD_SQL,
+    "geo_lang_simpson": GEO_LANG_SIMPSON_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
