@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "events_benford",
     "doc_hemisphere_jsd",
     "geo_lang_simpson",
+    "geo_lisa_quadrants",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

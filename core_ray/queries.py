@@ -8339,6 +8339,114 @@ FROM per WHERE n >= 2
 """
 
 
+def geo_lisa_quadrants(sf_dir: str):
+    """LISA / MORAN-SCATTER QUADRANT CLASSIFICATION (the local companion
+    of geo_moran_i's global statistic: each cell labeled HH hot-in-hot,
+    LL cold-in-cold, HL hot outlier, LH cold pocket — the map behind
+    every cluster-and-outlier choropleth). ALL-INTEGER over the full
+    10-deg grid (zero cells participate — their deviations are real):
+    z_i*N = x_i*N - T and lag_i*N = N*sum(x_nbr) - deg_i*T, so quadrant
+    signs come from exact int64 products; the emitted columns ARE those
+    integers plus the label (ties-on-the-mean labeled 'NS'). One packed
+    count pass; the 36 x 14 grid fold is geometry-bounded."""
+    from core_ray.stages.agg import count_by_u64
+
+    w, h = 36, 14
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def pack(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gx = ((doc_id * 104729) % 360000) // _GE_CELL_MILLI
+        gy = ((doc_id * 7919) % 140000) // _GE_CELL_MILLI
+        return pa.table(
+            {"key": pa.array((gx * 1024 + gy).astype(np.uint64), pa.uint64())}
+        )
+
+    t = _collect_table(
+        count_by_u64(
+            ds.map_batches(pack, batch_format="pyarrow", batch_size=131072),
+            "key",
+        )
+    )  # <= 504 rows by construction
+    key = t["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+    c = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    grid = np.zeros((w, h), np.int64)
+    grid[key // 1024, key % 1024] = c
+    n_cells = w * h
+    total = int(grid.sum())
+
+    nbr = np.zeros((w, h), np.int64)
+    deg = np.zeros((w, h), np.int64)
+    nbr[1:, :] += grid[:-1, :]
+    nbr[:-1, :] += grid[1:, :]
+    nbr[:, 1:] += grid[:, :-1]
+    nbr[:, :-1] += grid[:, 1:]
+    deg[1:, :] += 1
+    deg[:-1, :] += 1
+    deg[:, 1:] += 1
+    deg[:, :-1] += 1
+
+    z_num = grid * n_cells - total
+    lag_num = n_cells * nbr - deg * total
+    lab = np.where(
+        (z_num > 0) & (lag_num > 0), "HH",
+        np.where(
+            (z_num < 0) & (lag_num < 0), "LL",
+            np.where(
+                (z_num > 0) & (lag_num < 0), "HL",
+                np.where((z_num < 0) & (lag_num > 0), "LH", "NS"),
+            ),
+        ),
+    )
+    gx, gy = np.meshgrid(np.arange(w), np.arange(h), indexing="ij")
+    return pa.table(
+        {
+            "gx": pa.array(gx.ravel().astype(np.int64), pa.int64()),
+            "gy": pa.array(gy.ravel().astype(np.int64), pa.int64()),
+            "n_docs": pa.array(grid.ravel(), pa.int64()),
+            "z_num": pa.array(z_num.ravel(), pa.int64()),
+            "lag_num": pa.array(lag_num.ravel(), pa.int64()),
+            "quadrant": pa.array(lab.ravel().tolist(), pa.string()),
+        }
+    )
+
+
+GEO_LISA_QUADRANTS_SQL = f"""
+WITH pts AS (
+  SELECT ((doc_id * 104729) % 360000) // {_GE_CELL_MILLI} AS gx,
+         ((doc_id * 7919) % 140000) // {_GE_CELL_MILLI} AS gy
+  FROM documents),
+cc AS (SELECT gx, gy, CAST(COUNT(*) AS BIGINT) AS c FROM pts GROUP BY 1, 2),
+grid AS (
+  SELECT x.gx, y.gy, COALESCE(cc.c, 0) AS x
+  FROM (SELECT UNNEST(generate_series(0, 35)) AS gx) x
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 13)) AS gy) y
+  LEFT JOIN cc ON cc.gx = x.gx AND cc.gy = y.gy),
+tot AS (SELECT CAST(SUM(x) AS BIGINT) AS t FROM grid),
+lagd AS (
+  SELECT g.gx, g.gy, g.x,
+         CAST(SUM(n.x) AS BIGINT) AS nbr, CAST(COUNT(n.x) AS BIGINT) AS deg
+  FROM grid g JOIN grid n
+    ON (n.gx = g.gx + 1 AND n.gy = g.gy) OR (n.gx = g.gx - 1 AND n.gy = g.gy)
+    OR (n.gx = g.gx AND n.gy = g.gy + 1) OR (n.gx = g.gx AND n.gy = g.gy - 1)
+  GROUP BY 1, 2, 3)
+SELECT CAST(l.gx AS BIGINT) AS gx, CAST(l.gy AS BIGINT) AS gy,
+       l.x AS n_docs,
+       l.x * 504 - tot.t AS z_num,
+       504 * l.nbr - l.deg * tot.t AS lag_num,
+       CASE WHEN l.x * 504 - tot.t > 0 AND 504 * l.nbr - l.deg * tot.t > 0
+              THEN 'HH'
+            WHEN l.x * 504 - tot.t < 0 AND 504 * l.nbr - l.deg * tot.t < 0
+              THEN 'LL'
+            WHEN l.x * 504 - tot.t > 0 AND 504 * l.nbr - l.deg * tot.t < 0
+              THEN 'HL'
+            WHEN l.x * 504 - tot.t < 0 AND 504 * l.nbr - l.deg * tot.t > 0
+              THEN 'LH'
+            ELSE 'NS' END AS quadrant
+FROM lagd l CROSS JOIN tot
+"""
+
+
 _COR_CELL_MILLI = 10000  # 10-degree corridor raster cells
 
 
@@ -16931,6 +17039,7 @@ QUERIES = {
     "events_benford": events_benford,
     "doc_hemisphere_jsd": doc_hemisphere_jsd,
     "geo_lang_simpson": geo_lang_simpson,
+    "geo_lisa_quadrants": geo_lisa_quadrants,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -17129,6 +17238,7 @@ ORACLE_SQL = {
     "events_benford": EVENTS_BENFORD_SQL,
     "doc_hemisphere_jsd": DOC_HEMISPHERE_JSD_SQL,
     "geo_lang_simpson": GEO_LANG_SIMPSON_SQL,
+    "geo_lisa_quadrants": GEO_LISA_QUADRANTS_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
