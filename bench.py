@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "doc_hemisphere_jsd",
     "geo_lang_simpson",
     "geo_lisa_quadrants",
+    "events_circular_hours",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

@@ -8447,6 +8447,110 @@ FROM lagd l CROSS JOIN tot
 """
 
 
+def events_circular_hours(sf_dir: str):
+    """CIRCULAR STATISTICS of the diurnal cycle (Rayleigh resultant length
+    per event type): hour-of-day is an ANGLE, not a number — midnight sits
+    next to 23:00 — so concentration is the resultant R = |mean unit
+    vector| (R -> 1 = sharply peaked schedule, 0 = uniform around the
+    clock; linear stddev gets this wrong at the wrap). Exactness: the 24
+    unit vectors quantize ONCE to integer micro-components (sql_round_np
+    == DuckDB ROUND on the same libm-correct cos/sin arguments), so the
+    weighted sums are exact int64 from the bounded (type, hour) count
+    table, and R = one fixed sqrt chain of two exact integers over
+    1e6*n."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from core_ray.stages.agg import count_by_u64
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
+
+    def type_partial(b: pa.Table) -> pa.Table:
+        u = np.unique(np.asarray(b["event_type"].to_pylist()))
+        return pa.table({"event_type": pa.array(u.tolist(), pa.string()),
+                         "one": pa.array(np.ones(len(u), np.int64))})
+
+    ty_t = _collect_table(
+        ds.select_columns(["event_type"])
+        .map_batches(type_partial, batch_format="pyarrow", batch_size=131072)
+        .groupby("event_type")
+        .aggregate(Sum("one", alias_name="n"))
+    )
+    types = np.sort(np.asarray(ty_t["event_type"].to_pylist()))
+    ty_ref = ray.put(types)
+
+    def pack(b: pa.Table) -> pa.Table:
+        ts = ray.get(ty_ref)
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(ts, np.asarray(b["event_type"].to_pylist()))
+        hour = (us // 3600000000) % 24
+        key = (idx.astype(np.uint64) << np.uint64(5)) | hour.astype(np.uint64)
+        return pa.table({"key": pa.array(key, pa.uint64())})
+
+    t = _collect_table(
+        count_by_u64(
+            ds.map_batches(pack, batch_format="pyarrow", batch_size=131072),
+            "key",
+        )
+    )  # <= types x 24 rows by construction
+    key = t["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    c = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ti = (key >> np.uint64(5)).astype(np.int64)
+    hour = (key & np.uint64(31)).astype(np.int64)
+
+    h = np.arange(24, dtype=np.float64)
+    cos_micro = sql_round_np(
+        np.cos(2.0 * np.pi * h / 24.0) * 1000000.0, 0
+    ).astype(np.int64)
+    sin_micro = sql_round_np(
+        np.sin(2.0 * np.pi * h / 24.0) * 1000000.0, 0
+    ).astype(np.int64)
+
+    n_t = np.zeros(len(types), np.int64)
+    cm = np.zeros(len(types), np.int64)
+    sm = np.zeros(len(types), np.int64)
+    np.add.at(n_t, ti, c)
+    np.add.at(cm, ti, c * cos_micro[hour])
+    np.add.at(sm, ti, c * sin_micro[hour])
+    r = np.sqrt(
+        cm.astype(np.float64) ** 2 + sm.astype(np.float64) ** 2
+    ) / (1000000.0 * n_t.astype(np.float64))
+    return pa.table(
+        {
+            "event_type": pa.array(types.tolist(), pa.string()),
+            "n_events": pa.array(n_t, pa.int64()),
+            "c_micro": pa.array(cm, pa.int64()),
+            "s_micro": pa.array(sm, pa.int64()),
+            "resultant": pa.array(r, pa.float64()),
+        }
+    )
+
+
+EVENTS_CIRCULAR_HOURS_SQL = """
+WITH pts AS (
+  SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hour FROM events),
+cc AS (SELECT event_type, hour, CAST(COUNT(*) AS BIGINT) AS c
+       FROM pts GROUP BY 1, 2),
+uv AS (
+  SELECT h AS hour,
+         CAST(ROUND(COS(2.0 * PI() * CAST(h AS DOUBLE) / 24.0)
+                    * 1000000.0, 0) AS BIGINT) AS cm,
+         CAST(ROUND(SIN(2.0 * PI() * CAST(h AS DOUBLE) / 24.0)
+                    * 1000000.0, 0) AS BIGINT) AS sm
+  FROM range(24) t(h)),
+per AS (
+  SELECT cc.event_type, CAST(SUM(cc.c) AS BIGINT) AS n,
+         CAST(SUM(cc.c * uv.cm) AS BIGINT) AS c_micro,
+         CAST(SUM(cc.c * uv.sm) AS BIGINT) AS s_micro
+  FROM cc JOIN uv ON uv.hour = cc.hour GROUP BY 1)
+SELECT event_type, n AS n_events, c_micro, s_micro,
+       SQRT(CAST(c_micro AS DOUBLE) * CAST(c_micro AS DOUBLE)
+            + CAST(s_micro AS DOUBLE) * CAST(s_micro AS DOUBLE))
+         / (1000000.0 * CAST(n AS DOUBLE)) AS resultant
+FROM per
+"""
+
+
 _COR_CELL_MILLI = 10000  # 10-degree corridor raster cells
 
 
@@ -17040,6 +17144,7 @@ QUERIES = {
     "doc_hemisphere_jsd": doc_hemisphere_jsd,
     "geo_lang_simpson": geo_lang_simpson,
     "geo_lisa_quadrants": geo_lisa_quadrants,
+    "events_circular_hours": events_circular_hours,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -17239,6 +17344,7 @@ ORACLE_SQL = {
     "doc_hemisphere_jsd": DOC_HEMISPHERE_JSD_SQL,
     "geo_lang_simpson": GEO_LANG_SIMPSON_SQL,
     "geo_lisa_quadrants": GEO_LISA_QUADRANTS_SQL,
+    "events_circular_hours": EVENTS_CIRCULAR_HOURS_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
