@@ -8551,6 +8551,78 @@ FROM per
 """
 
 
+def events_contact_degrees(sf_dir: str):
+    """CONTACT-GRAPH DEGREE DISTRIBUTION (the social-network statistic
+    over the space-time contact join: how many DISTINCT partners does
+    each user meet, histogrammed — superspreader detection's first
+    plot): the events_contacts pair machinery (3D home+ghost join) feeds
+    a distinct-partner-per-user reduce; degrees histogram into exact
+    integer (degree, n_users) rows. The pair table is bounded by actual
+    co-locations (the contact contract), so the degree fold is bounded
+    by active users."""
+    from core_ray.stages.stjoin import spacetime_pairs
+
+    def coords(b: pa.Table) -> pa.Table:
+        ev = b["event_id"].to_numpy(zero_copy_only=False)
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        us = pc.cast(b["ts"], pa.int64())
+        lat, lon = _contact_coords(ev, uid)
+        return pa.table(
+            {
+                "pid": b["event_id"],
+                "uid": b["user_id"],
+                "lat": pa.array(lat, pa.float64()),
+                "lon": pa.array(lon, pa.float64()),
+                "us": us,
+            }
+        )
+
+    pts = _read(sf_dir, "events", ["event_id", "user_id", "ts"]).map_batches(
+        coords, batch_format="pyarrow", batch_size=65536
+    )
+    pairs = _collect_table(
+        spacetime_pairs(pts, _CONTACT_RADIUS_DEG, _CONTACT_WINDOW_US)
+    )  # bounded by actual co-locations
+    ua = pairs["uid_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ub = pairs["uid_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    u1 = np.minimum(ua, ub)
+    u2 = np.maximum(ua, ub)
+    upair = np.unique(u1 * (1 << 32) + u2)
+    users = np.unique(np.concatenate([upair >> 32, upair & ((1 << 32) - 1)]))
+    deg = np.zeros(len(users), np.int64)
+    np.add.at(deg, np.searchsorted(users, upair >> 32), 1)
+    np.add.at(deg, np.searchsorted(users, upair & ((1 << 32) - 1)), 1)
+    dvals, dcnt = np.unique(deg, return_counts=True)
+    return pa.table(
+        {
+            "degree": pa.array(dvals, pa.int64()),
+            "n_users": pa.array(dcnt.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+EVENTS_CONTACT_DEGREES_SQL = f"""
+WITH pts AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us,
+         {CONTACT_LAT_SQL} AS lat, {CONTACT_LON_SQL} AS lon
+  FROM events),
+hits AS (
+  SELECT DISTINCT LEAST(a.user_id, b.user_id) AS u1,
+         GREATEST(a.user_id, b.user_id) AS u2
+  FROM pts a JOIN pts b
+    ON a.event_id < b.event_id AND a.user_id != b.user_id
+ WHERE (a.lat - b.lat) * (a.lat - b.lat) + (a.lon - b.lon) * (a.lon - b.lon)
+       <= {_CONTACT_RADIUS_DEG * _CONTACT_RADIUS_DEG}
+   AND ABS(a.us - b.us) <= {_CONTACT_WINDOW_US}),
+deg AS (
+  SELECT u, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT u1 AS u FROM hits UNION ALL SELECT u2 FROM hits)
+  GROUP BY 1)
+SELECT d AS degree, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM deg GROUP BY 1
+"""
+
+
 _COR_CELL_MILLI = 10000  # 10-degree corridor raster cells
 
 
@@ -17145,6 +17217,7 @@ QUERIES = {
     "geo_lang_simpson": geo_lang_simpson,
     "geo_lisa_quadrants": geo_lisa_quadrants,
     "events_circular_hours": events_circular_hours,
+    "events_contact_degrees": events_contact_degrees,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -17345,6 +17418,7 @@ ORACLE_SQL = {
     "geo_lang_simpson": GEO_LANG_SIMPSON_SQL,
     "geo_lisa_quadrants": GEO_LISA_QUADRANTS_SQL,
     "events_circular_hours": EVENTS_CIRCULAR_HOURS_SQL,
+    "events_contact_degrees": EVENTS_CONTACT_DEGREES_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
