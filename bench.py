@@ -164,6 +164,7 @@ BENCH_QUERIES = [
     "geo_lisa_quadrants",
     "events_circular_hours",
     "events_contact_degrees",
+    "geo_gravity_fit",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

@@ -8623,6 +8623,111 @@ FROM deg GROUP BY 1
 """
 
 
+def geo_gravity_fit(sf_dir: str):
+    """GRAVITY-LAW FIT over the OD matrix (the transport-science classic:
+    flow between places decays as a power of distance — the exponent is
+    the headline parameter of trip-distribution models): symmetrized
+    city-pair flows from the events_od_matrix machinery (bounded 12x12),
+    squared distances between the model city centers (exact arithmetic),
+    and the decay exponent = the micro-bit log2-log2 regression slope of
+    flow on d^2 (doc_zipf_fit's algebra; slope vs distance itself is 2x
+    this). Only pairs with positive flow enter (log of zero is not a
+    number in any engine)."""
+    od = events_od_matrix(sf_dir)
+    t = _collect_table(od) if not isinstance(od, pa.Table) else od
+    f_ = t["from_city"].to_numpy(zero_copy_only=False).astype(np.int64)
+    to = t["to_city"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = t[t.column_names[2]].to_numpy(zero_copy_only=False).astype(np.int64)
+    lo = np.minimum(f_, to)
+    hi = np.maximum(f_, to)
+    key = lo * 12 + hi
+    u = np.unique(key)
+    flow = np.zeros(len(u), np.int64)
+    np.add.at(flow, np.searchsorted(u, key), n)
+    ci = (u // 12).astype(np.int64)
+    cj = (u % 12).astype(np.int64)
+
+    k = np.arange(12, dtype=np.int64)
+    c_lat = ((k * 11003) % 120000) / 1000.0 - 60.0
+    c_lon = ((k * 104729) % 340000) / 1000.0 - 170.0
+    dla = c_lat[ci] - c_lat[cj]
+    dlo = c_lon[ci] - c_lon[cj]
+    d2 = dla * dla + dlo * dlo
+
+    keep = flow > 0
+    ci, cj, flow, d2 = ci[keep], cj[keep], flow[keep], d2[keep]
+    x = sql_round_np(np.log2(d2) * 1000000.0, 0).astype(np.int64)
+    y = sql_round_np(
+        np.log2(flow.astype(np.float64)) * 1000000.0, 0
+    ).astype(np.int64)
+    m = len(x)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxy, sxx = int((x * y).sum()), int((x * x).sum())
+    num = m * sxy - sx * sy
+    den = m * sxx - sx * sx
+    return pa.table(
+        {
+            "city_a": pa.array(ci, pa.int64()),
+            "city_b": pa.array(cj, pa.int64()),
+            "flow": pa.array(flow, pa.int64()),
+            "d2_micro_x": pa.array(x, pa.int64()),
+            "decay_num": pa.array(np.full(m, num, np.int64), pa.int64()),
+            "decay_den": pa.array(np.full(m, den, np.int64), pa.int64()),
+            "decay_slope": pa.array(
+                np.full(m, float(np.float64(num) / np.float64(den))),
+                pa.float64(),
+            ),
+        }
+    )
+
+
+GEO_GRAVITY_FIT_SQL = """
+WITH seqd AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) - 1 AS seq
+  FROM events),
+cities AS (
+  SELECT user_id, us, event_id, (user_id * 7 + seq // 20) % 12 AS city
+  FROM seqd),
+legs AS (
+  SELECT user_id, city,
+         LAG(city) OVER (PARTITION BY user_id ORDER BY us, event_id) AS pcity
+  FROM cities),
+od AS (
+  SELECT CAST(LEAST(pcity, city) AS BIGINT) AS ca,
+         CAST(GREATEST(pcity, city) AS BIGINT) AS cb,
+         CAST(COUNT(*) AS BIGINT) AS flow
+  FROM legs WHERE pcity IS NOT NULL AND pcity != city
+  GROUP BY 1, 2),
+coords AS (
+  SELECT k AS c,
+         ((k * 11003) % 120000) / 1000.0 - 60.0 AS lat,
+         ((k * 104729) % 340000) / 1000.0 - 170.0 AS lon
+  FROM range(12) t(k)),
+q AS (
+  SELECT od.ca, od.cb, od.flow,
+         CAST(ROUND(LOG2((a.lat - b.lat) * (a.lat - b.lat)
+                         + (a.lon - b.lon) * (a.lon - b.lon))
+                    * 1000000.0, 0) AS BIGINT) AS x,
+         CAST(ROUND(LOG2(CAST(od.flow AS DOUBLE)) * 1000000.0, 0)
+              AS BIGINT) AS y
+  FROM od JOIN coords a ON a.c = od.ca JOIN coords b ON b.c = od.cb
+  WHERE od.flow > 0),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM q)
+SELECT q.ca AS city_a, q.cb AS city_b, q.flow, q.x AS d2_micro_x,
+       m.k * m.sxy - m.sx * m.sy AS decay_num,
+       m.k * m.sxx - m.sx * m.sx AS decay_den,
+       CAST(m.k * m.sxy - m.sx * m.sy AS DOUBLE)
+         / CAST(m.k * m.sxx - m.sx * m.sx AS DOUBLE) AS decay_slope
+FROM q CROSS JOIN m
+"""
+
+
 _COR_CELL_MILLI = 10000  # 10-degree corridor raster cells
 
 
@@ -17218,6 +17323,7 @@ QUERIES = {
     "geo_lisa_quadrants": geo_lisa_quadrants,
     "events_circular_hours": events_circular_hours,
     "events_contact_degrees": events_contact_degrees,
+    "geo_gravity_fit": geo_gravity_fit,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -17419,6 +17525,7 @@ ORACLE_SQL = {
     "geo_lisa_quadrants": GEO_LISA_QUADRANTS_SQL,
     "events_circular_hours": EVENTS_CIRCULAR_HOURS_SQL,
     "events_contact_degrees": EVENTS_CONTACT_DEGREES_SQL,
+    "geo_gravity_fit": GEO_GRAVITY_FIT_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
