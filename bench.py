@@ -165,6 +165,7 @@ BENCH_QUERIES = [
     "events_circular_hours",
     "events_contact_degrees",
     "geo_gravity_fit",
+    "events_daily_motifs",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

@@ -8728,6 +8728,118 @@ FROM q CROSS JOIN m
 """
 
 
+def events_daily_motifs(sf_dir: str):
+    """DAILY MOBILITY MOTIFS (Schneider et al.: a user-day's city
+    sequence, consecutive-deduped and relabeled by first appearance —
+    "0-1-0" is home-work-home whoever and wherever you are — motif
+    frequencies are THE fingerprint of human daily routine): one
+    user-keyed shuffle; the partition kernel orders each user's events,
+    derives the od_matrix city model, splits by day, dedups consecutive
+    repeats, relabels by first occurrence and counts motif strings;
+    bounded final groupby over the motif vocabulary."""
+    from ray.data.aggregate import Sum
+
+    from core_ray.stages.agg import map_groups_partitioned
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    _empty = pa.table(
+        {"motif": pa.array([], pa.string()), "c": pa.array([], pa.int64())}
+    )
+
+    def per_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _empty
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, us, uid))
+        uid, us = uid[order], us[order]
+        n = len(uid)
+        first = np.r_[True, uid[1:] != uid[:-1]]
+        ustart = np.nonzero(first)[0]
+        seq = np.arange(n) - np.repeat(
+            ustart, np.diff(np.append(ustart, n))
+        )
+        city = (uid * 7 + seq // 20) % 12
+        day = us // _TT_DAY_US
+        # segment = (user, day) runs in the sorted order
+        seg = np.r_[True, (uid[1:] != uid[:-1]) | (day[1:] != day[:-1])]
+        starts = np.nonzero(seg)[0]
+        ends = np.r_[starts[1:], n]
+        counts: dict[str, int] = {}
+        for s_, e_ in zip(starts, ends):
+            cs = city[s_:e_]
+            keep = np.r_[True, cs[1:] != cs[:-1]]
+            cs = cs[keep]
+            # relabel by first appearance
+            lab: dict[int, int] = {}
+            out = []
+            for c_ in cs.tolist():
+                if c_ not in lab:
+                    lab[c_] = len(lab)
+                out.append(str(lab[c_]))
+            m = "-".join(out)
+            counts[m] = counts.get(m, 0) + 1
+        ks = sorted(counts)
+        return pa.table(
+            {
+                "motif": pa.array(ks, pa.string()),
+                "c": pa.array([counts[k] for k in ks], pa.int64()),
+            }
+        )
+
+    agg = _collect_table(
+        map_groups_partitioned(ds, "user_id", per_part)
+        .groupby("motif")
+        .aggregate(Sum("c", alias_name="n_user_days"))
+    )
+    t = pa.table(
+        {
+            "motif": agg["motif"],
+            "n_user_days": pc.cast(agg["n_user_days"], pa.int64()),
+        }
+    )
+    return t.sort_by("motif")
+
+
+EVENTS_DAILY_MOTIFS_SQL = """
+WITH seqd AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) - 1 AS seq
+  FROM events),
+cities AS (
+  SELECT user_id, us // 86400000000 AS day, us, event_id,
+         (user_id * 7 + seq // 20) % 12 AS city
+  FROM seqd),
+dedup AS (
+  SELECT user_id, day, us, event_id, city,
+         LAG(city) OVER (PARTITION BY user_id, day
+                         ORDER BY us, event_id) AS pc
+  FROM cities),
+moves AS (
+  SELECT user_id, day, city,
+         ROW_NUMBER() OVER (PARTITION BY user_id, day
+                            ORDER BY us, event_id) AS p
+  FROM dedup WHERE pc IS NULL OR pc != city),
+ranks AS (
+  SELECT user_id, day, city,
+         DENSE_RANK() OVER (PARTITION BY user_id, day
+                            ORDER BY fp) - 1 AS r
+  FROM (SELECT user_id, day, city, MIN(p) AS fp
+        FROM moves GROUP BY 1, 2, 3)),
+motifs AS (
+  SELECT m.user_id, m.day,
+         STRING_AGG(CAST(r.r AS VARCHAR), '-' ORDER BY m.p) AS motif
+  FROM moves m JOIN ranks r
+    ON r.user_id = m.user_id AND r.day = m.day AND r.city = m.city
+  GROUP BY 1, 2)
+SELECT motif, CAST(COUNT(*) AS BIGINT) AS n_user_days
+FROM motifs GROUP BY 1 ORDER BY 1
+"""
+
+
 _COR_CELL_MILLI = 10000  # 10-degree corridor raster cells
 
 
@@ -17324,6 +17436,7 @@ QUERIES = {
     "events_circular_hours": events_circular_hours,
     "events_contact_degrees": events_contact_degrees,
     "geo_gravity_fit": geo_gravity_fit,
+    "events_daily_motifs": events_daily_motifs,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -17526,6 +17639,7 @@ ORACLE_SQL = {
     "events_circular_hours": EVENTS_CIRCULAR_HOURS_SQL,
     "events_contact_degrees": EVENTS_CONTACT_DEGREES_SQL,
     "geo_gravity_fit": GEO_GRAVITY_FIT_SQL,
+    "events_daily_motifs": EVENTS_DAILY_MOTIFS_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
