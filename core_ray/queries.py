@@ -8840,6 +8840,103 @@ FROM motifs GROUP BY 1 ORDER BY 1
 """
 
 
+def geo_boxcount_dimension(sf_dir: str):
+    """BOX-COUNTING FRACTAL DIMENSION of the document footprint (how
+    space-filling is the corpus's geography — D -> 2 uniform sheet,
+    D -> 0 isolated points; the settlement-geography classic for urban
+    sprawl and coverage texture): occupied-box counts N_L at quadtree
+    levels 0..8 from ONE finest-level count pass (the geo_quadtree
+    pyramid — parents by reshape block-OR), then D = the micro-bit
+    regression slope of log2(N_L) on level (x = L is already an exact
+    integer; only the y side needs the quantizer)."""
+    from core_ray.stages.agg import count_by_u64
+
+    side = 1 << _QT_LMAX
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def finest(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mlat = (doc_id * 7919) % 140000
+        mlon = (doc_id * 104729) % 360000
+        qx = (mlon * side) // 360000
+        qy = (mlat * side) // 140000
+        return pa.table(
+            {"key": pa.array((qx * side + qy).astype(np.uint64), pa.uint64())}
+        )
+
+    cells = _collect_table(
+        count_by_u64(
+            ds.map_batches(finest, batch_format="pyarrow",
+                           batch_size=131072)
+        )
+    )  # <= side^2 rows by construction
+    key = cells["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+    grid = np.zeros((side, side), bool)
+    grid[key // side, key % side] = True
+
+    n_l = []
+    g = grid
+    for L in range(_QT_LMAX, -1, -1):
+        n_l.append(int(g.sum()))
+        if L:
+            h = 1 << (L - 1)
+            g = g.reshape(h, 2, h, 2).any(axis=(1, 3))
+    n_l = np.asarray(n_l[::-1], np.int64)  # index = level 0..8
+
+    lev = np.arange(_QT_LMAX + 1, dtype=np.int64)
+    x = lev * 1000000
+    y = sql_round_np(
+        np.log2(n_l.astype(np.float64)) * 1000000.0, 0
+    ).astype(np.int64)
+    k = len(x)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxy, sxx = int((x * y).sum()), int((x * x).sum())
+    num = k * sxy - sx * sy
+    den = k * sxx - sx * sx
+    return pa.table(
+        {
+            "level": pa.array(lev, pa.int64()),
+            "n_boxes": pa.array(n_l, pa.int64()),
+            "dim_num": pa.array(np.full(k, num, np.int64), pa.int64()),
+            "dim_den": pa.array(np.full(k, den, np.int64), pa.int64()),
+            "box_dim": pa.array(
+                np.full(k, float(np.float64(num) / np.float64(den))),
+                pa.float64(),
+            ),
+        }
+    )
+
+
+GEO_BOXCOUNT_DIMENSION_SQL = (
+    "WITH lv AS ("
+    + " UNION ALL ".join(
+        f"SELECT CAST({L} AS BIGINT) AS level, CAST(COUNT(*) AS BIGINT)"
+        f" AS n_boxes FROM (SELECT DISTINCT"
+        f" (((doc_id * 104729) % 360000) * {1 << L}) // 360000 AS qx,"
+        f" (((doc_id * 7919) % 140000) * {1 << L}) // 140000 AS qy"
+        f" FROM documents)"
+        for L in range(_QT_LMAX + 1)
+    )
+    + """),
+q AS (
+  SELECT level, n_boxes, level * 1000000 AS x,
+         CAST(ROUND(LOG2(CAST(n_boxes AS DOUBLE)) * 1000000.0, 0)
+              AS BIGINT) AS y
+  FROM lv),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM q)
+SELECT q.level, q.n_boxes,
+       m.k * m.sxy - m.sx * m.sy AS dim_num,
+       m.k * m.sxx - m.sx * m.sx AS dim_den,
+       CAST(m.k * m.sxy - m.sx * m.sy AS DOUBLE)
+         / CAST(m.k * m.sxx - m.sx * m.sx AS DOUBLE) AS box_dim
+FROM q CROSS JOIN m"""
+)
+
+
 _COR_CELL_MILLI = 10000  # 10-degree corridor raster cells
 
 
@@ -17437,6 +17534,7 @@ QUERIES = {
     "events_contact_degrees": events_contact_degrees,
     "geo_gravity_fit": geo_gravity_fit,
     "events_daily_motifs": events_daily_motifs,
+    "geo_boxcount_dimension": geo_boxcount_dimension,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -17640,6 +17738,7 @@ ORACLE_SQL = {
     "events_contact_degrees": EVENTS_CONTACT_DEGREES_SQL,
     "geo_gravity_fit": GEO_GRAVITY_FIT_SQL,
     "events_daily_motifs": EVENTS_DAILY_MOTIFS_SQL,
+    "geo_boxcount_dimension": GEO_BOXCOUNT_DIMENSION_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
