@@ -8937,6 +8937,157 @@ FROM q CROSS JOIN m"""
 )
 
 
+_RBO_K = 50  # rank depth
+_RBO_P_MILLI = 900  # persistence p = 0.9 as exact milli-units
+
+
+def doc_hemisphere_rbo(sf_dir: str):
+    """RANK-BIASED OVERLAP (Webber et al.) between the east- and
+    west-hemisphere top-{K} vocabularies — the IR-standard top-weighted
+    list similarity (1 = same ranking, 0 = disjoint; top ranks dominate
+    via the p^d decay), the headline metric for "did the trending terms
+    change between corpus slices". Exactness: both ranked lists come
+    from the exact vocab machinery ((count desc, token asc) ties);
+    per-depth overlap counts are integers; each depth's term
+    (1-p) * p^(d-1) * overlap_d / d quantizes to micro-units with p^d
+    computed as the SAME left-to-right double power chain on both sides
+    (0.9 is exactly 900/1000 in the expression — POWER is avoided, the
+    chain is iterated multiplication in the engine and POW in SQL agree
+    only through the micro ROUND); RBO = one exact integer sum / 1e6."""
+    toks_e, toks_w = _hemi_top_tokens(sf_dir, _RBO_K)
+    p = _RBO_P_MILLI / 1000.0
+    se: set = set()
+    sw: set = set()
+    micro_terms = []
+    for d in range(1, _RBO_K + 1):
+        if d <= len(toks_e):
+            se.add(toks_e[d - 1])
+        if d <= len(toks_w):
+            sw.add(toks_w[d - 1])
+        ov = len(se & sw)
+        # pow(), not iterated multiplication: the SQL mirror is POW and
+        # accumulated-multiply drift grows with d
+        term = (1.0 - p) * (p ** (d - 1)) * (float(ov) / float(d))
+        micro_terms.append(
+            int(sql_round_np(np.float64(term) * 1000000.0, 0))
+        )
+    sm = int(sum(micro_terms))
+    return pa.table(
+        {
+            "depth": pa.array([_RBO_K], pa.int64()),
+            "sum_micro": pa.array([sm], pa.int64()),
+            "rbo": pa.array(
+                [float(np.float64(sm) / 1000000.0)], pa.float64()
+            ),
+        }
+    )
+
+
+def _hemi_top_tokens(sf_dir: str, k: int):
+    """Exact per-hemisphere top-k token lists ((count desc, token asc)),
+    via the hash-partitioned vocab machinery with two counters."""
+    from ray.data.aggregate import Sum
+
+    from core_ray.stages.agg import _GOLD, _n_parts, hash_strings
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_parts = _n_parts()
+
+    def partial(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = b["text"].to_pylist()
+        toks = np.asarray([w for t in texts for w in t.split(" ")])
+        if len(toks) == 0:
+            return pa.table(
+                {"token": pa.array([], pa.string()),
+                 "ce": pa.array([], pa.int64()),
+                 "cw": pa.array([], pa.int64()),
+                 "__part": pa.array([], pa.int32())}
+            )
+        east = np.repeat(
+            ((doc_id * 104729) % 360000) >= 180000,
+            np.asarray([len(t.split(" ")) for t in texts], np.int64),
+        )
+        vocab, inv = np.unique(toks, return_inverse=True)
+        ce = np.bincount(inv[east], minlength=len(vocab)).astype(np.int64)
+        cw = np.bincount(inv[~east], minlength=len(vocab)).astype(np.int64)
+        h = hash_strings(pa.array(vocab, pa.string()))
+        return pa.table(
+            {
+                "token": pa.array(vocab, pa.string()),
+                "ce": pa.array(ce, pa.int64()),
+                "cw": pa.array(cw, pa.int64()),
+                "__part": pa.array(
+                    ((h * _GOLD) % np.uint64(n_parts)).astype(np.int32),
+                    pa.int32(),
+                ),
+            }
+        )
+
+    def prune(g: pa.Table) -> pa.Table:
+        toks = np.asarray(g["token"].to_pylist())
+        ce = g["ce"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cw = g["cw"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(toks, kind="stable")
+        ts_, ce, cw = toks[order], ce[order], cw[order]
+        firsts = np.nonzero(np.r_[True, ts_[1:] != ts_[:-1]])[0]
+        sce = np.add.reduceat(ce, firsts)
+        scw = np.add.reduceat(cw, firsts)
+        u = ts_[firsts]
+        keep = np.union1d(
+            np.lexsort((u, -sce))[:k], np.lexsort((u, -scw))[:k]
+        )
+        return pa.table(
+            {
+                "token": pa.array(u[keep], pa.string()),
+                "ce": pa.array(sce[keep], pa.int64()),
+                "cw": pa.array(scw[keep], pa.int64()),
+            }
+        )
+
+    t = _collect_table(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=2048)
+        .groupby("__part")
+        .map_groups(prune, batch_format="pyarrow")
+    )  # <= n_parts x 2k rows by construction
+    toks = np.asarray(t["token"].to_pylist())
+    ce = t["ce"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cw = t["cw"].to_numpy(zero_copy_only=False).astype(np.int64)
+    oe = np.lexsort((toks, -ce))[:k]
+    ow = np.lexsort((toks, -cw))[:k]
+    return toks[oe].tolist(), toks[ow].tolist()
+
+
+DOC_HEMISPHERE_RBO_SQL = f"""
+WITH toks AS (
+  SELECT (doc_id * 104729) % 360000 >= 180000 AS east,
+         UNNEST(string_split(text, ' ')) AS w
+  FROM documents),
+cc AS (
+  SELECT w, CAST(COUNT(CASE WHEN east THEN 1 END) AS BIGINT) AS ce,
+         CAST(COUNT(CASE WHEN NOT east THEN 1 END) AS BIGINT) AS cw
+  FROM toks GROUP BY 1),
+re AS (SELECT w, ROW_NUMBER() OVER (ORDER BY ce DESC, w) AS r FROM cc),
+rw AS (SELECT w, ROW_NUMBER() OVER (ORDER BY cw DESC, w) AS r FROM cc),
+depths AS (SELECT UNNEST(generate_series(1, {_RBO_K})) AS d),
+ov AS (
+  SELECT dd.d,
+         (SELECT COUNT(*) FROM re JOIN rw USING (w)
+          WHERE re.r <= dd.d AND rw.r <= dd.d) AS o
+  FROM depths dd),
+terms AS (
+  SELECT d, CAST(ROUND((1.0 - {_RBO_P_MILLI} / 1000.0)
+                       * POW({_RBO_P_MILLI} / 1000.0, d - 1)
+                       * (CAST(o AS DOUBLE) / CAST(d AS DOUBLE))
+                       * 1000000.0, 0) AS BIGINT) AS m
+  FROM ov)
+SELECT CAST({_RBO_K} AS BIGINT) AS depth,
+       CAST(SUM(m) AS BIGINT) AS sum_micro,
+       CAST(CAST(SUM(m) AS BIGINT) AS DOUBLE) / 1000000.0 AS rbo
+FROM terms
+"""
+
+
 _COR_CELL_MILLI = 10000  # 10-degree corridor raster cells
 
 
@@ -17535,6 +17686,7 @@ QUERIES = {
     "geo_gravity_fit": geo_gravity_fit,
     "events_daily_motifs": events_daily_motifs,
     "geo_boxcount_dimension": geo_boxcount_dimension,
+    "doc_hemisphere_rbo": doc_hemisphere_rbo,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -17739,6 +17891,7 @@ ORACLE_SQL = {
     "geo_gravity_fit": GEO_GRAVITY_FIT_SQL,
     "events_daily_motifs": EVENTS_DAILY_MOTIFS_SQL,
     "geo_boxcount_dimension": GEO_BOXCOUNT_DIMENSION_SQL,
+    "doc_hemisphere_rbo": DOC_HEMISPHERE_RBO_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
