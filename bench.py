@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     "events_daily_motifs",
     "geo_boxcount_dimension",
     "doc_hemisphere_rbo",
+    "events_diurnal_anova",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

@@ -9088,6 +9088,83 @@ FROM terms
 """
 
 
+def events_diurnal_anova(sf_dir: str):
+    """DIURNAL ANOVA (eta-squared: what fraction of the day-to-day
+    variance in hourly event counts is explained by the hour of day —
+    the one-number answer to "how strong is the daily rhythm"): with
+    per-(day, hour) observations over the full [min_day, max_day] x 24
+    grid (implicit zeros contribute only through the day span m), the
+    cross-multiplied identity makes BOTH sums of squares exact integers:
+    eta2 = (24*sum(T_h^2) - T^2) / (24*m*sum(y^2) - T^2) — one packed
+    count pass (bounded by horizon x 24), bounded driver fold, ONE
+    double division."""
+    from core_ray.stages.agg import count_by_u64
+
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def pack(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // _TT_DAY_US
+        hour = (us // 3600000000) % 24
+        key = (day.astype(np.uint64) << np.uint64(5)) | hour.astype(np.uint64)
+        return pa.table({"key": pa.array(key, pa.uint64())})
+
+    t = _collect_table(
+        count_by_u64(
+            ds.map_batches(pack, batch_format="pyarrow", batch_size=131072),
+            "key",
+        )
+    )  # <= horizon-days x 24 rows by construction
+    key = t["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    y = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    day = (key >> np.uint64(5)).astype(np.int64)
+    hour = (key & np.uint64(31)).astype(np.int64)
+    m = int(day.max() - day.min() + 1)
+    T = int(y.sum())
+    t_h = np.zeros(24, np.int64)
+    np.add.at(t_h, hour, y)
+    sum_th2 = int((t_h * t_h).sum())
+    sum_y2 = int((y * y).sum())
+    ssb_num = 24 * sum_th2 - T * T
+    sst_num = 24 * m * sum_y2 - T * T
+    return pa.table(
+        {
+            "n_days": pa.array([m], pa.int64()),
+            "n_events": pa.array([T], pa.int64()),
+            "ssb_num": pa.array([ssb_num], pa.int64()),
+            "sst_num": pa.array([sst_num], pa.int64()),
+            "eta2": pa.array(
+                [float(np.float64(ssb_num) / np.float64(sst_num))],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+EVENTS_DIURNAL_ANOVA_SQL = f"""
+WITH pts AS (
+  SELECT epoch_us(ts) // {_TT_DAY_US} AS day,
+         (epoch_us(ts) // 3600000000) % 24 AS hour
+  FROM events),
+cc AS (SELECT day, hour, CAST(COUNT(*) AS BIGINT) AS y
+       FROM pts GROUP BY 1, 2),
+span AS (
+  SELECT CAST(MAX(day) - MIN(day) + 1 AS BIGINT) AS m FROM pts),
+th AS (SELECT hour, CAST(SUM(y) AS BIGINT) AS t_h FROM cc GROUP BY 1),
+agg AS (
+  SELECT CAST(SUM(y) AS BIGINT) AS t,
+         CAST(SUM(y * y) AS BIGINT) AS sy2
+  FROM cc),
+th2 AS (SELECT CAST(SUM(t_h * t_h) AS BIGINT) AS sth2 FROM th)
+SELECT span.m AS n_days, agg.t AS n_events,
+       24 * th2.sth2 - agg.t * agg.t AS ssb_num,
+       24 * span.m * agg.sy2 - agg.t * agg.t AS sst_num,
+       CAST(24 * th2.sth2 - agg.t * agg.t AS DOUBLE)
+         / CAST(24 * span.m * agg.sy2 - agg.t * agg.t AS DOUBLE) AS eta2
+FROM span, agg, th2
+"""
+
+
 _COR_CELL_MILLI = 10000  # 10-degree corridor raster cells
 
 
@@ -17687,6 +17764,7 @@ QUERIES = {
     "events_daily_motifs": events_daily_motifs,
     "geo_boxcount_dimension": geo_boxcount_dimension,
     "doc_hemisphere_rbo": doc_hemisphere_rbo,
+    "events_diurnal_anova": events_diurnal_anova,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -17892,6 +17970,7 @@ ORACLE_SQL = {
     "events_daily_motifs": EVENTS_DAILY_MOTIFS_SQL,
     "geo_boxcount_dimension": GEO_BOXCOUNT_DIMENSION_SQL,
     "doc_hemisphere_rbo": DOC_HEMISPHERE_RBO_SQL,
+    "events_diurnal_anova": EVENTS_DIURNAL_ANOVA_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
