@@ -169,6 +169,7 @@ BENCH_QUERIES = [
     "geo_boxcount_dimension",
     "doc_hemisphere_rbo",
     "events_diurnal_anova",
+    "doc_distance_decay",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

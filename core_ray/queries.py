@@ -9165,6 +9165,132 @@ FROM span, agg, th2
 """
 
 
+_DD_RADIUS = 3.0  # distance-decay band-join radius (degrees)
+
+
+def doc_distance_decay(sf_dir: str):
+    """TOBLER'S LAW FOR TEXT (the graft's thesis in one operator: "near
+    things are more related" — do geographically close documents share
+    more vocabulary?): all document pairs within 3 deg (the distance-band
+    join), each pair's DISTINCT-token Jaccard, averaged per integer
+    distance band. Exactness end-to-end: bands come from integer-exact
+    d2-threshold comparisons (b^2 <= d2 < (b+1)^2 — no sqrt), and each
+    pair's Jaccard quantizes by INTEGER division (inter * 1e6) // union —
+    no ROUND, no float until the final per-band mean (one double
+    division of exact sums). The pair table and its token attach are
+    bounded by PAIRED docs (the band contract)."""
+    from core_ray.stages.distband import distance_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def shape(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lat, lon = _derive_coords(doc_id)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_id, pa.int64()),
+                "lat": pa.array(lat, pa.float64()),
+                "lon": pa.array(lon, pa.float64()),
+            }
+        )
+
+    pairs = _collect_table(
+        distance_pairs(
+            docs.map_batches(shape, batch_format="pyarrow"), _DD_RADIUS
+        )
+    )  # bounded by pairs within the band
+    a = pairs["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b_ = pairs["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    d2 = pairs["sq_dist"].to_numpy(zero_copy_only=False)
+    band = np.where(d2 < 1.0, 0, np.where(d2 < 4.0, 1,
+                                          np.where(d2 < 9.0, 2, 3)))
+
+    import ray
+
+    from core_ray.stages.join import filter_semi
+
+    ids = np.unique(np.concatenate([a, b_]))
+    members = _collect_table(
+        filter_semi(
+            _read(sf_dir, "documents", ["doc_id", "text"]),
+            ray.data.from_arrow(
+                pa.table({"doc_id": pa.array(ids, pa.int64())})
+            ),
+            "doc_id",
+        )
+    )  # bounded by paired docs
+    tok_of = {
+        int(d): frozenset(t.split(" "))
+        for d, t in zip(
+            members["doc_id"].to_numpy(zero_copy_only=False),
+            members["text"].to_pylist(),
+        )
+    }
+    micro = np.empty(len(a), np.int64)
+    for i in range(len(a)):
+        sa, sb = tok_of[int(a[i])], tok_of[int(b_[i])]
+        inter = len(sa & sb)
+        union = len(sa | sb)
+        micro[i] = (inter * 1000000) // union
+    bands = np.unique(band)
+    n_p = np.zeros(len(bands), np.int64)
+    sm = np.zeros(len(bands), np.int64)
+    pos = np.searchsorted(bands, band)
+    np.add.at(n_p, pos, 1)
+    np.add.at(sm, pos, micro)
+    return pa.table(
+        {
+            "band": pa.array(bands.astype(np.int64), pa.int64()),
+            "n_pairs": pa.array(n_p, pa.int64()),
+            "sum_micro": pa.array(sm, pa.int64()),
+            "mean_jaccard": pa.array(
+                sm.astype(np.float64) / (1000000.0 * n_p.astype(np.float64)),
+                pa.float64(),
+            ),
+        }
+    )
+
+
+DOC_DISTANCE_DECAY_SQL = f"""
+WITH pts AS (
+  SELECT doc_id, {GEO_LAT_SQL} AS lat, {GEO_LON_SQL} AS lon FROM documents),
+pr AS (
+  SELECT a.doc_id AS da, b.doc_id AS db,
+         (a.lat - b.lat) * (a.lat - b.lat)
+           + (a.lon - b.lon) * (a.lon - b.lon) AS d2
+  FROM pts a JOIN pts b
+    ON b.doc_id > a.doc_id
+   AND b.lat BETWEEN a.lat - {_DD_RADIUS} AND a.lat + {_DD_RADIUS}
+   AND b.lon BETWEEN a.lon - {_DD_RADIUS} AND a.lon + {_DD_RADIUS}
+  WHERE (a.lat - b.lat) * (a.lat - b.lat)
+          + (a.lon - b.lon) * (a.lon - b.lon)
+        <= {_DD_RADIUS * _DD_RADIUS}),
+dt AS (
+  SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS w
+  FROM documents),
+sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM dt GROUP BY 1),
+inter AS (
+  SELECT p.da, p.db, CAST(COUNT(*) AS BIGINT) AS i
+  FROM pr p JOIN dt x ON x.doc_id = p.da
+            JOIN dt y ON y.doc_id = p.db AND y.w = x.w
+  GROUP BY 1, 2),
+jac AS (
+  SELECT p.da, p.db,
+         CASE WHEN p.d2 < 1.0 THEN 0 WHEN p.d2 < 4.0 THEN 1
+              WHEN p.d2 < 9.0 THEN 2 ELSE 3 END AS band,
+         (COALESCE(i.i, 0) * 1000000)
+           // (sa.n + sb.n - COALESCE(i.i, 0)) AS m
+  FROM pr p
+  LEFT JOIN inter i ON i.da = p.da AND i.db = p.db
+  JOIN sz sa ON sa.doc_id = p.da JOIN sz sb ON sb.doc_id = p.db)
+SELECT CAST(band AS BIGINT) AS band, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(m) AS BIGINT) AS sum_micro,
+       CAST(CAST(SUM(m) AS BIGINT) AS DOUBLE)
+         / (1000000.0 * CAST(COUNT(*) AS DOUBLE)) AS mean_jaccard
+FROM jac GROUP BY 1
+"""
+
+
 _COR_CELL_MILLI = 10000  # 10-degree corridor raster cells
 
 
@@ -17765,6 +17891,7 @@ QUERIES = {
     "geo_boxcount_dimension": geo_boxcount_dimension,
     "doc_hemisphere_rbo": doc_hemisphere_rbo,
     "events_diurnal_anova": events_diurnal_anova,
+    "doc_distance_decay": doc_distance_decay,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -17971,6 +18098,7 @@ ORACLE_SQL = {
     "geo_boxcount_dimension": GEO_BOXCOUNT_DIMENSION_SQL,
     "doc_hemisphere_rbo": DOC_HEMISPHERE_RBO_SQL,
     "events_diurnal_anova": EVENTS_DIURNAL_ANOVA_SQL,
+    "doc_distance_decay": DOC_DISTANCE_DECAY_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
