@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "doc_hemisphere_rbo",
     "events_diurnal_anova",
     "doc_distance_decay",
+    "events_markov_entropy",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

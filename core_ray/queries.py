@@ -9291,6 +9291,122 @@ FROM jac GROUP BY 1
 """
 
 
+def events_markov_entropy(sf_dir: str):
+    """MARKOV ENTROPY RATE of the event-type process (conditional entropy
+    H(next | current) over observed transitions — the sequence-
+    predictability number behind next-action modeling; compare to the
+    marginal entropy to measure how much history helps): the identity
+    H*N = sum_i c_i*log2(c_i) - sum_ij c_ij*log2(c_ij) (c_i = outgoing
+    totals) turns the whole thing into the DIFFERENCE of two
+    micro-quantized c*log2(c) sums over the bounded transition matrix
+    (events_transitions' one-shuffle machinery feeds it); exact int64
+    arithmetic, one final division."""
+    from core_ray.stages.agg import map_groups_partitioned
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    _empty = pa.table(
+        {
+            "from_t": pa.array([], pa.string()),
+            "to_t": pa.array([], pa.string()),
+            "c": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _empty
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ty = np.asarray(g["event_type"].to_pylist())
+        order = np.lexsort((eid, us, uid))
+        uid, ty = uid[order], ty[order]
+        leg = np.zeros(len(uid), dtype=bool)
+        leg[1:] = uid[1:] == uid[:-1]
+        i = np.nonzero(leg)[0]
+        if len(i) == 0:
+            return _empty
+        frm = ty[i - 1]
+        too = ty[i]
+        pair = np.char.add(np.char.add(frm, "|"), too)
+        u, c = np.unique(pair, return_counts=True)
+        parts = np.char.partition(u, "|")
+        return pa.table(
+            {
+                "from_t": pa.array(parts[:, 0].tolist(), pa.string()),
+                "to_t": pa.array(parts[:, 2].tolist(), pa.string()),
+                "c": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = _collect_table(
+        map_groups_partitioned(ds, "user_id", per_part)
+        .groupby(["from_t", "to_t"])
+        .aggregate(Sum("c", alias_name="c"))
+    )  # bounded: types x types
+    frm = np.asarray(agg["from_t"].to_pylist())
+    c = agg["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = int(c.sum())
+    u = np.unique(frm)
+    c_i = np.zeros(len(u), np.int64)
+    np.add.at(c_i, np.searchsorted(u, frm), c)
+
+    def _micro(v: np.ndarray) -> int:
+        return int(
+            sql_round_np(
+                v.astype(np.float64) * np.log2(v.astype(np.float64))
+                * 1000000.0,
+                0,
+            )
+            .astype(np.int64)
+            .sum()
+        )
+
+    sum_out = _micro(c_i)
+    sum_edge = _micro(c)
+    h = float(np.float64(sum_out - sum_edge) / (1000000.0 * np.float64(n)))
+    return pa.table(
+        {
+            "n_transitions": pa.array([n], pa.int64()),
+            "sum_out_micro": pa.array([sum_out], pa.int64()),
+            "sum_edge_micro": pa.array([sum_edge], pa.int64()),
+            "entropy_rate": pa.array([h], pa.float64()),
+        }
+    )
+
+
+EVENTS_MARKOV_ENTROPY_SQL = """
+WITH seqd AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id) AS prev
+  FROM events),
+cc AS (
+  SELECT prev AS from_t, event_type AS to_t, CAST(COUNT(*) AS BIGINT) AS c
+  FROM seqd WHERE prev IS NOT NULL GROUP BY 1, 2),
+outs AS (SELECT from_t, CAST(SUM(c) AS BIGINT) AS ci FROM cc GROUP BY 1),
+m AS (
+  SELECT
+    (SELECT CAST(SUM(c) AS BIGINT) FROM cc) AS n,
+    (SELECT CAST(SUM(CAST(ROUND(CAST(ci AS DOUBLE)
+                                * LOG2(CAST(ci AS DOUBLE))
+                                * 1000000.0, 0) AS BIGINT)) AS BIGINT)
+     FROM outs) AS sum_out,
+    (SELECT CAST(SUM(CAST(ROUND(CAST(c AS DOUBLE)
+                                * LOG2(CAST(c AS DOUBLE))
+                                * 1000000.0, 0) AS BIGINT)) AS BIGINT)
+     FROM cc) AS sum_edge)
+SELECT n AS n_transitions, sum_out AS sum_out_micro,
+       sum_edge AS sum_edge_micro,
+       CAST(sum_out - sum_edge AS DOUBLE)
+         / (1000000.0 * CAST(n AS DOUBLE)) AS entropy_rate
+FROM m
+"""
+
+
 _COR_CELL_MILLI = 10000  # 10-degree corridor raster cells
 
 
@@ -17892,6 +18008,7 @@ QUERIES = {
     "doc_hemisphere_rbo": doc_hemisphere_rbo,
     "events_diurnal_anova": events_diurnal_anova,
     "doc_distance_decay": doc_distance_decay,
+    "events_markov_entropy": events_markov_entropy,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -18099,6 +18216,7 @@ ORACLE_SQL = {
     "doc_hemisphere_rbo": DOC_HEMISPHERE_RBO_SQL,
     "events_diurnal_anova": EVENTS_DIURNAL_ANOVA_SQL,
     "doc_distance_decay": DOC_DISTANCE_DECAY_SQL,
+    "events_markov_entropy": EVENTS_MARKOV_ENTROPY_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
