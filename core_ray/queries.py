@@ -9407,6 +9407,116 @@ FROM m
 """
 
 
+def doc_lang_region_mi(sf_dir: str):
+    """MUTUAL INFORMATION between language and 30-deg region (how many
+    bits does knowing WHERE a document is tell you about its language —
+    the info-theoretic association score beside chi-square's test
+    statistic): MI = sum p_lr * log2(p_lr/(p_l*p_r)), computed from the
+    bounded (lang, region) contingency table (the dissimilarity-index
+    machinery) with each cell's term micro-quantized — the log2 argument
+    is the cross-multiplied (c_lr * N)/(c_l * c_r), one exact-integer
+    division chain cast to double identically on both sides; MI = one
+    exact integer sum / (1e6 * N)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from core_ray.stages.agg import count_by_u64
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def lang_partial(b: pa.Table) -> pa.Table:
+        u = np.unique(np.asarray(b["lang"].to_pylist()))
+        return pa.table({"lang": pa.array(u.tolist(), pa.string()),
+                         "one": pa.array(np.ones(len(u), np.int64))})
+
+    lang_t = _collect_table(
+        ds.select_columns(["lang"])
+        .map_batches(lang_partial, batch_format="pyarrow", batch_size=131072)
+        .groupby("lang")
+        .aggregate(Sum("one", alias_name="n"))
+    )
+    langs = np.sort(np.asarray(lang_t["lang"].to_pylist()))
+    lang_ref = ray.put(langs)
+
+    def pack(b: pa.Table) -> pa.Table:
+        ls = ray.get(lang_ref)
+        doc_id = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(ls, np.asarray(b["lang"].to_pylist()))
+        rx = ((doc_id * 104729) % 360000) // _GT_CELL_MILLI
+        ry = ((doc_id * 7919) % 140000) // _GT_CELL_MILLI
+        key = (idx.astype(np.uint64) << np.uint64(16)) | (
+            (rx * 16 + ry).astype(np.uint64)
+        )
+        return pa.table({"key": pa.array(key, pa.uint64())})
+
+    t = _collect_table(
+        count_by_u64(
+            ds.map_batches(pack, batch_format="pyarrow", batch_size=131072),
+            "key",
+        )
+    )  # <= langs x regions rows by construction
+    key = t["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    c = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    li = (key >> np.uint64(16)).astype(np.int64)
+    reg = (key & np.uint64((1 << 16) - 1)).astype(np.int64)
+    regs = np.unique(reg)
+    rpos = np.searchsorted(regs, reg)
+    c_l = np.zeros(len(langs), np.int64)
+    c_r = np.zeros(len(regs), np.int64)
+    np.add.at(c_l, li, c)
+    np.add.at(c_r, rpos, c)
+    n = int(c.sum())
+    arg = (c.astype(np.float64) * np.float64(n)) / (
+        c_l[li].astype(np.float64) * c_r[rpos].astype(np.float64)
+    )
+    micro = sql_round_np(
+        c.astype(np.float64) * np.log2(arg) * 1000000.0, 0
+    ).astype(np.int64)
+    sm = int(micro.sum())
+    return pa.table(
+        {
+            "n_docs": pa.array([n], pa.int64()),
+            "n_langs": pa.array([len(langs)], pa.int64()),
+            "n_regions": pa.array([len(regs)], pa.int64()),
+            "sum_micro": pa.array([sm], pa.int64()),
+            "mi_bits": pa.array(
+                [float(np.float64(sm) / (1000000.0 * np.float64(n)))],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+DOC_LANG_REGION_MI_SQL = f"""
+WITH pts AS (
+  SELECT lang,
+         ((doc_id * 104729) % 360000) // {_GT_CELL_MILLI} AS rx,
+         ((doc_id * 7919) % 140000) // {_GT_CELL_MILLI} AS ry
+  FROM documents),
+cc AS (SELECT lang, rx, ry, CAST(COUNT(*) AS BIGINT) AS c
+       FROM pts GROUP BY 1, 2, 3),
+lm AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS cl FROM cc GROUP BY 1),
+rm AS (SELECT rx, ry, CAST(SUM(c) AS BIGINT) AS cr FROM cc GROUP BY 1, 2),
+nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cc),
+terms AS (
+  SELECT CAST(ROUND(CAST(cc.c AS DOUBLE)
+                    * LOG2((CAST(cc.c AS DOUBLE) * CAST(nn.n AS DOUBLE))
+                           / (CAST(lm.cl AS DOUBLE)
+                              * CAST(rm.cr AS DOUBLE)))
+                    * 1000000.0, 0) AS BIGINT) AS m,
+         nn.n
+  FROM cc JOIN lm USING (lang)
+  JOIN rm ON rm.rx = cc.rx AND rm.ry = cc.ry CROSS JOIN nn)
+SELECT MAX(n) AS n_docs,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lm) AS n_langs,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM rm) AS n_regions,
+       CAST(SUM(m) AS BIGINT) AS sum_micro,
+       CAST(CAST(SUM(m) AS BIGINT) AS DOUBLE)
+         / (1000000.0 * CAST(MAX(n) AS DOUBLE)) AS mi_bits
+FROM terms
+"""
+
+
 _COR_CELL_MILLI = 10000  # 10-degree corridor raster cells
 
 
@@ -18009,6 +18119,7 @@ QUERIES = {
     "events_diurnal_anova": events_diurnal_anova,
     "doc_distance_decay": doc_distance_decay,
     "events_markov_entropy": events_markov_entropy,
+    "doc_lang_region_mi": doc_lang_region_mi,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -18217,6 +18328,7 @@ ORACLE_SQL = {
     "events_diurnal_anova": EVENTS_DIURNAL_ANOVA_SQL,
     "doc_distance_decay": DOC_DISTANCE_DECAY_SQL,
     "events_markov_entropy": EVENTS_MARKOV_ENTROPY_SQL,
+    "doc_lang_region_mi": DOC_LANG_REGION_MI_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
