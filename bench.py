@@ -236,6 +236,9 @@ def main():
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        # worker stdout must NOT interleave with the one-line JSON the
+        # driver parses (a stray worker print once corrupted the capture)
+        log_to_driver=False,
     )
     from ray.data import DataContext
 
@@ -298,7 +301,8 @@ def flagship_only():
     import ray
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             log_to_driver=False)
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
