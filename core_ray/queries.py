@@ -9517,6 +9517,124 @@ FROM terms
 """
 
 
+_TB_MIN_DF = 5  # burstiness needs a document-frequency floor
+_TB_K = 20
+
+
+def doc_term_burstiness(sf_dir: str):
+    """TERM BURSTINESS (Church-Gale: cf/df — a word's total occurrences
+    per document that contains it; function words sit near their
+    Poisson rate, topical/template words CLUMP): top-{K} burstiest terms
+    with df >= {MIN_DF}. Machinery: the vocab shape with TWO counters
+    (collection frequency + document frequency — per-batch df partials
+    count distinct docs per token, summing to true df because a doc's
+    tokens never split across batches at batch_size rows-of-docs); hash
+    partition by token makes both counts exact locally, per-partition
+    top-k prune under the (ratio desc, token asc) order with the ratio
+    as ONE double division mirrored in SQL, bounded driver merge."""
+    from core_ray.stages.agg import _GOLD, _n_parts, hash_strings
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_parts = _n_parts()
+
+    def partial(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        toks = np.asarray([w for t in texts for w in t.split(" ")])
+        if len(toks) == 0:
+            return pa.table(
+                {"token": pa.array([], pa.string()),
+                 "cf": pa.array([], pa.int64()),
+                 "df": pa.array([], pa.int64()),
+                 "__part": pa.array([], pa.int32())}
+            )
+        doc_idx = np.repeat(
+            np.arange(len(texts)),
+            np.asarray([len(t.split(" ")) for t in texts], np.int64),
+        )
+        vocab, inv = np.unique(toks, return_inverse=True)
+        cf = np.bincount(inv, minlength=len(vocab)).astype(np.int64)
+        # df: distinct (token, doc) pairs per token
+        pair = inv.astype(np.int64) * len(texts) + doc_idx
+        up = np.unique(pair)
+        df = np.bincount(
+            (up // len(texts)).astype(np.int64), minlength=len(vocab)
+        ).astype(np.int64)
+        h = hash_strings(pa.array(vocab, pa.string()))
+        return pa.table(
+            {
+                "token": pa.array(vocab, pa.string()),
+                "cf": pa.array(cf, pa.int64()),
+                "df": pa.array(df, pa.int64()),
+                "__part": pa.array(
+                    ((h * _GOLD) % np.uint64(n_parts)).astype(np.int32),
+                    pa.int32(),
+                ),
+            }
+        )
+
+    def prune(g: pa.Table) -> pa.Table:
+        toks = np.asarray(g["token"].to_pylist())
+        cf = g["cf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = g["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(toks, kind="stable")
+        ts_, cf, df = toks[order], cf[order], df[order]
+        firsts = np.nonzero(np.r_[True, ts_[1:] != ts_[:-1]])[0]
+        scf = np.add.reduceat(cf, firsts)
+        sdf = np.add.reduceat(df, firsts)
+        u = ts_[firsts]
+        keep = sdf >= _TB_MIN_DF
+        u, scf, sdf = u[keep], scf[keep], sdf[keep]
+        if len(u) == 0:
+            return pa.table(
+                {"token": pa.array([], pa.string()),
+                 "cf": pa.array([], pa.int64()),
+                 "df": pa.array([], pa.int64())}
+            )
+        ratio = scf.astype(np.float64) / sdf.astype(np.float64)
+        top = np.lexsort((u, -ratio))[:_TB_K]
+        return pa.table(
+            {
+                "token": pa.array(u[top], pa.string()),
+                "cf": pa.array(scf[top], pa.int64()),
+                "df": pa.array(sdf[top], pa.int64()),
+            }
+        )
+
+    t = _collect_table(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=2048)
+        .groupby("__part")
+        .map_groups(prune, batch_format="pyarrow")
+    )  # <= n_parts x K rows by construction
+    toks = np.asarray(t["token"].to_pylist())
+    cf = t["cf"].to_numpy(zero_copy_only=False).astype(np.int64)
+    df = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ratio = cf.astype(np.float64) / df.astype(np.float64)
+    top = np.lexsort((toks, -ratio))[:_TB_K]
+    return pa.table(
+        {
+            "token": pa.array(toks[top], pa.string()),
+            "cf": pa.array(cf[top], pa.int64()),
+            "df": pa.array(df[top], pa.int64()),
+            "burstiness": pa.array(ratio[top], pa.float64()),
+        }
+    )
+
+
+DOC_TERM_BURSTINESS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents),
+cc AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS cf,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM toks GROUP BY 1)
+SELECT w AS token, cf, df,
+       CAST(cf AS DOUBLE) / CAST(df AS DOUBLE) AS burstiness
+FROM cc WHERE df >= {_TB_MIN_DF}
+ORDER BY CAST(cf AS DOUBLE) / CAST(df AS DOUBLE) DESC, w
+LIMIT {_TB_K}
+"""
+
+
 _COR_CELL_MILLI = 10000  # 10-degree corridor raster cells
 
 
@@ -18120,6 +18238,7 @@ QUERIES = {
     "doc_distance_decay": doc_distance_decay,
     "events_markov_entropy": events_markov_entropy,
     "doc_lang_region_mi": doc_lang_region_mi,
+    "doc_term_burstiness": doc_term_burstiness,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -18329,6 +18448,7 @@ ORACLE_SQL = {
     "doc_distance_decay": DOC_DISTANCE_DECAY_SQL,
     "events_markov_entropy": EVENTS_MARKOV_ENTROPY_SQL,
     "doc_lang_region_mi": DOC_LANG_REGION_MI_SQL,
+    "doc_term_burstiness": DOC_TERM_BURSTINESS_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
