@@ -173,6 +173,7 @@ BENCH_QUERIES = [
     "events_markov_entropy",
     "doc_lang_region_mi",
     "doc_term_burstiness",
+    "doc_pmi_collocations",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

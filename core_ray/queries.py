@@ -9635,6 +9635,153 @@ LIMIT {_TB_K}
 """
 
 
+_PMI_MIN_C = 5  # collocation support floor
+_PMI_K = 20
+
+
+def doc_pmi_collocations(sf_dir: str):
+    """PMI COLLOCATION MINING (top-{K} adjacent-word pairs by pointwise
+    mutual information — the classic phrase detector: PMI finds pairs
+    that co-occur far above their unigram chance rate): pass 1 is the
+    exact unigram count (the vocab combiner; broadcast under the
+    surprisal guard — the distributed-join hatch is the same swap),
+    pass 2 hash-partitions BIGRAM counts so each partition scores its
+    bigrams locally against the broadcast unigrams + N and prunes to
+    top-{K} under (pmi desc, bigram asc); PMI is ONE double chain
+    log2((c_xy * N)/(c_x * c_y)) mirrored in SQL, support floor
+    c_xy >= {MIN}."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from core_ray.stages.agg import _GOLD, _n_parts, hash_strings
+
+    ds = _read(sf_dir, "documents", ["text"])
+    n_parts = _n_parts()
+
+    def uni_partial(b: pa.Table) -> pa.Table:
+        toks = np.asarray(
+            [w for t in b["text"].to_pylist() for w in t.split(" ")]
+        )
+        u, c = np.unique(toks, return_counts=True)
+        return pa.table(
+            {"w": pa.array(u.tolist(), pa.string()),
+             "c": pa.array(c.astype(np.int64), pa.int64())}
+        )
+
+    uni = _collect_table(
+        ds.map_batches(uni_partial, batch_format="pyarrow", batch_size=2048)
+        .groupby("w")
+        .aggregate(Sum("c", alias_name="c"))
+    )  # vocab fits the broadcast guard at these scales (surprisal hatch)
+    uw = np.sort(np.asarray(uni["w"].to_pylist()))
+    uc_raw = np.asarray(uni["w"].to_pylist())
+    order = np.argsort(uc_raw)
+    uc = uni["c"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+    n_total = float(uc.sum())
+    uni_ref = ray.put((uw, uc))
+
+    def bi_partial(b: pa.Table) -> pa.Table:
+        rows = []
+        for t in b["text"].to_pylist():
+            ws = t.split(" ")
+            rows.extend(
+                ws[i] + " " + ws[i + 1] for i in range(len(ws) - 1)
+            )
+        if not rows:
+            return pa.table(
+                {"bg": pa.array([], pa.string()),
+                 "c": pa.array([], pa.int64()),
+                 "__part": pa.array([], pa.int32())}
+            )
+        arr = np.asarray(rows)
+        u, c = np.unique(arr, return_counts=True)
+        h = hash_strings(pa.array(u, pa.string()))
+        return pa.table(
+            {
+                "bg": pa.array(u.tolist(), pa.string()),
+                "c": pa.array(c.astype(np.int64), pa.int64()),
+                "__part": pa.array(
+                    ((h * _GOLD) % np.uint64(n_parts)).astype(np.int32),
+                    pa.int32(),
+                ),
+            }
+        )
+
+    def prune(g: pa.Table) -> pa.Table:
+        uw_, uc_ = ray.get(uni_ref)
+        bgs = np.asarray(g["bg"].to_pylist())
+        c = g["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(bgs, kind="stable")
+        bs, cs = bgs[order], c[order]
+        firsts = np.nonzero(np.r_[True, bs[1:] != bs[:-1]])[0]
+        sc = np.add.reduceat(cs, firsts)
+        ub = bs[firsts]
+        keep = sc >= _PMI_MIN_C
+        ub, sc = ub[keep], sc[keep]
+        if len(ub) == 0:
+            return pa.table(
+                {"bigram": pa.array([], pa.string()),
+                 "c_xy": pa.array([], pa.int64()),
+                 "pmi": pa.array([], pa.float64())}
+            )
+        parts = np.char.partition(ub, " ")
+        cx = uc_[np.searchsorted(uw_, parts[:, 0])]
+        cy = uc_[np.searchsorted(uw_, parts[:, 2])]
+        pmi = np.log2(
+            (sc.astype(np.float64) * n_total)
+            / (cx.astype(np.float64) * cy.astype(np.float64))
+        )
+        top = np.lexsort((ub, -pmi))[:_PMI_K]
+        return pa.table(
+            {
+                "bigram": pa.array(ub[top], pa.string()),
+                "c_xy": pa.array(sc[top], pa.int64()),
+                "pmi": pa.array(pmi[top], pa.float64()),
+            }
+        )
+
+    t = _collect_table(
+        ds.map_batches(bi_partial, batch_format="pyarrow", batch_size=2048)
+        .groupby("__part")
+        .map_groups(prune, batch_format="pyarrow")
+    )  # <= n_parts x K rows by construction
+    bgs = np.asarray(t["bigram"].to_pylist())
+    cxy = t["c_xy"].to_numpy(zero_copy_only=False).astype(np.int64)
+    pmi = t["pmi"].to_numpy(zero_copy_only=False)
+    top = np.lexsort((bgs, -pmi))[:_PMI_K]
+    return pa.table(
+        {
+            "bigram": pa.array(bgs[top], pa.string()),
+            "c_xy": pa.array(cxy[top], pa.int64()),
+            "pmi": pa.array(pmi[top], pa.float64()),
+        }
+    )
+
+
+DOC_PMI_COLLOCATIONS_SQL = f"""
+WITH ws AS (SELECT string_split(text, ' ') AS l FROM documents),
+w AS (SELECT UNNEST(l) AS w FROM ws),
+uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM w GROUP BY 1),
+nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+bg AS (
+  SELECT UNNEST(list_transform(generate_series(1, len(l) - 1),
+                               i -> l[i] || ' ' || l[i + 1])) AS b
+  FROM ws),
+bc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c_xy FROM bg GROUP BY 1),
+scored AS (
+  SELECT bc.b AS bigram, bc.c_xy,
+         LOG2((CAST(bc.c_xy AS DOUBLE) * CAST(nn.n AS DOUBLE))
+              / (CAST(x.c AS DOUBLE) * CAST(y.c AS DOUBLE))) AS pmi
+  FROM bc
+  JOIN uni x ON x.w = string_split(bc.b, ' ')[1]
+  JOIN uni y ON y.w = string_split(bc.b, ' ')[2]
+  CROSS JOIN nn
+  WHERE bc.c_xy >= {_PMI_MIN_C})
+SELECT bigram, c_xy, pmi FROM scored
+ORDER BY pmi DESC, bigram LIMIT {_PMI_K}
+"""
+
+
 _COR_CELL_MILLI = 10000  # 10-degree corridor raster cells
 
 
@@ -18239,6 +18386,7 @@ QUERIES = {
     "events_markov_entropy": events_markov_entropy,
     "doc_lang_region_mi": doc_lang_region_mi,
     "doc_term_burstiness": doc_term_burstiness,
+    "doc_pmi_collocations": doc_pmi_collocations,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -18449,6 +18597,7 @@ ORACLE_SQL = {
     "events_markov_entropy": EVENTS_MARKOV_ENTROPY_SQL,
     "doc_lang_region_mi": DOC_LANG_REGION_MI_SQL,
     "doc_term_burstiness": DOC_TERM_BURSTINESS_SQL,
+    "doc_pmi_collocations": DOC_PMI_COLLOCATIONS_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
