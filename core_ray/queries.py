@@ -9782,6 +9782,110 @@ ORDER BY pmi DESC, bigram LIMIT {_PMI_K}
 """
 
 
+def events_contact_assortativity(sf_dir: str):
+    """DEGREE ASSORTATIVITY of the contact graph (Newman's r: do
+    well-connected users meet other well-connected users? r > 0 =
+    social-core mixing, r < 0 = hub-and-spoke): over the distinct
+    contact edges (bounded by co-locations), each edge contributes BOTH
+    orientations (the undirected convention), and r is the Pearson
+    correlation of endpoint degrees — exact integer moments (degrees are
+    ints; M, sx, sxy, sxx over 2|E| orientation rows), one fixed chain
+    of two sqrts. Symmetric x/y marginals collapse (sx == sy,
+    sxx == syy), mirrored in the SQL."""
+    from core_ray.stages.stjoin import spacetime_pairs
+
+    def coords(b: pa.Table) -> pa.Table:
+        ev = b["event_id"].to_numpy(zero_copy_only=False)
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        us = pc.cast(b["ts"], pa.int64())
+        lat, lon = _contact_coords(ev, uid)
+        return pa.table(
+            {
+                "pid": b["event_id"],
+                "uid": b["user_id"],
+                "lat": pa.array(lat, pa.float64()),
+                "lon": pa.array(lon, pa.float64()),
+                "us": us,
+            }
+        )
+
+    pts = _read(sf_dir, "events", ["event_id", "user_id", "ts"]).map_batches(
+        coords, batch_format="pyarrow", batch_size=65536
+    )
+    pairs = _collect_table(
+        spacetime_pairs(pts, _CONTACT_RADIUS_DEG, _CONTACT_WINDOW_US)
+    )  # bounded by co-locations
+    ua = pairs["uid_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ub = pairs["uid_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    u1 = np.minimum(ua, ub)
+    u2 = np.maximum(ua, ub)
+    upair = np.unique(u1 * (1 << 32) + u2)
+    e1 = (upair >> 32).astype(np.int64)
+    e2 = (upair & ((1 << 32) - 1)).astype(np.int64)
+    users = np.unique(np.concatenate([e1, e2]))
+    deg = np.zeros(len(users), np.int64)
+    np.add.at(deg, np.searchsorted(users, e1), 1)
+    np.add.at(deg, np.searchsorted(users, e2), 1)
+    dx = np.concatenate([deg[np.searchsorted(users, e1)],
+                         deg[np.searchsorted(users, e2)]])
+    dy = np.concatenate([deg[np.searchsorted(users, e2)],
+                         deg[np.searchsorted(users, e1)]])
+    m = len(dx)
+    sx = int(dx.sum())
+    sxy = int((dx * dy).sum())
+    sxx = int((dx * dx).sum())
+    num = m * sxy - sx * sx
+    den = m * sxx - sx * sx
+    r = float(np.float64(num) / np.float64(den))
+    return pa.table(
+        {
+            "n_edges": pa.array([len(e1)], pa.int64()),
+            "n_users": pa.array([len(users)], pa.int64()),
+            "r_num": pa.array([num], pa.int64()),
+            "r_den": pa.array([den], pa.int64()),
+            "assortativity": pa.array([r], pa.float64()),
+        }
+    )
+
+
+EVENTS_CONTACT_ASSORTATIVITY_SQL = f"""
+WITH pts AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us,
+         {CONTACT_LAT_SQL} AS lat, {CONTACT_LON_SQL} AS lon
+  FROM events),
+hits AS (
+  SELECT DISTINCT LEAST(a.user_id, b.user_id) AS u1,
+         GREATEST(a.user_id, b.user_id) AS u2
+  FROM pts a JOIN pts b
+    ON a.event_id < b.event_id AND a.user_id != b.user_id
+ WHERE (a.lat - b.lat) * (a.lat - b.lat) + (a.lon - b.lon) * (a.lon - b.lon)
+       <= {_CONTACT_RADIUS_DEG * _CONTACT_RADIUS_DEG}
+   AND ABS(a.us - b.us) <= {_CONTACT_WINDOW_US}),
+deg AS (
+  SELECT u, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT u1 AS u FROM hits UNION ALL SELECT u2 FROM hits)
+  GROUP BY 1),
+orient AS (
+  SELECT da.d AS dx, db.d AS dy
+  FROM hits JOIN deg da ON da.u = hits.u1 JOIN deg db ON db.u = hits.u2
+  UNION ALL
+  SELECT db.d, da.d
+  FROM hits JOIN deg da ON da.u = hits.u1 JOIN deg db ON db.u = hits.u2),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m, CAST(SUM(dx) AS BIGINT) AS sx,
+         CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+         CAST(SUM(dx * dx) AS BIGINT) AS sxx
+  FROM orient)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) AS n_edges,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_users,
+       m.m * m.sxy - m.sx * m.sx AS r_num,
+       m.m * m.sxx - m.sx * m.sx AS r_den,
+       CAST(m.m * m.sxy - m.sx * m.sx AS DOUBLE)
+         / CAST(m.m * m.sxx - m.sx * m.sx AS DOUBLE) AS assortativity
+FROM m
+"""
+
+
 _COR_CELL_MILLI = 10000  # 10-degree corridor raster cells
 
 
@@ -18387,6 +18491,7 @@ QUERIES = {
     "doc_lang_region_mi": doc_lang_region_mi,
     "doc_term_burstiness": doc_term_burstiness,
     "doc_pmi_collocations": doc_pmi_collocations,
+    "events_contact_assortativity": events_contact_assortativity,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -18598,6 +18703,7 @@ ORACLE_SQL = {
     "doc_lang_region_mi": DOC_LANG_REGION_MI_SQL,
     "doc_term_burstiness": DOC_TERM_BURSTINESS_SQL,
     "doc_pmi_collocations": DOC_PMI_COLLOCATIONS_SQL,
+    "events_contact_assortativity": EVENTS_CONTACT_ASSORTATIVITY_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
