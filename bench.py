@@ -175,6 +175,7 @@ BENCH_QUERIES = [
     "doc_term_burstiness",
     "doc_pmi_collocations",
     "events_contact_assortativity",
+    "events_user_gini",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

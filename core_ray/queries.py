@@ -9886,6 +9886,93 @@ FROM m
 """
 
 
+def events_user_gini(sf_dir: str):
+    """USER-ACTIVITY INEQUALITY (Gini over per-user event counts — the
+    80/20 check on engagement): unlike events_cell_gini's geometry-
+    bounded cells, USERS are an unbounded key — so the Gini comes from
+    the VALUE HISTOGRAM of per-user counts (distinct activity levels
+    reach the driver, never users — the doc_quality_buckets contract):
+    for a run of m users sharing count v starting after cumulative rank
+    a, sum(i*c_i) over the run = v*(m*a + m*(m+1)/2) EXACTLY, because
+    rank order within equal values is irrelevant to the weighted sum.
+    Two packed count passes (user counts -> count-of-counts), all-
+    integer moments, one fixed final chain."""
+    from core_ray.stages.agg import count_by_u64
+
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def ukey(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": pa.array(
+                    b["user_id"].to_numpy(zero_copy_only=False).astype(
+                        np.uint64
+                    ),
+                    pa.uint64(),
+                )
+            }
+        )
+
+    per_user = count_by_u64(
+        ds.map_batches(ukey, batch_format="pyarrow", batch_size=131072),
+        "key",
+    )
+
+    def vkey(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": pa.array(
+                    b["cnt"].to_numpy(zero_copy_only=False).astype(
+                        np.uint64
+                    ),
+                    pa.uint64(),
+                )
+            }
+        )
+
+    hist = _collect_table(
+        count_by_u64(
+            per_user.map_batches(vkey, batch_format="pyarrow"), "key"
+        )
+    )  # <= distinct activity levels rows by construction
+    v = hist["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+    m = hist["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(v)
+    v, m = v[order], m[order]
+    n = int(m.sum())
+    s = int((v * m).sum())
+    a = np.concatenate([[0], np.cumsum(m)])[:-1]  # users before each run
+    wsum = int((v * (m * a + m * (m + 1) // 2)).sum())
+    gini = float(
+        np.float64(2 * wsum) / np.float64(n * s)
+        - np.float64(n + 1) / np.float64(n)
+    )
+    return pa.table(
+        {
+            "n_users": pa.array([n], pa.int64()),
+            "n_events": pa.array([s], pa.int64()),
+            "wsum2": pa.array([2 * wsum], pa.int64()),
+            "gini": pa.array([gini], pa.float64()),
+        }
+    )
+
+
+EVENTS_USER_GINI_SQL = """
+WITH cc AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1),
+ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS i FROM cc),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s,
+         CAST(2 * SUM(i * c) AS BIGINT) AS wsum2
+  FROM ranked)
+SELECT n AS n_users, s AS n_events, wsum2,
+       CAST(wsum2 AS DOUBLE) / CAST(n * s AS DOUBLE)
+         - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE) AS gini
+FROM m
+"""
+
+
 _COR_CELL_MILLI = 10000  # 10-degree corridor raster cells
 
 
@@ -18492,6 +18579,7 @@ QUERIES = {
     "doc_term_burstiness": doc_term_burstiness,
     "doc_pmi_collocations": doc_pmi_collocations,
     "events_contact_assortativity": events_contact_assortativity,
+    "events_user_gini": events_user_gini,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -18704,6 +18792,7 @@ ORACLE_SQL = {
     "doc_term_burstiness": DOC_TERM_BURSTINESS_SQL,
     "doc_pmi_collocations": DOC_PMI_COLLOCATIONS_SQL,
     "events_contact_assortativity": EVENTS_CONTACT_ASSORTATIVITY_SQL,
+    "events_user_gini": EVENTS_USER_GINI_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
