@@ -176,6 +176,7 @@ BENCH_QUERIES = [
     "doc_pmi_collocations",
     "events_contact_assortativity",
     "events_user_gini",
+    "doc_length_lognormal",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

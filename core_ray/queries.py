@@ -9973,6 +9973,75 @@ FROM m
 """
 
 
+def doc_length_lognormal(sf_dir: str):
+    """LOG-NORMAL FIT of document lengths (web text lengths are famously
+    log-normal — mu/sigma in log2-space are the two numbers a sampler or
+    truncation policy is tuned against): each length's log2 quantizes to
+    integer milli-bits ONCE (the shared sql_round_np contract), then
+    mu and sigma come from exact order-free integer moments — sigma via
+    the n*sum(x^2) - sum(x)^2 identity, one fixed sqrt chain. One
+    map-only combiner pass (three ints per batch reach the driver)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = sql_round_np(
+            np.log2(v.astype(np.float64)) * 1000.0, 0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "one": pa.array([1], pa.int64()),
+                "n": pa.array([len(x)], pa.int64()),
+                "sx": pa.array([int(x.sum())], pa.int64()),
+                "sxx": pa.array([int((x * x).sum())], pa.int64()),
+            }
+        )
+
+    agg = _collect_table(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=131072)
+        .groupby("one")
+        .aggregate(
+            Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+            Sum("sxx", alias_name="sxx"),
+        )
+    )
+    n = int(agg["n"][0].as_py())
+    sx = int(agg["sx"][0].as_py())
+    sxx = int(agg["sxx"][0].as_py())
+    mu = float(np.float64(sx) / (1000.0 * np.float64(n)))
+    sigma = float(
+        np.sqrt(np.float64(n * sxx - sx * sx)) / (1000.0 * np.float64(n))
+    )
+    return pa.table(
+        {
+            "n_docs": pa.array([n], pa.int64()),
+            "sum_milli": pa.array([sx], pa.int64()),
+            "sumsq_milli": pa.array([sxx], pa.int64()),
+            "mu_bits": pa.array([mu], pa.float64()),
+            "sigma_bits": pa.array([sigma], pa.float64()),
+        }
+    )
+
+
+DOC_LENGTH_LOGNORMAL_SQL = """
+WITH q AS (
+  SELECT CAST(ROUND(LOG2(CAST(n_chars AS DOUBLE)) * 1000.0, 0)
+              AS BIGINT) AS x
+  FROM documents),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM q)
+SELECT n AS n_docs, sx AS sum_milli, sxx AS sumsq_milli,
+       CAST(sx AS DOUBLE) / (1000.0 * CAST(n AS DOUBLE)) AS mu_bits,
+       SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+         / (1000.0 * CAST(n AS DOUBLE)) AS sigma_bits
+FROM m
+"""
+
+
 _COR_CELL_MILLI = 10000  # 10-degree corridor raster cells
 
 
@@ -18580,6 +18649,7 @@ QUERIES = {
     "doc_pmi_collocations": doc_pmi_collocations,
     "events_contact_assortativity": events_contact_assortativity,
     "events_user_gini": events_user_gini,
+    "doc_length_lognormal": doc_length_lognormal,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -18793,6 +18863,7 @@ ORACLE_SQL = {
     "doc_pmi_collocations": DOC_PMI_COLLOCATIONS_SQL,
     "events_contact_assortativity": EVENTS_CONTACT_ASSORTATIVITY_SQL,
     "events_user_gini": EVENTS_USER_GINI_SQL,
+    "doc_length_lognormal": DOC_LENGTH_LOGNORMAL_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
