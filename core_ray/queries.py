@@ -10042,6 +10042,106 @@ FROM m
 """
 
 
+_ACF_LAGS = (1, 24, 168)  # hour, day, week
+
+
+def events_hourly_acf(sf_dir: str):
+    """TEMPORAL AUTOCORRELATION of the hourly event series at the three
+    structural lags (1 h persistence, 24 h diurnal, 168 h weekly — the
+    seasonality fingerprint a forecaster reads first): the hourly count
+    series over the full [min, max] hour span (implicit zeros included —
+    they are real observations), Pearson r at each lag from EXACT integer
+    moments over the lag-joined pairs (m, sx, sy, sxy, sxx, syy — the
+    zero hours enter only through the span), one fixed two-sqrt chain
+    per lag. One packed count pass (bounded by the horizon), driver
+    fold."""
+    from core_ray.stages.agg import count_by_u64
+
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def pack(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "key": pa.array(
+                    (us // 3600000000).astype(np.uint64), pa.uint64()
+                )
+            }
+        )
+
+    t = _collect_table(
+        count_by_u64(
+            ds.map_batches(pack, batch_format="pyarrow", batch_size=131072),
+            "key",
+        )
+    )  # <= horizon-hours rows by construction
+    h = t["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+    c = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    h0, h1 = int(h.min()), int(h.max())
+    series = np.zeros(h1 - h0 + 1, np.int64)
+    series[h - h0] = c
+
+    rows = []
+    for lag in _ACF_LAGS:
+        if len(series) <= lag:
+            continue
+        x = series[:-lag]
+        y = series[lag:]
+        m = len(x)
+        sx, sy = int(x.sum()), int(y.sum())
+        sxy = int((x * y).sum())
+        sxx = int((x * x).sum())
+        syy = int((y * y).sum())
+        num = m * sxy - sx * sy
+        r = float(
+            np.float64(num)
+            / (
+                np.sqrt(np.float64(m * sxx - sx * sx))
+                * np.sqrt(np.float64(m * syy - sy * sy))
+            )
+        )
+        rows.append((lag, m, num, r))
+    return pa.table(
+        {
+            "lag_h": pa.array([r[0] for r in rows], pa.int64()),
+            "n_pairs": pa.array([r[1] for r in rows], pa.int64()),
+            "r_num": pa.array([r[2] for r in rows], pa.int64()),
+            "acf": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )
+
+
+_ACF_LAG_SQL = ", ".join(str(lag) for lag in _ACF_LAGS)
+
+EVENTS_HOURLY_ACF_SQL = f"""
+WITH cc AS (
+  SELECT epoch_us(ts) // 3600000000 AS h, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1),
+span AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM cc),
+grid AS (
+  SELECT g.h, COALESCE(cc.c, 0) AS c
+  FROM (SELECT UNNEST(generate_series((SELECT h0 FROM span),
+                                      (SELECT h1 FROM span))) AS h) g
+  LEFT JOIN cc ON cc.h = g.h),
+lags AS (SELECT UNNEST([{_ACF_LAG_SQL}]) AS lag),
+pairs AS (
+  SELECT l.lag, a.c AS x, b.c AS y
+  FROM lags l JOIN grid a ON TRUE JOIN grid b ON b.h = a.h + l.lag),
+m AS (
+  SELECT lag, CAST(COUNT(*) AS BIGINT) AS m, CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM pairs GROUP BY 1)
+SELECT CAST(lag AS BIGINT) AS lag_h, m AS n_pairs,
+       m * sxy - sx * sy AS r_num,
+       CAST(m * sxy - sx * sy AS DOUBLE)
+         / (SQRT(CAST(m * sxx - sx * sx AS DOUBLE))
+            * SQRT(CAST(m * syy - sy * sy AS DOUBLE))) AS acf
+FROM m ORDER BY 1
+"""
+
+
 _COR_CELL_MILLI = 10000  # 10-degree corridor raster cells
 
 
@@ -18650,6 +18750,7 @@ QUERIES = {
     "events_contact_assortativity": events_contact_assortativity,
     "events_user_gini": events_user_gini,
     "doc_length_lognormal": doc_length_lognormal,
+    "events_hourly_acf": events_hourly_acf,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -18864,6 +18965,7 @@ ORACLE_SQL = {
     "events_contact_assortativity": EVENTS_CONTACT_ASSORTATIVITY_SQL,
     "events_user_gini": EVENTS_USER_GINI_SQL,
     "doc_length_lognormal": DOC_LENGTH_LOGNORMAL_SQL,
+    "events_hourly_acf": EVENTS_HOURLY_ACF_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
