@@ -9836,7 +9836,9 @@ def events_contact_assortativity(sf_dir: str):
     sxx = int((dx * dx).sum())
     num = m * sxy - sx * sx
     den = m * sxx - sx * sx
-    r = float(np.float64(num) / np.float64(den))
+    # a regular graph (all degrees equal) has zero degree variance:
+    # assortativity is undefined -> NULL (NULLIF-mirrored in the SQL)
+    r = float(np.float64(num) / np.float64(den)) if den != 0 else None
     return pa.table(
         {
             "n_edges": pa.array([len(e1)], pa.int64()),
@@ -9881,7 +9883,8 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) AS n_edges,
        m.m * m.sxy - m.sx * m.sx AS r_num,
        m.m * m.sxx - m.sx * m.sx AS r_den,
        CAST(m.m * m.sxy - m.sx * m.sx AS DOUBLE)
-         / CAST(m.m * m.sxx - m.sx * m.sx AS DOUBLE) AS assortativity
+         / CAST(NULLIF(m.m * m.sxx - m.sx * m.sx, 0) AS DOUBLE)
+         AS assortativity
 FROM m
 """
 
