@@ -10145,6 +10145,99 @@ FROM m ORDER BY 1
 """
 
 
+def geo_std_ellipse(sf_dir: str):
+    """STANDARD DEVIATIONAL ELLIPSE of the document distribution (the
+    ArcGIS directional-distribution classic: centroid + axis variances +
+    orientation — is the corpus footprint stretched along a coastline or
+    isotropic?): ALL-INTEGER milli-degree moments (n, sx, sy, sxx, syy,
+    sxy), variance/covariance numerators by the n*sxx - sx^2 identity,
+    and the orientation emitted WITHOUT atan2 — tan(2*theta) =
+    2*cov/(var_x - var_y) is an EXACT rational of integer numerators
+    (the atan2 libm step is the caller's one-liner); one map-only
+    combiner pass. int64 bound: n * sum(x^2) with milli-degree coords is
+    safe to ~7e3 docs (3.2e18 at sf0.1); past that the moments center on
+    a running offset or widen to two limbs (documented hatch)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = (doc_id * 104729) % 360000
+        y = (doc_id * 7919) % 140000
+        return pa.table(
+            {
+                "one": pa.array([1], pa.int64()),
+                "n": pa.array([len(x)], pa.int64()),
+                "sx": pa.array([int(x.sum())], pa.int64()),
+                "sy": pa.array([int(y.sum())], pa.int64()),
+                "sxx": pa.array([int((x * x).sum())], pa.int64()),
+                "syy": pa.array([int((y * y).sum())], pa.int64()),
+                "sxy": pa.array([int((x * y).sum())], pa.int64()),
+            }
+        )
+
+    agg = _collect_table(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=131072)
+        .groupby("one")
+        .aggregate(
+            Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"), Sum("sxx", alias_name="sxx"),
+            Sum("syy", alias_name="syy"), Sum("sxy", alias_name="sxy"),
+        )
+    )
+    n = int(agg["n"][0].as_py())
+    sx = int(agg["sx"][0].as_py())
+    sy = int(agg["sy"][0].as_py())
+    sxx = int(agg["sxx"][0].as_py())
+    syy = int(agg["syy"][0].as_py())
+    sxy = int(agg["sxy"][0].as_py())
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    cov = n * sxy - sx * sy
+    return pa.table(
+        {
+            "n_docs": pa.array([n], pa.int64()),
+            "cx_milli": pa.array(
+                [float(np.float64(sx) / np.float64(n))], pa.float64()
+            ),
+            "cy_milli": pa.array(
+                [float(np.float64(sy) / np.float64(n))], pa.float64()
+            ),
+            "var_x_num": pa.array([var_x], pa.int64()),
+            "var_y_num": pa.array([var_y], pa.int64()),
+            "cov_num": pa.array([cov], pa.int64()),
+            "tan_2theta": pa.array(
+                [float(np.float64(2 * cov) / np.float64(var_x - var_y))],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+GEO_STD_ELLIPSE_SQL = """
+WITH pts AS (
+  SELECT (doc_id * 104729) % 360000 AS x, (doc_id * 7919) % 140000 AS y
+  FROM documents),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM pts)
+SELECT n AS n_docs,
+       CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS cx_milli,
+       CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS cy_milli,
+       n * sxx - sx * sx AS var_x_num,
+       n * syy - sy * sy AS var_y_num,
+       n * sxy - sx * sy AS cov_num,
+       CAST(2 * (n * sxy - sx * sy) AS DOUBLE)
+         / CAST((n * sxx - sx * sx) - (n * syy - sy * sy) AS DOUBLE)
+         AS tan_2theta
+FROM m
+"""
+
+
 _COR_CELL_MILLI = 10000  # 10-degree corridor raster cells
 
 
@@ -18754,6 +18847,7 @@ QUERIES = {
     "events_user_gini": events_user_gini,
     "doc_length_lognormal": doc_length_lognormal,
     "events_hourly_acf": events_hourly_acf,
+    "geo_std_ellipse": geo_std_ellipse,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -18969,6 +19063,7 @@ ORACLE_SQL = {
     "events_user_gini": EVENTS_USER_GINI_SQL,
     "doc_length_lognormal": DOC_LENGTH_LOGNORMAL_SQL,
     "events_hourly_acf": EVENTS_HOURLY_ACF_SQL,
+    "geo_std_ellipse": GEO_STD_ELLIPSE_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
