@@ -179,6 +179,7 @@ BENCH_QUERIES = [
     "doc_length_lognormal",
     "events_hourly_acf",
     "geo_std_ellipse",
+    "geo_ripley_k",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

@@ -10238,6 +10238,108 @@ FROM m
 """
 
 
+_RIPLEY_RMAX = 3.0  # Ripley K max radius (degrees)
+
+
+def geo_ripley_k(sf_dir: str):
+    """RIPLEY'S K FUNCTION (the canonical multi-scale point-pattern
+    statistic: K(r) vs pi*r^2 says clustered/random/dispersed AT EACH
+    radius — one number per scale where Moran/Gini give one number
+    total): cumulative pair counts within r = 1, 2, 3 deg from the
+    distance-band join (ONE shuffle at the largest radius), bands by
+    integer-exact d2-threshold comparisons (no sqrt), K(r) = A * 2 *
+    n_pairs(r) / n^2 with the study area A = 360*140 deg^2 — per radius
+    ONE double chain over exact integers (border correction omitted —
+    documented, mirrored)."""
+    from core_ray.stages.distband import distance_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def shape(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lat, lon = _derive_coords(doc_id)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_id, pa.int64()),
+                "lat": pa.array(lat, pa.float64()),
+                "lon": pa.array(lon, pa.float64()),
+            }
+        )
+
+    n = docs.count()
+    pairs = distance_pairs(
+        docs.map_batches(shape, batch_format="pyarrow"), _RIPLEY_RMAX
+    )
+
+    def band_partial(b: pa.Table) -> pa.Table:
+        d2 = b["sq_dist"].to_numpy(zero_copy_only=False)
+        band = np.where(d2 <= 1.0, 1, np.where(d2 <= 4.0, 2, 3))
+        u, c = np.unique(band, return_counts=True)
+        return pa.table(
+            {
+                "r": pa.array(u.astype(np.int64), pa.int64()),
+                "c": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = _collect_table(
+        pairs.map_batches(band_partial, batch_format="pyarrow")
+        .groupby("r")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+    rb = agg["r"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cb = agg["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+    counts = np.zeros(3, np.int64)
+    counts[rb - 1] = cb
+    cum = np.cumsum(counts)
+    area = 360.0 * 140.0
+    rows = []
+    for i, r in enumerate((1, 2, 3)):
+        k = float(
+            area * 2.0 * np.float64(int(cum[i]))
+            / (np.float64(n) * np.float64(n))
+        )
+        rows.append((r, int(cum[i]), k,
+                     float(np.pi * np.float64(r) * np.float64(r))))
+    return pa.table(
+        {
+            "r": pa.array([x[0] for x in rows], pa.int64()),
+            "n_pairs": pa.array([x[1] for x in rows], pa.int64()),
+            "k": pa.array([x[2] for x in rows], pa.float64()),
+            "csr_expect": pa.array([x[3] for x in rows], pa.float64()),
+        }
+    )
+
+
+GEO_RIPLEY_K_SQL = f"""
+WITH pts AS (
+  SELECT doc_id, {GEO_LAT_SQL} AS lat, {GEO_LON_SQL} AS lon FROM documents),
+pr AS (
+  SELECT (a.lat - b.lat) * (a.lat - b.lat)
+           + (a.lon - b.lon) * (a.lon - b.lon) AS d2
+  FROM pts a JOIN pts b
+    ON b.doc_id > a.doc_id
+   AND b.lat BETWEEN a.lat - {_RIPLEY_RMAX} AND a.lat + {_RIPLEY_RMAX}
+   AND b.lon BETWEEN a.lon - {_RIPLEY_RMAX} AND a.lon + {_RIPLEY_RMAX}
+  WHERE (a.lat - b.lat) * (a.lat - b.lat)
+          + (a.lon - b.lon) * (a.lon - b.lon)
+        <= {_RIPLEY_RMAX * _RIPLEY_RMAX}),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pts),
+cum AS (
+  SELECT r.r,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM pr
+          WHERE pr.d2 <= CAST(r.r * r.r AS DOUBLE)) AS n_pairs
+  FROM (SELECT UNNEST([1, 2, 3]) AS r) r)
+SELECT CAST(c.r AS BIGINT) AS r, c.n_pairs,
+       360.0 * 140.0 * 2.0 * CAST(c.n_pairs AS DOUBLE)
+         / (CAST(nn.n AS DOUBLE) * CAST(nn.n AS DOUBLE)) AS k,
+       PI() * CAST(c.r AS DOUBLE) * CAST(c.r AS DOUBLE) AS csr_expect
+FROM cum c CROSS JOIN nn
+"""
+
+
 _COR_CELL_MILLI = 10000  # 10-degree corridor raster cells
 
 
@@ -18848,6 +18950,7 @@ QUERIES = {
     "doc_length_lognormal": doc_length_lognormal,
     "events_hourly_acf": events_hourly_acf,
     "geo_std_ellipse": geo_std_ellipse,
+    "geo_ripley_k": geo_ripley_k,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -19064,6 +19167,7 @@ ORACLE_SQL = {
     "doc_length_lognormal": DOC_LENGTH_LOGNORMAL_SQL,
     "events_hourly_acf": EVENTS_HOURLY_ACF_SQL,
     "geo_std_ellipse": GEO_STD_ELLIPSE_SQL,
+    "geo_ripley_k": GEO_RIPLEY_K_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
