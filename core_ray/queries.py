@@ -10340,6 +10340,116 @@ FROM cum c CROSS JOIN nn
 """
 
 
+_CCF_A, _CCF_B = "click", "purchase"
+_CCF_LAGS = (0, 1, 2, 3)
+
+
+def events_type_ccf(sf_dir: str):
+    """CROSS-CORRELATION between the hourly '{A}' and '{B}' series at
+    lags 0-3 h ("does clicking lead purchasing, and by how long" — the
+    marketing-funnel lead-lag classic): both zero-filled hourly series
+    over the shared [min, max] span, Pearson r of (a_t, b_t+lag) pairs
+    from EXACT integer moments per lag, one two-sqrt chain each. One
+    packed (type-bit, hour) count pass bounded by the horizon."""
+    from core_ray.stages.agg import count_by_u64
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def pack(b: pa.Table) -> pa.Table:
+        ty = np.asarray(b["event_type"].to_pylist())
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        hour = us // 3600000000
+        is_a = ty == _CCF_A
+        is_b = ty == _CCF_B
+        keep = is_a | is_b
+        key = (
+            is_b[keep].astype(np.uint64) << np.uint64(40)
+        ) | hour[keep].astype(np.uint64)
+        return pa.table({"key": pa.array(key, pa.uint64())})
+
+    t = _collect_table(
+        count_by_u64(
+            ds.map_batches(pack, batch_format="pyarrow", batch_size=131072),
+            "key",
+        )
+    )  # <= 2 x horizon-hours rows by construction
+    key = t["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    c = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    is_b = (key >> np.uint64(40)).astype(bool)
+    hour = (key & np.uint64((1 << 40) - 1)).astype(np.int64)
+    h0, h1 = int(hour.min()), int(hour.max())
+    sa = np.zeros(h1 - h0 + 1, np.int64)
+    sb = np.zeros(h1 - h0 + 1, np.int64)
+    sa[hour[~is_b] - h0] = c[~is_b]
+    sb[hour[is_b] - h0] = c[is_b]
+
+    rows = []
+    for lag in _CCF_LAGS:
+        if len(sa) <= lag:
+            continue
+        x = sa[: len(sa) - lag] if lag else sa
+        y = sb[lag:]
+        m = len(x)
+        sx, sy = int(x.sum()), int(y.sum())
+        sxy = int((x * y).sum())
+        sxx = int((x * x).sum())
+        syy = int((y * y).sum())
+        num = m * sxy - sx * sy
+        r = float(
+            np.float64(num)
+            / (
+                np.sqrt(np.float64(m * sxx - sx * sx))
+                * np.sqrt(np.float64(m * syy - sy * sy))
+            )
+        )
+        rows.append((lag, m, num, r))
+    return pa.table(
+        {
+            "lag_h": pa.array([r[0] for r in rows], pa.int64()),
+            "n_pairs": pa.array([r[1] for r in rows], pa.int64()),
+            "r_num": pa.array([r[2] for r in rows], pa.int64()),
+            "ccf": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )
+
+
+_CCF_LAG_SQL = ", ".join(str(lag) for lag in _CCF_LAGS)
+
+EVENTS_TYPE_CCF_SQL = f"""
+WITH pts AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h FROM events
+  WHERE event_type IN ('{_CCF_A}', '{_CCF_B}')),
+cc AS (
+  SELECT h, CAST(COUNT(CASE WHEN event_type = '{_CCF_A}' THEN 1 END)
+                 AS BIGINT) AS a,
+         CAST(COUNT(CASE WHEN event_type = '{_CCF_B}' THEN 1 END)
+              AS BIGINT) AS b
+  FROM pts GROUP BY 1),
+span AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM cc),
+grid AS (
+  SELECT g.h, COALESCE(cc.a, 0) AS a, COALESCE(cc.b, 0) AS b
+  FROM (SELECT UNNEST(generate_series((SELECT h0 FROM span),
+                                      (SELECT h1 FROM span))) AS h) g
+  LEFT JOIN cc ON cc.h = g.h),
+lags AS (SELECT UNNEST([{_CCF_LAG_SQL}]) AS lag),
+pairs AS (
+  SELECT l.lag, x.a AS x, y.b AS y
+  FROM lags l JOIN grid x ON TRUE JOIN grid y ON y.h = x.h + l.lag),
+m AS (
+  SELECT lag, CAST(COUNT(*) AS BIGINT) AS m, CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM pairs GROUP BY 1)
+SELECT CAST(lag AS BIGINT) AS lag_h, m AS n_pairs,
+       m * sxy - sx * sy AS r_num,
+       CAST(m * sxy - sx * sy AS DOUBLE)
+         / (SQRT(CAST(m * sxx - sx * sx AS DOUBLE))
+            * SQRT(CAST(m * syy - sy * sy AS DOUBLE))) AS ccf
+FROM m ORDER BY 1
+"""
+
+
 _COR_CELL_MILLI = 10000  # 10-degree corridor raster cells
 
 
@@ -18951,6 +19061,7 @@ QUERIES = {
     "events_hourly_acf": events_hourly_acf,
     "geo_std_ellipse": geo_std_ellipse,
     "geo_ripley_k": geo_ripley_k,
+    "events_type_ccf": events_type_ccf,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -19168,6 +19279,7 @@ ORACLE_SQL = {
     "events_hourly_acf": EVENTS_HOURLY_ACF_SQL,
     "geo_std_ellipse": GEO_STD_ELLIPSE_SQL,
     "geo_ripley_k": GEO_RIPLEY_K_SQL,
+    "events_type_ccf": EVENTS_TYPE_CCF_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
