@@ -181,6 +181,7 @@ BENCH_QUERIES = [
     "geo_std_ellipse",
     "geo_ripley_k",
     "events_type_ccf",
+    "geo_type_hhi",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

@@ -10450,6 +10450,93 @@ FROM m ORDER BY 1
 """
 
 
+def geo_type_hhi(sf_dir: str):
+    """HERFINDAHL-HIRSCHMAN INDEX of event-type concentration per 10-deg
+    cell (the antitrust-standard concentration ratio applied to behavior
+    mix: 1 = single-activity cell, 1/k = perfectly mixed): HHI =
+    sum(c_t^2)/n^2 is EXACTLY rational — integer numerator/denominator
+    from one packed (cell, type) count pass (bounded), one double
+    division; no quantizer anywhere (the Simpson-index trick on squared
+    shares)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from core_ray.stages.agg import count_by_u64
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+
+    def type_partial(b: pa.Table) -> pa.Table:
+        u = np.unique(np.asarray(b["event_type"].to_pylist()))
+        return pa.table({"event_type": pa.array(u.tolist(), pa.string()),
+                         "one": pa.array(np.ones(len(u), np.int64))})
+
+    ty_t = _collect_table(
+        ds.select_columns(["event_type"])
+        .map_batches(type_partial, batch_format="pyarrow", batch_size=131072)
+        .groupby("event_type")
+        .aggregate(Sum("one", alias_name="n"))
+    )
+    types = np.sort(np.asarray(ty_t["event_type"].to_pylist()))
+    ty_ref = ray.put(types)
+
+    def pack(b: pa.Table) -> pa.Table:
+        ts = ray.get(ty_ref)
+        eid = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(ts, np.asarray(b["event_type"].to_pylist()))
+        gx = ((eid * 104729) % 360000) // _GE_CELL_MILLI
+        gy = ((eid * 7919) % 140000) // _GE_CELL_MILLI
+        key = (idx.astype(np.uint64) << np.uint64(16)) | (
+            (gx * 1024 + gy).astype(np.uint64)
+        )
+        return pa.table({"key": pa.array(key, pa.uint64())})
+
+    t = _collect_table(
+        count_by_u64(
+            ds.map_batches(pack, batch_format="pyarrow", batch_size=131072),
+            "key",
+        )
+    )  # <= types x 504 rows by construction
+    key = t["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    c = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cell = (key & np.uint64((1 << 16) - 1)).astype(np.int64)
+    cells = np.unique(cell)
+    pos = np.searchsorted(cells, cell)
+    n_c = np.zeros(len(cells), np.int64)
+    sq = np.zeros(len(cells), np.int64)
+    np.add.at(n_c, pos, c)
+    np.add.at(sq, pos, c * c)
+    return pa.table(
+        {
+            "gx": pa.array(cells // 1024, pa.int64()),
+            "gy": pa.array(cells % 1024, pa.int64()),
+            "n_events": pa.array(n_c, pa.int64()),
+            "sumsq": pa.array(sq, pa.int64()),
+            "hhi": pa.array(
+                sq.astype(np.float64) / (n_c * n_c).astype(np.float64),
+                pa.float64(),
+            ),
+        }
+    )
+
+
+GEO_TYPE_HHI_SQL = f"""
+WITH pts AS (
+  SELECT event_type,
+         ((event_id * 104729) % 360000) // {_GE_CELL_MILLI} AS gx,
+         ((event_id * 7919) % 140000) // {_GE_CELL_MILLI} AS gy
+  FROM events),
+cc AS (SELECT gx, gy, event_type, CAST(COUNT(*) AS BIGINT) AS c
+       FROM pts GROUP BY 1, 2, 3),
+per AS (
+  SELECT gx, gy, CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(c * c) AS BIGINT) AS sq
+  FROM cc GROUP BY 1, 2)
+SELECT gx, gy, n AS n_events, sq AS sumsq,
+       CAST(sq AS DOUBLE) / CAST(n * n AS DOUBLE) AS hhi
+FROM per
+"""
+
+
 _COR_CELL_MILLI = 10000  # 10-degree corridor raster cells
 
 
@@ -19062,6 +19149,7 @@ QUERIES = {
     "geo_std_ellipse": geo_std_ellipse,
     "geo_ripley_k": geo_ripley_k,
     "events_type_ccf": events_type_ccf,
+    "geo_type_hhi": geo_type_hhi,
     "geo_hexbin": geo_hexbin,
     "doc_repetition": doc_repetition,
     "geo_rect_cover": geo_rect_cover,
@@ -19280,6 +19368,7 @@ ORACLE_SQL = {
     "geo_std_ellipse": GEO_STD_ELLIPSE_SQL,
     "geo_ripley_k": GEO_RIPLEY_K_SQL,
     "events_type_ccf": EVENTS_TYPE_CCF_SQL,
+    "geo_type_hhi": GEO_TYPE_HHI_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "geo_rect_cover": GEO_RECT_COVER_SQL,
