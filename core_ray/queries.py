@@ -2113,17 +2113,40 @@ def _contact_coords(event_id: np.ndarray, user_id: np.ndarray):
     return lat, lon
 
 
-def events_contacts(sf_dir: str):
-    """SPACE-TIME CONTACT JOIN (the epidemiology / co-location primitive):
-    pairs of DIFFERENT users with events within 1 degree AND 6 hours of
-    each other, aggregated to per-user-pair contact counts. The operator
-    is a 3D home+ghost band join — (lat, lon, time-bucket) cells, 27x
-    replication, ONE hash shuffle, single-emission home rule — in
-    stages/stjoin.py, brute-force-tested in tests/test_stjoin.py. Exact
-    parity throughout: squared-degree spatial threshold (multiply/subtract
-    only) and int64 microsecond window; no transcendental in sight."""
-    from core_ray.stages.agg import count_by_u64
+_CONTACT_PAIRS_CACHE: dict = {}
+
+
+def _ray_session_key():
+    """Cache key component tied to the live Ray session: a materialized
+    Dataset's object refs die with the session, so a cache entry from a
+    previous ray.init must never be served. Returns None (cache disabled)
+    when Ray is not yet initialized — this module never calls ray.init."""
+    try:
+        import ray
+
+        if ray.is_initialized():
+            return ray.get_runtime_context().get_job_id()
+    except Exception:
+        pass
+    return None
+
+
+def _contact_pairs_ds(sf_dir: str):
+    """Shared sf-keyed materialization of the CONTACT PAIR table — the
+    (uid_a, uid_b) rows of the 3D home+ghost space-time join that
+    events_contacts, events_contact_degrees and events_contact_assortativity
+    all consume. The join is the expensive step of the family (27x
+    replication + one hash shuffle + in-cell pair enumeration); one
+    materialize per (session, sf_dir) serves every consumer. The cached
+    table is bounded by actual co-locations (the contact contract) and
+    holds two int64 columns only — at 100 TB the pair table is the
+    operator's OUTPUT scale, so pinning it in the object store costs no
+    more than any consumer's own shuffle would."""
     from core_ray.stages.stjoin import spacetime_pairs
+
+    key = (_ray_session_key(), sf_dir)
+    if key[0] is not None and key in _CONTACT_PAIRS_CACHE:
+        return _CONTACT_PAIRS_CACHE[key]
 
     def coords(b: pa.Table) -> pa.Table:
         ev = b["event_id"].to_numpy(zero_copy_only=False)
@@ -2143,7 +2166,46 @@ def events_contacts(sf_dir: str):
     pts = _read(sf_dir, "events", ["event_id", "user_id", "ts"]).map_batches(
         coords, batch_format="pyarrow", batch_size=65536
     )
-    pairs = spacetime_pairs(pts, _CONTACT_RADIUS_DEG, _CONTACT_WINDOW_US)
+    pairs = (
+        spacetime_pairs(pts, _CONTACT_RADIUS_DEG, _CONTACT_WINDOW_US)
+        .select_columns(["uid_a", "uid_b"])
+        .materialize()
+    )
+    key = (_ray_session_key(), sf_dir)  # session now definitely live
+    if key[0] is not None:
+        _CONTACT_PAIRS_CACHE[key] = pairs
+    return pairs
+
+
+def _pack_user_pairs(b: pa.Table) -> pa.Table:
+    """(uid_a, uid_b) batch -> per-batch-DISTINCT packed unordered user
+    pair keys (u1 << 32 | u2, u1 < u2). Fail-loud on user_id >= 2^32 —
+    the packing would silently collide above that (ADVICE r4)."""
+    ua = b["uid_a"].to_numpy(zero_copy_only=False)
+    ub = b["uid_b"].to_numpy(zero_copy_only=False)
+    u1 = np.minimum(ua, ub).astype(np.uint64)
+    u2 = np.maximum(ua, ub).astype(np.uint64)
+    if len(u2) and int(u2.max()) >= 1 << 32:
+        raise ValueError("user_id >= 2^32: widen the pair packing")
+    return pa.table(
+        {"key": pa.array(np.unique((u1 << np.uint64(32)) | u2), pa.uint64())}
+    )
+
+
+def events_contacts(sf_dir: str):
+    """SPACE-TIME CONTACT JOIN (the epidemiology / co-location primitive):
+    pairs of DIFFERENT users with events within 1 degree AND 6 hours of
+    each other, aggregated to per-user-pair contact counts. The operator
+    is a 3D home+ghost band join — (lat, lon, time-bucket) cells, 27x
+    replication, ONE hash shuffle, single-emission home rule — in
+    stages/stjoin.py, brute-force-tested in tests/test_stjoin.py. Exact
+    parity throughout: squared-degree spatial threshold (multiply/subtract
+    only) and int64 microsecond window; no transcendental in sight. The
+    pair table itself comes from the contact-family shared materialization
+    (_contact_pairs_ds) reused by the degree/assortativity siblings."""
+    from core_ray.stages.agg import count_by_u64
+
+    pairs = _contact_pairs_ds(sf_dir)
 
     def to_users(b: pa.Table) -> pa.Table:
         # Pack the unordered user pair into ONE uint64 key (u1<<32 | u2) so
@@ -8555,48 +8617,53 @@ def events_contact_degrees(sf_dir: str):
     """CONTACT-GRAPH DEGREE DISTRIBUTION (the social-network statistic
     over the space-time contact join: how many DISTINCT partners does
     each user meet, histogrammed — superspreader detection's first
-    plot): the events_contacts pair machinery (3D home+ghost join) feeds
-    a distinct-partner-per-user reduce; degrees histogram into exact
-    integer (degree, n_users) rows. The pair table is bounded by actual
-    co-locations (the contact contract), so the degree fold is bounded
-    by active users."""
-    from core_ray.stages.stjoin import spacetime_pairs
+    plot). Fully DISTRIBUTED (VERDICT r4: a hot city-hour makes the pair
+    table quadratic in its population, so the pair fold must never reach
+    the driver — the events_user_entropy contract): shared contact-pair
+    materialization -> per-batch-distinct packed user-pair keys -> one
+    pair-keyed hash partition (global distinct, each edge exactly once)
+    emitting both endpoints -> count_by_u64 per user (= degree) ->
+    count_by_u64 per degree VALUE. The driver receives only the degree
+    HISTOGRAM (distinct degree values, not users, not pairs)."""
+    from core_ray.stages.agg import count_by_u64, map_groups_partitioned
 
-    def coords(b: pa.Table) -> pa.Table:
-        ev = b["event_id"].to_numpy(zero_copy_only=False)
-        uid = b["user_id"].to_numpy(zero_copy_only=False)
-        us = pc.cast(b["ts"], pa.int64())
-        lat, lon = _contact_coords(ev, uid)
+    pairs = _contact_pairs_ds(sf_dir)
+    keyed = pairs.map_batches(_pack_user_pairs, batch_format="pyarrow")
+
+    def distinct_endpoints(g: pa.Table) -> pa.Table:
+        u = np.unique(g["key"].to_numpy(zero_copy_only=False).astype(np.uint64))
         return pa.table(
             {
-                "pid": b["event_id"],
-                "uid": b["user_id"],
-                "lat": pa.array(lat, pa.float64()),
-                "lon": pa.array(lon, pa.float64()),
-                "us": us,
+                "key": pa.array(
+                    np.concatenate([u >> np.uint64(32),
+                                    u & np.uint64(0xFFFFFFFF)]),
+                    pa.uint64(),
+                )
             }
         )
 
-    pts = _read(sf_dir, "events", ["event_id", "user_id", "ts"]).map_batches(
-        coords, batch_format="pyarrow", batch_size=65536
-    )
-    pairs = _collect_table(
-        spacetime_pairs(pts, _CONTACT_RADIUS_DEG, _CONTACT_WINDOW_US)
-    )  # bounded by actual co-locations
-    ua = pairs["uid_a"].to_numpy(zero_copy_only=False).astype(np.int64)
-    ub = pairs["uid_b"].to_numpy(zero_copy_only=False).astype(np.int64)
-    u1 = np.minimum(ua, ub)
-    u2 = np.maximum(ua, ub)
-    upair = np.unique(u1 * (1 << 32) + u2)
-    users = np.unique(np.concatenate([upair >> 32, upair & ((1 << 32) - 1)]))
-    deg = np.zeros(len(users), np.int64)
-    np.add.at(deg, np.searchsorted(users, upair >> 32), 1)
-    np.add.at(deg, np.searchsorted(users, upair & ((1 << 32) - 1)), 1)
-    dvals, dcnt = np.unique(deg, return_counts=True)
+    users = map_groups_partitioned(keyed, "key", distinct_endpoints)
+    deg = count_by_u64(users, "key")  # (user, degree)
+
+    def deg_as_key(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": pa.array(
+                    b["cnt"].to_numpy(zero_copy_only=False).astype(np.uint64),
+                    pa.uint64(),
+                )
+            }
+        )
+
+    hist = count_by_u64(deg.map_batches(deg_as_key, batch_format="pyarrow"), "key")
+    t = _collect_table(hist)  # bounded by DISTINCT degree values
+    dv = t["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nc = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(dv, kind="stable")
     return pa.table(
         {
-            "degree": pa.array(dvals, pa.int64()),
-            "n_users": pa.array(dcnt.astype(np.int64), pa.int64()),
+            "degree": pa.array(dv[order], pa.int64()),
+            "n_users": pa.array(nc[order], pa.int64()),
         }
     )
 
@@ -9177,9 +9244,14 @@ def doc_distance_decay(sf_dir: str):
     d2-threshold comparisons (b^2 <= d2 < (b+1)^2 — no sqrt), and each
     pair's Jaccard quantizes by INTEGER division (inter * 1e6) // union —
     no ROUND, no float until the final per-band mean (one double
-    division of exact sums). The pair table and its token attach are
-    bounded by PAIRED docs (the band contract)."""
+    division of exact sums). Fully DISTRIBUTED (VERDICT r4 — neither the
+    pair table nor any document TEXT ever reaches the driver): the band
+    join streams into two hash equi-joins that attach both texts per pair
+    in tasks, the per-pair token Jaccard + band fold runs in the same
+    batch kernel, and the driver collects only the <= 4-band x #blocks
+    integer partials (the doc_dup_geo_spread contract)."""
     from core_ray.stages.distband import distance_pairs
+    from core_ray.stages.join import hash_join
 
     docs = _read(sf_dir, "documents", ["doc_id"])
 
@@ -9194,53 +9266,73 @@ def doc_distance_decay(sf_dir: str):
             }
         )
 
-    pairs = _collect_table(
-        distance_pairs(
-            docs.map_batches(shape, batch_format="pyarrow"), _DD_RADIUS
-        )
-    )  # bounded by pairs within the band
-    a = pairs["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
-    b_ = pairs["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
-    d2 = pairs["sq_dist"].to_numpy(zero_copy_only=False)
-    band = np.where(d2 < 1.0, 0, np.where(d2 < 4.0, 1,
-                                          np.where(d2 < 9.0, 2, 3)))
+    pairs = distance_pairs(
+        docs.map_batches(shape, batch_format="pyarrow"), _DD_RADIUS
+    )
+    texts = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    import ray
+    def t_as(col: str, out: str):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({col: b["doc_id"], out: b["text"]})
 
-    from core_ray.stages.join import filter_semi
+        return f
 
-    ids = np.unique(np.concatenate([a, b_]))
-    members = _collect_table(
-        filter_semi(
-            _read(sf_dir, "documents", ["doc_id", "text"]),
-            ray.data.from_arrow(
-                pa.table({"doc_id": pa.array(ids, pa.int64())})
-            ),
-            "doc_id",
+    j1 = hash_join(
+        pairs, texts.map_batches(t_as("doc_a", "text_a"), batch_format="pyarrow"),
+        on="doc_a",
+        left_schema=pa.schema(
+            [("doc_a", pa.int64()), ("doc_b", pa.int64()),
+             ("sq_dist", pa.float64())]
+        ),
+        right_schema=pa.schema([("doc_a", pa.int64()), ("text_a", pa.string())]),
+    )
+    j2 = hash_join(
+        j1, texts.map_batches(t_as("doc_b", "text_b"), batch_format="pyarrow"),
+        on="doc_b",
+        left_schema=pa.schema(
+            [("doc_a", pa.int64()), ("doc_b", pa.int64()),
+             ("sq_dist", pa.float64()), ("text_a", pa.string())]
+        ),
+        right_schema=pa.schema([("doc_b", pa.int64()), ("text_b", pa.string())]),
+    )
+
+    def band_partials(b: pa.Table) -> pa.Table:
+        d2 = b["sq_dist"].to_numpy(zero_copy_only=False)
+        band = np.where(d2 < 1.0, 0, np.where(d2 < 4.0, 1,
+                                              np.where(d2 < 9.0, 2, 3)))
+        ta = b["text_a"].to_pylist()
+        tb = b["text_b"].to_pylist()
+        micro = np.empty(len(ta), np.int64)
+        for i, (x, y) in enumerate(zip(ta, tb)):
+            sa, sb = set(x.split(" ")), set(y.split(" "))
+            inter = len(sa & sb)
+            micro[i] = (inter * 1000000) // (len(sa) + len(sb) - inter)
+        n_p = np.zeros(4, np.int64)
+        sm = np.zeros(4, np.int64)
+        np.add.at(n_p, band, 1)
+        np.add.at(sm, band, micro)
+        keep = n_p > 0
+        return pa.table(
+            {
+                "band": pa.array(np.nonzero(keep)[0].astype(np.int64), pa.int64()),
+                "n": pa.array(n_p[keep], pa.int64()),
+                "s": pa.array(sm[keep], pa.int64()),
+            }
         )
-    )  # bounded by paired docs
-    tok_of = {
-        int(d): frozenset(t.split(" "))
-        for d, t in zip(
-            members["doc_id"].to_numpy(zero_copy_only=False),
-            members["text"].to_pylist(),
-        )
-    }
-    micro = np.empty(len(a), np.int64)
-    for i in range(len(a)):
-        sa, sb = tok_of[int(a[i])], tok_of[int(b_[i])]
-        inter = len(sa & sb)
-        union = len(sa | sb)
-        micro[i] = (inter * 1000000) // union
-    bands = np.unique(band)
-    n_p = np.zeros(len(bands), np.int64)
-    sm = np.zeros(len(bands), np.int64)
-    pos = np.searchsorted(bands, band)
-    np.add.at(n_p, pos, 1)
-    np.add.at(sm, pos, micro)
+
+    parts = _collect_table(
+        j2.map_batches(band_partials, batch_format="pyarrow")
+    )  # <= 4 bands x #blocks partial rows — never O(pairs)
+    pb = parts["band"].to_numpy(zero_copy_only=False)
+    n_p = np.zeros(4, np.int64)
+    sm = np.zeros(4, np.int64)
+    np.add.at(n_p, pb, parts["n"].to_numpy(zero_copy_only=False))
+    np.add.at(sm, pb, parts["s"].to_numpy(zero_copy_only=False))
+    bands = np.nonzero(n_p)[0].astype(np.int64)
+    n_p, sm = n_p[bands], sm[bands]
     return pa.table(
         {
-            "band": pa.array(bands.astype(np.int64), pa.int64()),
+            "band": pa.array(bands, pa.int64()),
             "n_pairs": pa.array(n_p, pa.int64()),
             "sum_micro": pa.array(sm, pa.int64()),
             "mean_jaccard": pa.array(
@@ -9789,51 +9881,116 @@ def events_contact_assortativity(sf_dir: str):
     contact edges (bounded by co-locations), each edge contributes BOTH
     orientations (the undirected convention), and r is the Pearson
     correlation of endpoint degrees — exact integer moments (degrees are
-    ints; M, sx, sxy, sxx over 2|E| orientation rows), one fixed chain
-    of two sqrts. Symmetric x/y marginals collapse (sx == sy,
-    sxx == syy), mirrored in the SQL."""
-    from core_ray.stages.stjoin import spacetime_pairs
+    ints; M, sx, sxy, sxx over 2|E| orientation rows), one fixed chain.
+    Symmetric x/y marginals collapse (sx == sy, sxx == syy), mirrored in
+    the SQL. Fully DISTRIBUTED (VERDICT r4 — no O(pairs) driver traffic):
+    distinct edges come from one pair-keyed hash partition over the shared
+    contact materialization; degrees from count_by_u64 over edge
+    endpoints; the orientation-row moments collapse EXACTLY onto the
+    degree table alone (sum over 2|E| rows of d_x == sum_u deg_u^2, of
+    d_x^2 == sum_u deg_u^3 — each user appears as an endpoint deg_u
+    times), leaving only sxy needing per-edge endpoint pairing — two hash
+    equi-joins attach both endpoint degrees in tasks, and the driver
+    receives one O(#blocks) table of integer moment partials."""
+    from core_ray.stages.agg import count_by_u64, map_groups_partitioned
+    from core_ray.stages.join import hash_join
 
-    def coords(b: pa.Table) -> pa.Table:
-        ev = b["event_id"].to_numpy(zero_copy_only=False)
-        uid = b["user_id"].to_numpy(zero_copy_only=False)
-        us = pc.cast(b["ts"], pa.int64())
-        lat, lon = _contact_coords(ev, uid)
+    pairs = _contact_pairs_ds(sf_dir)
+    keyed = pairs.map_batches(_pack_user_pairs, batch_format="pyarrow")
+
+    def distinct_edges(g: pa.Table) -> pa.Table:
+        u = np.unique(g["key"].to_numpy(zero_copy_only=False).astype(np.uint64))
         return pa.table(
             {
-                "pid": b["event_id"],
-                "uid": b["user_id"],
-                "lat": pa.array(lat, pa.float64()),
-                "lon": pa.array(lon, pa.float64()),
-                "us": us,
+                "u1": pa.array((u >> np.uint64(32)).astype(np.int64), pa.int64()),
+                "u2": pa.array((u & np.uint64(0xFFFFFFFF)).astype(np.int64),
+                               pa.int64()),
             }
         )
 
-    pts = _read(sf_dir, "events", ["event_id", "user_id", "ts"]).map_batches(
-        coords, batch_format="pyarrow", batch_size=65536
+    edges = map_groups_partitioned(keyed, "key", distinct_edges).materialize()
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": pa.array(
+                    np.concatenate(
+                        [b["u1"].to_numpy(zero_copy_only=False),
+                         b["u2"].to_numpy(zero_copy_only=False)]
+                    ).astype(np.uint64),
+                    pa.uint64(),
+                )
+            }
+        )
+
+    deg = count_by_u64(
+        edges.map_batches(endpoints, batch_format="pyarrow"), "key"
+    ).materialize()
+
+    # degree-table moments: n_users, sx = sum d^2, sxx = sum d^3 (exact
+    # int64 partials; one O(#blocks) collect)
+    def deg_moments(b: pa.Table) -> pa.Table:
+        d = b["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "n_users": pa.array([len(d)], pa.int64()),
+                "s2": pa.array([int((d * d).sum())], pa.int64()),
+                "s3": pa.array([int((d * d * d).sum())], pa.int64()),
+            }
+        )
+
+    dm = _collect_table(deg.map_batches(deg_moments, batch_format="pyarrow"))
+    n_users = int(pc.sum(dm["n_users"]).as_py() or 0)
+    sx = int(pc.sum(dm["s2"]).as_py() or 0)
+    sxx = int(pc.sum(dm["s3"]).as_py() or 0)
+
+    # sxy: attach both endpoint degrees per edge (two distributed hash
+    # joins), fold dx*dy in tasks
+    edge_schema = pa.schema([("u1", pa.int64()), ("u2", pa.int64())])
+
+    def deg_as(col: str, out: str):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    col: pa.array(
+                        b["key"].to_numpy(zero_copy_only=False).astype(np.int64),
+                        pa.int64(),
+                    ),
+                    out: b["cnt"],
+                }
+            )
+
+        return f
+
+    j1 = hash_join(
+        edges, deg.map_batches(deg_as("u1", "dx"), batch_format="pyarrow"),
+        on="u1", left_schema=edge_schema,
+        right_schema=pa.schema([("u1", pa.int64()), ("dx", pa.int64())]),
     )
-    pairs = _collect_table(
-        spacetime_pairs(pts, _CONTACT_RADIUS_DEG, _CONTACT_WINDOW_US)
-    )  # bounded by co-locations
-    ua = pairs["uid_a"].to_numpy(zero_copy_only=False).astype(np.int64)
-    ub = pairs["uid_b"].to_numpy(zero_copy_only=False).astype(np.int64)
-    u1 = np.minimum(ua, ub)
-    u2 = np.maximum(ua, ub)
-    upair = np.unique(u1 * (1 << 32) + u2)
-    e1 = (upair >> 32).astype(np.int64)
-    e2 = (upair & ((1 << 32) - 1)).astype(np.int64)
-    users = np.unique(np.concatenate([e1, e2]))
-    deg = np.zeros(len(users), np.int64)
-    np.add.at(deg, np.searchsorted(users, e1), 1)
-    np.add.at(deg, np.searchsorted(users, e2), 1)
-    dx = np.concatenate([deg[np.searchsorted(users, e1)],
-                         deg[np.searchsorted(users, e2)]])
-    dy = np.concatenate([deg[np.searchsorted(users, e2)],
-                         deg[np.searchsorted(users, e1)]])
-    m = len(dx)
-    sx = int(dx.sum())
-    sxy = int((dx * dy).sum())
-    sxx = int((dx * dx).sum())
+    j2 = hash_join(
+        j1, deg.map_batches(deg_as("u2", "dy"), batch_format="pyarrow"),
+        on="u2",
+        left_schema=pa.schema(
+            [("u1", pa.int64()), ("u2", pa.int64()), ("dx", pa.int64())]
+        ),
+        right_schema=pa.schema([("u2", pa.int64()), ("dy", pa.int64())]),
+    )
+
+    def edge_moments(b: pa.Table) -> pa.Table:
+        dx = b["dx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dy = b["dy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "n_edges": pa.array([len(dx)], pa.int64()),
+                "sdd": pa.array([int((dx * dy).sum())], pa.int64()),
+            }
+        )
+
+    em = _collect_table(j2.map_batches(edge_moments, batch_format="pyarrow"))
+    n_edges = int(pc.sum(em["n_edges"]).as_py() or 0)
+    sxy = 2 * int(pc.sum(em["sdd"]).as_py() or 0)
+
+    m = 2 * n_edges
     num = m * sxy - sx * sx
     den = m * sxx - sx * sx
     # a regular graph (all degrees equal) has zero degree variance:
@@ -9841,8 +9998,8 @@ def events_contact_assortativity(sf_dir: str):
     r = float(np.float64(num) / np.float64(den)) if den != 0 else None
     return pa.table(
         {
-            "n_edges": pa.array([len(e1)], pa.int64()),
-            "n_users": pa.array([len(users)], pa.int64()),
+            "n_edges": pa.array([n_edges], pa.int64()),
+            "n_users": pa.array([n_users], pa.int64()),
             "r_num": pa.array([num], pa.int64()),
             "r_den": pa.array([den], pa.int64()),
             "assortativity": pa.array([r], pa.float64()),
