@@ -65,7 +65,8 @@ def curate_corpus(ds, out_dir: str | None = None, *,
                   near_dup_threshold: float = 0.5,
                   min_words: int = 25,
                   max_top_word_frac: float = 0.12,
-                  drop_broadcast_max: int = 2_000_000) -> CurationResult:
+                  drop_broadcast_max: int = 2_000_000,
+                  clusters=None) -> CurationResult:
     """Dataset[documents(doc_id, text, lang, n_chars, ...)] -> curated
     Dataset[(doc_id, lang, bucket)] (+ partitioned parquet when ``out_dir``
     is given). The drop set (non-representative near-dup members) is
@@ -82,9 +83,12 @@ def curate_corpus(ds, out_dir: str | None = None, *,
 
     stats: dict = {"n_input": ds.count()}
 
-    # ---- near-dup (and exact-dup, via star pairs) drop set
-    pairs = minhash_near_dups(ds, threshold=near_dup_threshold)
-    clusters = connected_components(pairs, src="id_a", dst="id_b")
+    # ---- near-dup (and exact-dup, via star pairs) drop set; callers with
+    # a precomputed / cached cluster table (queries._dup_clusters) pass it
+    # in to skip re-running the minhash -> banding -> pairs -> CC chain
+    if clusters is None:
+        pairs = minhash_near_dups(ds, threshold=near_dup_threshold)
+        clusters = connected_components(pairs, src="id_a", dst="id_b")
     drop_ds = clusters.map_batches(
         lambda b: pa.table(
             {"doc_id": b["node"].filter(pc.not_equal(b["node"], b["comp"]))}
