@@ -12569,134 +12569,136 @@ FROM per
 
 
 # ---------------------------------------------------------------- multimodal
-# stub: opaque binary column + typed metadata through a real actor-pool stage
-# (decode itself is a deterministic fake — no image libs in this env; the
-# Ray-side plumbing, schema and batching are real and tested).
+# REAL image leg (round 5 — replaces the r4 integer-arithmetic stubs): the
+# media column carries real encoded BMP payloads (core_ray/media/bmp.py, a
+# from-scratch public-format codec — no image libraries in this env, none
+# needed for uncompressed BI_RGB), and every stage decodes real pixels.
+# Oracle: an INDEPENDENT pure-Python implementation (fixtures/media_golden.py,
+# dict/loop style — the docs_golden pattern) writes a golden parquet that the
+# SQL reads; the two codecs are additionally cross-checked byte-for-byte in
+# tests/test_media.py. Reference analog for "real heavy per-doc kernel":
+# pkg/parser/strategies/shared/jstest/parser.go:160-483.
 
 
-class MediaDecodeStub:
-    """(id, media: binary) -> (id, media_bytes, width, height, feature[8]).
+def _media_blobs(sf_dir: str):
+    """documents -> (doc_id, media: binary) with REAL encoded BMP payloads
+    (media/ops.synth_image -> media/bmp.encode_bmp): the deterministic
+    synthetic stand-in for a crawl's image column. Generated in tasks —
+    at 100 TB the blobs come off storage instead; everything downstream
+    is payload-source-agnostic."""
+    from core_ray.media import encode_bmp, synth_image
 
-    A real decoder would replace _fake_decode in __call__ only; the actor
-    signature, batch sizing, and output schema are the production shape. The
-    fake is pure integer arithmetic over (doc_id, blob length) — fully
-    vectorized AND SQL-mirrorable, so even the stub is oracle-checked.
-    """
+    ds = _read(sf_dir, "documents", ["doc_id"])
 
-    def __init__(self, feat_dim: int = 8):
-        self.feat_dim = feat_dim
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        blobs = [encode_bmp(synth_image(int(i))) for i in ids]
+        return pa.table(
+            {"doc_id": b["doc_id"], "media": pa.array(blobs, pa.binary())}
+        )
+
+    return ds.map_batches(synth, batch_format="pyarrow", batch_size=2048)
+
+
+class MediaDecode:
+    """REAL decode+featurize actor: (doc_id, media: binary BMP) ->
+    (doc_id, media_bytes, width, height, feature[8]). Decodes actual
+    pixels per row (numpy frombuffer/reshape — the per-image kernel is
+    vectorized; the per-row loop is the decode kernel itself, same class
+    as the text analyzers) and emits the 4x2 block-luma feature vector.
+    Small batches + actor pool because decoded pixels are ~16x the blob."""
+
+    def __init__(self):
+        from core_ray.media import decode_bmp, feature_cells, gray_of
+
+        self._decode, self._gray, self._feat = decode_bmp, gray_of, feature_cells
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        nb = np.array([len(b) for b in batch["media"].to_pylist()], dtype=np.int64)
-        doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
-        hv = (doc_id * 2654435761 + nb * 97) % 4294967296
-        width = (16 + hv % 256).astype(np.int32)
-        height = (16 + (hv // 256) % 256).astype(np.int32)
-        # feature[d] = ((hv * (d+1) * 40503) % 100000) / 1e5  (d = 0..dim-1)
-        d = np.arange(1, self.feat_dim + 1, dtype=np.int64)
-        feats = ((hv[:, None] * d[None, :] * 40503) % 100000) / 100000.0
+        blobs = batch["media"].to_pylist()
+        nb = np.empty(len(blobs), np.int64)
+        w = np.empty(len(blobs), np.int32)
+        h = np.empty(len(blobs), np.int32)
+        feats = []
+        for i, blob in enumerate(blobs):
+            img = self._decode(blob)
+            nb[i] = len(blob)
+            h[i], w[i] = img.shape[:2]
+            feats.append(self._feat(self._gray(img)))
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
                 "media_bytes": pa.array(nb, pa.int64()),
-                "width": pa.array(width, pa.int32()),
-                "height": pa.array(height, pa.int32()),
+                "width": pa.array(w, pa.int32()),
+                "height": pa.array(h, pa.int32()),
                 # list child named "l" to byte-match the SQL oracle's Arrow
                 # export (DuckDB names list children "l"; the driver hash is
                 # schema-type-sensitive)
                 "feature": pa.array(
-                    feats.tolist(), pa.list_(pa.field("l", pa.float64()))
+                    feats, pa.list_(pa.field("l", pa.float64()))
                 ),
             }
         )
 
 
-
 def media_features(sf_dir: str):
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def to_media(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "doc_id": b["doc_id"],
-                "media": pa.array([t.encode("utf-8") for t in b["text"].to_pylist()], pa.binary()),
-            }
-        )
-
-    media = ds.map_batches(to_media, batch_format="pyarrow", batch_size=2048)
+    _ensure_media_golden(sf_dir)
+    media = _media_blobs(sf_dir)
     return media.map_batches(
-        MediaDecodeStub, batch_format="pyarrow", batch_size=512, concurrency=(1, 4)
+        MediaDecode, batch_format="pyarrow", batch_size=512, concurrency=(1, 4)
     )
 
 
-MEDIA_FEATURES_SQL = """
-WITH m AS (
-  SELECT doc_id, OCTET_LENGTH(ENCODE(text)) AS media_bytes FROM documents),
-h AS (
-  SELECT doc_id, media_bytes,
-         (doc_id * 2654435761 + media_bytes * 97) % 4294967296 AS hv
-  FROM m)
-SELECT doc_id, media_bytes,
-       CAST(16 + hv % 256 AS INTEGER) AS width,
-       CAST(16 + (hv // 256) % 256 AS INTEGER) AS height,
-       list_transform(generate_series(1, 8),
-                      d -> ((hv * d * 40503) % 100000) / 100000.0) AS feature
-FROM h
-"""
+class MediaThumbnail:
+    """REAL decode -> box-resize -> re-encode actor, task-fused so decoded
+    pixels and thumb payloads never enter the object store separately
+    (the flagship html-never-in-plasma pattern): (doc_id, media) ->
+    (doc_id, thumb_w, thumb_h, thumb_bytes, thumb_crc). thumb_bytes is the
+    real re-encoded BMP size and thumb_crc its crc32 — proof real pixels
+    flowed through the resize."""
 
+    def __init__(self, max_side: int = 16):
+        import zlib
 
-class MediaResizeStub:
-    """Actor-pool resize stage: (doc_id, media, width, height) ->
-    (doc_id, thumb_w, thumb_h, thumb_bytes). Aspect-preserving fit into a
-    max_side box via integer arithmetic (ceil-division), thumb payload size
-    = w*h*3 (RGB). A real implementation swaps only the body for a PIL/
-    libvips call; the batch plumbing, schema, and actor signature stay."""
+        from core_ray.media import box_resize_rgb, decode_bmp, encode_bmp
+        from core_ray.media.ops import thumb_dims
 
-    def __init__(self, max_side: int = 64):
         self.max_side = max_side
+        self._decode, self._encode = decode_bmp, encode_bmp
+        self._resize, self._dims, self._crc = box_resize_rgb, thumb_dims, zlib.crc32
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        w = batch["width"].to_numpy(zero_copy_only=False).astype(np.int64)
-        h = batch["height"].to_numpy(zero_copy_only=False).astype(np.int64)
-        long_side = np.maximum(w, h)
-        # scaled = dim * max_side / long_side, floor, min 1 (integer math)
-        tw = np.maximum(1, (w * self.max_side) // long_side).astype(np.int32)
-        th = np.maximum(1, (h * self.max_side) // long_side).astype(np.int32)
+        blobs = batch["media"].to_pylist()
+        n = len(blobs)
+        tw = np.empty(n, np.int32)
+        th = np.empty(n, np.int32)
+        tb = np.empty(n, np.int64)
+        crc = np.empty(n, np.int64)
+        for i, blob in enumerate(blobs):
+            img = self._decode(blob)
+            h, w = img.shape[:2]
+            tw[i], th[i] = self._dims(w, h, self.max_side)
+            tblob = self._encode(self._resize(img, int(tw[i]), int(th[i])))
+            tb[i] = len(tblob)
+            crc[i] = self._crc(tblob)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
                 "thumb_w": pa.array(tw, pa.int32()),
                 "thumb_h": pa.array(th, pa.int32()),
-                "thumb_bytes": pa.array((tw.astype(np.int64) * th * 3), pa.int64()),
+                "thumb_bytes": pa.array(tb, pa.int64()),
+                "thumb_crc": pa.array(crc, pa.int64()),
             }
         )
 
 
 def media_thumbnails(sf_dir: str):
-    """decode (stub) -> resize (stub): the two-stage multimodal actor-pool
-    chain over an opaque binary column with typed metadata."""
-    decoded = media_features(sf_dir)
-    return decoded.map_batches(
-        MediaResizeStub, batch_format="pyarrow", batch_size=512, concurrency=(1, 4)
+    """Real thumbnail chain over the opaque media column: decode + resize
+    + re-encode fused in one actor stage."""
+    _ensure_media_golden(sf_dir)
+    media = _media_blobs(sf_dir)
+    return media.map_batches(
+        MediaThumbnail, batch_format="pyarrow", batch_size=512, concurrency=(1, 4)
     )
-
-
-MEDIA_THUMBNAILS_SQL = """
-WITH m AS (
-  SELECT doc_id, OCTET_LENGTH(ENCODE(text)) AS media_bytes FROM documents),
-h AS (
-  SELECT doc_id, (doc_id * 2654435761 + media_bytes * 97) % 4294967296 AS hv FROM m),
-wh AS (
-  SELECT doc_id, 16 + hv % 256 AS w, 16 + (hv // 256) % 256 AS h FROM h),
-t AS (
-  SELECT doc_id,
-         GREATEST(1, (w * 64) // GREATEST(w, h)) AS thumb_w,
-         GREATEST(1, (h * 64) // GREATEST(w, h)) AS thumb_h
-  FROM wh)
-SELECT doc_id, CAST(thumb_w AS INTEGER) AS thumb_w, CAST(thumb_h AS INTEGER) AS thumb_h,
-       thumb_w * thumb_h * 3 AS thumb_bytes
-FROM t
-"""
 
 
 class FrameSampleStub:
@@ -12757,44 +12759,83 @@ SELECT doc_id, i * 2 AS frame_idx, i * 2 * 40 AS frame_offset_ms FROM s
 """
 
 
+class MediaAHash:
+    """REAL perceptual-hash actor: decode BMP pixels -> integer luma ->
+    8x8 box cells -> 64-bit average hash (media/ops.ahash64)."""
+
+    def __init__(self):
+        from core_ray.media import ahash64, decode_bmp, gray_of
+
+        self._decode, self._gray, self._hash = decode_bmp, gray_of, ahash64
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch["media"].to_pylist()
+        ph = np.empty(len(blobs), np.uint64)
+        for i, blob in enumerate(blobs):
+            ph[i] = self._hash(self._gray(self._decode(blob)))
+        return pa.table(
+            {"doc_id": batch["doc_id"], "phash": pa.array(ph, pa.uint64())}
+        )
+
+
 def media_phash_pairs(sf_dir: str, max_hamming: int = 3):
-    """Perceptual-hash near-dup dedup over the media family: stub 62-bit
-    pHashes (deterministic integer arithmetic mirrored in SQL — a real
-    image pHash swaps one function body, like the other media stubs) run
-    through the SAME distributed 4x16-bit banding machinery as simhash
+    """Perceptual-hash near-dup dedup over the media family with REAL
+    pixel hashes (round 5): decode -> average-hash per image, then the
+    SAME distributed 4x16-bit banding machinery as simhash
     (text/dedup.hamming_band_pairs). With max_hamming <= 3 the banding is
-    EXACT (pigeonhole over 4 bands), so the SQL all-pairs
-    bit_count(xor(...)) oracle checks the full distributed path, not an
-    approximation. The stub groups doc_ids by sevens with one distinct low
-    bit each, so same-group pairs sit at hamming 2."""
+    EXACT (pigeonhole over 4 bands), so the oracle — an all-pairs
+    bit_count(xor(...)) over the INDEPENDENT pure-Python golden's hashes —
+    checks the full distributed path, not an approximation. The synthetic
+    corpus groups doc_ids by sevens sharing pixels except a constant-luma
+    color marker, so same-group pairs sit at hamming 0 and cross-group
+    pairs far above the threshold."""
     from core_ray.text.dedup import hamming_band_pairs
 
-    ds = _read(sf_dir, "documents", ["doc_id"])
-
-    def phash(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        g = ids // np.uint64(7)
-        h1 = (g * np.uint64(2654435761)) % np.uint64(1 << 31)
-        h2 = (g * np.uint64(40503) + np.uint64(17)) % np.uint64(1 << 31)
-        base = ((h1 << np.uint64(31)) | h2) & ~np.uint64(0x7F)  # clear low 7 bits
-        ph = base | (np.uint64(1) << (ids % np.uint64(7)))
-        return pa.table({"doc_id": b["doc_id"], "phash": pa.array(ph, pa.uint64())})
-
-    sig = ds.map_batches(phash, batch_format="pyarrow", batch_size=65536)
+    _ensure_media_golden(sf_dir)
+    sig = _media_blobs(sf_dir).map_batches(
+        MediaAHash, batch_format="pyarrow", batch_size=512, concurrency=(1, 4)
+    )
     return hamming_band_pairs(sig, "doc_id", "phash", max_hamming, pa.int64())
 
 
-MEDIA_PHASH_SQL = """
+def _ensure_media_golden(sf_dir: str) -> None:
+    """Write the independent pure-Python media golden parquet (features,
+    ahash, thumbnail stats per doc) at the driver-correctness scale —
+    the oracle surface for the three real-media queries."""
+    if _sf_of(sf_dir) != _DOCS_GOLDEN_SF:
+        return
+    import pyarrow.parquet as pq
+
+    root = _docs_golden_dir()
+    path = f"{root}/media.parquet"
+    if os.path.exists(path):
+        return
+    from core_ray.fixtures import media_golden as mg
+
+    os.makedirs(root, exist_ok=True)
+    ids = pq.read_table(_p(sf_dir, "documents"), columns=["doc_id"])[
+        "doc_id"
+    ].to_pylist()
+    pq.write_table(mg.golden_media(ids), path)
+
+
+MEDIA_FEATURES_SQL = f"""
+SELECT doc_id, media_bytes, width, height, feature
+FROM read_parquet('{_DGD}/media.parquet')
+"""
+
+MEDIA_THUMBNAILS_SQL = f"""
+SELECT doc_id, thumb_w, thumb_h, thumb_bytes, thumb_crc
+FROM read_parquet('{_DGD}/media.parquet')
+"""
+
+MEDIA_PHASH_SQL = f"""
 WITH p AS (
-  SELECT doc_id,
-         (((doc_id // 7) * 2654435761) % 2147483648) * 2147483648
-         + ((((doc_id // 7) * 40503 + 17) % 2147483648) // 128) * 128
-         + (1 << (doc_id % 7)) AS phash
-  FROM documents)
+  SELECT doc_id, ahash FROM read_parquet('{_DGD}/media.parquet'))
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+       CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
 FROM p a JOIN p b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.phash, b.phash)) <= 3
+WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
 """
 
 

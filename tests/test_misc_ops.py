@@ -64,22 +64,24 @@ class TestStageRegistry:
         del STAGE_REGISTRY["my-custom-stage"]
 
 
-class TestMediaStub:
-    def test_decode_stub_schema_and_determinism(self):
-        from core_ray.queries import MediaDecodeStub
+class TestMediaDecode:
+    def test_decode_actor_schema_and_determinism(self):
+        from core_ray.media import encode_bmp, synth_image
+        from core_ray.queries import MediaDecode
 
-        stub = MediaDecodeStub()
+        actor = MediaDecode()
+        blobs = [encode_bmp(synth_image(i)) for i in (1, 2)]
         t = pa.table(
             {
                 "doc_id": pa.array([1, 2], pa.int64()),
-                "media": pa.array([b"fake-image-bytes", b"other"], pa.binary()),
+                "media": pa.array(blobs, pa.binary()),
             }
         )
-        out = stub(t)
+        out = actor(t)
         assert out.column_names == ["doc_id", "media_bytes", "width", "height", "feature"]
-        assert out["media_bytes"].to_pylist() == [16, 5]
-        out2 = stub(t)
-        assert out.equals(out2)  # deterministic fake decode
+        assert out["media_bytes"].to_pylist() == [len(b) for b in blobs]
+        out2 = actor(t)
+        assert out.equals(out2)  # deterministic real decode
 
 
 class TestEmbNearDupChunked:
