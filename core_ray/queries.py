@@ -9047,11 +9047,11 @@ def doc_hemisphere_rbo(sf_dir: str):
     change between corpus slices". Exactness: both ranked lists come
     from the exact vocab machinery ((count desc, token asc) ties);
     per-depth overlap counts are integers; each depth's term
-    (1-p) * p^(d-1) * overlap_d / d quantizes to micro-units with p^d
-    computed as the SAME left-to-right double power chain on both sides
-    (0.9 is exactly 900/1000 in the expression — POWER is avoided, the
-    chain is iterated multiplication in the engine and POW in SQL agree
-    only through the micro ROUND); RBO = one exact integer sum / 1e6."""
+    (1-p) * p^(d-1) * overlap_d / d quantizes to micro-units with p^(d-1)
+    computed via pow() on BOTH sides (Python ** here, POW in the SQL —
+    NOT iterated multiplication, whose accumulated rounding drifts from
+    POW as d grows; the two pows agree through the micro ROUND);
+    RBO = one exact integer sum / 1e6."""
     toks_e, toks_w = _hemi_top_tokens(sf_dir, _RBO_K)
     p = _RBO_P_MILLI / 1000.0
     se: set = set()
@@ -10266,32 +10266,34 @@ def events_hourly_acf(sf_dir: str):
             "key",
         )
     )  # <= horizon-hours rows by construction
-    h = t["key"].to_numpy(zero_copy_only=False).astype(np.int64)
-    c = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
-    h0, h1 = int(h.min()), int(h.max())
-    series = np.zeros(h1 - h0 + 1, np.int64)
-    series[h - h0] = c
-
     rows = []
-    for lag in _ACF_LAGS:
-        if len(series) <= lag:
-            continue
-        x = series[:-lag]
-        y = series[lag:]
-        m = len(x)
-        sx, sy = int(x.sum()), int(y.sum())
-        sxy = int((x * y).sum())
-        sxx = int((x * x).sum())
-        syy = int((y * y).sum())
-        num = m * sxy - sx * sy
-        r = float(
-            np.float64(num)
-            / (
-                np.sqrt(np.float64(m * sxx - sx * sx))
-                * np.sqrt(np.float64(m * syy - sy * sy))
+    if t.num_rows:  # empty corpus -> empty result (ADVICE r4: no h.min() crash)
+        h = t["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h0, h1 = int(h.min()), int(h.max())
+        series = np.zeros(h1 - h0 + 1, np.int64)
+        series[h - h0] = c
+
+        for lag in _ACF_LAGS:
+            if len(series) <= lag:
+                continue
+            x = series[:-lag]
+            y = series[lag:]
+            m = len(x)
+            sx, sy = int(x.sum()), int(y.sum())
+            sxy = int((x * y).sum())
+            sxx = int((x * x).sum())
+            syy = int((y * y).sum())
+            num = m * sxy - sx * sy
+            vx = m * sxx - sx * sx
+            vy = m * syy - sy * sy
+            # zero variance on either leg: r undefined -> NULL (SQL NULLIF)
+            r = (
+                float(np.float64(num) / (np.sqrt(np.float64(vx)) * np.sqrt(np.float64(vy))))
+                if vx != 0 and vy != 0
+                else None
             )
-        )
-        rows.append((lag, m, num, r))
+            rows.append((lag, m, num, r))
     return pa.table(
         {
             "lag_h": pa.array([r[0] for r in rows], pa.int64()),
@@ -10327,8 +10329,8 @@ m AS (
 SELECT CAST(lag AS BIGINT) AS lag_h, m AS n_pairs,
        m * sxy - sx * sy AS r_num,
        CAST(m * sxy - sx * sy AS DOUBLE)
-         / (SQRT(CAST(m * sxx - sx * sx AS DOUBLE))
-            * SQRT(CAST(m * syy - sy * sy AS DOUBLE))) AS acf
+         / NULLIF(SQRT(CAST(m * sxx - sx * sx AS DOUBLE))
+                  * SQRT(CAST(m * syy - sy * sy AS DOUBLE)), 0) AS acf
 FROM m ORDER BY 1
 """
 
@@ -10342,17 +10344,22 @@ def geo_std_ellipse(sf_dir: str):
     and the orientation emitted WITHOUT atan2 — tan(2*theta) =
     2*cov/(var_x - var_y) is an EXACT rational of integer numerators
     (the atan2 libm step is the caller's one-liner); one map-only
-    combiner pass. int64 bound: n * sum(x^2) with milli-degree coords is
-    safe to ~7e3 docs (3.2e18 at sf0.1); past that the moments center on
-    a running offset or widen to two limbs (documented hatch)."""
+    combiner pass. Moments are CENTERED on the fixed mid-range offsets
+    (180000/70000 milli-deg; ADVICE r4) — variance numerators are
+    shift-invariant so outputs are unchanged, but the intermediate
+    n*sxx product no longer overflows before the OUTPUT itself would:
+    int64 now holds to ~1.7e4 docs worst-case / ~2.9e4 uniform, exactly
+    where var_x_num stops fitting the column type, and both engines
+    fail loud (pa.int64 OverflowError / DuckDB BIGINT overflow) at that
+    same point rather than on an internal product."""
     from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "documents", ["doc_id"])
 
     def partial(b: pa.Table) -> pa.Table:
         doc_id = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        x = (doc_id * 104729) % 360000
-        y = (doc_id * 7919) % 140000
+        x = (doc_id * 104729) % 360000 - 180000
+        y = (doc_id * 7919) % 140000 - 70000
         return pa.table(
             {
                 "one": pa.array([1], pa.int64()),
@@ -10386,11 +10393,15 @@ def geo_std_ellipse(sf_dir: str):
     return pa.table(
         {
             "n_docs": pa.array([n], pa.int64()),
+            # centroid in the UNCENTERED frame: undo the fixed offset with
+            # exact integer arithmetic before the single division
             "cx_milli": pa.array(
-                [float(np.float64(sx) / np.float64(n))], pa.float64()
+                [float(np.float64(sx + n * 180000) / np.float64(n))],
+                pa.float64(),
             ),
             "cy_milli": pa.array(
-                [float(np.float64(sy) / np.float64(n))], pa.float64()
+                [float(np.float64(sy + n * 70000) / np.float64(n))],
+                pa.float64(),
             ),
             "var_x_num": pa.array([var_x], pa.int64()),
             "var_y_num": pa.array([var_y], pa.int64()),
@@ -10405,7 +10416,8 @@ def geo_std_ellipse(sf_dir: str):
 
 GEO_STD_ELLIPSE_SQL = """
 WITH pts AS (
-  SELECT (doc_id * 104729) % 360000 AS x, (doc_id * 7919) % 140000 AS y
+  SELECT (doc_id * 104729) % 360000 - 180000 AS x,
+         (doc_id * 7919) % 140000 - 70000 AS y
   FROM documents),
 m AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
@@ -10414,8 +10426,8 @@ m AS (
          CAST(SUM(x * y) AS BIGINT) AS sxy
   FROM pts)
 SELECT n AS n_docs,
-       CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS cx_milli,
-       CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS cy_milli,
+       CAST(sx + n * 180000 AS DOUBLE) / CAST(n AS DOUBLE) AS cx_milli,
+       CAST(sy + n * 70000 AS DOUBLE) / CAST(n AS DOUBLE) AS cy_milli,
        n * sxx - sx * sx AS var_x_num,
        n * syy - sy * sy AS var_y_num,
        n * sxy - sx * sy AS cov_num,
@@ -10561,36 +10573,38 @@ def events_type_ccf(sf_dir: str):
             "key",
         )
     )  # <= 2 x horizon-hours rows by construction
-    key = t["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
-    c = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
-    is_b = (key >> np.uint64(40)).astype(bool)
-    hour = (key & np.uint64((1 << 40) - 1)).astype(np.int64)
-    h0, h1 = int(hour.min()), int(hour.max())
-    sa = np.zeros(h1 - h0 + 1, np.int64)
-    sb = np.zeros(h1 - h0 + 1, np.int64)
-    sa[hour[~is_b] - h0] = c[~is_b]
-    sb[hour[is_b] - h0] = c[is_b]
-
     rows = []
-    for lag in _CCF_LAGS:
-        if len(sa) <= lag:
-            continue
-        x = sa[: len(sa) - lag] if lag else sa
-        y = sb[lag:]
-        m = len(x)
-        sx, sy = int(x.sum()), int(y.sum())
-        sxy = int((x * y).sum())
-        sxx = int((x * x).sum())
-        syy = int((y * y).sum())
-        num = m * sxy - sx * sy
-        r = float(
-            np.float64(num)
-            / (
-                np.sqrt(np.float64(m * sxx - sx * sx))
-                * np.sqrt(np.float64(m * syy - sy * sy))
+    if t.num_rows:  # no A/B events at all -> empty result (ADVICE r4)
+        key = t["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        c = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_b = (key >> np.uint64(40)).astype(bool)
+        hour = (key & np.uint64((1 << 40) - 1)).astype(np.int64)
+        h0, h1 = int(hour.min()), int(hour.max())
+        sa = np.zeros(h1 - h0 + 1, np.int64)
+        sb = np.zeros(h1 - h0 + 1, np.int64)
+        sa[hour[~is_b] - h0] = c[~is_b]
+        sb[hour[is_b] - h0] = c[is_b]
+
+        for lag in _CCF_LAGS:
+            if len(sa) <= lag:
+                continue
+            x = sa[: len(sa) - lag] if lag else sa
+            y = sb[lag:]
+            m = len(x)
+            sx, sy = int(x.sum()), int(y.sum())
+            sxy = int((x * y).sum())
+            sxx = int((x * x).sum())
+            syy = int((y * y).sum())
+            num = m * sxy - sx * sy
+            vx = m * sxx - sx * sx
+            vy = m * syy - sy * sy
+            # one series constant (e.g. zero purchases): r undefined -> NULL
+            r = (
+                float(np.float64(num) / (np.sqrt(np.float64(vx)) * np.sqrt(np.float64(vy))))
+                if vx != 0 and vy != 0
+                else None
             )
-        )
-        rows.append((lag, m, num, r))
+            rows.append((lag, m, num, r))
     return pa.table(
         {
             "lag_h": pa.array([r[0] for r in rows], pa.int64()),
@@ -10632,8 +10646,8 @@ m AS (
 SELECT CAST(lag AS BIGINT) AS lag_h, m AS n_pairs,
        m * sxy - sx * sy AS r_num,
        CAST(m * sxy - sx * sy AS DOUBLE)
-         / (SQRT(CAST(m * sxx - sx * sx AS DOUBLE))
-            * SQRT(CAST(m * syy - sy * sy AS DOUBLE))) AS ccf
+         / NULLIF(SQRT(CAST(m * sxx - sx * sx AS DOUBLE))
+                  * SQRT(CAST(m * syy - sy * sy AS DOUBLE)), 0) AS ccf
 FROM m ORDER BY 1
 """
 

@@ -90,6 +90,23 @@ def _parse_records(
     return out
 
 
+def _paths_with_suffix(src: str, suffixes: tuple[str, ...]) -> list[str]:
+    """Expand ``src`` (file or directory) to files whose NAMES end in one of
+    ``suffixes`` — path-level pruning so mismatched sibling archives are
+    never downloaded or decompressed (ADVICE r4: a *.warc.gz co-located
+    with WET files was gunzipped on every run just to be discarded
+    record-by-record; worse, a WARC carrying conversion records would be
+    silently ingested as WET pages)."""
+    if os.path.isfile(src):
+        return [src] if src.endswith(suffixes) else []
+    out = []
+    for root, _, files in os.walk(src):
+        for f in files:
+            if f.endswith(suffixes):
+                out.append(os.path.join(root, f))
+    return sorted(out)
+
+
 def ingest_warc(
     src: str,
     out_dir: str,
@@ -99,13 +116,20 @@ def ingest_warc(
     """Read every *.warc / *.warc.gz under ``src`` into pages-schema parquet
     at ``out_dir`` (url, warc_ts, html, lang — the same shape
     ingest_html_dir emits; text derives downstream in the extract stage).
-    Returns the number of pages written. Ray must be running."""
+    Returns the number of pages written. Ray must be running. Path-suffix
+    pruned: *.wet / *.wet.gz siblings are never read."""
     import ray.data
 
     from core_ray.sources.ingest import prep_out_dir, write_pages_parquet
 
     prep_out_dir(out_dir, overwrite)
-    ds = ray.data.read_binary_files(src, file_extensions=["warc", "gz"])
+    paths = [
+        p for p in _paths_with_suffix(src, (".warc", ".warc.gz"))
+        if not p.endswith((".wet", ".wet.gz"))  # *.warc.wet.gz is WET
+    ]
+    if not paths:
+        return 0
+    ds = ray.data.read_binary_files(paths)
 
     def _parse_date(ts: str) -> np.datetime64:
         # WARC-Date is ISO 8601 UTC; datetime64 wants a naive string. Be as
@@ -154,7 +178,8 @@ def ingest_wet(
     reproduces the WET text BYTE-IDENTICALLY (roundtrip unit in
     tests/test_warc.py), which keeps one canonical page shape — and one
     lineage/byte-identity contract — across both container formats.
-    File-level parallelism, same as ingest_warc."""
+    File-level parallelism, same as ingest_warc; path-suffix pruned so
+    plain *.warc.gz siblings are never read (ADVICE r4)."""
     import html as _html
 
     import ray.data
@@ -162,7 +187,10 @@ def ingest_wet(
     from core_ray.sources.ingest import prep_out_dir, write_pages_parquet
 
     prep_out_dir(out_dir, overwrite)
-    ds = ray.data.read_binary_files(src, file_extensions=["wet", "gz"])
+    paths = _paths_with_suffix(src, (".wet", ".wet.gz"))
+    if not paths:
+        return 0
+    ds = ray.data.read_binary_files(paths)
 
     def _parse_date(ts: str) -> np.datetime64:
         s = ts.rstrip("Z")
