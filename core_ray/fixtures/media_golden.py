@@ -109,6 +109,59 @@ def ahash64(gray, w: int, h: int) -> int:
     return v
 
 
+def synth_video_frames(doc_id: int):
+    """-> (w, h, [frame_rows...]) — pure-Python mirror of media/video.py."""
+    w = 16 + (doc_id * 2654435761) % 17
+    h = 16 + (doc_id * 40503) % 17
+    frames = []
+    for f in range(3 + (doc_id % 5)):
+        rows = []
+        for y in range(h):
+            row = []
+            for x in range(w):
+                row.append(
+                    (
+                        (x * 7 + y * 13 + doc_id + f * 31) % 256,
+                        (x * 3 + y * 5 + doc_id * 11 + f * 17) % 256,
+                        (x + y + doc_id * 29 + f * 7) % 256,
+                    )
+                )
+            rows.append(row)
+        frames.append(rows)
+    return w, h, frames
+
+
+def golden_frames(ids) -> pa.Table:
+    """Per-frame golden rows over the BMP-chain video: every frame's index,
+    25 fps offset and average-hash (the engine's sampled subset is the
+    frame_idx % stride slice). Round-trips the golden's own codec per
+    frame, independently of the engine's."""
+    out = {"doc_id": [], "frame_idx": [], "frame_offset_ms": [], "frame_ahash": []}
+    for doc_id in ids:
+        w, h, frames = synth_video_frames(int(doc_id))
+        blob = b"".join(encode_bmp(w, h, rows) for rows in frames)
+        # independent chain walk: decode each frame back out of the blob
+        off, idx = 0, 0
+        while off < len(blob):
+            size = struct.unpack_from("<I", blob, off + 2)[0]
+            fw, fh, rows = decode_bmp(blob[off:off + size])
+            assert (fw, fh) == (w, h) and rows == frames[idx]
+            out["doc_id"].append(int(doc_id))
+            out["frame_idx"].append(idx)
+            out["frame_offset_ms"].append(idx * 40)  # 25 fps
+            out["frame_ahash"].append(ahash64(gray_rows(rows), fw, fh))
+            off += size
+            idx += 1
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "frame_idx": pa.array(out["frame_idx"], pa.int64()),
+            "frame_offset_ms": pa.array(out["frame_offset_ms"], pa.int64()),
+            "frame_ahash": pa.array(out["frame_ahash"], pa.uint64()),
+        }
+    )
+
+
 def golden_media(ids) -> pa.Table:
     """Per-doc golden rows: encode -> decode round trip, then features,
     ahash and the real 16-box thumbnail (re-encoded; byte stats + crc32)."""

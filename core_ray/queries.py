@@ -12715,62 +12715,68 @@ def media_thumbnails(sf_dir: str):
     )
 
 
-class FrameSampleStub:
-    """Actor-pool frame-sampling stage (video analog): one input row
-    explodes into one row per sampled frame — (doc_id, frame_idx,
-    frame_offset_ms). frame_count is derived from the payload size
-    (25 fps, 40 B/frame fake container); every ``stride``-th frame is kept.
-    A real decoder replaces the count/offset derivation only."""
+class FrameSample:
+    """REAL frame-sampling actor (round 5 — the video leg's last stub
+    replaced): the media payload is a BMP-chain video (media/video.py:
+    concatenated standard frames, each frame's own header carries its
+    size). One input row explodes into one row per SAMPLED frame
+    (every ``stride``-th), each frame actually decoded and average-hashed
+    — (doc_id, frame_idx, frame_offset_ms, frame_ahash). Chain walk +
+    decode + hash all fused per actor call; truncated chains fail loud."""
 
-    def __init__(self, stride: int = 2, bytes_per_frame: int = 40):
+    def __init__(self, stride: int = 2):
+        from core_ray.media import ahash64, decode_bmp, gray_of
+        from core_ray.media.video import split_frames
+
         self.stride = stride
-        self.bpf = bytes_per_frame
+        self._split = split_frames
+        self._decode, self._gray, self._hash = decode_bmp, gray_of, ahash64
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        nb = np.array([len(b) for b in batch["media"].to_pylist()], dtype=np.int64)
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        n_frames = nb // self.bpf + 1
-        n_sampled = (n_frames + self.stride - 1) // self.stride
-        out_id = np.repeat(ids, n_sampled)
-        # frame_idx = 0, stride, 2*stride, ... per doc
-        offsets = np.concatenate([np.arange(k) for k in n_sampled]) if len(n_sampled) else np.zeros(0, np.int64)
-        frame_idx = offsets * self.stride
+        out_id, out_idx, out_hash = [], [], []
+        for i, blob in enumerate(batch["media"].to_pylist()):
+            frames = self._split(blob)
+            for f in range(0, len(frames), self.stride):
+                out_id.append(int(ids[i]))
+                out_idx.append(f)
+                out_hash.append(self._hash(self._gray(self._decode(frames[f]))))
+        idx = np.asarray(out_idx, np.int64)
         return pa.table(
             {
                 "doc_id": pa.array(out_id, pa.int64()),
-                "frame_idx": pa.array(frame_idx, pa.int64()),
-                "frame_offset_ms": pa.array(frame_idx * 40, pa.int64()),  # 25 fps
+                "frame_idx": pa.array(idx, pa.int64()),
+                "frame_offset_ms": pa.array(idx * 40, pa.int64()),  # 25 fps
+                "frame_ahash": pa.array(np.asarray(out_hash, np.uint64), pa.uint64()),
             }
         )
 
 
 def media_frames(sf_dir: str):
-    """Frame-sampling explode over the opaque media column (flat-map shape:
-    one row in, n rows out, vectorized with np.repeat)."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    """Frame-sampling explode over BMP-chain video payloads (flat-map
+    shape: one row in, one row per sampled frame out, every frame REALLY
+    decoded + hashed). Oracle: the independent pure-Python golden walks
+    and hashes every frame; the SQL takes its frame_idx % stride slice."""
+    from core_ray.media.video import synth_video
+
+    _ensure_media_golden(sf_dir)
+    ds = _read(sf_dir, "documents", ["doc_id"])
 
     def to_media(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
                 "doc_id": b["doc_id"],
-                "media": pa.array([t.encode("utf-8") for t in b["text"].to_pylist()], pa.binary()),
+                "media": pa.array(
+                    [synth_video(int(i)) for i in ids], pa.binary()
+                ),
             }
         )
 
     media = ds.map_batches(to_media, batch_format="pyarrow", batch_size=2048)
     return media.map_batches(
-        FrameSampleStub, batch_format="pyarrow", batch_size=512, concurrency=(1, 4)
+        FrameSample, batch_format="pyarrow", batch_size=512, concurrency=(1, 4)
     )
-
-
-MEDIA_FRAMES_SQL = """
-WITH m AS (
-  SELECT doc_id, OCTET_LENGTH(ENCODE(text)) // 40 + 1 AS n_frames FROM documents),
-s AS (
-  SELECT doc_id, UNNEST(GENERATE_SERIES(0, CAST((n_frames + 1) // 2 AS BIGINT) - 1)) AS i
-  FROM m)
-SELECT doc_id, i * 2 AS frame_idx, i * 2 * 40 AS frame_offset_ms FROM s
-"""
 
 
 class MediaAHash:
@@ -12813,16 +12819,18 @@ def media_phash_pairs(sf_dir: str, max_hamming: int = 3):
 
 
 def _ensure_media_golden(sf_dir: str) -> None:
-    """Write the independent pure-Python media golden parquet (features,
-    ahash, thumbnail stats per doc) at the driver-correctness scale —
-    the oracle surface for the three real-media queries."""
+    """Write the independent pure-Python media golden parquets (features,
+    ahash, thumbnail stats per doc; per-frame index/offset/ahash for the
+    video leg) at the driver-correctness scale — the oracle surface for
+    the four real-media queries."""
     if _sf_of(sf_dir) != _DOCS_GOLDEN_SF:
         return
     import pyarrow.parquet as pq
 
     root = _docs_golden_dir()
     path = f"{root}/media.parquet"
-    if os.path.exists(path):
+    fpath = f"{root}/media_frames.parquet"
+    if os.path.exists(path) and os.path.exists(fpath):
         return
     from core_ray.fixtures import media_golden as mg
 
@@ -12830,7 +12838,9 @@ def _ensure_media_golden(sf_dir: str) -> None:
     ids = pq.read_table(_p(sf_dir, "documents"), columns=["doc_id"])[
         "doc_id"
     ].to_pylist()
-    pq.write_table(mg.golden_media(ids), path)
+    if not os.path.exists(path):
+        pq.write_table(mg.golden_media(ids), path)
+    pq.write_table(mg.golden_frames(ids), fpath)
 
 
 MEDIA_FEATURES_SQL = f"""
@@ -12841,6 +12851,12 @@ FROM read_parquet('{_DGD}/media.parquet')
 MEDIA_THUMBNAILS_SQL = f"""
 SELECT doc_id, thumb_w, thumb_h, thumb_bytes, thumb_crc
 FROM read_parquet('{_DGD}/media.parquet')
+"""
+
+MEDIA_FRAMES_SQL = f"""
+SELECT doc_id, frame_idx, frame_offset_ms, frame_ahash
+FROM read_parquet('{_DGD}/media_frames.parquet')
+WHERE frame_idx % 2 = 0
 """
 
 MEDIA_PHASH_SQL = f"""

@@ -121,6 +121,58 @@ class TestKernels:
                 assert hd > 3
 
 
+class TestVideoFrames:
+    def test_chain_walk_round_trip(self):
+        from core_ray.media.video import split_frames, synth_frame, synth_video
+
+        for d in (0, 3, 11, 999):
+            blob = synth_video(d)
+            frames = split_frames(blob)
+            assert len(frames) == 3 + (d % 5)
+            for f, fb in enumerate(frames):
+                assert np.array_equal(decode_bmp(fb), synth_frame(d, f))
+
+    def test_chain_fails_loud_on_truncation_and_garbage(self):
+        from core_ray.media.video import split_frames, synth_video
+
+        blob = synth_video(5)
+        with pytest.raises(ValueError):
+            split_frames(blob[:-10])
+        with pytest.raises(ValueError):
+            split_frames(blob + b"XX garbage")
+
+    def test_golden_frames_agree_with_engine(self):
+        from core_ray.media.video import split_frames, synth_video
+
+        ids = [0, 1, 4, 7, 42]
+        t = G.golden_frames(ids)
+        rows = t.to_pylist()
+        for d in ids:
+            frames = split_frames(synth_video(d))
+            mine = [
+                ahash64(gray_of(decode_bmp(fb))) for fb in frames
+            ]
+            golden = [r["frame_ahash"] for r in rows if r["doc_id"] == d]
+            assert golden == mine
+
+    def test_frame_sample_actor_strides_and_hashes(self):
+        from core_ray.media.video import synth_video
+        from core_ray.queries import FrameSample
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([9], pa.int64()),
+                "media": pa.array([synth_video(9)], pa.binary()),
+            }
+        )
+        out = FrameSample(stride=2)(t)
+        n_frames = 3 + (9 % 5)
+        assert out["frame_idx"].to_pylist() == list(range(0, n_frames, 2))
+        assert out["frame_offset_ms"].to_pylist() == [
+            i * 40 for i in range(0, n_frames, 2)
+        ]
+
+
 def test_phash_pairs_match_brute_force(ray_session):
     """The banded distributed path over real decoded hashes must equal the
     all-pairs brute force (exact for max_hamming <= 3 by pigeonhole)."""
