@@ -35,6 +35,7 @@ def oracle_sql() -> dict[str, str]:
     from core_ray.queries import (
         ORACLE_SQL,
         _ensure_docs_golden,
+        _ensure_media_golden,
         _ensure_pagerank_golden,
         _ensure_pages_golden,
         _ensure_pii_corpus,
@@ -48,6 +49,7 @@ def oracle_sql() -> dict[str, str]:
     for ensure in (
         lambda: _ensure_pages_golden("/root/testdata/sf0.01"),
         lambda: _ensure_docs_golden("/root/testdata/sf0.01"),
+        lambda: _ensure_media_golden("/root/testdata/sf0.01"),
         lambda: _ensure_pagerank_golden("/root/testdata/sf0.01"),
         _ensure_rules_golden,
         _ensure_pii_corpus,

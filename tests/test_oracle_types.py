@@ -32,6 +32,7 @@ def _goldens():
     """
     from core_ray.queries import (
         _ensure_docs_golden,
+        _ensure_media_golden,
         _ensure_pagerank_golden,
         _ensure_pages_golden,
         _ensure_pii_corpus,
@@ -43,6 +44,7 @@ def _goldens():
     for ensure in (
         lambda: _ensure_pages_golden(sf001),
         lambda: _ensure_docs_golden(sf001),
+        lambda: _ensure_media_golden(sf001),
         lambda: _ensure_pagerank_golden(sf001),
         _ensure_rules_golden,
         _ensure_pii_corpus,
