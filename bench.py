@@ -180,6 +180,8 @@ BENCH_QUERIES = [
     "events_hourly_acf",
     "geo_std_ellipse",
     "geo_ripley_k",
+    "geo_cross_k",
+    "geo_quadrat_vmr",
     "events_type_ccf",
     "geo_type_hhi",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the

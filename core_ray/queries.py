@@ -10563,6 +10563,214 @@ FROM cum c CROSS JOIN nn
 """
 
 
+_CROSS_K_RMAX = 3.0  # bivariate cross-K max radius (degrees)
+
+
+def geo_cross_k(sf_dir: str):
+    """BIVARIATE CROSS-K FUNCTION (Ripley's K between TWO point types —
+    "are events clustered AROUND documents beyond chance", the canonical
+    attraction/repulsion test between heterogeneous layers; the univariate
+    geo_ripley_k above cannot see cross-type structure): cumulative
+    (doc, event) pair counts within r = 1, 2, 3 deg from ONE bipartite
+    distance-band join at the largest radius (stages/distband.py
+    bipartite_band_pairs: asymmetric 1x + 9x home+ghost replication, one
+    hash shuffle), bands by exact d2-threshold comparisons (no sqrt),
+    K_ab(r) = A * n_pairs(r) / (n_a * n_b) — cross pairs are ordered
+    once per (doc, event) so there is NO factor 2 (unlike the self-join
+    K); per radius ONE double chain over exact integers. Border
+    correction omitted — documented, mirrored in the SQL."""
+    from core_ray.stages.distband import bipartite_band_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    evs = _read(sf_dir, "events", ["event_id"])
+
+    def doc_shape(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lat, lon = _derive_coords(doc_id)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_id, pa.int64()),
+                "lat": pa.array(lat, pa.float64()),
+                "lon": pa.array(lon, pa.float64()),
+            }
+        )
+
+    def ev_shape(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lat, lon = _derive_coords(eid)
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "lat": pa.array(lat, pa.float64()),
+                "lon": pa.array(lon, pa.float64()),
+            }
+        )
+
+    n_d = docs.count()
+    n_e = evs.count()
+    pairs = bipartite_band_pairs(
+        docs.map_batches(doc_shape, batch_format="pyarrow"),
+        evs.map_batches(ev_shape, batch_format="pyarrow"),
+        _CROSS_K_RMAX,
+    )
+
+    def band_partial(b: pa.Table) -> pa.Table:
+        d2 = b["sq_dist"].to_numpy(zero_copy_only=False)
+        band = np.where(d2 <= 1.0, 1, np.where(d2 <= 4.0, 2, 3))
+        u, c = np.unique(band, return_counts=True)
+        return pa.table(
+            {
+                "r": pa.array(u.astype(np.int64), pa.int64()),
+                "c": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = _collect_table(
+        pairs.map_batches(band_partial, batch_format="pyarrow")
+        .groupby("r")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+    counts = np.zeros(3, np.int64)
+    if agg.num_rows:
+        rb = agg["r"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cb = agg["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        counts[rb - 1] = cb
+    cum = np.cumsum(counts)
+    area = 360.0 * 140.0
+    rows = []
+    for i, r in enumerate((1, 2, 3)):
+        k = float(
+            area * np.float64(int(cum[i]))
+            / (np.float64(n_d) * np.float64(n_e))
+        )
+        rows.append((r, int(cum[i]), k,
+                     float(np.pi * np.float64(r) * np.float64(r))))
+    return pa.table(
+        {
+            "r": pa.array([x[0] for x in rows], pa.int64()),
+            "n_pairs": pa.array([x[1] for x in rows], pa.int64()),
+            "k_ab": pa.array([x[2] for x in rows], pa.float64()),
+            "csr_expect": pa.array([x[3] for x in rows], pa.float64()),
+        }
+    )
+
+
+GEO_CROSS_K_SQL = f"""
+WITH d AS (
+  SELECT doc_id, {GEO_LAT_SQL} AS lat, {GEO_LON_SQL} AS lon FROM documents),
+e AS (
+  SELECT event_id,
+         {GEO_LAT_SQL.replace('doc_id', 'event_id')} AS lat,
+         {GEO_LON_SQL.replace('doc_id', 'event_id')} AS lon FROM events),
+pr AS (
+  SELECT (d.lat - e.lat) * (d.lat - e.lat)
+           + (d.lon - e.lon) * (d.lon - e.lon) AS d2
+  FROM d JOIN e
+    ON e.lat BETWEEN d.lat - {_CROSS_K_RMAX} AND d.lat + {_CROSS_K_RMAX}
+   AND e.lon BETWEEN d.lon - {_CROSS_K_RMAX} AND d.lon + {_CROSS_K_RMAX}
+  WHERE (d.lat - e.lat) * (d.lat - e.lat)
+          + (d.lon - e.lon) * (d.lon - e.lon)
+        <= {_CROSS_K_RMAX * _CROSS_K_RMAX}),
+nn AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS nd,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS ne),
+cum AS (
+  SELECT r.r,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM pr
+          WHERE pr.d2 <= CAST(r.r * r.r AS DOUBLE)) AS n_pairs
+  FROM (SELECT UNNEST([1, 2, 3]) AS r) r)
+SELECT CAST(c.r AS BIGINT) AS r, c.n_pairs,
+       360.0 * 140.0 * CAST(c.n_pairs AS DOUBLE)
+         / (CAST(nn.nd AS DOUBLE) * CAST(nn.ne AS DOUBLE)) AS k_ab,
+       PI() * CAST(c.r AS DOUBLE) * CAST(c.r AS DOUBLE) AS csr_expect
+FROM cum c CROSS JOIN nn
+"""
+
+
+_QUADRAT_MILLI = 10000  # 10-degree quadrats, in milli-degrees
+_QUADRAT_CELLS = 36 * 14  # fixed study frame [-180,180) x [-70,70)
+
+
+def geo_quadrat_vmr(sf_dir: str):
+    """QUADRAT-COUNT VARIANCE-TO-MEAN RATIO (the classic first-pass
+    point-pattern test: partition the study frame into equal quadrats,
+    count points per quadrat, VMR = 1 under CSR / > 1 clustered / < 1
+    dispersed — the global single-number complement to geo_ripley_k's
+    per-scale curve): cells come from EXACT integer milli-degree
+    arithmetic (doc_id hash mod // 10000 — no float floor anywhere), one
+    vectorized count_by_u64 over the 504 packed cells, and the driver
+    folds the BOUNDED-BY-CONSTRUCTION <=504-row count table. EMPTY
+    quadrats enter the variance as zeros via the moment identity over all
+    Q cells: vmr = (Q*sum_c2 - n^2) / (Q*n) — the Ray-side fold uses
+    Python ints (arbitrary precision, no overflow at any scale); the SQL
+    mirror's BIGINT chain is the binding bound (Q*sum_c2 overflows at
+    n ~ 1.35e8 docs in the worst all-one-cell case — DuckDB fails loud,
+    the engine itself does not)."""
+    from core_ray.stages.agg import count_by_u64
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def cell(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cx = ((doc_id * 7919) % 140000) // _QUADRAT_MILLI  # 0..13
+        cy = ((doc_id * 104729) % 360000) // _QUADRAT_MILLI  # 0..35
+        return pa.table(
+            {"key": pa.array((cx * 36 + cy).astype(np.uint64), pa.uint64())}
+        )
+
+    t = _collect_table(
+        count_by_u64(
+            ds.map_batches(cell, batch_format="pyarrow", batch_size=131072),
+            "key",
+        )
+    )  # <= 504 rows by construction
+    c = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    q = _QUADRAT_CELLS
+    n = int(c.sum())
+    occupied = int(t.num_rows)
+    sum_c2 = int((c * c).sum())
+    vmr_num = q * sum_c2 - n * n  # Python ints: exact at every scale
+    vmr_den = q * n
+    return pa.table(
+        {
+            "q_cells": pa.array([q], pa.int64()),
+            "n_points": pa.array([n], pa.int64()),
+            "occupied_cells": pa.array([occupied], pa.int64()),
+            "sum_c2": pa.array([sum_c2], pa.int64()),
+            "vmr_num": pa.array([vmr_num], pa.int64()),
+            "vmr_den": pa.array([vmr_den], pa.int64()),
+            "vmr": pa.array(
+                [float(np.float64(vmr_num) / np.float64(vmr_den))],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+GEO_QUADRAT_VMR_SQL = f"""
+WITH cells AS (
+  SELECT ((doc_id * 7919) % 140000) // {_QUADRAT_MILLI} AS cx,
+         ((doc_id * 104729) % 360000) // {_QUADRAT_MILLI} AS cy,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS occupied,
+         CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(c * c) AS BIGINT) AS sum_c2
+  FROM cells)
+SELECT CAST({_QUADRAT_CELLS} AS BIGINT) AS q_cells,
+       n AS n_points,
+       occupied AS occupied_cells,
+       sum_c2,
+       {_QUADRAT_CELLS} * sum_c2 - n * n AS vmr_num,
+       {_QUADRAT_CELLS} * n AS vmr_den,
+       CAST({_QUADRAT_CELLS} * sum_c2 - n * n AS DOUBLE)
+         / CAST({_QUADRAT_CELLS} * n AS DOUBLE) AS vmr
+FROM m
+"""
+
+
 _CCF_A, _CCF_B = "click", "purchase"
 _CCF_LAGS = (0, 1, 2, 3)
 
@@ -19416,6 +19624,8 @@ QUERIES = {
     "events_hourly_acf": events_hourly_acf,
     "geo_std_ellipse": geo_std_ellipse,
     "geo_ripley_k": geo_ripley_k,
+    "geo_cross_k": geo_cross_k,
+    "geo_quadrat_vmr": geo_quadrat_vmr,
     "events_type_ccf": events_type_ccf,
     "geo_type_hhi": geo_type_hhi,
     "geo_hexbin": geo_hexbin,
@@ -19635,6 +19845,8 @@ ORACLE_SQL = {
     "events_hourly_acf": EVENTS_HOURLY_ACF_SQL,
     "geo_std_ellipse": GEO_STD_ELLIPSE_SQL,
     "geo_ripley_k": GEO_RIPLEY_K_SQL,
+    "geo_cross_k": GEO_CROSS_K_SQL,
+    "geo_quadrat_vmr": GEO_QUADRAT_VMR_SQL,
     "events_type_ccf": EVENTS_TYPE_CCF_SQL,
     "geo_type_hhi": GEO_TYPE_HHI_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,

@@ -256,3 +256,136 @@ def haversine_distance_pairs(ds, max_km: float, max_abs_lat: float = 70.0,
         lambda g: pairs_in_partition(g, max_km, metric_fn=haversine_km,
                                      out_col="dist_km"),
     )
+
+
+def bipartite_band_pairs(left, right, radius: float,
+                         left_id: str = "doc_id",
+                         right_id: str = "event_id"):
+    """Bipartite distance-band join: Dataset[(left_id, lat, lon)] x
+    Dataset[(right_id, lat, lon)] -> Dataset[(left_id, right_id, sq_dist)]
+    with sq_dist <= radius^2.
+
+    ASYMMETRIC home+ghost plan (the self-join above replicates everything
+    9x; two heterogeneous sides need only 1x + 9x): the LEFT side emits one
+    home replica, the RIGHT side replicates to its 3x3 neighborhood, so
+    every qualifying pair co-locates in exactly the left point's home cell
+    and is emitted exactly once — no cross-partition dedup, ONE hash
+    shuffle total. The partition kernel sorts by (cell, side), pairs each
+    cell's left rows against its right rows with repeat/offset-arange
+    expansion (chunked against dense cells — skew degrades to more chunks,
+    never to heap failure). Same plan as the geo_doc_event_band query
+    (queries.py), factored here so multi-radius consumers (geo_cross_k)
+    share the kernel."""
+    r2 = radius * radius
+
+    def left_rep(b: pa.Table) -> pa.Table:
+        ids = b[left_id].to_numpy(zero_copy_only=False).astype(np.int64)
+        lat = b["lat"].to_numpy(zero_copy_only=False)
+        lon = b["lon"].to_numpy(zero_copy_only=False)
+        cx = (np.floor(lat / radius).astype(np.int64) + _OFF21).astype(np.uint64)
+        cy = (np.floor(lon / radius).astype(np.int64) + _OFF21).astype(np.uint64)
+        return pa.table(
+            {
+                "ck": pa.array((cx << np.uint64(21)) | cy, pa.uint64()),
+                "side": pa.array(np.zeros(len(ids), np.int8), pa.int8()),
+                "id": pa.array(ids, pa.int64()),
+                "lat": pa.array(lat, pa.float64()),
+                "lon": pa.array(lon, pa.float64()),
+            }
+        )
+
+    def right_rep(b: pa.Table) -> pa.Table:
+        ids = b[right_id].to_numpy(zero_copy_only=False).astype(np.int64)
+        lat = b["lat"].to_numpy(zero_copy_only=False)
+        lon = b["lon"].to_numpy(zero_copy_only=False)
+        cx = np.floor(lat / radius).astype(np.int64)
+        cy = np.floor(lon / radius).astype(np.int64)
+        n = len(ids)
+        dx = np.array([0, -1, -1, -1, 0, 0, 1, 1, 1], dtype=np.int64)
+        dy = np.array([0, -1, 0, 1, -1, 1, -1, 0, 1], dtype=np.int64)
+        rcx = (np.repeat(cx, 9) + np.tile(dx, n) + _OFF21).astype(np.uint64)
+        rcy = (np.repeat(cy, 9) + np.tile(dy, n) + _OFF21).astype(np.uint64)
+        return pa.table(
+            {
+                "ck": pa.array((rcx << np.uint64(21)) | rcy, pa.uint64()),
+                "side": pa.array(np.ones(9 * n, np.int8), pa.int8()),
+                "id": pa.array(np.repeat(ids, 9), pa.int64()),
+                "lat": pa.array(np.repeat(lat, 9), pa.float64()),
+                "lon": pa.array(np.repeat(lon, 9), pa.float64()),
+            }
+        )
+
+    rep = left.map_batches(left_rep, batch_format="pyarrow",
+                           batch_size=65536).union(
+        right.map_batches(right_rep, batch_format="pyarrow",
+                          batch_size=65536)
+    )
+
+    empty = pa.table(
+        {
+            left_id: pa.array([], pa.int64()),
+            right_id: pa.array([], pa.int64()),
+            "sq_dist": pa.array([], pa.float64()),
+        }
+    )
+
+    def per_part(g: pa.Table, chunk_pairs: int = 8 << 20) -> pa.Table:
+        if g.num_rows == 0:
+            return empty
+        key = g["ck"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        side = g["side"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, key))
+        key, side = key[order], side[order]
+        ids = g["id"].to_numpy(zero_copy_only=False)[order]
+        lat = g["lat"].to_numpy(zero_copy_only=False)[order]
+        lon = g["lon"].to_numpy(zero_copy_only=False)[order]
+        n = len(key)
+        new = np.ones(n, dtype=bool)
+        new[1:] = key[1:] != key[:-1]
+        seg_id = np.cumsum(new) - 1
+        starts = np.nonzero(new)[0]
+        seg_end = np.append(starts[1:], n)
+        lidx = np.nonzero(side == 0)[0]  # left rows sort first in a segment
+        if len(lidx) == 0:
+            return empty
+        lseg = seg_id[lidx]
+        left_cnt = np.zeros(len(starts), np.int64)
+        np.add.at(left_cnt, lseg, 1)
+        r_lo = starts + left_cnt  # first right row per segment
+        nr = (seg_end - r_lo)[lseg]  # right rows per left row
+        out = []
+        cum = np.cumsum(nr)
+        chunk = cum // chunk_pairs
+        for c in np.unique(chunk):
+            m = chunk == c
+            li = lidx[m]
+            k = nr[m]
+            if k.sum() == 0:
+                continue
+            lrow = np.repeat(li, k)
+            off = np.concatenate([[0], np.cumsum(k)])[:-1]
+            rrow = (
+                np.arange(k.sum()) - np.repeat(off, k)
+                + np.repeat(r_lo[lseg[m]], k)
+            )
+            dla = lat[lrow] - lat[rrow]
+            dlo = lon[lrow] - lon[rrow]
+            d2 = dla * dla + dlo * dlo
+            ok = d2 <= r2
+            if ok.any():
+                out.append(
+                    pa.table(
+                        {
+                            left_id: pa.array(
+                                ids[lrow][ok].astype(np.int64), pa.int64()
+                            ),
+                            right_id: pa.array(
+                                ids[rrow][ok].astype(np.int64), pa.int64()
+                            ),
+                            "sq_dist": pa.array(d2[ok], pa.float64()),
+                        }
+                    )
+                )
+        return pa.concat_tables(out) if out else empty
+
+    return map_groups_partitioned(rep, "ck", per_part)
