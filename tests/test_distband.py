@@ -166,3 +166,83 @@ def test_haversine_guards():
     with pytest.raises(ValueError):
         # band so wide the lon ring would have < 4 cells
         haversine_distance_pairs(ray.data.from_arrow(t), 6000.0)
+
+
+def _brute_bipartite(dids, dlat, dlon, eids, elat, elon, radius):
+    out = set()
+    r2 = radius * radius
+    for i in range(len(dids)):
+        dla = dlat[i] - elat
+        dlo = dlon[i] - elon
+        sq = dla * dla + dlo * dlo
+        for j in np.nonzero(sq <= r2)[0]:
+            out.add((int(dids[i]), int(eids[j])))
+    return out
+
+
+def _run_bipartite(dids, dlat, dlon, eids, elat, elon, radius):
+    import ray.data
+
+    from core_ray.stages.distband import bipartite_band_pairs
+
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(dids, pa.int64()),
+                "lat": pa.array(dlat, pa.float64()),
+                "lon": pa.array(dlon, pa.float64()),
+            }
+        )
+    ).repartition(3)
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array(eids, pa.int64()),
+                "lat": pa.array(elat, pa.float64()),
+                "lon": pa.array(elon, pa.float64()),
+            }
+        )
+    ).repartition(4)
+    got = bipartite_band_pairs(left, right, radius).take_all()
+    pairs = {(r["doc_id"], r["event_id"]) for r in got}
+    assert len(pairs) == len(got), "every qualifying pair emitted exactly once"
+    return pairs, got
+
+
+def test_bipartite_dense_random_matches_brute_force(ray_session):
+    rng = np.random.default_rng(11)
+    nd, ne = 150, 500
+    dids = np.arange(nd, dtype=np.int64)
+    eids = np.arange(1000, 1000 + ne, dtype=np.int64)
+    dlat = rng.uniform(-8, 8, nd)
+    dlon = rng.uniform(-8, 8, nd)
+    elat = rng.uniform(-8, 8, ne)
+    elon = rng.uniform(-8, 8, ne)
+    radius = 1.5
+    pairs, got = _run_bipartite(dids, dlat, dlon, eids, elat, elon, radius)
+    assert pairs == _brute_bipartite(dids, dlat, dlon, eids, elat, elon, radius)
+    # overlapping id domains must NOT dedupe across sides: same-id pairs are legal
+    pairs2, _ = _run_bipartite(
+        dids, dlat, dlon, np.arange(ne, dtype=np.int64), elat, elon, radius
+    )
+    assert pairs2 == _brute_bipartite(
+        dids, dlat, dlon, np.arange(ne, dtype=np.int64), elat, elon, radius
+    )
+
+
+def test_bipartite_cross_cell_and_empty_sides(ray_session):
+    # two points straddling a cell boundary, one just outside the band
+    dids = np.array([1], np.int64)
+    eids = np.array([10, 11], np.int64)
+    pairs, got = _run_bipartite(
+        dids, np.array([0.99]), np.array([0.0]),
+        eids, np.array([1.01, 2.5]), np.array([0.0, 0.0]), 1.0,
+    )
+    assert pairs == {(1, 10)}
+    assert abs(got[0]["sq_dist"] - (0.99 - 1.01) ** 2) < 1e-15
+    # an empty left side emits nothing (the kernel's no-left-rows early out)
+    empty, _ = _run_bipartite(
+        np.array([], np.int64), np.array([]), np.array([]),
+        eids, np.array([1.01, 2.5]), np.array([0.0, 0.0]), 1.0,
+    )
+    assert empty == set()
