@@ -182,6 +182,7 @@ BENCH_QUERIES = [
     "geo_ripley_k",
     "geo_cross_k",
     "geo_quadrat_vmr",
+    "geo_clark_evans",
     "events_type_ccf",
     "geo_type_hhi",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the

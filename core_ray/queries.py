@@ -10771,6 +10771,143 @@ FROM m
 """
 
 
+_CE_RMAX = 2.0  # Clark-Evans censoring radius (degrees)
+
+
+def geo_clark_evans(sf_dir: str):
+    """CLARK-EVANS NEAREST-NEIGHBOR INDEX, censored at rmax (the third
+    classic point-pattern test, completing geo_ripley_k's per-scale curve
+    and geo_quadrat_vmr's quadrat ratio with the NN-distance view: R =
+    mean observed 1-NN distance / CSR expectation 0.5/sqrt(n/A); R < 1
+    clustered, R > 1 dispersed): exact per-doc nearest-neighbor distance
+    within rmax from ONE distance-band shuffle (each emitted pair feeds
+    BOTH endpoints' minima), per-doc min via min_by_u64 on the
+    ORDER-PRESERVING IEEE bit pattern (non-negative float64 bit-cast to
+    u64 is monotone — no quantization in the min itself), then NN
+    distances quantized to integer micro-degrees (sql_round_np == DuckDB
+    ROUND) so the final mean is an order-free INTEGER sum; docs with no
+    neighbor within rmax are CENSORED (counted, excluded — documented,
+    mirrored; at production density rmax is a few mean spacings so pairs
+    stay O(n), the band join's documented contract)."""
+    from ray.data.aggregate import Sum
+
+    from core_ray.stages.agg import min_by_u64
+    from core_ray.stages.distband import distance_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def shape(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lat, lon = _derive_coords(doc_id)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_id, pa.int64()),
+                "lat": pa.array(lat, pa.float64()),
+                "lon": pa.array(lon, pa.float64()),
+            }
+        )
+
+    n = docs.count()
+    pairs = distance_pairs(
+        docs.map_batches(shape, batch_format="pyarrow"), _CE_RMAX
+    )
+
+    def both_ends(b: pa.Table) -> pa.Table:
+        a = b["doc_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bb = b["doc_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        d2 = b["sq_dist"].to_numpy(zero_copy_only=False)
+        bits = d2.view(np.uint64)  # monotone for non-negative float64
+        return pa.table(
+            {
+                "key": pa.array(np.concatenate([a, bb]), pa.uint64()),
+                "val": pa.array(np.concatenate([bits, bits]), pa.uint64()),
+            }
+        )
+
+    mins = min_by_u64(
+        pairs.map_batches(both_ends, batch_format="pyarrow",
+                          batch_size=131072),
+        "key", "val",
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        d2 = b["val"].to_numpy(zero_copy_only=False).astype(np.uint64).view(
+            np.float64
+        )
+        micro = sql_round_np(np.sqrt(d2) * 1e6, 0).astype(np.int64)
+        return pa.table(
+            {
+                "one": pa.array([1], pa.int64()),
+                "n_obs": pa.array([len(micro)], pa.int64()),
+                "s": pa.array([int(micro.sum())], pa.int64()),
+            }
+        )
+
+    agg = _collect_table(
+        mins.map_batches(partial, batch_format="pyarrow", batch_size=131072)
+        .groupby("one")
+        .aggregate(Sum("n_obs", alias_name="n_obs"), Sum("s", alias_name="s"))
+    )
+    n_obs = int(agg["n_obs"][0].as_py()) if agg.num_rows else 0
+    s = int(agg["s"][0].as_py()) if agg.num_rows else 0
+    if n_obs == 0:
+        return pa.table(
+            {
+                "n_points": pa.array([n], pa.int64()),
+                "n_censored": pa.array([n], pa.int64()),
+                "sum_nn_micro": pa.array([None], pa.int64()),
+                "mean_nn_deg": pa.array([None], pa.float64()),
+                "r_index": pa.array([None], pa.float64()),
+            }
+        )
+    mean_nn = float(np.float64(s) / np.float64(n_obs) / 1000000.0)
+    r_index = float(
+        np.float64(mean_nn)
+        / (0.5 / np.sqrt(np.float64(n) / 50400.0))
+    )
+    return pa.table(
+        {
+            "n_points": pa.array([n], pa.int64()),
+            "n_censored": pa.array([n - n_obs], pa.int64()),
+            "sum_nn_micro": pa.array([s], pa.int64()),
+            "mean_nn_deg": pa.array([mean_nn], pa.float64()),
+            "r_index": pa.array([r_index], pa.float64()),
+        }
+    )
+
+
+GEO_CLARK_EVANS_SQL = f"""
+WITH pts AS (
+  SELECT doc_id, {GEO_LAT_SQL} AS lat, {GEO_LON_SQL} AS lon FROM documents),
+nn AS (
+  SELECT a.doc_id,
+         MIN((a.lat - b.lat) * (a.lat - b.lat)
+               + (a.lon - b.lon) * (a.lon - b.lon)) AS d2
+  FROM pts a JOIN pts b
+    ON b.doc_id <> a.doc_id
+   AND b.lat BETWEEN a.lat - {_CE_RMAX} AND a.lat + {_CE_RMAX}
+   AND b.lon BETWEEN a.lon - {_CE_RMAX} AND a.lon + {_CE_RMAX}
+  WHERE (a.lat - b.lat) * (a.lat - b.lat)
+          + (a.lon - b.lon) * (a.lon - b.lon) <= {_CE_RMAX * _CE_RMAX}
+  GROUP BY a.doc_id),
+q AS (
+  SELECT CAST(ROUND(SQRT(d2) * 1000000.0) AS BIGINT) AS micro FROM nn),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_obs,
+         CAST(SUM(micro) AS BIGINT) AS s FROM q),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pts)
+SELECT t.n AS n_points,
+       t.n - m.n_obs AS n_censored,
+       m.s AS sum_nn_micro,
+       CAST(m.s AS DOUBLE) / CAST(NULLIF(m.n_obs, 0) AS DOUBLE)
+         / 1000000.0 AS mean_nn_deg,
+       CAST(m.s AS DOUBLE) / CAST(NULLIF(m.n_obs, 0) AS DOUBLE)
+         / 1000000.0
+         / (0.5 / SQRT(CAST(t.n AS DOUBLE) / 50400.0)) AS r_index
+FROM m CROSS JOIN t
+"""
+
+
 _CCF_A, _CCF_B = "click", "purchase"
 _CCF_LAGS = (0, 1, 2, 3)
 
@@ -19626,6 +19763,7 @@ QUERIES = {
     "geo_ripley_k": geo_ripley_k,
     "geo_cross_k": geo_cross_k,
     "geo_quadrat_vmr": geo_quadrat_vmr,
+    "geo_clark_evans": geo_clark_evans,
     "events_type_ccf": events_type_ccf,
     "geo_type_hhi": geo_type_hhi,
     "geo_hexbin": geo_hexbin,
@@ -19847,6 +19985,7 @@ ORACLE_SQL = {
     "geo_ripley_k": GEO_RIPLEY_K_SQL,
     "geo_cross_k": GEO_CROSS_K_SQL,
     "geo_quadrat_vmr": GEO_QUADRAT_VMR_SQL,
+    "geo_clark_evans": GEO_CLARK_EVANS_SQL,
     "events_type_ccf": EVENTS_TYPE_CCF_SQL,
     "geo_type_hhi": GEO_TYPE_HHI_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
