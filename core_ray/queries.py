@@ -10908,6 +10908,208 @@ FROM m CROSS JOIN t
 """
 
 
+def geo_bivariate_moran(sf_dir: str):
+    """BIVARIATE MORAN'S I (Anselin's cross-variable spatial correlation:
+    "is DOCUMENT density high where neighboring EVENT density is high" —
+    the univariate geo_moran_i sees only one layer): 1-degree raster,
+    rook weights over ORDERED adjacent pairs (W = 2 * unordered), and the
+    same all-integer closed form as geo_moran_i — deviations scale to
+    integers (zx_i*N = x_i*N - Tx), so
+
+      num*N^2 = N^2*S_adj(x_i y_j) - N*Ty*S(deg_i x_i)
+                - N*Tx*S(deg_j y_j) + W*Tx*Ty
+
+    over OCCUPIED cells only (empty cells' contribution is analytic,
+    never materialized), and I_xy = (N/W) * num / (N * sqrt(Ax) *
+    sqrt(Ay)) with Ax = N*S(x^2) - Tx^2 — two correctly-rounded sqrts of
+    exact integers, one fixed double chain, bit-equal to the SQL. Shape:
+    two combiner groupbys (doc cells, event cells), S_adj from ONE hash
+    join of the doc cells' 4-direction probes against the event cells
+    (ordered edges need all four directions — the bivariate product is
+    not symmetric). Same ~10^5 docs/cell int64 bound as geo_moran_i."""
+    from ray.data.aggregate import Sum
+
+    from core_ray.stages.join import hash_join
+
+    nlon, nlat = _MORAN_NLON, _MORAN_NLAT
+    n = nlon * nlat
+    w_ord = 2 * (nlat * (nlon - 1) + (nlat - 1) * nlon)
+
+    def cell_counts(ds, id_col: str, out: str):
+        def partial(b: pa.Table) -> pa.Table:
+            ids = b[id_col].to_numpy(zero_copy_only=False)
+            lat, lon = _derive_coords(ids)
+            gx = np.floor(lon).astype(np.int64) + 180
+            gy = np.floor(lat).astype(np.int64) + 70
+            key = gy * nlon + gx
+            u, c = np.unique(key, return_counts=True)
+            return pa.table(
+                {"cell": pa.array(u, pa.int64()),
+                 out: pa.array(c.astype(np.int64), pa.int64())}
+            )
+
+        return (
+            ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+            .groupby("cell")
+            .aggregate(Sum(out, alias_name=out))
+            .materialize()
+        )
+
+    xcells = cell_counts(_read(sf_dir, "documents", ["doc_id"]),
+                         "doc_id", "x")
+    ycells = cell_counts(_read(sf_dir, "events", ["event_id"]),
+                         "event_id", "y")
+
+    def scalars(col: str):
+        def part(b: pa.Table) -> pa.Table:
+            cell = b["cell"].to_numpy(zero_copy_only=False)
+            v = b[col].to_numpy(zero_copy_only=False)
+            gx = cell % nlon
+            gy = cell // nlon
+            deg = (
+                (gx > 0).astype(np.int64) + (gx < nlon - 1)
+                + (gy > 0) + (gy < nlat - 1)
+            )
+            return pa.table(
+                {
+                    "t": pa.array([int(v.sum())], pa.int64()),
+                    "sum_sq": pa.array([int((v * v).sum())], pa.int64()),
+                    "sum_deg": pa.array([int((deg * v).sum())], pa.int64()),
+                }
+            )
+
+        return part
+
+    sx = xcells.map_batches(scalars("x"), batch_format="pyarrow").sum(
+        ["t", "sum_sq", "sum_deg"]
+    )
+    sy = ycells.map_batches(scalars("y"), batch_format="pyarrow").sum(
+        ["t", "sum_sq", "sum_deg"]
+    )
+    tx, sqx, degx = int(sx["sum(t)"]), int(sx["sum(sum_sq)"]), int(sx["sum(sum_deg)"])
+    ty, sqy, degy = int(sy["sum(t)"]), int(sy["sum(sum_sq)"]), int(sy["sum(sum_deg)"])
+
+    # S_adj(x_i y_j) over ORDERED edges: probe all 4 directions from x
+    def probes(b: pa.Table) -> pa.Table:
+        cell = b["cell"].to_numpy(zero_copy_only=False)
+        x = b["x"].to_numpy(zero_copy_only=False)
+        gx = cell % nlon
+        gy = cell // nlon
+        nb = np.concatenate(
+            [
+                np.where(gx < nlon - 1, cell + 1, -1),
+                np.where(gx > 0, cell - 1, -1),
+                np.where(gy < nlat - 1, cell + nlon, -1),
+                np.where(gy > 0, cell - nlon, -1),
+            ]
+        )
+        xx = np.concatenate([x, x, x, x])
+        keep = nb >= 0
+        return pa.table(
+            {"cell": pa.array(nb[keep], pa.int64()),
+             "x_src": pa.array(xx[keep], pa.int64())}
+        )
+
+    joined = hash_join(
+        xcells.map_batches(probes, batch_format="pyarrow"), ycells, on="cell"
+    )
+
+    def prod(b: pa.Table) -> pa.Table:
+        p = b["x_src"].to_numpy(zero_copy_only=False) * b["y"].to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table({"p": pa.array([int(p.sum())], pa.int64())})
+
+    s_adj = int(joined.map_batches(prod, batch_format="pyarrow").sum("p") or 0)
+
+    num = n * n * s_adj - n * ty * degx - n * tx * degy + w_ord * tx * ty
+    ax = n * sqx - tx * tx
+    ay = n * sqy - ty * ty
+    if ax == 0 or ay == 0:
+        moran = None
+    else:
+        den = float(
+            np.float64(n) * np.sqrt(np.float64(ax)) * np.sqrt(np.float64(ay))
+        )
+        moran = float(
+            (np.float64(n) / np.float64(w_ord)) * (np.float64(num) / den)
+        )
+    return pa.table(
+        {
+            "n_cells": pa.array([n], pa.int64()),
+            "w_ord": pa.array([w_ord], pa.int64()),
+            "t_docs": pa.array([tx], pa.int64()),
+            "t_events": pa.array([ty], pa.int64()),
+            "s_adj_xy": pa.array([s_adj], pa.int64()),
+            "ax": pa.array([ax], pa.int64()),
+            "ay": pa.array([ay], pa.int64()),
+            "num": pa.array([num], pa.int64()),
+            "moran_xy": pa.array([moran], pa.float64()),
+        }
+    )
+
+
+GEO_BIVARIATE_MORAN_SQL = f"""
+WITH px AS (
+  SELECT CAST(FLOOR({GEO_LON_SQL}) AS BIGINT) + 180 AS gx,
+         CAST(FLOOR({GEO_LAT_SQL}) AS BIGINT) + 70 AS gy
+  FROM documents),
+py AS (
+  SELECT CAST(FLOOR({GEO_LON_SQL.replace('doc_id', 'event_id')}) AS BIGINT)
+           + 180 AS gx,
+         CAST(FLOOR({GEO_LAT_SQL.replace('doc_id', 'event_id')}) AS BIGINT)
+           + 70 AS gy
+  FROM events),
+cx AS (
+  SELECT gy * {_MORAN_NLON} + gx AS cell, gx, gy, COUNT(*) AS x
+  FROM px GROUP BY 1, 2, 3),
+cy AS (
+  SELECT gy * {_MORAN_NLON} + gx AS cell, gx, gy, COUNT(*) AS y
+  FROM py GROUP BY 1, 2, 3),
+adj AS (
+  SELECT CAST(COALESCE(SUM(a.x * b.y), 0) AS BIGINT) AS s_adj
+  FROM cx a JOIN cy b
+    ON (b.cell = a.cell + 1 AND a.gx < {_MORAN_NLON - 1})
+    OR (b.cell = a.cell - 1 AND a.gx > 0)
+    OR (b.cell = a.cell + {_MORAN_NLON} AND a.gy < {_MORAN_NLAT - 1})
+    OR (b.cell = a.cell - {_MORAN_NLON} AND a.gy > 0)),
+mx AS (
+  SELECT CAST(SUM(x) AS BIGINT) AS t, CAST(SUM(x * x) AS BIGINT) AS sq,
+         CAST(SUM(((CASE WHEN gx > 0 THEN 1 ELSE 0 END)
+                   + (CASE WHEN gx < {_MORAN_NLON - 1} THEN 1 ELSE 0 END)
+                   + (CASE WHEN gy > 0 THEN 1 ELSE 0 END)
+                   + (CASE WHEN gy < {_MORAN_NLAT - 1} THEN 1 ELSE 0 END)) * x)
+              AS BIGINT) AS sdeg
+  FROM cx),
+my AS (
+  SELECT CAST(SUM(y) AS BIGINT) AS t, CAST(SUM(y * y) AS BIGINT) AS sq,
+         CAST(SUM(((CASE WHEN gx > 0 THEN 1 ELSE 0 END)
+                   + (CASE WHEN gx < {_MORAN_NLON - 1} THEN 1 ELSE 0 END)
+                   + (CASE WHEN gy > 0 THEN 1 ELSE 0 END)
+                   + (CASE WHEN gy < {_MORAN_NLAT - 1} THEN 1 ELSE 0 END)) * y)
+              AS BIGINT) AS sdeg
+  FROM cy),
+k AS (
+  SELECT CAST({_MORAN_NLON * _MORAN_NLAT} AS BIGINT) AS n,
+         CAST({2 * (_MORAN_NLAT * (_MORAN_NLON - 1) + (_MORAN_NLAT - 1) * _MORAN_NLON)}
+              AS BIGINT) AS w)
+SELECT k.n AS n_cells, k.w AS w_ord, mx.t AS t_docs, my.t AS t_events,
+       adj.s_adj AS s_adj_xy,
+       k.n * mx.sq - mx.t * mx.t AS ax,
+       k.n * my.sq - my.t * my.t AS ay,
+       k.n * k.n * adj.s_adj - k.n * my.t * mx.sdeg
+         - k.n * mx.t * my.sdeg + k.w * mx.t * my.t AS num,
+       (CAST(k.n AS DOUBLE) / CAST(k.w AS DOUBLE))
+         * (CAST(k.n * k.n * adj.s_adj - k.n * my.t * mx.sdeg
+                 - k.n * mx.t * my.sdeg + k.w * mx.t * my.t AS DOUBLE)
+            / (CAST(k.n AS DOUBLE)
+               * SQRT(CAST(NULLIF(k.n * mx.sq - mx.t * mx.t, 0) AS DOUBLE))
+               * SQRT(CAST(NULLIF(k.n * my.sq - my.t * my.t, 0) AS DOUBLE))))
+         AS moran_xy
+FROM k, mx, my, adj
+"""
+
+
 _CCF_A, _CCF_B = "click", "purchase"
 _CCF_LAGS = (0, 1, 2, 3)
 
@@ -19764,6 +19966,7 @@ QUERIES = {
     "geo_cross_k": geo_cross_k,
     "geo_quadrat_vmr": geo_quadrat_vmr,
     "geo_clark_evans": geo_clark_evans,
+    "geo_bivariate_moran": geo_bivariate_moran,
     "events_type_ccf": events_type_ccf,
     "geo_type_hhi": geo_type_hhi,
     "geo_hexbin": geo_hexbin,
@@ -19986,6 +20189,7 @@ ORACLE_SQL = {
     "geo_cross_k": GEO_CROSS_K_SQL,
     "geo_quadrat_vmr": GEO_QUADRAT_VMR_SQL,
     "geo_clark_evans": GEO_CLARK_EVANS_SQL,
+    "geo_bivariate_moran": GEO_BIVARIATE_MORAN_SQL,
     "events_type_ccf": EVENTS_TYPE_CCF_SQL,
     "geo_type_hhi": GEO_TYPE_HHI_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
