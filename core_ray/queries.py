@@ -11110,6 +11110,106 @@ FROM k, mx, my, adj
 """
 
 
+_STDB_EPS = 1.0  # ST-DBSCAN spatial eps (degrees)
+_STDB_WINDOW_US = 300 * 1_000_000  # temporal eps (5 min)
+_STDB_MIN_PTS = 3
+
+
+def events_st_dbscan(sf_dir: str):
+    """ST-DBSCAN — spatio-temporal density clustering of EVENTS (Birant &
+    Kut's extension of DBSCAN: a neighbor must be close in space AND
+    time, so a place that is busy on two different days forms two
+    clusters where plain DBSCAN sees one). Runs over the CONTACT
+    coordinate model (12 city blobs + user/event jitter — the derived
+    doc-hash lattice is translation-invariant in id space, which makes
+    every point core and the clustering degenerate). The distributed
+    decomposition is IDENTICAL to geo_dbscan from step 2 on — the
+    neighborhood definition is the only difference — so the
+    implementation is the 3D (lat, lon, time-bucket) home+ghost pair
+    join (stages/stjoin.py::spacetime_all_pairs, 27x replication, ONE
+    shuffle, single-emission home rule) feeding the factored
+    stages/dbscan.py::dbscan_from_pairs (degrees -> core -> CC over
+    core-core edges -> min-label border attach -> noise). Parameters are
+    deliberately SUBCRITICAL at bench scale (eps 1 deg / 5 min / min_pts
+    3: expected degree ~0.5 at sf0.1, so components fragment at temporal
+    gaps) — that keeps the oracle's recursive min-reachable closure,
+    whose row count is sum(|component|^2), polynomial; the engine side
+    has no such constraint (CC is log-round pointer jumping)."""
+    from core_ray.stages.dbscan import dbscan_from_pairs
+    from core_ray.stages.stjoin import spacetime_all_pairs
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def shape(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lat, lon = _contact_coords(eid, uid)
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "lat": pa.array(lat, pa.float64()),
+                "lon": pa.array(lon, pa.float64()),
+                "us": pa.array(us, pa.int64()),
+            }
+        )
+
+    pts = ds.map_batches(shape, batch_format="pyarrow", batch_size=65536)
+    pairs = spacetime_all_pairs(
+        pts, _STDB_EPS, _STDB_WINDOW_US, id_col="event_id"
+    ).materialize()
+    return dbscan_from_pairs(pts, pairs, _STDB_MIN_PTS, id_col="event_id")
+
+
+EVENTS_ST_DBSCAN_SQL = f"""
+WITH RECURSIVE
+pts AS (
+  SELECT event_id, {CONTACT_LAT_SQL} AS lat, {CONTACT_LON_SQL} AS lon,
+         epoch_us(ts) AS us
+  FROM events),
+-- time-bucket equi-join: a is replicated to its 3 adjacent buckets, b
+-- probes its own bucket, so every pair with |dt| <= W matches EXACTLY one
+-- replica (a pure range join here degenerates: DuckDB's IEJoin picks the
+-- lat band, and the 12-city blob model puts ~1/12 of all events in any
+-- lat band — measured minutes at sf0.1; the bucket hash join is seconds)
+ab AS (
+  SELECT event_id, lat, lon, us, us // {_STDB_WINDOW_US} + o AS bk
+  FROM pts CROSS JOIN (SELECT UNNEST([-1, 0, 1]) AS o) t),
+p0 AS (
+  SELECT a.event_id AS da, b.event_id AS db
+  FROM ab a JOIN pts b
+    ON b.us // {_STDB_WINDOW_US} = a.bk AND a.event_id < b.event_id
+  WHERE ABS(a.us - b.us) <= {_STDB_WINDOW_US}
+    AND (a.lat - b.lat) * (a.lat - b.lat) + (a.lon - b.lon) * (a.lon - b.lon)
+        <= {_STDB_EPS * _STDB_EPS}),
+e AS (SELECT da AS u, db AS v FROM p0 UNION ALL SELECT db, da FROM p0),
+deg AS (SELECT u AS id, COUNT(*) AS n FROM e GROUP BY u),
+core AS (SELECT id FROM deg WHERE n + 1 >= {_STDB_MIN_PTS}),
+ce0 AS (
+  SELECT da, db FROM p0
+  WHERE da IN (SELECT id FROM core) AND db IN (SELECT id FROM core)),
+ce AS (SELECT da AS u, db AS v FROM ce0 UNION SELECT db, da FROM ce0),
+reach(node, comp) AS (
+  SELECT id, id FROM core
+  UNION
+  SELECT ce.u, r.comp FROM ce JOIN reach r ON r.node = ce.v),
+clab AS (SELECT node, MIN(comp) AS comp FROM reach GROUP BY node),
+border AS (
+  SELECT e.u AS node, MIN(c.comp) AS comp
+  FROM e JOIN clab c ON c.node = e.v
+  WHERE e.u NOT IN (SELECT id FROM core)
+  GROUP BY e.u)
+SELECT p.event_id,
+       CAST(COALESCE(c.comp, b.comp) AS BIGINT) AS cluster,
+       CASE WHEN c.node IS NOT NULL THEN 'core'
+            WHEN b.node IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role
+FROM pts p
+LEFT JOIN clab c ON c.node = p.event_id
+LEFT JOIN border b ON b.node = p.event_id
+"""
+
+
 _CCF_A, _CCF_B = "click", "purchase"
 _CCF_LAGS = (0, 1, 2, 3)
 
@@ -19967,6 +20067,7 @@ QUERIES = {
     "geo_quadrat_vmr": geo_quadrat_vmr,
     "geo_clark_evans": geo_clark_evans,
     "geo_bivariate_moran": geo_bivariate_moran,
+    "events_st_dbscan": events_st_dbscan,
     "events_type_ccf": events_type_ccf,
     "geo_type_hhi": geo_type_hhi,
     "geo_hexbin": geo_hexbin,
@@ -20190,6 +20291,7 @@ ORACLE_SQL = {
     "geo_quadrat_vmr": GEO_QUADRAT_VMR_SQL,
     "geo_clark_evans": GEO_CLARK_EVANS_SQL,
     "geo_bivariate_moran": GEO_BIVARIATE_MORAN_SQL,
+    "events_st_dbscan": EVENTS_ST_DBSCAN_SQL,
     "events_type_ccf": EVENTS_TYPE_CCF_SQL,
     "geo_type_hhi": GEO_TYPE_HHI_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,

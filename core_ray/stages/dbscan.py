@@ -53,6 +53,17 @@ def dbscan(pts, eps: float, min_pts: int, id_col: str = "doc_id",
     """
     pairs = distance_pairs(pts, eps, id_col=id_col,
                            lat_col=lat_col, lon_col=lon_col).materialize()
+    return dbscan_from_pairs(pts, pairs, min_pts, id_col=id_col)
+
+
+def dbscan_from_pairs(pts, pairs, min_pts: int, id_col: str = "doc_id"):
+    """DBSCAN over a PRECOMPUTED eps-neighbor edge set: ``pairs`` is a
+    materialized Dataset[(doc_a, doc_b, sq_dist)] of unique undirected
+    qualifying pairs. Factored out of dbscan() so other neighbor
+    predicates reuse steps 2-6 of the decomposition unchanged — e.g.
+    ST-DBSCAN feeds the space-AND-time pairs from
+    stages/stjoin.py::spacetime_all_pairs (the neighborhood definition is
+    the ONLY thing that differs between DBSCAN variants)."""
 
     def endpoints(b: pa.Table) -> pa.Table:
         a = b["doc_a"].to_numpy(zero_copy_only=False).astype(np.uint64)

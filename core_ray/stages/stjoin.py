@@ -166,3 +166,95 @@ def spacetime_pairs(
     return map_groups_partitioned(
         rep_ds, "ck", lambda g: contacts_in_partition(g, r2, window_us)
     )
+
+
+def st_all_pairs_in_partition(
+    g: pa.Table, r2: float, window_us: int, chunk_pairs: int = 8 << 20
+) -> pa.Table:
+    """(doc_a, doc_b, sq_dist) for ALL co-located qualifying pairs —
+    contacts_in_partition without the different-user restriction, emitting
+    the spatial distance: the eps-neighbor EDGE SET a spatio-temporal
+    DBSCAN consumes (stages/dbscan.py::dbscan_from_pairs). doc_a < doc_b,
+    each pair exactly once (home rule)."""
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "sq_dist": pa.array([], pa.float64()),
+        }
+    )
+    key = g["ck"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    n = len(key)
+    if n == 0:
+        return empty
+    order = np.argsort(key, kind="stable")
+    key = key[order]
+    ids = g["pid"].to_numpy(zero_copy_only=False)[order]
+    lat = g["lat"].to_numpy(zero_copy_only=False)[order]
+    lon = g["lon"].to_numpy(zero_copy_only=False)[order]
+    us = g["us"].to_numpy(zero_copy_only=False)[order]
+    home = g["home"].to_numpy(zero_copy_only=False)[order]
+    new = np.ones(n, dtype=bool)
+    new[1:] = key[1:] != key[:-1]
+    seg_id = np.cumsum(new) - 1
+    starts = np.nonzero(new)[0]
+    seg_len = np.diff(np.append(starts, n)).astype(np.int64)
+    hidx = np.nonzero(home)[0]  # home-left enumeration (see contacts kernel)
+    if len(hidx) == 0:
+        return empty
+    Lh = seg_len[seg_id[hidx]]
+    chunk_of_home = np.cumsum(Lh) // chunk_pairs
+    oa, ob, od = [], [], []
+    for c in np.unique(chunk_of_home):
+        sel = chunk_of_home == c
+        h = hidx[sel]
+        L = Lh[sel]
+        left = np.repeat(h, L)
+        row_pair_start = np.cumsum(L) - L
+        offs = np.arange(int(L.sum())) - np.repeat(row_pair_start, L)
+        right = np.repeat(starts[seg_id[h]], L) + offs
+        m = ids[right] > ids[left]
+        i, j = left[m], right[m]
+        dla = lat[i] - lat[j]
+        dlo = lon[i] - lon[j]
+        d2 = dla * dla + dlo * dlo
+        dt = np.abs(us[i] - us[j])
+        keep = (d2 <= r2) & (dt <= window_us)
+        oa.append(ids[i][keep])
+        ob.append(ids[j][keep])
+        od.append(d2[keep])
+    return pa.table(
+        {
+            "doc_a": pa.array(np.concatenate(oa), pa.int64()),
+            "doc_b": pa.array(np.concatenate(ob), pa.int64()),
+            "sq_dist": pa.array(np.concatenate(od), pa.float64()),
+        }
+    )
+
+
+def spacetime_all_pairs(
+    ds, radius: float, window_us: int,
+    id_col: str = "pid", lat_col: str = "lat", lon_col: str = "lon",
+    us_col: str = "us",
+):
+    """Dataset[(id, lat, lon, us)] -> Dataset[(doc_a, doc_b, sq_dist)]:
+    ALL pairs within ``radius`` (degree space) AND ``window_us`` — the
+    spatio-temporal eps-neighbor graph (no user restriction; same 27x
+    home+ghost plan and single-emission argument as spacetime_pairs, one
+    hash shuffle total)."""
+    r2 = radius * radius
+
+    def rep(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return replicate_3d(
+            ids, ids,  # uid slot unused by the all-pairs kernel
+            b[lat_col].to_numpy(zero_copy_only=False),
+            b[lon_col].to_numpy(zero_copy_only=False),
+            b[us_col].to_numpy(zero_copy_only=False).astype(np.int64),
+            radius, window_us,
+        )
+
+    rep_ds = ds.map_batches(rep, batch_format="pyarrow", batch_size=32768)
+    return map_groups_partitioned(
+        rep_ds, "ck", lambda g: st_all_pairs_in_partition(g, r2, window_us)
+    )

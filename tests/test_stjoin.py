@@ -98,3 +98,43 @@ def test_chunked_partition_path_is_exact():
     assert {(a, b) for a, b in k(big)} == _brute(
         ids, uids, lat, lon, us, 1.0, 3_600_000_000
     )
+
+
+def test_spacetime_all_pairs_matches_brute_force(ray_session):
+    """spacetime_all_pairs = contacts minus the user filter: every pair
+    within BOTH bands exactly once, same-user pairs included."""
+    import ray.data
+
+    from core_ray.stages.stjoin import spacetime_all_pairs
+
+    rng = np.random.default_rng(23)
+    n = 300
+    ids = np.arange(n, dtype=np.int64)
+    lat = rng.uniform(-5, 5, n)
+    lon = rng.uniform(-5, 5, n)
+    us = rng.integers(0, 3_600_000_000 * 48, n)  # 48 h span
+    radius, window = 1.2, 3_600_000_000 * 6  # 1.2 deg, 6 h
+
+    t = pa.table(
+        {
+            "pid": pa.array(ids, pa.int64()),
+            "lat": pa.array(lat, pa.float64()),
+            "lon": pa.array(lon, pa.float64()),
+            "us": pa.array(us, pa.int64()),
+        }
+    )
+    got = spacetime_all_pairs(
+        ray.data.from_arrow(t).repartition(4), radius, window
+    ).take_all()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in got}
+    assert len(pairs) == len(got), "single emission"
+
+    expect = set()
+    r2 = radius * radius
+    for i in range(n):
+        dla = lat[i] - lat
+        dlo = lon[i] - lon
+        ok = (dla * dla + dlo * dlo <= r2) & (np.abs(us[i] - us) <= window)
+        for j in np.nonzero(ok & (ids > ids[i]))[0]:
+            expect.add((int(ids[i]), int(ids[j])))
+    assert pairs == expect
