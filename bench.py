@@ -185,6 +185,7 @@ BENCH_QUERIES = [
     "geo_clark_evans",
     "geo_bivariate_moran",
     "events_st_dbscan",
+    "events_st_getis",
     "events_type_ccf",
     "geo_type_hhi",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the

@@ -11210,6 +11210,255 @@ LEFT JOIN border b ON b.node = p.event_id
 """
 
 
+_STG_DAY_US = 86_400_000_000  # space-time Gi* day bucket
+
+
+def events_st_getis(sf_dir: str):
+    """SPACE-TIME GETIS-ORD Gi* (the "emerging hot spot" primitive: Gi*
+    over a (1-deg cell, day) SPACE-TIME CUBE with a 3x3x3 box
+    neighborhood — a place-day is hot only if its space-time neighborhood
+    is, which plain 2D Gi* cannot see): same integer-exact strategy as
+    geo_getis_gi lifted to 3D — the frame is 360 x 140 x n_days bins
+    (n_days from the data's day span, mirrored), neighbor sums come from
+    <=27 contribution rows per OCCUPIED bin (self carries x, the 26 box
+    offsets carry nbx — empty bins with occupied neighbors materialize
+    exactly where needed, all-empty bins never exist as rows), the box
+    weight factorizes per axis (w = wx*wy*wt, each 2 or 3 at a boundary),
+    and z = (N*(x+nb) - T*w) / (sqrt(N*sum_sq - T^2) * sqrt((N*w - w^2) /
+    (N-1))) is a fixed chain of correctly-rounded double ops over exact
+    integers. Events bin by the CONTACT city model (same frame bounds as
+    the 1-deg raster). Shape: one count_by_u64 builds occupied bins, one
+    partitioned vectorized reduce folds the 27x contribution rows (never
+    Ray's per-row aggregate), top 20 by (z DESC, bin) — a total order,
+    bit-equal both sides. Same T^2 < 2^63 overflow contract as the 2D
+    statistic."""
+    from core_ray.stages.agg import count_by_u64, map_groups_partitioned
+
+    nlon, nlat = _MORAN_NLON, _MORAN_NLAT
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def day_of(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        d = us // _STG_DAY_US
+        if len(d) == 0:
+            return pa.table({"d0": pa.array([], pa.int64()),
+                             "d1": pa.array([], pa.int64())})
+        return pa.table(
+            {"d0": pa.array([int(d.min())], pa.int64()),
+             "d1": pa.array([int(d.max())], pa.int64())}
+        )
+
+    span = ds.map_batches(day_of, batch_format="pyarrow", batch_size=131072)
+    d0 = span.min("d0")
+    d1 = span.max("d1")
+    if d0 is None:
+        return pa.table(
+            {
+                "gx": pa.array([], pa.int64()),
+                "gy": pa.array([], pa.int64()),
+                "day_idx": pa.array([], pa.int64()),
+                "x": pa.array([], pa.int64()),
+                "nbr_sum": pa.array([], pa.int64()),
+                "z": pa.array([], pa.float64()),
+            }
+        )
+    d0, d1 = int(d0), int(d1)
+    nd = d1 - d0 + 1
+    n_bins = nlon * nlat * nd
+
+    def bin_of(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lat, lon = _contact_coords(eid, uid)
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        gx = np.floor(lon).astype(np.int64) + 180
+        gy = np.floor(lat).astype(np.int64) + 70
+        didx = us // _STG_DAY_US - d0
+        key = ((didx * nlat + gy) * nlon + gx).astype(np.uint64)
+        return pa.table({"key": pa.array(key, pa.uint64())})
+
+    cells = count_by_u64(
+        ds.map_batches(bin_of, batch_format="pyarrow", batch_size=131072),
+        "key",
+    ).materialize()
+
+    def scalars(b: pa.Table) -> pa.Table:
+        x = b["cnt"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "t": pa.array([int(x.sum())], pa.int64()),
+                "sum_sq": pa.array([int((x * x).sum())], pa.int64()),
+            }
+        )
+
+    sc = cells.map_batches(scalars, batch_format="pyarrow").sum(["t", "sum_sq"])
+    t, sum_sq = int(sc["sum(t)"]), int(sc["sum(sum_sq)"])
+    a_const = n_bins * sum_sq - t * t
+
+    offs = [(ox, oy, ot)
+            for ox in (-1, 0, 1) for oy in (-1, 0, 1) for ot in (-1, 0, 1)]
+
+    def contribs(b: pa.Table) -> pa.Table:
+        bin_ = b["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = b["cnt"].to_numpy(zero_copy_only=False)
+        gx = bin_ % nlon
+        gy = (bin_ // nlon) % nlat
+        dt_ = bin_ // (nlon * nlat)
+        outb, outx, outn = [], [], []
+        for ox, oy, ot in offs:
+            ok = (
+                (gx + ox >= 0) & (gx + ox < nlon)
+                & (gy + oy >= 0) & (gy + oy < nlat)
+                & (dt_ + ot >= 0) & (dt_ + ot < nd)
+            )
+            nb = ((dt_[ok] + ot) * nlat + (gy[ok] + oy)) * nlon + (gx[ok] + ox)
+            outb.append(nb)
+            if ox == 0 and oy == 0 and ot == 0:
+                outx.append(x[ok])
+                outn.append(np.zeros(int(ok.sum()), np.int64))
+            else:
+                outx.append(np.zeros(int(ok.sum()), np.int64))
+                outn.append(x[ok])
+        return pa.table(
+            {
+                "bin": pa.array(np.concatenate(outb), pa.int64()),
+                "x": pa.array(np.concatenate(outx), pa.int64()),
+                "nbx": pa.array(np.concatenate(outn), pa.int64()),
+            }
+        )
+
+    def reduce_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "bin": pa.array([], pa.int64()),
+                    "x": pa.array([], pa.int64()),
+                    "nbr_sum": pa.array([], pa.int64()),
+                }
+            )
+        k = g["bin"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(k, kind="stable")
+        ks = k[order]
+        starts = np.nonzero(np.r_[True, ks[1:] != ks[:-1]])[0]
+        x = np.add.reduceat(
+            g["x"].to_numpy(zero_copy_only=False)[order], starts)
+        nb = np.add.reduceat(
+            g["nbx"].to_numpy(zero_copy_only=False)[order], starts)
+        return pa.table(
+            {
+                "bin": pa.array(ks[starts], pa.int64()),
+                "x": pa.array(x, pa.int64()),
+                "nbr_sum": pa.array(nb, pa.int64()),
+            }
+        )
+
+    agg = map_groups_partitioned(
+        cells.map_batches(contribs, batch_format="pyarrow"),
+        "bin", reduce_part,
+    )
+
+    def zscore(b: pa.Table) -> pa.Table:
+        bin_ = b["bin"].to_numpy(zero_copy_only=False)
+        x = b["x"].to_numpy(zero_copy_only=False)
+        nb = b["nbr_sum"].to_numpy(zero_copy_only=False)
+        gx = bin_ % nlon
+        gy = (bin_ // nlon) % nlat
+        dt_ = bin_ // (nlon * nlat)
+        w = (
+            (1 + (gx > 0) + (gx < nlon - 1)).astype(np.int64)
+            * (1 + (gy > 0) + (gy < nlat - 1))
+            * (1 + (dt_ > 0) + (dt_ < nd - 1))
+        )
+        num = n_bins * (x + nb) - t * w
+        z = num.astype(np.float64) / (
+            np.sqrt(float(a_const))
+            * np.sqrt((n_bins * w - w * w).astype(np.float64)
+                      / float(n_bins - 1))
+        )
+        return pa.table(
+            {
+                "bin": pa.array(bin_, pa.int64()),
+                "gx": pa.array(gx, pa.int64()),
+                "gy": pa.array(gy, pa.int64()),
+                "day_idx": pa.array(dt_, pa.int64()),
+                "x": pa.array(x, pa.int64()),
+                "nbr_sum": pa.array(nb, pa.int64()),
+                "z": pa.array(z, pa.float64()),
+            }
+        )
+
+    return (
+        agg.map_batches(zscore, batch_format="pyarrow")
+        .sort(["z", "bin"], descending=[True, False])
+        .limit(20)
+        .drop_columns(["bin"])
+    )
+
+
+EVENTS_ST_GETIS_SQL = f"""
+WITH pts AS (
+  SELECT CAST(FLOOR({CONTACT_LON_SQL}) AS BIGINT) + 180 AS gx,
+         CAST(FLOOR({CONTACT_LAT_SQL}) AS BIGINT) + 70 AS gy,
+         epoch_us(ts) // {_STG_DAY_US} AS d
+  FROM events),
+dd AS (SELECT CAST(MIN(d) AS BIGINT) AS d0,
+              CAST(MAX(d) - MIN(d) + 1 AS BIGINT) AS nd FROM pts),
+cells AS (
+  SELECT ((p.d - dd.d0) * {_MORAN_NLAT} + p.gy) * {_MORAN_NLON} + p.gx AS bin,
+         p.gx, p.gy, p.d - dd.d0 AS dt, COUNT(*) AS x
+  FROM pts p, dd GROUP BY 1, 2, 3, 4),
+sc AS (
+  SELECT CAST(SUM(x) AS BIGINT) AS t, CAST(SUM(x * x) AS BIGINT) AS sum_sq
+  FROM cells),
+offs AS (
+  SELECT ax.o AS ox, ay.o AS oy, at.o AS ot
+  FROM (SELECT UNNEST([-1, 0, 1]) AS o) ax,
+       (SELECT UNNEST([-1, 0, 1]) AS o) ay,
+       (SELECT UNNEST([-1, 0, 1]) AS o) at),
+contrib AS (
+  SELECT ((c.dt + f.ot) * {_MORAN_NLAT} + (c.gy + f.oy)) * {_MORAN_NLON}
+           + (c.gx + f.ox) AS bin,
+         CASE WHEN f.ox = 0 AND f.oy = 0 AND f.ot = 0 THEN c.x
+              ELSE CAST(0 AS BIGINT) END AS x,
+         CASE WHEN f.ox = 0 AND f.oy = 0 AND f.ot = 0 THEN CAST(0 AS BIGINT)
+              ELSE c.x END AS nbx
+  FROM cells c CROSS JOIN offs f CROSS JOIN dd
+  WHERE c.gx + f.ox BETWEEN 0 AND {_MORAN_NLON - 1}
+    AND c.gy + f.oy BETWEEN 0 AND {_MORAN_NLAT - 1}
+    AND c.dt + f.ot BETWEEN 0 AND dd.nd - 1),
+agg AS (
+  SELECT bin, CAST(SUM(x) AS BIGINT) AS x, CAST(SUM(nbx) AS BIGINT) AS nbr_sum
+  FROM contrib GROUP BY 1),
+g AS (
+  SELECT a.bin, a.bin % {_MORAN_NLON} AS gx,
+         (a.bin // {_MORAN_NLON}) % {_MORAN_NLAT} AS gy,
+         a.bin // {_MORAN_NLON * _MORAN_NLAT} AS day_idx,
+         a.x, a.nbr_sum,
+         CAST(((CASE WHEN a.bin % {_MORAN_NLON} > 0 THEN 1 ELSE 0 END)
+               + (CASE WHEN a.bin % {_MORAN_NLON} < {_MORAN_NLON - 1}
+                  THEN 1 ELSE 0 END) + 1)
+              * ((CASE WHEN (a.bin // {_MORAN_NLON}) % {_MORAN_NLAT} > 0
+                  THEN 1 ELSE 0 END)
+                 + (CASE WHEN (a.bin // {_MORAN_NLON}) % {_MORAN_NLAT}
+                         < {_MORAN_NLAT - 1} THEN 1 ELSE 0 END) + 1)
+              * ((CASE WHEN a.bin // {_MORAN_NLON * _MORAN_NLAT} > 0
+                  THEN 1 ELSE 0 END)
+                 + (CASE WHEN a.bin // {_MORAN_NLON * _MORAN_NLAT} < dd.nd - 1
+                    THEN 1 ELSE 0 END) + 1) AS BIGINT) AS w,
+         CAST({_MORAN_NLON * _MORAN_NLAT} AS BIGINT) * dd.nd AS n
+  FROM agg a CROSS JOIN dd)
+SELECT gx, gy, day_idx, x, nbr_sum,
+       CAST(g.n * (g.x + g.nbr_sum) - sc.t * g.w AS DOUBLE)
+         / (SQRT(CAST(g.n * sc.sum_sq - sc.t * sc.t AS DOUBLE))
+            * SQRT(CAST(g.n * g.w - g.w * g.w AS DOUBLE)
+                   / CAST(g.n - 1 AS DOUBLE))) AS z
+FROM g, sc
+ORDER BY z DESC, g.bin
+LIMIT 20
+"""
+
+
 _CCF_A, _CCF_B = "click", "purchase"
 _CCF_LAGS = (0, 1, 2, 3)
 
@@ -20068,6 +20317,7 @@ QUERIES = {
     "geo_clark_evans": geo_clark_evans,
     "geo_bivariate_moran": geo_bivariate_moran,
     "events_st_dbscan": events_st_dbscan,
+    "events_st_getis": events_st_getis,
     "events_type_ccf": events_type_ccf,
     "geo_type_hhi": geo_type_hhi,
     "geo_hexbin": geo_hexbin,
@@ -20292,6 +20542,7 @@ ORACLE_SQL = {
     "geo_clark_evans": GEO_CLARK_EVANS_SQL,
     "geo_bivariate_moran": GEO_BIVARIATE_MORAN_SQL,
     "events_st_dbscan": EVENTS_ST_DBSCAN_SQL,
+    "events_st_getis": EVENTS_ST_GETIS_SQL,
     "events_type_ccf": EVENTS_TYPE_CCF_SQL,
     "geo_type_hhi": GEO_TYPE_HHI_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
