@@ -186,6 +186,7 @@ BENCH_QUERIES = [
     "geo_bivariate_moran",
     "events_st_dbscan",
     "events_st_getis",
+    "events_emerging_hotspots",
     "events_type_ccf",
     "geo_type_hhi",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the

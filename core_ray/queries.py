@@ -11213,8 +11213,8 @@ LEFT JOIN border b ON b.node = p.event_id
 _STG_DAY_US = 86_400_000_000  # space-time Gi* day bucket
 
 
-def events_st_getis(sf_dir: str):
-    """SPACE-TIME GETIS-ORD Gi* (the "emerging hot spot" primitive: Gi*
+def _st_getis_z(sf_dir: str):
+    """SPACE-TIME GETIS-ORD Gi* z-bin table (the "emerging hot spot" primitive: Gi*
     over a (1-deg cell, day) SPACE-TIME CUBE with a 3x3x3 box
     neighborhood — a place-day is hot only if its space-time neighborhood
     is, which plain 2D Gi* cannot see): same integer-exact strategy as
@@ -11229,9 +11229,10 @@ def events_st_getis(sf_dir: str):
     integers. Events bin by the CONTACT city model (same frame bounds as
     the 1-deg raster). Shape: one count_by_u64 builds occupied bins, one
     partitioned vectorized reduce folds the 27x contribution rows (never
-    Ray's per-row aggregate), top 20 by (z DESC, bin) — a total order,
-    bit-equal both sides. Same T^2 < 2^63 overflow contract as the 2D
-    statistic."""
+    Ray's per-row aggregate). Returns the full (bin, gx, gy, day_idx, x,
+    nbr_sum, z) table; consumers pick their surface (events_st_getis
+    top-20, events_emerging_hotspots per-cell Mann-Kendall). Same
+    T^2 < 2^63 overflow contract as the 2D statistic."""
     from core_ray.stages.agg import count_by_u64, map_groups_partitioned
 
     nlon, nlat = _MORAN_NLON, _MORAN_NLAT
@@ -11388,16 +11389,24 @@ def events_st_getis(sf_dir: str):
             }
         )
 
+    return agg.map_batches(zscore, batch_format="pyarrow")
+
+
+def events_st_getis(sf_dir: str):
+    """SPACE-TIME GETIS-ORD Gi* top 20 — see _st_getis_z for the full
+    3D-cube derivation; this surface sorts by (z DESC, bin), a total
+    order that is bit-equal both sides."""
+    z = _st_getis_z(sf_dir)
+    if isinstance(z, pa.Table):  # empty-events guard (already final shape)
+        return z.drop_columns(["bin"]) if "bin" in z.column_names else z
     return (
-        agg.map_batches(zscore, batch_format="pyarrow")
-        .sort(["z", "bin"], descending=[True, False])
+        z.sort(["z", "bin"], descending=[True, False])
         .limit(20)
         .drop_columns(["bin"])
     )
 
 
-EVENTS_ST_GETIS_SQL = f"""
-WITH pts AS (
+_ST_GETIS_Z_CTE = f"""pts AS (
   SELECT CAST(FLOOR({CONTACT_LON_SQL}) AS BIGINT) + 180 AS gx,
          CAST(FLOOR({CONTACT_LAT_SQL}) AS BIGINT) + 70 AS gy,
          epoch_us(ts) // {_STG_DAY_US} AS d
@@ -11447,15 +11456,120 @@ g AS (
                  + (CASE WHEN a.bin // {_MORAN_NLON * _MORAN_NLAT} < dd.nd - 1
                     THEN 1 ELSE 0 END) + 1) AS BIGINT) AS w,
          CAST({_MORAN_NLON * _MORAN_NLAT} AS BIGINT) * dd.nd AS n
-  FROM agg a CROSS JOIN dd)
-SELECT gx, gy, day_idx, x, nbr_sum,
-       CAST(g.n * (g.x + g.nbr_sum) - sc.t * g.w AS DOUBLE)
-         / (SQRT(CAST(g.n * sc.sum_sq - sc.t * sc.t AS DOUBLE))
-            * SQRT(CAST(g.n * g.w - g.w * g.w AS DOUBLE)
-                   / CAST(g.n - 1 AS DOUBLE))) AS z
-FROM g, sc
-ORDER BY z DESC, g.bin
+  FROM agg a CROSS JOIN dd),
+zt AS (
+  SELECT g.bin, g.gx, g.gy, g.day_idx, g.x, g.nbr_sum,
+         CAST(g.n * (g.x + g.nbr_sum) - sc.t * g.w AS DOUBLE)
+           / (SQRT(CAST(g.n * sc.sum_sq - sc.t * sc.t AS DOUBLE))
+              * SQRT(CAST(g.n * g.w - g.w * g.w AS DOUBLE)
+                     / CAST(g.n - 1 AS DOUBLE))) AS z
+  FROM g, sc)"""
+
+EVENTS_ST_GETIS_SQL = f"""
+WITH {_ST_GETIS_Z_CTE}
+SELECT gx, gy, day_idx, x, nbr_sum, z
+FROM zt
+ORDER BY z DESC, bin
 LIMIT 20
+"""
+
+
+def events_emerging_hotspots(sf_dir: str):
+    """EMERGING-HOTSPOT CLASSIFICATION (the full ArcGIS space-time-cube
+    workflow: per SPATIAL cell, a Mann-Kendall monotonic-trend test over
+    that cell's DAILY Gi* z series — 'intensifying' cells are getting
+    hotter relative to the global field, 'diminishing' cooler; the
+    per-day statistic alone cannot distinguish a steady hot spot from an
+    emerging one). Consumes the shared _st_getis_z bin table; MK is
+    SIGN-ONLY (S = sum over day pairs of sign(z_j - z_i)), and the z
+    values are bit-equal doubles on both sides, so parity is exact
+    without quantizing z. Days where a bin has no occupied 3x3x3
+    neighborhood do not exist as rows (documented contract of the
+    contribution construction — mirrored, both sides skip them). ONE
+    spatial-cell-keyed shuffle; each cell's series is <= n_days long so
+    the per-cell pairwise fold is O(days^2) tiny and vectorized per
+    segment."""
+    from core_ray.stages.agg import map_groups_partitioned
+
+    empty = pa.table(
+        {
+            "gx": pa.array([], pa.int64()),
+            "gy": pa.array([], pa.int64()),
+            "n_days": pa.array([], pa.int64()),
+            "s_mk": pa.array([], pa.int64()),
+            "trend": pa.array([], pa.string()),
+        }
+    )
+    z = _st_getis_z(sf_dir)
+    if isinstance(z, pa.Table):  # empty-events guard
+        return empty
+
+    def keyed(b: pa.Table) -> pa.Table:
+        gx = b["gx"].to_numpy(zero_copy_only=False)
+        gy = b["gy"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "cell": pa.array(gy * _MORAN_NLON + gx, pa.int64()),
+                "day_idx": b["day_idx"],
+                "z": b["z"],
+            }
+        )
+
+    def per_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty
+        cell = g["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = g["day_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        zz = g["z"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((day, cell))
+        cell, day, zz = cell[order], day[order], zz[order]
+        starts = np.nonzero(np.r_[True, cell[1:] != cell[:-1]])[0]
+        ends = np.append(starts[1:], len(cell))
+        out_gx, out_gy, out_nd, out_s = [], [], [], []
+        for s, e in zip(starts, ends):  # <= #occupied cells, each tiny
+            seg = zz[s:e]
+            d = np.sign(seg[None, :] - seg[:, None])
+            s_mk = int(np.triu(d, 1).sum())
+            out_gx.append(int(cell[s] % _MORAN_NLON))
+            out_gy.append(int(cell[s] // _MORAN_NLON))
+            out_nd.append(int(e - s))
+            out_s.append(s_mk)
+        trend = np.where(
+            np.array(out_s) > 0, "intensifying",
+            np.where(np.array(out_s) < 0, "diminishing", "flat"),
+        )
+        return pa.table(
+            {
+                "gx": pa.array(out_gx, pa.int64()),
+                "gy": pa.array(out_gy, pa.int64()),
+                "n_days": pa.array(out_nd, pa.int64()),
+                "s_mk": pa.array(out_s, pa.int64()),
+                "trend": pa.array(trend.tolist(), pa.string()),
+            }
+        )
+
+    return map_groups_partitioned(
+        z.map_batches(keyed, batch_format="pyarrow"), "cell", per_part
+    )
+
+
+EVENTS_EMERGING_HOTSPOTS_SQL = f"""
+WITH {_ST_GETIS_Z_CTE},
+mk AS (
+  SELECT a.gx, a.gy,
+         CAST(SUM(CASE WHEN b.z > a.z THEN 1
+                       WHEN b.z < a.z THEN -1 ELSE 0 END) AS BIGINT) AS s_mk
+  FROM zt a JOIN zt b
+    ON b.gx = a.gx AND b.gy = a.gy AND b.day_idx > a.day_idx
+  GROUP BY 1, 2),
+nd_per AS (
+  SELECT gx, gy, CAST(COUNT(*) AS BIGINT) AS n_days FROM zt GROUP BY 1, 2)
+SELECT n.gx, n.gy, n.n_days,
+       CAST(COALESCE(m.s_mk, 0) AS BIGINT) AS s_mk,
+       CASE WHEN COALESCE(m.s_mk, 0) > 0 THEN 'intensifying'
+            WHEN COALESCE(m.s_mk, 0) < 0 THEN 'diminishing'
+            ELSE 'flat' END AS trend
+FROM nd_per n LEFT JOIN mk m ON m.gx = n.gx AND m.gy = n.gy
 """
 
 
@@ -20318,6 +20432,7 @@ QUERIES = {
     "geo_bivariate_moran": geo_bivariate_moran,
     "events_st_dbscan": events_st_dbscan,
     "events_st_getis": events_st_getis,
+    "events_emerging_hotspots": events_emerging_hotspots,
     "events_type_ccf": events_type_ccf,
     "geo_type_hhi": geo_type_hhi,
     "geo_hexbin": geo_hexbin,
@@ -20543,6 +20658,7 @@ ORACLE_SQL = {
     "geo_bivariate_moran": GEO_BIVARIATE_MORAN_SQL,
     "events_st_dbscan": EVENTS_ST_DBSCAN_SQL,
     "events_st_getis": EVENTS_ST_GETIS_SQL,
+    "events_emerging_hotspots": EVENTS_EMERGING_HOTSPOTS_SQL,
     "events_type_ccf": EVENTS_TYPE_CCF_SQL,
     "geo_type_hhi": GEO_TYPE_HHI_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
