@@ -187,6 +187,7 @@ BENCH_QUERIES = [
     "events_st_dbscan",
     "events_st_getis",
     "events_emerging_hotspots",
+    "emb_ann_recall",
     "events_type_ccf",
     "geo_type_hhi",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the

@@ -13396,6 +13396,78 @@ WHERE doc_id NOT IN (
 DOC_SIMHASH_PAIRS_SQL = f"SELECT * FROM read_parquet('{_DGD}/simhash_pairs.parquet')"
 EMB_ANN_LSH_SQL = f"SELECT * FROM read_parquet('{_DGD}/ann_lsh.parquet')"
 EMB_ANN_IVF_SQL = f"SELECT * FROM read_parquet('{_DGD}/ann_ivf.parquet')"
+
+
+def emb_ann_recall(sf_dir: str):
+    """ANN QUALITY EVALUATION — recall@5 of the IVF index against the
+    exact brute-force cosine top-k (the measurement every approximate
+    index owes its users: "how much does nprobe=3 actually miss"). Both
+    sides already exist in-engine (text/similarity.py ivf_ann_topk /
+    brute_force_topk); this runs them and intersects per query. Both
+    result tables are BOUNDED BY CONSTRUCTION at n_queries x k rows
+    (queries are 1/100 of vectors), so the intersection folds driver-side
+    on packed (qid << 32 | vec_id) keys — one np.intersect1d, no join
+    shuffle. Oracle: the independent pure-Python IVF golden
+    (fixtures/docs_golden.golden_ann_ivf) joined against the live SQL
+    brute-force top-k CTE."""
+    from core_ray.text.similarity import brute_force_topk, ivf_ann_topk
+
+    _ensure_docs_golden(sf_dir)
+    q_ids, q = _load_queries(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ivf = _collect_table(ivf_ann_topk(ds, q_ids, k=5))
+    ex = _collect_table(brute_force_topk(ds, q_ids, q, k=5))
+
+    def pack(t: pa.Table) -> np.ndarray:
+        qid = t["query_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        vid = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        if len(vid) and (int(vid.max()) >= 1 << 32 or int(qid.max()) >= 1 << 32):
+            raise ValueError("vec_id >= 2^32: widen the recall packing")
+        return (qid << np.uint64(32)) | vid
+
+    hits = np.intersect1d(pack(ivf), pack(ex))
+    hit_q, hit_n = np.unique((hits >> np.uint64(32)).astype(np.int64),
+                             return_counts=True)
+    all_q = np.unique(
+        ex["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    n = np.zeros(len(all_q), np.int64)
+    n[np.searchsorted(all_q, hit_q)] = hit_n
+    return pa.table(
+        {
+            "query_id": pa.array(all_q, pa.int64()),
+            "n_hits": pa.array(n, pa.int64()),
+            "recall": pa.array(n.astype(np.float64) / 5.0, pa.float64()),
+        }
+    )
+
+
+EMB_ANN_RECALL_SQL = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+           WHERE vec_id % 100 = 0),
+sims AS (
+  SELECT q.qid AS query_id, e.vec_id,
+         LIST_COSINE_SIMILARITY(q.qe::DOUBLE[], e.embedding::DOUBLE[]) AS s
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.qid),
+ex AS (
+  SELECT query_id, vec_id
+  FROM sims
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id)
+          <= 5),
+ivf AS (SELECT query_id, vec_id
+        FROM read_parquet('{_DGD}/ann_ivf.parquet')),
+hits AS (
+  SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM ex e JOIN ivf i
+    ON i.query_id = e.query_id AND i.vec_id = e.vec_id
+  GROUP BY 1)
+SELECT qq.query_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 5.0 AS recall
+FROM (SELECT DISTINCT query_id FROM ex) qq
+LEFT JOIN hits h ON h.query_id = qq.query_id
+"""
 EMB_KMEANS_SQL = f"SELECT * FROM read_parquet('{_DGD}/kmeans.parquet')"
 GEO_CONVEX_HULL_SQL = f"SELECT * FROM read_parquet('{_DGD}/tile_hulls.parquet')"
 
@@ -20433,6 +20505,7 @@ QUERIES = {
     "events_st_dbscan": events_st_dbscan,
     "events_st_getis": events_st_getis,
     "events_emerging_hotspots": events_emerging_hotspots,
+    "emb_ann_recall": emb_ann_recall,
     "events_type_ccf": events_type_ccf,
     "geo_type_hhi": geo_type_hhi,
     "geo_hexbin": geo_hexbin,
@@ -20659,6 +20732,7 @@ ORACLE_SQL = {
     "events_st_dbscan": EVENTS_ST_DBSCAN_SQL,
     "events_st_getis": EVENTS_ST_GETIS_SQL,
     "events_emerging_hotspots": EVENTS_EMERGING_HOTSPOTS_SQL,
+    "emb_ann_recall": EMB_ANN_RECALL_SQL,
     "events_type_ccf": EVENTS_TYPE_CCF_SQL,
     "geo_type_hhi": GEO_TYPE_HHI_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
