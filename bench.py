@@ -188,6 +188,7 @@ BENCH_QUERIES = [
     "events_st_getis",
     "events_emerging_hotspots",
     "emb_ann_recall",
+    "events_traj_hausdorff",
     "events_type_ccf",
     "geo_type_hhi",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the

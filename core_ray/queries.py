@@ -11573,6 +11573,239 @@ FROM nd_per n LEFT JOIN mk m ON m.gx = n.gx AND m.gy = n.gy
 """
 
 
+_HAUS_TOPN = 5  # trajectory-similarity cohort: top-N users per city
+
+
+def events_traj_hausdorff(sf_dir: str):
+    """TRAJECTORY SIMILARITY — pairwise HAUSDORFF distance between the
+    top-{N} most-active users' tracks within each home city (the
+    trajectory-mining primitive behind route clustering / anomalous-track
+    detection; gyration and MSD above describe ONE track, this compares
+    TWO). Hausdorff is inherently quadratic in track points, so the
+    operator bounds the cohort BY CONSTRUCTION: a distributed grouped
+    top-{N}-per-city over the user activity counts picks <=60 users
+    (tie-break lowest uid), every qualifying PAIR gets its own key, each
+    selected user's points replicate to that user's <= {N}-1 same-city
+    pair keys, and ONE pair-keyed shuffle co-locates both tracks so the
+    max-min fold runs vectorized inside the task — points never reach
+    the driver (only the <=60-row cohort and <=120-row result do).
+    Exactness: squared-degree point distances, min/max folds only (both
+    order-free over exact doubles), zero rounding anywhere."""
+    from core_ray.stages.agg import count_by_u64, map_groups_partitioned
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    def ukey(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"key": pa.array(
+                b["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64),
+                pa.uint64())}
+        )
+
+    counts = count_by_u64(
+        ds.map_batches(ukey, batch_format="pyarrow", batch_size=131072),
+        "key",
+    )
+
+    def with_city(b: pa.Table) -> pa.Table:
+        u = b["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "city": pa.array(u % 12, pa.int64()),
+                "user_id": pa.array(u, pa.int64()),
+                "n": b["cnt"],
+            }
+        )
+
+    def top_per_city(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {"city": pa.array([], pa.int64()),
+                 "user_id": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64())}
+            )
+        city = g["city"].to_numpy(zero_copy_only=False)
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        n = g["n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((uid, -n, city))
+        city, uid, n = city[order], uid[order], n[order]
+        starts = np.nonzero(np.r_[True, city[1:] != city[:-1]])[0]
+        rank = np.arange(len(city)) - np.repeat(
+            starts, np.diff(np.append(starts, len(city))))
+        keep = rank < _HAUS_TOPN
+        return pa.table(
+            {"city": pa.array(city[keep], pa.int64()),
+             "user_id": pa.array(uid[keep], pa.int64()),
+             "n": pa.array(n[keep], pa.int64())}
+        )
+
+    cohort = _collect_table(  # <= 12 * N rows BY CONSTRUCTION
+        map_groups_partitioned(
+            counts.map_batches(with_city, batch_format="pyarrow"),
+            "city", top_per_city,
+        )
+    )
+    ccity = cohort["city"].to_numpy(zero_copy_only=False)
+    cuid = cohort["user_id"].to_numpy(zero_copy_only=False)
+    cn = cohort["n"].to_numpy(zero_copy_only=False)
+    pairs = []  # (pair_id, city, ua, ub, na, nb)
+    member: dict = {}  # uid -> [(pair_id, side)]
+    for c in np.unique(ccity):
+        idx = np.nonzero(ccity == c)[0]
+        idx = idx[np.argsort(cuid[idx])]
+        for i in range(len(idx)):
+            for j in range(i + 1, len(idx)):
+                pid = len(pairs)
+                a, b = idx[i], idx[j]
+                pairs.append((pid, int(c), int(cuid[a]), int(cuid[b]),
+                              int(cn[a]), int(cn[b])))
+                member.setdefault(int(cuid[a]), []).append((pid, 0))
+                member.setdefault(int(cuid[b]), []).append((pid, 1))
+    if not pairs:
+        return pa.table(
+            {
+                "city": pa.array([], pa.int64()),
+                "uid_a": pa.array([], pa.int64()),
+                "uid_b": pa.array([], pa.int64()),
+                "n_a": pa.array([], pa.int64()),
+                "n_b": pa.array([], pa.int64()),
+                "hausdorff_sq": pa.array([], pa.float64()),
+            }
+        )
+    pair_meta = {p[0]: p[1:] for p in pairs}
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    def replicate(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # vectorized membership expansion: mask selected users, then loop
+        # over the <=60 cohort entries (not over rows)
+        out_p, out_s, out_la, out_lo = [], [], [], []
+        lat, lon = _contact_coords(eid, uid)
+        for u, mships in member.items():
+            m = uid == u
+            if not m.any():
+                continue
+            for pid, side in mships:
+                out_p.append(np.full(int(m.sum()), pid, np.int64))
+                out_s.append(np.full(int(m.sum()), side, np.int8))
+                out_la.append(lat[m])
+                out_lo.append(lon[m])
+        if not out_p:
+            return pa.table(
+                {
+                    "pair": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int8()),
+                    "lat": pa.array([], pa.float64()),
+                    "lon": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "pair": pa.array(np.concatenate(out_p), pa.int64()),
+                "side": pa.array(np.concatenate(out_s), pa.int8()),
+                "lat": pa.array(np.concatenate(out_la), pa.float64()),
+                "lon": pa.array(np.concatenate(out_lo), pa.float64()),
+            }
+        )
+
+    rep = ev.map_batches(replicate, batch_format="pyarrow", batch_size=65536)
+
+    def per_pair(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "city": pa.array([], pa.int64()),
+                "uid_a": pa.array([], pa.int64()),
+                "uid_b": pa.array([], pa.int64()),
+                "n_a": pa.array([], pa.int64()),
+                "n_b": pa.array([], pa.int64()),
+                "hausdorff_sq": pa.array([], pa.float64()),
+            }
+        )
+        if g.num_rows == 0:
+            return empty
+        pid = g["pair"].to_numpy(zero_copy_only=False)
+        side = g["side"].to_numpy(zero_copy_only=False)
+        lat = g["lat"].to_numpy(zero_copy_only=False)
+        lon = g["lon"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, pid))
+        pid, side, lat, lon = pid[order], side[order], lat[order], lon[order]
+        starts = np.nonzero(np.r_[True, pid[1:] != pid[:-1]])[0]
+        ends = np.append(starts[1:], len(pid))
+        rows = []
+        for s, e in zip(starts, ends):  # <= 120 pairs repo-wide
+            a = side[s:e] == 0
+            la, lo = lat[s:e], lon[s:e]
+            xa, ya = la[a], lo[a]
+            xb, yb = la[~a], lo[~a]
+            if len(xa) == 0 or len(xb) == 0:
+                continue
+            dla = xa[:, None] - xb[None, :]
+            dlo = ya[:, None] - yb[None, :]
+            d2 = dla * dla + dlo * dlo
+            h = max(float(d2.min(axis=1).max()), float(d2.min(axis=0).max()))
+            city, ua, ub, na, nb = pair_meta[int(pid[s])]
+            rows.append((city, ua, ub, na, nb, h))
+        if not rows:
+            return empty
+        return pa.table(
+            {
+                "city": pa.array([r[0] for r in rows], pa.int64()),
+                "uid_a": pa.array([r[1] for r in rows], pa.int64()),
+                "uid_b": pa.array([r[2] for r in rows], pa.int64()),
+                "n_a": pa.array([r[3] for r in rows], pa.int64()),
+                "n_b": pa.array([r[4] for r in rows], pa.int64()),
+                "hausdorff_sq": pa.array([r[5] for r in rows], pa.float64()),
+            }
+        )
+
+    return map_groups_partitioned(rep, "pair", per_pair)
+
+
+EVENTS_TRAJ_HAUSDORFF_SQL = f"""
+WITH cnt AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1),
+top5 AS (
+  SELECT user_id, user_id % 12 AS city, n
+  FROM cnt
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id % 12
+                             ORDER BY n DESC, user_id) <= {_HAUS_TOPN}),
+prs AS (
+  SELECT a.city, a.user_id AS ua, b.user_id AS ub, a.n AS n_a, b.n AS n_b
+  FROM top5 a JOIN top5 b
+    ON b.city = a.city AND b.user_id > a.user_id),
+pts AS (
+  SELECT e.user_id, e.event_id,
+         {CONTACT_LAT_SQL.replace('user_id', 'e.user_id').replace('event_id', 'e.event_id')} AS lat,
+         {CONTACT_LON_SQL.replace('user_id', 'e.user_id').replace('event_id', 'e.event_id')} AS lon
+  FROM events e JOIN top5 t ON t.user_id = e.user_id),
+d1 AS (
+  SELECT p.city, p.ua, p.ub, xa.event_id,
+         MIN((xa.lat - xb.lat) * (xa.lat - xb.lat)
+               + (xa.lon - xb.lon) * (xa.lon - xb.lon)) AS md
+  FROM prs p
+  JOIN pts xa ON xa.user_id = p.ua
+  JOIN pts xb ON xb.user_id = p.ub
+  GROUP BY 1, 2, 3, 4),
+h1 AS (SELECT city, ua, ub, MAX(md) AS dab FROM d1 GROUP BY 1, 2, 3),
+d2_ AS (
+  SELECT p.city, p.ua, p.ub, xb.event_id,
+         MIN((xb.lat - xa.lat) * (xb.lat - xa.lat)
+               + (xb.lon - xa.lon) * (xb.lon - xa.lon)) AS md
+  FROM prs p
+  JOIN pts xb ON xb.user_id = p.ub
+  JOIN pts xa ON xa.user_id = p.ua
+  GROUP BY 1, 2, 3, 4),
+h2 AS (SELECT city, ua, ub, MAX(md) AS dba FROM d2_ GROUP BY 1, 2, 3)
+SELECT p.city, p.ua AS uid_a, p.ub AS uid_b, p.n_a, p.n_b,
+       GREATEST(h1.dab, h2.dba) AS hausdorff_sq
+FROM prs p
+JOIN h1 ON h1.city = p.city AND h1.ua = p.ua AND h1.ub = p.ub
+JOIN h2 ON h2.city = p.city AND h2.ua = p.ua AND h2.ub = p.ub
+"""
+
+
 _CCF_A, _CCF_B = "click", "purchase"
 _CCF_LAGS = (0, 1, 2, 3)
 
@@ -20506,6 +20739,7 @@ QUERIES = {
     "events_st_getis": events_st_getis,
     "events_emerging_hotspots": events_emerging_hotspots,
     "emb_ann_recall": emb_ann_recall,
+    "events_traj_hausdorff": events_traj_hausdorff,
     "events_type_ccf": events_type_ccf,
     "geo_type_hhi": geo_type_hhi,
     "geo_hexbin": geo_hexbin,
@@ -20733,6 +20967,7 @@ ORACLE_SQL = {
     "events_st_getis": EVENTS_ST_GETIS_SQL,
     "events_emerging_hotspots": EVENTS_EMERGING_HOTSPOTS_SQL,
     "emb_ann_recall": EMB_ANN_RECALL_SQL,
+    "events_traj_hausdorff": EVENTS_TRAJ_HAUSDORFF_SQL,
     "events_type_ccf": EVENTS_TYPE_CCF_SQL,
     "geo_type_hhi": GEO_TYPE_HHI_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
