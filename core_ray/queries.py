@@ -13638,9 +13638,11 @@ def emb_ann_recall(sf_dir: str):
     sides already exist in-engine (text/similarity.py ivf_ann_topk /
     brute_force_topk); this runs them and intersects per query. Both
     result tables are BOUNDED BY CONSTRUCTION at n_queries x k rows
-    (queries are 1/100 of vectors), so the intersection folds driver-side
-    on packed (qid << 32 | vec_id) keys — one np.intersect1d, no join
-    shuffle. Oracle: the independent pure-Python IVF golden
+    (queries are 1/100 of vectors at test scale; the production contract
+    is a FIXED evaluation query set — recall is a sampled quality metric,
+    never a per-corpus-row product — so the bound does not grow with the
+    corpus), and the intersection folds driver-side on packed
+    (qid << 32 | vec_id) keys — one np.intersect1d, no join shuffle. Oracle: the independent pure-Python IVF golden
     (fixtures/docs_golden.golden_ann_ivf) joined against the live SQL
     brute-force top-k CTE."""
     from core_ray.text.similarity import brute_force_topk, ivf_ann_topk
