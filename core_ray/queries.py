@@ -10923,104 +10923,85 @@ def geo_bivariate_moran(sf_dir: str):
     never materialized), and I_xy = (N/W) * num / (N * sqrt(Ax) *
     sqrt(Ay)) with Ax = N*S(x^2) - Tx^2 — two correctly-rounded sqrts of
     exact integers, one fixed double chain, bit-equal to the SQL. Shape:
-    two combiner groupbys (doc cells, event cells), S_adj from ONE hash
-    join of the doc cells' 4-direction probes against the event cells
-    (ordered edges need all four directions — the bivariate product is
-    not symmetric). Same ~10^5 docs/cell int64 bound as geo_moran_i."""
-    from ray.data.aggregate import Sum
-
-    from core_ray.stages.join import hash_join
+    two combiner groupbys (doc cells, event cells) are the only
+    distributed passes over the unbounded corpus; both RESULT tables are
+    bounded by the FIXED 50,400-cell frame BY CONSTRUCTION (the
+    geo_quadrat_vmr contract), so the remaining algebra — per-axis
+    scalars and the 4-direction S_adj(x_i y_j) lookup (ordered edges need
+    all four directions; the bivariate product is not symmetric) — folds
+    driver-side in numpy instead of paying four more serial dataset
+    executions. The cell counts themselves go through count_by_u64, not
+    Ray's native groupby-aggregate (the documented ~33 us/row trap —
+    measured 9.6 -> 1.8 s warm at sf0.1 for this query). Same ~10^5
+    docs/cell int64 bound as geo_moran_i."""
+    from core_ray.stages.agg import count_by_u64
 
     nlon, nlat = _MORAN_NLON, _MORAN_NLAT
     n = nlon * nlat
     w_ord = 2 * (nlat * (nlon - 1) + (nlat - 1) * nlon)
 
-    def cell_counts(ds, id_col: str, out: str):
-        def partial(b: pa.Table) -> pa.Table:
+    def cell_counts(ds, id_col: str):
+        def keyed(b: pa.Table) -> pa.Table:
             ids = b[id_col].to_numpy(zero_copy_only=False)
             lat, lon = _derive_coords(ids)
             gx = np.floor(lon).astype(np.int64) + 180
             gy = np.floor(lat).astype(np.int64) + 70
-            key = gy * nlon + gx
-            u, c = np.unique(key, return_counts=True)
             return pa.table(
-                {"cell": pa.array(u, pa.int64()),
-                 out: pa.array(c.astype(np.int64), pa.int64())}
+                {"key": pa.array((gy * nlon + gx).astype(np.uint64),
+                                 pa.uint64())}
             )
 
+        t = _collect_table(  # <= 50400 rows by construction
+            count_by_u64(
+                ds.map_batches(keyed, batch_format="pyarrow",
+                               batch_size=65536),
+                "key",
+            )
+        )
         return (
-            ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-            .groupby("cell")
-            .aggregate(Sum(out, alias_name=out))
-            .materialize()
+            t["key"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64),
         )
 
-    xcells = cell_counts(_read(sf_dir, "documents", ["doc_id"]),
-                         "doc_id", "x")
-    ycells = cell_counts(_read(sf_dir, "events", ["event_id"]),
-                         "event_id", "y")
+    xcell, x = cell_counts(_read(sf_dir, "documents", ["doc_id"]), "doc_id")
+    ycell, y = cell_counts(_read(sf_dir, "events", ["event_id"]), "event_id")
 
-    def scalars(col: str):
-        def part(b: pa.Table) -> pa.Table:
-            cell = b["cell"].to_numpy(zero_copy_only=False)
-            v = b[col].to_numpy(zero_copy_only=False)
-            gx = cell % nlon
-            gy = cell // nlon
-            deg = (
-                (gx > 0).astype(np.int64) + (gx < nlon - 1)
-                + (gy > 0) + (gy < nlat - 1)
-            )
-            return pa.table(
-                {
-                    "t": pa.array([int(v.sum())], pa.int64()),
-                    "sum_sq": pa.array([int((v * v).sum())], pa.int64()),
-                    "sum_deg": pa.array([int((deg * v).sum())], pa.int64()),
-                }
-            )
-
-        return part
-
-    sx = xcells.map_batches(scalars("x"), batch_format="pyarrow").sum(
-        ["t", "sum_sq", "sum_deg"]
-    )
-    sy = ycells.map_batches(scalars("y"), batch_format="pyarrow").sum(
-        ["t", "sum_sq", "sum_deg"]
-    )
-    tx, sqx, degx = int(sx["sum(t)"]), int(sx["sum(sum_sq)"]), int(sx["sum(sum_deg)"])
-    ty, sqy, degy = int(sy["sum(t)"]), int(sy["sum(sum_sq)"]), int(sy["sum(sum_deg)"])
-
-    # S_adj(x_i y_j) over ORDERED edges: probe all 4 directions from x
-    def probes(b: pa.Table) -> pa.Table:
-        cell = b["cell"].to_numpy(zero_copy_only=False)
-        x = b["x"].to_numpy(zero_copy_only=False)
+    def axis_scalars(cell, v):
         gx = cell % nlon
         gy = cell // nlon
-        nb = np.concatenate(
-            [
-                np.where(gx < nlon - 1, cell + 1, -1),
-                np.where(gx > 0, cell - 1, -1),
-                np.where(gy < nlat - 1, cell + nlon, -1),
-                np.where(gy > 0, cell - nlon, -1),
-            ]
+        deg = (
+            (gx > 0).astype(np.int64) + (gx < nlon - 1)
+            + (gy > 0) + (gy < nlat - 1)
         )
-        xx = np.concatenate([x, x, x, x])
-        keep = nb >= 0
-        return pa.table(
-            {"cell": pa.array(nb[keep], pa.int64()),
-             "x_src": pa.array(xx[keep], pa.int64())}
-        )
+        return int(v.sum()), int((v * v).sum()), int((deg * v).sum())
 
-    joined = hash_join(
-        xcells.map_batches(probes, batch_format="pyarrow"), ycells, on="cell"
+    tx, sqx, degx = axis_scalars(xcell, x)
+    ty, sqy, degy = axis_scalars(ycell, y)
+
+    # S_adj(x_i y_j) over ORDERED edges: 4-direction probes from x looked
+    # up in y via searchsorted (both arrays sorted <=50400-cell tables)
+    yorder = np.argsort(ycell)
+    ycell_s, y_s = ycell[yorder], y[yorder]
+    gx = xcell % nlon
+    gy = xcell // nlon
+    nb = np.concatenate(
+        [
+            np.where(gx < nlon - 1, xcell + 1, -1),
+            np.where(gx > 0, xcell - 1, -1),
+            np.where(gy < nlat - 1, xcell + nlon, -1),
+            np.where(gy > 0, xcell - nlon, -1),
+        ]
     )
-
-    def prod(b: pa.Table) -> pa.Table:
-        p = b["x_src"].to_numpy(zero_copy_only=False) * b["y"].to_numpy(
-            zero_copy_only=False
-        )
-        return pa.table({"p": pa.array([int(p.sum())], pa.int64())})
-
-    s_adj = int(joined.map_batches(prod, batch_format="pyarrow").sum("p") or 0)
+    xx = np.concatenate([x, x, x, x])
+    keep = nb >= 0
+    nb, xx = nb[keep], xx[keep]
+    pos = np.searchsorted(ycell_s, nb)
+    pos_ok = (pos < len(ycell_s))
+    pos_c = np.minimum(pos, len(ycell_s) - 1) if len(ycell_s) else pos
+    hit = pos_ok & (len(ycell_s) > 0)
+    if len(ycell_s):
+        hit &= ycell_s[pos_c] == nb
+    s_adj = int((xx[hit] * y_s[pos_c[hit]]).sum()) if len(ycell_s) else 0
 
     num = n * n * s_adj - n * ty * degx - n * tx * degy + w_ord * tx * ty
     ax = n * sqx - tx * tx

@@ -23,6 +23,7 @@ _GOLDEN_PINNED = (
     "doc_simhash_pairs",
     "emb_ann_lsh",
     "emb_ann_ivf",
+    "emb_ann_recall",  # joins the IVF golden, same pin as emb_ann_ivf
     "emb_pagerank",
     "emb_kmeans",
     "geo_convex_hull",
