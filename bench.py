@@ -189,6 +189,7 @@ BENCH_QUERIES = [
     "events_emerging_hotspots",
     "emb_ann_recall",
     "events_traj_hausdorff",
+    "doc_dedup_method_overlap",
     "events_type_ccf",
     "geo_type_hhi",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the

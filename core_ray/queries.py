@@ -13608,6 +13608,99 @@ WHERE doc_id NOT IN (
   SELECT node FROM read_parquet('{_DGD}/dup_clusters.parquet') WHERE node <> comp)
 """
 DOC_SIMHASH_PAIRS_SQL = f"SELECT * FROM read_parquet('{_DGD}/simhash_pairs.parquet')"
+
+
+def doc_dedup_method_overlap(sf_dir: str):
+    """DEDUP METHOD AGREEMENT — set overlap between the MinHash-LSH
+    (Jaccard >= 0.5) and SimHash (hamming <= 6) near-dup pair sets (the
+    methodology-evaluation companion to emb_ann_recall: the two detectors
+    answer subtly different questions — bag-of-shingles resemblance vs
+    weighted-feature cosine — and the overlap quantifies how much; a
+    curation pipeline choosing one needs this number). Both in-engine
+    chains run (minhash via the shared _dup_pairs materialization), pair
+    keys pack to u64, and the intersection is ONE distributed
+    sum_by_u64 over the side-tagged union (mh=1, sh=2; per-key sum 3 =
+    both) followed by a tiny class-count fold — unbounded-pair-safe, the
+    driver sees three integers. Output includes the overlap Jaccard as
+    one exact division (NULLIF-mirrored)."""
+    from ray.data.aggregate import Sum
+
+    from core_ray.text.dedup import simhash_near_dups
+    from core_ray.stages.agg import sum_by_u64
+
+    _ensure_docs_golden(sf_dir)
+    mh = _dup_pairs(sf_dir, threshold=0.5)
+    sh = simhash_near_dups(
+        _read(sf_dir, "documents", ["doc_id", "text"]), max_hamming=6
+    )
+
+    def tag(side: int):
+        def fn(b: pa.Table) -> pa.Table:
+            a = b["id_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            c = b["id_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            if len(a) and (int(a.max()) >= 1 << 32 or int(c.max()) >= 1 << 32):
+                raise ValueError("doc_id >= 2^32: widen the pair packing")
+            return pa.table(
+                {
+                    "key": pa.array((a << np.uint64(32)) | c, pa.uint64()),
+                    "val": pa.array(np.full(len(a), side, np.uint64),
+                                    pa.uint64()),
+                }
+            )
+        return fn
+
+    tagged = mh.map_batches(tag(1), batch_format="pyarrow").union(
+        sh.map_batches(tag(2), batch_format="pyarrow")
+    )
+    per_key = sum_by_u64(tagged, "key", "val")
+
+    def classes(b: pa.Table) -> pa.Table:
+        v = b["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "one": pa.array([1], pa.int64()),
+                "mh_only": pa.array([int((v == 1).sum())], pa.int64()),
+                "sh_only": pa.array([int((v == 2).sum())], pa.int64()),
+                "both": pa.array([int((v == 3).sum())], pa.int64()),
+            }
+        )
+
+    agg = _collect_table(
+        per_key.map_batches(classes, batch_format="pyarrow")
+        .groupby("one")
+        .aggregate(Sum("mh_only", alias_name="mh_only"),
+                   Sum("sh_only", alias_name="sh_only"),
+                   Sum("both", alias_name="both"))
+    )
+    mo = int(agg["mh_only"][0].as_py()) if agg.num_rows else 0
+    so = int(agg["sh_only"][0].as_py()) if agg.num_rows else 0
+    nb = int(agg["both"][0].as_py()) if agg.num_rows else 0
+    n_mh, n_sh = mo + nb, so + nb
+    union = n_mh + n_sh - nb
+    jac = float(np.float64(nb) / np.float64(union)) if union else None
+    return pa.table(
+        {
+            "n_minhash": pa.array([n_mh], pa.int64()),
+            "n_simhash": pa.array([n_sh], pa.int64()),
+            "n_both": pa.array([nb], pa.int64()),
+            "jaccard_overlap": pa.array([jac], pa.float64()),
+        }
+    )
+
+
+DOC_DEDUP_METHOD_OVERLAP_SQL = f"""
+WITH mh AS (SELECT id_a, id_b FROM read_parquet('{_DGD}/minhash_pairs.parquet')),
+sh AS (SELECT id_a, id_b FROM read_parquet('{_DGD}/simhash_pairs.parquet')),
+b AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM mh JOIN sh ON sh.id_a = mh.id_a AND sh.id_b = mh.id_b),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM mh),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sh)
+SELECT m.n AS n_minhash, s.n AS n_simhash, b.n_both,
+       CAST(b.n_both AS DOUBLE)
+         / CAST(NULLIF(m.n + s.n - b.n_both, 0) AS DOUBLE) AS jaccard_overlap
+FROM m, s, b
+"""
 EMB_ANN_LSH_SQL = f"SELECT * FROM read_parquet('{_DGD}/ann_lsh.parquet')"
 EMB_ANN_IVF_SQL = f"SELECT * FROM read_parquet('{_DGD}/ann_ivf.parquet')"
 
@@ -20723,6 +20816,7 @@ QUERIES = {
     "events_emerging_hotspots": events_emerging_hotspots,
     "emb_ann_recall": emb_ann_recall,
     "events_traj_hausdorff": events_traj_hausdorff,
+    "doc_dedup_method_overlap": doc_dedup_method_overlap,
     "events_type_ccf": events_type_ccf,
     "geo_type_hhi": geo_type_hhi,
     "geo_hexbin": geo_hexbin,
@@ -20951,6 +21045,7 @@ ORACLE_SQL = {
     "events_emerging_hotspots": EVENTS_EMERGING_HOTSPOTS_SQL,
     "emb_ann_recall": EMB_ANN_RECALL_SQL,
     "events_traj_hausdorff": EVENTS_TRAJ_HAUSDORFF_SQL,
+    "doc_dedup_method_overlap": DOC_DEDUP_METHOD_OVERLAP_SQL,
     "events_type_ccf": EVENTS_TYPE_CCF_SQL,
     "geo_type_hhi": GEO_TYPE_HHI_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,

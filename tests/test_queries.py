@@ -24,6 +24,7 @@ _GOLDEN_PINNED = (
     "emb_ann_lsh",
     "emb_ann_ivf",
     "emb_ann_recall",  # joins the IVF golden, same pin as emb_ann_ivf
+    "doc_dedup_method_overlap",  # joins the minhash+simhash goldens
     "emb_pagerank",
     "emb_kmeans",
     "geo_convex_hull",
