@@ -190,6 +190,7 @@ BENCH_QUERIES = [
     "emb_ann_recall",
     "events_traj_hausdorff",
     "doc_dedup_method_overlap",
+    "doc_curation_funnel",
     "events_type_ccf",
     "geo_type_hhi",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the

@@ -14827,6 +14827,147 @@ WHERE d.doc_id NOT IN (
 """
 
 
+def doc_curation_funnel(sf_dir: str):
+    """CURATION FUNNEL — per-gate survivor counts of the composed v1
+    curation pipeline (the lineage/observability record a 100-TB curation
+    run reports next to its output: how many documents each gate
+    removed, applied in PIPELINE ORDER dedup -> length -> repetition,
+    plus the tercile mix of the final corpus). One streaming pass
+    computes the length/repetition flags per batch (the same
+    repetition_fractions + sql_round_np chain doc_curated pins), the
+    dedup drop set attaches as a LEFT hash-join marker (distributed — no
+    broadcast-size assumption at all, unlike the curate pass's guarded
+    probe), and per-batch partial sums fold through one tiny groupby —
+    the driver sees ONE row of seven integers."""
+    from ray.data.aggregate import Sum
+
+    from core_ray.pipelines.corpus import _bucket_thresholds
+    from core_ray.stages.join import hash_join
+    from core_ray.text.analysis import repetition_fractions
+
+    _ensure_docs_golden(sf_dir)
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    t1, t2 = _bucket_thresholds(
+        ds.map_batches(lambda b: b.select(["n_chars"]),
+                       batch_format="pyarrow")
+    )
+
+    drop_schema = pa.schema([("doc_id", pa.int64()), ("__dup", pa.int8())])
+    drop = _dup_clusters(sf_dir, 0.5).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["node"].filter(pc.not_equal(b["node"], b["comp"])),
+                "__dup": pa.array(
+                    np.ones(
+                        int(pc.sum(pc.cast(
+                            pc.not_equal(b["node"], b["comp"]), pa.int64()
+                        )).as_py() or 0),
+                        np.int8,
+                    ),
+                    pa.int8(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def gates(b: pa.Table) -> pa.Table:
+        n_words, topw, _ = repetition_fractions(b["text"])
+        frac = sql_round_np(
+            topw.astype(np.float64)
+            / np.maximum(n_words, 1).astype(np.float64), 6
+        )
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "len_ok": pa.array((n_words >= 25).astype(np.int8), pa.int8()),
+                "rep_ok": pa.array((frac <= 0.12).astype(np.int8), pa.int8()),
+                "n_chars": b["n_chars"],
+            }
+        )
+
+    gate_schema = pa.schema(
+        [("doc_id", pa.int64()), ("len_ok", pa.int8()),
+         ("rep_ok", pa.int8()), ("n_chars", pa.int64())]
+    )
+    j = hash_join(
+        ds.map_batches(gates, batch_format="pyarrow", batch_size=4096),
+        drop, on="doc_id", how="left",
+        left_schema=gate_schema, right_schema=drop_schema,
+    )
+
+    cols = ("n_total", "n_after_dedup", "n_after_length",
+            "n_after_repetition", "n_head", "n_middle", "n_tail")
+
+    def partial(b: pa.Table) -> pa.Table:
+        sv = pc.is_null(b["__dup"]).to_numpy(zero_copy_only=False)
+        lok = b["len_ok"].to_numpy(zero_copy_only=False) == 1
+        rok = b["rep_ok"].to_numpy(zero_copy_only=False) == 1
+        c = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        final = sv & lok & rok
+        vals = (
+            len(sv), int(sv.sum()), int((sv & lok).sum()), int(final.sum()),
+            int((final & (c > t2)).sum()),
+            int((final & (c > t1) & (c <= t2)).sum()),
+            int((final & (c <= t1)).sum()),
+        )
+        return pa.table(
+            {"one": pa.array([1], pa.int64()),
+             **{k: pa.array([v], pa.int64()) for k, v in zip(cols, vals)}}
+        )
+
+    agg = _collect_table(
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby("one")
+        .aggregate(*[Sum(k, alias_name=k) for k in cols])
+    )
+    return pa.table(
+        {k: pa.array([int(agg[k][0].as_py()) if agg.num_rows else 0],
+                     pa.int64())
+         for k in cols}
+    )
+
+
+DOC_CURATION_FUNNEL_SQL = f"""
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+w AS (SELECT doc_id, UNNEST(l) AS w FROM ws),
+tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM w GROUP BY 1),
+topw AS (
+  SELECT doc_id, MAX(c) AS mc FROM
+    (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY 1, 2) GROUP BY 1),
+th AS (
+  SELECT QUANTILE_CONT(n_chars, 1.0 / 3.0) AS t1,
+         QUANTILE_CONT(n_chars, 2.0 / 3.0) AS t2
+  FROM documents),
+base AS (
+  SELECT d.doc_id, d.n_chars, tot.n, topw.mc,
+         CASE WHEN d.doc_id IN (
+                SELECT node FROM read_parquet('{_DGD}/dup_clusters.parquet')
+                WHERE node <> comp) THEN 0 ELSE 1 END AS sv
+  FROM documents d JOIN tot USING (doc_id) JOIN topw USING (doc_id))
+SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(sv) AS BIGINT) AS n_after_dedup,
+       CAST(SUM(CASE WHEN sv = 1 AND n >= 25 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_after_length,
+       CAST(SUM(CASE WHEN sv = 1 AND n >= 25
+                 AND ROUND(CAST(mc AS DOUBLE) / CAST(n AS DOUBLE), 6) <= 0.12
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_after_repetition,
+       CAST(SUM(CASE WHEN sv = 1 AND n >= 25
+                 AND ROUND(CAST(mc AS DOUBLE) / CAST(n AS DOUBLE), 6) <= 0.12
+                 AND n_chars > th.t2 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_head,
+       CAST(SUM(CASE WHEN sv = 1 AND n >= 25
+                 AND ROUND(CAST(mc AS DOUBLE) / CAST(n AS DOUBLE), 6) <= 0.12
+                 AND n_chars > th.t1 AND n_chars <= th.t2 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_middle,
+       CAST(SUM(CASE WHEN sv = 1 AND n >= 25
+                 AND ROUND(CAST(mc AS DOUBLE) / CAST(n AS DOUBLE), 6) <= 0.12
+                 AND n_chars <= th.t1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_tail
+FROM base, th
+"""
+
+
 def doc_curated_v2(sf_dir: str, novelty_floor: float = 0.1):
     """Curation composition v2: the v1 pipeline (near-dup dedup + Gopher
     gates + terciles) EXTENDED with the round-3d decontamination and
@@ -20817,6 +20958,7 @@ QUERIES = {
     "emb_ann_recall": emb_ann_recall,
     "events_traj_hausdorff": events_traj_hausdorff,
     "doc_dedup_method_overlap": doc_dedup_method_overlap,
+    "doc_curation_funnel": doc_curation_funnel,
     "events_type_ccf": events_type_ccf,
     "geo_type_hhi": geo_type_hhi,
     "geo_hexbin": geo_hexbin,
@@ -21046,6 +21188,7 @@ ORACLE_SQL = {
     "emb_ann_recall": EMB_ANN_RECALL_SQL,
     "events_traj_hausdorff": EVENTS_TRAJ_HAUSDORFF_SQL,
     "doc_dedup_method_overlap": DOC_DEDUP_METHOD_OVERLAP_SQL,
+    "doc_curation_funnel": DOC_CURATION_FUNNEL_SQL,
     "events_type_ccf": EVENTS_TYPE_CCF_SQL,
     "geo_type_hhi": GEO_TYPE_HHI_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,

@@ -25,6 +25,7 @@ _GOLDEN_PINNED = (
     "emb_ann_ivf",
     "emb_ann_recall",  # joins the IVF golden, same pin as emb_ann_ivf
     "doc_dedup_method_overlap",  # joins the minhash+simhash goldens
+    "doc_curation_funnel",  # joins the dup_clusters golden
     "emb_pagerank",
     "emb_kmeans",
     "geo_convex_hull",
