@@ -191,6 +191,7 @@ BENCH_QUERIES = [
     "events_traj_hausdorff",
     "doc_dedup_method_overlap",
     "doc_curation_funnel",
+    "geo_correlogram",
     "events_type_ccf",
     "geo_type_hhi",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the

@@ -11787,6 +11787,162 @@ JOIN h2 ON h2.city = p.city AND h2.ua = p.ua AND h2.ub = p.ub
 """
 
 
+_CORR_LAGS = (1, 2, 3, 4)  # Moran correlogram Chebyshev lags
+
+
+def geo_correlogram(sf_dir: str):
+    """MORAN CORRELOGRAM — Moran's I at Chebyshev lag rings 1-4 over the
+    1-degree doc-density raster ("at what DISTANCE does spatial structure
+    die out" — geo_moran_i gives one number at lag 1; the correlogram is
+    the multi-scale curve, the autocorrelation sibling of geo_ripley_k's
+    K curve and geo_semivariogram's variogram). All-integer closed form
+    per lag over UNORDERED ring pairs: the ring degree has an exact
+    clipped-box identity deg_k(i) = |box_k(i)| - |box_(k-1)(i)| (so empty
+    cells never materialize), the total ring weight W_k is the exact
+    offset sum of (nlon-|dx|)*(nlat-|dy|), S_adj_k folds over the <=4k
+    half-ring offsets, and I_k = (N/W_k) * num_k / den is geo_moran_i's
+    fixed int->double chain per lag. ONE distributed pass total (the
+    count_by_u64 cell counts); everything after folds driver-side over
+    the frame-bounded <=50,400-row cell table (the geo_bivariate_moran
+    contract). Same ~10^5 docs/cell int64 bound as geo_moran_i."""
+    from core_ray.stages.agg import count_by_u64
+
+    nlon, nlat = _MORAN_NLON, _MORAN_NLAT
+    n = nlon * nlat
+
+    def keyed(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy(zero_copy_only=False)
+        lat, lon = _derive_coords(doc_id)
+        gx = np.floor(lon).astype(np.int64) + 180
+        gy = np.floor(lat).astype(np.int64) + 70
+        return pa.table(
+            {"key": pa.array((gy * nlon + gx).astype(np.uint64), pa.uint64())}
+        )
+
+    t_ = _collect_table(  # <= 50400 rows by construction
+        count_by_u64(
+            _read(sf_dir, "documents", ["doc_id"])
+            .map_batches(keyed, batch_format="pyarrow", batch_size=65536),
+            "key",
+        )
+    )
+    cell = t_["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+    x = t_["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(cell)
+    cell, x = cell[order], x[order]
+    gx = cell % nlon
+    gy = cell // nlon
+    t = int(x.sum())
+    sum_sq = int((x * x).sum())
+    den = n * n * sum_sq - n * t * t
+
+    rows = []
+    for k in _CORR_LAGS:
+        # exact clipped-box ring degree per occupied cell
+        def box(r):
+            w = (np.minimum(gx + r, nlon - 1) - np.maximum(gx - r, 0) + 1)
+            h = (np.minimum(gy + r, nlat - 1) - np.maximum(gy - r, 0) + 1)
+            return w * h
+
+        deg = box(k) - box(k - 1)
+        s_degx = int((deg * x).sum())
+        # half-ring offsets (dx > 0, or dx == 0 and dy > 0): each unordered
+        # pair at Chebyshev distance k counted exactly once
+        offs = [
+            (dx, dy)
+            for dx in range(-k, k + 1)
+            for dy in range(-k, k + 1)
+            if max(abs(dx), abs(dy)) == k
+            and (dx > 0 or (dx == 0 and dy > 0))
+        ]
+        w_k = sum((nlon - abs(dx)) * (nlat - abs(dy)) for dx, dy in offs)
+        s_adj = 0
+        for dx, dy in offs:
+            ok = (
+                (gx + dx >= 0) & (gx + dx < nlon)
+                & (gy + dy >= 0) & (gy + dy < nlat)
+            )
+            nb = cell[ok] + dy * nlon + dx
+            pos = np.searchsorted(cell, nb)
+            pos_ok = pos < len(cell)
+            pos_c = np.minimum(pos, len(cell) - 1)
+            hit = pos_ok & (cell[pos_c] == nb)
+            s_adj += int((x[ok][hit] * x[pos_c[hit]]).sum())
+        num = n * n * s_adj - n * t * s_degx + w_k * t * t
+        moran = (float(n) / float(w_k)) * (float(num) / float(den))
+        rows.append((k, w_k, s_adj, s_degx, num, moran))
+    return pa.table(
+        {
+            "lag": pa.array([r[0] for r in rows], pa.int64()),
+            "w_pairs": pa.array([r[1] for r in rows], pa.int64()),
+            "s_adj": pa.array([r[2] for r in rows], pa.int64()),
+            "s_deg_x": pa.array([r[3] for r in rows], pa.int64()),
+            "num": pa.array([r[4] for r in rows], pa.int64()),
+            "moran_i": pa.array([r[5] for r in rows], pa.float64()),
+        }
+    )
+
+
+GEO_CORRELOGRAM_SQL = f"""
+WITH pts AS (
+  SELECT CAST(FLOOR({GEO_LON_SQL}) AS BIGINT) + 180 AS gx,
+         CAST(FLOOR({GEO_LAT_SQL}) AS BIGINT) + 70 AS gy
+  FROM documents),
+cells AS (
+  SELECT gy * {_MORAN_NLON} + gx AS cell, gx, gy,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM pts GROUP BY 1, 2, 3),
+sc AS (
+  SELECT CAST(SUM(x) AS BIGINT) AS t, CAST(SUM(x * x) AS BIGINT) AS sum_sq
+  FROM cells),
+lags AS (SELECT UNNEST([1, 2, 3, 4]) AS k),
+offs AS (
+  SELECT l.k, dx.o AS dx, dy.o AS dy
+  FROM lags l,
+       (SELECT UNNEST(range(-4, 5)) AS o) dx,
+       (SELECT UNNEST(range(-4, 5)) AS o) dy
+  WHERE GREATEST(ABS(dx.o), ABS(dy.o)) = l.k
+    AND (dx.o > 0 OR (dx.o = 0 AND dy.o > 0))),
+wk AS (
+  SELECT k, CAST(SUM(({_MORAN_NLON} - ABS(dx))
+                     * ({_MORAN_NLAT} - ABS(dy))) AS BIGINT) AS w_pairs
+  FROM offs GROUP BY 1),
+adj AS (
+  SELECT o.k, CAST(COALESCE(SUM(a.x * b.x), 0) AS BIGINT) AS s_adj
+  FROM offs o
+  JOIN cells a ON a.gx + o.dx BETWEEN 0 AND {_MORAN_NLON - 1}
+              AND a.gy + o.dy BETWEEN 0 AND {_MORAN_NLAT - 1}
+  JOIN cells b ON b.cell = a.cell + o.dy * {_MORAN_NLON} + o.dx
+  GROUP BY 1),
+degx AS (
+  SELECT l.k,
+         CAST(SUM(((LEAST(c.gx + l.k, {_MORAN_NLON - 1})
+                    - GREATEST(c.gx - l.k, 0) + 1)
+                   * (LEAST(c.gy + l.k, {_MORAN_NLAT - 1})
+                      - GREATEST(c.gy - l.k, 0) + 1)
+                   - (LEAST(c.gx + l.k - 1, {_MORAN_NLON - 1})
+                      - GREATEST(c.gx - l.k + 1, 0) + 1)
+                     * (LEAST(c.gy + l.k - 1, {_MORAN_NLAT - 1})
+                        - GREATEST(c.gy - l.k + 1, 0) + 1)) * c.x)
+              AS BIGINT) AS s_deg_x
+  FROM lags l CROSS JOIN cells c GROUP BY 1),
+k_ AS (SELECT CAST({_MORAN_NLON * _MORAN_NLAT} AS BIGINT) AS n)
+SELECT CAST(w.k AS BIGINT) AS lag, w.w_pairs,
+       CAST(COALESCE(adj.s_adj, 0) AS BIGINT) AS s_adj, degx.s_deg_x,
+       k_.n * k_.n * COALESCE(adj.s_adj, 0) - k_.n * sc.t * degx.s_deg_x
+         + w.w_pairs * sc.t * sc.t AS num,
+       (CAST(k_.n AS DOUBLE) / CAST(w.w_pairs AS DOUBLE))
+         * (CAST(k_.n * k_.n * COALESCE(adj.s_adj, 0)
+                 - k_.n * sc.t * degx.s_deg_x
+                 + w.w_pairs * sc.t * sc.t AS DOUBLE)
+            / CAST(k_.n * k_.n * sc.sum_sq - k_.n * sc.t * sc.t AS DOUBLE))
+         AS moran_i
+FROM wk w
+LEFT JOIN adj ON adj.k = w.k
+JOIN degx ON degx.k = w.k, k_, sc
+"""
+
+
 _CCF_A, _CCF_B = "click", "purchase"
 _CCF_LAGS = (0, 1, 2, 3)
 
@@ -20959,6 +21115,7 @@ QUERIES = {
     "events_traj_hausdorff": events_traj_hausdorff,
     "doc_dedup_method_overlap": doc_dedup_method_overlap,
     "doc_curation_funnel": doc_curation_funnel,
+    "geo_correlogram": geo_correlogram,
     "events_type_ccf": events_type_ccf,
     "geo_type_hhi": geo_type_hhi,
     "geo_hexbin": geo_hexbin,
@@ -21189,6 +21346,7 @@ ORACLE_SQL = {
     "events_traj_hausdorff": EVENTS_TRAJ_HAUSDORFF_SQL,
     "doc_dedup_method_overlap": DOC_DEDUP_METHOD_OVERLAP_SQL,
     "doc_curation_funnel": DOC_CURATION_FUNNEL_SQL,
+    "geo_correlogram": GEO_CORRELOGRAM_SQL,
     "events_type_ccf": EVENTS_TYPE_CCF_SQL,
     "geo_type_hhi": GEO_TYPE_HHI_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
