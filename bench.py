@@ -192,6 +192,7 @@ BENCH_QUERIES = [
     "doc_dedup_method_overlap",
     "doc_curation_funnel",
     "geo_correlogram",
+    "events_changepoint",
     "events_type_ccf",
     "geo_type_hhi",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the

@@ -11943,6 +11943,106 @@ JOIN degx ON degx.k = w.k, k_, sc
 """
 
 
+def events_changepoint(sf_dir: str):
+    """CHANGE-POINT DETECTION — the single most likely level shift in the
+    daily event-count series by maximum CUSUM (the monitoring primitive
+    behind "did traffic change, and when": Page's cumulative-sum test,
+    the offline argmax form). All-integer: with D days and total T, the
+    scaled CUSUM at split k is num_k = D*cum_k - (k+1)*T (the mean-
+    centered partial sum times D, so no division until the final
+    means), the change point is argmax |num_k| with ties to the EARLIEST
+    day — ABS over exact int64 both sides, a total order. Zero-filled
+    daily grid (quiet days count). ONE count_by_u64 pass bounded by the
+    horizon (days, not rows, reach the driver — the events_hourly
+    contract); means emitted as one exact division each."""
+    from core_ray.stages.agg import count_by_u64
+
+    empty = pa.table(
+        {
+            "split_day_idx": pa.array([], pa.int64()),
+            "n_days": pa.array([], pa.int64()),
+            "total": pa.array([], pa.int64()),
+            "cusum_num": pa.array([], pa.int64()),
+            "mean_before": pa.array([], pa.float64()),
+            "mean_after": pa.array([], pa.float64()),
+        }
+    )
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def day_key(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"key": pa.array((us // _STG_DAY_US).astype(np.uint64),
+                             pa.uint64())}
+        )
+
+    t_ = _collect_table(  # <= horizon-days rows by construction
+        count_by_u64(
+            ds.map_batches(day_key, batch_format="pyarrow",
+                           batch_size=131072),
+            "key",
+        )
+    )
+    if t_.num_rows == 0:
+        return empty
+    day = t_["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cnt = t_["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    d0, d1 = int(day.min()), int(day.max())
+    nd = d1 - d0 + 1
+    if nd < 2:
+        return empty
+    c = np.zeros(nd, np.int64)
+    c[day - d0] = cnt
+    t = int(c.sum())
+    cum = np.cumsum(c)
+    k = np.arange(nd - 1, dtype=np.int64)  # splits AFTER day k
+    num = nd * cum[:-1] - (k + 1) * t
+    best = int(np.lexsort((k, -np.abs(num)))[0])
+    cb = int(cum[best])
+    return pa.table(
+        {
+            "split_day_idx": pa.array([best], pa.int64()),
+            "n_days": pa.array([nd], pa.int64()),
+            "total": pa.array([t], pa.int64()),
+            "cusum_num": pa.array([int(num[best])], pa.int64()),
+            "mean_before": pa.array(
+                [float(np.float64(cb) / np.float64(best + 1))], pa.float64()),
+            "mean_after": pa.array(
+                [float(np.float64(t - cb) / np.float64(nd - best - 1))],
+                pa.float64()),
+        }
+    )
+
+
+EVENTS_CHANGEPOINT_SQL = f"""
+WITH pts AS (SELECT epoch_us(ts) // {_STG_DAY_US} AS d FROM events),
+dd AS (SELECT CAST(MIN(d) AS BIGINT) AS d0,
+              CAST(MAX(d) - MIN(d) + 1 AS BIGINT) AS nd FROM pts),
+days AS (
+  SELECT UNNEST(range(0, (SELECT nd FROM dd))) AS k),
+cnts AS (
+  SELECT p.d - dd.d0 AS k, CAST(COUNT(*) AS BIGINT) AS c
+  FROM pts p, dd GROUP BY 1),
+grid AS (
+  SELECT days.k, CAST(COALESCE(cnts.c, 0) AS BIGINT) AS c
+  FROM days LEFT JOIN cnts USING (k)),
+cum AS (
+  SELECT k, CAST(SUM(c) OVER (ORDER BY k) AS BIGINT) AS cum FROM grid),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM pts)
+SELECT CAST(c.k AS BIGINT) AS split_day_idx,
+       dd.nd AS n_days,
+       tot.t AS total,
+       dd.nd * c.cum - (c.k + 1) * tot.t AS cusum_num,
+       CAST(c.cum AS DOUBLE) / CAST(c.k + 1 AS DOUBLE) AS mean_before,
+       CAST(tot.t - c.cum AS DOUBLE)
+         / CAST(dd.nd - c.k - 1 AS DOUBLE) AS mean_after
+FROM cum c, dd, tot
+WHERE c.k < dd.nd - 1
+ORDER BY ABS(dd.nd * c.cum - (c.k + 1) * tot.t) DESC, c.k
+LIMIT 1
+"""
+
+
 _CCF_A, _CCF_B = "click", "purchase"
 _CCF_LAGS = (0, 1, 2, 3)
 
@@ -21116,6 +21216,7 @@ QUERIES = {
     "doc_dedup_method_overlap": doc_dedup_method_overlap,
     "doc_curation_funnel": doc_curation_funnel,
     "geo_correlogram": geo_correlogram,
+    "events_changepoint": events_changepoint,
     "events_type_ccf": events_type_ccf,
     "geo_type_hhi": geo_type_hhi,
     "geo_hexbin": geo_hexbin,
@@ -21347,6 +21448,7 @@ ORACLE_SQL = {
     "doc_dedup_method_overlap": DOC_DEDUP_METHOD_OVERLAP_SQL,
     "doc_curation_funnel": DOC_CURATION_FUNNEL_SQL,
     "geo_correlogram": GEO_CORRELOGRAM_SQL,
+    "events_changepoint": EVENTS_CHANGEPOINT_SQL,
     "events_type_ccf": EVENTS_TYPE_CCF_SQL,
     "geo_type_hhi": GEO_TYPE_HHI_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
