@@ -193,6 +193,7 @@ BENCH_QUERIES = [
     "doc_curation_funnel",
     "geo_correlogram",
     "events_changepoint",
+    "events_periodogram",
     "events_type_ccf",
     "geo_type_hhi",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the

@@ -12043,6 +12043,133 @@ LIMIT 1
 """
 
 
+_PGRAM_PERIODS = (12, 24, 168)  # hours: half-day, diurnal, weekly
+
+
+def events_periodogram(sf_dir: str):
+    """PERIODOGRAM at the structural periods (12 h / 24 h / 168 h) — the
+    FREQUENCY-domain sibling of events_hourly_acf's lag-domain view
+    (spectral power says how much of the series' energy lives at each
+    cycle; ACF says how self-similar it is at each shift — different
+    statistics, both standard). Exactness: for period p, cos/sin of
+    2*pi*t/p depend only on (t - h0) mod p, a FINITE set of <= 168
+    arguments, so each event contributes an integer micro-quantized
+    cosine table entry (ROUND(cos*1e6) — both engines round the same <=
+    168 libm values, the coarse-quantize contract for transcendentals)
+    and the spectral sums are order-free INTEGER sums; power is one fixed
+    double chain over the two integer sums. ONE map_batches pass with
+    per-batch (period, partial-sum) rows into a tiny groupby — no
+    zero-fill needed (empty hours contribute zero energy by
+    definition)."""
+    from ray.data.aggregate import Sum
+
+    empty = pa.table(
+        {
+            "period_h": pa.array([], pa.int64()),
+            "s_cos": pa.array([], pa.int64()),
+            "s_sin": pa.array([], pa.int64()),
+            "power_norm": pa.array([], pa.float64()),
+        }
+    )
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def hour_of(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        h = us // 3_600_000_000
+        if len(h) == 0:
+            return pa.table({"h0": pa.array([], pa.int64())})
+        return pa.table({"h0": pa.array([int(h.min())], pa.int64())})
+
+    h0 = ds.map_batches(hour_of, batch_format="pyarrow",
+                        batch_size=131072).min("h0")
+    if h0 is None:
+        return empty
+    h0 = int(h0)
+    n_total = ds.count()
+
+    # per-period micro-quantized trig tables (the <=168 shared arguments)
+    tables = {}
+    for p in _PGRAM_PERIODS:
+        m = np.arange(p, dtype=np.float64)
+        tables[p] = (
+            sql_round_np(np.cos(2.0 * np.pi * m / p) * 1e6, 0).astype(np.int64),
+            sql_round_np(np.sin(2.0 * np.pi * m / p) * 1e6, 0).astype(np.int64),
+        )
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        t = us // 3_600_000_000 - h0
+        rows_p, rows_c, rows_s = [], [], []
+        for p in _PGRAM_PERIODS:
+            qc, qs = tables[p]
+            m = (t % p).astype(np.int64)
+            rows_p.append(p)
+            rows_c.append(int(qc[m].sum()))
+            rows_s.append(int(qs[m].sum()))
+        return pa.table(
+            {
+                "period_h": pa.array(rows_p, pa.int64()),
+                "c": pa.array(rows_c, pa.int64()),
+                "s": pa.array(rows_s, pa.int64()),
+            }
+        )
+
+    agg = _collect_table(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=131072)
+        .groupby("period_h")
+        .aggregate(Sum("c", alias_name="c"), Sum("s", alias_name="s"))
+    )
+    pp = agg["period_h"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cc = agg["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ss = agg["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(pp)
+    pp, cc, ss = pp[order], cc[order], ss[order]
+    den = float(np.float64(n_total) * 1e6)
+    power = [
+        float(
+            (np.float64(int(c_)) * np.float64(int(c_))
+             + np.float64(int(s_)) * np.float64(int(s_)))
+            / (np.float64(den) * np.float64(den))
+        )
+        for c_, s_ in zip(cc, ss)
+    ]
+    return pa.table(
+        {
+            "period_h": pa.array(pp, pa.int64()),
+            "s_cos": pa.array(cc, pa.int64()),
+            "s_sin": pa.array(ss, pa.int64()),
+            "power_norm": pa.array(power, pa.float64()),
+        }
+    )
+
+
+EVENTS_PERIODOGRAM_SQL = f"""
+WITH pts AS (SELECT epoch_us(ts) // 3600000000 AS h FROM events),
+h0 AS (SELECT CAST(MIN(h) AS BIGINT) AS h0 FROM pts),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pts),
+per AS (SELECT UNNEST([12, 24, 168]) AS p),
+terms AS (
+  SELECT per.p,
+         CAST(ROUND(COS(2 * PI() * CAST((pts.h - h0.h0) % per.p AS DOUBLE)
+                        / CAST(per.p AS DOUBLE)) * 1000000.0)
+              AS BIGINT) AS qc,
+         CAST(ROUND(SIN(2 * PI() * CAST((pts.h - h0.h0) % per.p AS DOUBLE)
+                        / CAST(per.p AS DOUBLE)) * 1000000.0)
+              AS BIGINT) AS qs
+  FROM pts, h0, per),
+sums AS (
+  SELECT p, CAST(SUM(qc) AS BIGINT) AS s_cos,
+         CAST(SUM(qs) AS BIGINT) AS s_sin
+  FROM terms GROUP BY 1)
+SELECT CAST(s.p AS BIGINT) AS period_h, s.s_cos, s.s_sin,
+       (CAST(s.s_cos AS DOUBLE) * CAST(s.s_cos AS DOUBLE)
+        + CAST(s.s_sin AS DOUBLE) * CAST(s.s_sin AS DOUBLE))
+         / (CAST(tot.n * 1000000 AS DOUBLE)
+            * CAST(tot.n * 1000000 AS DOUBLE)) AS power_norm
+FROM sums s, tot
+"""
+
+
 _CCF_A, _CCF_B = "click", "purchase"
 _CCF_LAGS = (0, 1, 2, 3)
 
@@ -21217,6 +21344,7 @@ QUERIES = {
     "doc_curation_funnel": doc_curation_funnel,
     "geo_correlogram": geo_correlogram,
     "events_changepoint": events_changepoint,
+    "events_periodogram": events_periodogram,
     "events_type_ccf": events_type_ccf,
     "geo_type_hhi": geo_type_hhi,
     "geo_hexbin": geo_hexbin,
@@ -21449,6 +21577,7 @@ ORACLE_SQL = {
     "doc_curation_funnel": DOC_CURATION_FUNNEL_SQL,
     "geo_correlogram": GEO_CORRELOGRAM_SQL,
     "events_changepoint": EVENTS_CHANGEPOINT_SQL,
+    "events_periodogram": EVENTS_PERIODOGRAM_SQL,
     "events_type_ccf": EVENTS_TYPE_CCF_SQL,
     "geo_type_hhi": GEO_TYPE_HHI_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
