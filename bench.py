@@ -194,6 +194,7 @@ BENCH_QUERIES = [
     "geo_correlogram",
     "events_changepoint",
     "events_periodogram",
+    "geo_geometric_median",
     "events_type_ccf",
     "geo_type_hhi",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the

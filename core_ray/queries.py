@@ -12170,6 +12170,138 @@ FROM sums s, tot
 """
 
 
+_WEISZFELD_ITERS = 5
+_WEISZFELD_EPS = 1e-3  # singularity guard (degrees): points this close skip
+
+
+def geo_geometric_median(sf_dir: str):
+    """GEOMETRIC MEDIAN by Weiszfeld iteration (the robust center: the
+    point minimizing the SUM of distances — the L2 mean geo_std_ellipse
+    reports is pulled by outliers, the geometric median is not; facility
+    location's 1-median): {I} fixed iterations from c0 = (0, 0), each a
+    distributed weighted mean with the ITERATIVE-EXACTNESS contract the
+    engine's other fixed-point ops pin (kmeans rounds centers to 6dp per
+    iteration, pagerank to 1e-12): distances to the CURRENT center are
+    bit-equal doubles (exact milli-degree points, center pinned to 6dp),
+    per-point weights quantize to integers w = ROUND(1e9/d) so the
+    numerator/denominator sums are ORDER-FREE integer sums (milli-degree
+    coords x integer weights), and the new center is two exact divisions
+    rounded to 6dp — bit-equal to the SQL's chained MATERIALIZED-CTE
+    iterations. Points within {eps} deg of the center skip (the standard
+    Weiszfeld singularity handling, mirrored). int64 bound: sum(w*|lm|)
+    <= n * 1e12 * 1.8e5 only under adversarial total concentration; at
+    uniform density terms are ~1e13 (documented contract, same class as
+    geo_moran_i). One map_batches partial + tiny groupby per iteration —
+    {I} passes total, constant driver state."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    clat, clon = 0.0, 0.0
+    out_sw = out_skip = 0
+    for _ in range(_WEISZFELD_ITERS):
+
+        def partial(b: pa.Table, clat=clat, clon=clon) -> pa.Table:
+            doc_id = b["doc_id"].to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            lm = (doc_id * 7919) % 140000 - 70000
+            om = (doc_id * 104729) % 360000 - 180000
+            lat = lm / 1000.0
+            lon = om / 1000.0
+            dla = lat - clat
+            dlo = lon - clon
+            d = np.sqrt(dla * dla + dlo * dlo)
+            ok = d >= _WEISZFELD_EPS
+            w = sql_round_np(1e9 / d[ok], 0).astype(np.int64)
+            return pa.table(
+                {
+                    "one": pa.array([1], pa.int64()),
+                    "s_lat": pa.array([int((w * lm[ok]).sum())], pa.int64()),
+                    "s_lon": pa.array([int((w * om[ok]).sum())], pa.int64()),
+                    "s_w": pa.array([int(w.sum())], pa.int64()),
+                    "n_skip": pa.array([int((~ok).sum())], pa.int64()),
+                }
+            )
+
+        agg = _collect_table(
+            ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=131072)
+            .groupby("one")
+            .aggregate(
+                Sum("s_lat", alias_name="s_lat"),
+                Sum("s_lon", alias_name="s_lon"),
+                Sum("s_w", alias_name="s_w"),
+                Sum("n_skip", alias_name="n_skip"),
+            )
+        )
+        s_lat = int(agg["s_lat"][0].as_py())
+        s_lon = int(agg["s_lon"][0].as_py())
+        out_sw = int(agg["s_w"][0].as_py())
+        out_skip = int(agg["n_skip"][0].as_py())
+        clat = float(sql_round_np(
+            np.float64(s_lat) / np.float64(out_sw) / 1000.0, 6))
+        clon = float(sql_round_np(
+            np.float64(s_lon) / np.float64(out_sw) / 1000.0, 6))
+    return pa.table(
+        {
+            "iters": pa.array([_WEISZFELD_ITERS], pa.int64()),
+            "median_lat": pa.array([clat], pa.float64()),
+            "median_lon": pa.array([clon], pa.float64()),
+            "s_w_final": pa.array([out_sw], pa.int64()),
+            "n_skip_final": pa.array([out_skip], pa.int64()),
+        }
+    )
+
+
+def _weiszfeld_sql() -> str:
+    """Chained-CTE mirror: iteration t scans pts against the (t-1) center
+    scalar; MATERIALIZED so DuckDB never inlines the chain exponentially
+    (the GEO_ISOCHRONE_SQL lesson)."""
+    head = f"""
+WITH pts AS (
+  SELECT (doc_id * 7919) % 140000 - 70000 AS lm,
+         (doc_id * 104729) % 360000 - 180000 AS om,
+         {GEO_LAT_SQL} AS lat, {GEO_LON_SQL} AS lon
+  FROM documents),
+it0 AS (SELECT 0.0 AS clat, 0.0 AS clon)"""
+    body = ""
+    for t in range(1, _WEISZFELD_ITERS + 1):
+        body += f""",
+s{t} AS MATERIALIZED (
+  SELECT CAST(SUM(w * lm) AS BIGINT) AS s_lat,
+         CAST(SUM(w * om) AS BIGINT) AS s_lon,
+         CAST(SUM(w) AS BIGINT) AS s_w,
+         CAST(SUM(skip) AS BIGINT) AS n_skip
+  FROM (
+    SELECT p.lm, p.om,
+           CASE WHEN d >= {_WEISZFELD_EPS}
+                THEN CAST(ROUND(1000000000.0 / d) AS BIGINT)
+                ELSE 0 END AS w,
+           CASE WHEN d >= {_WEISZFELD_EPS} THEN 0 ELSE 1 END AS skip
+    FROM (
+      SELECT p.lm, p.om,
+             SQRT((p.lat - i.clat) * (p.lat - i.clat)
+                  + (p.lon - i.clon) * (p.lon - i.clon)) AS d
+      FROM pts p, it{t - 1} i) p)),
+it{t} AS (
+  SELECT ROUND(CAST(s_lat AS DOUBLE) / CAST(s_w AS DOUBLE) / 1000.0, 6)
+           AS clat,
+         ROUND(CAST(s_lon AS DOUBLE) / CAST(s_w AS DOUBLE) / 1000.0, 6)
+           AS clon
+  FROM s{t})"""
+    tail = f"""
+SELECT CAST({_WEISZFELD_ITERS} AS BIGINT) AS iters,
+       it{_WEISZFELD_ITERS}.clat AS median_lat,
+       it{_WEISZFELD_ITERS}.clon AS median_lon,
+       s{_WEISZFELD_ITERS}.s_w AS s_w_final,
+       s{_WEISZFELD_ITERS}.n_skip AS n_skip_final
+FROM it{_WEISZFELD_ITERS}, s{_WEISZFELD_ITERS}
+"""
+    return head + body + tail
+
+
+GEO_GEOMETRIC_MEDIAN_SQL = _weiszfeld_sql()
+
+
 _CCF_A, _CCF_B = "click", "purchase"
 _CCF_LAGS = (0, 1, 2, 3)
 
@@ -21345,6 +21477,7 @@ QUERIES = {
     "geo_correlogram": geo_correlogram,
     "events_changepoint": events_changepoint,
     "events_periodogram": events_periodogram,
+    "geo_geometric_median": geo_geometric_median,
     "events_type_ccf": events_type_ccf,
     "geo_type_hhi": geo_type_hhi,
     "geo_hexbin": geo_hexbin,
@@ -21578,6 +21711,7 @@ ORACLE_SQL = {
     "geo_correlogram": GEO_CORRELOGRAM_SQL,
     "events_changepoint": EVENTS_CHANGEPOINT_SQL,
     "events_periodogram": EVENTS_PERIODOGRAM_SQL,
+    "geo_geometric_median": GEO_GEOMETRIC_MEDIAN_SQL,
     "events_type_ccf": EVENTS_TYPE_CCF_SQL,
     "geo_type_hhi": GEO_TYPE_HHI_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
