@@ -195,6 +195,7 @@ BENCH_QUERIES = [
     "events_changepoint",
     "events_periodogram",
     "geo_geometric_median",
+    "geo_rank_size",
     "events_type_ccf",
     "geo_type_hhi",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the

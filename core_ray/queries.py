@@ -21281,6 +21281,117 @@ LEFT JOIN border b ON b.node = p.doc_id
 """
 
 
+def geo_rank_size(sf_dir: str):
+    """URBAN RANK-SIZE RULE (Zipf's law for settlement sizes): the
+    least-squares slope of log2(cell population) on log2(rank) over the
+    top-50 most-populated 1-degree cells of the city-skewed contact
+    model — the canonical spatial-hierarchy statistic (a natural urban
+    system sits near -1; flatter means the hierarchy is missing, steeper
+    means one primate city dominates). The spatial sibling of
+    doc_zipf_fit's vocabulary law. Plan: cell ids come from the EXACT
+    integer milli-degree contact lattice (the float -60/-170 offsets are
+    pure translations, so gridding the integer sums directly is the same
+    partition — and keeps both sides float-free until the logs); one
+    packed count_by_u64 pass (cells geometry-bounded), driver ranks the
+    bounded table (count desc, cell asc — defensive: equal counts
+    contribute identical y to the fit) and runs the doc_zipf_fit
+    micro-bit regression: logs quantized to integer micro-bits
+    (sql_round_np == DuckDB ROUND), moments exact integer sums, slope =
+    ONE double division. At 100 TB the count pass is the only corpus
+    touch; everything after is <=50 rows."""
+    from core_ray.stages.agg import count_by_u64
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    def pack(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mlat = (
+            ((uid % 12) * 11003) % 120000
+            + (uid * 7919) % 2001
+            + (eid * 13) % 1001
+        )
+        mlon = (
+            ((uid % 12) * 104729) % 340000
+            + (uid * 104729) % 2001
+            + (eid * 29) % 1001
+        )
+        key = ((mlon // 1000) * 1024 + (mlat // 1000)).astype(np.uint64)
+        return pa.table({"key": pa.array(key, pa.uint64())})
+
+    cc_t = _collect_table(
+        count_by_u64(
+            ds.map_batches(pack, batch_format="pyarrow", batch_size=131072),
+            "key",
+        )
+    )  # bounded by the lattice geometry (~12 city blobs of 1-deg cells)
+    key = cc_t["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    c = cc_t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    gx = (key // np.uint64(1024)).astype(np.int64)
+    gy = (key % np.uint64(1024)).astype(np.int64)
+    order = np.lexsort((gy, gx, -c))
+    c = c[order]
+    n_cells = len(c)
+    k = min(50, n_cells)
+    c = c[:k]
+    rank = np.arange(1, k + 1, dtype=np.int64)
+    x = sql_round_np(np.log2(rank.astype(np.float64)) * 1000000.0, 0).astype(
+        np.int64
+    )
+    y = sql_round_np(np.log2(c.astype(np.float64)) * 1000000.0, 0).astype(
+        np.int64
+    )
+    sx, sy = int(x.sum()), int(y.sum())
+    sxy = int((x * y).sum())
+    sxx = int((x * x).sum())
+    num = k * sxy - sx * sy
+    den = k * sxx - sx * sx
+    return pa.table(
+        {
+            "n_cells": pa.array([n_cells], pa.int64()),
+            "n_ranks": pa.array([k], pa.int64()),
+            "slope_num": pa.array([num], pa.int64()),
+            "slope_den": pa.array([den], pa.int64()),
+            "rank_size_slope": pa.array(
+                [float(np.float64(num) / np.float64(den))], pa.float64()
+            ),
+        }
+    )
+
+
+GEO_RANK_SIZE_SQL = """
+WITH pts AS (
+  SELECT ((user_id % 12) * 11003) % 120000
+           + (user_id * 7919) % 2001 + (event_id * 13) % 1001 AS mlat,
+         ((user_id % 12) * 104729) % 340000
+           + (user_id * 104729) % 2001 + (event_id * 29) % 1001 AS mlon
+  FROM events),
+cc AS (
+  SELECT mlon // 1000 AS gx, mlat // 1000 AS gy,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM pts GROUP BY 1, 2),
+top AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, gx, gy) AS rank
+  FROM cc ORDER BY c DESC, gx, gy LIMIT 50),
+q AS (
+  SELECT CAST(ROUND(LOG2(CAST(rank AS DOUBLE)) * 1000000.0, 0) AS BIGINT)
+           AS x,
+         CAST(ROUND(LOG2(CAST(c AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS y
+  FROM top),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM q),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells FROM cc)
+SELECT n.n_cells, m.k AS n_ranks, k * sxy - sx * sy AS slope_num,
+       k * sxx - sx * sx AS slope_den,
+       CAST(k * sxy - sx * sy AS DOUBLE)
+         / CAST(k * sxx - sx * sx AS DOUBLE) AS rank_size_slope
+FROM m, n
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -21478,6 +21589,7 @@ QUERIES = {
     "events_changepoint": events_changepoint,
     "events_periodogram": events_periodogram,
     "geo_geometric_median": geo_geometric_median,
+    "geo_rank_size": geo_rank_size,
     "events_type_ccf": events_type_ccf,
     "geo_type_hhi": geo_type_hhi,
     "geo_hexbin": geo_hexbin,
@@ -21712,6 +21824,7 @@ ORACLE_SQL = {
     "events_changepoint": EVENTS_CHANGEPOINT_SQL,
     "events_periodogram": EVENTS_PERIODOGRAM_SQL,
     "geo_geometric_median": GEO_GEOMETRIC_MEDIAN_SQL,
+    "geo_rank_size": GEO_RANK_SIZE_SQL,
     "events_type_ccf": EVENTS_TYPE_CCF_SQL,
     "geo_type_hhi": GEO_TYPE_HHI_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
