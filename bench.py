@@ -196,6 +196,7 @@ BENCH_QUERIES = [
     "events_periodogram",
     "geo_geometric_median",
     "geo_rank_size",
+    "events_hill_tail",
     "events_type_ccf",
     "geo_type_hhi",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the

@@ -21392,6 +21392,97 @@ FROM m, n
 """
 
 
+_HILL_K = 200
+
+
+def events_hill_tail(sf_dir: str):
+    """HILL TAIL-INDEX ESTIMATOR (extreme-value statistics: the power-law
+    exponent alpha of the upper tail of event values from the top-k order
+    statistics — THE heavy-tail diagnostic for revenue / latency / degree
+    distributions; alpha <= 2 means infinite variance and every
+    mean-based statistic downstream is unstable). Hill: 1/alpha = mean of
+    ln(x_(i) / x_(k+1)) over the k largest values. Plan: per-batch top-
+    (k+1) prune (value desc, event_id tie-break — the global-top-k
+    combiner contract), driver merges the bounded partials; each ratio
+    x_i/x_ref is ONE correctly-rounded double division of raw parquet
+    doubles, its ln micro-quantized (sql_round_np == DuckDB ROUND), the
+    tail sum is an exact integer sum, and alpha = ONE double division.
+    Boundary ties contribute ln(1) = 0 — rank-based k is tie-safe. At
+    100 TB only k+1 rows per block leave the map side."""
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        eid = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = v > 0.0
+        v, eid = v[m], eid[m]
+        order = np.lexsort((eid, -v))[: _HILL_K + 1]
+        return pa.table(
+            {
+                "value": pa.array(v[order], pa.float64()),
+                "event_id": pa.array(eid[order], pa.int64()),
+            }
+        )
+
+    t = _collect_table(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=131072)
+    )  # <= (k+1) x n_blocks rows
+    v = t["value"].to_numpy(zero_copy_only=False)
+    eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((eid, -v))[: _HILL_K + 1]
+    v = v[order]
+    if len(v) == 0:
+        return pa.table(
+            {
+                "n_tail": pa.array([0], pa.int64()),
+                "x_kplus1": pa.array([None], pa.float64()),
+                "sum_lnratio_micro": pa.array([None], pa.int64()),
+                "hill_alpha": pa.array([None], pa.float64()),
+            }
+        )
+    kk = len(v) - 1  # == min(_HILL_K, n_positive - 1)
+    x_ref = float(v[kk])
+    terms = sql_round_np(np.log(v[:kk] / x_ref) * 1000000.0, 0).astype(
+        np.int64
+    )
+    sum_q = int(terms.sum()) if kk > 0 else None
+    alpha = (
+        float(np.float64(kk * 1000000) / np.float64(sum_q))
+        if sum_q
+        else None
+    )
+    return pa.table(
+        {
+            "n_tail": pa.array([kk], pa.int64()),
+            "x_kplus1": pa.array([x_ref], pa.float64()),
+            "sum_lnratio_micro": pa.array([sum_q], pa.int64()),
+            "hill_alpha": pa.array([alpha], pa.float64()),
+        }
+    )
+
+
+EVENTS_HILL_TAIL_SQL = f"""
+WITH ranked AS (
+  SELECT value, ROW_NUMBER() OVER (ORDER BY value DESC, event_id) AS rn
+  FROM events WHERE value > 0.0),
+top AS (SELECT value, rn FROM ranked WHERE rn <= {_HILL_K + 1}),
+ref AS (SELECT MAX(rn) AS m, MIN(value) AS x_ref FROM top),
+t AS (
+  SELECT CAST(ROUND(LN(top.value / ref.x_ref) * 1000000.0, 0) AS BIGINT)
+           AS q
+  FROM top, ref WHERE top.rn <= ref.m - 1),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_tail,
+         CAST(SUM(q) AS BIGINT) AS sum_q
+  FROM t)
+SELECT s.n_tail, ref.x_ref AS x_kplus1, s.sum_q AS sum_lnratio_micro,
+       CASE WHEN s.sum_q = 0 THEN NULL
+            ELSE CAST(s.n_tail * 1000000 AS DOUBLE)
+                   / CAST(s.sum_q AS DOUBLE) END AS hill_alpha
+FROM s, ref
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -21590,6 +21681,7 @@ QUERIES = {
     "events_periodogram": events_periodogram,
     "geo_geometric_median": geo_geometric_median,
     "geo_rank_size": geo_rank_size,
+    "events_hill_tail": events_hill_tail,
     "events_type_ccf": events_type_ccf,
     "geo_type_hhi": geo_type_hhi,
     "geo_hexbin": geo_hexbin,
@@ -21825,6 +21917,7 @@ ORACLE_SQL = {
     "events_periodogram": EVENTS_PERIODOGRAM_SQL,
     "geo_geometric_median": GEO_GEOMETRIC_MEDIAN_SQL,
     "geo_rank_size": GEO_RANK_SIZE_SQL,
+    "events_hill_tail": EVENTS_HILL_TAIL_SQL,
     "events_type_ccf": EVENTS_TYPE_CCF_SQL,
     "geo_type_hhi": GEO_TYPE_HHI_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
