@@ -21483,6 +21483,194 @@ FROM s, ref
 """
 
 
+def events_rfm_segments(sf_dir: str):
+    """RFM BEHAVIORAL SEGMENTATION (recency / frequency / monetary — the
+    classic user-value grid every growth team cuts first): each user is
+    scored +/- on all three axes against the population mean, giving 8
+    segments from R+F+M+ (champions) to R-F-M- (lost). Exactness: the
+    mean splits use FLOOR-division thresholds (total // n_users — exact
+    integers both sides, no float means), monetary is exact integer
+    cents (ROUND(value*100) == sql_round), recency needs no second pass:
+    sum over users of (maxd - last_day) == n_users*maxd - sum(last_day),
+    so ONE scalar aggregate over the per-user table yields every
+    threshold. Plan: one user-keyed hash shuffle (map_groups_partitioned
+    reduceat fold) -> materialized per-user table (output-scale, stays
+    in the object store) -> two map-only passes (5-scalar fold, then
+    8-bin bincount partials); the driver sees O(#blocks) integer rows."""
+    from core_ray.stages.agg import map_groups_partitioned
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        cents = sql_round_np(
+            b["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        day = (
+            pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+            // 86400000000
+        )
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "cents": pa.array(cents, pa.int64()),
+                "day": pa.array(day, pa.int64()),
+            }
+        )
+
+    _u_empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "f": pa.array([], pa.int64()),
+            "m": pa.array([], pa.int64()),
+            "lastd": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_user(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _u_empty
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = g["cents"].to_numpy(zero_copy_only=False)
+        day = g["day"].to_numpy(zero_copy_only=False)
+        order = np.argsort(uid, kind="stable")
+        uid, cents, day = uid[order], cents[order], day[order]
+        idx = np.nonzero(np.r_[True, uid[1:] != uid[:-1]])[0]
+        f = np.diff(np.r_[idx, len(uid)])
+        m = np.add.reduceat(cents, idx)
+        lastd = np.maximum.reduceat(day, idx)
+        return pa.table(
+            {
+                "user_id": pa.array(uid[idx], pa.int64()),
+                "f": pa.array(f, pa.int64()),
+                "m": pa.array(m, pa.int64()),
+                "lastd": pa.array(lastd, pa.int64()),
+            }
+        )
+
+    users = map_groups_partitioned(
+        ds.map_batches(pre, batch_format="pyarrow", batch_size=131072),
+        "user_id",
+        per_user,
+    ).materialize()
+
+    def scalar_partial(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "nu": pa.array([b.num_rows], pa.int64()),
+                "tf": pa.array([int(pc.sum(b["f"]).as_py() or 0)], pa.int64()),
+                "tm": pa.array([int(pc.sum(b["m"]).as_py() or 0)], pa.int64()),
+                "sl": pa.array(
+                    [int(pc.sum(b["lastd"]).as_py() or 0)], pa.int64()
+                ),
+                "maxd": pa.array(
+                    [pc.max(b["lastd"]).as_py()], pa.int64()
+                ),
+            }
+        )
+
+    sc = _collect_table(
+        users.map_batches(
+            scalar_partial, batch_format="pyarrow", batch_size=1 << 20
+        )
+    )  # O(#blocks) rows
+    nu = int(pc.sum(sc["nu"]).as_py() or 0)
+    if nu == 0:
+        return pa.table(
+            {
+                "segment": pa.array([], pa.int64()),
+                "rfm_label": pa.array([], pa.string()),
+                "n_users": pa.array([], pa.int64()),
+                "sum_cents": pa.array([], pa.int64()),
+            }
+        )
+    tf = int(pc.sum(sc["tf"]).as_py())
+    tm = int(pc.sum(sc["tm"]).as_py())
+    sl = int(pc.sum(sc["sl"]).as_py())
+    maxd = int(pc.max(sc["maxd"]).as_py())
+    thr_f, thr_m = tf // nu, tm // nu
+    thr_r = (nu * maxd - sl) // nu
+
+    def seg_partial(b: pa.Table) -> pa.Table:
+        f = b["f"].to_numpy(zero_copy_only=False)
+        m = b["m"].to_numpy(zero_copy_only=False)
+        lastd = b["lastd"].to_numpy(zero_copy_only=False)
+        seg = (
+            ((maxd - lastd) <= thr_r).astype(np.int64) * 4
+            + (f > thr_f).astype(np.int64) * 2
+            + (m > thr_m).astype(np.int64)
+        )
+        n8 = np.bincount(seg, minlength=8).astype(np.int64)
+        s8 = np.zeros(8, np.int64)
+        np.add.at(s8, seg, m)
+        return pa.table(
+            {
+                "segment": pa.array(np.arange(8, dtype=np.int64)),
+                "n": pa.array(n8, pa.int64()),
+                "s": pa.array(s8, pa.int64()),
+            }
+        )
+
+    parts = _collect_table(
+        users.map_batches(
+            seg_partial, batch_format="pyarrow", batch_size=1 << 20
+        )
+    )  # 8 x O(#blocks) rows
+    seg = parts["segment"].to_numpy(zero_copy_only=False)
+    n = np.zeros(8, np.int64)
+    s = np.zeros(8, np.int64)
+    np.add.at(n, seg, parts["n"].to_numpy(zero_copy_only=False))
+    np.add.at(s, seg, parts["s"].to_numpy(zero_copy_only=False))
+    keep = n > 0
+    segs = np.arange(8, dtype=np.int64)[keep]
+    labels = [
+        "R" + ("+" if g & 4 else "-")
+        + "F" + ("+" if g & 2 else "-")
+        + "M" + ("+" if g & 1 else "-")
+        for g in segs
+    ]
+    return pa.table(
+        {
+            "segment": pa.array(segs, pa.int64()),
+            "rfm_label": pa.array(labels, pa.string()),
+            "n_users": pa.array(n[keep], pa.int64()),
+            "sum_cents": pa.array(s[keep], pa.int64()),
+        }
+    )
+
+
+EVENTS_RFM_SEGMENTS_SQL = """
+WITH e AS (
+  SELECT user_id, CAST(ROUND(value * 100.0, 0) AS BIGINT) AS cents,
+         epoch_us(ts) // 86400000000 AS day
+  FROM events),
+u AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS f,
+         CAST(SUM(cents) AS BIGINT) AS m, MAX(day) AS lastd
+  FROM e GROUP BY 1),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nu, CAST(SUM(f) AS BIGINT) AS tf,
+         CAST(SUM(m) AS BIGINT) AS tm, CAST(SUM(lastd) AS BIGINT) AS sl,
+         MAX(lastd) AS maxd
+  FROM u),
+thr AS (
+  SELECT tf // nu AS thr_f, tm // nu AS thr_m,
+         (nu * maxd - sl) // nu AS thr_r, maxd
+  FROM g),
+seg AS (
+  SELECT CASE WHEN (thr.maxd - u.lastd) <= thr.thr_r THEN 4 ELSE 0 END
+       + CASE WHEN u.f > thr.thr_f THEN 2 ELSE 0 END
+       + CASE WHEN u.m > thr.thr_m THEN 1 ELSE 0 END AS sg, u.m
+  FROM u, thr)
+SELECT CAST(sg AS BIGINT) AS segment,
+       'R' || CASE WHEN sg >= 4 THEN '+' ELSE '-' END
+         || 'F' || CASE WHEN (sg // 2) % 2 = 1 THEN '+' ELSE '-' END
+         || 'M' || CASE WHEN sg % 2 = 1 THEN '+' ELSE '-' END AS rfm_label,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(m) AS BIGINT) AS sum_cents
+FROM seg GROUP BY 1, 2 ORDER BY 1
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -21682,6 +21870,7 @@ QUERIES = {
     "geo_geometric_median": geo_geometric_median,
     "geo_rank_size": geo_rank_size,
     "events_hill_tail": events_hill_tail,
+    "events_rfm_segments": events_rfm_segments,
     "events_type_ccf": events_type_ccf,
     "geo_type_hhi": geo_type_hhi,
     "geo_hexbin": geo_hexbin,
@@ -21918,6 +22107,7 @@ ORACLE_SQL = {
     "geo_geometric_median": GEO_GEOMETRIC_MEDIAN_SQL,
     "geo_rank_size": GEO_RANK_SIZE_SQL,
     "events_hill_tail": EVENTS_HILL_TAIL_SQL,
+    "events_rfm_segments": EVENTS_RFM_SEGMENTS_SQL,
     "events_type_ccf": EVENTS_TYPE_CCF_SQL,
     "geo_type_hhi": GEO_TYPE_HHI_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
