@@ -198,6 +198,7 @@ BENCH_QUERIES = [
     "geo_rank_size",
     "events_hill_tail",
     "events_rfm_segments",
+    "doc_readability",
     "events_type_ccf",
     "geo_type_hhi",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the

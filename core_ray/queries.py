@@ -21671,6 +21671,125 @@ FROM seg GROUP BY 1, 2 ORDER BY 1
 """
 
 
+_READ_BANDS = ("very_easy", "standard", "difficult", "very_difficult")
+
+
+def doc_readability(sf_dir: str):
+    """FLESCH READING-EASE BANDING (the curation-side text-complexity
+    gate: score = 206.835 - 1.015*(words/sentences) -
+    84.6*(syllables/words), banded very_easy >=90 / standard >=60 /
+    difficult >=30 / very_difficult — training-data mixes are routinely
+    balanced on exactly this score). Proxies mirrored bit-for-bit:
+    words = single-space splits (empty tokens count, both sides),
+    sentences = '.' count floored at 1, syllables = ASCII vowel RUNS of
+    lower(text) (re '[aeiou]+' == DuckDB regexp_extract_all — same RE2
+    class on the same codepoints). The score is a pure +,-,*,/ chain of
+    exact integers -> bit-equal doubles (the float-parity contract), so
+    the band comparisons are exact; per-doc scores micro-quantize for
+    the order-free integer mean. One map-only pass, 4-bin partials; the
+    per-doc finditer loop is the documented ~2%-of-wall kernel class."""
+    import re as _re
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    rx = _re.compile(r"[aeiou]+")
+
+    def partial(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        w = (
+            pc.count_substring(b["text"], " ")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            + 1
+        )
+        s = np.maximum(
+            pc.count_substring(b["text"], ".")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            1,
+        )
+        syl = np.fromiter(
+            (sum(1 for _ in rx.finditer(t.lower())) for t in texts),
+            dtype=np.int64,
+            count=len(texts),
+        )
+        score = (
+            206.835
+            - 1.015 * (w.astype(np.float64) / s.astype(np.float64))
+            - 84.6 * (syl.astype(np.float64) / w.astype(np.float64))
+        )
+        band = np.where(
+            score >= 90.0,
+            0,
+            np.where(score >= 60.0, 1, np.where(score >= 30.0, 2, 3)),
+        )
+        q = sql_round_np(score * 1000000.0, 0).astype(np.int64)
+        n4 = np.bincount(band, minlength=4).astype(np.int64)
+        s4 = np.zeros(4, np.int64)
+        np.add.at(s4, band, q)
+        return pa.table(
+            {
+                "band_id": pa.array(np.arange(4, dtype=np.int64)),
+                "n": pa.array(n4, pa.int64()),
+                "s": pa.array(s4, pa.int64()),
+            }
+        )
+
+    parts = _collect_table(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=8192)
+    )  # 4 x O(#blocks) rows
+    bid = parts["band_id"].to_numpy(zero_copy_only=False)
+    n = np.zeros(4, np.int64)
+    s = np.zeros(4, np.int64)
+    np.add.at(n, bid, parts["n"].to_numpy(zero_copy_only=False))
+    np.add.at(s, bid, parts["s"].to_numpy(zero_copy_only=False))
+    keep = n > 0
+    ids = np.arange(4, dtype=np.int64)[keep]
+    return pa.table(
+        {
+            "band": pa.array([_READ_BANDS[i] for i in ids], pa.string()),
+            "n_docs": pa.array(n[keep], pa.int64()),
+            "sum_score_micro": pa.array(s[keep], pa.int64()),
+            "mean_score": pa.array(
+                [
+                    float(np.float64(s[i]) / np.float64(n[i] * 1000000))
+                    for i in ids
+                ],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+DOC_READABILITY_SQL = """
+WITH d AS (
+  SELECT CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT)
+           AS w,
+         GREATEST(
+           CAST(LENGTH(text) - LENGTH(REPLACE(text, '.', '')) AS BIGINT),
+           1) AS s,
+         CAST(LEN(regexp_extract_all(LOWER(text), '[aeiou]+')) AS BIGINT)
+           AS syl
+  FROM documents),
+sc AS (
+  SELECT 206.835
+           - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+           - 84.6 * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE)) AS score
+  FROM d),
+b AS (
+  SELECT CASE WHEN score >= 90.0 THEN 'very_easy'
+              WHEN score >= 60.0 THEN 'standard'
+              WHEN score >= 30.0 THEN 'difficult'
+              ELSE 'very_difficult' END AS band,
+         CAST(ROUND(score * 1000000.0, 0) AS BIGINT) AS q
+  FROM sc)
+SELECT band, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(q) AS BIGINT) AS sum_score_micro,
+       CAST(SUM(q) AS DOUBLE)
+         / CAST(COUNT(*) * 1000000 AS DOUBLE) AS mean_score
+FROM b GROUP BY 1
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -21871,6 +21990,7 @@ QUERIES = {
     "geo_rank_size": geo_rank_size,
     "events_hill_tail": events_hill_tail,
     "events_rfm_segments": events_rfm_segments,
+    "doc_readability": doc_readability,
     "events_type_ccf": events_type_ccf,
     "geo_type_hhi": geo_type_hhi,
     "geo_hexbin": geo_hexbin,
@@ -22108,6 +22228,7 @@ ORACLE_SQL = {
     "geo_rank_size": GEO_RANK_SIZE_SQL,
     "events_hill_tail": EVENTS_HILL_TAIL_SQL,
     "events_rfm_segments": EVENTS_RFM_SEGMENTS_SQL,
+    "doc_readability": DOC_READABILITY_SQL,
     "events_type_ccf": EVENTS_TYPE_CCF_SQL,
     "geo_type_hhi": GEO_TYPE_HHI_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
