@@ -21790,6 +21790,160 @@ FROM b GROUP BY 1
 """
 
 
+def geo_percolation(sf_dir: str):
+    """OCCUPANCY-THRESHOLD PERCOLATION PROFILE (does the settled area
+    form one connected landmass or an archipelago, and at what density
+    does the giant component break up?): sweep four occupancy thresholds
+    tau in {1, avg/4, avg/2, avg} (avg = FLOOR-mean cell count — exact
+    integers both sides), keep cells with count >= tau, and report the
+    rook-connected component census per tau — occupied cells, cluster
+    count, largest cluster, giant fraction. The tile_regions CC machinery
+    turned into the statistical-physics curve. Plan: ONE packed count
+    pass over the contact lattice (cells geometry-bounded), then a
+    driver union-find over the <=4x|cells| bounded node set; at 100 TB
+    the count pass is the only corpus touch. The tau=max(avg,1) row is
+    always non-empty (max cell count >= floor mean)."""
+    from core_ray.stages.agg import count_by_u64
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    def pack(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mlat = (
+            ((uid % 12) * 11003) % 120000
+            + (uid * 7919) % 2001
+            + (eid * 13) % 1001
+        )
+        mlon = (
+            ((uid % 12) * 104729) % 340000
+            + (uid * 104729) % 2001
+            + (eid * 29) % 1001
+        )
+        key = ((mlon // 1000) * 1024 + (mlat // 1000)).astype(np.uint64)
+        return pa.table({"key": pa.array(key, pa.uint64())})
+
+    cc_t = _collect_table(
+        count_by_u64(
+            ds.map_batches(pack, batch_format="pyarrow", batch_size=131072),
+            "key",
+        )
+    )  # bounded by the lattice geometry
+    key = cc_t["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    c = cc_t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    gx = (key // np.uint64(1024)).astype(np.int64)
+    gy = (key % np.uint64(1024)).astype(np.int64)
+    nc, tot = len(c), int(c.sum())
+    if nc == 0:
+        return pa.table(
+            {
+                "thr_idx": pa.array([], pa.int64()),
+                "tau": pa.array([], pa.int64()),
+                "n_occupied": pa.array([], pa.int64()),
+                "n_clusters": pa.array([], pa.int64()),
+                "largest": pa.array([], pa.int64()),
+                "giant_frac": pa.array([], pa.float64()),
+            }
+        )
+    avg = tot // nc
+    taus = [1, max(avg // 4, 1), max(avg // 2, 1), max(avg, 1)]
+
+    out = {k: [] for k in ("ti", "tau", "occ", "ncl", "big")}
+    for ti, tau in enumerate(taus, start=1):
+        m = c >= tau
+        ox, oy = gx[m], gy[m]
+        n = len(ox)
+        if n == 0:
+            continue
+        cell2i = {(int(a), int(b)): i for i, (a, b) in enumerate(zip(ox, oy))}
+        parent = list(range(n))
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        for (a, b), i in cell2i.items():
+            for nb in ((a + 1, b), (a, b + 1)):
+                j = cell2i.get(nb)
+                if j is not None:
+                    ri, rj = find(i), find(j)
+                    if ri != rj:
+                        parent[ri] = rj
+        roots = np.array([find(i) for i in range(n)], np.int64)
+        _, sizes = np.unique(roots, return_counts=True)
+        out["ti"].append(ti)
+        out["tau"].append(tau)
+        out["occ"].append(n)
+        out["ncl"].append(len(sizes))
+        out["big"].append(int(sizes.max()))
+    return pa.table(
+        {
+            "thr_idx": pa.array(out["ti"], pa.int64()),
+            "tau": pa.array(out["tau"], pa.int64()),
+            "n_occupied": pa.array(out["occ"], pa.int64()),
+            "n_clusters": pa.array(out["ncl"], pa.int64()),
+            "largest": pa.array(out["big"], pa.int64()),
+            "giant_frac": pa.array(
+                [
+                    float(np.float64(b) / np.float64(o))
+                    for b, o in zip(out["big"], out["occ"])
+                ],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+GEO_PERCOLATION_SQL = """
+WITH RECURSIVE
+pts AS (
+  SELECT ((user_id % 12) * 11003) % 120000
+           + (user_id * 7919) % 2001 + (event_id * 13) % 1001 AS mlat,
+         ((user_id % 12) * 104729) % 340000
+           + (user_id * 104729) % 2001 + (event_id * 29) % 1001 AS mlon
+  FROM events),
+cc AS (
+  SELECT mlon // 1000 AS gx, mlat // 1000 AS gy,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM pts GROUP BY 1, 2),
+g AS (SELECT CAST(COUNT(*) AS BIGINT) AS nc, CAST(SUM(c) AS BIGINT) AS tot
+      FROM cc),
+taus AS (
+  SELECT 1 AS ti, CAST(1 AS BIGINT) AS tau FROM g
+  UNION ALL SELECT 2, GREATEST(tot // nc // 4, 1) FROM g
+  UNION ALL SELECT 3, GREATEST(tot // nc // 2, 1) FROM g
+  UNION ALL SELECT 4, GREATEST(tot // nc, 1) FROM g),
+occ AS (
+  SELECT t.ti, t.tau, cc.gx, cc.gy,
+         CAST(t.ti AS BIGINT) * 1099511627776 + cc.gx * 1024 + cc.gy AS k
+  FROM cc, taus t WHERE cc.c >= t.tau),
+e0 AS (
+  SELECT a.k AS u, b.k AS v FROM occ a JOIN occ b
+    ON a.ti = b.ti
+   AND ((b.gx = a.gx + 1 AND b.gy = a.gy)
+     OR (b.gx = a.gx AND b.gy = a.gy + 1))),
+e AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+reach(node, comp) AS (
+  SELECT k, k FROM occ
+  UNION
+  SELECT e.u, r.comp FROM e JOIN reach r ON r.node = e.v),
+lab AS (SELECT node, MIN(comp) AS comp FROM reach GROUP BY node),
+comps AS (
+  SELECT occ.ti, occ.tau, lab.comp, CAST(COUNT(*) AS BIGINT) AS sz
+  FROM occ JOIN lab ON lab.node = occ.k GROUP BY 1, 2, 3),
+per AS (
+  SELECT ti, tau, CAST(SUM(sz) AS BIGINT) AS n_occupied,
+         CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         CAST(MAX(sz) AS BIGINT) AS largest
+  FROM comps GROUP BY 1, 2)
+SELECT CAST(ti AS BIGINT) AS thr_idx, tau, n_occupied, n_clusters, largest,
+       CAST(largest AS DOUBLE) / CAST(n_occupied AS DOUBLE) AS giant_frac
+FROM per ORDER BY 1
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -21991,6 +22145,7 @@ QUERIES = {
     "events_hill_tail": events_hill_tail,
     "events_rfm_segments": events_rfm_segments,
     "doc_readability": doc_readability,
+    "geo_percolation": geo_percolation,
     "events_type_ccf": events_type_ccf,
     "geo_type_hhi": geo_type_hhi,
     "geo_hexbin": geo_hexbin,
@@ -22229,6 +22384,7 @@ ORACLE_SQL = {
     "events_hill_tail": EVENTS_HILL_TAIL_SQL,
     "events_rfm_segments": EVENTS_RFM_SEGMENTS_SQL,
     "doc_readability": DOC_READABILITY_SQL,
+    "geo_percolation": GEO_PERCOLATION_SQL,
     "events_type_ccf": EVENTS_TYPE_CCF_SQL,
     "geo_type_hhi": GEO_TYPE_HHI_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
