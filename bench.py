@@ -200,6 +200,7 @@ BENCH_QUERIES = [
     "events_rfm_segments",
     "doc_readability",
     "geo_percolation",
+    "events_audience_overlap",
     "events_type_ccf",
     "geo_type_hhi",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the

@@ -21944,6 +21944,175 @@ FROM per ORDER BY 1
 """
 
 
+def events_audience_overlap(sf_dir: str):
+    """AUDIENCE-OVERLAP MATRIX (pairwise Jaccard between the distinct
+    USER SETS of each event type — do clickers also purchase, or are the
+    audiences disjoint? The cross-sell / cannibalization table product
+    teams read first). Exactness and scale in one trick: instead of a
+    distinct-pair self-join, fold each user's types into ONE bitmask
+    (types are bounded; discovery pass sorted), then count users per
+    mask — a <=2^T-row integer histogram from which EVERY pairwise
+    intersection/union is exact integer arithmetic. Plan: per-batch
+    (user, bit) dedup -> one user-keyed shuffle (bitwise_or reduceat
+    fold) -> bounded mask histogram partials; the driver sees
+    O(2^T x blocks) integers, never a user row. Zero-overlap pairs are
+    dropped (the SQL join emits no row for them)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from core_ray.stages.agg import map_groups_partitioned
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def type_partial(b: pa.Table) -> pa.Table:
+        u = np.unique(np.asarray(b["event_type"].to_pylist()))
+        return pa.table(
+            {
+                "event_type": pa.array(u.tolist(), pa.string()),
+                "one": pa.array(np.ones(len(u), np.int64)),
+            }
+        )
+
+    ty_t = _collect_table(
+        ds.select_columns(["event_type"])
+        .map_batches(type_partial, batch_format="pyarrow", batch_size=131072)
+        .groupby("event_type")
+        .aggregate(Sum("one", alias_name="n"))
+    )
+    types = np.sort(np.asarray(ty_t["event_type"].to_pylist()))
+    nt = len(types)
+    if nt == 0:
+        return pa.table(
+            {
+                "type_a": pa.array([], pa.string()),
+                "type_b": pa.array([], pa.string()),
+                "n_a": pa.array([], pa.int64()),
+                "n_b": pa.array([], pa.int64()),
+                "n_both": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+    if nt > 16:
+        raise ValueError(
+            f"audience bitmask fold assumes a bounded type domain "
+            f"(got {nt} > 16 types; the 2^T mask histogram would blow up)"
+        )
+    ty_ref = ray.put(types)
+
+    def to_bits(b: pa.Table) -> pa.Table:
+        ts = ray.get(ty_ref)
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(ts, np.asarray(b["event_type"].to_pylist()))
+        pair = np.unique(
+            (uid.astype(np.uint64) << np.uint64(8))
+            | idx.astype(np.uint64)
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    (pair >> np.uint64(8)).astype(np.int64), pa.int64()
+                ),
+                "bit": pa.array(
+                    np.left_shift(
+                        np.int64(1),
+                        (pair & np.uint64(255)).astype(np.int64),
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    _m_empty = pa.table(
+        {
+            "mask": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def mask_partial(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _m_empty
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        bit = g["bit"].to_numpy(zero_copy_only=False)
+        order = np.argsort(uid, kind="stable")
+        uid, bit = uid[order], bit[order]
+        idx = np.nonzero(np.r_[True, uid[1:] != uid[:-1]])[0]
+        masks = np.bitwise_or.reduceat(bit, idx)
+        um, cnts = np.unique(masks, return_counts=True)
+        return pa.table(
+            {
+                "mask": pa.array(um, pa.int64()),
+                "n": pa.array(cnts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = _collect_table(
+        map_groups_partitioned(
+            ds.map_batches(to_bits, batch_format="pyarrow", batch_size=131072),
+            "user_id",
+            mask_partial,
+        )
+    )  # <= 2^T x n_parts rows
+    hist = np.zeros(1 << nt, np.int64)
+    np.add.at(
+        hist,
+        parts["mask"].to_numpy(zero_copy_only=False),
+        parts["n"].to_numpy(zero_copy_only=False),
+    )
+    all_masks = np.arange(1 << nt, dtype=np.int64)
+    rows = []
+    for a in range(nt):
+        na = int(hist[(all_masks >> a) & 1 == 1].sum())
+        for b in range(a + 1, nt):
+            nb = int(hist[(all_masks >> b) & 1 == 1].sum())
+            nab = int(
+                hist[
+                    (((all_masks >> a) & 1) & ((all_masks >> b) & 1)) == 1
+                ].sum()
+            )
+            if nab == 0:
+                continue
+            rows.append(
+                (
+                    str(types[a]),
+                    str(types[b]),
+                    na,
+                    nb,
+                    nab,
+                    float(np.float64(nab) / np.float64(na + nb - nab)),
+                )
+            )
+    return pa.table(
+        {
+            "type_a": pa.array([r[0] for r in rows], pa.string()),
+            "type_b": pa.array([r[1] for r in rows], pa.string()),
+            "n_a": pa.array([r[2] for r in rows], pa.int64()),
+            "n_b": pa.array([r[3] for r in rows], pa.int64()),
+            "n_both": pa.array([r[4] for r in rows], pa.int64()),
+            "jaccard": pa.array([r[5] for r in rows], pa.float64()),
+        }
+    )
+
+
+EVENTS_AUDIENCE_OVERLAP_SQL = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+p AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2),
+c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ut GROUP BY 1)
+SELECT p.type_a, p.type_b, ca.n AS n_a, cb.n AS n_b, p.n_both,
+       CAST(p.n_both AS DOUBLE)
+         / CAST(ca.n + cb.n - p.n_both AS DOUBLE) AS jaccard
+FROM p
+JOIN c ca ON ca.event_type = p.type_a
+JOIN c cb ON cb.event_type = p.type_b
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -22146,6 +22315,7 @@ QUERIES = {
     "events_rfm_segments": events_rfm_segments,
     "doc_readability": doc_readability,
     "geo_percolation": geo_percolation,
+    "events_audience_overlap": events_audience_overlap,
     "events_type_ccf": events_type_ccf,
     "geo_type_hhi": geo_type_hhi,
     "geo_hexbin": geo_hexbin,
@@ -22385,6 +22555,7 @@ ORACLE_SQL = {
     "events_rfm_segments": EVENTS_RFM_SEGMENTS_SQL,
     "doc_readability": DOC_READABILITY_SQL,
     "geo_percolation": GEO_PERCOLATION_SQL,
+    "events_audience_overlap": EVENTS_AUDIENCE_OVERLAP_SQL,
     "events_type_ccf": EVENTS_TYPE_CCF_SQL,
     "geo_type_hhi": GEO_TYPE_HHI_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
