@@ -201,6 +201,7 @@ BENCH_QUERIES = [
     "doc_readability",
     "geo_percolation",
     "events_audience_overlap",
+    "geo_median_radius",
     "events_type_ccf",
     "geo_type_hhi",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the

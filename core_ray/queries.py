@@ -22113,6 +22113,148 @@ ORDER BY 1, 2
 """
 
 
+def geo_median_radius(sf_dir: str):
+    """POPULATION-CONCENTRATION RADII (the smallest great-circle radii
+    around the mean center containing 50% and 90% of all activity — the
+    'how far must the CDN reach' / catchment-compactness statistic that
+    complements std_ellipse's directional spread). Exactness: the center
+    is the FLOOR-mean of exact integer milli-degree sums (no float
+    mean); distances use the term-mirrored haversine and FLOOR-quantize
+    to integer km (the geo_haversine_pairs contract); the radius ranks
+    are exact integer positions (r50 at ceil(n/2), r90 at ceil(9n/10))
+    read off a cumulative over the VALUE->COUNT km histogram — distinct
+    km values (<=~20,015) reach the driver, never a point row. Plan: one
+    integer-moment pass, one map + bounded count_by_u64 pass."""
+    from core_ray.stages.agg import count_by_u64
+    from core_ray.stages.distband import haversine_km
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    def _milli(b: pa.Table):
+        eid = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mlat = (
+            ((uid % 12) * 11003) % 120000
+            + (uid * 7919) % 2001
+            + (eid * 13) % 1001
+        )
+        mlon = (
+            ((uid % 12) * 104729) % 340000
+            + (uid * 104729) % 2001
+            + (eid * 29) % 1001
+        )
+        return mlat, mlon
+
+    def moment_partial(b: pa.Table) -> pa.Table:
+        mlat, mlon = _milli(b)
+        return pa.table(
+            {
+                "n": pa.array([len(mlat)], pa.int64()),
+                "sla": pa.array([int(mlat.sum())], pa.int64()),
+                "slo": pa.array([int(mlon.sum())], pa.int64()),
+            }
+        )
+
+    mom = _collect_table(
+        ds.map_batches(
+            moment_partial, batch_format="pyarrow", batch_size=131072
+        )
+    )  # O(#blocks) rows
+    n = int(pc.sum(mom["n"]).as_py() or 0)
+    if n == 0:
+        return pa.table(
+            {
+                "n_events": pa.array([0], pa.int64()),
+                "cmlat": pa.array([None], pa.int64()),
+                "cmlon": pa.array([None], pa.int64()),
+                "r50_km": pa.array([None], pa.int64()),
+                "r90_km": pa.array([None], pa.int64()),
+            }
+        )
+    cmlat = int(pc.sum(mom["sla"]).as_py()) // n
+    cmlon = int(pc.sum(mom["slo"]).as_py()) // n
+    clat = float(np.float64(cmlat) / 1000.0 - 61.5)
+    clon = float(np.float64(cmlon) / 1000.0 - 171.5)
+
+    def km_pass(b: pa.Table) -> pa.Table:
+        mlat, mlon = _milli(b)
+        lat = mlat.astype(np.float64) / 1000.0 - 61.5
+        lon = mlon.astype(np.float64) / 1000.0 - 171.5
+        km = np.floor(
+            haversine_km(
+                np.full(len(lat), clat),
+                np.full(len(lat), clon),
+                lat,
+                lon,
+            )
+        ).astype(np.uint64)
+        return pa.table({"key": pa.array(km, pa.uint64())})
+
+    hist = _collect_table(
+        count_by_u64(
+            ds.map_batches(km_pass, batch_format="pyarrow", batch_size=131072),
+            "key",
+        )
+    )  # <= ~20,015 distinct km values
+    km = hist["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cnt = hist["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(km)
+    km, cnt = km[order], cnt[order]
+    cum = np.cumsum(cnt)
+    pos50 = (n + 1) // 2
+    pos90 = (9 * n + 9) // 10
+    r50 = int(km[np.searchsorted(cum, pos50)])
+    r90 = int(km[np.searchsorted(cum, pos90)])
+    return pa.table(
+        {
+            "n_events": pa.array([n], pa.int64()),
+            "cmlat": pa.array([cmlat], pa.int64()),
+            "cmlon": pa.array([cmlon], pa.int64()),
+            "r50_km": pa.array([r50], pa.int64()),
+            "r90_km": pa.array([r90], pa.int64()),
+        }
+    )
+
+
+GEO_MEDIAN_RADIUS_SQL = """
+WITH pts AS (
+  SELECT ((user_id % 12) * 11003) % 120000
+           + (user_id * 7919) % 2001 + (event_id * 13) % 1001 AS mlat,
+         ((user_id % 12) * 104729) % 340000
+           + (user_id * 104729) % 2001 + (event_id * 29) % 1001 AS mlon
+  FROM events),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(mlat) AS BIGINT) AS sla,
+         CAST(SUM(mlon) AS BIGINT) AS slo
+  FROM pts),
+ctr AS (SELECT n, sla // n AS cmlat, slo // n AS cmlon FROM g),
+d AS (
+  SELECT 2.0 * 6371.0088 * ASIN(SQRT(
+           SIN(RADIANS((CAST(p.mlat AS DOUBLE) / 1000.0 - 61.5)
+                       - (CAST(c.cmlat AS DOUBLE) / 1000.0 - 61.5)) / 2.0)
+           * SIN(RADIANS((CAST(p.mlat AS DOUBLE) / 1000.0 - 61.5)
+                         - (CAST(c.cmlat AS DOUBLE) / 1000.0 - 61.5)) / 2.0)
+           + COS(RADIANS(CAST(c.cmlat AS DOUBLE) / 1000.0 - 61.5))
+             * COS(RADIANS(CAST(p.mlat AS DOUBLE) / 1000.0 - 61.5))
+             * SIN(RADIANS((CAST(p.mlon AS DOUBLE) / 1000.0 - 171.5)
+                           - (CAST(c.cmlon AS DOUBLE) / 1000.0 - 171.5)) / 2.0)
+             * SIN(RADIANS((CAST(p.mlon AS DOUBLE) / 1000.0 - 171.5)
+                           - (CAST(c.cmlon AS DOUBLE) / 1000.0 - 171.5)) / 2.0)
+         )) AS dist
+  FROM pts p, ctr c),
+hist AS (
+  SELECT CAST(FLOOR(dist) AS BIGINT) AS km, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM d GROUP BY 1),
+cum AS (SELECT km, SUM(cnt) OVER (ORDER BY km) AS cum FROM hist)
+SELECT ctr.n AS n_events, ctr.cmlat, ctr.cmlon,
+       (SELECT MIN(km) FROM cum WHERE cum.cum >= (ctr.n + 1) // 2)
+         AS r50_km,
+       (SELECT MIN(km) FROM cum WHERE cum.cum >= (9 * ctr.n + 9) // 10)
+         AS r90_km
+FROM ctr
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -22316,6 +22458,7 @@ QUERIES = {
     "doc_readability": doc_readability,
     "geo_percolation": geo_percolation,
     "events_audience_overlap": events_audience_overlap,
+    "geo_median_radius": geo_median_radius,
     "events_type_ccf": events_type_ccf,
     "geo_type_hhi": geo_type_hhi,
     "geo_hexbin": geo_hexbin,
@@ -22556,6 +22699,7 @@ ORACLE_SQL = {
     "doc_readability": DOC_READABILITY_SQL,
     "geo_percolation": GEO_PERCOLATION_SQL,
     "events_audience_overlap": EVENTS_AUDIENCE_OVERLAP_SQL,
+    "geo_median_radius": GEO_MEDIAN_RADIUS_SQL,
     "events_type_ccf": EVENTS_TYPE_CCF_SQL,
     "geo_type_hhi": GEO_TYPE_HHI_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
