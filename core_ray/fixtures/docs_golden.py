@@ -344,6 +344,35 @@ def golden_dup_clusters(pairs: pa.Table) -> pa.Table:
 # ---------------- distributed Lloyd's k-means (iterative dataflow) ----------------
 
 
+def golden_pca_power(tbl: pa.Table, iters: int = 8) -> pa.Table:
+    """Single-process spec oracle for emb_pca_power: top principal
+    direction of the (uncentered) Gram matrix A^T A by power iteration.
+    Deterministic spec: v0 = 1/sqrt(d) on every axis rounded to 6
+    decimals; each iteration computes y = A^T (A v), renormalizes by the
+    double sqrt of the double sum of squares, and re-rounds to 6 — the
+    per-iteration rounding is the cross-path float-determinism contract
+    (same policy as golden_kmeans). Output = one row per dimension with
+    the final loading, plus a dim = -1 summary row carrying the Rayleigh
+    eigenvalue ||A v||^2 rounded to 6."""
+    _, x = _emb_matrix(tbl)
+    d = x.shape[1]
+    v = sql_round_np(np.full(d, 1.0) / np.sqrt(float(d)), 6)
+    for _ in range(iters):
+        z = x @ v
+        y = x.T @ z
+        nrm = float(np.sqrt((y * y).sum()))
+        v = sql_round_np(y / nrm, 6)
+    z = x @ v
+    lam = float(sql_round_np(np.array([(z * z).sum()]), 6)[0])
+    dims = np.arange(d, dtype=np.int64)
+    return pa.table(
+        {
+            "dim": pa.array(np.r_[dims, [-1]], pa.int64()),
+            "value": pa.array(np.r_[v, [lam]], pa.float64()),
+        }
+    )
+
+
 def golden_kmeans(tbl: pa.Table, k: int = 8, iters: int = 5) -> pa.Table:
     """Single-process spec oracle for emb_kmeans: init = the embeddings of
     the k smallest vec_ids (in vec_id order), centers rounded to 6 decimals;

@@ -14075,8 +14075,12 @@ def _ensure_docs_golden(sf_dir: str) -> None:
         return
     root = _docs_golden_dir()
     marker = os.path.join(root, ".complete")
-    # the traj file check migrates golden dirs written before it existed
-    if os.path.exists(marker) and os.path.exists(f"{root}/traj_simplify.parquet"):
+    # the traj/pca file checks migrate golden dirs written before they existed
+    if (
+        os.path.exists(marker)
+        and os.path.exists(f"{root}/traj_simplify.parquet")
+        and os.path.exists(f"{root}/pca.parquet")
+    ):
         return
     import pyarrow.parquet as pq
 
@@ -14097,6 +14101,7 @@ def _ensure_docs_golden(sf_dir: str) -> None:
     pq.write_table(dg.golden_ann_lsh(emb), f"{root}/ann_lsh.parquet")
     pq.write_table(dg.golden_ann_ivf(emb), f"{root}/ann_ivf.parquet")
     pq.write_table(dg.golden_kmeans(emb), f"{root}/kmeans.parquet")
+    pq.write_table(dg.golden_pca_power(emb), f"{root}/pca.parquet")
     pq.write_table(dg.golden_tile_hulls(ids), f"{root}/tile_hulls.parquet")
     ev = pq.read_table(_p(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
     pq.write_table(
@@ -22255,6 +22260,101 @@ FROM ctr
 """
 
 
+def emb_pca_power(sf_dir: str, iters: int = 8):
+    """TOP PRINCIPAL COMPONENT by distributed POWER ITERATION (the
+    spectral sibling of emb_kmeans: dominant direction of the uncentered
+    Gram matrix A^T A — embedding-drift monitoring, whitening, and the
+    building block of iterative PCA/SVD). Deterministic spec mirrored by
+    fixtures/docs_golden.golden_pca_power: v0 = 1/sqrt(d) rounded to 6
+    decimals; per iteration ONE map_batches pass emits the d-vector
+    partial y_b = A_b^T (A_b v) (constant-size combiner rows — never the
+    vectors); the driver folds d doubles, renormalizes, re-rounds to 6 —
+    the per-iteration rounding absorbs partial-sum reassociation so the
+    distributed path is bit-equal to the single-process golden (the
+    emb_kmeans / pagerank determinism contract). Output: per-dim
+    loadings + a dim = -1 row with the Rayleigh eigenvalue ||A v||^2
+    (rounded 6). The corpus is materialized once and re-read per
+    iteration from the object store."""
+    import ray
+
+    _ensure_docs_golden(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+
+    def _mat(b: pa.Table) -> np.ndarray:
+        col = b["embedding"]
+        flat = (
+            pc.list_flatten(col)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        return flat.reshape(len(col), -1)
+
+    first = _collect_table(ds.limit(1))
+    if first.num_rows == 0:
+        return pa.table(
+            {
+                "dim": pa.array([], pa.int64()),
+                "value": pa.array([], pa.float64()),
+            }
+        )
+    d = len(first["embedding"][0].as_py())
+    v = sql_round_np(np.full(d, 1.0) / np.sqrt(float(d)), 6)
+
+    def partials(b: pa.Table, vref) -> pa.Table:
+        vv = ray.get(vref) if isinstance(vref, ray.ObjectRef) else vref
+        x = _mat(b)
+        z = x @ vv
+        y = x.T @ z
+        szz = float((z * z).sum())
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(d, dtype=np.int64)),
+                "y": pa.array(y, pa.float64()),
+                "szz": pa.array(np.repeat(szz, d), pa.float64()),
+            }
+        )
+
+    lam = None
+    for it in range(iters + 1):
+        vref = ray.put(v)
+        pt = _collect_table(
+            ds.map_batches(
+                partials,
+                fn_args=(vref,),
+                batch_format="pyarrow",
+                batch_size=65536,
+            )
+        )  # d x O(#blocks) rows
+        dm = pt["dim"].to_numpy(zero_copy_only=False)
+        y = np.zeros(d, np.float64)
+        np.add.at(y, dm, pt["y"].to_numpy(zero_copy_only=False))
+        if it == iters:
+            # final pass: Rayleigh eigenvalue at the converged v only
+            lam = float(
+                sql_round_np(
+                    np.array(
+                        [pt["szz"].to_numpy(zero_copy_only=False)[dm == 0].sum()]
+                    ),
+                    6,
+                )[0]
+            )
+            break
+        nrm = float(np.sqrt((y * y).sum()))
+        v = sql_round_np(y / nrm, 6)
+
+    return pa.table(
+        {
+            "dim": pa.array(
+                np.r_[np.arange(d, dtype=np.int64), [-1]], pa.int64()
+            ),
+            "value": pa.array(np.r_[v, [lam]], pa.float64()),
+        }
+    )
+
+
+EMB_PCA_POWER_SQL = f"SELECT * FROM read_parquet('{_DGD}/pca.parquet')"
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -22459,6 +22559,7 @@ QUERIES = {
     "geo_percolation": geo_percolation,
     "events_audience_overlap": events_audience_overlap,
     "geo_median_radius": geo_median_radius,
+    "emb_pca_power": emb_pca_power,
     "events_type_ccf": events_type_ccf,
     "geo_type_hhi": geo_type_hhi,
     "geo_hexbin": geo_hexbin,
@@ -22700,6 +22801,7 @@ ORACLE_SQL = {
     "geo_percolation": GEO_PERCOLATION_SQL,
     "events_audience_overlap": EVENTS_AUDIENCE_OVERLAP_SQL,
     "geo_median_radius": GEO_MEDIAN_RADIUS_SQL,
+    "emb_pca_power": EMB_PCA_POWER_SQL,
     "events_type_ccf": EVENTS_TYPE_CCF_SQL,
     "geo_type_hhi": GEO_TYPE_HHI_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,

@@ -28,6 +28,7 @@ _GOLDEN_PINNED = (
     "doc_curation_funnel",  # joins the dup_clusters golden
     "emb_pagerank",
     "emb_kmeans",
+    "emb_pca_power",
     "geo_convex_hull",
     "geo_traj_simplify",
 )
