@@ -203,6 +203,7 @@ BENCH_QUERIES = [
     "events_audience_overlap",
     "geo_median_radius",
     "emb_pca_power",
+    "geo_anisotropy",
     "events_type_ccf",
     "geo_type_hhi",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the

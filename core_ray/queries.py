@@ -22355,6 +22355,124 @@ def emb_pca_power(sf_dir: str, iters: int = 8):
 EMB_PCA_POWER_SQL = f"SELECT * FROM read_parquet('{_DGD}/pca.parquet')"
 
 
+def geo_anisotropy(sf_dir: str):
+    """DIRECTIONAL SEMIVARIANCE ANISOTROPY (is spatial structure the same
+    east-west as north-south? The geostatistics sanity check before any
+    isotropic model like geo_semivariogram is trusted): lag-1 rook
+    semivariance computed separately along the x and y axes over
+    OBSERVED contact-lattice cells — gamma_dir = sum((c_a - c_b)^2) /
+    (2 * n_pairs_dir); anisotropy = gamma_x / gamma_y. Exactness: the
+    squared diffs fold in PYTHON ints on the geometry-bounded driver
+    table (numpy int64 would overflow SILENTLY at extreme per-cell
+    counts; the explicit > 2^63 guard fails loud instead — the
+    std_ellipse hatch convention), gammas are ONE double division each.
+    Plan: ONE packed count pass; adjacency by sorted-key searchsorted."""
+    from core_ray.stages.agg import count_by_u64
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    def pack(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mlat = (
+            ((uid % 12) * 11003) % 120000
+            + (uid * 7919) % 2001
+            + (eid * 13) % 1001
+        )
+        mlon = (
+            ((uid % 12) * 104729) % 340000
+            + (uid * 104729) % 2001
+            + (eid * 29) % 1001
+        )
+        key = ((mlon // 1000) * 1024 + (mlat // 1000)).astype(np.uint64)
+        return pa.table({"key": pa.array(key, pa.uint64())})
+
+    cc_t = _collect_table(
+        count_by_u64(
+            ds.map_batches(pack, batch_format="pyarrow", batch_size=131072),
+            "key",
+        )
+    )  # bounded by the lattice geometry
+    key = np.sort(
+        cc_t["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    )
+    order = np.argsort(cc_t["key"].to_numpy(zero_copy_only=False))
+    cnt = cc_t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+
+    def _dir_fold(offset: np.uint64):
+        nb = key + offset
+        pos = np.searchsorted(key, nb)
+        pos_c = np.minimum(pos, len(key) - 1)
+        hit = key[pos_c] == nb
+        ssd, n = 0, 0
+        for i in np.nonzero(hit)[0]:
+            d = int(cnt[i]) - int(cnt[pos[i]])
+            ssd += d * d
+            n += 1
+        if ssd >= 1 << 63:
+            raise OverflowError(
+                "directional SSD exceeds int64 — cell counts too large "
+                "for the exact fold (re-cell or pre-scale)"
+            )
+        return n, ssd
+
+    nx, sx = _dir_fold(np.uint64(1024))  # +x: gx + 1
+    ny, sy = _dir_fold(np.uint64(1))  # +y: gy + 1
+    gx = float(np.float64(sx) / np.float64(2 * nx)) if nx else None
+    gy = float(np.float64(sy) / np.float64(2 * ny)) if ny else None
+    aniso = (
+        float(np.float64(sx) * np.float64(2 * ny)
+              / (np.float64(2 * nx) * np.float64(sy)))
+        if (nx and ny and sy) else None
+    )
+    return pa.table(
+        {
+            "n_pairs_x": pa.array([nx], pa.int64()),
+            "n_pairs_y": pa.array([ny], pa.int64()),
+            "ssd_x": pa.array([sx], pa.int64()),
+            "ssd_y": pa.array([sy], pa.int64()),
+            "gamma_x": pa.array([gx], pa.float64()),
+            "gamma_y": pa.array([gy], pa.float64()),
+            "anisotropy": pa.array([aniso], pa.float64()),
+        }
+    )
+
+
+GEO_ANISOTROPY_SQL = """
+WITH pts AS (
+  SELECT ((user_id % 12) * 11003) % 120000
+           + (user_id * 7919) % 2001 + (event_id * 13) % 1001 AS mlat,
+         ((user_id % 12) * 104729) % 340000
+           + (user_id * 104729) % 2001 + (event_id * 29) % 1001 AS mlon
+  FROM events),
+cc AS (
+  SELECT mlon // 1000 AS gx, mlat // 1000 AS gy,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM pts GROUP BY 1, 2),
+ex AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         COALESCE(CAST(SUM((a.c - b.c) * (a.c - b.c)) AS BIGINT), 0) AS ssd
+  FROM cc a JOIN cc b ON b.gx = a.gx + 1 AND b.gy = a.gy),
+ey AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         COALESCE(CAST(SUM((a.c - b.c) * (a.c - b.c)) AS BIGINT), 0) AS ssd
+  FROM cc a JOIN cc b ON b.gx = a.gx AND b.gy = a.gy + 1)
+SELECT ex.n AS n_pairs_x, ey.n AS n_pairs_y, ex.ssd AS ssd_x,
+       ey.ssd AS ssd_y,
+       CASE WHEN ex.n = 0 THEN NULL
+            ELSE CAST(ex.ssd AS DOUBLE) / CAST(2 * ex.n AS DOUBLE) END
+         AS gamma_x,
+       CASE WHEN ey.n = 0 THEN NULL
+            ELSE CAST(ey.ssd AS DOUBLE) / CAST(2 * ey.n AS DOUBLE) END
+         AS gamma_y,
+       CASE WHEN ex.n = 0 OR ey.n = 0 OR ey.ssd = 0 THEN NULL
+            ELSE CAST(ex.ssd AS DOUBLE) * CAST(2 * ey.n AS DOUBLE)
+                   / (CAST(2 * ex.n AS DOUBLE) * CAST(ey.ssd AS DOUBLE)) END
+         AS anisotropy
+FROM ex, ey
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -22560,6 +22678,7 @@ QUERIES = {
     "events_audience_overlap": events_audience_overlap,
     "geo_median_radius": geo_median_radius,
     "emb_pca_power": emb_pca_power,
+    "geo_anisotropy": geo_anisotropy,
     "events_type_ccf": events_type_ccf,
     "geo_type_hhi": geo_type_hhi,
     "geo_hexbin": geo_hexbin,
@@ -22802,6 +22921,7 @@ ORACLE_SQL = {
     "events_audience_overlap": EVENTS_AUDIENCE_OVERLAP_SQL,
     "geo_median_radius": GEO_MEDIAN_RADIUS_SQL,
     "emb_pca_power": EMB_PCA_POWER_SQL,
+    "geo_anisotropy": GEO_ANISOTROPY_SQL,
     "events_type_ccf": EVENTS_TYPE_CCF_SQL,
     "geo_type_hhi": GEO_TYPE_HHI_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
