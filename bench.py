@@ -204,6 +204,7 @@ BENCH_QUERIES = [
     "geo_median_radius",
     "emb_pca_power",
     "geo_anisotropy",
+    "events_hurst",
     "events_type_ccf",
     "geo_type_hhi",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the

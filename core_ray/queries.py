@@ -22473,6 +22473,167 @@ FROM ex, ey
 """
 
 
+_HURST_WINDOWS = (16, 64, 256)  # hours; log2 = 4, 6, 8 (equally spaced)
+
+
+def events_hurst(sf_dir: str):
+    """HURST EXPONENT by rescaled-range analysis (long-range dependence
+    of the hourly traffic series: H ~ 0.5 = memoryless, H -> 1 =
+    persistent trends — THE self-similarity diagnostic for load
+    forecasting, and the reason naive Poisson capacity models fail on
+    web traffic). R/S per non-overlapping window of w hours, mean
+    log2(R/S) per w in {16, 64, 256}, H = the OLS slope over log2(w) —
+    with three EQUALLY-SPACED x points the slope reduces exactly to
+    (y_256 - y_16) / 4 (the middle point cancels). Exactness: the
+    zero-filled hourly grid comes from ONE horizon-bounded count pass
+    (the events_changepoint contract); within each window the range
+    statistic stays INTEGER via w-scaling (cumd_K = w*cum_K - K*sum, so
+    R_scaled = max - min is exact) and S^2_scaled = w*sxx - sx^2 is
+    exact; R/S = one correctly-rounded double division by SQRT, its
+    log2 micro-quantized, window sums exact integers, H = one fixed
+    double chain. Degenerate windows (zero range or zero variance) are
+    excluded on both sides; H is NULL unless both end sizes have
+    windows."""
+    from core_ray.stages.agg import count_by_u64
+
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def hour_key(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"key": pa.array((us // 3600000000).astype(np.uint64),
+                             pa.uint64())}
+        )
+
+    t_ = _collect_table(  # <= horizon-hours rows by construction
+        count_by_u64(
+            ds.map_batches(hour_key, batch_format="pyarrow",
+                           batch_size=131072),
+            "key",
+        )
+    )
+    per: dict[int, tuple[int, int]] = {}
+    if t_.num_rows == 0:
+        n_hours = None
+    else:
+        hour = t_["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = t_["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h0, h1 = int(hour.min()), int(hour.max())
+        n_hours = h1 - h0 + 1
+        c = np.zeros(n_hours, np.int64)
+        c[hour - h0] = cnt
+        for w in _HURST_WINDOWS:
+            nwin = n_hours // w
+            if nwin == 0:
+                continue
+            x = c[: nwin * w].reshape(nwin, w)
+            sx = x.sum(axis=1)
+            sxx = (x * x).sum(axis=1)
+            cum = np.cumsum(x, axis=1)
+            kk = np.arange(1, w + 1, dtype=np.int64)
+            cumd = w * cum - kk[None, :] * sx[:, None]
+            r = cumd.max(axis=1) - cumd.min(axis=1)
+            s2 = w * sxx - sx * sx
+            m = (s2 > 0) & (r > 0)
+            if not m.any():
+                continue
+            q = sql_round_np(
+                np.log2(
+                    r[m].astype(np.float64) / np.sqrt(s2[m].astype(np.float64))
+                )
+                * 1000000.0,
+                0,
+            ).astype(np.int64)
+            per[w] = (int(m.sum()), int(q.sum()))
+    n16, sq16 = per.get(16, (0, 0))
+    n64, sq64 = per.get(64, (0, 0))
+    n256, sq256 = per.get(256, (0, 0))
+    hurst = (
+        float(
+            (np.float64(sq256) / np.float64(n256)
+             - np.float64(sq16) / np.float64(n16))
+            / 4000000.0
+        )
+        if n16 and n256
+        else None
+    )
+    return pa.table(
+        {
+            "n_hours": pa.array([n_hours], pa.int64()),
+            "n_w16": pa.array([n16], pa.int64()),
+            "sumq_w16": pa.array([sq16], pa.int64()),
+            "n_w64": pa.array([n64], pa.int64()),
+            "sumq_w64": pa.array([sq64], pa.int64()),
+            "n_w256": pa.array([n256], pa.int64()),
+            "sumq_w256": pa.array([sq256], pa.int64()),
+            "hurst": pa.array([hurst], pa.float64()),
+        }
+    )
+
+
+EVENTS_HURST_SQL = """
+WITH pts AS (SELECT epoch_us(ts) // 3600000000 AS h FROM events),
+hh AS (SELECT CAST(MIN(h) AS BIGINT) AS h0,
+              CAST(MAX(h) - MIN(h) + 1 AS BIGINT) AS t FROM pts),
+hours AS (SELECT UNNEST(range(0, (SELECT t FROM hh))) AS k),
+cnts AS (SELECT p.h - hh.h0 AS k, CAST(COUNT(*) AS BIGINT) AS c
+         FROM pts p, hh GROUP BY 1),
+grid AS (SELECT hours.k, CAST(COALESCE(cnts.c, 0) AS BIGINT) AS c
+         FROM hours LEFT JOIN cnts USING (k)),
+win AS (
+  SELECT w.w, grid.k // w.w AS wid, grid.k % w.w AS j, grid.c
+  FROM grid, (VALUES (16), (64), (256)) w(w), hh
+  WHERE grid.k < (hh.t // w.w) * w.w),
+agg AS (
+  SELECT w, wid, CAST(SUM(c) AS BIGINT) AS sx,
+         CAST(SUM(c * c) AS BIGINT) AS sxx
+  FROM win GROUP BY 1, 2),
+cum AS (
+  SELECT w, wid, j,
+         CAST(SUM(c) OVER (PARTITION BY w, wid ORDER BY j) AS BIGINT) AS cx
+  FROM win),
+cd AS (
+  SELECT cum.w, cum.wid, cum.w * cum.cx - (cum.j + 1) * agg.sx AS cumd
+  FROM cum JOIN agg ON agg.w = cum.w AND agg.wid = cum.wid),
+rng AS (
+  SELECT w, wid, CAST(MAX(cumd) - MIN(cumd) AS BIGINT) AS r
+  FROM cd GROUP BY 1, 2),
+s2t AS (SELECT w, wid, w * sxx - sx * sx AS s2 FROM agg),
+qv AS (
+  SELECT rng.w,
+         CAST(ROUND(LOG2(CAST(rng.r AS DOUBLE)
+                         / SQRT(CAST(s2t.s2 AS DOUBLE))) * 1000000.0, 0)
+              AS BIGINT) AS q
+  FROM rng JOIN s2t ON s2t.w = rng.w AND s2t.wid = rng.wid
+  WHERE s2t.s2 > 0 AND rng.r > 0),
+per AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(q) AS BIGINT) AS sq
+        FROM qv GROUP BY 1),
+piv AS (
+  SELECT CAST(COALESCE(MAX(CASE WHEN w = 16 THEN n END), 0) AS BIGINT)
+           AS n16,
+         CAST(COALESCE(MAX(CASE WHEN w = 16 THEN sq END), 0) AS BIGINT)
+           AS sq16,
+         CAST(COALESCE(MAX(CASE WHEN w = 64 THEN n END), 0) AS BIGINT)
+           AS n64,
+         CAST(COALESCE(MAX(CASE WHEN w = 64 THEN sq END), 0) AS BIGINT)
+           AS sq64,
+         CAST(COALESCE(MAX(CASE WHEN w = 256 THEN n END), 0) AS BIGINT)
+           AS n256,
+         CAST(COALESCE(MAX(CASE WHEN w = 256 THEN sq END), 0) AS BIGINT)
+           AS sq256
+  FROM per)
+SELECT hh.t AS n_hours, piv.n16 AS n_w16, piv.sq16 AS sumq_w16,
+       piv.n64 AS n_w64, piv.sq64 AS sumq_w64,
+       piv.n256 AS n_w256, piv.sq256 AS sumq_w256,
+       CASE WHEN piv.n16 = 0 OR piv.n256 = 0 THEN NULL
+            ELSE (CAST(piv.sq256 AS DOUBLE) / CAST(piv.n256 AS DOUBLE)
+                  - CAST(piv.sq16 AS DOUBLE) / CAST(piv.n16 AS DOUBLE))
+                 / 4000000.0 END AS hurst
+FROM hh, piv
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -22679,6 +22840,7 @@ QUERIES = {
     "geo_median_radius": geo_median_radius,
     "emb_pca_power": emb_pca_power,
     "geo_anisotropy": geo_anisotropy,
+    "events_hurst": events_hurst,
     "events_type_ccf": events_type_ccf,
     "geo_type_hhi": geo_type_hhi,
     "geo_hexbin": geo_hexbin,
@@ -22922,6 +23084,7 @@ ORACLE_SQL = {
     "geo_median_radius": GEO_MEDIAN_RADIUS_SQL,
     "emb_pca_power": EMB_PCA_POWER_SQL,
     "geo_anisotropy": GEO_ANISOTROPY_SQL,
+    "events_hurst": EVENTS_HURST_SQL,
     "events_type_ccf": EVENTS_TYPE_CCF_SQL,
     "geo_type_hhi": GEO_TYPE_HHI_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
