@@ -205,6 +205,7 @@ BENCH_QUERIES = [
     "emb_pca_power",
     "geo_anisotropy",
     "events_hurst",
+    "geo_lacunarity",
     "events_type_ccf",
     "geo_type_hhi",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the

@@ -22634,6 +22634,113 @@ FROM hh, piv
 """
 
 
+def geo_lacunarity(sf_dir: str):
+    """LACUNARITY PROFILE (the texture statistic fractal dimension
+    misses: two patterns with the SAME boxcount dimension can differ in
+    gappiness — lacunarity L(r) = n*sum(m^2)/(sum m)^2 over box masses m
+    at box size r reads the hole structure; L -> 1 = translationally
+    uniform). Fixed non-overlapping r x r cell blocks at r in {1, 2, 4,
+    8} over the contact lattice — deterministic, and every moment is an
+    exact integer (box masses are integer sums of integer cell counts).
+    Empty boxes inside the pattern's bounding set are excluded (observed
+    boxes only — both sides identically, the anisotropy convention).
+    Plan: ONE packed count pass (cells geometry-bounded), driver folds
+    the <=|cells| table per r; L = one double chain of exact integers."""
+    from core_ray.stages.agg import count_by_u64
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    def pack(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mlat = (
+            ((uid % 12) * 11003) % 120000
+            + (uid * 7919) % 2001
+            + (eid * 13) % 1001
+        )
+        mlon = (
+            ((uid % 12) * 104729) % 340000
+            + (uid * 104729) % 2001
+            + (eid * 29) % 1001
+        )
+        key = ((mlon // 1000) * 1024 + (mlat // 1000)).astype(np.uint64)
+        return pa.table({"key": pa.array(key, pa.uint64())})
+
+    cc_t = _collect_table(
+        count_by_u64(
+            ds.map_batches(pack, batch_format="pyarrow", batch_size=131072),
+            "key",
+        )
+    )  # bounded by the lattice geometry
+    key = cc_t["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    c = cc_t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    gx = (key // np.uint64(1024)).astype(np.int64)
+    gy = (key % np.uint64(1024)).astype(np.int64)
+    out = {k: [] for k in ("r", "n", "sm", "sm2")}
+    for r in (1, 2, 4, 8):
+        bk = (gx // r) * 1024 + (gy // r)
+        ub, inv = np.unique(bk, return_inverse=True)
+        m = np.zeros(len(ub), np.int64)
+        np.add.at(m, inv, c)
+        sm = int(m.sum())
+        sm2 = sum(int(v) * int(v) for v in m)  # python ints: no silent wrap
+        if sm2 >= 1 << 63:
+            raise OverflowError(
+                "lacunarity second moment exceeds int64 — box masses too "
+                "large for the exact fold (re-cell or pre-scale)"
+            )
+        out["r"].append(r)
+        out["n"].append(len(ub))
+        out["sm"].append(sm)
+        out["sm2"].append(sm2)
+    return pa.table(
+        {
+            "box_r": pa.array(out["r"], pa.int64()),
+            "n_boxes": pa.array(out["n"], pa.int64()),
+            "sum_m": pa.array(out["sm"], pa.int64()),
+            "sum_m2": pa.array(out["sm2"], pa.int64()),
+            "lacunarity": pa.array(
+                [
+                    float(
+                        np.float64(n) * np.float64(s2)
+                        / (np.float64(s) * np.float64(s))
+                    )
+                    for n, s, s2 in zip(out["n"], out["sm"], out["sm2"])
+                ],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+GEO_LACUNARITY_SQL = """
+WITH pts AS (
+  SELECT ((user_id % 12) * 11003) % 120000
+           + (user_id * 7919) % 2001 + (event_id * 13) % 1001 AS mlat,
+         ((user_id % 12) * 104729) % 340000
+           + (user_id * 104729) % 2001 + (event_id * 29) % 1001 AS mlon
+  FROM events),
+cc AS (
+  SELECT mlon // 1000 AS gx, mlat // 1000 AS gy,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM pts GROUP BY 1, 2),
+boxes AS (
+  SELECT r.r, cc.gx // r.r AS bx, cc.gy // r.r AS by_,
+         CAST(SUM(cc.c) AS BIGINT) AS m
+  FROM cc, (VALUES (1), (2), (4), (8)) r(r)
+  GROUP BY 1, 2, 3),
+mo AS (
+  SELECT r, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(m) AS BIGINT) AS sm,
+         CAST(SUM(m * m) AS BIGINT) AS sm2
+  FROM boxes GROUP BY 1)
+SELECT CAST(r AS BIGINT) AS box_r, n AS n_boxes, sm AS sum_m,
+       sm2 AS sum_m2,
+       CAST(n AS DOUBLE) * CAST(sm2 AS DOUBLE)
+         / (CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)) AS lacunarity
+FROM mo ORDER BY 1
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -22841,6 +22948,7 @@ QUERIES = {
     "emb_pca_power": emb_pca_power,
     "geo_anisotropy": geo_anisotropy,
     "events_hurst": events_hurst,
+    "geo_lacunarity": geo_lacunarity,
     "events_type_ccf": events_type_ccf,
     "geo_type_hhi": geo_type_hhi,
     "geo_hexbin": geo_hexbin,
@@ -23085,6 +23193,7 @@ ORACLE_SQL = {
     "emb_pca_power": EMB_PCA_POWER_SQL,
     "geo_anisotropy": GEO_ANISOTROPY_SQL,
     "events_hurst": EVENTS_HURST_SQL,
+    "geo_lacunarity": GEO_LACUNARITY_SQL,
     "events_type_ccf": EVENTS_TYPE_CCF_SQL,
     "geo_type_hhi": GEO_TYPE_HHI_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
