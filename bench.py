@@ -206,6 +206,7 @@ BENCH_QUERIES = [
     "geo_anisotropy",
     "events_hurst",
     "geo_lacunarity",
+    "geo_spatial_markov",
     "events_type_ccf",
     "geo_type_hhi",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the

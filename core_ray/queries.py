@@ -22741,6 +22741,150 @@ FROM mo ORDER BY 1
 """
 
 
+def geo_spatial_markov(sf_dir: str):
+    """SPATIAL MARKOV TRANSITIONS (how places MOVE between density
+    classes over time — the regional-dynamics matrix behind 'is the
+    urban hierarchy stable, churning, or polarizing'): split the horizon
+    at the exact integer midpoint day, classify every contact-lattice
+    cell per period as absent (0) / low (1) / high (2) against the
+    period's own FLOOR-mean occupied-cell threshold, and count
+    class->class transitions over the union of observed cells with
+    row-normalized fractions. All-integer until the final row fractions
+    (exact FLOOR thresholds; integer class compares). Plan: one scalar
+    day-range pass, ONE packed (period, cell) count pass (cells
+    geometry-bounded), driver folds the <=2|cells| table."""
+    from core_ray.stages.agg import count_by_u64
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def day_minmax(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        d = us // 86400000000
+        return pa.table(
+            {
+                "d0": pa.array([int(d.min())], pa.int64()),
+                "d1": pa.array([int(d.max())], pa.int64()),
+            }
+        )
+
+    mm = _collect_table(
+        ds.select_columns(["ts"]).map_batches(
+            day_minmax, batch_format="pyarrow", batch_size=131072
+        )
+    )
+    if mm.num_rows == 0:
+        return pa.table(
+            {
+                "from_class": pa.array([], pa.int64()),
+                "to_class": pa.array([], pa.int64()),
+                "n_cells": pa.array([], pa.int64()),
+                "row_frac": pa.array([], pa.float64()),
+            }
+        )
+    d0 = int(pc.min(mm["d0"]).as_py())
+    d1 = int(pc.max(mm["d1"]).as_py())
+    split = (d0 + d1 + 1) // 2
+
+    def pack(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        p = (us // 86400000000 >= split).astype(np.uint64)
+        mlat = (
+            ((uid % 12) * 11003) % 120000
+            + (uid * 7919) % 2001
+            + (eid * 13) % 1001
+        )
+        mlon = (
+            ((uid % 12) * 104729) % 340000
+            + (uid * 104729) % 2001
+            + (eid * 29) % 1001
+        )
+        cell = ((mlon // 1000) * 1024 + (mlat // 1000)).astype(np.uint64)
+        return pa.table(
+            {"key": pa.array((p << np.uint64(20)) | cell, pa.uint64())}
+        )
+
+    cc_t = _collect_table(
+        count_by_u64(
+            ds.map_batches(pack, batch_format="pyarrow", batch_size=131072),
+            "key",
+        )
+    )  # <= 2 x |cells|, geometry-bounded
+    key = cc_t["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    c = cc_t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    p = (key >> np.uint64(20)).astype(np.int64)
+    cell = (key & np.uint64((1 << 20) - 1)).astype(np.int64)
+    cls: list[dict] = [{}, {}]
+    for period in (0, 1):
+        m = p == period
+        if not m.any():
+            continue
+        thr = int(c[m].sum()) // int(m.sum())
+        for cl_cell, cl_c in zip(cell[m], c[m]):
+            cls[period][int(cl_cell)] = 2 if int(cl_c) > thr else 1
+    trans = np.zeros((3, 3), np.int64)
+    for u in set(cls[0]) | set(cls[1]):
+        trans[cls[0].get(u, 0), cls[1].get(u, 0)] += 1
+    rows = [
+        (a, b, int(trans[a, b]))
+        for a in range(3)
+        for b in range(3)
+        if trans[a, b] > 0
+    ]
+    rowsum = trans.sum(axis=1)
+    return pa.table(
+        {
+            "from_class": pa.array([r[0] for r in rows], pa.int64()),
+            "to_class": pa.array([r[1] for r in rows], pa.int64()),
+            "n_cells": pa.array([r[2] for r in rows], pa.int64()),
+            "row_frac": pa.array(
+                [
+                    float(np.float64(r[2]) / np.float64(rowsum[r[0]]))
+                    for r in rows
+                ],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+GEO_SPATIAL_MARKOV_SQL = """
+WITH pts AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         ((user_id % 12) * 11003) % 120000
+           + (user_id * 7919) % 2001 + (event_id * 13) % 1001 AS mlat,
+         ((user_id % 12) * 104729) % 340000
+           + (user_id * 104729) % 2001 + (event_id * 29) % 1001 AS mlon
+  FROM events),
+dd AS (SELECT CAST(MIN(day) AS BIGINT) AS d0,
+              CAST(MAX(day) AS BIGINT) AS d1 FROM pts),
+pcnt AS (
+  SELECT CASE WHEN p.day < (dd.d0 + dd.d1 + 1) // 2 THEN 0 ELSE 1 END
+           AS per,
+         p.mlon // 1000 AS gx, p.mlat // 1000 AS gy,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM pts p, dd GROUP BY 1, 2, 3),
+th AS (
+  SELECT per, CAST(SUM(c) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS thr
+  FROM pcnt GROUP BY 1),
+cl AS (
+  SELECT pcnt.per, gx, gy,
+         CASE WHEN pcnt.c > th.thr THEN 2 ELSE 1 END AS k
+  FROM pcnt JOIN th USING (per)),
+u AS (
+  SELECT COALESCE(a.k, 0) AS k0, COALESCE(b.k, 0) AS k1
+  FROM (SELECT gx, gy, k FROM cl WHERE per = 0) a
+  FULL OUTER JOIN (SELECT gx, gy, k FROM cl WHERE per = 1) b
+    USING (gx, gy)),
+t AS (SELECT k0, k1, CAST(COUNT(*) AS BIGINT) AS n FROM u GROUP BY 1, 2),
+r AS (SELECT k0, CAST(SUM(n) AS BIGINT) AS rn FROM t GROUP BY 1)
+SELECT CAST(t.k0 AS BIGINT) AS from_class, CAST(t.k1 AS BIGINT) AS to_class,
+       t.n AS n_cells, CAST(t.n AS DOUBLE) / CAST(r.rn AS DOUBLE) AS row_frac
+FROM t JOIN r USING (k0) ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -22949,6 +23093,7 @@ QUERIES = {
     "geo_anisotropy": geo_anisotropy,
     "events_hurst": events_hurst,
     "geo_lacunarity": geo_lacunarity,
+    "geo_spatial_markov": geo_spatial_markov,
     "events_type_ccf": events_type_ccf,
     "geo_type_hhi": geo_type_hhi,
     "geo_hexbin": geo_hexbin,
@@ -23194,6 +23339,7 @@ ORACLE_SQL = {
     "geo_anisotropy": GEO_ANISOTROPY_SQL,
     "events_hurst": EVENTS_HURST_SQL,
     "geo_lacunarity": GEO_LACUNARITY_SQL,
+    "geo_spatial_markov": GEO_SPATIAL_MARKOV_SQL,
     "events_type_ccf": EVENTS_TYPE_CCF_SQL,
     "geo_type_hhi": GEO_TYPE_HHI_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
