@@ -207,6 +207,7 @@ BENCH_QUERIES = [
     "events_hurst",
     "geo_lacunarity",
     "geo_spatial_markov",
+    "events_dow_profile",
     "events_type_ccf",
     "geo_type_hhi",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the

@@ -22885,6 +22885,117 @@ FROM t JOIN r USING (k0) ORDER BY 1, 2
 """
 
 
+def events_dow_profile(sf_dir: str):
+    """DAY-OF-WEEK PROFILE + WEEKEND LIFT (the calendar complement of the
+    hour-of-day views: weekly seasonality and how much monetary activity
+    shifts to the weekend). dow = epoch-day % 7 (0 = Thursday, so
+    weekend = dow in {2, 3} — the epoch convention, identical integer
+    arithmetic both sides; no locale-dependent DAYOFWEEK). Per dow:
+    exact integer event count and cents sum, mean = one division. A
+    dow = -1 summary row carries totals and, in mean_cents, the weekend
+    LIFT = (weekend cents * weekday events) / (weekend events * weekday
+    cents) — a ratio of exact integers. One 7-bin combiner pass; the
+    driver folds 7 x O(#blocks) integers."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        dow = ((us // 86400000000) % 7).astype(np.int64)
+        cents = sql_round_np(
+            b["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        n7 = np.bincount(dow, minlength=7).astype(np.int64)
+        s7 = np.zeros(7, np.int64)
+        np.add.at(s7, dow, cents)
+        return pa.table(
+            {
+                "dow": pa.array(np.arange(7, dtype=np.int64)),
+                "n": pa.array(n7, pa.int64()),
+                "s": pa.array(s7, pa.int64()),
+            }
+        )
+
+    parts = _collect_table(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=131072)
+    )  # 7 x O(#blocks) rows
+    dw = parts["dow"].to_numpy(zero_copy_only=False)
+    n = np.zeros(7, np.int64)
+    s = np.zeros(7, np.int64)
+    np.add.at(n, dw, parts["n"].to_numpy(zero_copy_only=False))
+    np.add.at(s, dw, parts["s"].to_numpy(zero_copy_only=False))
+    keep = n > 0
+    dows = np.arange(7, dtype=np.int64)[keep]
+    we = np.isin(np.arange(7), (2, 3))
+    n_we, s_we = int(n[we].sum()), int(s[we].sum())
+    n_wd, s_wd = int(n[~we].sum()), int(s[~we].sum())
+    lift = (
+        float(
+            np.float64(s_we) * np.float64(n_wd)
+            / (np.float64(n_we) * np.float64(s_wd))
+        )
+        if (n_we and s_wd)
+        else None
+    )
+    return pa.table(
+        {
+            "dow": pa.array(np.r_[dows, [-1]], pa.int64()),
+            "is_weekend": pa.array(
+                [int(w) for w in we[keep]] + [None], pa.int64()
+            ),
+            "n_events": pa.array(
+                np.r_[n[keep], [int(n.sum())]], pa.int64()
+            ),
+            "sum_cents": pa.array(
+                np.r_[s[keep], [int(s.sum())]], pa.int64()
+            ),
+            "mean_cents": pa.array(
+                [
+                    float(np.float64(sv) / np.float64(nv))
+                    for sv, nv in zip(s[keep], n[keep])
+                ]
+                + [lift],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+EVENTS_DOW_PROFILE_SQL = """
+WITH e AS (
+  SELECT (epoch_us(ts) // 86400000000) % 7 AS dow,
+         CAST(ROUND(value * 100.0, 0) AS BIGINT) AS cents
+  FROM events),
+per AS (
+  SELECT CAST(dow AS BIGINT) AS dow,
+         CAST(CASE WHEN dow IN (2, 3) THEN 1 ELSE 0 END AS BIGINT)
+           AS is_weekend,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(cents) AS BIGINT) AS sum_cents
+  FROM e GROUP BY 1, 2),
+tot AS (
+  SELECT CAST(SUM(n_events) AS BIGINT) AS tn,
+         CAST(SUM(sum_cents) AS BIGINT) AS ts_,
+         CAST(SUM(CASE WHEN is_weekend = 1 THEN n_events ELSE 0 END)
+              AS BIGINT) AS n_we,
+         CAST(SUM(CASE WHEN is_weekend = 1 THEN sum_cents ELSE 0 END)
+              AS BIGINT) AS s_we,
+         CAST(SUM(CASE WHEN is_weekend = 0 THEN n_events ELSE 0 END)
+              AS BIGINT) AS n_wd,
+         CAST(SUM(CASE WHEN is_weekend = 0 THEN sum_cents ELSE 0 END)
+              AS BIGINT) AS s_wd
+  FROM per)
+SELECT dow, is_weekend, n_events, sum_cents,
+       CAST(sum_cents AS DOUBLE) / CAST(n_events AS DOUBLE) AS mean_cents
+FROM per
+UNION ALL
+SELECT -1, NULL, tn, ts_,
+       CASE WHEN n_we = 0 OR s_wd = 0 THEN NULL
+            ELSE CAST(s_we AS DOUBLE) * CAST(n_wd AS DOUBLE)
+                   / (CAST(n_we AS DOUBLE) * CAST(s_wd AS DOUBLE)) END
+FROM tot
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -23094,6 +23205,7 @@ QUERIES = {
     "events_hurst": events_hurst,
     "geo_lacunarity": geo_lacunarity,
     "geo_spatial_markov": geo_spatial_markov,
+    "events_dow_profile": events_dow_profile,
     "events_type_ccf": events_type_ccf,
     "geo_type_hhi": geo_type_hhi,
     "geo_hexbin": geo_hexbin,
@@ -23340,6 +23452,7 @@ ORACLE_SQL = {
     "events_hurst": EVENTS_HURST_SQL,
     "geo_lacunarity": GEO_LACUNARITY_SQL,
     "geo_spatial_markov": GEO_SPATIAL_MARKOV_SQL,
+    "events_dow_profile": EVENTS_DOW_PROFILE_SQL,
     "events_type_ccf": EVENTS_TYPE_CCF_SQL,
     "geo_type_hhi": GEO_TYPE_HHI_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
