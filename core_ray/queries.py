@@ -22996,6 +22996,86 @@ FROM tot
 """
 
 
+def doc_fingerprint_bits(sf_dir: str):
+    """SKETCH-QA BIT BALANCE (is the 64-bit rolling-hash fingerprint
+    actually uniform? A biased bit silently skews every downstream
+    banding/bucketing step — this is the production health check a
+    dedup pipeline runs on its own sketches): per bit, the ones count
+    over the corpus, the exact integer deviation 2*ones - n, and its
+    z-score (one double division by SQRT). Plan: fingerprints computed
+    distributed (the doc_fingerprint actor stage), per-batch 64-bin
+    popcount partials — the driver folds 64 x O(#blocks) integers.
+    Oracle: the independent pure-Python golden fingerprints re-folded by
+    DuckDB bit arithmetic (golden-joined; doc_fingerprint proves the
+    fingerprint values themselves)."""
+    from core_ray.text.analysis import Fingerprinter
+
+    _ensure_docs_golden(sf_dir)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    fp_ds = ds.map_batches(
+        Fingerprinter, batch_format="pyarrow", batch_size=4096,
+        concurrency=(1, 4),
+    ).select_columns(["fingerprint"])
+
+    def bit_partial(b: pa.Table) -> pa.Table:
+        fp = b["fingerprint"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ones = (
+            (fp[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)
+        ).sum(axis=0).astype(np.int64)
+        return pa.table(
+            {
+                "bit": pa.array(np.arange(64, dtype=np.int64)),
+                "ones": pa.array(ones, pa.int64()),
+                "n": pa.array(np.repeat(np.int64(len(fp)), 64), pa.int64()),
+            }
+        )
+
+    parts = _collect_table(
+        fp_ds.map_batches(bit_partial, batch_format="pyarrow",
+                          batch_size=65536)
+    )  # 64 x O(#blocks) rows
+    bit = parts["bit"].to_numpy(zero_copy_only=False)
+    ones = np.zeros(64, np.int64)
+    np.add.at(ones, bit, parts["ones"].to_numpy(zero_copy_only=False))
+    n = int(
+        parts["n"].to_numpy(zero_copy_only=False)[bit == 0].sum()
+    )
+    dev = 2 * ones - n
+    return pa.table(
+        {
+            "bit": pa.array(np.arange(64, dtype=np.int64)),
+            "n_ones": pa.array(ones, pa.int64()),
+            "n_docs": pa.array(np.repeat(np.int64(n), 64), pa.int64()),
+            "dev": pa.array(dev, pa.int64()),
+            "z": pa.array(
+                [
+                    float(np.float64(d) / np.sqrt(np.float64(n)))
+                    for d in dev
+                ],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+DOC_FINGERPRINT_BITS_SQL = f"""
+WITH fp AS (
+  SELECT fingerprint FROM read_parquet('{_DGD}/fingerprint.parquet')),
+bits AS (SELECT CAST(UNNEST(range(0, 64)) AS BIGINT) AS bit),
+q AS (
+  SELECT bits.bit,
+         CAST(SUM(CAST((fp.fingerprint >> bits.bit) & 1 AS BIGINT))
+              AS BIGINT) AS n_ones,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM fp, bits GROUP BY 1)
+SELECT bit, n_ones, n_docs, 2 * n_ones - n_docs AS dev,
+       CAST(2 * n_ones - n_docs AS DOUBLE)
+         / SQRT(CAST(n_docs AS DOUBLE)) AS z
+FROM q ORDER BY 1
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -23206,6 +23286,7 @@ QUERIES = {
     "geo_lacunarity": geo_lacunarity,
     "geo_spatial_markov": geo_spatial_markov,
     "events_dow_profile": events_dow_profile,
+    "doc_fingerprint_bits": doc_fingerprint_bits,
     "events_type_ccf": events_type_ccf,
     "geo_type_hhi": geo_type_hhi,
     "geo_hexbin": geo_hexbin,
@@ -23453,6 +23534,7 @@ ORACLE_SQL = {
     "geo_lacunarity": GEO_LACUNARITY_SQL,
     "geo_spatial_markov": GEO_SPATIAL_MARKOV_SQL,
     "events_dow_profile": EVENTS_DOW_PROFILE_SQL,
+    "doc_fingerprint_bits": DOC_FINGERPRINT_BITS_SQL,
     "events_type_ccf": EVENTS_TYPE_CCF_SQL,
     "geo_type_hhi": GEO_TYPE_HHI_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
