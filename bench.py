@@ -209,6 +209,7 @@ BENCH_QUERIES = [
     "geo_spatial_markov",
     "events_dow_profile",
     "doc_fingerprint_bits",
+    "events_taylor_law",
     "events_type_ccf",
     "geo_type_hhi",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the

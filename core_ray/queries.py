@@ -23076,6 +23076,143 @@ FROM q ORDER BY 1
 """
 
 
+def events_taylor_law(sf_dir: str):
+    """TAYLOR'S POWER LAW (fluctuation scaling: per-place temporal
+    variance grows as mean^b across places — b = 1 is Poisson, b -> 2
+    is synchronized/bursty; the universality classic from ecology that
+    web traffic obeys too, and the principled way to size per-cell
+    capacity headroom). Per contact-lattice cell over the zero-filled
+    hourly horizon T: mean = sx/T, var = (T*sxx - sx^2)/T^2 — both
+    ratios of EXACT integers (zero hours contribute nothing to sx/sxx,
+    so one (cell, hour) count pass suffices; no per-cell zero-fill
+    materialized). Quantized log2s (micro-bits), integer OLS moments,
+    b = ONE double division. The (cell, hour) table is bounded by
+    geometry x horizon — never by event rows. Zero-variance cells are
+    excluded on both sides."""
+    from core_ray.stages.agg import count_by_u64
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def pack(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        h = (us // 3600000000).astype(np.uint64)
+        mlat = (
+            ((uid % 12) * 11003) % 120000
+            + (uid * 7919) % 2001
+            + (eid * 13) % 1001
+        )
+        mlon = (
+            ((uid % 12) * 104729) % 340000
+            + (uid * 104729) % 2001
+            + (eid * 29) % 1001
+        )
+        cell = ((mlon // 1000) * 1024 + (mlat // 1000)).astype(np.uint64)
+        return pa.table(
+            {"key": pa.array((cell << np.uint64(24)) | h, pa.uint64())}
+        )
+
+    t_ = _collect_table(
+        count_by_u64(
+            ds.map_batches(pack, batch_format="pyarrow", batch_size=131072),
+            "key",
+        )
+    )  # <= |cells| x horizon-hours rows by construction
+    if t_.num_rows == 0:
+        return pa.table(
+            {
+                "n_cells_fit": pa.array([0], pa.int64()),
+                "n_hours": pa.array([None], pa.int64()),
+                "slope_num": pa.array([None], pa.int64()),
+                "slope_den": pa.array([None], pa.int64()),
+                "taylor_b": pa.array([None], pa.float64()),
+            }
+        )
+    key = t_["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    c = t_["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cell = (key >> np.uint64(24)).astype(np.int64)
+    h = (key & np.uint64((1 << 24) - 1)).astype(np.int64)
+    T = int(h.max()) - int(h.min()) + 1
+    order = np.argsort(cell, kind="stable")
+    cell, c = cell[order], c[order]
+    idx = np.nonzero(np.r_[True, cell[1:] != cell[:-1]])[0]
+    sx = np.add.reduceat(c, idx)
+    sxx = np.add.reduceat(c * c, idx)
+    vnum = T * sxx - sx * sx
+    m = vnum > 0
+    k = int(m.sum())
+    x = sql_round_np(
+        np.log2(sx[m].astype(np.float64) / np.float64(T)) * 1000000.0, 0
+    ).astype(np.int64)
+    y = sql_round_np(
+        np.log2(vnum[m].astype(np.float64) / np.float64(T * T))
+        * 1000000.0,
+        0,
+    ).astype(np.int64)
+    sxi, syi = int(x.sum()), int(y.sum())
+    sxy = int((x * y).sum())
+    sxx2 = int((x * x).sum())
+    num = k * sxy - sxi * syi
+    den = k * sxx2 - sxi * sxi
+    return pa.table(
+        {
+            "n_cells_fit": pa.array([k], pa.int64()),
+            "n_hours": pa.array([T], pa.int64()),
+            "slope_num": pa.array([num], pa.int64()),
+            "slope_den": pa.array([den], pa.int64()),
+            "taylor_b": pa.array(
+                [
+                    float(np.float64(num) / np.float64(den))
+                    if den
+                    else None
+                ],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+EVENTS_TAYLOR_LAW_SQL = """
+WITH pts AS (
+  SELECT epoch_us(ts) // 3600000000 AS h,
+         ((user_id % 12) * 11003) % 120000
+           + (user_id * 7919) % 2001 + (event_id * 13) % 1001 AS mlat,
+         ((user_id % 12) * 104729) % 340000
+           + (user_id * 104729) % 2001 + (event_id * 29) % 1001 AS mlon
+  FROM events),
+hh AS (SELECT CAST(MAX(h) - MIN(h) + 1 AS BIGINT) AS t FROM pts),
+ch AS (
+  SELECT mlon // 1000 AS gx, mlat // 1000 AS gy, h,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM pts GROUP BY 1, 2, 3),
+per AS (
+  SELECT gx, gy, CAST(SUM(c) AS BIGINT) AS sx,
+         CAST(SUM(c * c) AS BIGINT) AS sxx
+  FROM ch GROUP BY 1, 2),
+q AS (
+  SELECT CAST(ROUND(LOG2(CAST(per.sx AS DOUBLE) / CAST(hh.t AS DOUBLE))
+                    * 1000000.0, 0) AS BIGINT) AS x,
+         CAST(ROUND(LOG2(CAST(hh.t * per.sxx - per.sx * per.sx AS DOUBLE)
+                         / CAST(hh.t * hh.t AS DOUBLE)) * 1000000.0, 0)
+              AS BIGINT) AS y
+  FROM per, hh WHERE hh.t * per.sxx - per.sx * per.sx > 0),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(x) AS BIGINT) AS sxi,
+         CAST(SUM(y) AS BIGINT) AS syi, CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx2
+  FROM q)
+SELECT m.k AS n_cells_fit, hh.t AS n_hours,
+       m.k * m.sxy - m.sxi * m.syi AS slope_num,
+       m.k * m.sxx2 - m.sxi * m.sxi AS slope_den,
+       CASE WHEN m.k * m.sxx2 - m.sxi * m.sxi = 0 THEN NULL
+            ELSE CAST(m.k * m.sxy - m.sxi * m.syi AS DOUBLE)
+                   / CAST(m.k * m.sxx2 - m.sxi * m.sxi AS DOUBLE) END
+         AS taylor_b
+FROM m, hh
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -23287,6 +23424,7 @@ QUERIES = {
     "geo_spatial_markov": geo_spatial_markov,
     "events_dow_profile": events_dow_profile,
     "doc_fingerprint_bits": doc_fingerprint_bits,
+    "events_taylor_law": events_taylor_law,
     "events_type_ccf": events_type_ccf,
     "geo_type_hhi": geo_type_hhi,
     "geo_hexbin": geo_hexbin,
@@ -23535,6 +23673,7 @@ ORACLE_SQL = {
     "geo_spatial_markov": GEO_SPATIAL_MARKOV_SQL,
     "events_dow_profile": EVENTS_DOW_PROFILE_SQL,
     "doc_fingerprint_bits": DOC_FINGERPRINT_BITS_SQL,
+    "events_taylor_law": EVENTS_TAYLOR_LAW_SQL,
     "events_type_ccf": EVENTS_TYPE_CCF_SQL,
     "geo_type_hhi": GEO_TYPE_HHI_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
