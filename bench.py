@@ -210,6 +210,7 @@ BENCH_QUERIES = [
     "events_dow_profile",
     "doc_fingerprint_bits",
     "events_taylor_law",
+    "geo_center_drift",
     "events_type_ccf",
     "geo_type_hhi",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the

@@ -23213,6 +23213,179 @@ FROM m, hh
 """
 
 
+def geo_center_drift(sf_dir: str):
+    """CENTROGRAPHIC DRIFT (did the center of gravity of activity MOVE
+    between the two horizon halves, how far and in which compass
+    direction — the one-number migration summary that pairs with
+    geo_spatial_markov's class-churn matrix): per period, the FLOOR-mean
+    integer milli-degree center (exact integer sums); drift = the
+    FLOOR-km term-mirrored haversine between the two centers
+    (geo_haversine_pairs contract); bearing = the great-circle initial
+    bearing (the geo_bearing_rose formula), normalized to [0, 360) and
+    micro-quantized (ATAN2/DEGREES are libm — micro-ROUND absorbs the
+    ULPs). Plan: one scalar day-range pass + one 2-row per-period moment
+    pass; the driver sees O(#blocks) integers."""
+    from core_ray.stages.distband import haversine_km
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def day_minmax(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        d = us // 86400000000
+        return pa.table(
+            {
+                "d0": pa.array([int(d.min())], pa.int64()),
+                "d1": pa.array([int(d.max())], pa.int64()),
+            }
+        )
+
+    mm = _collect_table(
+        ds.select_columns(["ts"]).map_batches(
+            day_minmax, batch_format="pyarrow", batch_size=131072
+        )
+    )
+    _empty = pa.table(
+        {
+            "n_first": pa.array([0], pa.int64()),
+            "n_second": pa.array([0], pa.int64()),
+            "cmlat_first": pa.array([None], pa.int64()),
+            "cmlon_first": pa.array([None], pa.int64()),
+            "cmlat_second": pa.array([None], pa.int64()),
+            "cmlon_second": pa.array([None], pa.int64()),
+            "drift_km": pa.array([None], pa.int64()),
+            "bearing_micro": pa.array([None], pa.int64()),
+        }
+    )
+    if mm.num_rows == 0:
+        return _empty
+    d0 = int(pc.min(mm["d0"]).as_py())
+    d1 = int(pc.max(mm["d1"]).as_py())
+    split = (d0 + d1 + 1) // 2
+
+    def moments(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        p = (us // 86400000000 >= split).astype(np.int64)
+        mlat = (
+            ((uid % 12) * 11003) % 120000
+            + (uid * 7919) % 2001
+            + (eid * 13) % 1001
+        )
+        mlon = (
+            ((uid % 12) * 104729) % 340000
+            + (uid * 104729) % 2001
+            + (eid * 29) % 1001
+        )
+        n2 = np.bincount(p, minlength=2).astype(np.int64)
+        sla = np.zeros(2, np.int64)
+        slo = np.zeros(2, np.int64)
+        np.add.at(sla, p, mlat)
+        np.add.at(slo, p, mlon)
+        return pa.table(
+            {
+                "p": pa.array(np.arange(2, dtype=np.int64)),
+                "n": pa.array(n2, pa.int64()),
+                "sla": pa.array(sla, pa.int64()),
+                "slo": pa.array(slo, pa.int64()),
+            }
+        )
+
+    parts = _collect_table(
+        ds.map_batches(moments, batch_format="pyarrow", batch_size=131072)
+    )  # 2 x O(#blocks) rows
+    pcol = parts["p"].to_numpy(zero_copy_only=False)
+    n = np.zeros(2, np.int64)
+    sla = np.zeros(2, np.int64)
+    slo = np.zeros(2, np.int64)
+    np.add.at(n, pcol, parts["n"].to_numpy(zero_copy_only=False))
+    np.add.at(sla, pcol, parts["sla"].to_numpy(zero_copy_only=False))
+    np.add.at(slo, pcol, parts["slo"].to_numpy(zero_copy_only=False))
+    if n[0] == 0 or n[1] == 0:
+        return _empty
+    cmlat = [int(sla[i]) // int(n[i]) for i in (0, 1)]
+    cmlon = [int(slo[i]) // int(n[i]) for i in (0, 1)]
+    lat = [np.float64(v) / 1000.0 - 61.5 for v in cmlat]
+    lon = [np.float64(v) / 1000.0 - 171.5 for v in cmlon]
+    km = int(
+        np.floor(
+            haversine_km(
+                np.array([lat[0]]), np.array([lon[0]]),
+                np.array([lat[1]]), np.array([lon[1]]),
+            )
+        )[0]
+    )
+    la1, lo1 = np.radians(lat[0]), np.radians(lon[0])
+    la2, lo2 = np.radians(lat[1]), np.radians(lon[1])
+    y = np.sin(lo2 - lo1) * np.cos(la2)
+    x = (
+        np.cos(la1) * np.sin(la2)
+        - np.sin(la1) * np.cos(la2) * np.cos(lo2 - lo1)
+    )
+    deg = np.degrees(np.arctan2(y, x))
+    bearing = int(
+        sql_round_np(np.array([(deg + 360.0) % 360.0]) * 1000000.0, 0)[0]
+    )
+    return pa.table(
+        {
+            "n_first": pa.array([int(n[0])], pa.int64()),
+            "n_second": pa.array([int(n[1])], pa.int64()),
+            "cmlat_first": pa.array([cmlat[0]], pa.int64()),
+            "cmlon_first": pa.array([cmlon[0]], pa.int64()),
+            "cmlat_second": pa.array([cmlat[1]], pa.int64()),
+            "cmlon_second": pa.array([cmlon[1]], pa.int64()),
+            "drift_km": pa.array([km], pa.int64()),
+            "bearing_micro": pa.array([bearing], pa.int64()),
+        }
+    )
+
+
+GEO_CENTER_DRIFT_SQL = """
+WITH pts AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         ((user_id % 12) * 11003) % 120000
+           + (user_id * 7919) % 2001 + (event_id * 13) % 1001 AS mlat,
+         ((user_id % 12) * 104729) % 340000
+           + (user_id * 104729) % 2001 + (event_id * 29) % 1001 AS mlon
+  FROM events),
+dd AS (SELECT CAST(MIN(day) AS BIGINT) AS d0,
+              CAST(MAX(day) AS BIGINT) AS d1 FROM pts),
+per AS (
+  SELECT CASE WHEN p.day < (dd.d0 + dd.d1 + 1) // 2 THEN 0 ELSE 1 END
+           AS pp,
+         CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(p.mlat) AS BIGINT) AS sla,
+         CAST(SUM(p.mlon) AS BIGINT) AS slo
+  FROM pts p, dd GROUP BY 1),
+ctr AS (
+  SELECT pp, n, sla // n AS cmlat, slo // n AS cmlon,
+         CAST(sla // n AS DOUBLE) / 1000.0 - 61.5 AS lat,
+         CAST(slo // n AS DOUBLE) / 1000.0 - 171.5 AS lon
+  FROM per),
+pair AS (
+  SELECT a.n AS n0, b.n AS n1, a.cmlat AS cmlat0, a.cmlon AS cmlon0,
+         b.cmlat AS cmlat1, b.cmlon AS cmlon1,
+         a.lat AS lat0, a.lon AS lon0, b.lat AS lat1, b.lon AS lon1
+  FROM (SELECT * FROM ctr WHERE pp = 0) a,
+       (SELECT * FROM ctr WHERE pp = 1) b)
+SELECT n0 AS n_first, n1 AS n_second,
+       cmlat0 AS cmlat_first, cmlon0 AS cmlon_first,
+       cmlat1 AS cmlat_second, cmlon1 AS cmlon_second,
+       CAST(FLOOR(2.0 * 6371.0088 * ASIN(SQRT(
+         SIN(RADIANS(lat1 - lat0) / 2.0) * SIN(RADIANS(lat1 - lat0) / 2.0)
+         + COS(RADIANS(lat0)) * COS(RADIANS(lat1))
+           * SIN(RADIANS(lon1 - lon0) / 2.0)
+           * SIN(RADIANS(lon1 - lon0) / 2.0)
+       ))) AS BIGINT) AS drift_km,
+       CAST(ROUND((DEGREES(ATAN2(
+         SIN(RADIANS(lon1) - RADIANS(lon0)) * COS(RADIANS(lat1)),
+         COS(RADIANS(lat0)) * SIN(RADIANS(lat1))
+           - SIN(RADIANS(lat0)) * COS(RADIANS(lat1))
+             * COS(RADIANS(lon1) - RADIANS(lon0))))
+         + 360.0) % 360.0 * 1000000.0, 0) AS BIGINT) AS bearing_micro
+FROM pair
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -23425,6 +23598,7 @@ QUERIES = {
     "events_dow_profile": events_dow_profile,
     "doc_fingerprint_bits": doc_fingerprint_bits,
     "events_taylor_law": events_taylor_law,
+    "geo_center_drift": geo_center_drift,
     "events_type_ccf": events_type_ccf,
     "geo_type_hhi": geo_type_hhi,
     "geo_hexbin": geo_hexbin,
@@ -23674,6 +23848,7 @@ ORACLE_SQL = {
     "events_dow_profile": EVENTS_DOW_PROFILE_SQL,
     "doc_fingerprint_bits": DOC_FINGERPRINT_BITS_SQL,
     "events_taylor_law": EVENTS_TAYLOR_LAW_SQL,
+    "geo_center_drift": GEO_CENTER_DRIFT_SQL,
     "events_type_ccf": EVENTS_TYPE_CCF_SQL,
     "geo_type_hhi": GEO_TYPE_HHI_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
