@@ -211,6 +211,7 @@ BENCH_QUERIES = [
     "doc_fingerprint_bits",
     "events_taylor_law",
     "geo_center_drift",
+    "events_allan_variance",
     "events_type_ccf",
     "geo_type_hhi",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the

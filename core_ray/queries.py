@@ -23386,6 +23386,97 @@ FROM pair
 """
 
 
+_AVAR_TAUS = (1, 2, 4, 8, 24)
+
+
+def events_allan_variance(sf_dir: str):
+    """ALLAN VARIANCE of the hourly event-rate series at averaging times
+    tau = 1/2/4/8/24 h (the clock-stability statistic repurposed as the
+    traffic-stability profile: white/Poisson noise falls as 1/tau, rate
+    flicker flattens, drift RISES — which regime a feed is in decides
+    how long a capacity average is trustworthy): the zero-filled hourly
+    count series (events_hourly_acf contract), non-overlapping block
+    sums y_k over tau hours (only COMPLETE blocks), numerator
+    sum((y_{k+1}-y_k)^2) kept as an EXACT integer, and
+    avar(tau) = num / (2*(m-1)*tau^2) as ONE double division of exact
+    integers. One packed count pass bounded by the horizon; driver folds
+    <= horizon-hours rows. Taus with fewer than two complete blocks are
+    omitted on both sides."""
+    from core_ray.stages.agg import count_by_u64
+
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def pack(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"key": pa.array((us // 3600000000).astype(np.uint64), pa.uint64())}
+        )
+
+    t = _collect_table(
+        count_by_u64(
+            ds.map_batches(pack, batch_format="pyarrow", batch_size=131072),
+            "key",
+        )
+    )  # <= horizon-hours rows
+    rows = []
+    if t.num_rows:
+        h = t["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h0 = int(h.min())
+        series = np.zeros(int(h.max()) - h0 + 1, np.int64)
+        series[h - h0] = c
+        for tau in _AVAR_TAUS:
+            m = len(series) // tau
+            if m < 2:
+                continue
+            y = series[: m * tau].reshape(m, tau).sum(axis=1)
+            d = y[1:] - y[:-1]
+            num = int((d * d).sum())
+            avar = float(
+                np.float64(num) / np.float64(2 * (m - 1) * tau * tau)
+            )
+            rows.append((tau, m, num, avar))
+    return pa.table(
+        {
+            "tau_h": pa.array([r[0] for r in rows], pa.int64()),
+            "n_blocks": pa.array([r[1] for r in rows], pa.int64()),
+            "avar_num": pa.array([r[2] for r in rows], pa.int64()),
+            "avar": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )
+
+
+_AVAR_TAU_SQL = ", ".join(str(t) for t in _AVAR_TAUS)
+
+EVENTS_ALLAN_VARIANCE_SQL = f"""
+WITH cc AS (
+  SELECT epoch_us(ts) // 3600000000 AS h, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1),
+span AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM cc),
+grid AS (
+  SELECT g.h - (SELECT h0 FROM span) AS i, COALESCE(cc.c, 0) AS c
+  FROM (SELECT UNNEST(generate_series((SELECT h0 FROM span),
+                                      (SELECT h1 FROM span))) AS h) g
+  LEFT JOIN cc ON cc.h = g.h),
+taus AS (SELECT UNNEST([{_AVAR_TAU_SQL}]) AS tau),
+blocks AS (
+  SELECT t.tau, g.i // t.tau AS k, CAST(SUM(g.c) AS BIGINT) AS y
+  FROM taus t JOIN grid g
+    ON g.i < ((SELECT h1 - h0 + 1 FROM span) // t.tau) * t.tau
+  GROUP BY 1, 2),
+diffs AS (
+  SELECT a.tau, b.y - a.y AS d
+  FROM blocks a JOIN blocks b ON b.tau = a.tau AND b.k = a.k + 1),
+agg AS (
+  SELECT tau, CAST(COUNT(*) + 1 AS BIGINT) AS m,
+         CAST(SUM(d * d) AS BIGINT) AS num
+  FROM diffs GROUP BY 1)
+SELECT CAST(tau AS BIGINT) AS tau_h, m AS n_blocks, num AS avar_num,
+       CAST(num AS DOUBLE) / CAST(2 * (m - 1) * tau * tau AS DOUBLE) AS avar
+FROM agg WHERE m >= 2 ORDER BY 1
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -23599,6 +23690,7 @@ QUERIES = {
     "doc_fingerprint_bits": doc_fingerprint_bits,
     "events_taylor_law": events_taylor_law,
     "geo_center_drift": geo_center_drift,
+    "events_allan_variance": events_allan_variance,
     "events_type_ccf": events_type_ccf,
     "geo_type_hhi": geo_type_hhi,
     "geo_hexbin": geo_hexbin,
@@ -23849,6 +23941,7 @@ ORACLE_SQL = {
     "doc_fingerprint_bits": DOC_FINGERPRINT_BITS_SQL,
     "events_taylor_law": EVENTS_TAYLOR_LAW_SQL,
     "geo_center_drift": GEO_CENTER_DRIFT_SQL,
+    "events_allan_variance": EVENTS_ALLAN_VARIANCE_SQL,
     "events_type_ccf": EVENTS_TYPE_CCF_SQL,
     "geo_type_hhi": GEO_TYPE_HHI_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
