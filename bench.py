@@ -212,6 +212,7 @@ BENCH_QUERIES = [
     "events_taylor_law",
     "geo_center_drift",
     "events_allan_variance",
+    "events_runs_test",
     "events_type_ccf",
     "geo_type_hhi",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the

@@ -23446,6 +23446,109 @@ def events_allan_variance(sf_dir: str):
     )
 
 
+def events_runs_test(sf_dir: str):
+    """WALD-WOLFOWITZ RUNS TEST on the hourly traffic series (is
+    above-average load RANDOMLY interleaved with below-average load, or
+    does it clump — the nonparametric regime-persistence check that
+    needs no distributional assumption at all): the zero-filled hourly
+    count series, the above-GLOBAL-MEAN indicator computed by EXACT
+    integer cross-multiplication (y_i * H > total — no mean division
+    ever happens), runs counted as 1 + sign changes. z is derived from
+    all-integer terms: with A = H*(R-1) - 2*n1*n2 and
+    B = 2*n1*n2*(2*n1*n2 - H), z = A * sqrt(H-1) / sqrt(B) — two sqrts
+    of exact integers, one multiply, one divide (bit-equal when the SQL
+    mirrors the tree); NULL when degenerate (B <= 0 or H < 2). One
+    packed horizon-bounded count pass; driver folds the series."""
+    from core_ray.stages.agg import count_by_u64
+
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def pack(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"key": pa.array((us // 3600000000).astype(np.uint64), pa.uint64())}
+        )
+
+    t = _collect_table(
+        count_by_u64(
+            ds.map_batches(pack, batch_format="pyarrow", batch_size=131072),
+            "key",
+        )
+    )
+    if t.num_rows == 0:  # mirror the SQL's empty-grid row exactly
+        return pa.table(
+            {
+                "h_bins": pa.array([0], pa.int64()),
+                "n_above": pa.array([None], pa.int64()),
+                "n_below": pa.array([None], pa.int64()),
+                "n_runs": pa.array([1], pa.int64()),
+                "z": pa.array([None], pa.float64()),
+            }
+        )
+    h = t["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+    c = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    h0 = int(h.min())
+    series = np.zeros(int(h.max()) - h0 + 1, np.int64)
+    series[h - h0] = c
+    H = len(series)
+    total = int(series.sum())
+    above = (series * H > total).astype(np.int64)
+    n1 = int(above.sum())
+    n2 = H - n1
+    runs = 1 + int((above[1:] != above[:-1]).sum()) if H > 1 else 1
+    A = H * (runs - 1) - 2 * n1 * n2
+    B = 2 * n1 * n2 * (2 * n1 * n2 - H)
+    z = (
+        float(np.float64(A) * np.sqrt(np.float64(H - 1)) / np.sqrt(np.float64(B)))
+        if B > 0 and H > 1
+        else None
+    )
+    return pa.table(
+        {
+            "h_bins": pa.array([H], pa.int64()),
+            "n_above": pa.array([n1], pa.int64()),
+            "n_below": pa.array([n2], pa.int64()),
+            "n_runs": pa.array([runs], pa.int64()),
+            "z": pa.array([z], pa.float64()),
+        }
+    )
+
+
+EVENTS_RUNS_TEST_SQL = """
+WITH cc AS (
+  SELECT epoch_us(ts) // 3600000000 AS h, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1),
+span AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM cc),
+grid AS (
+  SELECT g.h, COALESCE(cc.c, 0) AS c
+  FROM (SELECT UNNEST(generate_series((SELECT h0 FROM span),
+                                      (SELECT h1 FROM span))) AS h) g
+  LEFT JOIN cc ON cc.h = g.h),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS hn,
+               CAST(SUM(c) AS BIGINT) AS total FROM grid),
+ind AS (
+  SELECT g.h, CASE WHEN g.c * t.hn > t.total THEN 1 ELSE 0 END AS a
+  FROM grid g, tot t),
+runs AS (
+  SELECT CAST(1 + SUM(CASE WHEN a <> pa THEN 1 ELSE 0 END) AS BIGINT) AS r
+  FROM (SELECT a, LAG(a) OVER (ORDER BY h) AS pa FROM ind)
+  WHERE pa IS NOT NULL),
+stat AS (
+  SELECT t.hn AS h_bins,
+         (SELECT CAST(SUM(a) AS BIGINT) FROM ind) AS n1,
+         t.hn - (SELECT CAST(SUM(a) AS BIGINT) FROM ind) AS n2,
+         COALESCE((SELECT r FROM runs), 1) AS r
+  FROM tot t)
+SELECT h_bins, n1 AS n_above, n2 AS n_below, r AS n_runs,
+       CASE WHEN 2 * n1 * n2 * (2 * n1 * n2 - h_bins) > 0 AND h_bins > 1
+            THEN CAST(h_bins * (r - 1) - 2 * n1 * n2 AS DOUBLE)
+                 * SQRT(CAST(h_bins - 1 AS DOUBLE))
+                 / SQRT(CAST(2 * n1 * n2 * (2 * n1 * n2 - h_bins) AS DOUBLE))
+            ELSE NULL END AS z
+FROM stat
+"""
+
+
 _AVAR_TAU_SQL = ", ".join(str(t) for t in _AVAR_TAUS)
 
 EVENTS_ALLAN_VARIANCE_SQL = f"""
@@ -23691,6 +23794,7 @@ QUERIES = {
     "events_taylor_law": events_taylor_law,
     "geo_center_drift": geo_center_drift,
     "events_allan_variance": events_allan_variance,
+    "events_runs_test": events_runs_test,
     "events_type_ccf": events_type_ccf,
     "geo_type_hhi": geo_type_hhi,
     "geo_hexbin": geo_hexbin,
@@ -23942,6 +24046,7 @@ ORACLE_SQL = {
     "events_taylor_law": EVENTS_TAYLOR_LAW_SQL,
     "geo_center_drift": GEO_CENTER_DRIFT_SQL,
     "events_allan_variance": EVENTS_ALLAN_VARIANCE_SQL,
+    "events_runs_test": EVENTS_RUNS_TEST_SQL,
     "events_type_ccf": EVENTS_TYPE_CCF_SQL,
     "geo_type_hhi": GEO_TYPE_HHI_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
