@@ -213,6 +213,7 @@ BENCH_QUERIES = [
     "geo_center_drift",
     "events_allan_variance",
     "events_runs_test",
+    "events_turning_points",
     "events_type_ccf",
     "geo_type_hhi",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the

@@ -23514,6 +23514,99 @@ def events_runs_test(sf_dir: str):
     )
 
 
+def events_turning_points(sf_dir: str):
+    """TURNING-POINT TEST on the hourly traffic series (the second
+    classical randomness check beside the runs test — counts STRICT
+    local maxima/minima; too few means trend/momentum, too many means
+    oscillation): zero-filled hourly counts, tp counted vectorized on
+    the interior, expectation 2(H-2)/3 and variance (16H-29)/90 folded
+    into all-integer terms: with A = 3*tp - 2*(H-2),
+    z = A * sqrt(90) / (3 * sqrt(16H-29)) — sqrts of exact integers,
+    term-mirrored in SQL; NULL when H < 3. One packed horizon-bounded
+    count pass; plateaus (ties) are not turning points on either side
+    by the strict inequalities."""
+    from core_ray.stages.agg import count_by_u64
+
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def pack(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"key": pa.array((us // 3600000000).astype(np.uint64), pa.uint64())}
+        )
+
+    t = _collect_table(
+        count_by_u64(
+            ds.map_batches(pack, batch_format="pyarrow", batch_size=131072),
+            "key",
+        )
+    )
+    if t.num_rows == 0:
+        return pa.table(
+            {
+                "h_bins": pa.array([0], pa.int64()),
+                "n_turning": pa.array([0], pa.int64()),
+                "z": pa.array([None], pa.float64()),
+            }
+        )
+    h = t["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+    c = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    h0 = int(h.min())
+    series = np.zeros(int(h.max()) - h0 + 1, np.int64)
+    series[h - h0] = c
+    H = len(series)
+    tp = 0
+    if H >= 3:
+        prev, cur, nxt = series[:-2], series[1:-1], series[2:]
+        tp = int(
+            (((cur > prev) & (cur > nxt)) | ((cur < prev) & (cur < nxt))).sum()
+        )
+    A = 3 * tp - 2 * (H - 2)
+    z = (
+        float(
+            np.float64(A) * np.sqrt(np.float64(90.0))
+            / (3.0 * np.sqrt(np.float64(16 * H - 29)))
+        )
+        if H >= 3
+        else None
+    )
+    return pa.table(
+        {
+            "h_bins": pa.array([H], pa.int64()),
+            "n_turning": pa.array([tp], pa.int64()),
+            "z": pa.array([z], pa.float64()),
+        }
+    )
+
+
+EVENTS_TURNING_POINTS_SQL = """
+WITH cc AS (
+  SELECT epoch_us(ts) // 3600000000 AS h, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1),
+span AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM cc),
+grid AS (
+  SELECT g.h, COALESCE(cc.c, 0) AS c
+  FROM (SELECT UNNEST(generate_series((SELECT h0 FROM span),
+                                      (SELECT h1 FROM span))) AS h) g
+  LEFT JOIN cc ON cc.h = g.h),
+lagged AS (
+  SELECT c, LAG(c) OVER (ORDER BY h) AS pc, LEAD(c) OVER (ORDER BY h) AS nc
+  FROM grid),
+stat AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM grid) AS h_bins,
+         CAST(COALESCE(SUM(CASE WHEN (c > pc AND c > nc)
+                                  OR (c < pc AND c < nc)
+                                THEN 1 ELSE 0 END), 0) AS BIGINT) AS tp
+  FROM lagged WHERE pc IS NOT NULL AND nc IS NOT NULL)
+SELECT h_bins, tp AS n_turning,
+       CASE WHEN h_bins >= 3
+            THEN CAST(3 * tp - 2 * (h_bins - 2) AS DOUBLE) * SQRT(90.0)
+                 / (3.0 * SQRT(CAST(16 * h_bins - 29 AS DOUBLE)))
+            ELSE NULL END AS z
+FROM stat
+"""
+
+
 EVENTS_RUNS_TEST_SQL = """
 WITH cc AS (
   SELECT epoch_us(ts) // 3600000000 AS h, CAST(COUNT(*) AS BIGINT) AS c
@@ -23795,6 +23888,7 @@ QUERIES = {
     "geo_center_drift": geo_center_drift,
     "events_allan_variance": events_allan_variance,
     "events_runs_test": events_runs_test,
+    "events_turning_points": events_turning_points,
     "events_type_ccf": events_type_ccf,
     "geo_type_hhi": geo_type_hhi,
     "geo_hexbin": geo_hexbin,
@@ -24047,6 +24141,7 @@ ORACLE_SQL = {
     "geo_center_drift": GEO_CENTER_DRIFT_SQL,
     "events_allan_variance": EVENTS_ALLAN_VARIANCE_SQL,
     "events_runs_test": EVENTS_RUNS_TEST_SQL,
+    "events_turning_points": EVENTS_TURNING_POINTS_SQL,
     "events_type_ccf": EVENTS_TYPE_CCF_SQL,
     "geo_type_hhi": GEO_TYPE_HHI_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
