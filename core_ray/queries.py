@@ -23579,6 +23579,105 @@ def events_turning_points(sf_dir: str):
     )
 
 
+_HAAR_MAX_LEVEL = 8
+
+
+def events_haar_energy(sf_dir: str):
+    """HAAR WAVELET ENERGY SPECTRUM of the hourly traffic series (which
+    TIME SCALE carries the variance — the multiresolution complement of
+    the periodogram: dyadic detail energies localize bursts in time
+    where Fourier smears them): the zero-filled hourly series truncated
+    to P = the largest power of two <= H; at level j (scale 2^j hours)
+    the detail coefficient of block k is (first-half sum) - (second-half
+    sum) — an EXACT integer — and energy_j = sum(d^2) is an exact
+    integer too; energy_frac = energy_j / total over levels is ONE
+    double division of exact integers. One packed horizon-bounded count
+    pass; the driver folds a <= horizon-length series. Levels run
+    1..min(8, log2 P)."""
+    from core_ray.stages.agg import count_by_u64
+
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def pack(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"key": pa.array((us // 3600000000).astype(np.uint64), pa.uint64())}
+        )
+
+    t = _collect_table(
+        count_by_u64(
+            ds.map_batches(pack, batch_format="pyarrow", batch_size=131072),
+            "key",
+        )
+    )
+    rows = []
+    if t.num_rows:
+        h = t["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h0 = int(h.min())
+        series = np.zeros(int(h.max()) - h0 + 1, np.int64)
+        series[h - h0] = c
+        H = len(series)
+        P = 1 << (H.bit_length() - 1)
+        x = series[:P]
+        for j in range(1, _HAAR_MAX_LEVEL + 1):
+            w = 1 << j
+            if w > P:
+                break
+            blocks = x.reshape(P // w, 2, w // 2).sum(axis=2)
+            d = blocks[:, 0] - blocks[:, 1]
+            rows.append((j, P // w, int((d * d).sum())))
+    tot = sum(r[2] for r in rows)
+    return pa.table(
+        {
+            "level": pa.array([r[0] for r in rows], pa.int64()),
+            "n_coeffs": pa.array([r[1] for r in rows], pa.int64()),
+            "energy": pa.array([r[2] for r in rows], pa.int64()),
+            "energy_frac": pa.array(
+                [
+                    (float(np.float64(r[2]) / np.float64(tot)) if tot > 0 else None)
+                    for r in rows
+                ],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+EVENTS_HAAR_ENERGY_SQL = f"""
+WITH cc AS (
+  SELECT epoch_us(ts) // 3600000000 AS h, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1),
+span AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM cc),
+pw AS (SELECT CAST(POWER(2, FLOOR(LOG2(CAST(h1 - h0 + 1 AS DOUBLE))))
+              AS BIGINT) AS p FROM span),
+grid AS (
+  SELECT g.h - (SELECT h0 FROM span) AS i, COALESCE(cc.c, 0) AS c
+  FROM (SELECT UNNEST(generate_series((SELECT h0 FROM span),
+                                      (SELECT h1 FROM span))) AS h) g
+  LEFT JOIN cc ON cc.h = g.h),
+levels AS (
+  SELECT UNNEST(generate_series(1, {_HAAR_MAX_LEVEL})) AS j),
+details AS (
+  SELECT l.j, g.i // (CAST(1 AS BIGINT) << l.j) AS k,
+         CAST(SUM(CASE WHEN (g.i // (CAST(1 AS BIGINT) << (l.j - 1))) % 2 = 0
+                       THEN g.c ELSE -g.c END) AS BIGINT) AS d
+  FROM levels l JOIN grid g ON g.i < (SELECT p FROM pw)
+  WHERE (CAST(1 AS BIGINT) << l.j) <= (SELECT p FROM pw)
+  GROUP BY 1, 2),
+energy AS (
+  SELECT j AS level, CAST(COUNT(*) AS BIGINT) AS n_coeffs,
+         CAST(SUM(d * d) AS BIGINT) AS energy
+  FROM details GROUP BY 1)
+SELECT level, n_coeffs, energy,
+       CASE WHEN CAST(SUM(energy) OVER () AS BIGINT) > 0
+            THEN CAST(energy AS DOUBLE)
+                 / CAST(CAST(SUM(energy) OVER () AS BIGINT) AS DOUBLE)
+            ELSE NULL END AS energy_frac
+FROM energy ORDER BY 1
+"""
+
+
 EVENTS_TURNING_POINTS_SQL = """
 WITH cc AS (
   SELECT epoch_us(ts) // 3600000000 AS h, CAST(COUNT(*) AS BIGINT) AS c
@@ -23889,6 +23988,7 @@ QUERIES = {
     "events_allan_variance": events_allan_variance,
     "events_runs_test": events_runs_test,
     "events_turning_points": events_turning_points,
+    "events_haar_energy": events_haar_energy,
     "events_type_ccf": events_type_ccf,
     "geo_type_hhi": geo_type_hhi,
     "geo_hexbin": geo_hexbin,
@@ -24142,6 +24242,7 @@ ORACLE_SQL = {
     "events_allan_variance": EVENTS_ALLAN_VARIANCE_SQL,
     "events_runs_test": EVENTS_RUNS_TEST_SQL,
     "events_turning_points": EVENTS_TURNING_POINTS_SQL,
+    "events_haar_energy": EVENTS_HAAR_ENERGY_SQL,
     "events_type_ccf": EVENTS_TYPE_CCF_SQL,
     "geo_type_hhi": GEO_TYPE_HHI_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
