@@ -215,6 +215,7 @@ BENCH_QUERIES = [
     "events_runs_test",
     "events_turning_points",
     "events_haar_energy",
+    "events_mean_excess",
     "events_type_ccf",
     "geo_type_hhi",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the

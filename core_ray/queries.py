@@ -23579,6 +23579,108 @@ def events_turning_points(sf_dir: str):
     )
 
 
+_POT_EIGHTHS = (4, 5, 6, 7)
+
+
+def events_mean_excess(sf_dir: str):
+    """PEAKS-OVER-THRESHOLD MEAN-EXCESS PROFILE of the event values (the
+    extreme-value-theory diagnostic: a mean excess that RISES with the
+    threshold means a heavy/Pareto tail, flat means exponential — the
+    principled way to pick what 'anomalously large transaction' means):
+    values quantized to integer cents once (sql_round contract),
+    thresholds at 4/8..7/8 of the GLOBAL max (exact integer u =
+    max*t//8), and per threshold the exceedance count and the EXACT
+    integer excess sum; mean_excess = ONE double division. Two passes:
+    a max fold, then one 4-threshold partial pass (O(#blocks x 4)
+    combiner rows to a tiny groupby)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["value"])
+
+    def vmax(b: pa.Table) -> pa.Table:
+        cents = sql_round_np(
+            b["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        if len(cents) == 0:
+            return pa.table({"m": pa.array([], pa.int64())})
+        return pa.table({"m": pa.array([int(cents.max())], pa.int64())})
+
+    mt = _collect_table(ds.map_batches(vmax, batch_format="pyarrow", batch_size=131072))
+    if mt.num_rows == 0:
+        return pa.table(
+            {
+                "threshold_cents": pa.array([], pa.int64()),
+                "n_exceed": pa.array([], pa.int64()),
+                "excess_sum": pa.array([], pa.int64()),
+                "mean_excess": pa.array([], pa.float64()),
+            }
+        )
+    cmax = int(pc.max(mt["m"]).as_py())
+    us = np.array([cmax * t // 8 for t in _POT_EIGHTHS], dtype=np.int64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = sql_round_np(
+            b["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        n = np.zeros(len(us), np.int64)
+        s = np.zeros(len(us), np.int64)
+        for i, u in enumerate(us):
+            exc = cents[cents > u]
+            n[i] = len(exc)
+            s[i] = int((exc - u).sum())
+        return pa.table(
+            {
+                "threshold_cents": pa.array(us, pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "s": pa.array(s, pa.int64()),
+            }
+        )
+
+    agg = _collect_table(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=131072)
+        .groupby("threshold_cents")
+        .aggregate(Sum("n", alias_name="n_exceed"), Sum("s", alias_name="excess_sum"))
+    ).sort_by("threshold_cents")
+    n = agg["n_exceed"].to_numpy(zero_copy_only=False).astype(np.int64)
+    s = agg["excess_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table(
+        {
+            "threshold_cents": agg["threshold_cents"],
+            "n_exceed": pa.array(n, pa.int64()),
+            "excess_sum": pa.array(s, pa.int64()),
+            "mean_excess": pa.array(
+                [
+                    float(np.float64(si) / np.float64(ni)) if ni > 0 else None
+                    for si, ni in zip(s, n)
+                ],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+_POT_EIGHTHS_SQL = ", ".join(str(t) for t in _POT_EIGHTHS)
+
+EVENTS_MEAN_EXCESS_SQL = f"""
+WITH cents AS (
+  SELECT CAST(ROUND(value * 100.0, 0) AS BIGINT) AS c FROM events),
+mx AS (SELECT CAST(MAX(c) AS BIGINT) AS m FROM cents),
+th AS (
+  SELECT CAST(mx.m * t.t // 8 AS BIGINT) AS u
+  FROM (SELECT UNNEST([{_POT_EIGHTHS_SQL}]) AS t) t, mx)
+SELECT th.u AS threshold_cents,
+       CAST(COUNT(CASE WHEN c.c > th.u THEN 1 END) AS BIGINT) AS n_exceed,
+       CAST(COALESCE(SUM(CASE WHEN c.c > th.u THEN c.c - th.u END), 0)
+            AS BIGINT) AS excess_sum,
+       CASE WHEN COUNT(CASE WHEN c.c > th.u THEN 1 END) > 0
+            THEN CAST(SUM(CASE WHEN c.c > th.u THEN c.c - th.u END) AS DOUBLE)
+                 / CAST(COUNT(CASE WHEN c.c > th.u THEN 1 END) AS DOUBLE)
+            ELSE NULL END AS mean_excess
+FROM th LEFT JOIN cents c ON TRUE
+GROUP BY 1 ORDER BY 1
+"""
+
+
 _HAAR_MAX_LEVEL = 8
 
 
@@ -23989,6 +24091,7 @@ QUERIES = {
     "events_runs_test": events_runs_test,
     "events_turning_points": events_turning_points,
     "events_haar_energy": events_haar_energy,
+    "events_mean_excess": events_mean_excess,
     "events_type_ccf": events_type_ccf,
     "geo_type_hhi": geo_type_hhi,
     "geo_hexbin": geo_hexbin,
@@ -24243,6 +24346,7 @@ ORACLE_SQL = {
     "events_runs_test": EVENTS_RUNS_TEST_SQL,
     "events_turning_points": EVENTS_TURNING_POINTS_SQL,
     "events_haar_energy": EVENTS_HAAR_ENERGY_SQL,
+    "events_mean_excess": EVENTS_MEAN_EXCESS_SQL,
     "events_type_ccf": EVENTS_TYPE_CCF_SQL,
     "geo_type_hhi": GEO_TYPE_HHI_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
