@@ -216,6 +216,7 @@ BENCH_QUERIES = [
     "events_turning_points",
     "events_haar_energy",
     "events_mean_excess",
+    "doc_yule_k",
     "events_type_ccf",
     "geo_type_hhi",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the

@@ -23579,6 +23579,152 @@ def events_turning_points(sf_dir: str):
     )
 
 
+def doc_yule_k(sf_dir: str):
+    """YULE'S CHARACTERISTIC K per language (the classical
+    vocabulary-richness constant — repetitiveness of the token
+    distribution independent of corpus length, the stylometric signal
+    that separates boilerplate-heavy from organic text): from the token
+    frequency spectrum, K = 10^4 * (S2 - S1) / S1^2 with S1 = total
+    tokens and S2 = sum of squared per-token counts — BOTH exact
+    integers, one double expression at the end. Distribution: per-batch
+    (lang, token) combiner counts, hash-partitioned by the combined key
+    so each partition's sums are GLOBAL for its tokens (doc_vocab_top20
+    contract), per-partition fold to per-lang (vocab, S1, S2) partials,
+    tiny final groupby — the full vocabulary never reaches the driver."""
+    from ray.data.aggregate import Sum
+
+    from core_ray.stages.agg import _GOLD, _n_parts, hash_strings
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    n_parts = _n_parts()
+
+    def count_tokens(b: pa.Table) -> pa.Table:
+        langs_l, toks_l = [], []
+        for lang, text in zip(b["lang"].to_pylist(), b["text"].to_pylist()):
+            for w in text.split():
+                langs_l.append(lang)
+                toks_l.append(w)
+        if not toks_l:
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "token": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "__part": pa.array([], pa.int32()),
+                }
+            )
+        # \x01 separator: numpy unicode arrays strip NULs, so \x00 is
+        # unusable; langs are fixed short codes that never contain \x01,
+        # so the combined key is injective
+        combined = np.char.add(
+            np.char.add(np.asarray(langs_l), "\x01"), np.asarray(toks_l)
+        )
+        u, c = np.unique(combined, return_counts=True)
+        parts_np = np.char.partition(u, "\x01")
+        h = hash_strings(pa.array(u, pa.string()))
+        part = ((h * _GOLD) % np.uint64(n_parts)).astype(np.int32)
+        return pa.table(
+            {
+                "lang": pa.array(parts_np[:, 0], pa.string()),
+                "token": pa.array(parts_np[:, 2], pa.string()),
+                "n": pa.array(c.astype(np.int64), pa.int64()),
+                "__part": pa.array(part, pa.int32()),
+            }
+        )
+
+    def reduce_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "v": pa.array([], pa.int64()),
+                    "s1": pa.array([], pa.int64()),
+                    "s2": pa.array([], pa.int64()),
+                }
+            )
+        langs = np.asarray(g["lang"].to_pylist())
+        toks = np.asarray(g["token"].to_pylist())
+        cnts = g["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        combined = np.char.add(np.char.add(langs, "\x01"), toks)
+        order = np.argsort(combined, kind="stable")
+        cs, cc, cl = combined[order], cnts[order], langs[order]
+        new = np.ones(len(cs), dtype=bool)
+        new[1:] = cs[1:] != cs[:-1]
+        starts = np.nonzero(new)[0]
+        m = np.add.reduceat(cc, starts)  # GLOBAL count per (lang, token)
+        glangs = cl[starts]
+        ul, inv = np.unique(glangs, return_inverse=True)
+        v = np.bincount(inv).astype(np.int64)
+        s1 = np.zeros(len(ul), np.int64)
+        s2 = np.zeros(len(ul), np.int64)
+        np.add.at(s1, inv, m)
+        np.add.at(s2, inv, m * m)
+        return pa.table(
+            {
+                "lang": pa.array(ul, pa.string()),
+                "v": pa.array(v, pa.int64()),
+                "s1": pa.array(s1, pa.int64()),
+                "s2": pa.array(s2, pa.int64()),
+            }
+        )
+
+    agg = _collect_table(
+        ds.map_batches(count_tokens, batch_format="pyarrow", batch_size=65536)
+        .groupby("__part")
+        .map_groups(reduce_part, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("v", alias_name="vocab"),
+            Sum("s1", alias_name="s1"),
+            Sum("s2", alias_name="s2"),
+        )
+    ).sort_by("lang")
+    v = agg["vocab"].to_numpy(zero_copy_only=False).astype(np.int64)
+    s1 = agg["s1"].to_numpy(zero_copy_only=False).astype(np.int64)
+    s2 = agg["s2"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table(
+        {
+            "lang": agg["lang"],
+            "vocab": pa.array(v, pa.int64()),
+            "s1": pa.array(s1, pa.int64()),
+            "s2": pa.array(s2, pa.int64()),
+            "k_yule": pa.array(
+                [
+                    (
+                        float(
+                            10000.0 * np.float64(b - a)
+                            / (np.float64(a) * np.float64(a))
+                        )
+                        if a > 0
+                        else None
+                    )
+                    for a, b in zip(s1, s2)
+                ],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+DOC_YULE_K_SQL = """
+WITH toks AS (
+  SELECT lang, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents WHERE trim(text) <> ''),
+m AS (
+  SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks WHERE token <> '' GROUP BY 1, 2)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS vocab,
+       CAST(SUM(c) AS BIGINT) AS s1, CAST(SUM(c * c) AS BIGINT) AS s2,
+       CASE WHEN CAST(SUM(c) AS BIGINT) > 0
+            THEN 10000.0 * CAST(CAST(SUM(c * c) AS BIGINT)
+                                - CAST(SUM(c) AS BIGINT) AS DOUBLE)
+                 / (CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE)
+                    * CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE))
+            ELSE NULL END AS k_yule
+FROM m GROUP BY 1 ORDER BY 1
+"""
+
+
 _POT_EIGHTHS = (4, 5, 6, 7)
 
 
@@ -24092,6 +24238,7 @@ QUERIES = {
     "events_turning_points": events_turning_points,
     "events_haar_energy": events_haar_energy,
     "events_mean_excess": events_mean_excess,
+    "doc_yule_k": doc_yule_k,
     "events_type_ccf": events_type_ccf,
     "geo_type_hhi": geo_type_hhi,
     "geo_hexbin": geo_hexbin,
@@ -24347,6 +24494,7 @@ ORACLE_SQL = {
     "events_turning_points": EVENTS_TURNING_POINTS_SQL,
     "events_haar_energy": EVENTS_HAAR_ENERGY_SQL,
     "events_mean_excess": EVENTS_MEAN_EXCESS_SQL,
+    "doc_yule_k": DOC_YULE_K_SQL,
     "events_type_ccf": EVENTS_TYPE_CCF_SQL,
     "geo_type_hhi": GEO_TYPE_HHI_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
