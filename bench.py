@@ -217,6 +217,7 @@ BENCH_QUERIES = [
     "events_haar_energy",
     "events_mean_excess",
     "doc_yule_k",
+    "emb_hubness",
     "events_type_ccf",
     "geo_type_hhi",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the

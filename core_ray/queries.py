@@ -23579,6 +23579,153 @@ def events_turning_points(sf_dir: str):
     )
 
 
+_HUB_K = 5
+
+
+def emb_hubness(sf_dir: str, chunk_rows: int = 4096):
+    """HUBNESS of the embedding space (the k-occurrence histogram: how many
+    times each vector appears in other vectors' top-5 neighbor lists —
+    high-dimensional spaces grow 'hub' points that pollute kNN graphs,
+    retrieval and dedup verify steps, and the skewed tail of this
+    histogram is the standard diagnostic): distances are EXACT integers
+    (each vector micro-quantized ONCE to 1e-6 units, then pure integer
+    (a-b)^2 sums), neighbor order is the total (d2, vec_id) order, so
+    there is no float-rank parity risk anywhere. Distribution: the
+    emb_near_dup_pairs block-nested-loop — chunk refs in the object
+    store, one task per chunk pair emitting per-row LOCAL top-5
+    candidates (global top-5 is a subset of the union), a groupby(src)
+    merge, then two count_by_u64 folds (neighbor occurrences ->
+    occurrence histogram); the driver sees O(distinct occ) rows plus one
+    count."""
+    import ray
+
+    from core_ray.stages.agg import count_by_u64
+
+    def pack(b: pa.Table) -> pa.Table:
+        x = np.array(b["embedding"].to_pylist(), dtype=np.float64)
+        q = sql_round_np(x * 1000000.0, 0).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": b["vec_id"],
+                "qvec": pa.array([r.tobytes() for r in q], pa.binary()),
+            }
+        )
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    packed = ds.map_batches(pack, batch_format="pyarrow", batch_size=chunk_rows)
+    refs = packed.to_arrow_refs()
+    n_chunks = len(refs)
+
+    def _chunk_np(t: pa.Table):
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) == 0:
+            return ids, np.zeros((0, 1), dtype=np.int64)
+        mat = np.frombuffer(b"".join(t["qvec"].to_pylist()), dtype=np.int64)
+        return ids, mat.reshape(len(ids), -1)
+
+    def local_topk(batch: pa.Table, refs=refs) -> pa.Table:
+        out_s, out_n, out_d = [], [], []
+        for ci, cjs in zip(batch["ci"].to_pylist(), batch["cjs"].to_pylist()):
+            ids_i, xi = _chunk_np(ray.get(refs[ci]))
+            if not len(ids_i):
+                continue
+            sq_i = (xi * xi).sum(axis=1)
+            for cj in cjs:
+                ids_j, xj = _chunk_np(ray.get(refs[cj]))
+                if not len(ids_j):
+                    continue
+                d2 = (
+                    sq_i[:, None]
+                    + (xj * xj).sum(axis=1)[None, :]
+                    - 2 * (xi @ xj.T)
+                )  # exact int64
+                if ci == cj:
+                    np.fill_diagonal(d2, np.iinfo(np.int64).max)
+                k = min(_HUB_K, d2.shape[1] - (1 if ci == cj else 0))
+                if k <= 0:
+                    continue
+                for r in range(d2.shape[0]):
+                    row = d2[r]
+                    sel = (
+                        np.argpartition(row, k - 1)[:k]
+                        if k < len(row)
+                        else np.arange(len(row))
+                    )
+                    sel = sel[np.lexsort((ids_j[sel], row[sel]))][:k]
+                    out_s.extend([ids_i[r]] * len(sel))
+                    out_n.extend(ids_j[sel].tolist())
+                    out_d.extend(row[sel].tolist())
+        return pa.table(
+            {
+                "src": pa.array(out_s, pa.int64()),
+                "nbr": pa.array(out_n, pa.int64()),
+                "d2": pa.array(out_d, pa.int64()),
+            }
+        )
+
+    seg = 8
+    pair_items = []
+    for i in range(n_chunks):
+        cjs = list(range(n_chunks))  # full row: every chunk contributes candidates
+        for s in range(0, len(cjs), seg):
+            pair_items.append({"ci": i, "cjs": cjs[s : s + seg]})
+    cand = ray.data.from_items(pair_items).map_batches(
+        local_topk, batch_format="pyarrow", batch_size=1
+    )
+
+    def merge(g: pa.Table) -> pa.Table:
+        nbr = g["nbr"].to_numpy(zero_copy_only=False)
+        d2 = g["d2"].to_numpy(zero_copy_only=False)
+        top = np.lexsort((nbr, d2))[:_HUB_K]
+        return pa.table({"key": pa.array(nbr[top].astype(np.uint64), pa.uint64())})
+
+    nbrs = cand.groupby("src").map_groups(merge, batch_format="pyarrow")
+    occ = count_by_u64(nbrs, "key").map_batches(
+        lambda b: pa.table(
+            {"key": pc.cast(b["cnt"], pa.uint64())}
+        ),
+        batch_format="pyarrow",
+    )
+    hist = _collect_table(count_by_u64(occ, "key"))  # occ -> n_vecs
+    n_total = _read(sf_dir, "embeddings", ["vec_id"]).count()
+    o = hist["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = hist["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n0 = n_total - int(n.sum())
+    if n0 > 0:
+        o = np.concatenate([[0], o])
+        n = np.concatenate([[n0], n])
+    order = np.argsort(o)
+    return pa.table(
+        {
+            "occ": pa.array(o[order], pa.int64()),
+            "n_vecs": pa.array(n[order], pa.int64()),
+        }
+    )
+
+
+EMB_HUBNESS_SQL = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        v -> CAST(ROUND(v * 1000000.0, 0) AS BIGINT)) AS e
+  FROM embeddings),
+d AS (
+  SELECT a.vec_id AS src, b.vec_id AS nbr,
+         CAST(list_sum(list_transform(generate_series(1, len(a.e)),
+           i -> (a.e[i] - b.e[i]) * (a.e[i] - b.e[i]))) AS BIGINT) AS d2
+  FROM q a JOIN q b ON a.vec_id <> b.vec_id),
+top AS (
+  SELECT nbr FROM d
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY src ORDER BY d2, nbr) <= {_HUB_K}),
+occ AS (SELECT nbr, CAST(COUNT(*) AS BIGINT) AS o FROM top GROUP BY 1),
+alloc AS (
+  SELECT e.vec_id, COALESCE(occ.o, 0) AS o
+  FROM embeddings e LEFT JOIN occ ON occ.nbr = e.vec_id)
+SELECT o AS occ, CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM alloc GROUP BY 1 ORDER BY 1
+"""
+
+
 def doc_yule_k(sf_dir: str):
     """YULE'S CHARACTERISTIC K per language (the classical
     vocabulary-richness constant — repetitiveness of the token
@@ -24239,6 +24386,7 @@ QUERIES = {
     "events_haar_energy": events_haar_energy,
     "events_mean_excess": events_mean_excess,
     "doc_yule_k": doc_yule_k,
+    "emb_hubness": emb_hubness,
     "events_type_ccf": events_type_ccf,
     "geo_type_hhi": geo_type_hhi,
     "geo_hexbin": geo_hexbin,
@@ -24495,6 +24643,7 @@ ORACLE_SQL = {
     "events_haar_energy": EVENTS_HAAR_ENERGY_SQL,
     "events_mean_excess": EVENTS_MEAN_EXCESS_SQL,
     "doc_yule_k": DOC_YULE_K_SQL,
+    "emb_hubness": EMB_HUBNESS_SQL,
     "events_type_ccf": EVENTS_TYPE_CCF_SQL,
     "geo_type_hhi": GEO_TYPE_HHI_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
