@@ -218,6 +218,7 @@ BENCH_QUERIES = [
     "events_mean_excess",
     "doc_yule_k",
     "emb_hubness",
+    "geo_2sfca",
     "events_type_ccf",
     "geo_type_hhi",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the

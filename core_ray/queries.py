@@ -23579,6 +23579,116 @@ def events_turning_points(sf_dir: str):
     )
 
 
+_SFCA_R2 = 900.0  # squared-degree catchment radius (30 deg)
+
+
+def geo_2sfca(sf_dir: str):
+    """TWO-STEP FLOATING CATCHMENT AREA accessibility (the standard
+    spatial-accessibility measure: step 1 gives each facility a
+    supply-to-demand ratio over its catchment, step 2 sums the ratios
+    every demand point can reach — where is service-rich vs
+    service-poor?): facilities are the 12 model city centers with
+    deterministic integer capacities; the per-facility ratio is the
+    EXACT integer supply*1e9 // demand, so the step-2 sum is an
+    order-free integer and the whole measure is float-parity-free.
+    Distribution: one demand-count pass ((B x 12) vectorized mask ->
+    12-bin partials), ratio vector as a task constant, one access pass
+    (int mask @ ratio), count_by_u64 histogram — the driver sees 12
+    integers plus O(distinct access levels) rows (bounded by the 2^12
+    reach combinations, in practice far fewer)."""
+    from core_ray.stages.agg import count_by_u64
+
+    k = np.arange(12, dtype=np.int64)
+    f_lat = ((k * 11003) % 120000) / 1000.0 - 60.0
+    f_lon = ((k * 104729) % 340000) / 1000.0 - 170.0
+    supply = 100 + (k * 37) % 50  # int64
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def demand_partial(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lat, lon = _derive_coords(doc_id)
+        dla = lat[:, None] - f_lat[None, :]
+        dlo = lon[:, None] - f_lon[None, :]
+        reach = (dla * dla + dlo * dlo) <= _SFCA_R2
+        return pa.table(
+            {
+                "fac_id": pa.array(k, pa.int64()),
+                "d": pa.array(reach.sum(axis=0).astype(np.int64), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    dem = _collect_table(
+        ds.map_batches(demand_partial, batch_format="pyarrow", batch_size=131072)
+        .groupby("fac_id")
+        .aggregate(Sum("d", alias_name="demand"))
+    ).sort_by("fac_id")
+    D = np.zeros(12, np.int64)
+    D[dem["fac_id"].to_numpy(zero_copy_only=False)] = dem[
+        "demand"
+    ].to_numpy(zero_copy_only=False)
+    ratio = np.where(D > 0, supply * 1_000_000_000 // np.maximum(D, 1), 0)
+
+    def access(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lat, lon = _derive_coords(doc_id)
+        dla = lat[:, None] - f_lat[None, :]
+        dlo = lon[:, None] - f_lon[None, :]
+        reach = ((dla * dla + dlo * dlo) <= _SFCA_R2).astype(np.int64)
+        a = reach @ ratio  # exact integer accessibility
+        return pa.table({"key": pa.array(a.astype(np.uint64), pa.uint64())})
+
+    hist = _collect_table(
+        count_by_u64(
+            ds.map_batches(access, batch_format="pyarrow", batch_size=131072),
+            "key",
+        )
+    )
+    a = hist["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = hist["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(a)
+    return pa.table(
+        {
+            "access_micro": pa.array(a[order], pa.int64()),
+            "n_docs": pa.array(n[order], pa.int64()),
+        }
+    )
+
+
+GEO_2SFCA_SQL = f"""
+WITH pts AS (
+  SELECT doc_id, {GEO_LAT_SQL} AS lat, {GEO_LON_SQL} AS lon FROM documents),
+facs AS (
+  SELECT k AS fac_id,
+         ((k * 11003) % 120000) / 1000.0 - 60.0 AS flat,
+         ((k * 104729) % 340000) / 1000.0 - 170.0 AS flon,
+         CAST(100 + (k * 37) % 50 AS BIGINT) AS supply
+  FROM range(12) t(k)),
+dem AS (
+  SELECT f.fac_id, f.supply, CAST(COUNT(p.doc_id) AS BIGINT) AS d
+  FROM facs f LEFT JOIN pts p
+    ON (p.lat - f.flat) * (p.lat - f.flat)
+       + (p.lon - f.flon) * (p.lon - f.flon) <= {_SFCA_R2}
+  GROUP BY 1, 2),
+ratio AS (
+  SELECT fac_id,
+         CASE WHEN d > 0 THEN supply * 1000000000 // d ELSE 0 END AS rm,
+         (SELECT flat FROM facs WHERE facs.fac_id = dem.fac_id) AS flat,
+         (SELECT flon FROM facs WHERE facs.fac_id = dem.fac_id) AS flon
+  FROM dem),
+acc AS (
+  SELECT p.doc_id, CAST(COALESCE(SUM(r.rm), 0) AS BIGINT) AS a
+  FROM pts p LEFT JOIN ratio r
+    ON (p.lat - r.flat) * (p.lat - r.flat)
+       + (p.lon - r.flon) * (p.lon - r.flon) <= {_SFCA_R2}
+  GROUP BY 1)
+SELECT a AS access_micro, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM acc GROUP BY 1 ORDER BY 1
+"""
+
+
 _HUB_K = 5
 
 
@@ -24387,6 +24497,7 @@ QUERIES = {
     "events_mean_excess": events_mean_excess,
     "doc_yule_k": doc_yule_k,
     "emb_hubness": emb_hubness,
+    "geo_2sfca": geo_2sfca,
     "events_type_ccf": events_type_ccf,
     "geo_type_hhi": geo_type_hhi,
     "geo_hexbin": geo_hexbin,
@@ -24644,6 +24755,7 @@ ORACLE_SQL = {
     "events_mean_excess": EVENTS_MEAN_EXCESS_SQL,
     "doc_yule_k": DOC_YULE_K_SQL,
     "emb_hubness": EMB_HUBNESS_SQL,
+    "geo_2sfca": GEO_2SFCA_SQL,
     "events_type_ccf": EVENTS_TYPE_CCF_SQL,
     "geo_type_hhi": GEO_TYPE_HHI_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
