@@ -219,6 +219,7 @@ BENCH_QUERIES = [
     "doc_yule_k",
     "emb_hubness",
     "geo_2sfca",
+    "doc_span_dup_fraction",
     "events_type_ccf",
     "geo_type_hhi",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the

@@ -23579,6 +23579,132 @@ def events_turning_points(sf_dir: str):
     )
 
 
+def doc_span_dup_fraction(sf_dir: str):
+    """DUPLICATED-SPAN FRACTION per language (the Lee-et-al
+    'Deduplicating Training Data' measurement: what fraction of 8-gram
+    OCCURRENCES belong to grams that appear in 2+ distinct documents —
+    near-dup pair mining tells you which docs collide, this tells you
+    how much raw TEXT is cross-document boilerplate, per language):
+    per-batch (gram, doc) occurrence counts (docs are row-local so
+    batch-level doc dedup is global), hash-partitioned BY GRAM so each
+    partition sees a gram's every document — distinct-doc counts and
+    the dup flag are exact there — then per-lang integer partials
+    (total_occ, dup_occ) to a tiny final groupby; dup_frac is ONE
+    double division. The gram vocabulary never reaches the driver."""
+    from ray.data.aggregate import Sum
+
+    from core_ray.stages.agg import hash_strings, map_groups_partitioned
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def doc_grams(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "gram": pa.array([], pa.string()),
+                "lang": pa.array([], pa.string()),
+                "occ": pa.array([], pa.int64()),
+                "gh": pa.array([], pa.uint64()),
+            }
+        )
+        langs_doc = np.asarray(b["lang"].to_pylist())
+        ridx, grams = _word_ngrams(b["text"].to_pylist(), _SHINGLE_N)
+        if len(grams) == 0:
+            return empty
+        order = np.lexsort((ridx, grams))
+        g2, r2 = grams[order], ridx[order]
+        new = np.r_[True, (g2[1:] != g2[:-1]) | (r2[1:] != r2[:-1])]
+        starts = np.nonzero(new)[0]
+        occ = np.diff(np.append(starts, len(g2))).astype(np.int64)
+        gram_col = pa.array(g2[starts], pa.string())
+        return pa.table(
+            {
+                "gram": gram_col,
+                "lang": pa.array(langs_doc[r2[starts]], pa.string()),
+                "occ": pa.array(occ, pa.int64()),
+                "gh": pa.array(hash_strings(gram_col), pa.uint64()),
+            }
+        )
+
+    gram_ds = ds.map_batches(doc_grams, batch_format="pyarrow", batch_size=512)
+
+    def per_part(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "lang": pa.array([], pa.string()),
+                "total_occ": pa.array([], pa.int64()),
+                "dup_occ": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows == 0:
+            return empty
+        grams = np.asarray(g["gram"].to_pylist())
+        langs = np.asarray(g["lang"].to_pylist())
+        occ = g["occ"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(grams, kind="stable")
+        gs, ls, oc = grams[order], langs[order], occ[order]
+        new = np.r_[True, gs[1:] != gs[:-1]]
+        seg = np.cumsum(new) - 1
+        starts = np.nonzero(new)[0]
+        d = np.diff(np.append(starts, len(gs)))  # distinct docs per gram
+        dup_row = (d >= 2)[seg]
+        ul, inv = np.unique(ls, return_inverse=True)
+        tot = np.zeros(len(ul), np.int64)
+        dup = np.zeros(len(ul), np.int64)
+        np.add.at(tot, inv, oc)
+        np.add.at(dup, inv, np.where(dup_row, oc, 0))
+        return pa.table(
+            {
+                "lang": pa.array(ul, pa.string()),
+                "total_occ": pa.array(tot, pa.int64()),
+                "dup_occ": pa.array(dup, pa.int64()),
+            }
+        )
+
+    agg = _collect_table(
+        map_groups_partitioned(gram_ds, "gh", per_part)
+        .groupby("lang")
+        .aggregate(
+            Sum("total_occ", alias_name="total_occ"),
+            Sum("dup_occ", alias_name="dup_occ"),
+        )
+    ).sort_by("lang")
+    tot = agg["total_occ"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dup = agg["dup_occ"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table(
+        {
+            "lang": agg["lang"],
+            "total_occ": pa.array(tot, pa.int64()),
+            "dup_occ": pa.array(dup, pa.int64()),
+            "dup_frac": pa.array(
+                [
+                    float(np.float64(d_) / np.float64(t_)) if t_ > 0 else None
+                    for d_, t_ in zip(dup, tot)
+                ],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+DOC_SPAN_DUP_FRACTION_SQL = """
+WITH ws AS (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents),
+raw AS (
+  SELECT doc_id, lang,
+         UNNEST(list_transform(generate_series(1, len(l) - 7),
+                i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]
+                     || ' ' || l[i+4] || ' ' || l[i+5] || ' ' || l[i+6]
+                     || ' ' || l[i+7])) AS gram
+  FROM ws),
+df AS (SELECT gram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS d
+       FROM raw GROUP BY 1)
+SELECT r.lang, CAST(COUNT(*) AS BIGINT) AS total_occ,
+       CAST(SUM(CASE WHEN df.d >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_occ,
+       CAST(CAST(SUM(CASE WHEN df.d >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup_frac
+FROM raw r JOIN df USING (gram) GROUP BY 1 ORDER BY 1
+"""
+
+
 _SFCA_R2 = 900.0  # squared-degree catchment radius (30 deg)
 
 
@@ -24498,6 +24624,7 @@ QUERIES = {
     "doc_yule_k": doc_yule_k,
     "emb_hubness": emb_hubness,
     "geo_2sfca": geo_2sfca,
+    "doc_span_dup_fraction": doc_span_dup_fraction,
     "events_type_ccf": events_type_ccf,
     "geo_type_hhi": geo_type_hhi,
     "geo_hexbin": geo_hexbin,
@@ -24756,6 +24883,7 @@ ORACLE_SQL = {
     "doc_yule_k": DOC_YULE_K_SQL,
     "emb_hubness": EMB_HUBNESS_SQL,
     "geo_2sfca": GEO_2SFCA_SQL,
+    "doc_span_dup_fraction": DOC_SPAN_DUP_FRACTION_SQL,
     "events_type_ccf": EVENTS_TYPE_CCF_SQL,
     "geo_type_hhi": GEO_TYPE_HHI_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
