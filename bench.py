@@ -220,6 +220,7 @@ BENCH_QUERIES = [
     "emb_hubness",
     "geo_2sfca",
     "doc_span_dup_fraction",
+    "events_lorenz_deciles",
     "events_type_ccf",
     "geo_type_hhi",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the

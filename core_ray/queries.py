@@ -23579,6 +23579,101 @@ def events_turning_points(sf_dir: str):
     )
 
 
+def events_lorenz_deciles(sf_dir: str):
+    """LORENZ DECILE TABLE of per-user activity (the distributional
+    companion to events_user_gini's single number: how much of all
+    traffic does each activity decile carry — the '90% of load from the
+    top decile' capacity fact): users ranked by (count, user_id) and cut
+    into NTILE(10) groups. The Ray side never needs user identities:
+    users with equal counts are interchangeable across a decile
+    boundary, so the VALUE->FREQUENCY histogram of per-user counts (a
+    count_by_u64 over counts — bounded by distinct activity levels, not
+    users) plus NTILE's deterministic group sizes reproduce the decile
+    sums exactly. All integers until one share division per row."""
+    from core_ray.stages.agg import count_by_u64
+
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def pack(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": pa.array(
+                    b["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64),
+                    pa.uint64(),
+                )
+            }
+        )
+
+    uc = count_by_u64(
+        ds.map_batches(pack, batch_format="pyarrow", batch_size=131072), "key"
+    )
+    hist = _collect_table(
+        count_by_u64(
+            uc.map_batches(
+                lambda b: pa.table({"key": pc.cast(b["cnt"], pa.uint64())}),
+                batch_format="pyarrow",
+            ),
+            "key",
+        )
+    )  # activity level -> user frequency; <= distinct levels rows
+    if hist.num_rows == 0:
+        return pa.table(
+            {
+                "decile": pa.array([], pa.int64()),
+                "n_users": pa.array([], pa.int64()),
+                "events_sum": pa.array([], pa.int64()),
+                "share": pa.array([], pa.float64()),
+            }
+        )
+    c = hist["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+    f = hist["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(c)
+    c, f = c[order], f[order]
+    n = int(f.sum())
+    total = int((c * f).sum())
+    q, r = divmod(n, 10)
+    sizes = [q + 1 if k <= r else q for k in range(1, 11)]  # NTILE split
+    rows = []
+    level = 0  # index into (c, f); rem = users left at this level
+    rem = int(f[0])
+    for dec, size in enumerate(sizes, start=1):
+        if size == 0:
+            continue
+        need, ev = size, 0
+        while need > 0:
+            take = min(need, rem)
+            ev += take * int(c[level])
+            rem -= take
+            need -= take
+            if rem == 0 and level + 1 < len(c):
+                level += 1
+                rem = int(f[level])
+        rows.append((dec, size, ev))
+    return pa.table(
+        {
+            "decile": pa.array([r_[0] for r_ in rows], pa.int64()),
+            "n_users": pa.array([r_[1] for r_ in rows], pa.int64()),
+            "events_sum": pa.array([r_[2] for r_ in rows], pa.int64()),
+            "share": pa.array(
+                [float(np.float64(r_[2]) / np.float64(total)) for r_ in rows],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+EVENTS_LORENZ_DECILES_SQL = """
+WITH uc AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1),
+t AS (SELECT c, NTILE(10) OVER (ORDER BY c, user_id) AS dec FROM uc)
+SELECT CAST(dec AS BIGINT) AS decile, CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(c) AS BIGINT) AS events_sum,
+       CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE)
+         / CAST((SELECT CAST(SUM(c) AS BIGINT) FROM uc) AS DOUBLE) AS share
+FROM t GROUP BY 1 ORDER BY 1
+"""
+
+
 def doc_span_dup_fraction(sf_dir: str):
     """DUPLICATED-SPAN FRACTION per language (the Lee-et-al
     'Deduplicating Training Data' measurement: what fraction of 8-gram
@@ -24625,6 +24720,7 @@ QUERIES = {
     "emb_hubness": emb_hubness,
     "geo_2sfca": geo_2sfca,
     "doc_span_dup_fraction": doc_span_dup_fraction,
+    "events_lorenz_deciles": events_lorenz_deciles,
     "events_type_ccf": events_type_ccf,
     "geo_type_hhi": geo_type_hhi,
     "geo_hexbin": geo_hexbin,
@@ -24884,6 +24980,7 @@ ORACLE_SQL = {
     "emb_hubness": EMB_HUBNESS_SQL,
     "geo_2sfca": GEO_2SFCA_SQL,
     "doc_span_dup_fraction": DOC_SPAN_DUP_FRACTION_SQL,
+    "events_lorenz_deciles": EVENTS_LORENZ_DECILES_SQL,
     "events_type_ccf": EVENTS_TYPE_CCF_SQL,
     "geo_type_hhi": GEO_TYPE_HHI_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
