@@ -23579,6 +23579,128 @@ def events_turning_points(sf_dir: str):
     )
 
 
+def doc_vocab_jaccard(sf_dir: str):
+    """HEMISPHERE VOCABULARY JACCARD (the set-overlap companion to
+    doc_hemisphere_jsd's distributional divergence: how much of the
+    east-hemisphere VOCABULARY is shared with the west at all — corpus
+    drift as presence, not frequency): distinct (side, token) pairs per
+    batch (batch dedup is a pure optimization — presence is idempotent),
+    hash-partitioned BY TOKEN so each partition decides its tokens'
+    east/west/both membership exactly, one integer partial row per
+    partition, driver folds n_parts rows; jaccard and the two
+    containments are single double divisions of exact integers."""
+    from core_ray.stages.agg import hash_strings, map_groups_partitioned
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def side_tokens(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        east = (doc_id * 104729) % 360000 >= 180000
+        toks_l = []
+        for e, t in zip(east, b["text"].to_pylist()):
+            pref = "E" if e else "W"
+            for w in t.split(" "):  # mirrors SQL string_split(text, ' ')
+                toks_l.append(pref + w)
+        if not toks_l:
+            return pa.table(
+                {"st": pa.array([], pa.string()), "gh": pa.array([], pa.uint64())}
+            )
+        u = np.unique(np.asarray(toks_l))
+        tok_col = pa.array([s[1:] for s in u], pa.string())
+        return pa.table(
+            {
+                "st": pa.array(u, pa.string()),
+                "gh": pa.array(hash_strings(tok_col), pa.uint64()),
+            }
+        )
+
+    sided = ds.map_batches(side_tokens, batch_format="pyarrow", batch_size=512)
+
+    def per_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "ve": pa.array([], pa.int64()),
+                    "vw": pa.array([], pa.int64()),
+                    "vb": pa.array([], pa.int64()),
+                    "vu": pa.array([], pa.int64()),
+                }
+            )
+        st = np.asarray(g["st"].to_pylist())
+        sides = np.asarray([s[0] for s in st])
+        toks = np.asarray([s[1:] for s in st])
+        order = np.argsort(toks, kind="stable")
+        ts, ss = toks[order], sides[order]
+        new = np.r_[True, ts[1:] != ts[:-1]]
+        seg = np.cumsum(new) - 1
+        n_tok = int(seg[-1]) + 1
+        he = np.zeros(n_tok, bool)
+        hw = np.zeros(n_tok, bool)
+        he[seg[ss == "E"]] = True
+        hw[seg[ss == "W"]] = True
+        return pa.table(
+            {
+                "ve": pa.array([int(he.sum())], pa.int64()),
+                "vw": pa.array([int(hw.sum())], pa.int64()),
+                "vb": pa.array([int((he & hw).sum())], pa.int64()),
+                "vu": pa.array([n_tok], pa.int64()),
+            }
+        )
+
+    parts = _collect_table(map_groups_partitioned(sided, "gh", per_part))
+    ve = int(pc.sum(parts["ve"]).as_py() or 0)
+    vw = int(pc.sum(parts["vw"]).as_py() or 0)
+    vb = int(pc.sum(parts["vb"]).as_py() or 0)
+    vu = int(pc.sum(parts["vu"]).as_py() or 0)
+    return pa.table(
+        {
+            "v_east": pa.array([ve], pa.int64()),
+            "v_west": pa.array([vw], pa.int64()),
+            "v_both": pa.array([vb], pa.int64()),
+            "v_union": pa.array([vu], pa.int64()),
+            "jaccard": pa.array(
+                [float(np.float64(vb) / np.float64(vu)) if vu > 0 else None],
+                pa.float64(),
+            ),
+            "cont_east": pa.array(
+                [float(np.float64(vb) / np.float64(ve)) if ve > 0 else None],
+                pa.float64(),
+            ),
+            "cont_west": pa.array(
+                [float(np.float64(vb) / np.float64(vw)) if vw > 0 else None],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+DOC_VOCAB_JACCARD_SQL = """
+WITH toks AS (
+  SELECT (doc_id * 104729) % 360000 >= 180000 AS east,
+         UNNEST(string_split(text, ' ')) AS w
+  FROM documents),
+cc AS (
+  SELECT w, MAX(CASE WHEN east THEN 1 ELSE 0 END) AS he,
+         MAX(CASE WHEN NOT east THEN 1 ELSE 0 END) AS hw
+  FROM toks GROUP BY 1)
+SELECT CAST(SUM(he) AS BIGINT) AS v_east, CAST(SUM(hw) AS BIGINT) AS v_west,
+       CAST(SUM(he * hw) AS BIGINT) AS v_both,
+       CAST(COUNT(*) AS BIGINT) AS v_union,
+       CASE WHEN COUNT(*) > 0
+            THEN CAST(CAST(SUM(he * hw) AS BIGINT) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) ELSE NULL END AS jaccard,
+       CASE WHEN CAST(SUM(he) AS BIGINT) > 0
+            THEN CAST(CAST(SUM(he * hw) AS BIGINT) AS DOUBLE)
+                 / CAST(CAST(SUM(he) AS BIGINT) AS DOUBLE)
+            ELSE NULL END AS cont_east,
+       CASE WHEN CAST(SUM(hw) AS BIGINT) > 0
+            THEN CAST(CAST(SUM(he * hw) AS BIGINT) AS DOUBLE)
+                 / CAST(CAST(SUM(hw) AS BIGINT) AS DOUBLE)
+            ELSE NULL END AS cont_west
+FROM cc
+"""
+
+
 def events_lorenz_deciles(sf_dir: str):
     """LORENZ DECILE TABLE of per-user activity (the distributional
     companion to events_user_gini's single number: how much of all
@@ -24721,6 +24843,7 @@ QUERIES = {
     "geo_2sfca": geo_2sfca,
     "doc_span_dup_fraction": doc_span_dup_fraction,
     "events_lorenz_deciles": events_lorenz_deciles,
+    "doc_vocab_jaccard": doc_vocab_jaccard,
     "events_type_ccf": events_type_ccf,
     "geo_type_hhi": geo_type_hhi,
     "geo_hexbin": geo_hexbin,
@@ -24981,6 +25104,7 @@ ORACLE_SQL = {
     "geo_2sfca": GEO_2SFCA_SQL,
     "doc_span_dup_fraction": DOC_SPAN_DUP_FRACTION_SQL,
     "events_lorenz_deciles": EVENTS_LORENZ_DECILES_SQL,
+    "doc_vocab_jaccard": DOC_VOCAB_JACCARD_SQL,
     "events_type_ccf": EVENTS_TYPE_CCF_SQL,
     "geo_type_hhi": GEO_TYPE_HHI_SQL,
     "geo_hexbin": GEO_HEXBIN_SQL,
