@@ -222,6 +222,7 @@ BENCH_QUERIES = [
     "doc_span_dup_fraction",
     "events_lorenz_deciles",
     "doc_vocab_jaccard",
+    "doc_bigram_entropy",
     "events_type_ccf",
     "geo_type_hhi",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
