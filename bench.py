@@ -224,6 +224,7 @@ BENCH_QUERIES = [
     "doc_vocab_jaccard",
     "doc_bigram_entropy",
     "emb_norm_profile",
+    "events_transfer_entropy",
     "events_type_ccf",
     "geo_type_hhi",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
