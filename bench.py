@@ -225,6 +225,7 @@ BENCH_QUERIES = [
     "doc_bigram_entropy",
     "emb_norm_profile",
     "events_transfer_entropy",
+    "geo_pair_correlation",
     "events_type_ccf",
     "geo_type_hhi",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
