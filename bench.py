@@ -226,6 +226,7 @@ BENCH_QUERIES = [
     "emb_norm_profile",
     "events_transfer_entropy",
     "geo_pair_correlation",
+    "geo_g_function",
     "events_type_ccf",
     "geo_type_hhi",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
