@@ -227,6 +227,7 @@ BENCH_QUERIES = [
     "events_transfer_entropy",
     "geo_pair_correlation",
     "geo_g_function",
+    "emb_mmr_topk",
     "events_type_ccf",
     "geo_type_hhi",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
