@@ -228,6 +228,7 @@ BENCH_QUERIES = [
     "geo_pair_correlation",
     "geo_g_function",
     "emb_mmr_topk",
+    "emb_intrinsic_dim",
     "events_type_ccf",
     "geo_type_hhi",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
