@@ -229,6 +229,7 @@ BENCH_QUERIES = [
     "geo_g_function",
     "emb_mmr_topk",
     "emb_intrinsic_dim",
+    "events_fano_profile",
     "events_type_ccf",
     "geo_type_hhi",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
