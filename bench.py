@@ -230,6 +230,7 @@ BENCH_QUERIES = [
     "emb_mmr_topk",
     "emb_intrinsic_dim",
     "events_fano_profile",
+    "events_stickiness",
     "events_type_ccf",
     "geo_type_hhi",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
