@@ -231,6 +231,7 @@ BENCH_QUERIES = [
     "emb_intrinsic_dim",
     "events_fano_profile",
     "events_stickiness",
+    "geo_clq",
     "events_type_ccf",
     "geo_type_hhi",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
