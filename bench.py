@@ -234,6 +234,8 @@ BENCH_QUERIES = [
     "geo_clq",
     "events_type_ccf",
     "geo_type_hhi",
+    # round-5 wave-5 additions
+    "events_kmv_distinct",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost
