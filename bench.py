@@ -236,6 +236,7 @@ BENCH_QUERIES = [
     "geo_type_hhi",
     # round-5 wave-5 additions
     "events_kmv_distinct",
+    "events_countmin_eval",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost
