@@ -237,6 +237,7 @@ BENCH_QUERIES = [
     # round-5 wave-5 additions
     "events_kmv_distinct",
     "events_countmin_eval",
+    "geo_covisit_cosine",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost
