@@ -238,6 +238,7 @@ BENCH_QUERIES = [
     "events_kmv_distinct",
     "events_countmin_eval",
     "geo_covisit_cosine",
+    "emb_int8_recall",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost
