@@ -539,3 +539,58 @@ def golden_traj_simplify(event_ids, user_ids, ts_us, eps: float = 0.8) -> pa.Tab
             "event_id": pa.array(out_e, pa.int64()),
         }
     )
+
+
+def golden_bpe_merges(texts, n_merges: int = 8) -> pa.Table:
+    """Independent straight-line BPE vocabulary induction (Sennrich/GPT
+    style, spec shared with queries.doc_bpe_merges): whitespace words ->
+    character symbol sequences weighted by word frequency; each round
+    counts adjacent symbol pairs (overlapping occurrences all count),
+    merges the (count desc, left asc, right asc) winner everywhere
+    (greedy left-to-right, non-overlapping), and records it. Pure
+    dict/loop Python over the word-frequency map — no numpy, no sharing
+    with the engine's vectorized path."""
+    freq: dict = {}
+    for t in texts:
+        for w in t.split():
+            freq[w] = freq.get(w, 0) + 1
+    seqs = {w: tuple(w) for w in freq}
+    out_rank, out_left, out_right, out_cnt = [], [], [], []
+    for rank in range(1, n_merges + 1):
+        counts: dict = {}
+        for w, syms in seqs.items():
+            f = freq[w]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        (left, right), cnt = best
+        merged = left + right
+        new_seqs = {}
+        for w, syms in seqs.items():
+            res = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    res.append(merged)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            new_seqs[w] = tuple(res)
+        seqs = new_seqs
+        out_rank.append(rank)
+        out_left.append(left)
+        out_right.append(right)
+        out_cnt.append(cnt)
+    return pa.table(
+        {
+            "rank": pa.array(out_rank, pa.int64()),
+            "left": pa.array(out_left, pa.string()),
+            "right": pa.array(out_right, pa.string()),
+            "merged": pa.array([l + r for l, r in zip(out_left, out_right)], pa.string()),
+            "cnt": pa.array(out_cnt, pa.int64()),
+        }
+    )
