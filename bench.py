@@ -240,6 +240,7 @@ BENCH_QUERIES = [
     "geo_covisit_cosine",
     "emb_int8_recall",
     "doc_bpe_merges",
+    "emb_pq_distortion",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

@@ -594,3 +594,67 @@ def golden_bpe_merges(texts, n_merges: int = 8) -> pa.Table:
             "cnt": pa.array(out_cnt, pa.int64()),
         }
     )
+
+
+def golden_pq_distortion(tbl: pa.Table, m: int = 4, k: int = 16,
+                         iters: int = 5) -> pa.Table:
+    """Independent straight-line product quantization (spec shared with
+    queries.emb_pq_distortion): the embedding splits into m contiguous
+    subspaces; each runs Lloyd's k-means with init = sub-vectors of the k
+    smallest vec_ids, nearest-center assignment (squared euclidean, ties
+    -> lowest index), mean update (empty keeps center), centers rounded
+    to 6 decimals per iteration. Per-vector loops over Python floats —
+    no matmul, no sharing with the engine's vectorized path."""
+    ids = tbl["vec_id"].to_numpy(zero_copy_only=False)
+    vecs = [list(map(float, v)) for v in tbl["embedding"].to_pylist()]
+    order = np.argsort(ids)
+    vecs = [vecs[i] for i in order]
+    dim = len(vecs[0])
+    sub = dim // m
+    out_s, out_mse, out_used = [], [], []
+    for s in range(m):
+        xs = [v[s * sub:(s + 1) * sub] for v in vecs]
+        centers = [list(x) for x in xs[:k]]
+        centers = [[float(sql_round_np(c, 6)) for c in row] for row in centers]
+        for _ in range(iters):
+            sums = [[0.0] * sub for _ in range(k)]
+            cnts = [0] * k
+            for x in xs:
+                best, bd = 0, None
+                for ci in range(k):
+                    d = 0.0
+                    for a, b in zip(x, centers[ci]):
+                        d += (a - b) * (a - b)
+                    if bd is None or d < bd:
+                        bd, best = d, ci
+                cnts[best] += 1
+                for j in range(sub):
+                    sums[best][j] += x[j]
+            for ci in range(k):
+                if cnts[ci] > 0:
+                    centers[ci] = [
+                        float(sql_round_np(sums[ci][j] / cnts[ci], 6))
+                        for j in range(sub)
+                    ]
+        sq = 0.0
+        used = set()
+        for x in xs:
+            best, bd = 0, None
+            for ci in range(k):
+                d = 0.0
+                for a, b in zip(x, centers[ci]):
+                    d += (a - b) * (a - b)
+                if bd is None or d < bd:
+                    bd, best = d, ci
+            sq += bd
+            used.add(best)
+        out_s.append(s)
+        out_mse.append(float(sql_round_np(sq / len(xs), 6)))
+        out_used.append(len(used))
+    return pa.table(
+        {
+            "subspace": pa.array(out_s, pa.int64()),
+            "mse": pa.array(out_mse, pa.float64()),
+            "n_used_centroids": pa.array(out_used, pa.int64()),
+        }
+    )
