@@ -1,0 +1,278 @@
+"""Round-5 wave-5 operator units: independent dict/loop references for the
+KMV bottom-k distinct sketch, the Count-Min point-query evaluation, the
+cell co-visitation cosine network, int8 scalar-quantization recall, BPE
+merge induction and product-quantization distortion. The driver oracle
+checks these on the real tables; these tests hammer the kernels on
+synthetic throwaway-parquet inputs (hash collisions, heavy hitters,
+single-cell users, constant embedding dims)."""
+
+import os
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write(table_rows: dict[str, dict]) -> str:
+    d = tempfile.mkdtemp(prefix="core_ray_wave5_")
+    for name, rows in table_rows.items():
+        pq.write_table(pa.table(rows), os.path.join(d, f"{name}.parquet"))
+    return d
+
+
+def _rng(seed: int) -> np.random.Generator:
+    return np.random.default_rng(seed)
+
+
+# ---------------------------------------------------------------- KMV
+
+
+def _kmv_reference(uid, etype, k=64, mult=2654435761, mod=1 << 32):
+    rows = {}
+    exact = {}
+    for u, t in zip(uid, etype):
+        exact.setdefault(t, set()).add(int(u))
+        rows.setdefault(t, set()).add((int(u) * mult) % mod)
+    out = []
+    for t in sorted(rows):
+        hs = sorted(rows[t])
+        nd = len(exact[t])
+        if len(hs) >= k:
+            est = (k - 1) * float(mod) / float(hs[k - 1])
+        else:
+            est = float(nd)
+        out.append((t, nd, round(est, 6)))
+    return out
+
+
+def test_kmv_matches_reference(ray_session):
+    from core_ray.queries import events_kmv_distinct
+
+    r = _rng(5)
+    n = 4000
+    uid = r.integers(0, 300, n)  # >= 64 distinct per type w.h.p.
+    etype = np.array(["a", "b", "c"])[r.integers(0, 3, n)]
+    d = _write(
+        {
+            "events": {
+                "user_id": pa.array(uid, pa.int64()),
+                "event_type": pa.array(etype.tolist(), pa.string()),
+            }
+        }
+    )
+    got = events_kmv_distinct(d)
+    ref = _kmv_reference(uid, etype)
+    assert got["event_type"].to_pylist() == [x[0] for x in ref]
+    assert got["exact_distinct"].to_pylist() == [x[1] for x in ref]
+    est = got["kmv_estimate"].to_pylist()
+    for g, (_, nd, e) in zip(est, ref):
+        assert abs(g - e) < 1e-9
+        # a k=64 sketch on a few hundred distinct keys: loose 50% error band
+        assert abs(g - nd) / nd < 0.5
+
+
+def test_kmv_small_type_falls_back_to_exact(ray_session):
+    from core_ray.queries import events_kmv_distinct
+
+    d = _write(
+        {
+            "events": {
+                "user_id": pa.array([1, 2, 3, 1, 2], pa.int64()),
+                "event_type": pa.array(["x"] * 5, pa.string()),
+            }
+        }
+    )
+    got = events_kmv_distinct(d)
+    assert got["exact_distinct"].to_pylist() == [3]
+    assert got["kmv_estimate"].to_pylist() == [3.0]
+
+
+# ---------------------------------------------------------------- Count-Min
+
+
+def _cm_reference(uid, d=4, w=1024, p=2147483647):
+    from core_ray.queries import _CM_A, _CM_B
+
+    cnt = {}
+    for u in uid:
+        cnt[int(u)] = cnt.get(int(u), 0) + 1
+    grid = [[0] * w for _ in range(d)]
+    for u, c in cnt.items():
+        for j in range(d):
+            grid[j][((u * _CM_A[j] + _CM_B[j]) % p) % w] += c
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    out = []
+    for u, c in top:
+        est = min(grid[j][((u * _CM_A[j] + _CM_B[j]) % p) % w] for j in range(d))
+        out.append((u, c, est))
+    return out
+
+
+def test_countmin_matches_reference_and_never_underestimates(ray_session):
+    from core_ray.queries import events_countmin_eval
+
+    r = _rng(11)
+    # zipf-ish heavy hitters: a few users dominate
+    uid = np.concatenate(
+        [np.repeat(7, 500), np.repeat(13, 300), r.integers(0, 5000, 2000)]
+    )
+    d = _write({"events": {"user_id": pa.array(uid, pa.int64())}})
+    got = events_countmin_eval(d)
+    ref = _cm_reference(uid)
+    assert got["user_id"].to_pylist() == [x[0] for x in ref]
+    assert got["exact_cnt"].to_pylist() == [x[1] for x in ref]
+    assert got["cm_estimate"].to_pylist() == [x[2] for x in ref]
+    over = np.asarray(got["overestimate"].to_pylist())
+    assert (over >= 0).all()  # CM error is one-sided by construction
+
+
+# ---------------------------------------------------------------- co-visitation
+
+
+def _covisit_reference(eid, uid, cell_milli=2000, min_users=2):
+    uc = set()
+    for e, u in zip(eid, uid):
+        e, u = int(e), int(u)
+        lat_m = (
+            (((u % 12) * 11003) % 120000) - 60000
+            + ((u * 7919) % 2001) - 1000
+            + ((e * 13) % 1001) - 500
+            + 61500
+        )
+        lon_m = (
+            (((u % 12) * 104729) % 340000) - 170000
+            + ((u * 104729) % 2001) - 1000
+            + ((e * 29) % 1001) - 500
+            + 171500
+        )
+        uc.add((u, (lat_m // cell_milli) * 1024 + lon_m // cell_milli))
+    by_user = {}
+    na = {}
+    for u, c in uc:
+        by_user.setdefault(u, set()).add(c)
+        na[c] = na.get(c, 0) + 1
+    pairs = {}
+    for cells in by_user.values():
+        cs = sorted(cells)
+        for i in range(len(cs)):
+            for j in range(i + 1, len(cs)):
+                pairs[(cs[i], cs[j])] = pairs.get((cs[i], cs[j]), 0) + 1
+    out = []
+    for (a, b), n_ab in sorted(pairs.items()):
+        if n_ab < min_users:
+            continue
+        out.append(
+            (a, b, na[a], na[b], n_ab, round(n_ab / np.sqrt(na[a] * na[b]), 6))
+        )
+    return out
+
+
+def test_covisit_matches_reference(ray_session):
+    from core_ray.queries import geo_covisit_cosine
+
+    r = _rng(23)
+    n = 3000
+    uid = r.integers(0, 80, n)
+    eid = r.integers(0, 100000, n)
+    d = _write(
+        {
+            "events": {
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+            }
+        }
+    )
+    got = geo_covisit_cosine(d)
+    ref = _covisit_reference(eid, uid)
+    assert got.num_rows == len(ref)
+    assert got["cell_a"].to_pylist() == [x[0] for x in ref]
+    assert got["cell_b"].to_pylist() == [x[1] for x in ref]
+    assert got["n_a"].to_pylist() == [x[2] for x in ref]
+    assert got["n_b"].to_pylist() == [x[3] for x in ref]
+    assert got["n_ab"].to_pylist() == [x[4] for x in ref]
+    for g, e in zip(got["cosine"].to_pylist(), [x[5] for x in ref]):
+        assert abs(g - e) < 1e-9
+
+
+# ---------------------------------------------------------------- int8 recall
+
+
+def test_int8_recall_bounds_and_identity(ray_session):
+    """A corpus whose values already sit exactly on the 255-level lattice
+    quantizes losslessly -> integer-dot ranking == raw-dot ranking on
+    distinct dots -> recall 1.0."""
+    from core_ray.queries import emb_int8_recall
+
+    r = _rng(31)
+    n, dim = 150, 8
+    codes = r.integers(0, 256, (n, dim)).astype(np.float64)
+    # force min=0 max=255 per dim so scale is exactly 1.0
+    codes[0] = 0.0
+    codes[1] = 255.0
+    d = _write(
+        {
+            "embeddings": {
+                "vec_id": pa.array(np.arange(n), pa.int64()),
+                "embedding": pa.array(
+                    [row.astype(np.float32).tolist() for row in codes],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        }
+    )
+    got = emb_int8_recall(d)
+    assert got["query_id"].to_pylist() == [0, 100]
+    for rec, ov in zip(got["recall"].to_pylist(), got["n_overlap"].to_pylist()):
+        assert 0.0 <= rec <= 1.0 and ov == round(rec * 10)
+        assert rec == 1.0  # lossless lattice -> identical rankings
+
+
+# ---------------------------------------------------------------- BPE
+
+
+def test_bpe_matches_independent_golden(ray_session):
+    from core_ray.fixtures.docs_golden import golden_bpe_merges
+    from core_ray.queries import doc_bpe_merges
+
+    texts = [
+        "the cat sat on the mat",
+        "the bat and the cat chat",
+        "on and on and on",
+        "matter chatter batter",
+    ] * 5
+    d = _write(
+        {
+            "documents": {
+                "doc_id": pa.array(np.arange(20), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        }
+    )
+    got = doc_bpe_merges(d)
+    ref = golden_bpe_merges(texts, 8)
+    assert got.to_pydict() == ref.to_pydict()
+
+
+# ---------------------------------------------------------------- PQ
+
+
+def test_pq_distortion_matches_independent_golden(ray_session):
+    from core_ray.fixtures.docs_golden import golden_pq_distortion
+    from core_ray.queries import _PQ_ITERS, _PQ_K, _PQ_M, emb_pq_distortion
+
+    r = _rng(47)
+    n, dim = 120, 32
+    x = r.normal(size=(n, dim)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array([row.tolist() for row in x], pa.list_(pa.float32())),
+        }
+    )
+    d = _write({"embeddings": {"vec_id": tbl["vec_id"], "embedding": tbl["embedding"]}})
+    got = emb_pq_distortion(d)
+    ref = golden_pq_distortion(tbl, _PQ_M, _PQ_K, _PQ_ITERS)
+    assert got.to_pydict() == ref.to_pydict()
+    assert all(m >= 0 for m in got["mse"].to_pylist())
+    assert all(1 <= u <= _PQ_K for u in got["n_used_centroids"].to_pylist())
