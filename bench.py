@@ -242,6 +242,7 @@ BENCH_QUERIES = [
     "doc_bpe_merges",
     "emb_pq_distortion",
     "geo_skyline_cells",
+    "events_session_stats",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost
