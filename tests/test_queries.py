@@ -29,6 +29,8 @@ _GOLDEN_PINNED = (
     "emb_pagerank",
     "emb_kmeans",
     "emb_pca_power",
+    "doc_bpe_merges",  # golden-parquet oracle, pinned to the golden sf
+    "emb_pq_distortion",
     "geo_convex_hull",
     "geo_traj_simplify",
 )
