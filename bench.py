@@ -243,6 +243,7 @@ BENCH_QUERIES = [
     "emb_pq_distortion",
     "geo_skyline_cells",
     "events_session_stats",
+    "events_kmv_overlap",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost
