@@ -244,6 +244,7 @@ BENCH_QUERIES = [
     "geo_skyline_cells",
     "events_session_stats",
     "events_kmv_overlap",
+    "doc_bpe_apply",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

@@ -658,3 +658,54 @@ def golden_pq_distortion(tbl: pa.Table, m: int = 4, k: int = 16,
             "n_used_centroids": pa.array(out_used, pa.int64()),
         }
     )
+
+
+def golden_bpe_apply(texts, n_merges: int = 8) -> pa.Table:
+    """Independent encode-side BPE evaluation (spec shared with
+    queries.doc_bpe_apply): learns the merges exactly as
+    golden_bpe_merges, then reports the total corpus symbol count and
+    compression ratio after each merge prefix r = 0..n_merges. Pure
+    dict/loop Python."""
+    freq: dict = {}
+    for t in texts:
+        for w in t.split():
+            freq[w] = freq.get(w, 0) + 1
+    seqs = {w: tuple(w) for w in freq}
+    totals = [sum(len(s) * f for s, f in ((seqs[w], freq[w]) for w in freq))]
+    for _ in range(n_merges):
+        counts: dict = {}
+        for w, syms in seqs.items():
+            f = freq[w]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        (left, right), _c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merged = left + right
+        new_seqs = {}
+        for w, syms in seqs.items():
+            res = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    res.append(merged)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            new_seqs[w] = tuple(res)
+        seqs = new_seqs
+        totals.append(sum(len(seqs[w]) * freq[w] for w in freq))
+    base = float(totals[0])
+    return pa.table(
+        {
+            "n_merges": pa.array(list(range(len(totals))), pa.int64()),
+            "total_symbols": pa.array(totals, pa.int64()),
+            "compression": pa.array(
+                [float(sql_round_np(base / t, 6)) for t in totals], pa.float64()
+            ),
+        }
+    )

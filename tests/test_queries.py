@@ -30,6 +30,7 @@ _GOLDEN_PINNED = (
     "emb_kmeans",
     "emb_pca_power",
     "doc_bpe_merges",  # golden-parquet oracle, pinned to the golden sf
+    "doc_bpe_apply",
     "emb_pq_distortion",
     "geo_convex_hull",
     "geo_traj_simplify",

@@ -344,3 +344,28 @@ def test_skyline_query_matches_bruteforce(ray_session):
         )
     )
     assert gotr == [tuple(e) for e in exp]
+
+
+def test_bpe_apply_matches_independent_golden(ray_session):
+    from core_ray.fixtures.docs_golden import golden_bpe_apply
+    from core_ray.queries import doc_bpe_apply
+
+    texts = [
+        "the cat sat on the mat",
+        "the bat and the cat chat",
+        "on and on and on",
+        "matter chatter batter",
+    ] * 5
+    d = _write(
+        {
+            "documents": {
+                "doc_id": pa.array(np.arange(20), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        }
+    )
+    got = doc_bpe_apply(d)
+    ref = golden_bpe_apply(texts, 8)
+    assert got.to_pydict() == ref.to_pydict()
+    comp = got["compression"].to_pylist()
+    assert comp[0] == 1.0 and all(b >= a - 1e-12 for a, b in zip(comp, comp[1:]))
