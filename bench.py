@@ -245,6 +245,7 @@ BENCH_QUERIES = [
     "events_session_stats",
     "events_kmv_overlap",
     "doc_bpe_apply",
+    "emb_pq_recall",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

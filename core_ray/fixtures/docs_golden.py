@@ -709,3 +709,101 @@ def golden_bpe_apply(texts, n_merges: int = 8) -> pa.Table:
             ),
         }
     )
+
+
+def _pq_train_golden(vecs, m: int, k: int, iters: int):
+    """Shared straight-line PQ trainer for the PQ goldens (identical spec
+    to golden_pq_distortion's inline loop)."""
+    dim = len(vecs[0])
+    sub = dim // m
+    books = []
+    for s in range(m):
+        xs = [v[s * sub:(s + 1) * sub] for v in vecs]
+        centers = [[float(sql_round_np(c, 6)) for c in row] for row in xs[:k]]
+        for _ in range(iters):
+            sums = [[0.0] * sub for _ in range(k)]
+            cnts = [0] * k
+            for x in xs:
+                best, bd = 0, None
+                for ci in range(k):
+                    d = 0.0
+                    for a, b in zip(x, centers[ci]):
+                        d += (a - b) * (a - b)
+                    if bd is None or d < bd:
+                        bd, best = d, ci
+                cnts[best] += 1
+                for j in range(sub):
+                    sums[best][j] += x[j]
+            for ci in range(k):
+                if cnts[ci] > 0:
+                    centers[ci] = [
+                        float(sql_round_np(sums[ci][j] / cnts[ci], 6))
+                        for j in range(sub)
+                    ]
+        books.append(centers)
+    return books, sub
+
+
+def golden_pq_recall(tbl: pa.Table, m: int = 4, k: int = 16, iters: int = 5,
+                     query_modulus: int = 100, topk: int = 10) -> pa.Table:
+    """Independent straight-line PQ asymmetric-distance recall (spec shared
+    with queries.emb_pq_recall): train codebooks as golden_pq_distortion,
+    encode every vector to its nearest per-subspace centroid, rank by the
+    ADC distance sum_s ||q_s - c_s[code]||^2 (sequential adds, ties ->
+    lower vec_id) vs the exact squared-euclidean ranking, and report
+    top-k overlap per probe."""
+    ids = tbl["vec_id"].to_numpy(zero_copy_only=False)
+    vecs = [list(map(float, v)) for v in tbl["embedding"].to_pylist()]
+    order = np.argsort(ids)
+    ids = [int(ids[i]) for i in order]
+    vecs = [vecs[i] for i in order]
+    books, sub = _pq_train_golden(vecs, m, k, iters)
+    codes = []
+    for v in vecs:
+        cv = []
+        for s in range(m):
+            x = v[s * sub:(s + 1) * sub]
+            best, bd = 0, None
+            for ci in range(k):
+                d = 0.0
+                for a, b in zip(x, books[s][ci]):
+                    d += (a - b) * (a - b)
+                if bd is None or d < bd:
+                    bd, best = d, ci
+            cv.append(best)
+        codes.append(cv)
+    out_q, out_ov, out_rec = [], [], []
+    for qi, qid in enumerate(ids):
+        if qid % query_modulus != 0:
+            continue
+        q = vecs[qi]
+        exact, adc = [], []
+        for vi, vid in enumerate(ids):
+            if vid == qid:
+                continue
+            de = 0.0
+            for a, b in zip(q, vecs[vi]):
+                de += (a - b) * (a - b)
+            da = 0.0
+            for s in range(m):
+                qs = q[s * sub:(s + 1) * sub]
+                cs = books[s][codes[vi][s]]
+                dd = 0.0
+                for a, b in zip(qs, cs):
+                    dd += (a - b) * (a - b)
+                da += dd
+            exact.append((de, vid))
+            adc.append((da, vid))
+        ex_top = {v for _, v in sorted(exact)[:topk]}
+        adc_top = {v for _, v in sorted(adc)[:topk]}
+        ov = len(ex_top & adc_top)
+        out_q.append(qid)
+        out_ov.append(ov)
+        out_rec.append(float(sql_round_np(ov / float(topk), 6)))
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "n_overlap": pa.array(out_ov, pa.int64()),
+            "recall": pa.array(out_rec, pa.float64()),
+        }
+    )

@@ -32,6 +32,7 @@ _GOLDEN_PINNED = (
     "doc_bpe_merges",  # golden-parquet oracle, pinned to the golden sf
     "doc_bpe_apply",
     "emb_pq_distortion",
+    "emb_pq_recall",
     "geo_convex_hull",
     "geo_traj_simplify",
 )

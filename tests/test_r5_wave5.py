@@ -369,3 +369,23 @@ def test_bpe_apply_matches_independent_golden(ray_session):
     assert got.to_pydict() == ref.to_pydict()
     comp = got["compression"].to_pylist()
     assert comp[0] == 1.0 and all(b >= a - 1e-12 for a, b in zip(comp, comp[1:]))
+
+
+def test_pq_recall_matches_independent_golden(ray_session):
+    from core_ray.fixtures.docs_golden import golden_pq_recall
+    from core_ray.queries import _PQ_ITERS, _PQ_K, _PQ_M, emb_pq_recall
+
+    r = _rng(53)
+    n, dim = 150, 32
+    x = r.normal(size=(n, dim)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array([row.tolist() for row in x], pa.list_(pa.float32())),
+        }
+    )
+    d = _write({"embeddings": {"vec_id": tbl["vec_id"], "embedding": tbl["embedding"]}})
+    got = emb_pq_recall(d)
+    ref = golden_pq_recall(tbl, _PQ_M, _PQ_K, _PQ_ITERS)
+    assert got.to_pydict() == ref.to_pydict()
+    assert all(0.0 <= rec <= 1.0 for rec in got["recall"].to_pylist())
