@@ -1,0 +1,190 @@
+"""Round-5 wave-6 operator units: RAG-style chunk windows and the
+entity-resolution fuzzy self-join. The driver oracle checks both on the
+real tables; these tests hammer the kernels on synthetic throwaway-parquet
+inputs (single-token docs, exact window boundaries, unicode, hash-collided
+blocks, all-identical titles)."""
+
+import os
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write(table_rows: dict[str, dict]) -> str:
+    d = tempfile.mkdtemp(prefix="core_ray_wave6_")
+    for name, rows in table_rows.items():
+        pq.write_table(pa.table(rows), os.path.join(d, f"{name}.parquet"))
+    return d
+
+
+# ------------------------------------------------------------- chunking
+
+
+def _chunk_reference(texts, w, s):
+    rows = []
+    for did, t in enumerate(texts):
+        toks = t.split(" ")
+        n = len(toks)
+        start = 0
+        cidx = 0
+        while start < n:
+            ntok = min(w, n - start)
+            rows.append(
+                (did, cidx, start, ntok, toks[start], toks[start + ntok - 1])
+            )
+            start += s
+            cidx += 1
+    return rows
+
+
+def test_chunk_windows_matches_reference(ray_session):
+    from core_ray.queries import _CHUNK_S, _CHUNK_W, doc_chunk_windows
+
+    rng = np.random.default_rng(7)
+    vocab = ["alpha", "beta", "gamma", "delta"]
+    texts = [
+        " ".join(rng.choice(vocab, size=int(n)))
+        for n in [1, _CHUNK_S, _CHUNK_S + 1, _CHUNK_W, _CHUNK_W + 1,
+                  2 * _CHUNK_S, 2 * _CHUNK_S + 1, 200, 3, 64]
+    ]
+    d = _write(
+        {
+            "documents": {
+                "doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        }
+    )
+    got = doc_chunk_windows(d).to_pandas().sort_values(
+        ["doc_id", "chunk_idx"]
+    )
+    exp = _chunk_reference(texts, _CHUNK_W, _CHUNK_S)
+    assert list(map(tuple, got.itertuples(index=False))) == exp
+    # coverage invariant: every token index is inside >= 1 window
+    for did, t in enumerate(texts):
+        n = len(t.split(" "))
+        covered = np.zeros(n, bool)
+        g = got[got.doc_id == did]
+        for _, r in g.iterrows():
+            covered[r.start_tok : r.start_tok + r.n_tok] = True
+        assert covered.all()
+
+
+def test_chunk_windows_single_token_doc(ray_session):
+    from core_ray.queries import doc_chunk_windows
+
+    d = _write(
+        {
+            "documents": {
+                "doc_id": pa.array([0], pa.int64()),
+                "text": pa.array(["solo"], pa.string()),
+            }
+        }
+    )
+    got = doc_chunk_windows(d).to_pandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert (r.chunk_idx, r.start_tok, r.n_tok, r.first_tok, r.last_tok) == (
+        0, 0, 1, "solo", "solo",
+    )
+
+
+# ------------------------------------------------------- fuzzy ER join
+
+
+def _lev_reference(a: str, b: str) -> int:
+    dp = list(range(len(b) + 1))
+    for i in range(1, len(a) + 1):
+        prev = dp[:]
+        dp[0] = i
+        for j in range(1, len(b) + 1):
+            dp[j] = min(
+                prev[j] + 1,
+                dp[j - 1] + 1,
+                prev[j - 1] + (a[i - 1] != b[j - 1]),
+            )
+    return dp[len(b)]
+
+
+def test_lev_batch_matches_reference():
+    from core_ray.queries import _lev_batch
+
+    rng = np.random.default_rng(11)
+    alphabet = list("abcdeé 日")
+    pairs = []
+    for _ in range(200):
+        la, lb = rng.integers(0, 12, size=2)
+        pairs.append(
+            (
+                "".join(rng.choice(alphabet, la)),
+                "".join(rng.choice(alphabet, lb)),
+            )
+        )
+    got = _lev_batch([p[0] for p in pairs], [p[1] for p in pairs])
+    exp = [_lev_reference(a, b) for a, b in pairs]
+    assert got.tolist() == exp
+
+
+def _fuzzy_reference(texts, n_chars, title=32, prefix=8, band=64, maxlev=3):
+    keys = [(t[:prefix], c // band) for t, c in zip(texts, n_chars)]
+    out = set()
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            if keys[i] != keys[j]:
+                continue
+            d = _lev_reference(texts[i][:title], texts[j][:title])
+            if d <= maxlev:
+                out.add((i, j, d))
+    return out
+
+
+def test_fuzzy_pairs_matches_bruteforce(ray_session):
+    from core_ray.queries import doc_title_fuzzy_pairs
+
+    rng = np.random.default_rng(13)
+    base = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    texts = []
+    for i in range(60):
+        t = list(base)
+        # 0-5 random single-char edits: some pairs verify, some fail
+        for _ in range(int(rng.integers(0, 6))):
+            t[int(rng.integers(0, len(t)))] = chr(97 + int(rng.integers(0, 26)))
+        texts.append("".join(t))
+    # a far block that can never match the first
+    texts += ["zzzz " + base for _ in range(3)]
+    n_chars = [len(t) for t in texts]
+    d = _write(
+        {
+            "documents": {
+                "doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "n_chars": pa.array(n_chars, pa.int64()),
+            }
+        }
+    )
+    got = doc_title_fuzzy_pairs(d).to_pandas()
+    gotset = {
+        (int(r.doc_id_a), int(r.doc_id_b), int(r.lev))
+        for _, r in got.iterrows()
+    }
+    assert gotset == _fuzzy_reference(texts, n_chars)
+
+
+def test_fuzzy_pairs_all_identical_titles(ray_session):
+    from core_ray.queries import doc_title_fuzzy_pairs
+
+    texts = ["same title words everywhere forever and ever amen"] * 7
+    d = _write(
+        {
+            "documents": {
+                "doc_id": pa.array(np.arange(7), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        }
+    )
+    got = doc_title_fuzzy_pairs(d).to_pandas()
+    assert len(got) == 7 * 6 // 2
+    assert (got.lev == 0).all()
