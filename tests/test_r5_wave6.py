@@ -188,3 +188,68 @@ def test_fuzzy_pairs_all_identical_titles(ray_session):
     got = doc_title_fuzzy_pairs(d).to_pandas()
     assert len(got) == 7 * 6 // 2
     assert (got.lev == 0).all()
+
+
+# ------------------------------------------------- held-out bigram LM
+
+
+def _bppl_reference(texts, ids):
+    import math
+
+    train = [t.split(" ") for t, i in zip(texts, ids) if i % 2 == 0]
+    test = [(i, t.split(" ")) for t, i in zip(texts, ids) if i % 2 == 1]
+    vocab = {w for p in train for w in p}
+    v = len(vocab) + 1
+    c2: dict = {}
+    c1: dict = {}
+    for p in train:
+        for a, b in zip(p[:-1], p[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+            c1[a] = c1.get(a, 0) + 1
+    out = []
+    for did, p in test:
+        if len(p) < 2:
+            continue
+        s = 0
+        for a, b in zip(p[:-1], p[1:]):
+            a2 = a if a in vocab else "\x00"
+            b2 = b if b in vocab else "\x00"
+            prob = (c2.get((a2, b2), 0) + 1) / (c1.get(a2, 0) + v)
+            s += int(np.float64(-math.log2(prob) * 1000000.0).round())
+        out.append((did, len(p) - 1, s, s / (len(p) - 1)))
+    return out
+
+
+def test_bigram_ppl_matches_reference_both_regimes(ray_session):
+    from core_ray.queries import doc_bigram_ppl
+
+    rng = np.random.default_rng(17)
+    vocab = ["the", "cat", "sat", "mat", "dog", "ran", "far", "zeta"]
+    texts = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(1, 30))))
+        for _ in range(40)
+    ]
+    # guarantee unseen-token (UNK) coverage in the test half
+    texts[1] = "the cat UNSEENWORD sat"
+    texts[3] = "ONLYUNSEEN TOKENS HERE"
+    d = _write(
+        {
+            "documents": {
+                "doc_id": pa.array(np.arange(40), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        }
+    )
+    exp = sorted(_bppl_reference(texts, list(range(40))))
+    for bmax in (2_000_000, 0):  # broadcast regime, then distributed
+        got = (
+            doc_bigram_ppl(d, broadcast_max=bmax)
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        gotr = [
+            (int(r.doc_id), int(r.n_bigrams), int(r.sum_micro), float(r.mean_bits))
+            for _, r in got.iterrows()
+        ]
+        assert [g[:3] for g in gotr] == [e[:3] for e in exp], bmax
+        assert np.allclose([g[3] for g in gotr], [e[3] for e in exp])
