@@ -246,6 +246,11 @@ BENCH_QUERIES = [
     "events_kmv_overlap",
     "doc_bpe_apply",
     "emb_pq_recall",
+    # round-5 wave-6 additions
+    "doc_chunk_windows",
+    "doc_title_fuzzy_pairs",
+    "doc_bigram_ppl",
+    "events_kcore",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

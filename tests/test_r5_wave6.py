@@ -253,3 +253,67 @@ def test_bigram_ppl_matches_reference_both_regimes(ray_session):
         ]
         assert [g[:3] for g in gotr] == [e[:3] for e in exp], bmax
         assert np.allclose([g[3] for g in gotr], [e[3] for e in exp])
+
+
+# --------------------------------------------------------------- k-core
+
+
+def _kcore_reference(edges, k):
+    """Dict/loop peeling fixpoint (independent of the engine's numpy path)."""
+    edges = set(map(tuple, edges))
+    while True:
+        deg: dict = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        bad = {u for u, d in deg.items() if d < k}
+        if not bad:
+            return edges
+        edges = {(a, b) for a, b in edges if a not in bad and b not in bad}
+
+
+def test_kcore_peel_matches_reference(ray_session):
+    """Engine peeling vs the dict/loop reference on the contact graph the
+    engine itself derives — checked via an events fixture whose contact
+    pairs we recompute brute force."""
+    from core_ray.queries import (
+        _KCORE_KS,
+        _contact_coords,
+        _CONTACT_RADIUS_DEG,
+        _CONTACT_WINDOW_US,
+        events_kcore,
+    )
+
+    rng = np.random.default_rng(23)
+    n = 400
+    ev = np.arange(n, dtype=np.int64)
+    uid = rng.integers(0, 60, n).astype(np.int64)
+    us = rng.integers(0, 4 * 3600 * 1000000, n).astype(np.int64)
+    d = _write(
+        {
+            "events": {
+                "event_id": pa.array(ev, pa.int64()),
+                "ts": pa.array(us, pa.timestamp("us")),
+                "user_id": pa.array(uid, pa.int64()),
+            }
+        }
+    )
+    lat, lon = _contact_coords(ev, uid)
+    r2 = _CONTACT_RADIUS_DEG * _CONTACT_RADIUS_DEG
+    edges = set()
+    for i in range(n):
+        for j in range(i + 1, n):
+            if uid[i] == uid[j]:
+                continue
+            if abs(int(us[i]) - int(us[j])) > _CONTACT_WINDOW_US:
+                continue
+            if (lat[i] - lat[j]) ** 2 + (lon[i] - lon[j]) ** 2 > r2:
+                continue
+            edges.add((min(uid[i], uid[j]), max(uid[i], uid[j])))
+    got = events_kcore(d).to_pydict()
+    for i, k in enumerate(_KCORE_KS):
+        core = _kcore_reference(edges, k)
+        users = {u for e in core for u in e}
+        assert got["k"][i] == k
+        assert got["n_edges"][i] == len(core), k
+        assert got["n_users"][i] == len(users), k
