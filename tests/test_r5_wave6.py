@@ -317,3 +317,61 @@ def test_kcore_peel_matches_reference(ray_session):
         assert got["k"][i] == k
         assert got["n_edges"][i] == len(core), k
         assert got["n_users"][i] == len(users), k
+
+
+# ----------------------------------------------------- keyword extract
+
+
+def _keywords_reference(texts, k=3):
+    n = len(texts)
+    per = [t.split(" ") for t in texts]
+    df: dict = {}
+    for p in per:
+        for w in set(p):
+            df[w] = df.get(w, 0) + 1
+    rows = []
+    for did, p in enumerate(per):
+        tf: dict = {}
+        for w in p:
+            tf[w] = tf.get(w, 0) + 1
+        scored = sorted(
+            ((-(c * n) / df[w], w, c) for w, c in tf.items())
+        )[:k]
+        for r, (negw, w, c) in enumerate(scored, 1):
+            rows.append((did, r, w, c, df[w], -negw))
+    return rows
+
+
+def test_top_keywords_matches_reference_both_regimes(ray_session):
+    from core_ray.queries import doc_top_keywords
+
+    rng = np.random.default_rng(29)
+    vocab = ["common"] * 1 + ["mid", "rare", "unique", "apple", "zebra"]
+    texts = [
+        "common " * 3
+        + " ".join(rng.choice(vocab, size=int(rng.integers(1, 12))))
+        for _ in range(25)
+    ]
+    texts = [t.strip() for t in texts]
+    texts.append("solo")  # 1-token doc -> 1 keyword row
+    d = _write(
+        {
+            "documents": {
+                "doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        }
+    )
+    exp = _keywords_reference(texts)
+    for bmax in (2_000_000, 0):
+        got = (
+            doc_top_keywords(d, broadcast_max=bmax)
+            .to_pandas()
+            .sort_values(["doc_id", "rank"])
+        )
+        gotr = [
+            (int(r.doc_id), int(r["rank"]), r.token, int(r.tf), int(r.df),
+             float(r.weight))
+            for _, r in got.iterrows()
+        ]
+        assert gotr == exp, bmax
