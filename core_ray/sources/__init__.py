@@ -7,3 +7,4 @@ from core_ray.sources.base import (  # noqa: F401
     register_source,
 )
 from core_ray.sources import warc as _warc  # noqa: F401  (registers "warc")
+from core_ray.sources import jsonl as _jsonl  # noqa: F401  (registers "jsonl")
