@@ -252,6 +252,7 @@ BENCH_QUERIES = [
     "doc_bigram_ppl",
     "events_kcore",
     "doc_top_keywords",
+    "doc_fuzzy_clusters",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

@@ -375,3 +375,28 @@ def test_top_keywords_matches_reference_both_regimes(ray_session):
             for _, r in got.iterrows()
         ]
         assert gotr == exp, bmax
+
+
+def test_fuzzy_clusters_transitive_closure(ray_session):
+    """A~B and B~C (but A!~C directly) must land in ONE component."""
+    from core_ray.queries import doc_fuzzy_clusters
+
+    base = "abcdefgh " + "x" * 40  # one block (same prefix8 + length band)
+    texts = [
+        base,                      # doc 0
+        base[:9] + "y" + base[10:],   # doc 1: 1 edit from 0
+        base[:9] + "yz" + base[11:],  # doc 2: 2 edits from 0, 1 from 1
+        "qqqqqqqq " + "x" * 40,    # doc 3: different block
+    ]
+    d = _write(
+        {
+            "documents": {
+                "doc_id": pa.array(np.arange(4), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        }
+    )
+    got = doc_fuzzy_clusters(d).to_pandas().sort_values("node")
+    comp = dict(zip(got.node, got.comp))
+    assert comp == {0: 0, 1: 0, 2: 0}  # doc 3 unpaired -> absent
