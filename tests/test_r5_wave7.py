@@ -1,0 +1,187 @@
+"""Round-5 wave-7 operator units: OD flow reciprocity and the
+distributed closed-form OLS fit. The driver oracle checks both on the
+real tables; these tests verify the kernels against fully independent
+references (a dict/loop OD fold; np.linalg.lstsq) on synthetic
+throwaway-parquet inputs."""
+
+import os
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write(table_rows: dict[str, dict]) -> str:
+    d = tempfile.mkdtemp(prefix="core_ray_wave7_")
+    for name, rows in table_rows.items():
+        pq.write_table(pa.table(rows), os.path.join(d, f"{name}.parquet"))
+    return d
+
+
+# ---------------------------------------------------- OD reciprocity
+
+
+def _reciprocity_reference(uid, ts, eid):
+    """Loop/dict re-derivation of the city model + OD counts + the two
+    reciprocity statistics."""
+    by_user = {}
+    for u, t, e in zip(uid, ts, eid):
+        by_user.setdefault(u, []).append((t, e))
+    od = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        prev = None
+        for seq in range(len(evs)):
+            city = (u * 7 + (seq // 20) ** 2) % 12
+            if prev is not None and city != prev:
+                od[(prev, city)] = od.get((prev, city), 0) + 1
+            prev = city
+    n_dir = len(od)
+    n_recip = sum(1 for (a, b) in od if (b, a) in od)
+    total = sum(od.values())
+    recip_flow = sum(min(c, od.get((b, a), 0)) for (a, b), c in od.items())
+    return (
+        n_dir,
+        n_recip,
+        round(n_recip / n_dir, 6),
+        total,
+        round(recip_flow / total, 6),
+    )
+
+
+def test_od_reciprocity_matches_dict_reference(ray_session):
+    from core_ray.queries import events_od_reciprocity
+
+    rng = np.random.default_rng(11)
+    rows = []
+    # users chosen so the 12-city ring gives both reciprocated
+    # (user revisits an earlier city: ... 60+ events wrap city+3 steps)
+    # and one-way legs; jittered timestamps exercise the sort keys
+    for u in range(1, 9):
+        n_ev = int(rng.integers(45, 140))
+        t0 = 1_700_000_000_000_000 + u * 1000
+        for i in range(n_ev):
+            rows.append((u, t0 + i * 60_000_000 + int(rng.integers(0, 1000)),
+                         u * 10_000 + i))
+    uid = np.array([r[0] for r in rows], np.int64)
+    ts = np.array([r[1] for r in rows], np.int64)
+    eid = np.array([r[2] for r in rows], np.int64)
+    d = _write(
+        {
+            "events": {
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+            }
+        }
+    )
+    got = events_od_reciprocity(d).to_pylist()[0]
+    exp = _reciprocity_reference(uid.tolist(), ts.tolist(), eid.tolist())
+    assert got["n_dir_edges"] == exp[0]
+    assert got["n_recip_edges"] == exp[1]
+    assert abs(got["recip_edge"] - exp[2]) < 2e-6
+    assert got["total_flow"] == exp[3]
+    assert abs(got["flow_recip"] - exp[4]) < 2e-6
+    # structural sanity: the quadratic block hop (step 2b+1 mod 12)
+    # produces genuine two-way flow — the statistic is NOT degenerate
+    assert 0 < got["n_recip_edges"] <= got["n_dir_edges"]
+    assert 0.0 < got["flow_recip"] <= 1.0
+
+
+def test_od_reciprocity_single_leg(ray_session):
+    """A single user with exactly two blocks (one leg 0 -> 1) has ZERO
+    reciprocated edges and flow."""
+    from core_ray.queries import events_od_reciprocity
+
+    u = 12  # (12*7 + b*b) % 12 == b*b % 12: blocks 0,1 -> cities 0,1
+    n_ev = 40
+    d = _write(
+        {
+            "events": {
+                "event_id": pa.array(np.arange(n_ev), pa.int64()),
+                "user_id": pa.array(np.full(n_ev, u), pa.int64()),
+                "ts": pa.array(
+                    1_700_000_000_000_000 + np.arange(n_ev) * 1_000_000,
+                    pa.timestamp("us"),
+                ),
+            }
+        }
+    )
+    got = events_od_reciprocity(d).to_pylist()[0]
+    assert got["n_dir_edges"] == 1
+    assert got["n_recip_edges"] == 0
+    assert got["recip_edge"] == 0.0
+    assert got["total_flow"] == 1
+    assert got["flow_recip"] == 0.0
+
+
+# ------------------------------------------------------------- OLS fit
+
+
+def test_ols_fit_matches_lstsq(ray_session):
+    from core_ray.queries import doc_ols_fit
+
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(40)]
+    texts, y = [], []
+    for _ in range(400):
+        n = int(rng.integers(3, 120))
+        toks = rng.choice(vocab, size=n)
+        texts.append(" ".join(toks))
+        # y correlated with token count + noise, so R^2 is in (0, 1)
+        y.append(5 * n + len(set(toks)) * 2 + int(rng.integers(-40, 40)))
+    d = _write(
+        {
+            "documents": {
+                "doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "n_chars": pa.array(np.array(y, np.int64), pa.int64()),
+            }
+        }
+    )
+    got = doc_ols_fit(d).to_pylist()[0]
+
+    x1 = np.array([len(t.split(" ")) for t in texts], np.float64)
+    x2 = np.array([len(set(t.split(" "))) for t in texts], np.float64)
+    yv = np.array(y, np.float64)
+    X = np.column_stack([np.ones_like(x1), x1, x2])
+    beta, *_ = np.linalg.lstsq(X, yv, rcond=None)
+    resid = yv - X @ beta
+    r2 = 1.0 - (resid @ resid) / ((yv - yv.mean()) @ (yv - yv.mean()))
+
+    assert got["n_docs"] == len(texts)
+    assert abs(got["b0"] - beta[0]) < 1e-4
+    assert abs(got["b1"] - beta[1]) < 1e-4
+    assert abs(got["b2"] - beta[2]) < 1e-4
+    assert abs(got["r2"] - r2) < 1e-5
+    assert 0.0 < got["r2"] < 1.0
+
+
+def test_ols_fit_exact_plane_r2_one(ray_session):
+    """When y is EXACTLY b0 + b1*x1 + b2*x2 the fit must recover the
+    integer coefficients and R^2 == 1."""
+    from core_ray.queries import doc_ols_fit
+
+    rng = np.random.default_rng(5)
+    vocab = [f"t{i}" for i in range(30)]
+    texts, y = [], []
+    for _ in range(200):
+        n = int(rng.integers(2, 90))
+        toks = rng.choice(vocab, size=n)
+        texts.append(" ".join(toks))
+        y.append(7 + 3 * n + 11 * len(set(toks)))
+    d = _write(
+        {
+            "documents": {
+                "doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "n_chars": pa.array(np.array(y, np.int64), pa.int64()),
+            }
+        }
+    )
+    got = doc_ols_fit(d).to_pylist()[0]
+    assert abs(got["b0"] - 7.0) < 1e-6
+    assert abs(got["b1"] - 3.0) < 1e-6
+    assert abs(got["b2"] - 11.0) < 1e-6
+    assert got["r2"] == 1.0
