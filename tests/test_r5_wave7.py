@@ -185,3 +185,144 @@ def test_ols_fit_exact_plane_r2_one(ray_session):
     assert abs(got["b1"] - 3.0) < 1e-6
     assert abs(got["b2"] - 11.0) < 1e-6
     assert got["r2"] == 1.0
+
+
+# ----------------------------------------------------- cohort matrix
+
+
+def test_cohort_matrix_matches_dict_reference(ray_session):
+    from core_ray.queries import _WEEK_US, events_cohort_matrix
+
+    rng = np.random.default_rng(31)
+    uid, ts = [], []
+    for u in range(1, 40):
+        w0 = int(rng.integers(2900, 2904))
+        for k in range(int(rng.integers(1, 6))):
+            # user active in weeks w0, w0+?, with gaps
+            wk = w0 + int(rng.integers(0, 5)) if k else w0
+            uid.append(u)
+            ts.append(wk * _WEEK_US + int(rng.integers(0, _WEEK_US)))
+    d = _write(
+        {
+            "events": {
+                "event_id": pa.array(np.arange(len(uid)), pa.int64()),
+                "user_id": pa.array(np.array(uid, np.int64), pa.int64()),
+                "ts": pa.array(np.array(ts, np.int64), pa.timestamp("us")),
+            }
+        }
+    )
+    got = {
+        (r["cohort_week"], r["week_offset"]): (r["n_users"], r["retention"])
+        for r in events_cohort_matrix(d).to_pylist()
+    }
+    # independent dict reference
+    weeks = {}
+    for u, t in zip(uid, ts):
+        weeks.setdefault(u, set()).add(t // _WEEK_US)
+    cells = {}
+    for u, ws in weeks.items():
+        w0 = min(ws)
+        for w in ws:
+            cells[(w0, w - w0)] = cells.get((w0, w - w0), 0) + 1
+    assert set(got) == set(cells)
+    for key, n in cells.items():
+        assert got[key][0] == n
+        assert abs(got[key][1] - round(n / cells[(key[0], 0)], 6)) < 2e-6
+    # week-0 retention is 1.0 by construction
+    for (c, o), (n, r) in got.items():
+        if o == 0:
+            assert r == 1.0
+
+
+# ------------------------------------------------------- assoc rules
+
+
+def test_assoc_rules_matches_set_reference(ray_session):
+    from core_ray.queries import events_assoc_rules
+
+    rng = np.random.default_rng(17)
+    types = ["view", "click", "purchase", "share"]
+    uid, ts, et = [], [], []
+    day_us = 86_400_000_000
+    for u in range(1, 25):
+        for day in range(int(rng.integers(1, 5))):
+            for _ in range(int(rng.integers(1, 7))):
+                uid.append(u)
+                ts.append((20000 + day) * day_us + int(rng.integers(0, day_us)))
+                et.append(types[int(rng.integers(0, len(types)))])
+    d = _write(
+        {
+            "events": {
+                "event_id": pa.array(np.arange(len(uid)), pa.int64()),
+                "user_id": pa.array(np.array(uid, np.int64), pa.int64()),
+                "ts": pa.array(np.array(ts, np.int64), pa.timestamp("us")),
+                "event_type": pa.array(et, pa.string()),
+            }
+        }
+    )
+    got = {
+        (r["antecedent"], r["consequent"]): r
+        for r in events_assoc_rules(d).to_pylist()
+    }
+    # independent set-based reference
+    baskets = {}
+    for u, t, e in zip(uid, ts, et):
+        baskets.setdefault((u, t // day_us), set()).add(e)
+    N = len(baskets)
+    marg, joint = {}, {}
+    for items in baskets.values():
+        for a in items:
+            marg[a] = marg.get(a, 0) + 1
+        for a in items:
+            for b in items:
+                if a != b:
+                    joint[(a, b)] = joint.get((a, b), 0) + 1
+    assert set(got) == set(joint)
+    for (a, b), n in joint.items():
+        r = got[(a, b)]
+        assert r["n_ab"] == n
+        assert abs(r["support"] - round(n / N, 6)) < 2e-6
+        assert abs(r["confidence"] - round(n / marg[a], 6)) < 2e-6
+        assert abs(r["lift"] - round(n * N / (marg[a] * marg[b]), 6)) < 2e-6
+    # symmetry invariants: n_ab == n_ba, lift symmetric
+    for (a, b), r in got.items():
+        assert r["n_ab"] == got[(b, a)]["n_ab"]
+        assert abs(r["lift"] - got[(b, a)]["lift"]) < 2e-6
+
+
+# ---------------------------------------------------- vocab coverage
+
+
+def test_vocab_coverage_matches_counter_reference(ray_session):
+    from collections import Counter
+
+    from core_ray.queries import doc_vocab_coverage
+
+    rng = np.random.default_rng(41)
+    # a Zipf-ish vocab with deliberate count TIES around the k=10
+    # boundary to exercise the (n desc, token asc) tie-break
+    texts = []
+    for i in range(300):
+        toks = ["common"] * 5 + [f"mid{i % 12}"] * 2 + [f"rare{i}"]
+        rng.shuffle(toks)
+        texts.append(" ".join(toks))
+    d = _write(
+        {
+            "documents": {
+                "doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        }
+    )
+    got = {r["k"]: r for r in doc_vocab_coverage(d).to_pylist()}
+    c = Counter(w for t in texts for w in t.split())
+    ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(c.values())
+    for k in (10, 100, 1000, 10000):
+        top = sum(n for _, n in ranked[:k])
+        r = got[k]
+        assert r["top_mass"] == top
+        assert r["total_mass"] == total
+        assert r["n_vocab"] == len(c)
+        assert abs(r["coverage"] - round(top / total, 6)) < 2e-6
+    assert got[10000]["coverage"] == 1.0  # vocab smaller than 10k
