@@ -326,3 +326,44 @@ def test_vocab_coverage_matches_counter_reference(ray_session):
         assert r["n_vocab"] == len(c)
         assert abs(r["coverage"] - round(top / total, 6)) < 2e-6
     assert got[10000]["coverage"] == 1.0  # vocab smaller than 10k
+
+
+# -------------------------------------------- temperature sampling mix
+
+
+def test_sampling_temperature_matches_reference(ray_session):
+    from core_ray.queries import doc_sampling_temperature
+
+    # skewed mix: one head language, two tails
+    counts = {"en": 700, "de": 250, "ko": 50}
+    texts, langs = [], []
+    for lg, n in counts.items():
+        for i in range(n):
+            texts.append(f"doc {lg} {i}")
+            langs.append(lg)
+    d = _write(
+        {
+            "documents": {
+                "doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(langs, pa.string()),
+            }
+        }
+    )
+    got = {r["lang"]: r for r in doc_sampling_temperature(d).to_pylist()}
+    total = sum(counts.values())
+    pw = {lg: (n / total) ** 0.3 for lg, n in counts.items()}
+    z = sum(pw.values())
+    for lg, n in counts.items():
+        r = got[lg]
+        share = n / total
+        w = pw[lg] / z
+        assert r["n_docs"] == n
+        assert abs(r["raw_share"] - round(share, 6)) < 2e-6
+        assert abs(r["weight"] - round(w, 6)) < 2e-6
+        assert abs(r["boost"] - round(w / share, 6)) < 2e-6
+        assert abs(r["per_million"] - round(w * 1e6)) <= 1
+    # temperature flattening: weights sum to 1, the tail language is
+    # boosted above its raw share and the head language is damped
+    assert abs(sum(r["weight"] for r in got.values()) - 1.0) < 1e-5
+    assert got["ko"]["boost"] > 1.0 > got["en"]["boost"]
