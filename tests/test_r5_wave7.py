@@ -367,3 +367,48 @@ def test_sampling_temperature_matches_reference(ray_session):
     # boosted above its raw share and the head language is damped
     assert abs(sum(r["weight"] for r in got.values()) - 1.0) < 1e-5
     assert got["ko"]["boost"] > 1.0 > got["en"]["boost"]
+
+
+# -------------------------------------------------------- Lorenz curve
+
+
+def test_lorenz_curve_matches_sort_reference(ray_session):
+    from core_ray.queries import events_lorenz_curve
+
+    rng = np.random.default_rng(53)
+    # heavy ties: counts drawn from a tiny support so decile cuts land
+    # INSIDE tie runs (the case NTILE would make nondeterministic)
+    uid = []
+    for u in range(1, 74):
+        uid.extend([u] * int(rng.choice([1, 1, 1, 2, 2, 5, 30])))
+    uid = np.array(uid, np.int64)
+    d = _write(
+        {
+            "events": {
+                "event_id": pa.array(np.arange(len(uid)), pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "ts": pa.array(
+                    1_700_000_000_000_000 + np.arange(len(uid)) * 1_000_000,
+                    pa.timestamp("us"),
+                ),
+            }
+        }
+    )
+    got = {r["decile"]: r for r in events_lorenz_curve(d).to_pylist()}
+    # independent reference: explicit sort of per-user counts
+    _, counts = np.unique(uid, return_counts=True)
+    counts = np.sort(counts)
+    n, s = len(counts), counts.sum()
+    cum = np.concatenate([[0], np.cumsum(counts)])
+    for k in range(1, 11):
+        j = k * n // 10
+        r = got[k]
+        assert r["cum_users"] == j
+        assert r["cum_events"] == cum[j]
+        assert abs(r["cum_user_share"] - round(j / n, 6)) < 2e-6
+        assert abs(r["cum_event_share"] - round(cum[j] / s, 6)) < 2e-6
+    # Lorenz invariants: convex, ends at (1, 1), below the diagonal
+    assert got[10]["cum_event_share"] == 1.0
+    shares = [got[k]["cum_event_share"] for k in range(1, 11)]
+    assert all(b >= a for a, b in zip(shares, shares[1:]))
+    assert got[5]["cum_event_share"] <= got[5]["cum_user_share"] + 1e-9
