@@ -253,6 +253,13 @@ BENCH_QUERIES = [
     "events_kcore",
     "doc_top_keywords",
     "doc_fuzzy_clusters",
+    "events_od_reciprocity",
+    "doc_ols_fit",
+    "events_cohort_matrix",
+    "events_assoc_rules",
+    "doc_vocab_coverage",
+    "doc_sampling_temperature",
+    "events_lorenz_curve",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost
