@@ -412,3 +412,63 @@ def test_lorenz_curve_matches_sort_reference(ray_session):
     shares = [got[k]["cum_event_share"] for k in range(1, 11)]
     assert all(b >= a for a, b in zip(shares, shares[1:]))
     assert got[5]["cum_event_share"] <= got[5]["cum_user_share"] + 1e-9
+
+
+# ------------------------------------------------ seasonal decompose
+
+
+def test_seasonal_decompose_matches_loop_reference(ray_session):
+    from core_ray.queries import events_seasonal_decompose
+
+    rng = np.random.default_rng(61)
+    hour_us = 3_600_000_000
+    # planted diurnal + weekly pattern with noise and GAP hours
+    ts = []
+    h0 = 490_000  # epoch hour
+    for h in range(h0, h0 + 24 * 21):  # three weeks
+        hod, dow = h % 24, (h // 24 + 4) % 7
+        lam = 3 + (2 if 8 <= hod <= 18 else 0) + (3 if dow < 5 else 0)
+        n = int(rng.poisson(lam))
+        if rng.random() < 0.1:
+            n = 0  # explicit gap hours (implicit zeros in the series)
+        for i in range(n):
+            ts.append(h * hour_us + i * 1000)
+    d = _write(
+        {
+            "events": {
+                "event_id": pa.array(np.arange(len(ts)), pa.int64()),
+                "user_id": pa.array(np.ones(len(ts), np.int64), pa.int64()),
+                "ts": pa.array(np.array(ts, np.int64), pa.timestamp("us")),
+            }
+        }
+    )
+    rows = events_seasonal_decompose(d).to_pylist()
+    got = {(r["component"], r["idx"]): r["effect"] for r in rows}
+    # independent loop reference over the dense series
+    hs = np.array(ts, np.int64) // hour_us
+    lo, hi = hs.min(), hs.max()
+    series = np.zeros(hi - lo + 1)
+    for h in hs:
+        series[h - lo] += 1
+    hours = np.arange(lo, hi + 1)
+    hod, dow = hours % 24, (hours // 24 + 4) % 7
+    mu = series.mean()
+    a = {k: series[hod == k].mean() - mu for k in range(24)}
+    b = {k: series[dow == k].mean() - mu for k in range(7)}
+    for k in range(24):
+        assert abs(got[("hour", k)] - round(a[k], 6)) < 2e-6
+    for k in range(7):
+        assert abs(got[("dow", k)] - round(b[k], 6)) < 2e-6
+    fit = series - (mu + np.array([a[x] for x in hod])
+                    + np.array([b[x] for x in dow]))
+    r2 = 1 - (fit**2).sum() / ((series - mu) ** 2).sum()
+    assert abs(got[("fit", 0)] - round(r2, 6)) < 2e-6
+    # the planted pattern must be detected in aggregate: business hours
+    # above night hours, weekdays above weekend, non-trivial fit
+    biz = np.mean([got[("hour", k)] for k in range(8, 19)])
+    night = np.mean([got[("hour", k)] for k in list(range(8)) + [19, 23]])
+    assert biz > night
+    wkday = np.mean([got[("dow", k)] for k in range(5)])
+    wkend = np.mean([got[("dow", k)] for k in (5, 6)])
+    assert wkday > wkend
+    assert got[("fit", 0)] > 0.2
