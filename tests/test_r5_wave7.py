@@ -472,3 +472,53 @@ def test_seasonal_decompose_matches_loop_reference(ray_session):
     wkend = np.mean([got[("dow", k)] for k in (5, 6)])
     assert wkday > wkend
     assert got[("fit", 0)] > 0.2
+
+
+# --------------------------------------------------- source cosine
+
+
+def test_source_cosine_matches_dense_reference(ray_session):
+    from collections import Counter
+
+    from core_ray.queries import doc_source_cosine
+
+    rng = np.random.default_rng(71)
+    vocab = [f"w{i}" for i in range(50)]
+    srcs = ["alpha", "beta", "gamma"]
+    texts, source = [], []
+    for s_i, s in enumerate(srcs):
+        for _ in range(60):
+            # source-specific vocab slice + shared head -> cosines in (0,1)
+            lo = s_i * 15
+            toks = list(rng.choice(vocab[lo:lo + 25], size=20)) + ["shared"]
+            texts.append(" ".join(toks))
+            source.append(s)
+    d = _write(
+        {
+            "documents": {
+                "doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "source": pa.array(source, pa.string()),
+            }
+        }
+    )
+    got = {
+        (r["source_a"], r["source_b"]): r
+        for r in doc_source_cosine(d).to_pylist()
+    }
+    # dense numpy reference: explicit count vectors per source
+    cnt = {s: Counter() for s in srcs}
+    for s, t in zip(source, texts):
+        cnt[s].update(t.split())
+    allw = sorted(set(w for c in cnt.values() for w in c))
+    vec = {s: np.array([cnt[s][w] for w in allw], np.float64) for s in srcs}
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            lo, hi = sorted([a, b])
+            r = got[(lo, hi)]
+            dot = float(vec[lo] @ vec[hi])
+            cos = dot / (np.linalg.norm(vec[lo]) * np.linalg.norm(vec[hi]))
+            assert r["dot"] == int(dot)
+            assert abs(r["cosine"] - round(cos, 6)) < 2e-6
+            assert 0.0 < r["cosine"] < 1.0
+    assert len(got) == 3
