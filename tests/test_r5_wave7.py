@@ -522,3 +522,50 @@ def test_source_cosine_matches_dense_reference(ray_session):
             assert abs(r["cosine"] - round(cos, 6)) < 2e-6
             assert 0.0 < r["cosine"] < 1.0
     assert len(got) == 3
+
+
+# ------------------------------------------------------------ AR fit
+
+
+def test_ar_fit_matches_lstsq(ray_session):
+    from core_ray.queries import events_ar_fit
+
+    rng = np.random.default_rng(83)
+    hour_us = 3_600_000_000
+    h0 = 480_000
+    # AR-ish series: diurnal base + noise, with gap hours
+    ts = []
+    counts = []
+    for h in range(h0, h0 + 24 * 14):
+        lam = 4 + 3 * np.sin(2 * np.pi * (h % 24) / 24)
+        n = int(rng.poisson(max(lam, 0.1)))
+        counts.append(n)
+        for i in range(n):
+            ts.append(h * hour_us + i * 1000)
+    d = _write(
+        {
+            "events": {
+                "event_id": pa.array(np.arange(len(ts)), pa.int64()),
+                "user_id": pa.array(np.ones(len(ts), np.int64), pa.int64()),
+                "ts": pa.array(np.array(ts, np.int64), pa.timestamp("us")),
+            }
+        }
+    )
+    got = events_ar_fit(d).to_pylist()[0]
+    # independent lstsq reference on the dense series
+    s = np.array(counts, np.float64)
+    # leading/trailing zero-count hours shrink the observed span
+    nz = np.nonzero(s)[0]
+    s = s[nz[0]:nz[-1] + 1]
+    y, x1, x2 = s[24:], s[23:-1], s[:-24]
+    X = np.column_stack([np.ones_like(x1), x1, x2])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    resid = y - X @ beta
+    r2 = 1 - (resid @ resid) / ((y - y.mean()) @ (y - y.mean()))
+    assert got["n_hours"] == len(y)
+    assert abs(got["b0"] - beta[0]) < 1e-4
+    assert abs(got["b1"] - beta[1]) < 1e-4
+    assert abs(got["b24"] - beta[2]) < 1e-4
+    assert abs(got["r2"] - r2) < 1e-5
+    # the planted diurnal memory must show: lag-24 coefficient positive
+    assert got["b24"] > 0
