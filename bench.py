@@ -260,6 +260,9 @@ BENCH_QUERIES = [
     "doc_vocab_coverage",
     "doc_sampling_temperature",
     "events_lorenz_curve",
+    "events_seasonal_decompose",
+    "doc_source_cosine",
+    "events_ar_fit",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

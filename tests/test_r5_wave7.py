@@ -569,3 +569,103 @@ def test_ar_fit_matches_lstsq(ray_session):
     assert abs(got["r2"] - r2) < 1e-5
     # the planted diurnal memory must show: lag-24 coefficient positive
     assert got["b24"] > 0
+
+
+# ------------------------------------------------------- edge cases
+
+
+def test_assoc_rules_all_singleton_baskets(ray_session):
+    """Every user-day carries exactly ONE event type: no pairs exist and
+    the result is empty (the m^2 expansion's empty-keep path)."""
+    from core_ray.queries import events_assoc_rules
+
+    day_us = 86_400_000_000
+    uid = np.arange(1, 31, dtype=np.int64)
+    d = _write(
+        {
+            "events": {
+                "event_id": pa.array(np.arange(30), pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "ts": pa.array(
+                    (20000 + uid % 3) * day_us, pa.timestamp("us")
+                ),
+                "event_type": pa.array(["view"] * 30, pa.string()),
+            }
+        }
+    )
+    t = events_assoc_rules(d)
+    assert t.num_rows == 0
+    assert t.column_names == [
+        "antecedent", "consequent", "n_ab", "support", "confidence", "lift",
+    ]
+
+
+def test_cohort_matrix_single_week_users(ray_session):
+    """Users active in exactly one week: only offset-0 cells, all
+    retention 1.0."""
+    from core_ray.queries import _WEEK_US, events_cohort_matrix
+
+    uid = np.arange(1, 21, dtype=np.int64)
+    d = _write(
+        {
+            "events": {
+                "event_id": pa.array(np.arange(20), pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "ts": pa.array(
+                    (2900 + uid % 2) * _WEEK_US, pa.timestamp("us")
+                ),
+            }
+        }
+    )
+    rows = events_cohort_matrix(d).to_pylist()
+    assert {r["week_offset"] for r in rows} == {0}
+    assert all(r["retention"] == 1.0 for r in rows)
+    assert sum(r["n_users"] for r in rows) == 20
+
+
+def test_source_cosine_disjoint_vocabularies(ray_session):
+    """Two sources with NO shared token: the pair row is OMITTED on both
+    sides (sparse contract — the Ray partial accumulator keeps only
+    nonzero dots, and the SQL pairs CTE's inner join on token produces no
+    row either), while a pair sharing one token appears with the exact
+    tiny dot."""
+    from core_ray.queries import doc_source_cosine
+
+    d = _write(
+        {
+            "documents": {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(
+                    ["aa bb cc", "dd ee ff", "aa zz"], pa.string()
+                ),
+                "source": pa.array(["s1", "s2", "s3"], pa.string()),
+            }
+        }
+    )
+    rows = {
+        (r["source_a"], r["source_b"]): r
+        for r in doc_source_cosine(d).to_pylist()
+    }
+    assert ("s1", "s2") not in rows  # disjoint -> omitted
+    assert ("s2", "s3") not in rows
+    r = rows[("s1", "s3")]  # shares exactly 'aa' (count 1 each)
+    assert r["dot"] == 1
+    assert abs(r["cosine"] - round(1 / (np.sqrt(3) * np.sqrt(2)), 6)) < 2e-6
+
+
+def test_vocab_coverage_single_token_corpus(ray_session):
+    """One distinct token: coverage 1.0 at every k, n_vocab == 1."""
+    from core_ray.queries import doc_vocab_coverage
+
+    d = _write(
+        {
+            "documents": {
+                "doc_id": pa.array(np.arange(5), pa.int64()),
+                "text": pa.array(["same same same"] * 5, pa.string()),
+            }
+        }
+    )
+    rows = doc_vocab_coverage(d).to_pylist()
+    assert all(r["coverage"] == 1.0 for r in rows)
+    assert all(r["n_vocab"] == 1 for r in rows)
+    assert all(r["total_mass"] == 15 for r in rows)
