@@ -102,3 +102,68 @@ def test_snapshot_diff_single_class_corpora(ray_session):
     )
     got2 = doc_snapshot_diff(d2).take_all()
     assert {r["change"] for r in got2} == {"deleted"}
+
+
+# ---------------------------------------------- allpairs jaccard join
+
+
+def _jaccard_bruteforce(ids, texts, tau):
+    sets = {i: set(t.split(" ")) for i, t in zip(ids, texts)}
+    out = {}
+    ks = sorted(sets)
+    for x in range(len(ks)):
+        for y in range(x + 1, len(ks)):
+            a, b = sets[ks[x]], sets[ks[y]]
+            i = len(a & b)
+            j = i / (len(a) + len(b) - i)
+            if j >= tau:
+                out[(ks[x], ks[y])] = round(j, 6)
+    return out
+
+
+def test_allpairs_jaccard_matches_bruteforce(ray_session):
+    """Random small-vocab sets (the prefix filter's adversarial regime:
+    hot inverted lists + near-identical sizes) against the O(n^2)
+    reference — exercises prefix generation, the length filter, pair
+    dedup across multiple shared prefix tokens, and verify."""
+    from core_ray.queries import doc_allpairs_jaccard
+
+    rng = np.random.default_rng(97)
+    vocab = np.array(["w%02d" % i for i in range(18)])
+    n = 120
+    ids = np.arange(n, dtype=np.int64)
+    texts = []
+    base = sorted(rng.choice(vocab, size=12, replace=False).tolist())
+    for i in range(n):
+        if i % 3 == 0:
+            # near-clone of the base set: drop/add one token
+            s = set(base)
+            if i % 6 == 0 and len(s) > 2:
+                s.discard(sorted(s)[i // 6 % len(s)])
+            else:
+                s.add("w%02d" % (i % 18))
+            texts.append(" ".join(sorted(s)))
+        else:
+            k = int(rng.integers(4, 14))
+            texts.append(" ".join(sorted(rng.choice(vocab, size=k, replace=False).tolist())))
+    d = _write(
+        {
+            "documents": {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        }
+    )
+    for tau in (0.7, 0.95):
+        got = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in doc_allpairs_jaccard(d, tau=tau).take_all()
+        }
+        want = _jaccard_bruteforce(ids.tolist(), texts, tau)
+        assert set(got) == set(want), (
+            f"tau={tau}: missing={set(want)-set(got)} extra={set(got)-set(want)}"
+        )
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-9
+    # sanity: the clone family actually produced matches
+    assert len(want) > 0
