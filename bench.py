@@ -266,6 +266,8 @@ BENCH_QUERIES = [
     # round-5 wave-8 additions
     "doc_snapshot_diff",
     "doc_allpairs_jaccard",
+    # round-5 wave-9 additions
+    "events_bloom_semijoin",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

@@ -268,8 +268,76 @@ def filter_not_in(ds, drop_ds, on: str, broadcast_max: int = 2_000_000,
     )
 
 
+def bloom_of_ds(keep_ds, on: str, n_keys: int, bits_per_key: int = 16, k: int = 8):
+    """Distributed Bloom-filter build over ``keep_ds[on]`` (int-like keys).
+
+    The driver never sees the keys: each batch pre-ORs its probe bits into
+    sparse (word_idx, word) partials, one hash partition OR-folds per
+    word_idx, and the driver collects at most m/64 word rows — traffic is
+    bounded by the BLOOM SIZE (m bits, sized from ``n_keys``), not the key
+    count. That is the point of the structure at 10^12 keys: a key set far
+    too big to broadcast compresses to a few-hundred-MB bit array that CAN
+    be ``ray.put`` once and probed per batch. Returns a populated
+    ``BloomFilter`` (no false negatives; fp ~4e-4 at 16 bits/key, k=8)."""
+    from core_ray.collect import collect_table
+    from core_ray.stages.agg import map_groups_partitioned
+    from core_ray.stages.dedup import BloomFilter
+
+    bloom = BloomFilter(n_keys, bits_per_key=bits_per_key, k=k)
+    m, kk = bloom.m, bloom.k
+
+    def sparse_words(b: pa.Table) -> pa.Table:
+        proto = BloomFilter(1, k=kk)
+        proto.m = m  # positions depend only on (m, k); words array unused
+        keys = b[on].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pos = proto._positions(keys).reshape(-1)
+        widx = pos >> np.uint64(6)
+        bit = np.uint64(1) << (pos & np.uint64(63))
+        order = np.argsort(widx, kind="stable")
+        widx, bit = widx[order], bit[order]
+        new = np.ones(len(widx), dtype=bool)
+        if len(widx):
+            new[1:] = widx[1:] != widx[:-1]
+        starts = np.nonzero(new)[0]
+        words = np.bitwise_or.reduceat(bit, starts) if len(starts) else bit[:0]
+        return pa.table(
+            {
+                "word_idx": pa.array(widx[starts], pa.uint64()),
+                "word": pa.array(words, pa.uint64()),
+            }
+        )
+
+    def or_fold(g: pa.Table) -> pa.Table:
+        widx = g["word_idx"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        w = g["word"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.argsort(widx, kind="stable")
+        widx, w = widx[order], w[order]
+        new = np.ones(len(widx), dtype=bool)
+        if len(widx):
+            new[1:] = widx[1:] != widx[:-1]
+        starts = np.nonzero(new)[0]
+        folded = np.bitwise_or.reduceat(w, starts) if len(starts) else w[:0]
+        return pa.table(
+            {
+                "word_idx": pa.array(widx[starts], pa.uint64()),
+                "word": pa.array(folded, pa.uint64()),
+            }
+        )
+
+    partials = keep_ds.map_batches(
+        sparse_words, batch_format="pyarrow", batch_size=131072
+    )
+    t = collect_table(map_groups_partitioned(partials, "word_idx", or_fold))
+    if t.num_rows:
+        bloom.words[
+            t["word_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ] = t["word"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    return bloom
+
+
 def filter_semi(ds, keep_ds, on: str, broadcast_max: int = 2_000_000,
-                n_keep: int | None = None, ds_schema=None):
+                n_keep: int | None = None, ds_schema=None,
+                bloom_prefilter: bool = False):
     """Semi-membership filter: keep from ``ds`` only rows whose ``on`` value
     appears in ``keep_ds[on]`` — the SEMI sibling of filter_not_in, with the
     same contract (keep ids GLOBALLY UNIQUE — a duplicated id on the join
@@ -283,6 +351,16 @@ def filter_semi(ds, keep_ds, on: str, broadcast_max: int = 2_000_000,
       distributed left hash_join against (on, __keep=1) marker rows + a
       not-null filter. The DBSCAN core set is O(corpus) on dense data — it
       lands here instead of OOMing the driver.
+
+    ``bloom_prefilter=True`` (distributed regime only): a Bloom filter over
+    the keep ids is built distributedly (``bloom_of_ds`` — driver traffic
+    bounded by the bloom's bit-array size, never O(n_keep)), broadcast once,
+    and probed per batch BEFORE the shuffle, so only bloom-hits (true
+    members + ~4e-4 false positives) pay the all-to-all; the exact hash
+    join then removes the false positives. Output-identical to the
+    un-bloomed path (no false negatives) — equivalence unit in
+    tests/test_join.py. This is the standard 100-TB trick when ``ds`` is
+    mostly non-members: the shuffled volume drops to ~the match size.
     """
     import ray
 
@@ -314,6 +392,17 @@ def filter_semi(ds, keep_ds, on: str, broadcast_max: int = 2_000_000,
 
     lsch = ds_schema if ds_schema is not None else ds.schema()
     key_type = dict(zip(lsch.names, lsch.types))[on]
+    if bloom_prefilter:
+        bloom = bloom_of_ds(keep_ds, on, n_keep)
+        bref = ray.put(bloom)
+
+        def bloom_probe(b: pa.Table, bref=bref) -> pa.Table:
+            bl = ray.get(bref) if isinstance(bref, ray.ObjectRef) else bref
+            keys = b[on].to_numpy(zero_copy_only=False).astype(np.uint64)
+            return b.filter(pa.array(bl.contains(keys)))
+
+        ds = ds.map_batches(bloom_probe, batch_format="pyarrow",
+                            batch_size=65536)
     marker = keep_ds.map_batches(
         lambda b: pa.table(
             {

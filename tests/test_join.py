@@ -379,3 +379,37 @@ def test_semi_and_not_in_partition(ray_session):
         ray.data.from_arrow(t), ray.data.from_arrow(keep), on="doc_id"))
     assert ins.num_rows + outs.num_rows == t.num_rows
     assert not (set(ins["doc_id"].to_pylist()) & set(outs["doc_id"].to_pylist()))
+
+
+def test_filter_semi_bloom_prefilter_equivalent(ray_session):
+    """bloom_prefilter=True must be output-identical to the plain
+    distributed semi path (no false negatives by Bloom construction; the
+    exact join removes the false positives)."""
+    import ray
+
+    from core_ray.stages.join import filter_semi
+
+    t, keep = _fni_fixture(seed=11)
+    plain = filter_semi(ray.data.from_arrow(t), ray.data.from_arrow(keep),
+                        on="doc_id", broadcast_max=0)
+    bloomed = filter_semi(ray.data.from_arrow(t), ray.data.from_arrow(keep),
+                          on="doc_id", broadcast_max=0, bloom_prefilter=True)
+    assert _norm(collect_sorted(plain)) == _norm(collect_sorted(bloomed))
+
+
+def test_bloom_of_ds_no_false_negatives_and_prunes(ray_session):
+    """Distributed Bloom build: every member hits; a mostly-non-member
+    probe population is pruned hard (the 100-TB shuffle-volume win)."""
+    import numpy as np
+    import ray
+
+    from core_ray.stages.join import bloom_of_ds
+
+    keys = np.arange(0, 5000, 5, dtype=np.int64)  # 1000 members
+    keep = pa.table({"k": pa.array(keys, pa.int64())})
+    bloom = bloom_of_ds(ray.data.from_arrow(keep).repartition(4), "k",
+                        n_keys=len(keys))
+    assert bloom.contains(keys.astype(np.uint64)).all()
+    probes = np.arange(100_000, 200_000, dtype=np.uint64)  # all non-members
+    fp = int(bloom.contains(probes).sum())
+    assert fp < 100  # ~4e-4 expected; generous ceiling
