@@ -268,6 +268,7 @@ BENCH_QUERIES = [
     "doc_allpairs_jaccard",
     # round-5 wave-9 additions
     "events_bloom_semijoin",
+    "events_ddsketch_eval",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

@@ -61,3 +61,58 @@ def test_bloom_semijoin_no_purchasers(ray_session):
         }
     )
     assert events_bloom_semijoin(d).num_rows == 0
+
+
+# ---------------------------------------------------- ddsketch eval
+
+
+def test_ddsketch_eval_matches_loop_reference(ray_session):
+    """Independent pure-Python (math.log loops) re-derivation of both the
+    sketch estimate and the exact order statistic."""
+    import math
+
+    from core_ray.queries import events_ddsketch_eval
+
+    rng = np.random.default_rng(17)
+    vals = np.round(rng.lognormal(3.0, 1.0, size=4000) + 0.01, 2)
+    types = rng.choice(["a", "b"], size=len(vals))
+    d = _write(
+        {
+            "events": {
+                "event_type": pa.array(types, pa.string()),
+                "value": pa.array(vals, pa.float64()),
+            }
+        }
+    )
+    g = (1 + 0.01) / (1 - 0.01)
+
+    def ref(tvals, q):
+        sv = sorted(tvals)
+        n = len(sv)
+        exact = sv[math.ceil(q * (n - 1))]
+        bins = {}
+        for v in tvals:
+            b = math.ceil(math.log(v) / math.log(g))
+            bins[b] = bins.get(b, 0) + 1
+        cum = 0
+        for b in sorted(bins):
+            cum += bins[b]
+            if cum >= q * (n - 1) + 1:
+                est = 2 * g**b / (g + 1)
+                break
+        return est, exact
+
+    t = events_ddsketch_eval(d)
+    got = {
+        (r["event_type"], r["q"]): (r["est"], r["exact"], r["rel_err"])
+        for r in t.to_pylist()
+    }
+    for ty in ("a", "b"):
+        tv = vals[types == ty].tolist()
+        for q in (0.5, 0.9, 0.99):
+            est, exact = ref(tv, q)
+            ge, gx, gr = got[(ty, q)]
+            assert gx == exact
+            assert abs(ge - est) < 1e-6
+            # published guarantee: relative error <= alpha (0.01)
+            assert gr <= 0.0101
