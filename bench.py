@@ -269,6 +269,7 @@ BENCH_QUERIES = [
     # round-5 wave-9 additions
     "events_bloom_semijoin",
     "events_ddsketch_eval",
+    "emb_sign_recall",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

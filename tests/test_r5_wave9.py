@@ -116,3 +116,48 @@ def test_ddsketch_eval_matches_loop_reference(ray_session):
             assert abs(ge - est) < 1e-6
             # published guarantee: relative error <= alpha (0.01)
             assert gr <= 0.0101
+
+
+# ---------------------------------------------------- sign-hamming recall
+
+
+def test_sign_recall_matches_loop_reference(ray_session):
+    """Pure-Python re-derivation with a dim NOT divisible by 64 (exercises
+    the packbits padding path) — exact dot ranking vs sign-bit Hamming."""
+    from core_ray.queries import emb_sign_recall
+
+    rng = np.random.default_rng(29)
+    n, dim = 300, 10
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    ids = np.arange(n, dtype=np.int64)
+    d = _write(
+        {
+            "embeddings": {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    [v.tolist() for v in vecs], pa.list_(pa.float32())
+                ),
+            }
+        }
+    )
+
+    def topk(scored, k=10):
+        # scored: list of (key, vid); ascending key, vid tie-break
+        return {v for _, v in sorted(scored)[:k]}
+
+    want = {}
+    x = vecs.astype(np.float64)
+    for qi in range(0, n, 100):
+        ex, hd = [], []
+        for ci in range(n):
+            if ci == qi:
+                continue
+            ex.append((-float(x[qi] @ x[ci]), ci))
+            hd.append((int(((x[qi] > 0) != (x[ci] > 0)).sum()), ci))
+        ov = len(topk(ex) & topk(hd))
+        want[qi] = (ov, round(ov / 10.0, 6))
+    t = emb_sign_recall(d)
+    got = {
+        r["query_id"]: (r["n_overlap"], r["recall"]) for r in t.to_pylist()
+    }
+    assert got == want
