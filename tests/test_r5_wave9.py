@@ -161,3 +161,69 @@ def test_sign_recall_matches_loop_reference(ray_session):
         r["query_id"]: (r["n_overlap"], r["recall"]) for r in t.to_pylist()
     }
     assert got == want
+
+
+# ---------------------------------------------------- DSIR weights
+
+
+def test_dsir_weights_matches_loop_reference(ray_session):
+    """Pure dict/loop DSIR re-derivation (Laplace-smoothed bucket log
+    ratios, micro-integer dot) on a synthetic bilingual corpus."""
+    import math
+
+    from core_ray.queries import doc_dsir_weights
+
+    texts = [
+        "the quick brown fox jumps",
+        "el zorro marrón rápido salta",
+        "a b c d e f longword",
+        "the the the compression target text",
+        "東京 café данные mixed tokens",
+    ]
+    langs = ["en", "es", "en", "en", "fr"]
+    ids = list(range(len(texts)))
+    d = _write(
+        {
+            "documents": {
+                "doc_id": pa.array(ids, pa.int64()),
+                "lang": pa.array(langs, pa.string()),
+                "text": pa.array(texts, pa.string()),
+            }
+        }
+    )
+
+    def bucket(w):
+        return (ord(w[0]) % 4) * 16 + (min(len(w), 16) - 1)
+
+    cr, ct = {}, {}
+    for t, lg in zip(texts, langs):
+        for w in t.split(" "):
+            if not w:
+                continue
+            b = bucket(w)
+            cr[b] = cr.get(b, 0) + 1
+            if lg == "en":
+                ct[b] = ct.get(b, 0) + 1
+    tr, tt = sum(cr.values()), sum(ct.values())
+    dm = {
+        b: round(
+            (
+                math.log((ct.get(b, 0) + 1) / (tt + 64.0))
+                - math.log((cr[b] + 1) / (tr + 64.0))
+            )
+            * 1e6
+        )
+        for b in cr
+    }
+    want = {}
+    for i, t in enumerate(texts):
+        toks = [w for w in t.split(" ") if w]
+        want[i] = (len(toks), sum(dm[bucket(w)] for w in toks))
+    out = doc_dsir_weights(d).take_all()
+    got = {r["doc_id"]: (r["n_tokens"], r["logw_micro"]) for r in out}
+    assert got == want
+    for r in out:
+        assert abs(r["log_w"] - r["logw_micro"] / 1e6) < 1e-12
+    # the all-en doc must score higher than the all-es doc (weights
+    # actually separate target-like from non-target-like text)
+    assert got[3][1] > got[1][1]
