@@ -271,6 +271,7 @@ BENCH_QUERIES = [
     "events_ddsketch_eval",
     "emb_sign_recall",
     "doc_dsir_weights",
+    "doc_url_canonical_dedup",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

@@ -227,3 +227,63 @@ def test_dsir_weights_matches_loop_reference(ray_session):
     # the all-en doc must score higher than the all-es doc (weights
     # actually separate target-like from non-target-like text)
     assert got[3][1] > got[1][1]
+
+
+# ---------------------------------------------------- URL canonical dedup
+
+
+def test_url_canonical_dedup_matches_loop_reference(ray_session):
+    """Pure-Python urllib-free re-derivation of the construction + the
+    canonicalization chain; every variant class must actually collapse."""
+    import re
+
+    from core_ray.queries import doc_url_canonical_dedup
+
+    n = 140
+    ids = list(range(n))
+    d = _write({"documents": {"doc_id": pa.array(ids, pa.int64())}})
+
+    def raw(i):
+        return (
+            ("http://" if i % 2 == 0 else "https://")
+            + ("WWW." if i % 3 == 0 else "")
+            + ("SITE" if i % 5 == 0 else "site")
+            + str(i // 7)
+            + ".Example.COM/p/"
+            + str(i // 7)
+            + ("/" if i % 4 == 0 else "")
+            + ("?utm_source=feed&utm_campaign=x" if i % 6 == 0 else "")
+            + ("#sec2" if i % 5 == 1 else "")
+        )
+
+    def canon(u):
+        c = u.lower()
+        for pat, rep in (
+            ("^https?://", ""),
+            (r"^www\.", ""),
+            ("#.*$", ""),
+            (r"\?utm_[^#]*$", ""),
+            ("/$", ""),
+        ):
+            c = re.sub(pat, rep, c)
+        return c
+
+    groups = {}
+    for i in ids:
+        groups.setdefault(canon(raw(i)), []).append(i)
+    want = {
+        c: (len(g), len({raw(i) for i in g}), min(g))
+        for c, g in groups.items()
+    }
+    t = doc_url_canonical_dedup(d)
+    got = {
+        r["canon_url"]: (r["n_docs"], r["n_variants"], r["keep_id"])
+        for r in t.to_pylist()
+    }
+    assert got == want
+    # the collapse is real: 7 docs per group, multiple raw variants
+    assert max(v[0] for v in got.values()) == 7
+    assert max(v[1] for v in got.values()) > 1
+    # canonical urls carry no scheme/www/utm/fragment residue
+    for c in got:
+        assert not re.search(r"^https?://|^www\.|utm_|#|/$", c)
