@@ -287,3 +287,60 @@ def test_url_canonical_dedup_matches_loop_reference(ray_session):
     # canonical urls carry no scheme/www/utm/fragment residue
     for c in got:
         assert not re.search(r"^https?://|^www\.|utm_|#|/$", c)
+
+
+# ---------------------------------------------------- span dedup rewrite
+
+
+def test_span_dedup_rewrite_matches_loop_reference(ray_session):
+    """Set/loop re-derivation: dup 8-grams (>=2 distinct docs), window
+    coverage via a position set — overlapping windows count tokens once."""
+    from core_ray.queries import doc_span_dedup_rewrite
+
+    boiler = "one two three four five six seven eight"
+    texts = [
+        boiler + " alpha beta gamma",            # shares the 8-gram block
+        boiler + " delta epsilon",                # with doc 0
+        "unique words only here nothing shared at all nine ten",
+        "short doc",                              # < 8 tokens: no grams
+        boiler + " " + boiler,                    # overlap inside one doc
+    ]
+    ids = list(range(len(texts)))
+    d = _write(
+        {
+            "documents": {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        }
+    )
+
+    def grams_of(t):
+        w = t.split(" ")
+        return [
+            (" ".join(w[i : i + 8]), i) for i in range(len(w) - 7)
+        ]
+
+    by_gram = {}
+    for i, t in enumerate(texts):
+        for g, _ in grams_of(t):
+            by_gram.setdefault(g, set()).add(i)
+    dup = {g for g, s in by_gram.items() if len(s) >= 2}
+    want = {}
+    for i, t in enumerate(texts):
+        w = t.split(" ")
+        covered = set()
+        for g, s in grams_of(t):
+            if g in dup:
+                covered.update(range(s, s + 8))
+        want[i] = (len(w), len(covered))
+    out = doc_span_dedup_rewrite(d).take_all()
+    got = {r["doc_id"]: (r["n_tokens"], r["n_removed"]) for r in out}
+    assert got == want
+    for r in out:
+        assert r["keep_frac"] == round(
+            (r["n_tokens"] - r["n_removed"]) / r["n_tokens"], 6
+        )
+    # the shared block is removed from both sharers; the unique doc is whole
+    assert got[0][1] >= 8 and got[1][1] >= 8
+    assert got[2][1] == 0 and got[3][1] == 0
