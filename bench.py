@@ -273,6 +273,7 @@ BENCH_QUERIES = [
     "doc_dsir_weights",
     "doc_url_canonical_dedup",
     "doc_span_dedup_rewrite",
+    "doc_pack_blocks",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

@@ -344,3 +344,76 @@ def test_span_dedup_rewrite_matches_loop_reference(ray_session):
     # the shared block is removed from both sharers; the unique doc is whole
     assert got[0][1] >= 8 and got[1][1] >= 8
     assert got[2][1] == 0 and got[3][1] == 0
+
+
+# ---------------------------------------------------- sequence packing
+
+
+def test_pack_blocks_matches_loop_reference(ray_session):
+    """Running-offset loop reference (single scan range at default
+    _PACK_R; the multi-range base-offset path is exercised separately
+    below with a shrunken range size)."""
+    from core_ray.queries import doc_pack_blocks
+
+    rng = np.random.default_rng(7)
+    n = 600
+    texts = [
+        " ".join(["w"] * int(k)) for k in rng.integers(1, 900, size=n)
+    ]
+    ids = np.arange(n, dtype=np.int64)
+    d = _write(
+        {
+            "documents": {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        }
+    )
+    off = 0
+    want = {}
+    for i, t in enumerate(texts):
+        k = len(t.split(" "))
+        want[i] = (k, off, off // 256, (off + k - 1) // 256)
+        off += k
+    out = doc_pack_blocks(d).take_all()
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["start_off"], r["first_block"],
+                      r["last_block"])
+        for r in out
+    }
+    assert got == want
+    # packing invariants: offsets are gap-free and blocks monotone
+    rows = sorted(out, key=lambda r: r["doc_id"])
+    for a, b in zip(rows, rows[1:]):
+        assert b["start_off"] == a["start_off"] + a["n_tokens"]
+        assert b["first_block"] >= a["first_block"]
+        assert a["n_blocks"] == a["last_block"] - a["first_block"] + 1
+
+
+def test_pack_blocks_multi_range_scan(ray_session, monkeypatch):
+    """Shrinks the scan-range size so the two-level distributed prefix
+    sum actually crosses range boundaries (the base-offset broadcast and
+    per-range local cumsum must compose to the global scan)."""
+    import core_ray.queries as Q
+
+    monkeypatch.setattr(Q, "_PACK_R", 37)
+    n = 500
+    texts = [" ".join(["t"] * ((i * 13) % 50 + 1)) for i in range(n)]
+    ids = np.arange(n, dtype=np.int64)
+    d = _write(
+        {
+            "documents": {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        }
+    )
+    off = 0
+    want = {}
+    for i, t in enumerate(texts):
+        k = len(t.split(" "))
+        want[i] = (off, (off + k - 1) // 256)
+        off += k
+    out = Q.doc_pack_blocks(d).take_all()
+    got = {r["doc_id"]: (r["start_off"], r["last_block"]) for r in out}
+    assert got == want
