@@ -417,3 +417,81 @@ def test_pack_blocks_multi_range_scan(ray_session, monkeypatch):
     out = Q.doc_pack_blocks(d).take_all()
     got = {r["doc_id"]: (r["start_off"], r["last_block"]) for r in out}
     assert got == want
+
+
+# ---------------------------------------------------- triangle counting
+
+
+def test_triangles_matches_bruteforce(ray_session):
+    """Brute-force contact edges (same coords/window spec) + itertools
+    triangle enumeration on a small synthetic events table."""
+    from itertools import combinations
+
+    import core_ray.queries as Q
+    from core_ray.queries import events_triangles
+
+    n = 120
+    eids = np.arange(n, dtype=np.int64)
+    uids = (eids * 7) % 40  # 40 users, repeat visits
+    us = 1_735_732_800_000_000 + eids * 600_000_000  # 10 min apart
+    d = _write(
+        {
+            "events": {
+                "event_id": pa.array(eids, pa.int64()),
+                "user_id": pa.array(uids, pa.int64()),
+                "ts": pa.array(us, pa.timestamp("us")),
+            }
+        }
+    )
+    lat, lon = Q._contact_coords(eids, uids)
+    edges = set()
+    for i in range(n):
+        for j in range(i + 1, n):
+            if uids[i] == uids[j]:
+                continue
+            if (lat[i] - lat[j]) ** 2 + (lon[i] - lon[j]) ** 2 > \
+               Q._CONTACT_RADIUS_DEG ** 2:
+                continue
+            if abs(int(us[i]) - int(us[j])) > Q._CONTACT_WINDOW_US:
+                continue
+            edges.add((min(uids[i], uids[j]), max(uids[i], uids[j])))
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = sum(
+        1
+        for a, b, c in combinations(sorted(adj), 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    )
+    wedges = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+    r = events_triangles(d).to_pylist()[0]
+    assert r["n_edges"] == len(edges)
+    assert r["n_wedges"] == wedges
+    assert r["n_triangles"] == tri
+    assert tri > 0  # non-vacuous fixture
+    assert r["gcc"] == round(3.0 * tri / wedges, 6)
+
+
+def test_triangles_closure_regimes_agree(ray_session):
+    """Broadcast edge-set closure and distributed union-shuffle closure
+    must be value-identical (the filter_semi two-regime contract)."""
+    from core_ray.queries import events_triangles
+
+    n = 80
+    eids = np.arange(n, dtype=np.int64)
+    uids = (eids * 7) % 40
+    us = 1_735_732_800_000_000 + eids * 600_000_000
+    d = _write(
+        {
+            "events": {
+                "event_id": pa.array(eids, pa.int64()),
+                "user_id": pa.array(uids, pa.int64()),
+                "ts": pa.array(us, pa.timestamp("us")),
+            }
+        }
+    )
+    a = events_triangles(d).to_pylist()
+    b = events_triangles(d, closure_broadcast_max=0).to_pylist()
+    assert a == b
+    assert a[0]["n_triangles"] > 0
