@@ -495,3 +495,55 @@ def test_triangles_closure_regimes_agree(ray_session):
     b = events_triangles(d, closure_broadcast_max=0).to_pylist()
     assert a == b
     assert a[0]["n_triangles"] > 0
+
+
+# ---------------------------------------------------- HLL eval
+
+
+def test_hll_eval_matches_loop_reference(ray_session):
+    """Pure-Python register loop (Flajolet estimator + small-range
+    correction) and the error bound ~1.04/sqrt(m)."""
+    import math
+
+    from core_ray.queries import events_hll_eval
+
+    rng = np.random.default_rng(3)
+    n = 20000
+    uids = rng.integers(0, 3000, size=n).astype(np.int64)
+    types = rng.choice(["a", "b"], size=n)
+    d = _write(
+        {
+            "events": {
+                "user_id": pa.array(uids, pa.int64()),
+                "event_type": pa.array(types, pa.string()),
+            }
+        }
+    )
+
+    def ref(us):
+        m = 256
+        regs = [0] * m
+        for u in us:
+            h = (u * 2654435761) % (1 << 32)
+            h = (h ^ (h >> 16)) % (1 << 32)
+            h = (h * 0x45D9F3B) % (1 << 32)
+            h = (h ^ (h >> 16)) % (1 << 32)
+            j = h % m
+            w = h // m
+            rank = 25 if w == 0 else 24 - math.floor(math.log2(w))
+            regs[j] = max(regs[j], rank)
+        z = sum(2.0 ** -r for r in regs)
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        e = alpha * m * m / z
+        v = regs.count(0)
+        if e <= 2.5 * m and v > 0:
+            e = m * math.log(m / v)
+        return e
+
+    out = {r["event_type"]: r for r in events_hll_eval(d).to_pylist()}
+    for ty in ("a", "b"):
+        us = sorted(set(uids[types == ty].tolist()))
+        assert out[ty]["exact_distinct"] == len(us)
+        assert abs(out[ty]["hll_estimate"] - ref(us)) < 1e-5
+        # 1.04/sqrt(256) = 6.5%; allow 4 sigma
+        assert out[ty]["rel_err"] < 0.26
