@@ -547,3 +547,47 @@ def test_hll_eval_matches_loop_reference(ray_session):
         assert abs(out[ty]["hll_estimate"] - ref(us)) < 1e-5
         # 1.04/sqrt(256) = 6.5%; allow 4 sigma
         assert out[ty]["rel_err"] < 0.26
+
+
+# ---------------------------------------------------- split assignment
+
+
+def test_split_assign_matches_loop_reference(ray_session):
+    from core_ray.queries import doc_split_assign
+
+    n = 2000
+    ids = np.arange(n, dtype=np.int64)
+    langs = np.asarray(["en", "de", "fr"])[ids % 3]
+    d = _write(
+        {
+            "documents": {
+                "doc_id": pa.array(ids, pa.int64()),
+                "lang": pa.array(langs, pa.string()),
+            }
+        }
+    )
+
+    def bucket(i):
+        h = (i * 2654435761) % (1 << 32)
+        h = (h ^ (h >> 16)) % (1 << 32)
+        h = (h * 0x45D9F3B) % (1 << 32)
+        h = (h ^ (h >> 16)) % (1 << 32)
+        return h % 100
+
+    want = {}
+    for i, lg in zip(ids.tolist(), langs.tolist()):
+        b = bucket(i)
+        s = "train" if b < 90 else ("val" if b < 95 else "test")
+        want[(lg, s)] = want.get((lg, s), 0) + 1
+    t = doc_split_assign(d)
+    got = {
+        (r["lang"], r["split"]): r["n_docs"] for r in t.to_pylist()
+    }
+    for k, v in want.items():
+        assert got[k] == v
+    # ratios roughly 90/5/5 and fractions sum to 1 per lang
+    for lg in ("en", "de", "fr"):
+        tot = sum(got[(lg, s)] for s in ("train", "val", "test"))
+        assert got[(lg, "train")] / tot > 0.8
+        fr = [r["frac_of_lang"] for r in t.to_pylist() if r["lang"] == lg]
+        assert abs(sum(fr) - 1.0) < 1e-5
