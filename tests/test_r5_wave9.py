@@ -591,3 +591,34 @@ def test_split_assign_matches_loop_reference(ray_session):
         assert got[(lg, "train")] / tot > 0.8
         fr = [r["frac_of_lang"] for r in t.to_pylist() if r["lang"] == lg]
         assert abs(sum(fr) - 1.0) < 1e-5
+
+
+# ---------------------------------------------------- global ranking
+
+
+def test_global_ranks_with_heavy_ties(ray_session):
+    """A value distribution dominated by one repeated value (all ties must
+    co-locate in one range partition and break by event_id) plus a spread
+    tail; reference is a plain python sort."""
+    from core_ray.queries import events_global_ranks
+
+    rng = np.random.default_rng(5)
+    n = 5000
+    vals = np.where(rng.random(n) < 0.6, 7.5, rng.random(n) * 100)
+    eids = rng.permutation(n).astype(np.int64)
+    d = _write(
+        {
+            "events": {
+                "event_id": pa.array(eids, pa.int64()),
+                "value": pa.array(vals, pa.float64()),
+            }
+        }
+    )
+    ref = {
+        e: i + 1
+        for i, (v, e) in enumerate(sorted(zip(vals.tolist(), eids.tolist())))
+    }
+    out = events_global_ranks(d).take_all()
+    assert len(out) == n
+    for r in out:
+        assert ref[r["event_id"]] == r["rnk"]
