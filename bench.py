@@ -278,6 +278,7 @@ BENCH_QUERIES = [
     "events_hll_eval",
     "doc_split_assign",
     "events_global_ranks",
+    "events_decayed_activity",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

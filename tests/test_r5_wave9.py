@@ -622,3 +622,40 @@ def test_global_ranks_with_heavy_ties(ray_session):
     assert len(out) == n
     for r in out:
         assert ref[r["event_id"]] == r["rnk"]
+
+
+# ---------------------------------------------------- decayed counters
+
+
+def test_decayed_activity_matches_loop_reference(ray_session):
+    import math
+
+    from core_ray.queries import events_decayed_activity
+
+    rng = np.random.default_rng(21)
+    n = 1200
+    uids = rng.integers(0, 30, size=n).astype(np.int64)
+    base = 1_735_732_800_000_000
+    us = base + rng.integers(0, 30 * 86400_000_000, size=n)
+    d = _write(
+        {
+            "events": {
+                "user_id": pa.array(uids, pa.int64()),
+                "ts": pa.array(us, pa.timestamp("us")),
+            }
+        }
+    )
+    T = int(us.max())
+    lam = math.log(2) / (7 * 86400 * 1_000_000)
+    want = {}
+    cnt = {}
+    for u, t in zip(uids.tolist(), us.tolist()):
+        m = round(math.exp(-lam * (T - t)) * 1e6)
+        want[u] = want.get(u, 0) + m
+        cnt[u] = cnt.get(u, 0) + 1
+    out = events_decayed_activity(d).to_pylist()
+    got = {r["user_id"]: (r["n_events"], r["decay_micro"]) for r in out}
+    assert got == {u: (cnt[u], want[u]) for u in want}
+    # mergeability sanity: score strictly below raw count, above 0
+    for r in out:
+        assert 0 < r["decay_score"] <= r["n_events"]
