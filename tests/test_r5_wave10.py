@@ -1,0 +1,181 @@
+"""Round-5 wave-10 operator units: winnowing fingerprint overlap
+(Schleimer/Wilkerson/Aiken MOSS). Each test verifies the engine against a
+fully independent pure-Python reference on synthetic throwaway parquet."""
+
+import hashlib
+import os
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+K, W, CAP, MIN_SHARED = 4, 5, 64, 2
+
+
+def _write(table_rows: dict[str, dict]) -> str:
+    d = tempfile.mkdtemp(prefix="core_ray_wave10_")
+    for name, rows in table_rows.items():
+        pq.write_table(pa.table(rows), os.path.join(d, f"{name}.parquet"))
+    return d
+
+
+def _round6(x: float) -> float:
+    # DuckDB ROUND: half away from zero (x is always positive here)
+    return np.floor(x * 1e6 + 0.5) / 1e6
+
+
+def _winnow_fps(text: str) -> set:
+    """Reference winnowing: loop/dict implementation, no numpy."""
+    toks = text.split(" ")
+    grams = [" ".join(toks[i:i + K]) for i in range(len(toks) - K + 1)]
+    hs = [
+        int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "little")
+        for g in grams
+    ]
+    sel = set()
+    for e in range(W - 1, len(hs)):
+        lo = e - W + 1
+        m = min(hs[lo:e + 1])
+        sel.add(max(i for i in range(lo, e + 1) if hs[i] == m))
+    return {hs[p] for p in sel}
+
+
+def _ref_pairs(ids, texts):
+    fps = {i: _winnow_fps(t) for i, t in zip(ids, texts)}
+    df: dict = {}
+    for i in ids:
+        for h in fps[i]:
+            df.setdefault(h, set()).add(i)
+    shared: dict = {}
+    for h, docs in df.items():
+        if not (2 <= len(docs) <= CAP):
+            continue
+        ds = sorted(docs)
+        for a in range(len(ds)):
+            for b in range(a + 1, len(ds)):
+                key = (ds[a], ds[b])
+                shared[key] = shared.get(key, 0) + 1
+    out = {}
+    for (a, b), s in shared.items():
+        if s < MIN_SHARED:
+            continue
+        na, nb = len(fps[a]), len(fps[b])
+        out[(a, b)] = (s, na, nb, _round6(s / (na + nb - s)))
+    return out, fps
+
+
+def _rng_doc(rng, vocab, n):
+    return " ".join(rng.choice(vocab, size=n))
+
+
+def _collect(res) -> pa.Table:
+    if isinstance(res, pa.Table):
+        return res
+    return pa.Table.from_pandas(res.to_pandas())
+
+
+def test_winnow_overlap_matches_bruteforce(ray_session):
+    from core_ray.queries import doc_winnow_overlap
+
+    rng = np.random.default_rng(77)
+    vocab = np.asarray([f"w{i}" for i in range(120)])
+    texts = [_rng_doc(rng, vocab, int(rng.integers(2, 60))) for _ in range(30)]
+    # plant shared spans long enough for the (w + k - 1)-token guarantee
+    span1 = _rng_doc(rng, vocab, 24)
+    span2 = _rng_doc(rng, vocab, 30)
+    texts[0] = texts[0] + " " + span1
+    texts[1] = span1 + " " + texts[1]
+    texts[2] = span2
+    texts[3] = texts[3] + " " + span2 + " " + texts[4]
+    ids = list(range(100, 100 + len(texts)))
+    d = _write(
+        {
+            "documents": {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        }
+    )
+    want, fps = _ref_pairs(ids, texts)
+    t = _collect(doc_winnow_overlap(d))
+    got = {
+        (lo, hi): (s, nl, nh, j)
+        for lo, hi, s, nl, nh, j in zip(
+            t["doc_lo"].to_pylist(), t["doc_hi"].to_pylist(),
+            t["shared"].to_pylist(), t["n_lo"].to_pylist(),
+            t["n_hi"].to_pylist(), t["jac"].to_pylist(),
+        )
+    }
+    assert got == want
+    # the planted 24/30-token spans guarantee >= 2 shared fingerprints
+    assert (100, 101) in got and (102, 103) in got
+
+
+def test_winnow_guarantee_long_shared_span(ray_session):
+    """Any shared token run of length >= w + k - 1 shares >= 1 fingerprint
+    (the paper's guarantee threshold t = w + k - 1 = 8 tokens here); the
+    reference must exhibit it for every planted pair."""
+    rng = np.random.default_rng(5)
+    vocab = np.asarray([f"t{i}" for i in range(400)])
+    for trial in range(20):
+        span = _rng_doc(rng, vocab, W + K - 1)
+        a = _rng_doc(rng, vocab, 20) + " " + span
+        b = span + " " + _rng_doc(rng, vocab, 20)
+        assert _winnow_fps(a) & _winnow_fps(b), trial
+
+
+def test_winnow_stop_fingerprint_cap(ray_session):
+    """> CAP identical docs: every shared fingerprint has df > CAP, so NO
+    pairs are emitted (boilerplate suppression) — plus two distinct docs
+    sharing a long span still pair up."""
+    from core_ray.queries import doc_winnow_overlap
+
+    rng = np.random.default_rng(9)
+    vocab = np.asarray([f"v{i}" for i in range(50)])
+    boiler = _rng_doc(rng, vocab, 40)
+    texts = [boiler] * (CAP + 1)
+    span = _rng_doc(rng, vocab, 30)
+    texts += [span + " " + _rng_doc(rng, vocab, 15),
+              _rng_doc(rng, vocab, 15) + " " + span]
+    ids = list(range(len(texts)))
+    d = _write(
+        {
+            "documents": {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        }
+    )
+    want, _ = _ref_pairs(ids, texts)
+    t = _collect(doc_winnow_overlap(d))
+    got = {
+        (lo, hi): (s, nl, nh, j)
+        for lo, hi, s, nl, nh, j in zip(
+            t["doc_lo"].to_pylist(), t["doc_hi"].to_pylist(),
+            t["shared"].to_pylist(), t["n_lo"].to_pylist(),
+            t["n_hi"].to_pylist(), t["jac"].to_pylist(),
+        )
+    }
+    assert got == want
+    boiler_ids = set(range(CAP + 1))
+    assert all(not ({lo, hi} <= boiler_ids) for lo, hi in got)
+    assert (CAP + 1, CAP + 2) in got
+
+
+def test_winnow_short_docs_no_fingerprints(ray_session):
+    """Docs with fewer than w + k - 1 tokens have no full window ->
+    contribute nothing; the query returns empty without error."""
+    from core_ray.queries import doc_winnow_overlap
+
+    texts = ["a b c", "a b c d e f g", ""]
+    d = _write(
+        {
+            "documents": {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        }
+    )
+    t = _collect(doc_winnow_overlap(d))
+    assert t.num_rows == 0
