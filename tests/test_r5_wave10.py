@@ -179,3 +179,101 @@ def test_winnow_short_docs_no_fingerprints(ray_session):
     )
     t = _collect(doc_winnow_overlap(d))
     assert t.num_rows == 0
+
+
+# ---------------------------------------------------- CUSUM burst alarms
+
+
+def _cusum_ref(ids, uss, eids):
+    """Reference: the LITERAL Page recursion (scaled-integer form),
+    sequential loop — proves the engine's reflected-walk closed form."""
+    by_user: dict = {}
+    for u, t, e in sorted(zip(ids, uss, eids), key=lambda r: (r[0], r[1], r[2])):
+        by_user.setdefault(u, []).append(t)
+    out = {}
+    for u, ts in by_user.items():
+        gaps = [b - a for a, b in zip(ts, ts[1:])]
+        m = len(gaps)
+        if m < 2:
+            continue
+        sg = sum(gaps)
+        thr = 6 * sg
+        s = 0
+        smax, n_alarms, first = 0, 0, None
+        for i, g in enumerate(gaps, start=1):
+            prev = s
+            s = max(0, s + (sg - 2 * m * g))
+            smax = max(smax, s)
+            if s > thr and prev <= thr:
+                n_alarms += 1
+                if first is None:
+                    first = i
+        ratio = (np.floor(smax / thr * 1e6 + 0.5) / 1e6) if thr > 0 else None
+        out[u] = (m, n_alarms, first, smax, ratio)
+    return out
+
+
+def test_cusum_alarm_matches_sequential_reference(ray_session):
+    from core_ray.queries import events_cusum_alarm
+
+    rng = np.random.default_rng(41)
+    rows = []
+    t0 = 1_700_000_000_000_000
+    for u in range(40):
+        n = int(rng.integers(1, 60))
+        t = t0
+        burst_at = int(rng.integers(0, max(n - 12, 1))) if u % 3 == 0 else -99
+        for i in range(n):
+            if burst_at <= i < burst_at + 12:
+                t += int(rng.integers(1, 50))          # contiguous burst
+            else:
+                t += int(rng.integers(50_000, 500_000))
+            rows.append((u, t, u * 1000 + i))
+    ids = [r[0] for r in rows]
+    uss = [r[1] for r in rows]
+    eids = [r[2] for r in rows]
+    d = _write(
+        {
+            "events": {
+                "event_id": pa.array(eids, pa.int64()),
+                "ts": pa.array(
+                    np.asarray(uss, np.int64), pa.timestamp("us")
+                ),
+                "user_id": pa.array(ids, pa.int64()),
+            }
+        }
+    )
+    want = _cusum_ref(ids, uss, eids)
+    t = _collect(events_cusum_alarm(d))
+    got = {
+        u: (m, na, fa, sm, pr)
+        for u, m, na, fa, sm, pr in zip(
+            t["user_id"].to_pylist(), t["n_gaps"].to_pylist(),
+            t["n_alarms"].to_pylist(), t["first_alarm"].to_pylist(),
+            t["s_max"].to_pylist(), t["peak_ratio"].to_pylist(),
+        )
+    }
+    assert got == want
+    assert any(v[1] > 0 for v in want.values())  # bursts actually alarmed
+
+
+def test_cusum_alarm_small_users_excluded(ray_session):
+    from core_ray.queries import events_cusum_alarm
+
+    t0 = 1_700_000_000_000_000
+    d = _write(
+        {
+            "events": {
+                "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "ts": pa.array(
+                    np.asarray([t0, t0 + 10, t0, t0, t0 + 5], np.int64),
+                    pa.timestamp("us"),
+                ),
+                # user 7: 2 events (1 gap) -> excluded; user 8: 3 events
+                "user_id": pa.array([7, 7, 8, 8, 8], pa.int64()),
+            }
+        }
+    )
+    t = _collect(events_cusum_alarm(d))
+    assert t["user_id"].to_pylist() == [8]
+    assert t["n_gaps"].to_pylist() == [2]
