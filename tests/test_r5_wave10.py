@@ -277,3 +277,107 @@ def test_cusum_alarm_small_users_excluded(ray_session):
     t = _collect(events_cusum_alarm(d))
     assert t["user_id"].to_pylist() == [8]
     assert t["n_gaps"].to_pylist() == [2]
+
+
+# ---------------------------------------------- Kneser-Ney bigram perplexity
+
+
+def _kn_ref(ids, texts):
+    """Independent interpolated-KN reference: dict/Counter/loop, no numpy."""
+    import collections
+    import math
+
+    train = [(i, t) for i, t in zip(ids, texts) if i % 2 == 0]
+    test = [(i, t) for i, t in zip(ids, texts) if i % 2 == 1]
+    c2: dict = collections.Counter()
+    vocab = set()
+    for _, t in train:
+        toks = t.split(" ")
+        vocab.update(toks)
+        for a, b in zip(toks, toks[1:]):
+            c2[(a, b)] += 1
+    c1: dict = collections.Counter()
+    n1f: dict = collections.Counter()
+    n1b: dict = collections.Counter()
+    for (a, b), c in c2.items():
+        c1[a] += c
+        n1f[a] += 1
+        n1b[b] += 1
+    B, V = len(c2), len(vocab) + 1
+    D = 0.75
+    out = {}
+    for i, t in test:
+        toks = t.split(" ")
+        if len(toks) < 2:
+            continue
+        s = 0
+        for a, b in zip(toks, toks[1:]):
+            pc = (n1b.get(b, 0) + 1) / float(B + V)
+            if c1.get(a, 0) > 0:
+                p = max(c2.get((a, b), 0) - D, 0.0) / c1[a] \
+                    + (D * n1f[a] / c1[a]) * pc
+            else:
+                p = pc
+            bits = -math.log2(p) * 1e6
+            s += int(np.floor(bits + 0.5)) if bits >= 0 else -int(
+                np.floor(-bits + 0.5))
+        nb = len(toks) - 1
+        out[i] = (nb, s, s / nb)
+    return out
+
+
+def _kn_got(t):
+    return {
+        i: (nb, sm, mb)
+        for i, nb, sm, mb in zip(
+            t["doc_id"].to_pylist(), t["n_bigrams"].to_pylist(),
+            t["sum_micro"].to_pylist(), t["mean_bits"].to_pylist(),
+        )
+    }
+
+
+def _kn_corpus():
+    rng = np.random.default_rng(303)
+    vocab = np.asarray([f"kw{i}" for i in range(60)])
+    texts = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(1, 40))))
+        for _ in range(50)
+    ]
+    ids = list(range(50))
+    return ids, texts
+
+
+def test_kn_ppl_matches_loop_reference(ray_session):
+    from core_ray.queries import doc_kn_ppl
+
+    ids, texts = _kn_corpus()
+    d = _write(
+        {
+            "documents": {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        }
+    )
+    want = _kn_ref(ids, texts)
+    got = _kn_got(_collect(doc_kn_ppl(d)))
+    assert got == want
+
+
+def test_kn_ppl_regimes_agree(ray_session):
+    """broadcast_max=0 forces the distributed three-join path; outputs
+    must equal the broadcast regime's bit-for-bit."""
+    from core_ray.queries import doc_kn_ppl
+
+    ids, texts = _kn_corpus()
+    d = _write(
+        {
+            "documents": {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        }
+    )
+    a = _kn_got(_collect(doc_kn_ppl(d)))
+    b = _kn_got(_collect(doc_kn_ppl(d, broadcast_max=0)))
+    assert a == b and len(a) > 0
