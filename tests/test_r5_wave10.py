@@ -381,3 +381,54 @@ def test_kn_ppl_regimes_agree(ray_session):
     a = _kn_got(_collect(doc_kn_ppl(d)))
     b = _kn_got(_collect(doc_kn_ppl(d, broadcast_max=0)))
     assert a == b and len(a) > 0
+
+
+# ------------------------------------------- Matryoshka prefix-dim recall
+
+
+def test_matryoshka_recall_matches_loop_reference(ray_session):
+    from core_ray.queries import emb_matryoshka_recall
+
+    rng = np.random.default_rng(17)
+    n, dim, pref, topk = 300, 64, 16, 10
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    ids = np.arange(0, n * 3, 3, dtype=np.int64)  # every 100th-multiple probe
+    d = _write(
+        {
+            "embeddings": {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    [v.tolist() for v in vecs], pa.list_(pa.float32())
+                ),
+            }
+        }
+    )
+    x = vecs.astype(np.float64)
+    want = {}
+    for qi in np.nonzero(ids % 100 == 0)[0]:
+        full = {}
+        pfx = {}
+        for ci in range(n):
+            if ci == qi:
+                continue
+            full[int(ids[ci])] = float(x[qi] @ x[ci])
+            pfx[int(ids[ci])] = float(x[qi][:pref] @ x[ci][:pref])
+        top_f = {v for v, _ in sorted(full.items(),
+                                      key=lambda kv: (-kv[1], kv[0]))[:topk]}
+        top_p = {v for v, _ in sorted(pfx.items(),
+                                      key=lambda kv: (-kv[1], kv[0]))[:topk]}
+        ov = len(top_f & top_p)
+        want[int(ids[qi])] = (ov, np.floor(ov / topk * 1e6 + 0.5) / 1e6)
+    t = _collect(emb_matryoshka_recall(d))
+    got = {
+        q: (n_, r)
+        for q, n_, r in zip(
+            t["query_id"].to_pylist(), t["n_overlap"].to_pylist(),
+            t["recall"].to_pylist(),
+        )
+    }
+    assert got == want
+    # prefix ranking must lose SOMETHING on random gaussians (sanity that
+    # the two rankings actually differ) yet keep most of the top-k
+    rs = [v[1] for v in want.values()]
+    assert min(rs) < 1.0 and max(rs) > 0.0
