@@ -807,3 +807,63 @@ def golden_pq_recall(tbl: pa.Table, m: int = 4, k: int = 16, iters: int = 5,
             "recall": pa.array(out_rec, pa.float64()),
         }
     )
+
+
+def golden_frechet_pairs(
+    event_ids, user_ids, ts_us, k: int = 16, max_users: int = 512
+) -> pa.Table:
+    """Pure-Python discrete Frechet distances (Eiter & Mannila 1994)
+    between every pair of same-home-city user trajectories: each user's
+    first ``k`` points in (ts, event_id) order on the INTEGER
+    milli-degree lattice of the seq-varying city spec (with k <= 20 the
+    truncated track never leaves its s=0 home city, so the constant
+    city/user offsets cancel in every coordinate DIFFERENCE and the
+    squared distances are exact int). Dict/loop DP — independently
+    validates the engine's pair-vectorized full-grid kernel."""
+    rows = sorted(zip(user_ids, ts_us, event_ids))
+    pts: dict = {}
+    for u, _t, e in rows:
+        tr = pts.setdefault(u, [])
+        if len(tr) < k:
+            city = (u * 7) % 12
+            x = ((city * 104729) % 340000) + ((u * 104729) % 2001) + ((e * 29) % 1001)
+            y = ((city * 11003) % 120000) + ((u * 7919) % 2001) + ((e * 13) % 1001)
+            tr.append((x, y))
+    by_city: dict = {}
+    for u in sorted(pts):
+        by_city.setdefault((u * 7) % 12, []).append(u)
+    out = []
+    for _c, us in sorted(by_city.items()):
+        us = us[:max_users]
+        for ai in range(len(us)):
+            for bi in range(ai + 1, len(us)):
+                a, b = pts[us[ai]], pts[us[bi]]
+                F: dict = {}
+                for i in range(len(a)):
+                    for j in range(len(b)):
+                        d = (a[i][0] - b[j][0]) ** 2 + (a[i][1] - b[j][1]) ** 2
+                        if i == 0 and j == 0:
+                            best = d
+                        elif i == 0:
+                            best = max(F[(0, j - 1)], d)
+                        elif j == 0:
+                            best = max(F[(i - 1, 0)], d)
+                        else:
+                            best = max(
+                                min(F[(i - 1, j)], F[(i, j - 1)], F[(i - 1, j - 1)]),
+                                d,
+                            )
+                        F[(i, j)] = best
+                out.append(
+                    (us[ai], us[bi], len(a), len(b), F[(len(a) - 1, len(b) - 1)])
+                )
+    out.sort()
+    return pa.table(
+        {
+            "user_lo": pa.array([r[0] for r in out], pa.int64()),
+            "user_hi": pa.array([r[1] for r in out], pa.int64()),
+            "n_lo": pa.array([r[2] for r in out], pa.int64()),
+            "n_hi": pa.array([r[3] for r in out], pa.int64()),
+            "frechet_sq": pa.array([r[4] for r in out], pa.int64()),
+        }
+    )

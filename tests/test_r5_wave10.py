@@ -432,3 +432,98 @@ def test_matryoshka_recall_matches_loop_reference(ray_session):
     # the two rankings actually differ) yet keep most of the top-k
     rs = [v[1] for v in want.values()]
     assert min(rs) < 1.0 and max(rs) > 0.0
+
+
+# ------------------------------------------------- discrete Frechet pairs
+
+
+def _frechet_ref_tracks(a, b):
+    """Dict DP over explicit integer point lists."""
+    F = {}
+    for i in range(len(a)):
+        for j in range(len(b)):
+            d = (a[i][0] - b[j][0]) ** 2 + (a[i][1] - b[j][1]) ** 2
+            if i == 0 and j == 0:
+                best = d
+            elif i == 0:
+                best = max(F[(0, j - 1)], d)
+            elif j == 0:
+                best = max(F[(i - 1, 0)], d)
+            else:
+                best = max(min(F[(i - 1, j)], F[(i, j - 1)], F[(i - 1, j - 1)]), d)
+            F[(i, j)] = best
+    return F[(len(a) - 1, len(b) - 1)]
+
+
+def _track_of(u, eids):
+    city = (u * 7) % 12
+    return [
+        (
+            ((city * 104729) % 340000) + ((u * 104729) % 2001) + ((e * 29) % 1001),
+            ((city * 11003) % 120000) + ((u * 7919) % 2001) + ((e * 13) % 1001),
+        )
+        for e in eids
+    ]
+
+
+def test_frechet_pairs_matches_dict_dp(ray_session):
+    from core_ray.queries import events_frechet_pairs
+
+    rng = np.random.default_rng(23)
+    rows = []
+    t0 = 1_700_000_000_000_000
+    eid = 0
+    # users spread over several home cities, variable track lengths 1..25
+    for u in range(30):
+        n = int(rng.integers(1, 26))
+        for i in range(n):
+            rows.append((u, t0 + i * 1000 + int(rng.integers(0, 500)), eid))
+            eid += 1
+    d = _write(
+        {
+            "events": {
+                "event_id": pa.array([r[2] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    np.asarray([r[1] for r in rows], np.int64), pa.timestamp("us")
+                ),
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            }
+        }
+    )
+    # reference: first 16 events per user in (ts, event_id) order
+    by_u: dict = {}
+    for u, t, e in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        if len(by_u.setdefault(u, [])) < 16:
+            by_u[u].append(e)
+    want = {}
+    by_city: dict = {}
+    for u in sorted(by_u):
+        by_city.setdefault((u * 7) % 12, []).append(u)
+    for _c, us in by_city.items():
+        for i in range(len(us)):
+            for j in range(i + 1, len(us)):
+                a = _track_of(us[i], by_u[us[i]])
+                b = _track_of(us[j], by_u[us[j]])
+                want[(us[i], us[j])] = (
+                    len(a), len(b), _frechet_ref_tracks(a, b))
+    t = _collect(events_frechet_pairs(d))
+    got = {
+        (lo, hi): (nl, nh, f)
+        for lo, hi, nl, nh, f in zip(
+            t["user_lo"].to_pylist(), t["user_hi"].to_pylist(),
+            t["n_lo"].to_pylist(), t["n_hi"].to_pylist(),
+            t["frechet_sq"].to_pylist(),
+        )
+    }
+    assert got == want and len(got) > 0
+
+
+def test_frechet_is_order_sensitive():
+    """Two tracks tracing the same points in opposite directions are
+    Hausdorff-identical (same point SETS) but Frechet-far — the property
+    that justifies the operator next to events_traj_hausdorff."""
+    pts = [(i * 100, 0) for i in range(10)]
+    fwd, rev = pts, pts[::-1]
+    assert _frechet_ref_tracks(fwd, fwd) == 0
+    # coupled walk must span the full diagonal at some step
+    assert _frechet_ref_tracks(fwd, rev) >= (900 // 2) ** 2
