@@ -222,3 +222,65 @@ def golden_media(ids) -> pa.Table:
             "thumb_crc": pa.array(out["thumb_crc"], pa.int64()),
         }
     )
+
+
+def golden_psnr(ids) -> pa.Table:
+    """Thumbnail round-trip PSNR golden: box-downscale to the 16-box
+    thumb, NEAREST-upscale back (floor source mapping y*th//h, x*tw//w),
+    exact integer SSE over all RGB samples, PSNR = 10*log10(255^2 * n /
+    sse) rounded to 6 dp (NULL when the round trip is lossless)."""
+    import math
+
+    out = {"doc_id": [], "sse": [], "n_px": [], "psnr_db": []}
+    for doc_id in ids:
+        w, h, rows = synth_pixels(int(doc_id))
+        _dw, _dh, drows = decode_bmp(encode_bmp(w, h, rows))
+        long_side = max(w, h)
+        tw = max(1, (w * 16) // long_side)
+        th = max(1, (h * 16) // long_side)
+        trows = []
+        for ty in range(th):
+            y0, y1 = ty * h // th, (ty + 1) * h // th
+            trow = []
+            for tx in range(tw):
+                x0, x1 = tx * w // tw, (tx + 1) * w // tw
+                area = (y1 - y0) * (x1 - x0)
+                sums = [0, 0, 0]
+                for y in range(y0, y1):
+                    for x in range(x0, x1):
+                        px = drows[y][x]
+                        sums[0] += px[0]
+                        sums[1] += px[1]
+                        sums[2] += px[2]
+                trow.append(tuple(s // area for s in sums))
+            trows.append(trow)
+        sse = 0
+        for y in range(h):
+            sy = (y * th) // h
+            for x in range(w):
+                sx = (x * tw) // w
+                a, b = drows[y][x], trows[sy][sx]
+                sse += (
+                    (a[0] - b[0]) ** 2 + (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2
+                )
+        n = w * h * 3
+        psnr = (
+            None
+            if sse == 0
+            else math.floor(
+                10.0 * math.log10(255.0 * 255.0 * n / sse) * 1e6 + 0.5
+            )
+            / 1e6
+        )
+        out["doc_id"].append(int(doc_id))
+        out["sse"].append(sse)
+        out["n_px"].append(n)
+        out["psnr_db"].append(psnr)
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "sse": pa.array(out["sse"], pa.int64()),
+            "n_px": pa.array(out["n_px"], pa.int64()),
+            "psnr_db": pa.array(out["psnr_db"], pa.float64()),
+        }
+    )

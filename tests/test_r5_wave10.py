@@ -527,3 +527,29 @@ def test_frechet_is_order_sensitive():
     assert _frechet_ref_tracks(fwd, fwd) == 0
     # coupled walk must span the full diagonal at some step
     assert _frechet_ref_tracks(fwd, rev) >= (900 // 2) ** 2
+
+
+# ---------------------------------------------------- media PSNR round-trip
+
+
+def test_media_psnr_matches_golden_including_lossless():
+    """Engine actor vs the independent loop golden, including doc_id 0-6
+    (16x16 images: the thumb round-trip is lossless -> sse 0, NULL psnr)."""
+    from core_ray.fixtures.media_golden import golden_psnr
+    from core_ray.media import encode_bmp, synth_image
+    from core_ray.queries import MediaPsnr
+
+    ids = list(range(12)) + [77, 200, 481]
+    blobs = [encode_bmp(synth_image(i)) for i in ids]
+    batch = pa.table(
+        {"doc_id": pa.array(ids, pa.int64()), "media": pa.array(blobs, pa.binary())}
+    )
+    got = MediaPsnr()(batch)
+    want = golden_psnr(ids)
+    assert got.equals(want)
+    # the 16x16 images really exercise the NULL branch
+    sse0 = [s for i, s in zip(ids, got["sse"].to_pylist()) if i < 7]
+    assert all(s == 0 for s in sse0)
+    assert all(p is None
+               for i, p in zip(ids, got["psnr_db"].to_pylist()) if i < 7)
+    assert any(p is not None for p in got["psnr_db"].to_pylist())
