@@ -279,6 +279,13 @@ BENCH_QUERIES = [
     "doc_split_assign",
     "events_global_ranks",
     "events_decayed_activity",
+    # round-5 wave-10 additions
+    "doc_winnow_overlap",
+    "events_cusum_alarm",
+    "doc_kn_ppl",
+    "emb_matryoshka_recall",
+    "events_frechet_pairs",
+    "media_psnr",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost
