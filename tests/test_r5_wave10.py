@@ -553,3 +553,57 @@ def test_media_psnr_matches_golden_including_lossless():
     assert all(p is None
                for i, p in zip(ids, got["psnr_db"].to_pylist()) if i < 7)
     assert any(p is not None for p in got["psnr_db"].to_pylist())
+
+
+# ------------------------------------------------------ AMS F2 sketch eval
+
+
+def test_ams_f2_eval_matches_loop_reference(ray_session):
+    from core_ray.queries import _KMV_MULT, events_ams_f2_eval
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    users = rng.zipf(1.5, size=n).astype(np.int64) % 500  # skewed repeats
+    types = rng.choice(["click", "view"], size=n)
+    d = _write(
+        {
+            "events": {
+                "user_id": pa.array(users, pa.int64()),
+                "event_type": pa.array(types, pa.string()),
+            }
+        }
+    )
+
+    def sign(u, r):
+        h = (u * _KMV_MULT + (r + 1) * 40503) % (1 << 32)
+        h ^= h >> 16
+        h = (h * 0x45D9F3B) % (1 << 32)
+        h ^= h >> 16
+        return 1 if h & 1 else -1
+
+    want = {}
+    for ty in ("click", "view"):
+        us = [int(u) for u, t in zip(users, types) if t == ty]
+        import collections
+
+        cnt = collections.Counter(us)
+        f2 = sum(c * c for c in cnt.values())
+        num = 0
+        for r in range(64):
+            s = sum(sign(u, r) for u in us)
+            num += s * s
+        rel = np.floor(((num / 64.0 - f2) / f2) * 1e6 + 0.5) / 1e6 \
+            if (num / 64.0 - f2) >= 0 else \
+            -np.floor((-(num / 64.0 - f2) / f2) * 1e6 + 0.5) / 1e6
+        want[ty] = (f2, num, rel)
+    t = events_ams_f2_eval(d)
+    got = {
+        ty: (f2, num, rel)
+        for ty, f2, num, rel in zip(
+            t["event_type"].to_pylist(), t["f2_exact"].to_pylist(),
+            t["est_num"].to_pylist(), t["rel_err"].to_pylist(),
+        )
+    }
+    assert got == want
+    # the estimator should land within ~50% of truth at 64 rows on this size
+    assert all(abs(v[2]) < 0.5 for v in want.values())
