@@ -607,3 +607,37 @@ def test_ams_f2_eval_matches_loop_reference(ray_session):
     assert got == want
     # the estimator should land within ~50% of truth at 64 rows on this size
     assert all(abs(v[2]) < 0.5 for v in want.values())
+
+
+# --------------------------------------------- space-filling-curve locality
+
+
+def test_hilbert_is_valid_curve_and_beats_morton(ray_session):
+    """The vectorized Hilbert transform enumerates every cell exactly once
+    with all consecutive indexes 4-adjacent (the defining property), and on
+    a dense grid its horizontal-neighbor mean |delta| beats Morton's."""
+    from core_ray.queries import _hilbert_d_np, geo_curve_locality
+
+    p = 4
+    n = 1 << p
+    xs, ys = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    d = _hilbert_d_np(xs.ravel(), ys.ravel(), p)
+    assert sorted(d.tolist()) == list(range(n * n))
+    pos = {int(dd): (int(x), int(y)) for dd, x, y in zip(d, xs.ravel(), ys.ravel())}
+    for k in range(n * n - 1):
+        a, b = pos[k], pos[k + 1]
+        assert abs(a[0] - b[0]) + abs(a[1] - b[1]) == 1
+
+    # dense synthetic corpus -> both curves measured over many pairs; the
+    # trade runs OPPOSITE ways: Morton wins the neighbor-index-delta mean,
+    # Hilbert wins the curve-step spatial-jump mean (the range-scan metric)
+    d_dir = _write(
+        {"documents": {"doc_id": pa.array(list(range(4000)), pa.int64())}}
+    )
+    t = _collect(geo_curve_locality(d_dir))
+    by = {c: (np_, m, j) for c, np_, m, j in zip(
+        t["curve"].to_pylist(), t["n_pairs"].to_pylist(),
+        t["mean_delta"].to_pylist(), t["mean_jump_sq"].to_pylist())}
+    assert by["hilbert"][0] == by["morton"][0] > 100
+    assert by["morton"][1] < by["hilbert"][1]
+    assert by["hilbert"][2] < by["morton"][2]
