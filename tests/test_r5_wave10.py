@@ -641,3 +641,58 @@ def test_hilbert_is_valid_curve_and_beats_morton(ray_session):
     assert by["hilbert"][0] == by["morton"][0] > 100
     assert by["morton"][1] < by["hilbert"][1]
     assert by["hilbert"][2] < by["morton"][2]
+
+
+# ---------------------------------------------------- Bloom FPR evaluation
+
+
+def test_bloom_fpr_eval_matches_loop_reference(ray_session):
+    from core_ray.queries import _KMV_MULT, events_bloom_fpr_eval
+
+    M, K = 1 << 16, 4
+
+    def pos(u):
+        out = []
+        for i in range(K):
+            h = (u * _KMV_MULT + (i + 1) * 40503) % (1 << 32)
+            h ^= h >> 16
+            h = (h * 0x45D9F3B) % (1 << 32)
+            h ^= h >> 16
+            out.append(h % M)
+        return out
+
+    rng = np.random.default_rng(61)
+    # enough members that the 65536-bit filter has a measurable FPR
+    members = sorted(rng.choice(200_000, size=8000, replace=False).tolist())
+    nonmem = sorted(
+        set(rng.choice(200_000, size=12000, replace=False).tolist())
+        - set(members)
+    )
+    rows_u, rows_t = [], []
+    for u in members:
+        rows_u.append(u); rows_t.append("purchase")
+        if u % 3 == 0:
+            rows_u.append(u); rows_t.append("click")  # purchasers also click
+    for u in nonmem:
+        rows_u.append(u); rows_t.append("click")
+    d = _write(
+        {
+            "events": {
+                "user_id": pa.array(rows_u, pa.int64()),
+                "event_type": pa.array(rows_t, pa.string()),
+            }
+        }
+    )
+    bits = set()
+    for u in members:
+        bits.update(pos(u))
+    fp = sum(1 for u in nonmem if all(p in bits for p in pos(u)))
+    t = events_bloom_fpr_eval(d)
+    assert t["n_members"].to_pylist() == [len(members)]
+    assert t["n_probes"].to_pylist() == [len(nonmem)]
+    assert t["false_pos"].to_pylist() == [fp]
+    assert fp > 0  # the configuration genuinely exercises false positives
+    emp = t["fpr_emp"].to_pylist()[0]
+    theory = t["fpr_theory"].to_pylist()[0]
+    # realized FPR within 3x of theory (sanity on the hash quality)
+    assert theory / 3 < emp < theory * 3
