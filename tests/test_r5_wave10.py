@@ -696,3 +696,46 @@ def test_bloom_fpr_eval_matches_loop_reference(ray_session):
     theory = t["fpr_theory"].to_pylist()[0]
     # realized FPR within 3x of theory (sanity on the hash quality)
     assert theory / 3 < emp < theory * 3
+
+
+# --------------------------------------------- marching-squares contours
+
+
+def test_contour_cases_matches_loop_reference(ray_session):
+    """Dense enough corpus that every non-trivial case class (including
+    both saddles) appears; reference is a dict/loop marching-squares."""
+    from core_ray.queries import geo_contour_cases
+
+    ids = list(range(20000))
+    d = _write({"documents": {"doc_id": pa.array(ids, pa.int64())}})
+    n, T = 128, 2
+    cnt: dict = {}
+    for did in ids:
+        a = (did * 104729) % 360000
+        b = (did * 7919) % 140000
+        c = ((a * n) // 360000, (b * n) // 140000)
+        cnt[c] = cnt.get(c, 0) + 1
+    inside = {c for c, v in cnt.items() if v >= T}
+    segs_of = [0, 1, 1, 1, 1, 2, 1, 1, 1, 1, 2, 1, 1, 1, 1, 0]
+    want: dict = {}
+    for x in range(n - 1):
+        for y in range(n - 1):
+            case = (
+                ((x, y) in inside)
+                + 2 * ((x + 1, y) in inside)
+                + 4 * ((x + 1, y + 1) in inside)
+                + 8 * ((x, y + 1) in inside)
+            )
+            nb, sg = want.get(case, (0, 0))
+            want[case] = (nb + 1, sg + segs_of[case])
+    want = {c: v for c, v in want.items() if v[0] > 0}
+    t = _collect(geo_contour_cases(d))
+    got = {
+        c: (nb, sg)
+        for c, nb, sg in zip(
+            t["case_id"].to_pylist(), t["n_blocks"].to_pylist(),
+            t["segments"].to_pylist(),
+        )
+    }
+    assert got == want
+    assert 5 in got or 10 in got  # at least one saddle class observed
