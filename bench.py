@@ -286,6 +286,11 @@ BENCH_QUERIES = [
     "emb_matryoshka_recall",
     "events_frechet_pairs",
     "media_psnr",
+    "events_ams_f2_eval",
+    "geo_curve_locality",
+    "events_bloom_fpr_eval",
+    "geo_contour_cases",
+    "geo_heat_diffusion",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

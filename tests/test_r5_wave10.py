@@ -739,3 +739,39 @@ def test_contour_cases_matches_loop_reference(ray_session):
     }
     assert got == want
     assert 5 in got or 10 in got  # at least one saddle class observed
+
+
+# ------------------------------------------------ iterative raster stencil
+
+
+def test_heat_diffusion_matches_loop_reference(ray_session):
+    from core_ray.queries import geo_heat_diffusion
+
+    ids = list(range(3000))
+    d = _write({"documents": {"doc_id": pa.array(ids, pa.int64())}})
+    n = 128
+    u: dict = {}
+    for did in ids:
+        a = (did * 104729) % 360000
+        b = (did * 7919) % 140000
+        c = ((a * n) // 360000, (b * n) // 140000)
+        u[c] = u.get(c, 0) + 1
+    u0 = dict(u)
+    for _ in range(3):
+        nxt: dict = {}
+        for x in range(n):
+            for y in range(n):
+                v = (u.get((x, y), 0) + u.get((x - 1, y), 0)
+                     + u.get((x + 1, y), 0) + u.get((x, y - 1), 0)
+                     + u.get((x, y + 1), 0))
+                if v:
+                    nxt[(x, y)] = v
+        u = nxt
+    top = sorted(u.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    want = [(x, y, u0.get((x, y), 0), v) for (x, y), v in top]
+    t = _collect(geo_heat_diffusion(d))
+    got = list(zip(t["cx"].to_pylist(), t["cy"].to_pylist(),
+                   t["count0"].to_pylist(), t["diffused"].to_pylist()))
+    assert got == want
+    # diffusion spreads: some top cell has count0 == 0 or diffused > count0
+    assert all(v >= c0 for _, _, c0, v in got)
