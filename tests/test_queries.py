@@ -35,6 +35,9 @@ _GOLDEN_PINNED = (
     "emb_pq_recall",
     "geo_convex_hull",
     "geo_traj_simplify",
+    "events_frechet_pairs",  # golden DP parquet over the sf0.01 events
+    "media_",  # media goldens pinned to the sf0.01 corpus (docs coincide
+               # at sf0.001, but pin explicitly rather than by accident)
 )
 
 ORACLE_NAMES = sorted(ORACLE_SQL)
