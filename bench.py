@@ -291,6 +291,7 @@ BENCH_QUERIES = [
     "events_bloom_fpr_eval",
     "geo_contour_cases",
     "geo_heat_diffusion",
+    "doc_bbit_minhash_eval",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

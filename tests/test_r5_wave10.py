@@ -775,3 +775,81 @@ def test_heat_diffusion_matches_loop_reference(ray_session):
     assert got == want
     # diffusion spreads: some top cell has count0 == 0 or diffused > count0
     assert all(v >= c0 for _, _, c0, v in got)
+
+
+# ------------------------------------------------- 1-bit minwise evaluation
+
+
+def test_bbit_minhash_eval_matches_loop_reference(ray_session):
+    from core_ray.queries import doc_bbit_minhash_eval
+
+    rng = np.random.default_rng(99)
+    vocab = np.asarray([f"bw{i}" for i in range(80)])
+    texts = []
+    for k in range(40):
+        base = _rng_doc(rng, vocab, 30)
+        texts.append(base)
+        # odd sibling: mutated copy -> pairs span the full Jaccard range
+        toks = base.split(" ")
+        nmut = int(rng.integers(0, len(toks)))
+        for j in rng.choice(len(toks), size=nmut, replace=False):
+            toks[j] = str(rng.choice(vocab))
+        texts.append(" ".join(toks))
+    ids = list(range(len(texts)))
+    d = _write(
+        {
+            "documents": {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        }
+    )
+
+    def grams_of(t):
+        toks = t.split(" ")
+        return {
+            int.from_bytes(
+                hashlib.md5(" ".join(toks[i:i + 4]).encode()).digest()[:8],
+                "little") % (1 << 32)
+            for i in range(len(toks) - 3)
+        }
+
+    def bit(g, p):
+        h = (g * 40503 + ((p + 1) * 2654435761) % (1 << 32)) % (1 << 32)
+        h ^= h >> 16
+        h = (h * 0x45D9F3B) % (1 << 32)
+        h ^= h >> 16
+        return h
+
+    want = {}
+    for k in range(40):
+        a, b = grams_of(texts[2 * k]), grams_of(texts[2 * k + 1])
+        if not a or not b:
+            continue
+        inter = len(a & b)
+        jac = _round6(inter / len(a | b))
+        c = 0
+        for p in range(16):
+            ba = min(bit(g, p) for g in a) % 2
+            bb = min(bit(g, p) for g in b) % 2
+            c += ba == bb
+        want[(2 * k, 2 * k + 1)] = (inter, jac, c, _round6_signed(2 * c / 16 - 1))
+    t = _collect(doc_bbit_minhash_eval(d))
+    got = {
+        (lo, hi): (n, j, c, je)
+        for lo, hi, n, j, c, je in zip(
+            t["doc_lo"].to_pylist(), t["doc_hi"].to_pylist(),
+            t["n_common"].to_pylist(), t["jac"].to_pylist(),
+            t["c_bits"].to_pylist(), t["j_est"].to_pylist(),
+        )
+    }
+    assert got == want
+    # estimator correlates with truth across the planted range
+    js = [v[1] for v in want.values()]
+    es = [v[3] for v in want.values()]
+    assert np.corrcoef(js, es)[0, 1] > 0.6
+
+
+def _round6_signed(x: float) -> float:
+    return (np.floor(x * 1e6 + 0.5) / 1e6 if x >= 0
+            else -np.floor(-x * 1e6 + 0.5) / 1e6)
