@@ -292,6 +292,8 @@ BENCH_QUERIES = [
     "geo_contour_cases",
     "geo_heat_diffusion",
     "doc_bbit_minhash_eval",
+    # round-5 wave-11 additions
+    "events_hits",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost
