@@ -117,3 +117,83 @@ def test_hits_empty_events(ray_session):
     t = _collect(events_hits(d))
     assert t.num_rows == 0
     assert t.column_names == ["city", "hub", "auth"]
+
+
+def _ref_jl(vec_ids, vecs, d_out=16, topk=10):
+    """Reference JL recall: pure-Python loops, no numpy matmul."""
+
+    def q(x):
+        s = x * 1000.0
+        import math
+
+        return math.floor(s + 0.5) if s >= 0 else math.ceil(s - 0.5)
+
+    qv = {i: [q(x) for x in v] for i, v in zip(vec_ids, vecs)}
+
+    def sign(i1, j):
+        h = ((i1 * 1000003 + (j + 1) * 40503) * 2654435761) % (1 << 32)
+        return 1 if h < (1 << 31) else -1
+
+    def proj(v):
+        return [
+            sum(sign(i + 1, j) * x for i, x in enumerate(v))
+            for j in range(d_out)
+        ]
+
+    pv = {i: proj(v) for i, v in qv.items()}
+    out = {}
+    for p in vec_ids:
+        if p % 100 != 0:
+            continue
+        exact = sorted(
+            (
+                (-sum(a * b for a, b in zip(qv[p], qv[o])), o)
+                for o in vec_ids
+                if o != p
+            )
+        )[:topk]
+        approx = sorted(
+            (
+                (-sum(a * b for a, b in zip(pv[p], pv[o])), o)
+                for o in vec_ids
+                if o != p
+            )
+        )[:topk]
+        n = len({o for _, o in exact} & {o for _, o in approx})
+        out[p] = n
+    return out
+
+
+def test_jl_recall_matches_loop_reference(ray_session):
+    from core_ray.queries import emb_jl_recall
+
+    rng = np.random.default_rng(113)
+    n, dim = 160, 24
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    # plant near-duplicates of the probes so recall has signal
+    for p in range(0, n, 100):
+        for t in range(1, 4):
+            vecs[p + t] = vecs[p] + rng.normal(scale=0.05, size=dim).astype(
+                np.float32
+            )
+    ids = np.arange(n)
+    d = _write(
+        {
+            "embeddings": {
+                "vec_id": ids,
+                "embedding": pa.array(
+                    [v.tolist() for v in vecs], pa.list_(pa.float32())
+                ),
+                "label": pa.array(np.zeros(n, np.int32), pa.int32()),
+            }
+        }
+    )
+    # float32 -> float64 is exact, so the reference quantizes identically
+    want = _ref_jl(ids.tolist(), [v.astype(np.float64) for v in vecs])
+    t = _collect(emb_jl_recall(d))
+    got = dict(zip(t["query_id"].to_pylist(), t["n_overlap"].to_pylist()))
+    assert got == want
+    # at least one probe's planted near-dups survive the 24->16 projection
+    # (a 16-dim sign projection distorts enough that per-probe recall CAN
+    # be 0 — that is the measurement, not a bug)
+    assert max(got.values()) >= 1
