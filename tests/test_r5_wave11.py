@@ -197,3 +197,82 @@ def test_jl_recall_matches_loop_reference(ray_session):
     # (a 16-dim sign projection distorts enough that per-probe recall CAN
     # be 0 — that is the measurement, not a bug)
     assert max(got.values()) >= 1
+
+
+def _ref_ndcg(doc_ids, texts, queries, k=10):
+    """Reference nDCG@k: pure-Python BM25 + graded-relevance DCG."""
+    import math
+
+    toks = {i: t.split(" ") for i, t in zip(doc_ids, texts)}
+    n = len(doc_ids)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    weights = [
+        int(math.floor(1e6 / math.log2(r + 1) + 0.5)) for r in range(1, k + 1)
+    ]
+    out = {}
+    for qid, qterms in queries:
+        df = {t: sum(1 for v in toks.values() if t in v) for t in qterms}
+        idf = {
+            t: math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0) for t in qterms
+        }
+        rows = []
+        for i in doc_ids:
+            tf = {t: toks[i].count(t) for t in qterms}
+            rel = sum(tf.values())
+            if rel == 0:
+                continue
+            s = 0.0
+            for t in qterms:
+                s = s + idf[t] * tf[t] * 2.2 / (
+                    tf[t] + 1.2 * (1.0 - 0.75 + 0.75 * len(toks[i]) / avgdl)
+                )
+            s = math.floor(s * 1e6 + 0.5) / 1e6
+            rows.append((i, s, rel))
+        if not rows:
+            continue
+        sys_top = sorted(rows, key=lambda r: (-r[1], r[0]))[:k]
+        idl_top = sorted(rows, key=lambda r: (-r[2], r[0]))[:k]
+        dcg = sum(r[2] * w for r, w in zip(sys_top, weights))
+        idcg = sum(r[2] * w for r, w in zip(idl_top, weights))
+        out[qid] = (dcg, idcg, (dcg * 1_000_000) // idcg)
+    return out
+
+
+def test_ndcg_matches_loop_reference(ray_session):
+    from core_ray.queries import _BM25_QUERIES, doc_ndcg_eval
+
+    rng = np.random.default_rng(31)
+    vocab = np.array(
+        ["table", "scan", "vector", "stream", "merge", "customer", "window",
+         "filler", "noise", "pad", "xyz", "qrs"]
+    )
+    n = 400
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(5, 60)))
+        for _ in range(n)
+    ]
+    ids = np.arange(n)
+    d = _write(
+        {
+            "documents": {
+                "doc_id": ids,
+                "text": texts,
+                "lang": ["en"] * n,
+                "source": ["s"] * n,
+                "n_chars": [len(t) for t in texts],
+            }
+        }
+    )
+    want = _ref_ndcg(ids.tolist(), texts, _BM25_QUERIES)
+    t = _collect(doc_ndcg_eval(d))
+    got = {
+        q: (a, b, c)
+        for q, a, b, c in zip(
+            t["query_id"].to_pylist(), t["dcg_micro"].to_pylist(),
+            t["idcg_micro"].to_pylist(), t["ndcg_micro"].to_pylist(),
+        )
+    }
+    assert got == want
+    # sanity: nDCG is a true [0, 1e6] micro ratio with dcg <= idcg
+    for dcg, idcg, nd in got.values():
+        assert 0 < dcg <= idcg and 0 < nd <= 1_000_000
