@@ -296,6 +296,7 @@ BENCH_QUERIES = [
     "events_hits",
     "emb_jl_recall",
     "doc_ndcg_eval",
+    "events_lpa_communities",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

@@ -276,3 +276,87 @@ def test_ndcg_matches_loop_reference(ray_session):
     # sanity: nDCG is a true [0, 1e6] micro ratio with dcg <= idcg
     for dcg, idcg, nd in got.values():
         assert 0 < dcg <= idcg and 0 < nd <= 1_000_000
+
+
+def _ref_lpa(event_ids, user_ids, ts_us, iters=3):
+    """Reference LPA: brute-force contact pairs (same coordinate model),
+    then synchronous label propagation with dict counting."""
+
+    def coords(e, u):
+        lat = (
+            (((u % 12) * 11003) % 120000) / 1000.0 - 60.0
+            + ((u * 7919) % 2001) / 1000.0 - 1.0
+            + ((e * 13) % 1001) / 1000.0 - 0.5
+        )
+        lon = (
+            (((u % 12) * 104729) % 340000) / 1000.0 - 170.0
+            + ((u * 104729) % 2001) / 1000.0 - 1.0
+            + ((e * 29) % 1001) / 1000.0 - 0.5
+        )
+        return lat, lon
+
+    pts = [
+        (e, u, t, *coords(e, u))
+        for e, u, t in zip(event_ids, user_ids, ts_us)
+    ]
+    edges = set()
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            a, b = pts[i], pts[j]
+            if a[1] == b[1]:
+                continue
+            if abs(a[2] - b[2]) > 6 * 3600 * 1000000:
+                continue
+            if (a[3] - b[3]) ** 2 + (a[4] - b[4]) ** 2 > 1.0:
+                continue
+            edges.add((min(a[1], b[1]), max(a[1], b[1])))
+    if not edges:
+        return {}
+    nbrs: dict = {}
+    for u1, u2 in edges:
+        nbrs.setdefault(u1, []).append(u2)
+        nbrs.setdefault(u2, []).append(u1)
+    label = {u: u for u in nbrs}
+    for _ in range(iters):
+        nxt = {}
+        for u, ns in nbrs.items():
+            cnt: dict = {}
+            for v in ns:
+                cnt[label[v]] = cnt.get(label[v], 0) + 1
+            nxt[u] = min(
+                cnt, key=lambda c: (-cnt[c], c)
+            )  # max count, tie -> smallest label
+        label = nxt
+    comm: dict = {}
+    for u, c in label.items():
+        comm[c] = comm.get(c, 0) + 1
+    return comm
+
+
+def test_lpa_matches_bruteforce(ray_session):
+    from core_ray.queries import events_lpa_communities
+
+    rng = np.random.default_rng(17)
+    n = 400
+    uid = rng.integers(0, 40, n)
+    ts = np.sort(rng.integers(0, 3 * 86400 * 10**6, n))
+    eid = np.arange(n)
+    d = _write(
+        {
+            "events": {
+                "event_id": eid,
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": uid,
+                "event_type": ["view"] * n,
+                "value": np.zeros(n),
+                "props": ["{}"] * n,
+            }
+        }
+    )
+    want = _ref_lpa(eid.tolist(), uid.tolist(), ts.tolist())
+    assert want, "contact graph must be non-empty for the test to bite"
+    t = _collect(events_lpa_communities(d))
+    got = dict(zip(t["community"].to_pylist(), t["n_members"].to_pylist()))
+    assert got == want
+    # propagation must have merged somebody (fewer communities than nodes)
+    assert sum(got.values()) > len(got)
