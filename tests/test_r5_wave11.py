@@ -360,3 +360,100 @@ def test_lpa_matches_bruteforce(ray_session):
     assert got == want
     # propagation must have merged somebody (fewer communities than nodes)
     assert sum(got.values()) > len(got)
+
+
+def _ref_oph(texts, n_gram=4, bins=16):
+    """Reference OPH eval: dict/loop implementation with hashlib md5."""
+    import hashlib as hl
+
+    def grams_of(t):
+        toks = t.split(" ")
+        return {
+            " ".join(toks[i:i + n_gram])
+            for i in range(len(toks) - n_gram + 1)
+        }
+
+    def g32(g):
+        return int.from_bytes(hl.md5(g.encode()).digest()[:8], "little") % (
+            1 << 32
+        )
+
+    def mix(x):
+        h = (x * 40503 + (1 * 2654435761) % (1 << 32)) % (1 << 32)
+        h ^= h >> 16
+        h = (h * 0x45D9F3B) % (1 << 32)
+        h ^= h >> 16
+        return h
+
+    def sketch(gs):
+        filled = {}
+        for g in gs:
+            h = mix(g32(g))
+            b = h % bins
+            v = h // bins
+            if b not in filled or v < filled[b]:
+                filled[b] = v
+        dv = []
+        for j in range(bins):
+            for t in range(bins):
+                k = (j + t) % bins
+                if k in filled:
+                    dv.append(filled[k] + t * (1 << 32))
+                    break
+        return dv
+
+    def r6(x):
+        return np.floor(x * 1e6 + 0.5) / 1e6
+
+    want = {}
+    for k in range(len(texts) // 2):
+        a, b = grams_of(texts[2 * k]), grams_of(texts[2 * k + 1])
+        if not a or not b:
+            continue
+        inter = len(a & b)
+        jac = r6(inter / len(a | b))
+        c = sum(x == y for x, y in zip(sketch(a), sketch(b)))
+        want[(2 * k, 2 * k + 1)] = (inter, jac, c, r6(c / bins))
+    return want
+
+
+def test_oph_matches_bruteforce(ray_session):
+    from core_ray.queries import doc_oph_eval
+
+    rng = np.random.default_rng(59)
+    vocab = np.array([f"w{i}" for i in range(300)])
+    texts = []
+    for k in range(40):
+        base = rng.choice(vocab, size=rng.integers(12, 40)).tolist()
+        texts.append(" ".join(base))
+        # the odd sibling shares a planted prefix span -> graded overlap
+        keep = rng.integers(0, len(base) + 1)
+        tail = rng.choice(vocab, size=rng.integers(6, 30)).tolist()
+        texts.append(" ".join(base[:keep] + tail))
+    ids = np.arange(len(texts))
+    d = _write(
+        {
+            "documents": {
+                "doc_id": ids,
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": ["s"] * len(texts),
+                "n_chars": [len(t) for t in texts],
+            }
+        }
+    )
+    want = _ref_oph(texts)
+    t = _collect(doc_oph_eval(d))
+    got = {
+        (lo, hi): (n, j, c, je)
+        for lo, hi, n, j, c, je in zip(
+            t["doc_lo"].to_pylist(), t["doc_hi"].to_pylist(),
+            t["n_common"].to_pylist(), t["jac"].to_pylist(),
+            t["c_bins"].to_pylist(), t["j_est"].to_pylist(),
+        )
+    }
+    assert got == want
+    # estimator correlates with truth across the planted overlap range
+    js = [v[1] for v in want.values()]
+    es = [v[3] for v in want.values()]
+    assert np.corrcoef(js, es)[0, 1] > 0.6
