@@ -457,3 +457,71 @@ def test_oph_matches_bruteforce(ray_session):
     js = [v[1] for v in want.values()]
     es = [v[3] for v in want.values()]
     assert np.corrcoef(js, es)[0, 1] > 0.6
+
+
+def _ref_bleu(texts):
+    """Reference BLEU-2 pair eval: Counter/loop implementation."""
+    import math
+    from collections import Counter
+
+    def r0(x):
+        return int(math.floor(x + 0.5))
+
+    want = {}
+    for k in range(len(texts) // 2):
+        ref, cand = texts[2 * k].split(" "), texts[2 * k + 1].split(" ")
+        if len(ref) < 2 or len(cand) < 2:
+            continue
+        u_c, u_r = Counter(cand), Counter(ref)
+        b_c = Counter(zip(cand, cand[1:]))
+        b_r = Counter(zip(ref, ref[1:]))
+        m1 = sum(min(c, u_r[g]) for g, c in u_c.items())
+        m2 = sum(min(c, b_r[g]) for g, c in b_c.items())
+        c1, c2 = len(cand), len(cand) - 1
+        p1 = (m1 * 1_000_000) // c1
+        p2 = (m2 * 1_000_000) // c2
+        want[(2 * k, 2 * k + 1)] = (
+            m1, m2, c1, len(ref), p1, p2, r0(math.sqrt(p1 * p2))
+        )
+    return want
+
+
+def test_bleu_pairs_matches_counter_reference(ray_session):
+    from core_ray.queries import doc_bleu_pairs
+
+    rng = np.random.default_rng(211)
+    vocab = np.array([f"w{i}" for i in range(50)])
+    texts = []
+    for k in range(40):
+        base = rng.choice(vocab, size=rng.integers(8, 30)).tolist()
+        texts.append(" ".join(base))
+        keep = rng.integers(2, len(base) + 1)
+        tail = rng.choice(vocab, size=rng.integers(2, 20)).tolist()
+        texts.append(" ".join(base[:keep] + tail))
+    ids = np.arange(len(texts))
+    d = _write(
+        {
+            "documents": {
+                "doc_id": ids,
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": ["s"] * len(texts),
+                "n_chars": [len(t) for t in texts],
+            }
+        }
+    )
+    want = _ref_bleu(texts)
+    t = _collect(doc_bleu_pairs(d))
+    got = {
+        (lo, hi): tuple(vals)
+        for lo, hi, *vals in zip(
+            t["doc_lo"].to_pylist(), t["doc_hi"].to_pylist(),
+            t["m1"].to_pylist(), t["m2"].to_pylist(),
+            t["c_len"].to_pylist(), t["r_len"].to_pylist(),
+            t["p1_micro"].to_pylist(), t["p2_micro"].to_pylist(),
+            t["bleu2_micro"].to_pylist(),
+        )
+    }
+    assert got == want
+    # planted shared prefixes must give nonzero bigram precision somewhere
+    assert any(v[5] > 0 for v in got.values())
