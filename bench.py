@@ -299,6 +299,7 @@ BENCH_QUERIES = [
     "events_lpa_communities",
     "doc_oph_eval",
     "doc_bleu_pairs",
+    "events_holt",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

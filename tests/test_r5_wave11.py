@@ -525,3 +525,77 @@ def test_bleu_pairs_matches_counter_reference(ray_session):
     assert got == want
     # planted shared prefixes must give nonzero bigram precision somewhere
     assert any(v[5] > 0 for v in got.values())
+
+
+def _ref_holt(y, scale=1_000_000):
+    """Reference Holt smoothing: sequential loop with trunc-div."""
+
+    def td(a, d):
+        return a // d if a >= 0 else -((-a) // d)
+
+    lvl, trd = y[0] * scale, (y[1] - y[0]) * scale
+    rows = [(0, y[0], lvl, trd)]
+    for h in range(1, len(y)):
+        ln = td(y[h] * scale + 3 * (lvl + trd), 4)
+        trd = td((ln - lvl) + 7 * trd, 8)
+        lvl = ln
+        rows.append((h, y[h], lvl, trd))
+    return rows
+
+
+def test_holt_matches_sequential_reference(ray_session):
+    from core_ray.queries import events_holt
+
+    rng = np.random.default_rng(41)
+    n = 600
+    # bursty hours with gaps -> zero-filled series exercises negative trend
+    hours = np.sort(rng.choice(np.arange(120), size=n, replace=True))
+    us = hours.astype(np.int64) * 3600000000 + rng.integers(
+        0, 3600000000, n
+    )
+    d = _write(
+        {
+            "events": {
+                "event_id": np.arange(n),
+                "ts": pa.array(np.sort(us), pa.timestamp("us")),
+                "user_id": np.zeros(n, np.int64),
+                "event_type": ["view"] * n,
+                "value": np.zeros(n),
+                "props": ["{}"] * n,
+            }
+        }
+    )
+    # reference series: zero-filled over [min, max] hour
+    hs = np.sort(us) // 3600000000
+    h0 = int(hs.min())
+    series = np.zeros(int(hs.max()) - h0 + 1, np.int64)
+    for h in hs:
+        series[int(h) - h0] += 1
+    want = _ref_holt([int(v) for v in series])
+    t = _collect(events_holt(d))
+    got = list(
+        zip(t["h"].to_pylist(), t["y"].to_pylist(), t["l"].to_pylist(),
+            t["b"].to_pylist())
+    )
+    assert got == want
+    # the gap hours must have driven the trend negative at least once
+    assert any(b < 0 for _, _, _, b in got)
+
+
+def test_holt_short_series_empty(ray_session):
+    from core_ray.queries import events_holt
+
+    d = _write(
+        {
+            "events": {
+                "event_id": [0, 1],
+                "ts": pa.array([1000, 2000], pa.timestamp("us")),
+                "user_id": [0, 1],
+                "event_type": ["view", "view"],
+                "value": [0.0, 0.0],
+                "props": ["{}", "{}"],
+            }
+        }
+    )
+    t = _collect(events_holt(d))  # both events in ONE hour -> series len 1
+    assert t.num_rows == 0
