@@ -599,3 +599,87 @@ def test_holt_short_series_empty(ray_session):
     )
     t = _collect(events_holt(d))  # both events in ONE hour -> series len 1
     assert t.num_rows == 0
+
+
+def _ref_densest(edges):
+    """Reference threshold peeling: set/dict loops, exact rationals."""
+    edges = set(edges)
+    rounds = []
+    it = 0
+    while edges:
+        deg: dict = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        v, e = len(deg), len(edges)
+        rounds.append((it, v, e))
+        peel = {u for u, dg in deg.items() if dg * v <= 4 * e}
+        edges = {(a, b) for a, b in edges if a not in peel and b not in peel}
+        it += 1
+        assert it < 64, "peel must halve the vertex set every round"
+    best = rounds[0]
+    for r in rounds[1:]:
+        if r[2] * best[1] > best[2] * r[1]:
+            best = r
+    return (best[0], best[1], best[2], (best[2] * 1_000_000) // best[1])
+
+
+def test_densest_subgraph_matches_peel_reference(ray_session):
+    from core_ray.queries import events_densest_subgraph
+
+    rng = np.random.default_rng(97)
+    n = 500
+    uid = rng.integers(0, 60, n)
+    ts = np.sort(rng.integers(0, 2 * 86400 * 10**6, n))
+    eid = np.arange(n)
+    d = _write(
+        {
+            "events": {
+                "event_id": eid,
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": uid,
+                "event_type": ["view"] * n,
+                "value": np.zeros(n),
+                "props": ["{}"] * n,
+            }
+        }
+    )
+    # same brute-force contact edges as the LPA reference
+    def coords(e, u):
+        lat = (
+            (((u % 12) * 11003) % 120000) / 1000.0 - 60.0
+            + ((u * 7919) % 2001) / 1000.0 - 1.0
+            + ((e * 13) % 1001) / 1000.0 - 0.5
+        )
+        lon = (
+            (((u % 12) * 104729) % 340000) / 1000.0 - 170.0
+            + ((u * 104729) % 2001) / 1000.0 - 1.0
+            + ((e * 29) % 1001) / 1000.0 - 0.5
+        )
+        return lat, lon
+
+    pts = [(e, u, t, *coords(e, u)) for e, u, t in
+           zip(eid.tolist(), uid.tolist(), ts.tolist())]
+    edges = set()
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            a, b = pts[i], pts[j]
+            if a[1] == b[1] or abs(a[2] - b[2]) > 6 * 3600 * 1000000:
+                continue
+            if (a[3] - b[3]) ** 2 + (a[4] - b[4]) ** 2 > 1.0:
+                continue
+            edges.add((min(a[1], b[1]), max(a[1], b[1])))
+    assert edges, "contact graph must be non-empty for the test to bite"
+    want = _ref_densest(edges)
+    t = _collect(events_densest_subgraph(d))
+    got = (
+        t["best_iter"][0].as_py(), t["n_users"][0].as_py(),
+        t["n_edges"][0].as_py(), t["density_micro"][0].as_py(),
+    )
+    assert got == want
+    # the kept subgraph must be at least as dense as the full graph
+    deg_all = {}
+    for a, b in edges:
+        deg_all[a] = 1
+        deg_all[b] = 1
+    assert got[3] >= (len(edges) * 1_000_000) // len(deg_all)
