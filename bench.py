@@ -301,6 +301,7 @@ BENCH_QUERIES = [
     "doc_bleu_pairs",
     "events_holt",
     "events_densest_subgraph",
+    "geo_empty_distance",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

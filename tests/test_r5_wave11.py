@@ -683,3 +683,55 @@ def test_densest_subgraph_matches_peel_reference(ray_session):
         deg_all[a] = 1
         deg_all[b] = 1
     assert got[3] >= (len(edges) * 1_000_000) // len(deg_all)
+
+
+def _ref_empty_distance(doc_ids, p=6, steps=6):
+    """Reference distance transform: dict/loop Chebyshev dilation."""
+    n = 1 << p
+    sent = steps + 1
+    occ = set()
+    for did in doc_ids:
+        a = (did * 104729) % 360000
+        b = (did * 7919) % 140000
+        occ.add(((a * n) // 360000, (b * n) // 140000))
+    d = {(x, y): (0 if (x, y) in occ else sent)
+         for x in range(n) for y in range(n)}
+    for _ in range(steps):
+        nd = {}
+        for (x, y), v in d.items():
+            best = v
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    if dx == 0 and dy == 0:
+                        continue
+                    nb = d.get((x + dx, y + dy), sent)
+                    best = min(best, min(nb + 1, sent))
+            nd[(x, y)] = best
+        d = nd
+    rows = sorted(d.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+    return [(x, y, v) for (x, y), v in rows[:20]]
+
+
+def test_empty_distance_matches_loop_reference(ray_session):
+    from core_ray.queries import geo_empty_distance
+
+    # sparse ids -> genuinely empty regions with graded distances
+    ids = np.array([0, 3, 17, 400, 981, 2049, 5000, 9973], np.int64)
+    d = _write(
+        {
+            "documents": {
+                "doc_id": ids,
+                "text": ["x y"] * len(ids),
+                "lang": ["en"] * len(ids),
+                "source": ["s"] * len(ids),
+                "n_chars": [3] * len(ids),
+            }
+        }
+    )
+    want = _ref_empty_distance(ids.tolist())
+    t = _collect(geo_empty_distance(d))
+    got = list(zip(t["cx"].to_pylist(), t["cy"].to_pylist(),
+                   t["dt"].to_pylist()))
+    assert got == want
+    # with 8 occupied cells on a 64x64 grid the sentinel ring must exist
+    assert got[0][2] == 7
