@@ -302,6 +302,7 @@ BENCH_QUERIES = [
     "events_holt",
     "events_densest_subgraph",
     "geo_empty_distance",
+    "events_graph_diameter",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

@@ -735,3 +735,89 @@ def test_empty_distance_matches_loop_reference(ray_session):
     assert got == want
     # with 8 occupied cells on a 64x64 grid the sentinel ring must exist
     assert got[0][2] == 7
+
+
+def _ref_diameter(edges):
+    """Reference double-sweep: dict BFS, ties -> smallest node."""
+    nbrs: dict = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+
+    def bfs(s):
+        dist = {s: 0}
+        frontier = [s]
+        d = 0
+        while frontier:
+            d += 1
+            nxt = []
+            for u in frontier:
+                for v in nbrs[u]:
+                    if v not in dist:
+                        dist[v] = d
+                        nxt.append(v)
+            frontier = nxt
+        far = min((n for n in dist), key=lambda n: (-dist[n], n))
+        return far, dist[far]
+
+    s0 = min(nbrs)
+    far1, ecc1 = bfs(s0)
+    far2, ecc2 = bfs(far1)
+    return (s0, far1, ecc1, far2, ecc2)
+
+
+def test_graph_diameter_matches_bfs_reference(ray_session):
+    from core_ray.queries import events_graph_diameter
+
+    rng = np.random.default_rng(313)
+    n = 450
+    uid = rng.integers(0, 50, n)
+    ts = np.sort(rng.integers(0, 2 * 86400 * 10**6, n))
+    eid = np.arange(n)
+    d = _write(
+        {
+            "events": {
+                "event_id": eid,
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": uid,
+                "event_type": ["view"] * n,
+                "value": np.zeros(n),
+                "props": ["{}"] * n,
+            }
+        }
+    )
+
+    def coords(e, u):
+        lat = (
+            (((u % 12) * 11003) % 120000) / 1000.0 - 60.0
+            + ((u * 7919) % 2001) / 1000.0 - 1.0
+            + ((e * 13) % 1001) / 1000.0 - 0.5
+        )
+        lon = (
+            (((u % 12) * 104729) % 340000) / 1000.0 - 170.0
+            + ((u * 104729) % 2001) / 1000.0 - 1.0
+            + ((e * 29) % 1001) / 1000.0 - 0.5
+        )
+        return lat, lon
+
+    pts = [(e, u, t, *coords(e, u)) for e, u, t in
+           zip(eid.tolist(), uid.tolist(), ts.tolist())]
+    edges = set()
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            a, b = pts[i], pts[j]
+            if a[1] == b[1] or abs(a[2] - b[2]) > 6 * 3600 * 1000000:
+                continue
+            if (a[3] - b[3]) ** 2 + (a[4] - b[4]) ** 2 > 1.0:
+                continue
+            edges.add((min(a[1], b[1]), max(a[1], b[1])))
+    assert edges, "contact graph must be non-empty for the test to bite"
+    want = _ref_diameter(edges)
+    t = _collect(events_graph_diameter(d))
+    got = (
+        t["src0"][0].as_py(), t["far1"][0].as_py(), t["ecc1"][0].as_py(),
+        t["far2"][0].as_py(), t["ecc2"][0].as_py(),
+    )
+    assert got == want
+    # the double sweep can only grow the eccentricity estimate
+    assert got[4] >= got[2]
