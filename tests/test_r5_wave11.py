@@ -821,3 +821,65 @@ def test_graph_diameter_matches_bfs_reference(ray_session):
     assert got == want
     # the double sweep can only grow the eccentricity estimate
     assert got[4] >= got[2]
+
+
+def _ref_rake(texts, stops=("a", "the"), max_len=4, topk=20):
+    """Reference RAKE: dict/loop implementation."""
+    phrases = []
+    for t in texts:
+        run = []
+        for tok in t.split(" ") + [None]:
+            if tok is None or tok in stops:
+                if 1 <= len(run) <= max_len:
+                    phrases.append(tuple(run))
+                run = []
+            else:
+                run.append(tok)
+    deg: dict = {}
+    freq: dict = {}
+    for p in phrases:
+        for w in p:
+            deg[w] = deg.get(w, 0) + len(p)
+            freq[w] = freq.get(w, 0) + 1
+    ws = {w: (deg[w] * 1_000_000) // freq[w] for w in deg}
+    occ: dict = {}
+    for p in phrases:
+        occ[p] = occ.get(p, 0) + 1
+    rows = [
+        (" ".join(p), n, sum(ws[w] for w in p)) for p, n in occ.items()
+    ]
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    return rows[:topk]
+
+
+def test_rake_matches_loop_reference(ray_session):
+    from core_ray.queries import doc_rake_keywords
+
+    rng = np.random.default_rng(137)
+    vocab = np.array(
+        ["deep", "learning", "graph", "index", "a", "the", "cache",
+         "packed", "row", "merge", "split"]
+    )
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(6, 40)))
+        for _ in range(120)
+    ]
+    ids = np.arange(len(texts))
+    d = _write(
+        {
+            "documents": {
+                "doc_id": ids,
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": ["s"] * len(texts),
+                "n_chars": [len(t) for t in texts],
+            }
+        }
+    )
+    want = _ref_rake(texts)
+    t = _collect(doc_rake_keywords(d))
+    got = list(zip(t["phrase"].to_pylist(), t["n_occ"].to_pylist(),
+                   t["score_micro"].to_pylist()))
+    assert got == want
+    # multi-word phrases must surface (RAKE's whole point)
+    assert any(" " in p for p, _, _ in got)
