@@ -883,3 +883,78 @@ def test_rake_matches_loop_reference(ray_session):
     assert got == want
     # multi-word phrases must surface (RAKE's whole point)
     assert any(" " in p for p, _, _ in got)
+
+
+def _ref_jenks(doc_ids, p=6, k=4):
+    """Reference Fisher-Jenks: exhaustive cut enumeration, Fraction-exact."""
+    from fractions import Fraction
+    from itertools import combinations
+
+    n = 1 << p
+    cells: dict = {}
+    for did in doc_ids:
+        a = (did * 104729) % 360000
+        b = (did * 7919) % 140000
+        key = ((a * n) // 360000, (b * n) // 140000)
+        cells[key] = cells.get(key, 0) + 1
+    hist: dict = {}
+    for c in cells.values():
+        hist[c] = hist.get(c, 0) + 1
+    vals = sorted(hist)
+    freqs = [hist[x] for x in vals]
+    m = len(vals)
+    kk = min(k, m)
+
+    def seg(i, j):
+        n_ = sum(freqs[i:j + 1])
+        s1 = sum(f * v for f, v in zip(freqs[i:j + 1], vals[i:j + 1]))
+        s2 = sum(f * v * v for f, v in zip(freqs[i:j + 1], vals[i:j + 1]))
+        return Fraction(s2, 1) - Fraction(s1 * s1, n_), n_
+
+    best, best_ssd = None, None
+    for cuts in combinations(range(1, m), kk - 1):
+        bounds, lo = [], 0
+        for c in cuts:
+            bounds.append((lo, c - 1))
+            lo = c
+        bounds.append((lo, m - 1))
+        segs = [seg(i, j) for i, j in bounds]
+        total = sum((s for s, _ in segs), Fraction(0))
+        if best_ssd is None or total < best_ssd:
+            best_ssd = total
+            best = [
+                (cls, vals[i], vals[j], n_,
+                 (s.numerator * 1_000_000) // s.denominator)
+                for cls, ((i, j), (s, n_)) in enumerate(zip(bounds, segs))
+            ]
+    return best
+
+
+def test_jenks_matches_exhaustive_reference(ray_session):
+    from core_ray.queries import geo_jenks_breaks
+
+    rng = np.random.default_rng(23)
+    # heavy-tailed cell occupancy -> a rich multi-value histogram
+    ids = np.unique(rng.integers(0, 30000, 4000)).astype(np.int64)
+    d = _write(
+        {
+            "documents": {
+                "doc_id": ids,
+                "text": ["x y"] * len(ids),
+                "lang": ["en"] * len(ids),
+                "source": ["s"] * len(ids),
+                "n_chars": [3] * len(ids),
+            }
+        }
+    )
+    want = _ref_jenks(ids.tolist())
+    assert len(want) == 4, "histogram must be rich enough for 4 classes"
+    t = _collect(geo_jenks_breaks(d))
+    got = list(
+        zip(t["cls"].to_pylist(), t["lo"].to_pylist(), t["hi"].to_pylist(),
+            t["n_cells"].to_pylist(), t["ssd_micro"].to_pylist())
+    )
+    assert got == want
+    # classes must be contiguous and ordered
+    for (c1, _, hi1, _, _), (c2, lo2, _, _, _) in zip(got, got[1:]):
+        assert c2 == c1 + 1 and lo2 > hi1
