@@ -305,6 +305,7 @@ BENCH_QUERIES = [
     "events_graph_diameter",
     "doc_rake_keywords",
     "geo_jenks_breaks",
+    "emb_semdedup",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

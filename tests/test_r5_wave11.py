@@ -958,3 +958,102 @@ def test_jenks_matches_exhaustive_reference(ray_session):
     # classes must be contiguous and ordered
     for (c1, _, hi1, _, _), (c2, lo2, _, _, _) in zip(got, got[1:]):
         assert c2 == c1 + 1 and lo2 > hi1
+
+
+def _ref_semdedup(ids, vecs, clusters, tau=0.35):
+    """Reference SemDeDup: loop cosine + dict union-find per cluster."""
+    import math
+
+    def r6(x):
+        return (np.floor(x * 1e6 + 0.5) / 1e6 if x >= 0
+                else -np.floor(-x * 1e6 + 0.5) / 1e6)
+
+    out = []
+    for c in sorted(set(clusters)):
+        members = sorted(
+            [i for i, cl in zip(ids, clusters) if cl == c]
+        )
+        if len(members) < 2:
+            continue
+        vx = {i: vecs[ids.index(i)] for i in members}
+        nx = {}
+        for i in members:
+            nv = math.sqrt(sum(v * v for v in vx[i]))
+            nx[i] = [v / max(nv, 1e-30) for v in vx[i]]
+        parent = {i: i for i in members}
+
+        def find(v):
+            while parent[v] != v:
+                parent[v] = parent[parent[v]]
+                v = parent[v]
+            return v
+
+        for a_i in range(len(members)):
+            for b_i in range(a_i + 1, len(members)):
+                a, b = members[a_i], members[b_i]
+                cos = r6(sum(p * q for p, q in zip(nx[a], nx[b])))
+                if cos >= tau:
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        for v in members:
+            r = find(v)
+            if r != v:
+                out.append((v, r, c))
+    return sorted(out)
+
+
+def test_semdedup_matches_loop_reference(ray_session):
+    from core_ray.fixtures.docs_golden import golden_kmeans
+    from core_ray.queries import emb_semdedup
+
+    # structured vectors: per-group planted exact duplicates (cos == 1)
+    # plus clearly-distinct axes (cos <= ~0.2) — every threshold decision
+    # sits far from 0.35, so loop-vs-BLAS ULP order cannot flip a pair
+    rng = np.random.default_rng(67)
+    dim, n_groups = 16, 10
+    vecs, ids = [], []
+    vid = 0
+    for gp in range(n_groups):
+        base = np.zeros(dim, np.float32)
+        base[gp % dim] = 1.0
+        base[(gp + 5) % dim] = 0.125
+        for rep in range(rng.integers(1, 5)):
+            vecs.append(base * (1.0 + rep))  # same direction -> cos 1
+            ids.append(vid)
+            vid += 1
+    vecs = np.stack(vecs)
+    d = _write(
+        {
+            "embeddings": {
+                "vec_id": np.array(ids, np.int64),
+                "embedding": pa.array(
+                    [v.tolist() for v in vecs], pa.list_(pa.float32())
+                ),
+                "label": pa.array(np.zeros(len(ids), np.int32), pa.int32()),
+            }
+        }
+    )
+    emb_t = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in vecs], pa.list_(pa.float32())
+            ),
+        }
+    )
+    asn = golden_kmeans(emb_t, 8, 5)
+    cl_map = dict(zip(asn["vec_id"].to_pylist(), asn["cluster"].to_pylist()))
+    want = _ref_semdedup(
+        ids, [v.astype(np.float64).tolist() for v in vecs],
+        [cl_map[i] for i in ids],
+    )
+    assert want, "planted duplicates must produce removals"
+    t = _collect(emb_semdedup(d))
+    got = sorted(
+        zip(t["vec_id"].to_pylist(), t["keep_id"].to_pylist(),
+            t["cluster"].to_pylist())
+    )
+    assert got == want
+    # every keeper must be smaller than what it replaces
+    assert all(k < v for v, k, _ in got)
