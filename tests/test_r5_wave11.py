@@ -1057,3 +1057,64 @@ def test_semdedup_matches_loop_reference(ray_session):
     assert got == want
     # every keeper must be smaller than what it replaces
     assert all(k < v for v, k, _ in got)
+
+
+def _ref_median_polish(dowhod_counts, sweeps=2):
+    """Reference polish: dict/loop lower-median implementation."""
+    m = {(i, j): 0 for i in range(7) for j in range(24)}
+    for (i, j), v in dowhod_counts.items():
+        m[(i, j)] = v
+    row_eff = [0] * 7
+    col_eff = [0] * 24
+
+    def lomed(vals):
+        return sorted(vals)[(len(vals) + 1) // 2 - 1]
+
+    for _ in range(sweeps):
+        for i in range(7):
+            med = lomed([m[(i, j)] for j in range(24)])
+            for j in range(24):
+                m[(i, j)] -= med
+            row_eff[i] += med
+        for j in range(24):
+            med = lomed([m[(i, j)] for i in range(7)])
+            for i in range(7):
+                m[(i, j)] -= med
+            col_eff[j] += med
+    res = list(m.values())
+    rows = [(0, i, row_eff[i]) for i in range(7)]
+    rows += [(1, j, col_eff[j]) for j in range(24)]
+    rows += [(2, 0, min(res)), (2, 1, max(res))]
+    return rows
+
+
+def test_median_polish_matches_loop_reference(ray_session):
+    from core_ray.queries import events_median_polish
+
+    rng = np.random.default_rng(77)
+    n = 3000
+    us = rng.integers(0, 21 * 86400 * 10**6, n)
+    d = _write(
+        {
+            "events": {
+                "event_id": np.arange(n),
+                "ts": pa.array(np.sort(us), pa.timestamp("us")),
+                "user_id": rng.integers(0, 50, n),
+                "event_type": ["view"] * n,
+                "value": np.zeros(n),
+                "props": ["{}"] * n,
+            }
+        }
+    )
+    counts: dict = {}
+    for t_us in np.sort(us):
+        key = (int(t_us // 86400000000) % 7, int(t_us // 3600000000) % 24)
+        counts[key] = counts.get(key, 0) + 1
+    want = _ref_median_polish(counts)
+    t = _collect(events_median_polish(d))
+    got = list(zip(t["kind"].to_pylist(), t["idx"].to_pylist(),
+                   t["value"].to_pylist()))
+    assert got == want
+    # effects absorb most signal: residual range < raw count range
+    raw = list(counts.values())
+    assert (got[-1][2] - got[-2][2]) < (max(raw) - 0)
