@@ -38,6 +38,7 @@ _GOLDEN_PINNED = (
     "events_frechet_pairs",  # golden DP parquet over the sf0.01 events
     "geo_jenks_breaks",  # golden exhaustive-enumeration parquet, sf0.01
     "emb_semdedup",  # golden_kmeans-chained parquet, sf0.01
+    "events_absorbing_markov",  # golden Cramer-rule parquet, sf0.01
     "media_",  # media goldens pinned to the sf0.01 corpus (docs coincide
                # at sf0.001, but pin explicitly rather than by accident)
 )

@@ -1118,3 +1118,81 @@ def test_median_polish_matches_loop_reference(ray_session):
     # effects absorb most signal: residual range < raw count range
     raw = list(counts.values())
     assert (got[-1][2] - got[-2][2]) < (max(raw) - 0)
+
+
+def test_absorbing_markov_matches_cramer_reference(ray_session):
+    from fractions import Fraction
+
+    from core_ray.queries import events_absorbing_markov
+
+    rng = np.random.default_rng(151)
+    n = 1200
+    types = np.array(["view", "click", "signup", "purchase", "error"])
+    ty = types[rng.integers(0, 5, n)]
+    uid = rng.integers(0, 30, n)
+    ts = np.sort(rng.integers(0, 10**12, n))
+    d = _write(
+        {
+            "events": {
+                "event_id": np.arange(n),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": uid,
+                "event_type": ty.tolist(),
+                "value": np.zeros(n),
+                "props": ["{}"] * n,
+            }
+        }
+    )
+    # reference: counts by per-user walk + Cramer's rule
+    by_user: dict = {}
+    for e, (u, t_, tp) in enumerate(zip(uid, ts, ty)):
+        by_user.setdefault(int(u), []).append((int(t_), e, str(tp)))
+    counts: dict = {}
+    for evs in by_user.values():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    out_tot: dict = {}
+    for (s_, _), c in counts.items():
+        out_tot[s_] = out_tot.get(s_, 0) + c
+    trans = sorted(t_ for t_ in out_tot if t_ != "purchase")
+    m = len(trans)
+    A = [
+        [
+            (Fraction(1) if i == j else Fraction(0))
+            - Fraction(counts.get((trans[i], trans[j]), 0),
+                       out_tot[trans[i]])
+            for j in range(m)
+        ]
+        for i in range(m)
+    ]
+
+    def det(mat):
+        if len(mat) == 1:
+            return mat[0][0]
+        s_ = Fraction(0)
+        for j in range(len(mat)):
+            minor = [row[:j] + row[j + 1:] for row in mat[1:]]
+            s_ += (-1) ** j * mat[0][j] * det(minor)
+        return s_
+
+    dA = det(A)
+    want = {}
+    for i, t_ in enumerate(trans):
+        Ai = [
+            [A[r][c] if c != i else Fraction(1) for c in range(m)]
+            for r in range(m)
+        ]
+        x = det(Ai) / dA
+        want[t_] = (out_tot[t_], (x.numerator * 1_000_000) // x.denominator)
+    t = _collect(events_absorbing_markov(d))
+    got = {
+        e: (no, xm)
+        for e, no, xm in zip(
+            t["event_type"].to_pylist(), t["n_out"].to_pylist(),
+            t["exp_steps_micro"].to_pylist(),
+        )
+    }
+    assert got == want
+    # expected steps must exceed 1 step (absorption not instantaneous)
+    assert all(xm > 1_000_000 for _, xm in got.values())
