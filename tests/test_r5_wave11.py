@@ -1196,3 +1196,83 @@ def test_absorbing_markov_matches_cramer_reference(ray_session):
     assert got == want
     # expected steps must exceed 1 step (absorption not instantaneous)
     assert all(xm > 1_000_000 for _, xm in got.values())
+
+
+def _ref_burrows(texts, sources, topn=20):
+    """Reference quadratic Delta: Counter/loop implementation."""
+    from collections import Counter
+
+    all_c = Counter()
+    per_src_toks: dict = {}
+    for t, s in zip(texts, sources):
+        toks = t.split(" ")
+        all_c.update(toks)
+        per_src_toks.setdefault(s, []).extend(toks)
+    top = [w for w, _ in sorted(all_c.items(),
+                                key=lambda kv: (-kv[1], kv[0]))[:topn]]
+    srcs = sorted(per_src_toks)
+    n = len(srcs)
+    rates = {}
+    for s in srcs:
+        c = Counter(per_src_toks[s])
+        tot = len(per_src_toks[s])
+        rates[s] = [(c[w] * 1_000_000) // tot for w in top]
+    used = []
+    for j in range(len(top)):
+        s1 = sum(rates[s][j] for s in srcs)
+        s2 = sum(rates[s][j] ** 2 for s in srcs)
+        v = n * s2 - s1 * s1
+        if v > 0:
+            used.append((j, v))
+    out = {}
+    for i in range(n):
+        for k in range(i + 1, n):
+            tot = 0
+            for j, v in used:
+                diff = rates[srcs[i]][j] - rates[srcs[k]][j]
+                tot += (diff * diff * n * n * 1_000_000) // v
+            out[(srcs[i], srcs[k])] = tot // len(used)
+    return out
+
+
+def test_burrows_delta_matches_counter_reference(ray_session):
+    from core_ray.queries import doc_burrows_delta
+
+    rng = np.random.default_rng(43)
+    # three "authors" with biased vocab preferences
+    vocabs = {
+        "s0": ["alpha", "beta", "gamma", "common", "shared"],
+        "s1": ["alpha", "delta", "epsilon", "common", "shared"],
+        "s2": ["zeta", "eta", "theta", "common", "shared"],
+    }
+    texts, sources = [], []
+    for s, vb in vocabs.items():
+        for _ in range(40):
+            texts.append(
+                " ".join(rng.choice(np.array(vb), size=rng.integers(8, 30)))
+            )
+            sources.append(s)
+    ids = np.arange(len(texts))
+    d = _write(
+        {
+            "documents": {
+                "doc_id": ids,
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": sources,
+                "n_chars": [len(t) for t in texts],
+            }
+        }
+    )
+    want = _ref_burrows(texts, sources)
+    t = _collect(doc_burrows_delta(d))
+    got = {
+        (a, b): v
+        for a, b, v in zip(
+            t["source_a"].to_pylist(), t["source_b"].to_pylist(),
+            t["delta2_micro"].to_pylist(),
+        )
+    }
+    assert got == want
+    # disjoint-vocab authors must be farther apart than overlapping ones
+    assert got[("s0", "s2")] > got[("s0", "s1")]
