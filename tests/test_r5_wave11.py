@@ -1276,3 +1276,63 @@ def test_burrows_delta_matches_counter_reference(ray_session):
     assert got == want
     # disjoint-vocab authors must be farther apart than overlapping ones
     assert got[("s0", "s2")] > got[("s0", "s1")]
+
+
+def _ref_scan(doc_ids, p=6, radii=(1, 2, 3), topk=10):
+    """Reference scan: dict cell counts + per-window loop sums."""
+    n = 1 << p
+    cells: dict = {}
+    for did in doc_ids:
+        a = (did * 104729) % 360000
+        b = (did * 7919) % 140000
+        key = ((a * n) // 360000, (b * n) // 140000)
+        cells[key] = cells.get(key, 0) + 1
+    rows = []
+    for r in radii:
+        for cx in range(n):
+            for cy in range(n):
+                x0, x1 = max(0, cx - r), min(n - 1, cx + r)
+                y0, y1 = max(0, cy - r), min(n - 1, cy + r)
+                w = (x1 - x0 + 1) * (y1 - y0 + 1)
+                c = sum(
+                    cells.get((x, y), 0)
+                    for x in range(x0, x1 + 1)
+                    for y in range(y0, y1 + 1)
+                )
+                if c > 0:
+                    rows.append(((c * 1_000_000) // w, cx, cy, r, c, w))
+    rows.sort(key=lambda t: (-t[0], t[1], t[2], t[3]))
+    return [(cx, cy, r, c, w, rm) for rm, cx, cy, r, c, w in rows[:topk]]
+
+
+def test_scan_statistic_matches_loop_reference(ray_session):
+    from core_ray.queries import geo_scan_statistic
+
+    rng = np.random.default_rng(89)
+    # a planted dense blob + scattered background
+    ids = np.unique(
+        np.concatenate([rng.integers(0, 600, 300),
+                        rng.integers(0, 30000, 300)])
+    ).astype(np.int64)
+    d = _write(
+        {
+            "documents": {
+                "doc_id": ids,
+                "text": ["x y"] * len(ids),
+                "lang": ["en"] * len(ids),
+                "source": ["s"] * len(ids),
+                "n_chars": [3] * len(ids),
+            }
+        }
+    )
+    want = _ref_scan(ids.tolist())
+    t = _collect(geo_scan_statistic(d))
+    got = list(
+        zip(t["cx"].to_pylist(), t["cy"].to_pylist(), t["r"].to_pylist(),
+            t["c"].to_pylist(), t["w"].to_pylist(),
+            t["ratio_micro"].to_pylist())
+    )
+    assert got == want
+    # the top window density must beat the global mean density
+    n_cells = (1 << 6) ** 2
+    assert got[0][5] > (len(ids) * 1_000_000) // n_cells
