@@ -309,6 +309,7 @@ BENCH_QUERIES = [
     "events_median_polish",
     "events_absorbing_markov",
     "doc_burrows_delta",
+    "geo_scan_statistic",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost
