@@ -1336,3 +1336,73 @@ def test_scan_statistic_matches_loop_reference(ray_session):
     # the top window density must beat the global mean density
     n_cells = (1 << 6) ** 2
     assert got[0][5] > (len(ids) * 1_000_000) // n_cells
+
+
+def _ref_poisson_bootstrap(event_ids, values, B=64):
+    """Reference Poisson bootstrap: dict/loop with the shared thresholds."""
+    import math as _math
+
+    cum, thr = 0.0, []
+    for k in range(9):
+        cum += _math.exp(-1.0) / _math.factorial(k)
+        thr.append(int(np.floor(cum * (1 << 32))))
+
+    def mix(e, b):
+        h = (e * 40503 + ((b + 1) * 2654435761) % (1 << 32)) % (1 << 32)
+        h ^= h >> 16
+        h = (h * 0x45D9F3B) % (1 << 32)
+        h ^= h >> 16
+        return h
+
+    def r0(x):
+        return int(np.floor(x * 100 + 0.5))
+
+    cents = [r0(v) for v in values]
+    means = []
+    for b in range(B):
+        s = n = 0
+        for e, c in zip(event_ids, cents):
+            h = mix(e, b)
+            m = sum(1 for t in thr if h >= t)
+            s += m * c
+            n += m
+        if n > 0:
+            means.append((s * 1_000_000) // n)
+    means.sort()
+    full_s, full_n = sum(cents), len(cents)
+    lo = means[int(0.025 * B)] if len(means) > int(0.025 * B) else means[0]
+    hi = (means[int(0.975 * B)] if len(means) > int(0.975 * B)
+          else means[-1])
+    return (full_n, (full_s * 1_000_000) // full_n, lo, hi, len(means))
+
+
+def test_poisson_bootstrap_matches_loop_reference(ray_session):
+    from core_ray.queries import events_poisson_bootstrap
+
+    rng = np.random.default_rng(181)
+    n = 800
+    vals = np.round(rng.exponential(30.0, n) + 0.01, 2)
+    d = _write(
+        {
+            "events": {
+                "event_id": np.arange(n),
+                "ts": pa.array(
+                    np.sort(rng.integers(0, 10**12, n)), pa.timestamp("us")
+                ),
+                "user_id": rng.integers(0, 50, n),
+                "event_type": ["view"] * n,
+                "value": vals,
+                "props": ["{}"] * n,
+            }
+        }
+    )
+    want = _ref_poisson_bootstrap(list(range(n)), vals.tolist())
+    t = _collect(events_poisson_bootstrap(d))
+    got = (
+        t["n_events"][0].as_py(), t["mean_micro"][0].as_py(),
+        t["boot_lo_micro"][0].as_py(), t["boot_hi_micro"][0].as_py(),
+        t["n_resamples"][0].as_py(),
+    )
+    assert got == want
+    # the interval must bracket the point estimate
+    assert got[2] <= got[1] <= got[3]
