@@ -1406,3 +1406,67 @@ def test_poisson_bootstrap_matches_loop_reference(ray_session):
     assert got == want
     # the interval must bracket the point estimate
     assert got[2] <= got[1] <= got[3]
+
+
+def _ref_conformal(doc_ids, texts, chars):
+    """Reference split conformal: dict/loop with trunc division."""
+
+    def td(a, d):
+        return a // d if a >= 0 else -((-a) // d)
+
+    xs = {i: t.count(" ") + 1 for i, t in zip(doc_ids, texts)}
+    ys = dict(zip(doc_ids, chars))
+    train = [i for i in doc_ids if i % 2 == 0]
+    n = len(train)
+    sx = sum(xs[i] for i in train)
+    sy = sum(ys[i] for i in train)
+    sxx = sum(xs[i] ** 2 for i in train)
+    sxy = sum(xs[i] * ys[i] for i in train)
+    den = n * sxx - sx * sx
+    b1 = td((n * sxy - sx * sy) * 1_000_000, den)
+    b0 = td(sy * 1_000_000 - b1 * sx, n)
+
+    def r(i):
+        return abs(ys[i] * 1_000_000 - (b0 + b1 * xs[i]))
+
+    cal = sorted(r(i) for i in doc_ids if i % 2 == 1 and i % 101 == 1)
+    k = min(-(-9 * (len(cal) + 1) // 10), len(cal))
+    q = cal[k - 1]
+    ev = [i for i in doc_ids if i % 2 == 1]
+    ncov = sum(1 for i in ev if r(i) <= q)
+    return (n, len(cal), b0, b1, q, len(ev), ncov,
+            (ncov * 1_000_000) // len(ev))
+
+
+def test_conformal_matches_loop_reference(ray_session):
+    from core_ray.queries import doc_conformal_interval
+
+    rng = np.random.default_rng(271)
+    n = 1500
+    toks = rng.integers(5, 120, n)
+    texts = [" ".join(["w"] * int(t)) for t in toks]
+    # y roughly linear in x with heteroscedastic noise
+    chars = (toks * 6 + rng.integers(-40, 40, n)).astype(np.int64)
+    ids = np.arange(n)
+    d = _write(
+        {
+            "documents": {
+                "doc_id": ids,
+                "text": texts,
+                "lang": ["en"] * n,
+                "source": ["s"] * n,
+                "n_chars": chars,
+            }
+        }
+    )
+    want = _ref_conformal(ids.tolist(), texts, chars.tolist())
+    t = _collect(doc_conformal_interval(d))
+    got = (
+        t["n_train"][0].as_py(), t["n_cal"][0].as_py(),
+        t["b0_micro"][0].as_py(), t["b1_micro"][0].as_py(),
+        t["q_micro"][0].as_py(), t["n_eval"][0].as_py(),
+        t["n_covered"][0].as_py(), t["cov_micro"][0].as_py(),
+    )
+    assert got == want
+    # the conformal guarantee: holdout coverage near or above 90%
+    assert got[7] >= 850_000
