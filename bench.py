@@ -312,6 +312,7 @@ BENCH_QUERIES = [
     "geo_scan_statistic",
     "events_poisson_bootstrap",
     "doc_conformal_interval",
+    "events_cuped",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

@@ -1470,3 +1470,84 @@ def test_conformal_matches_loop_reference(ray_session):
     assert got == want
     # the conformal guarantee: holdout coverage near or above 90%
     assert got[7] >= 850_000
+
+
+def _ref_cuped(event_ids, user_ids, ts_us, values):
+    """Reference CUPED: dict/loop with trunc division."""
+
+    def td(a, d):
+        return a // d if a >= 0 else -((-a) // d)
+
+    def r0(x):
+        return int(np.floor(x * 100 + 0.5))
+
+    mid = (min(ts_us) + max(ts_us)) // 2
+    xs: dict = {}
+    ys: dict = {}
+    for u, t, v in zip(user_ids, ts_us, values):
+        xs.setdefault(u, 0)
+        ys.setdefault(u, 0)
+        if t < mid:
+            xs[u] += r0(v)
+        else:
+            ys[u] += r0(v)
+    users = sorted(xs)
+    n = len(users)
+    sx = sum(xs[u] for u in users)
+    sy = sum(ys[u] for u in users)
+    sxx = sum(xs[u] ** 2 for u in users)
+    sxy = sum(xs[u] * ys[u] for u in users)
+    syy = sum(ys[u] ** 2 for u in users)
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    cxy = n * sxy - sx * sy
+    th = td(cxy * 1000, vx)
+    vcup6 = 1_000_000 * vy - 2_000 * th * cxy + th * th * vx
+    vr = td((1_000_000 * vy - vcup6) * 1_000_000, 1_000_000 * vy)
+    out = []
+    for a in (0, 1):
+        arm_users = [u for u in users if u % 2 == a]
+        na = len(arm_users)
+        sya = sum(ys[u] for u in arm_users)
+        sxa = sum(xs[u] for u in arm_users)
+        s_cup = 1000 * n * sya - th * (n * sxa - na * sx)
+        out.append(
+            (a, na, td(sya * 1_000_000, na), td(s_cup * 1000, na * n),
+             th, vr)
+        )
+    return out
+
+
+def test_cuped_matches_loop_reference(ray_session):
+    from core_ray.queries import events_cuped
+
+    rng = np.random.default_rng(307)
+    n = 2000
+    uid = rng.integers(0, 80, n)
+    ts = np.sort(rng.integers(0, 10**12, n))
+    # per-user persistent spend level -> strong X-Y correlation for CUPED
+    base = rng.exponential(20.0, 80)
+    vals = np.round(base[uid] + rng.exponential(5.0, n), 2)
+    d = _write(
+        {
+            "events": {
+                "event_id": np.arange(n),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": uid,
+                "event_type": ["view"] * n,
+                "value": vals,
+                "props": ["{}"] * n,
+            }
+        }
+    )
+    want = _ref_cuped(list(range(n)), uid.tolist(), ts.tolist(),
+                      vals.tolist())
+    t = _collect(events_cuped(d))
+    got = list(
+        zip(t["arm"].to_pylist(), t["n_users"].to_pylist(),
+            t["mean_y_micro"].to_pylist(),
+            t["mean_cuped_micro"].to_pylist(),
+            t["theta_milli"].to_pylist(), t["vr_micro"].to_pylist())
+    )
+    assert got == want
+    # the persistent-user design must actually reduce variance
+    assert got[0][5] > 100_000  # > 10% variance removed
