@@ -313,6 +313,7 @@ BENCH_QUERIES = [
     "events_poisson_bootstrap",
     "doc_conformal_interval",
     "events_cuped",
+    "events_mann_whitney",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

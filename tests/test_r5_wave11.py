@@ -1551,3 +1551,49 @@ def test_cuped_matches_loop_reference(ray_session):
     assert got == want
     # the persistent-user design must actually reduce variance
     assert got[0][5] > 100_000  # > 10% variance removed
+
+
+def test_mann_whitney_matches_bruteforce(ray_session):
+    from core_ray.queries import events_mann_whitney
+
+    rng = np.random.default_rng(401)
+    n = 1500
+    uid = rng.integers(0, 120, n)
+    # arm 1 spends systematically more -> AUC well above 1/2
+    vals = np.round(
+        rng.exponential(10.0, n) + (uid % 2) * 5.0 + 0.01, 2
+    )
+    d = _write(
+        {
+            "events": {
+                "event_id": np.arange(n),
+                "ts": pa.array(
+                    np.sort(rng.integers(0, 10**12, n)), pa.timestamp("us")
+                ),
+                "user_id": uid,
+                "event_type": ["view"] * n,
+                "value": vals,
+                "props": ["{}"] * n,
+            }
+        }
+    )
+
+    def r0(x):
+        return int(np.floor(x * 100 + 0.5))
+
+    tot: dict = {}
+    for u, v in zip(uid.tolist(), vals.tolist()):
+        tot[u] = tot.get(u, 0) + r0(v)
+    a0 = [v for u, v in tot.items() if u % 2 == 0]
+    a1 = [v for u, v in tot.items() if u % 2 == 1]
+    u2 = sum(
+        2 if y1 > y0 else (1 if y1 == y0 else 0)
+        for y1 in a1 for y0 in a0
+    )
+    want = (len(a0), len(a1), u2,
+            (u2 * 1_000_000) // (2 * len(a0) * len(a1)))
+    t = _collect(events_mann_whitney(d))
+    got = (t["n0"][0].as_py(), t["n1"][0].as_py(), t["u2"][0].as_py(),
+           t["auc_micro"][0].as_py())
+    assert got == want
+    assert got[3] > 500_000  # arm 1 planted to dominate
