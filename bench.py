@@ -314,6 +314,7 @@ BENCH_QUERIES = [
     "doc_conformal_interval",
     "events_cuped",
     "events_mann_whitney",
+    "geo_eb_rates",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

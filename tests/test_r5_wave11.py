@@ -1597,3 +1597,60 @@ def test_mann_whitney_matches_bruteforce(ray_session):
            t["auc_micro"][0].as_py())
     assert got == want
     assert got[3] > 500_000  # arm 1 planted to dominate
+
+
+def _ref_eb(doc_ids, p=6):
+    """Reference EB shrinkage: dict/loop with trunc division."""
+
+    def td(a, d):
+        return a // d if a >= 0 else -((-a) // d)
+
+    n = 1 << p
+    cells: dict = {}
+    for did in doc_ids:
+        a = (did * 104729) % 360000
+        b = (did * 7919) % 140000
+        key = ((a * n) // 360000, (b * n) // 140000)
+        cells[key] = cells.get(key, 0) + 1
+    N = n * n
+    C = sum(cells.values())
+    S2 = sum(v * v for v in cells.values())
+    mm = (C * 1_000_000) // N
+    fden = N * S2 - C * C
+    fnum = max(fden - C * N, 0)
+    rows = []
+    for x in range(n):
+        for y in range(n):
+            c = cells.get((x, y), 0)
+            s = mm + (td((c * 1_000_000 - mm) * fnum, fden)
+                      if fden > 0 else 0)
+            rows.append((x, y, c, s))
+    rows.sort(key=lambda r: (-r[2], r[0], r[1]))
+    return rows[:20]
+
+
+def test_eb_rates_matches_loop_reference(ray_session):
+    from core_ray.queries import geo_eb_rates
+
+    rng = np.random.default_rng(19)
+    ids = np.unique(rng.integers(0, 20000, 2500)).astype(np.int64)
+    d = _write(
+        {
+            "documents": {
+                "doc_id": ids,
+                "text": ["x y"] * len(ids),
+                "lang": ["en"] * len(ids),
+                "source": ["s"] * len(ids),
+                "n_chars": [3] * len(ids),
+            }
+        }
+    )
+    want = _ref_eb(ids.tolist())
+    t = _collect(geo_eb_rates(d))
+    got = list(
+        zip(t["cx"].to_pylist(), t["cy"].to_pylist(), t["c"].to_pylist(),
+            t["shrunk_micro"].to_pylist())
+    )
+    assert got == want
+    # shrinkage pulls the top cell DOWN toward the mean
+    assert got[0][3] < got[0][2] * 1_000_000
