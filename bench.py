@@ -315,6 +315,7 @@ BENCH_QUERIES = [
     "events_cuped",
     "events_mann_whitney",
     "geo_eb_rates",
+    "doc_mattr",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

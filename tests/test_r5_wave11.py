@@ -1654,3 +1654,52 @@ def test_eb_rates_matches_loop_reference(ray_session):
     assert got == want
     # shrinkage pulls the top cell DOWN toward the mean
     assert got[0][3] < got[0][2] * 1_000_000
+
+
+def _ref_mattr(doc_ids, texts, w=50):
+    """Reference MATTR: per-window set() loop."""
+    out = {}
+    for did, t in zip(doc_ids, texts):
+        toks = t.split(" ")
+        if len(toks) < w:
+            continue
+        n_w = len(toks) - w + 1
+        num = sum(len(set(toks[s:s + w])) for s in range(n_w))
+        out[did] = (n_w, (num * 1_000_000) // (w * n_w))
+    return out
+
+
+def test_mattr_matches_set_reference(ray_session):
+    from core_ray.queries import doc_mattr
+
+    rng = np.random.default_rng(223)
+    vocab = np.array([f"w{i}" for i in range(40)])
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(10, 160)))
+        for _ in range(150)
+    ]
+    ids = np.arange(len(texts))
+    d = _write(
+        {
+            "documents": {
+                "doc_id": ids,
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": ["s"] * len(texts),
+                "n_chars": [len(t) for t in texts],
+            }
+        }
+    )
+    want = _ref_mattr(ids.tolist(), texts)
+    assert want, "some docs must clear the window size"
+    t = _collect(doc_mattr(d))
+    got = {
+        i: (nw, m)
+        for i, nw, m in zip(
+            t["doc_id"].to_pylist(), t["n_w"].to_pylist(),
+            t["mattr_micro"].to_pylist(),
+        )
+    }
+    assert got == want
+    # 40-word vocab in 50-token windows caps diversity strictly below 1
+    assert all(m < 1_000_000 for _, m in got.values())
