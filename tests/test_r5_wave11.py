@@ -1703,3 +1703,50 @@ def test_mattr_matches_set_reference(ray_session):
     assert got == want
     # 40-word vocab in 50-token windows caps diversity strictly below 1
     assert all(m < 1_000_000 for _, m in got.values())
+
+
+def test_wasserstein_matches_scipy_free_reference(ray_session):
+    from core_ray.queries import events_wasserstein_arms
+
+    rng = np.random.default_rng(353)
+    n = 1800
+    uid = rng.integers(0, 150, n)
+    vals = np.round(rng.exponential(12.0, n) + (uid % 2) * 3.0 + 0.01, 2)
+    d = _write(
+        {
+            "events": {
+                "event_id": np.arange(n),
+                "ts": pa.array(
+                    np.sort(rng.integers(0, 10**12, n)), pa.timestamp("us")
+                ),
+                "user_id": uid,
+                "event_type": ["view"] * n,
+                "value": vals,
+                "props": ["{}"] * n,
+            }
+        }
+    )
+
+    def r0(x):
+        return int(np.floor(x * 100 + 0.5))
+
+    tot: dict = {}
+    for u, v in zip(uid.tolist(), vals.tolist()):
+        tot[u] = tot.get(u, 0) + r0(v)
+    a0 = sorted(v for u, v in tot.items() if u % 2 == 0)
+    a1 = sorted(v for u, v in tot.items() if u % 2 == 1)
+    n0, n1 = len(a0), len(a1)
+    # reference: merged-value sweep with exact cumulative counts
+    allv = sorted(set(a0) | set(a1))
+    c0 = c1 = w1 = 0
+    for v, nxt in zip(allv, allv[1:]):
+        c0 += sum(1 for x in a0 if x == v)
+        c1 += sum(1 for x in a1 if x == v)
+        w1 += abs(c0 * n1 - c1 * n0) * (nxt - v)
+    want = (n0, n1, w1, (w1 * 1_000_000) // (n0 * n1))
+    t = _collect(events_wasserstein_arms(d))
+    got = (t["n0"][0].as_py(), t["n1"][0].as_py(),
+           t["w1_scaled"][0].as_py(), t["w1_cents_micro"][0].as_py())
+    assert got == want
+    # the planted +3.00 arm shift must show up as >= ~100 cents of W1
+    assert got[3] >= 100 * 1_000_000
