@@ -1750,3 +1750,82 @@ def test_wasserstein_matches_scipy_free_reference(ray_session):
     assert got == want
     # the planted +3.00 arm shift must show up as >= ~100 cents of W1
     assert got[3] >= 100 * 1_000_000
+
+
+def _ref_moore_lewis(doc_ids, sources, texts, dom="src0", topk=20):
+    """Reference Moore-Lewis: Counter/loop with micro-bit LMs."""
+    import math as _math
+    from collections import Counter
+
+    def td(a, d):
+        return a // d if a >= 0 else -((-a) // d)
+
+    def r0(x):
+        return int(np.floor(x * 1e6 + 0.5)) if x >= 0 else -int(
+            np.floor(-x * 1e6 + 0.5))
+
+    c_all: Counter = Counter()
+    c_in: Counter = Counter()
+    for s, t in zip(sources, texts):
+        toks = t.split(" ")
+        c_all.update(toks)
+        if s == dom:
+            c_in.update(toks)
+    V = len(c_all)
+    t_all = sum(c_all.values()) + V
+    t_in = sum(c_in.values()) + V
+    d = {
+        w: r0(-_math.log2((c_in[w] + 1) / t_in))
+        - r0(-_math.log2((c_all[w] + 1) / t_all))
+        for w in c_all
+    }
+    rows = []
+    for i, s, t in zip(doc_ids, sources, texts):
+        if s == dom:
+            continue
+        toks = t.split(" ")
+        sc = td(sum(d[w] for w in toks), len(toks))
+        rows.append((sc, i, len(toks)))
+    rows.sort()
+    return [(i, n, sc) for sc, i, n in rows[:topk]]
+
+
+def test_moore_lewis_matches_counter_reference(ray_session):
+    from core_ray.queries import doc_moore_lewis
+
+    rng = np.random.default_rng(419)
+    dom_vocab = np.array(["geo", "tile", "join", "shard", "common"])
+    gen_vocab = np.array(["misc", "filler", "noise", "pad", "common"])
+    ids, sources, texts = [], [], []
+    vid = 0
+    for k in range(30):
+        sources.append("src0")
+        texts.append(" ".join(rng.choice(dom_vocab, rng.integers(8, 30))))
+        ids.append(vid)
+        vid += 1
+    for k in range(90):
+        # some pool docs lean in-domain, some general
+        vb = dom_vocab if k % 3 == 0 else gen_vocab
+        sources.append(f"src{1 + k % 5}")
+        texts.append(" ".join(rng.choice(vb, rng.integers(8, 30))))
+        ids.append(vid)
+        vid += 1
+    d = _write(
+        {
+            "documents": {
+                "doc_id": np.array(ids, np.int64),
+                "text": texts,
+                "lang": ["en"] * len(ids),
+                "source": sources,
+                "n_chars": [len(t) for t in texts],
+            }
+        }
+    )
+    want = _ref_moore_lewis(ids, sources, texts)
+    t = _collect(doc_moore_lewis(d))
+    got = list(zip(t["doc_id"].to_pylist(), t["n_tokens"].to_pylist(),
+                   t["score_micro"].to_pylist()))
+    assert got == want
+    # every selected doc must be one of the planted in-domain-leaning pool
+    # docs (pool index k % 3 == 0 -> doc_id 30 + 3j)
+    assert all((i - 30) % 3 == 0 for i, _, _ in got)
