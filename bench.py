@@ -318,6 +318,7 @@ BENCH_QUERIES = [
     "doc_mattr",
     "events_wasserstein_arms",
     "doc_moore_lewis",
+    "doc_kanon",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

@@ -1829,3 +1829,38 @@ def test_moore_lewis_matches_counter_reference(ray_session):
     # every selected doc must be one of the planted in-domain-leaning pool
     # docs (pool index k % 3 == 0 -> doc_id 30 + 3j)
     assert all((i - 30) % 3 == 0 for i, _, _ in got)
+
+
+def test_kanon_matches_dict_reference(ray_session):
+    from core_ray.queries import doc_kanon
+
+    rng = np.random.default_rng(457)
+    n = 600
+    langs = np.array(["en", "de", "fr"])[rng.integers(0, 3, n)]
+    srcs = np.array([f"s{i}" for i in range(6)])[rng.integers(0, 6, n)]
+    chars = rng.integers(0, 2048, n)
+    d = _write(
+        {
+            "documents": {
+                "doc_id": np.arange(n),
+                "text": ["x y"] * n,
+                "lang": langs.tolist(),
+                "source": srcs.tolist(),
+                "n_chars": chars,
+            }
+        }
+    )
+    classes: dict = {}
+    for l, s, c in zip(langs, srcs, chars):
+        key = (l, s, int(c) // 256)
+        classes[key] = classes.get(key, 0) + 1
+    want = [(0, len(classes), n)]
+    for k in (2, 5, 10):
+        small = [v for v in classes.values() if v < k]
+        want.append((k, len(small), sum(small)))
+    t = _collect(doc_kanon(d))
+    got = list(zip(t["k"].to_pylist(), t["n_classes"].to_pylist(),
+                   t["n_docs"].to_pylist()))
+    assert got == want
+    # 3*6*8 QI space over 600 docs must leave singletons at risk
+    assert got[1][2] > 0
