@@ -319,6 +319,7 @@ BENCH_QUERIES = [
     "events_wasserstein_arms",
     "doc_moore_lewis",
     "doc_kanon",
+    "doc_watermark_detect",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

@@ -1864,3 +1864,73 @@ def test_kanon_matches_dict_reference(ray_session):
     assert got == want
     # 3*6*8 QI space over 600 docs must leave singletons at risk
     assert got[1][2] > 0
+
+
+def _ref_watermark(doc_ids, texts, min_bi=20, topk=20):
+    """Reference watermark detector: hashlib/loop implementation."""
+    import hashlib as hl
+
+    def td(a, d):
+        return a // d if a >= 0 else -((-a) // d)
+
+    rows = []
+    for did, t in zip(doc_ids, texts):
+        toks = t.split(" ")
+        if len(toks) - 1 < min_bi:
+            continue
+        g = 0
+        n = len(toks) - 1
+        for a, b in zip(toks, toks[1:]):
+            h = int.from_bytes(
+                hl.md5(f"{a} {b}".encode()).digest()[:8], "little"
+            )
+            g += h & 1
+        d = 2 * g - n
+        rows.append((td(d * abs(d) * 1_000_000, n), did, g, n))
+    rows.sort(key=lambda r: (-r[0], r[1]))
+    return [(did, g, n, s) for s, did, g, n in rows[:topk]]
+
+
+def test_watermark_matches_loop_reference(ray_session):
+    from core_ray.queries import doc_watermark_detect
+
+    rng = np.random.default_rng(541)
+    vocab = np.array([f"w{i}" for i in range(60)])
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(25, 120)))
+        for _ in range(80)
+    ]
+    # plant a "watermarked" doc: greedily pick green-continuation tokens
+    import hashlib as hl
+
+    cur = "w0"
+    planted = [cur]
+    for _ in range(150):
+        for cand in vocab:
+            h = int.from_bytes(
+                hl.md5(f"{cur} {cand}".encode()).digest()[:8], "little"
+            )
+            if h & 1:
+                planted.append(str(cand))
+                cur = str(cand)
+                break
+    texts.append(" ".join(planted))
+    ids = np.arange(len(texts))
+    d = _write(
+        {
+            "documents": {
+                "doc_id": ids,
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": ["s"] * len(texts),
+                "n_chars": [len(t) for t in texts],
+            }
+        }
+    )
+    want = _ref_watermark(ids.tolist(), texts)
+    t = _collect(doc_watermark_detect(d))
+    got = list(zip(t["doc_id"].to_pylist(), t["g"].to_pylist(),
+                   t["n"].to_pylist(), t["sz2_micro"].to_pylist()))
+    assert got == want
+    # the planted greedy-green doc must top the chart with g == n
+    assert got[0][0] == len(texts) - 1 and got[0][1] == got[0][2]
