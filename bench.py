@@ -320,6 +320,7 @@ BENCH_QUERIES = [
     "doc_moore_lewis",
     "doc_kanon",
     "doc_watermark_detect",
+    "emb_participation_ratio",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

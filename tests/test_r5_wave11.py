@@ -1934,3 +1934,55 @@ def test_watermark_matches_loop_reference(ray_session):
     assert got == want
     # the planted greedy-green doc must top the chart with g == n
     assert got[0][0] == len(texts) - 1 and got[0][1] == got[0][2]
+
+
+def _ref_pr(vecs):
+    """Reference participation ratio: pure-python int loops."""
+
+    def q(x):
+        s = x * 1000.0
+        return (int(np.floor(s + 0.5)) if s >= 0
+                else -int(np.floor(-s + 0.5)))
+
+    xm = [[q(v) for v in row] for row in vecs]
+    n = len(xm)
+    dim = len(xm[0])
+    S = [sum(r[i] for r in xm) for i in range(dim)]
+    tr = 0
+    fr = 0
+    for i in range(dim):
+        for j in range(dim):
+            g = sum(r[i] * r[j] for r in xm)
+            m = n * g - S[i] * S[j]
+            fr += m * m
+            if i == j:
+                tr += m
+    return (dim, n, tr, (tr * tr * 1_000_000) // fr)
+
+
+def test_participation_ratio_matches_loop_reference(ray_session):
+    from core_ray.queries import emb_participation_ratio
+
+    rng = np.random.default_rng(613)
+    n, dim = 120, 12
+    # anisotropic cloud: one dominant direction -> PR well below dim
+    base = rng.normal(size=(n, 1)) @ rng.normal(size=(1, dim)) * 3.0
+    vecs = (base + rng.normal(size=(n, dim))).astype(np.float32)
+    d = _write(
+        {
+            "embeddings": {
+                "vec_id": np.arange(n),
+                "embedding": pa.array(
+                    [v.tolist() for v in vecs], pa.list_(pa.float32())
+                ),
+                "label": pa.array(np.zeros(n, np.int32), pa.int32()),
+            }
+        }
+    )
+    want = _ref_pr([v.astype(np.float64) for v in vecs])
+    t = _collect(emb_participation_ratio(d))
+    got = (t["dim"][0].as_py(), t["n_vecs"][0].as_py(),
+           t["trace_scatter"][0].as_py(), t["pr_micro"][0].as_py())
+    assert got == want
+    # dominant direction -> 1 <= PR << dim
+    assert 1_000_000 <= got[3] < 6_000_000
