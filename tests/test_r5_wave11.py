@@ -1986,3 +1986,64 @@ def test_participation_ratio_matches_loop_reference(ray_session):
     assert got == want
     # dominant direction -> 1 <= PR << dim
     assert 1_000_000 <= got[3] < 6_000_000
+
+
+def _ref_km(user_ids, ts_us, types):
+    """Reference KM: dict/loop with truncating product updates."""
+    span_end = max(ts_us)
+    by_user: dict = {}
+    for u, t, ty in zip(user_ids, ts_us, types):
+        by_user.setdefault(u, []).append((t, ty))
+    delays = []
+    for evs in by_user.values():
+        evs.sort()
+        t0 = evs[0][0]
+        tp = next((t for t, ty in evs if ty == "purchase"), None)
+        if tp is not None:
+            delays.append(((tp - t0) // 3600000000, 1))
+        else:
+            delays.append(((span_end - t0) // 3600000000, 0))
+    hours = sorted({h for h, _ in delays})
+    n_risk = len(delays)
+    s = 1_000_000
+    out = []
+    for h in hours:
+        d = sum(1 for hh, ev in delays if hh == h and ev)
+        c = sum(1 for hh, ev in delays if hh == h and not ev)
+        if d > 0:
+            s = (s * (n_risk - d)) // n_risk
+            out.append((h, n_risk, d, s))
+        n_risk -= d + c
+    return out
+
+
+def test_survival_km_matches_loop_reference(ray_session):
+    from core_ray.queries import events_survival_km
+
+    rng = np.random.default_rng(733)
+    n = 1600
+    uid = rng.integers(0, 120, n)
+    ts = np.sort(rng.integers(0, 10 * 86400 * 10**6, n))
+    types = np.where(rng.random(n) < 0.08, "purchase", "view")
+    d = _write(
+        {
+            "events": {
+                "event_id": np.arange(n),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": uid,
+                "event_type": types.tolist(),
+                "value": np.zeros(n),
+                "props": ["{}"] * n,
+            }
+        }
+    )
+    want = _ref_km(uid.tolist(), ts.tolist(), types.tolist())
+    assert want, "some purchases must occur for the test to bite"
+    t = _collect(events_survival_km(d))
+    got = list(zip(t["h"].to_pylist(), t["n_risk"].to_pylist(),
+                   t["d"].to_pylist(), t["s_micro"].to_pylist()))
+    assert got == want
+    # survival is monotone nonincreasing and bounded by 1
+    s_vals = [s for _, _, _, s in got]
+    assert all(a >= b for a, b in zip(s_vals, s_vals[1:]))
+    assert s_vals[0] <= 1_000_000
