@@ -322,6 +322,7 @@ BENCH_QUERIES = [
     "doc_watermark_detect",
     "emb_participation_ratio",
     "events_survival_km",
+    "events_shapley_channels",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

@@ -2047,3 +2047,73 @@ def test_survival_km_matches_loop_reference(ray_session):
     s_vals = [s for _, _, _, s in got]
     assert all(a >= b for a, b in zip(s_vals, s_vals[1:]))
     assert s_vals[0] <= 1_000_000
+
+
+def _ref_shapley(user_ids, ts_us, types, channels=("click", "error",
+                                                   "signup", "view")):
+    """Reference Shapley attribution: dict/loop with itertools subsets."""
+    from itertools import combinations
+    from math import factorial
+
+    by_user: dict = {}
+    for u, t, ty in zip(user_ids, ts_us, types):
+        by_user.setdefault(u, []).append((t, ty))
+    coalitions = []
+    for evs in by_user.values():
+        evs.sort()
+        tp = next((t for t, ty in evs if ty == "purchase"), None)
+        if tp is None:
+            continue
+        coalitions.append(frozenset(
+            ty for t, ty in evs if t < tp and ty in channels
+        ))
+
+    def v(S):
+        return sum(1 for c in coalitions if c <= S)
+
+    n = len(channels)
+    out = {}
+    for ch in channels:
+        others = [c for c in channels if c != ch]
+        phi = 0
+        for sz in range(n):
+            for sub in combinations(others, sz):
+                S = frozenset(sub)
+                phi += (factorial(sz) * factorial(n - 1 - sz)
+                        * (v(S | {ch}) - v(S)))
+        out[ch] = (phi, (phi * 1_000_000) // factorial(n))
+    return out
+
+
+def test_shapley_matches_subset_reference(ray_session):
+    from core_ray.queries import events_shapley_channels
+
+    rng = np.random.default_rng(809)
+    n = 1400
+    uid = rng.integers(0, 90, n)
+    ts = np.sort(rng.integers(0, 10**12, n))
+    types = np.array(["view", "click", "signup", "error", "purchase"])[
+        rng.integers(0, 5, n)
+    ]
+    d = _write(
+        {
+            "events": {
+                "event_id": np.arange(n),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": uid,
+                "event_type": types.tolist(),
+                "value": np.zeros(n),
+                "props": ["{}"] * n,
+            }
+        }
+    )
+    want = _ref_shapley(uid.tolist(), ts.tolist(), types.tolist())
+    t = _collect(events_shapley_channels(d))
+    got = {
+        c: (p, m)
+        for c, p, m in zip(t["channel"].to_pylist(), t["phi24"].to_pylist(),
+                           t["phi_micro"].to_pylist())
+    }
+    assert got == want
+    # efficiency: total credit == 24 * (v(T) - v(empty)) > 0
+    assert sum(p for p, _ in got.values()) > 0
