@@ -323,6 +323,7 @@ BENCH_QUERIES = [
     "emb_participation_ratio",
     "events_survival_km",
     "events_shapley_channels",
+    "doc_t5_spans",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

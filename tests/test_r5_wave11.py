@@ -2117,3 +2117,56 @@ def test_shapley_matches_subset_reference(ray_session):
     assert got == want
     # efficiency: total credit == 24 * (v(T) - v(empty)) > 0
     assert sum(p for p, _ in got.values()) > 0
+
+
+def test_t5_spans_matches_loop_reference(ray_session):
+    from core_ray.queries import doc_t5_spans
+
+    rng = np.random.default_rng(877)
+    texts = [
+        " ".join(rng.choice(np.array(["a", "b", "c"]),
+                            size=rng.integers(5, 200)))
+        for _ in range(120)
+    ]
+    ids = np.arange(len(texts))
+    d = _write(
+        {
+            "documents": {
+                "doc_id": ids,
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": ["s"] * len(texts),
+                "n_chars": [len(t) for t in texts],
+            }
+        }
+    )
+
+    def mix(did, i):
+        h = (did * 40503 + (i * 2654435761) % (1 << 32)) % (1 << 32)
+        h ^= h >> 16
+        h = (h * 0x45D9F3B) % (1 << 32)
+        h ^= h >> 16
+        return h
+
+    thr = int(0.15 * (1 << 32))
+    nt = nm = ns = 0
+    for did, t in zip(ids.tolist(), texts):
+        n = len(t.split(" "))
+        nt += n
+        prev = False
+        for i in range(1, n + 1):
+            m = mix(did, i) < thr
+            nm += m
+            ns += m and not prev
+            prev = m
+    want = (len(texts), nt, nm, ns, (nm * 1_000_000) // nt,
+            (nm * 1_000) // ns)
+    t = _collect(doc_t5_spans(d))
+    got = (
+        t["n_docs"][0].as_py(), t["n_tokens"][0].as_py(),
+        t["n_masked"][0].as_py(), t["n_spans"][0].as_py(),
+        t["masked_frac_micro"][0].as_py(), t["mean_span_milli"][0].as_py(),
+    )
+    assert got == want
+    # the empirical mask rate concentrates near 15%
+    assert 120_000 < got[4] < 180_000
