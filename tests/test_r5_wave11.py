@@ -2170,3 +2170,49 @@ def test_t5_spans_matches_loop_reference(ray_session):
     assert got == want
     # the empirical mask rate concentrates near 15%
     assert 120_000 < got[4] < 180_000
+
+
+def test_dp_counts_matches_loop_reference(ray_session):
+    from core_ray.queries import _DP_KSEQ, _DP_THRESH, doc_dp_counts
+
+    rng = np.random.default_rng(911)
+    n = 700
+    langs = np.array(["en", "de", "fr", "ja", "pt"])[rng.integers(0, 5, n)]
+    d = _write(
+        {
+            "documents": {
+                "doc_id": np.arange(n),
+                "text": ["x y"] * n,
+                "lang": langs.tolist(),
+                "source": ["s"] * n,
+                "n_chars": [3] * n,
+            }
+        }
+    )
+    import hashlib as hl
+
+    def noise(lang):
+        u = int.from_bytes(hl.md5(lang.encode()).digest()[:8],
+                           "little") % (1 << 32)
+        h = (u * 40503 + 2654435761) % (1 << 32)
+        h ^= h >> 16
+        h = (h * 0x45D9F3B) % (1 << 32)
+        h ^= h >> 16
+        ks = (0,) + _DP_KSEQ[:-1]
+        for t, k in zip(_DP_THRESH, ks):
+            if h < t:
+                return k
+        return _DP_KSEQ[-1]
+
+    from collections import Counter
+
+    cnt = Counter(langs.tolist())
+    want = sorted(
+        (l, c, max(c + noise(l), 0)) for l, c in cnt.items()
+    )
+    t = _collect(doc_dp_counts(d))
+    got = list(zip(t["lang"].to_pylist(), t["n_docs"].to_pylist(),
+                   t["n_released"].to_pylist()))
+    assert got == want
+    # noise must be bounded by the mechanism's cap
+    assert all(abs(r - c) <= 8 for _, c, r in got)
