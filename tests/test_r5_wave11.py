@@ -2216,3 +2216,49 @@ def test_dp_counts_matches_loop_reference(ray_session):
     assert got == want
     # noise must be bounded by the mechanism's cap
     assert all(abs(r - c) <= 8 for _, c, r in got)
+
+
+def test_ks_arms_matches_bruteforce(ray_session):
+    from core_ray.queries import events_ks_arms
+
+    rng = np.random.default_rng(967)
+    n = 1600
+    uid = rng.integers(0, 140, n)
+    vals = np.round(rng.exponential(9.0, n) + (uid % 2) * 4.0 + 0.01, 2)
+    d = _write(
+        {
+            "events": {
+                "event_id": np.arange(n),
+                "ts": pa.array(
+                    np.sort(rng.integers(0, 10**12, n)), pa.timestamp("us")
+                ),
+                "user_id": uid,
+                "event_type": ["view"] * n,
+                "value": vals,
+                "props": ["{}"] * n,
+            }
+        }
+    )
+
+    def r0(x):
+        return int(np.floor(x * 100 + 0.5))
+
+    tot: dict = {}
+    for u, v in zip(uid.tolist(), vals.tolist()):
+        tot[u] = tot.get(u, 0) + r0(v)
+    a0 = sorted(v for u, v in tot.items() if u % 2 == 0)
+    a1 = sorted(v for u, v in tot.items() if u % 2 == 1)
+    n0, n1 = len(a0), len(a1)
+    ks = 0
+    c0 = c1 = 0
+    for v in sorted(set(a0) | set(a1)):
+        c0 += sum(1 for x in a0 if x == v)
+        c1 += sum(1 for x in a1 if x == v)
+        ks = max(ks, abs(c0 * n1 - c1 * n0))
+    want = (n0, n1, ks, (ks * 1_000_000) // (n0 * n1))
+    t = _collect(events_ks_arms(d))
+    got = (t["n0"][0].as_py(), t["n1"][0].as_py(),
+           t["ks_scaled"][0].as_py(), t["ks_micro"][0].as_py())
+    assert got == want
+    # planted +4.00 arm shift must produce a visible CDF gap
+    assert got[3] > 100_000
