@@ -326,6 +326,7 @@ BENCH_QUERIES = [
     "doc_t5_spans",
     "doc_dp_counts",
     "events_ks_arms",
+    "emb_anisotropy",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

@@ -2262,3 +2262,45 @@ def test_ks_arms_matches_bruteforce(ray_session):
     assert got == want
     # planted +4.00 arm shift must produce a visible CDF gap
     assert got[3] > 100_000
+
+
+def test_anisotropy_matches_loop_reference(ray_session):
+    from core_ray.queries import emb_anisotropy
+
+    rng = np.random.default_rng(991)
+    n, dim = 140, 10
+    # shifted cloud -> strongly positive mean pairwise dot
+    vecs = (rng.normal(size=(n, dim)) + 2.0).astype(np.float32)
+    d = _write(
+        {
+            "embeddings": {
+                "vec_id": np.arange(n),
+                "embedding": pa.array(
+                    [v.tolist() for v in vecs], pa.list_(pa.float32())
+                ),
+                "label": pa.array(np.zeros(n, np.int32), pa.int32()),
+            }
+        }
+    )
+
+    def q(x):
+        s = x * 1000.0
+        return (int(np.floor(s + 0.5)) if s >= 0
+                else -int(np.floor(-s + 0.5)))
+
+    def td(a, d_):
+        return a // d_ if a >= 0 else -((-a) // d_)
+
+    xm = [[q(float(v)) for v in row] for row in vecs]
+    S = [sum(r[i] for r in xm) for i in range(dim)]
+    norm2 = sum(v * v for r in xm for v in r)
+    s2 = sum(x * x for x in S)
+    want = (n, dim, norm2 // n,
+            td((s2 - norm2) * 1_000_000, n * (n - 1)))
+    t = _collect(emb_anisotropy(d))
+    got = (t["n_vecs"][0].as_py(), t["dim"][0].as_py(),
+           t["mean_norm2_milli2"][0].as_py(),
+           t["mean_dot_micro"][0].as_py())
+    assert got == want
+    # the +2 shift makes random pairs similar: mean dot ~ dim*4e6 micro
+    assert got[3] > 20 * 1_000_000
