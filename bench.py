@@ -327,6 +327,7 @@ BENCH_QUERIES = [
     "doc_dp_counts",
     "events_ks_arms",
     "emb_anisotropy",
+    "events_qte",
     # pages_s2_parents / pages_mention_drift are NOT benched: each runs the
     # full flagship pipeline at sf0.1 (their wall is the pipeline's, already
     # the headline metric), not an independent operator cost

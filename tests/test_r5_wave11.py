@@ -2304,3 +2304,52 @@ def test_anisotropy_matches_loop_reference(ray_session):
     assert got == want
     # the +2 shift makes random pairs similar: mean dot ~ dim*4e6 micro
     assert got[3] > 20 * 1_000_000
+
+
+def test_qte_matches_sort_reference(ray_session):
+    from core_ray.queries import events_qte
+
+    rng = np.random.default_rng(1021)
+    n = 1700
+    uid = rng.integers(0, 130, n)
+    vals = np.round(rng.exponential(11.0, n) + (uid % 2) * 6.0 + 0.01, 2)
+    d = _write(
+        {
+            "events": {
+                "event_id": np.arange(n),
+                "ts": pa.array(
+                    np.sort(rng.integers(0, 10**12, n)), pa.timestamp("us")
+                ),
+                "user_id": uid,
+                "event_type": ["view"] * n,
+                "value": vals,
+                "props": ["{}"] * n,
+            }
+        }
+    )
+
+    def r0(x):
+        return int(np.floor(x * 100 + 0.5))
+
+    tot: dict = {}
+    for u, v in zip(uid.tolist(), vals.tolist()):
+        tot[u] = tot.get(u, 0) + r0(v)
+    arms = {a: sorted(v for u, v in tot.items() if u % 2 == a)
+            for a in (0, 1)}
+    want = []
+    for p in (250, 500, 750):
+        q = {}
+        for a in (0, 1):
+            k = max(1, (len(arms[a]) * p + 999) // 1000)
+            q[a] = arms[a][k - 1]
+        want.append((p, len(arms[0]), len(arms[1]), q[0], q[1],
+                     q[1] - q[0]))
+    t = _collect(events_qte(d))
+    got = list(
+        zip(t["p_permille"].to_pylist(), t["n0"].to_pylist(),
+            t["n1"].to_pylist(), t["q0"].to_pylist(),
+            t["q1"].to_pylist(), t["qte"].to_pylist())
+    )
+    assert got == want
+    # the planted +6.00/event arm lift must show at every quantile
+    assert all(qte > 0 for *_, qte in got)
